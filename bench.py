@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the declared query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over all benched queries (each executed to
+completion via a count/collect action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from datasheet_etl_spark.plans import registry
+    from datasheet_etl_spark.session import get_session
+
+    spark = get_session(app_name="datasheet_etl_spark_bench", shuffle_partitions=cpus)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reg = registry()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in sorted(reg):
+        t0 = time.perf_counter()
+        df = reg[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_inventory_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

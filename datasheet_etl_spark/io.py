@@ -1,0 +1,64 @@
+"""Table loaders for the test star schema.
+
+All reads are plain parquet scans — Catalyst pushes predicates and prunes
+columns into the scan, so callers should express filters/projections
+declaratively on the returned DataFrame rather than pre-filtering here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read nanos as a long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
+    microsecond-precision timestamp — the exact value DuckDB's
+    ``epoch_us(ts)`` sees, so oracle comparisons stay bit-identical.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Callers may hand us any session (the driver builds its own): pin the
+    # runtime confs correctness depends on — UTC so timestamp literals and
+    # date functions are deterministic and DuckDB-comparable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table; handy for registering temp views."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,23 @@
+"""Declared query inventory.
+
+``queries.py``  : Q01–Q34 — the survey §2.9 correctness contract.
+``training.py`` : training-data pipeline ops (dedup / similarity / text /
+                  multimodal) — first-class beyond-reference surface.
+
+Both register into one registry; ``registry()`` / ``oracles()`` are what
+``__spark_entry__`` exposes to the driver.
+"""
+
+from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
+
+
+def registry():
+    from datasheet_etl_spark.plans import training  # noqa: F401  (registers)
+
+    return dict(QUERIES)
+
+
+def oracles():
+    from datasheet_etl_spark.plans import training  # noqa: F401  (registers)
+
+    return dict(ORACLES)
