@@ -27,7 +27,8 @@ def extract_number(col: Column) -> Column:
     on malformed input exactly where Python ``float()`` raises.
     """
     cleaned = F.regexp_replace(F.trim(col.cast("string")), r"[^0-9.\-+eE]", "")
-    return F.when(cleaned == "", None).otherwise(cleaned.cast("double"))
+    # try_cast: NULL-on-fail must hold under ANSI mode (Spark 4 default)
+    return F.when(cleaned == "", None).otherwise(cleaned.try_cast("double"))
 
 
 def normalize_text(col: Column) -> Column:

@@ -1,0 +1,290 @@
+"""Merged-cell detection & resolution as window dataflows (survey §2.4).
+
+Reference semantics (behavioral spec: merge_detector.py:55-460) —
+sequential scan-with-reset loops over 2D cell lists — re-expressed as the
+run-length window idiom over a *cell-long* DataFrame:
+
+    cells(key, row_idx, col_idx, content [, x_start, x_end])
+
+- W1 header merges: header row sparser than data row → each non-empty
+  header cell spans its trailing empties (conf 0.85)
+- W2 empty-pattern merges: any row, span 2–4 + category-header predicate
+  (conf 0.70)
+- W3 position merges: cell width > 1.5 × column's typical width →
+  span = floor(width/typical) (conf 0.90)
+- W4 typical width: *upper median* per column (reference picks
+  ``sorted(w)[n//2]``, not the interpolated median)
+- W5 dedup: top-1 per (row, col_start) by confidence
+- W6 header resolve: category content spread into spanned empty headers
+- W7 row resolve: spanned data cells take the merge content
+- A7/A8: mean confidence (1.0 when no merges) → vision-fallback routing
+
+Scale: everything partitions by (key) or (key, row_idx); a table's cells
+are never compared across tables, so the dataflow shards perfectly over
+documents. Spans per table are tiny → the resolve joins broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datasheet_etl_spark.functions import is_category_header
+
+CONFIDENCE_THRESHOLD = 0.60  # vision-fallback routing (ref: merge_detector.py:50)
+
+
+def cells_from_raw(tables: DataFrame, key: str = "key", raw_col: str = "raw_table") -> DataFrame:
+    """raw 2D table array<array<string>> → cell-long form."""
+    rows = tables.select(key, F.posexplode(raw_col).alias("row_idx", "cells"))
+    return rows.select(
+        key, "row_idx", F.posexplode("cells").alias("col_idx", "content")
+    )
+
+
+def _nonempty(col) -> F.Column:
+    return F.trim(F.coalesce(col, F.lit(""))) != ""
+
+
+def _runs(cells: DataFrame, key: str) -> DataFrame:
+    """Run-length construction: each non-empty cell starts a run; its
+    trailing empty cells join the run. span = run size."""
+    w = (
+        Window.partitionBy(key, "row_idx")
+        .orderBy("col_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = cells.withColumn("run_id", F.sum(_nonempty(F.col("content")).cast("int")).over(w))
+    return (
+        runs.filter(F.col("run_id") > 0)
+        .groupBy(key, "row_idx", "run_id")
+        .agg(
+            F.min("col_idx").alias("col_start"),
+            F.max("col_idx").alias("col_end"),
+            F.count("*").alias("span"),
+            F.trim(F.min_by("content", "col_idx")).alias("content"),
+        )
+    )
+
+
+def detect_header_merges(cells: DataFrame, key: str = "key") -> DataFrame:
+    """W1 (ref: merge_detector.py:99-147): fires only when the header row
+    has fewer non-empty cells than the first data row."""
+    counts = (
+        cells.filter(F.col("row_idx").isin(0, 1))
+        .groupBy(key)
+        .agg(
+            F.count_if((F.col("row_idx") == 0) & _nonempty(F.col("content"))).alias("h"),
+            F.count_if((F.col("row_idx") == 1) & _nonempty(F.col("content"))).alias("d"),
+        )
+        .filter(F.col("h") < F.col("d"))
+        .select(key)
+    )
+    runs = _runs(cells.filter(F.col("row_idx") == 0), key)
+    return (
+        runs.join(counts, key, "left_semi")
+        .filter(F.col("span") > 1)
+        .select(
+            key,
+            F.col("row_idx").alias("row"),
+            "col_start",
+            "col_end",
+            "content",
+            F.lit("horizontal").alias("merge_type"),
+            F.lit(0.85).alias("confidence"),
+            F.lit(1).alias("method_rank"),
+        )
+    )
+
+
+def detect_empty_cell_patterns(cells: DataFrame, key: str = "key") -> DataFrame:
+    """W2 (ref: merge_detector.py:149-190): span 2–4 and the leader looks
+    like a category header."""
+    runs = _runs(cells, key)
+    return (
+        runs.filter(
+            (F.col("span") > 1)
+            & (F.col("span") <= 4)
+            & is_category_header(F.col("content"))
+        )
+        .select(
+            key,
+            F.col("row_idx").alias("row"),
+            "col_start",
+            "col_end",
+            "content",
+            F.lit("horizontal").alias("merge_type"),
+            F.lit(0.70).alias("confidence"),
+            F.lit(2).alias("method_rank"),
+        )
+    )
+
+
+def detect_by_positions(cells: DataFrame, key: str = "key") -> DataFrame:
+    """W3/W4 (ref: merge_detector.py:192-254): width-based spans against
+    the column's *upper median* width."""
+    with_width = cells.filter(F.col("x_start").isNotNull()).withColumn(
+        "width", F.col("x_end") - F.col("x_start")
+    )
+    typical = (
+        with_width.groupBy(key, "col_idx")
+        .agg(F.array_sort(F.collect_list("width")).alias("ws"))
+        .select(
+            key,
+            "col_idx",
+            F.element_at("ws", (F.floor(F.size("ws") / 2) + 1).cast("int")).alias(
+                "typical_width"
+            ),
+        )
+    )
+    wide = (
+        with_width.join(typical, [key, "col_idx"], "left")
+        .filter(
+            _nonempty(F.col("content"))
+            & (F.col("typical_width") > 0)
+            & (F.col("width") > F.col("typical_width") * 1.5)
+        )
+        .withColumn("span", F.floor(F.col("width") / F.col("typical_width")).cast("int"))
+        .filter(F.col("span") > 1)
+    )
+    return wide.select(
+        key,
+        F.col("row_idx").alias("row"),
+        F.col("col_idx").alias("col_start"),
+        (F.col("col_idx") + F.col("span") - 1).alias("col_end"),
+        F.trim("content").alias("content"),
+        F.lit("horizontal").alias("merge_type"),
+        F.lit(0.90).alias("confidence"),
+        F.lit(3).alias("method_rank"),
+    )
+
+
+def dedupe_merges(merges: DataFrame, key: str = "key") -> DataFrame:
+    """W5 (ref: merge_detector.py:288-301): keep highest confidence per
+    (row, col_start); insertion order (method_rank) breaks ties the way
+    the reference's strict ``>`` does."""
+    w = Window.partitionBy(key, "row", "col_start").orderBy(
+        F.col("confidence").desc(), F.col("method_rank").asc()
+    )
+    return (
+        merges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "method_rank")
+    )
+
+
+def detect_merges(cells: DataFrame, key: str = "key", with_positions: bool = False) -> DataFrame:
+    parts = [detect_header_merges(cells, key), detect_empty_cell_patterns(cells, key)]
+    if with_positions:
+        parts.append(detect_by_positions(cells, key))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return dedupe_merges(out, key)
+
+
+def resolve_headers(cells: DataFrame, merges: DataFrame, key: str = "key") -> DataFrame:
+    """W6 (ref: merge_detector.py:345-369): spread the category content
+    into spanned *empty* header cells. Returns (key, col_idx, header)."""
+    headers = cells.filter(F.col("row_idx") == 0)
+    spans = merges.filter(F.col("row") == 0).select(
+        key, "col_start", "col_end", F.col("content").alias("category")
+    )
+    cond = (
+        (headers[key] == spans[key])
+        & (headers.col_idx >= spans.col_start)
+        & (headers.col_idx <= spans.col_end)
+    )
+    joined = headers.join(F.broadcast(spans), cond, "left").select(
+        headers[key].alias(key),
+        "col_idx",
+        F.when(~_nonempty(F.col("content")) & F.col("category").isNotNull(), F.col("category"))
+        .otherwise(F.trim(F.coalesce(F.col("content"), F.lit(""))))
+        .alias("header"),
+    )
+    return joined
+
+
+def resolve_rows(cells: DataFrame, merges: DataFrame, key: str = "key") -> DataFrame:
+    """W7 (ref: merge_detector.py:371-396): spanned data cells take the
+    merge content. Returns resolved cell-long data rows."""
+    data = cells.filter(F.col("row_idx") >= 1)
+    spans = merges.select(
+        key, F.col("row").alias("row_idx"), "col_start", "col_end",
+        F.col("content").alias("merge_content"),
+    )
+    cond = (
+        (data[key] == spans[key])
+        & (data.row_idx == spans.row_idx)
+        & (data.col_idx >= spans.col_start)
+        & (data.col_idx <= spans.col_end)
+    )
+    return data.join(F.broadcast(spans), cond, "left").select(
+        data[key].alias(key),
+        data.row_idx.alias("row_idx"),
+        "col_idx",
+        F.coalesce(F.col("merge_content"), F.trim(F.coalesce(F.col("content"), F.lit(""))))
+        .alias("value"),
+    )
+
+
+def resolved_row_maps(
+    resolved_cells: DataFrame, headers: DataFrame, key: str = "key"
+) -> DataFrame:
+    """Rows as maps keyed by resolved header (ref dict semantics: duplicate
+    header names collapse, last column wins)."""
+    named = resolved_cells.join(headers, [key, "col_idx"], "inner")
+    w = Window.partitionBy(key, "row_idx", "header").orderBy(F.col("col_idx").desc())
+    last_wins = named.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    per_row = last_wins.groupBy(key, "row_idx").agg(
+        F.map_from_entries(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("col_idx", "header", "value"))),
+                lambda s: F.struct(s["header"].alias("key"), s["value"].alias("value")),
+            )
+        ).alias("row_map")
+    )
+    return per_row
+
+
+def merge_confidence(merges: DataFrame, tables: DataFrame, key: str = "key") -> DataFrame:
+    """A7/A8 (ref: merge_detector.py:398-416): mean merge confidence per
+    table (1.0 when none) + the vision-fallback flag."""
+    per = merges.groupBy(key).agg(F.avg("confidence").alias("merge_confidence"))
+    return (
+        tables.select(key)
+        .distinct()
+        .join(per, key, "left")
+        .select(
+            key,
+            F.coalesce("merge_confidence", F.lit(1.0)).alias("merge_confidence"),
+            (F.coalesce("merge_confidence", F.lit(1.0)) < CONFIDENCE_THRESHOLD).alias(
+                "needs_vision"
+            ),
+        )
+    )
+
+
+@dataclass
+class EnhanceResult:
+    merges: DataFrame
+    headers: DataFrame
+    resolved_rows: DataFrame
+    routing: DataFrame  # key, merge_confidence, needs_vision
+
+
+def enhance_tables(
+    tables: DataFrame, key: str = "key", raw_col: str = "raw_table", with_positions: bool = False
+) -> EnhanceResult:
+    """The ``enhance_table_extraction`` dataflow (ref:
+    merge_detector.py:423-460): detect → resolve → confidence → route.
+    Routing is a column, not control flow — downstream stages filter on
+    ``needs_vision`` and union the vision-reextracted slice back (§3.3)."""
+    cells = cells_from_raw(tables, key, raw_col)
+    merges = detect_merges(cells, key, with_positions)
+    headers = resolve_headers(cells, merges, key)
+    rows = resolved_row_maps(resolve_rows(cells, merges, key), headers, key)
+    routing = merge_confidence(merges, tables, key)
+    return EnhanceResult(merges=merges, headers=headers, resolved_rows=rows, routing=routing)

@@ -830,7 +830,7 @@ def q26_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     js = F.to_json(F.struct("event_id", "event_type"))
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_val"),
         js.alias("js"),
         F.get_json_object(js, "$.event_type").alias("rt_type"),
     ).orderBy("event_id")

@@ -1,0 +1,130 @@
+"""Reference-semantics unit tests for the scalar expression layer.
+
+The case tables reproduce the reference's comparator/normalizer test
+inputs and expected booleans (behavioral spec: tests/test_comprehensive.py
+:36-46, :68-78) — they encode the tolerance/alias semantics the engine
+must preserve.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasheet_etl_spark.functions import (
+    canonical_header,
+    clean_cell,
+    extract_number,
+    has_standard_headers,
+    manufacturer_from_mpn_prefix,
+    normalize_text,
+    normalize_unit,
+    numbers_match,
+    text_match,
+    units_match,
+    values_match,
+)
+
+NUMERIC_CASES = [
+    ("3.3", "3.3", True),      # exact
+    ("3.3", "3.30", True),     # trailing zero
+    ("3.3", "3.33", True),     # within 1%
+    ("3.3", "3.5", False),     # outside tolerance
+    ("0", "0", True),          # both zero
+    ("100", "101", True),      # 1% of 100
+    ("100", "102", False),     # 2% of 100
+    ("1.5V", "1.5", True),     # unit suffix stripped
+    ("-5", "-5.0", True),      # negatives
+    ("", "3.3", False),        # empty side unparseable
+    ("abc", "3.3", False),     # garbage unparseable
+]
+
+UNIT_CASES = [
+    ("µA", "uA", True),        # micro variants
+    ("µA", "μA", True),        # U+00B5 vs U+03BC
+    ("mA", "milliamp", True),
+    ("V", "volt", True),
+    ("kHz", "kilohertz", True),
+    ("°C", "C", True),
+    ("MHz", "mhz", True),      # case-insensitive
+    ("V", "A", False),
+    ("mV", "V", False),
+]
+
+
+def _eval(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+@pytest.mark.parametrize("v1,v2,expected", NUMERIC_CASES)
+def test_numbers_match(spark, v1, v2, expected):
+    got = _eval(spark, numbers_match(F.lit(v1), F.lit(v2)))
+    assert bool(got) == expected, f"{v1!r} vs {v2!r}"
+
+
+@pytest.mark.parametrize("v1,v2,expected", UNIT_CASES)
+def test_units_match(spark, v1, v2, expected):
+    got = _eval(spark, units_match(F.lit(v1), F.lit(v2)))
+    assert bool(got) == expected, f"{v1!r} vs {v2!r}"
+
+
+def test_extract_number_null_land(spark):
+    cases = {"": None, "abc": None, "1.5V": 1.5, " 3.30 ": 3.3, "-5.0": -5.0, "1e3": 1000.0}
+    for raw, want in cases.items():
+        got = _eval(spark, extract_number(F.lit(raw)))
+        assert got == want, f"{raw!r} -> {got}"
+
+
+def test_values_match_cascade(spark):
+    # both empty → True; one empty → False; numeric/unit/text fallbacks
+    assert _eval(spark, values_match(F.lit(""), F.lit(""))) is True
+    assert _eval(spark, values_match(F.lit(""), F.lit("x"))) is False
+    assert _eval(spark, values_match(F.lit("3"), F.lit("3.0"))) is True
+    assert _eval(spark, values_match(F.lit("uA"), F.lit("µA"))) is True
+    assert _eval(spark, values_match(F.lit("Hello  World."), F.lit("hello world"))) is True
+    assert _eval(spark, values_match(F.lit("foo"), F.lit("bar"))) is False
+
+
+def test_normalize_text(spark):
+    assert _eval(spark, normalize_text(F.lit("  Hello,  WORLD!  "))) == "hello world"
+    assert _eval(spark, normalize_text(F.lit(None))) == ""
+
+
+def test_clean_cell(spark):
+    assert _eval(spark, clean_cell(F.lit("a\n  b\tc"))) == "a b c"
+    assert _eval(spark, clean_cell(F.lit(None))) == ""
+
+
+def test_normalize_unit_fallback(spark):
+    assert _eval(spark, normalize_unit(F.lit("ohms"))) == "Ω"
+    assert _eval(spark, normalize_unit(F.lit("weird"))) == "weird"  # passthrough
+    assert _eval(spark, normalize_unit(F.lit(None))) == ""
+
+
+def test_canonical_header(spark):
+    cases = {
+        "PARAMETER": "Parameter",
+        "Test Conditions": "Test_Conditions",
+        "min.": "Min",
+        "Typ": "Typ",
+        "MAX": "Max",
+        "Units": "Unit",
+        "Something": "Something",
+        "": "Unknown",
+    }
+    for raw, want in cases.items():
+        got = _eval(spark, canonical_header(F.lit(raw)))
+        assert got == want, f"{raw!r} -> {got}"
+
+
+def test_has_standard_headers(spark):
+    yes = F.array(*[F.lit(x) for x in ["Parameter", "Min", "Typ", "Max", "Unit"]])
+    no = F.array(*[F.lit(x) for x in ["Parameter", "Foo"]])
+    assert _eval(spark, has_standard_headers(yes)) is True
+    assert _eval(spark, has_standard_headers(no)) is False
+
+
+def test_manufacturer_prefixes(spark):
+    cases = {"LMR51430": "Texas Instruments", "MAX232": "Analog Devices", "XYZ1": ""}
+    for mpn, want in cases.items():
+        assert _eval(spark, manufacturer_from_mpn_prefix(F.lit(mpn))) == want
