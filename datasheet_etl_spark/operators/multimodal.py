@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The Spark-side plumbing — schemas, batch
+iteration, partitioning, binary hygiene — is real and tested; the codec
+step itself is STUBBED (this environment has no image/audio libraries):
+``decode_media`` raises ``NotImplementedError`` unless PIL is importable,
+and ``fake_decode_meta`` provides the deterministic stand-in the tests
+and rows-only driver checks run against.
+
+Binary hygiene at scale (survey §4.2): the ``content`` column is dropped
+immediately after the consuming stage — an explicit select keeps 100 TB
+of payload bytes out of every downstream shuffle by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_id long, kind string, content binary"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, checksum long, "
+    "width int, height int, n_frames int, decode_status string"
+)
+
+try:  # real decoder gate — not present in this environment
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media: documents' text bytes as the binary
+    payload (stands in for spark.read.format('binaryFile') output)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+
+
+def decode_media(content: bytes) -> tuple[int, int]:
+    """Real decode — STUB. Wire PIL/ffmpeg here on a cluster image."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "media decode requires an image/audio library not present in "
+            "this environment; use fake_decode_meta for plumbing tests"
+        )
+    raise NotImplementedError("real decoder not wired in v1")
+
+
+def fake_decode_meta(content: bytes) -> tuple[int, int, int]:
+    """Deterministic decode stand-in: pseudo width/height/frames from the
+    payload bytes (pure arithmetic — oracle-reproducible)."""
+    n = len(content)
+    checksum = sum(content[:64]) if n else 0
+    width = 64 + (n % 1024)
+    height = 64 + (checksum % 512)
+    n_frames = 1 + (n % 16)
+    return width, height, n_frames
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """The mapInPandas feature-extract stage: Arrow batches in, feature
+    rows out, binary column dropped on output (hygiene)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "checksum": [sum(bytes(c)[:64]) if len(bytes(c)) else 0 for c in pdf["content"]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "n_frames": [m[2] for m in metas],
+                    "decode_status": "stubbed" if not _HAS_PIL else "ok",
+                }
+            )
+            yield out
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling stage shape: one output row per sampled frame,
+    exploded from the (stubbed) frame count — shows the 1→N mapInPandas
+    fan-out pattern with the binary dropped before the fan-out."""
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest((F.col("n_frames") - 1) / every_n, F.lit(0)).cast("int"))
+        ).alias("sample_idx"),
+        (F.col("width") * F.col("height")).alias("pixels"),
+    )
+
+
+def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
+    """Resize stage plumbing: computes target geometry from (stubbed)
+    decode metadata; the pixel work would live in the same mapInPandas
+    stage as decode on a real image."""
+    feats = extract_features(media)
+    scale = F.least(target / F.col("width"), target / F.col("height"))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("out_w"),
+        F.round(F.col("height") * scale).cast("int").alias("out_h"),
+    )

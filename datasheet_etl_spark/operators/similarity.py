@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``          : pure-expression cosine (zip_with dot product in
+                        double) — no UDF, codegen'd.
+- ``brute_force_topk``: probes broadcast against the corpus — the exact
+                        baseline. Corpus never shuffles; cost is
+                        |probes|·|corpus|·dim map-side work.
+- ``ivf_topk``        : inverted-file ANN with a deterministic coarse
+                        quantizer (per-label centroids): probe → nearest
+                        nprobe centroids → search only those partitions.
+                        At 100 TB this is the shape that works: the
+                        corpus is pre-partitioned by centroid id
+                        (partition pruning on the cell column), and each
+                        probe touches nprobe/ncells of the data.
+- ``hyperplane_lsh_pairs``: random-hyperplane signatures (SimHash over
+                        the vector) for all-pairs near-dup at scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datasheet_etl_spark.operators.relational import top_k_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double; NULL-safe zero-vector → 0.0."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) probe set, score everything,
+    deterministic top-k per probe (ties broken by corpus id)."""
+    p = probes.select(
+        F.col(id_col).alias(probe_id), F.col(vec_col).alias("probe_vec")
+    )
+    scored = (
+        F.broadcast(p)
+        .crossJoin(corpus.select(id_col, vec_col))
+        .filter(F.col(probe_id) != F.col(id_col))
+        .select(
+            probe_id,
+            id_col,
+            cosine(F.col("probe_vec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        [probe_id],
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: element-wise mean per label.
+
+    (A trained k-means quantizer drops in here — pyspark.ml KMeans — but
+    the label partition keeps the cell assignment reproducible for the
+    oracle; the IVF *mechanics* are identical either way.)
+    """
+    dim = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    exploded = corpus.select(
+        label_col, F.posexplode(vec_col).alias("idx", "component")
+    )
+    per_idx = exploded.groupBy(label_col, "idx").agg(
+        F.avg(F.col("component").cast("double")).alias("mean_c")
+    )
+    return (
+        per_idx.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "mean_c"))),
+                lambda s: s["mean_c"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """IVF ANN: per-label centroids → each probe picks its ``nprobe``
+    nearest cells → exact search inside those cells only.
+
+    Scale: centroids are tiny (broadcast); the corpus-side filter is an
+    equi-join on the cell id, so with the corpus stored partitioned by
+    label the scan prunes to nprobe partitions per probe.
+    """
+    cents = label_centroids(corpus, label_col, vec_col)
+    p = probes.select(F.col(id_col).alias(probe_id), F.col(vec_col).alias("probe_vec"))
+
+    probe_cells = (
+        F.broadcast(p)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            probe_id,
+            "probe_vec",
+            label_col,
+            cosine(F.col("probe_vec"), F.col("centroid")).alias("cent_sim"),
+        )
+    )
+    chosen = top_k_per_group(
+        probe_cells,
+        [probe_id],
+        [F.col("cent_sim").desc(), F.col(label_col).asc()],
+        k=nprobe,
+    ).select(probe_id, "probe_vec", label_col)
+
+    scored = (
+        corpus.select(id_col, vec_col, label_col)
+        .join(F.broadcast(chosen), label_col)
+        .filter(F.col(probe_id) != F.col(id_col))
+        .select(
+            probe_id,
+            id_col,
+            cosine(F.col("probe_vec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        [probe_id],
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
+def hyperplane_signature(vec: Column, num_planes: int = 16, dim: int = 64, seed: int = 7) -> Column:
+    """Random-hyperplane LSH signature (sign pattern as a long).
+
+    Hyperplane components are deterministic pseudo-random literals; the
+    signature is sign(v·h) bits packed into a long — two vectors with
+    small angle share most bits.
+    """
+    rng = random.Random(seed)
+    bits = []
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        bits.append(
+            F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs near-dup at scale: bucket by full hyperplane signature,
+    verify candidates with exact cosine ≥ threshold."""
+    sigs = corpus.select(
+        id_col, vec_col, hyperplane_signature(F.col(vec_col), num_planes).alias("sig")
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "sig"
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "sig"
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

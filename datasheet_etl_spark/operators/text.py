@@ -1,0 +1,119 @@
+"""Text-analysis operators for corpus curation: language ID, quality
+scoring, token counting, fingerprinting. All pure expressions (codegen),
+all oracle-expressible, all shuffle-free per document."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from datasheet_etl_spark.functions import tokens
+
+# Tiny marker-word profiles for the n-gram/stopword language heuristic.
+# (Real profiles would be larger dims loaded as a broadcast table; the
+# mechanics — score per language, argmax with deterministic tiebreak —
+# are the operator.)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "est", "pour"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo", "ta"],
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language marker-overlap score: |tokens ∩ profile|."""
+    return {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in profile])
+            )
+        )
+        for lang, profile in LANG_PROFILES.items()
+    }
+
+
+def detect_language(toks: Column) -> Column:
+    """Argmax language with deterministic tiebreak (lang code asc);
+    'und' when nothing matches."""
+    scores = lang_scores(toks)
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    best = F.array_min(pairs)
+    return F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / word-shape features."""
+    t = F.coalesce(text, F.lit(""))
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS])))
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_hits": n_stop,
+        "avg_token_len": avg_tok_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] heuristic: enough text, sane word lengths, some
+    stopwords, not punctuation soup. Weights are multiples of 0.25 so
+    the score is fp-stable for oracle hashing."""
+    f = quality_features(text)
+    long_enough = (f["n_tokens"] >= 20).cast("double") * 0.25
+    sane_words = ((f["avg_token_len"] >= 3) & (f["avg_token_len"] <= 10)).cast("double") * 0.25
+    has_stop = (f["stopword_hits"] >= 1).cast("double") * 0.25
+    low_punct = (f["punct_ratio"] <= 0.1).cast("double") * 0.25
+    return long_enough + sane_words + has_stop + low_punct
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace tokenizer count (split on \\s+ runs)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    arr = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    return F.size(arr)
+
+
+BPE_ISH_PATTERN = r"[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored subword proxy: letter runs, digits one-by-one,
+    punctuation one-by-one — the standard pre-tokenizer regex shape.
+    Counted via regexp_extract_all (JVM, no UDF)."""
+    t = F.coalesce(text, F.lit(""))
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint (collision key): md5 over the sorted distinct
+    token set — whitespace/punctuation/order insensitive."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return F.md5(canon)
+
+
+def rolling_hash(text: Column, modulus: int = (1 << 31) - 1, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters (aggregate HOF) — the
+    order-sensitive fingerprint variant."""
+    chars = F.split(F.coalesce(text, F.lit("")), "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + F.ascii(c), F.lit(modulus)),
+    )

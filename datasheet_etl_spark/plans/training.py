@@ -1,9 +1,422 @@
 """Training-data pipeline query entries (dedup / similarity / text /
-multimodal) — registered into the shared QUERIES/ORACLES registry.
+multimodal) — the beyond-reference surface, registered into the shared
+QUERIES/ORACLES registry.
 
-Implementations live in ``datasheet_etl_spark.operators.{dedup,
-similarity, text, multimodal}``; this module binds them to the driver
-contract. Filled in as the operators land.
+Hash-based operators (MinHash, SimHash, hyperplane LSH) are genuinely
+non-SQL-expressible (their hashes are engine-specific), so they register
+without an oracle — the driver records the weaker rows-only check; the
+*exact* operators they approximate (bigram Jaccard, embedding cosine)
+ARE oracle-checked, which pins the verification predicate both families
+share.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasheet_etl_spark.functions import tokens
+from datasheet_etl_spark.io import load_table
+from datasheet_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+    word_shingles,
+)
+from datasheet_etl_spark.operators.multimodal import extract_features, synth_media
+from datasheet_etl_spark.operators.relational import top_k_per_group
+from datasheet_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    hyperplane_lsh_pairs,
+    ivf_topk,
+)
+from datasheet_etl_spark.operators.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint,
+    quality_features,
+    quality_score,
+    whitespace_token_count,
+)
+from datasheet_etl_spark.plans.queries import register
+
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+_SQL_BIGRAMS = (
+    "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t01_dedup_exact",
+    """
+    WITH rep AS (
+      SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    ), counts AS (
+      SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2
+    )
+    SELECT r.lang AS lang, r.source AS source, r.doc_id AS rep_doc_id, c.n_docs AS n_docs
+    FROM rep r JOIN counts c ON r.lang = c.lang AND r.source = c.source
+    WHERE r.rn = 1
+    ORDER BY lang, source
+    """,
+)
+def t01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the business key, deterministic
+    representative (min doc_id), group size retained for audit."""
+    docs = _docs(spark, sf_dir)
+    reps = exact_dedup(
+        docs.select("lang", "source", "doc_id"), ["lang", "source"], "doc_id", keep="min"
+    ).withColumnRenamed("doc_id", "rep_doc_id")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    return reps.join(counts, ["lang", "source"]).orderBy("lang", "source")
+
+
+@register(
+    "t04_dedup_ngram_jaccard",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT doc_id, {_SQL_BIGRAMS} AS sh FROM t WHERE len(toks) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def t04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs (the MinHash verification
+    predicate, run exactly) over a bounded slice — the oracle anchor for
+    the hash-based families."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("t02_dedup_minhash_lsh")  # hashes are engine-specific → rows-only
+def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (shingle → 64-perm signature → 16
+    banded buckets → candidate join → exact-Jaccard verify ≥ 0.5).
+    Agreement with t04's exact pairs is asserted in tests."""
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup_pairs(
+        docs, num_perm=64, bands=16, threshold=0.5, shingle_n=2
+    )
+
+
+@register("t03_dedup_simhash")  # rows-only: xxhash64-based fingerprints
+def t03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit majority-vote fingerprint, 16-bit
+    chunk banding, Hamming ≤ 8 verify."""
+    docs = _docs(spark, sf_dir)
+    return simhash_dedup_pairs(docs, max_hamming=8)
+
+
+@register(
+    "t05_dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def t05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (probe slice, exact). The
+    all-pairs scale path is t07b's hyperplane LSH."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    corpus = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    sim = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("s"))
+        .filter(F.col("s") >= 0.4)
+        .select("id_a", "id_b", F.round("s", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search / ANN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t06_ann_bruteforce",
+    """
+    SELECT probe_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                        b.vec_id) AS rank
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+    )
+    WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def t06_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 — the exact ANN baseline. Probe side
+    broadcast; corpus never shuffles."""
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    return out.select(
+        "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
+@register(
+    "t07_ann_ivf",
+    """
+    WITH comp AS (
+      SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+      FROM embeddings, range(1, 65) r(i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid FROM comp GROUP BY label
+    ), probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 10
+    ), cells AS (
+      SELECT probe_id, pv, label FROM (
+        SELECT p.probe_id AS probe_id, p.pv AS pv, c.label AS label,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(p.pv, c.centroid) DESC, c.label) AS rn
+        FROM probes p, cent c
+      ) WHERE rn <= 2
+    )
+    SELECT probe_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT cells.probe_id AS probe_id, e.vec_id AS vec_id,
+             list_cosine_similarity(cells.pv, e.embedding::DOUBLE[]) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY cells.probe_id
+               ORDER BY list_cosine_similarity(cells.pv, e.embedding::DOUBLE[]) DESC,
+                        e.vec_id) AS rank
+      FROM cells JOIN embeddings e ON e.label = cells.label
+      WHERE e.vec_id <> cells.probe_id
+    )
+    WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def t07_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic per-label coarse quantizer, nprobe=2 cells
+    searched exactly. The 100 TB shape: corpus pre-partitioned by cell →
+    partition pruning per probe."""
+    emb = _emb(spark, sf_dir)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=10, nprobe=2)
+    return out.select(
+        "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
+@register("t07b_ann_lsh_buckets")  # hyperplane signs are seed-specific → rows-only
+def t07b_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed near-neighbor pairs — the all-pairs
+    scale path (bucket join, no N²)."""
+    emb = _emb(spark, sf_dir)
+    return hyperplane_lsh_pairs(emb, num_planes=12, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        parts.append(
+            f"len(list_intersect(list_distinct(toks), [{words}])) AS s_{lang}"
+        )
+    return ",\n           ".join(parts)
+
+
+@register(
+    "t08_text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, lang AS lang_true, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang_true,
+           {_sql_lang_scores()}
+      FROM t
+    )
+    SELECT doc_id, lang_true,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def t08_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax (tiebreak =
+    lang code ascending, matching the CASE ladder order)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        detect_language(toks).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t09_text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_intersect(list_distinct(toks),
+                 ['the','and','of','to','in','is','that','for'])) AS stop_hits,
+             CASE WHEN len(toks) > 0
+                  THEN length(array_to_string(toks, '')) / len(toks)
+                  ELSE 0.0 END AS avg_token_len
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+           stop_hits,
+           round(avg_token_len, 6) AS avg_token_len,
+           CAST(CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN stop_hits >= 1 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1
+                   THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def t09_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword/word-shape features and the
+    composite [0,1] score (weights multiples of 0.25 → fp-stable)."""
+    docs = _docs(spark, sf_dir)
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        f["stopword_hits"].alias("stop_hits"),
+        F.round(f["avg_token_len"], 6).alias("avg_token_len"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t10_text_token_count",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9\s]'))
+             AS bpe_ish_tokens,
+           length(text) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t10_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword proxy count."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t11_text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    fp AS (
+      SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+      FROM t
+    )
+    SELECT doc_id, fp,
+           count(*) OVER (PARTITION BY fp) AS n_same_fp
+    FROM fp
+    ORDER BY doc_id
+    """,
+)
+def t11_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (order/punctuation-insensitive collision key) + collision counts."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return fp.withColumn(
+        "n_same_fp", F.count("*").over(Window.partitionBy("fp"))
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register("t12_multimodal_features")  # mapInPandas stage → rows-only
+def t12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → Arrow-batched mapInPandas feature extraction
+    (decode stubbed deterministically; plumbing — schema, batching,
+    binary hygiene — real)."""
+    media = synth_media(_docs(spark, sf_dir))
+    return extract_features(media).orderBy("media_id")
