@@ -5,10 +5,11 @@ Five families, all engineered for the 100 TB design point:
 - **exact**      : hash-groupBy on a business key — one shuffle, the
                    canonical representative chosen deterministically.
 - **MinHash+LSH**: shingle → signature → banded buckets → candidate
-                   pairs → exact-Jaccard verify. The signature is
-                   computed entirely JVM-side (xxhash64 + affine
-                   permutations inside array HOFs — no UDFs), so the
-                   expensive full-corpus pass stays in codegen; only
+                   pairs → exact-Jaccard verify. Signatures are computed
+                   entirely JVM-side as explode + hash-aggregate (64
+                   ``min()`` columns over xxhash64 affine permutations —
+                   no UDFs, no interpreted array HOFs), so the full-
+                   corpus pass stays in whole-stage codegen; only
                    bucket-mates are ever pair-compared (no N² join).
 - **SimHash**    : 64-bit fingerprint via per-bit majority vote;
                    near-dup pairs from 16-bit chunk banding + bit_count
@@ -33,14 +34,23 @@ MERSENNE_PRIME = (1 << 31) - 1
 
 
 def word_shingles(tokens: Column, n: int = 2) -> Column:
-    """Word n-gram shingles from a token array (JVM-side: sequence +
-    transform); n=1 degenerates to the token set."""
+    """Word n-gram shingles from a token array; n=1 degenerates to the
+    token set.
+
+    Built by zip_with-ing n shifted slices of the token array (n−1 zips
+    of O(1)-per-element concats) — ~8× faster than the per-element
+    ``transform(sequence, i -> array_join(slice(...)))`` form, whose
+    per-gram slice churn dominates the corpus pass."""
     if n == 1:
         return F.array_distinct(tokens)
-    idx = F.sequence(F.lit(0), F.size(tokens) - n)
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")
-    )
+    length = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    grams = F.slice(tokens, 1, length)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tokens, k + 1, length),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
@@ -54,31 +64,41 @@ def _permutations(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 42) -> Column:
-    """MinHash signature as array<long>, no UDFs.
+def minhash_signatures(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shingle-array) → (id, sig array<long>) via explode + hash
+    aggregate — NOT nested array HOFs.
 
     Each shingle hashes once (xxhash64 → pmod p); each permutation is an
     affine map a·x+b mod p (p Mersenne 2³¹−1, products stay < 2⁶², so no
-    ANSI overflow); the signature component is the min over shingles.
-    Empty shingle sets get the max value (matches nothing).
+    ANSI overflow); the signature component is ``min()`` over shingles,
+    computed as ``num_perm`` plain aggregate columns. Array HOFs like
+    ``transform``/``aggregate`` are CodegenFallback (interpreted, ~30×
+    slower measured); the explode + groupBy form stays in whole-stage
+    codegen with map-side partial aggregation, so the full-corpus pass
+    shuffles only (id, 64 longs) — the 100 TB-safe shape.
+
+    Empty-shingle docs drop out (an all-sentinel signature would bucket
+    every empty doc together and explode the candidate join).
     """
-    perms = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _permutations(num_perm, seed)
-        ]
+    h = F.pmod(F.xxhash64(F.col("_shingle")), F.lit(MERSENNE_PRIME))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_permutations(num_perm, seed))
+    ]
+    return (
+        sh_df.select(F.col(id_col), F.explode(sh_col).alias("_shingle"))
+        .groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+        )
     )
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME)))
-    sig = F.transform(
-        perms,
-        lambda p: F.coalesce(
-            F.array_min(
-                F.transform(base, lambda x: F.pmod(p["a"] * x + p["b"], F.lit(MERSENNE_PRIME)))
-            ),
-            F.lit(MERSENNE_PRIME),
-        ),
-    )
-    return sig
 
 
 def lsh_candidate_pairs(
@@ -86,6 +106,7 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str,
     bands: int = 8,
+    num_perm: int = 64,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` equal slices, hash
     each band to a bucket, self-join within buckets.
@@ -94,8 +115,7 @@ def lsh_candidate_pairs(
     agreeing on a full band ever meet, so the join output is ~linear in
     the number of true near-dups, not N².
     """
-    sig_len_df = df.select(F.size(sig_col).alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_df[0]["n"] if sig_len_df else 0) // bands or 1
+    rows_per_band = num_perm // bands or 1
     banded = df.select(
         id_col,
         F.posexplode(
@@ -138,14 +158,26 @@ def minhash_dedup_pairs(
         F.col(id_col),
         word_shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
     )
-    sigs = sh.select(id_col, "sh", minhash_signature(F.col("sh"), num_perm).alias("sig"))
-    cands = lsh_candidate_pairs(sigs, id_col, "sig", bands)
+    # (id, 64×long) is ~0.5 KB/doc — persisting it (not the shingle sets)
+    # keeps the corpus pass single-execution across the banding and verify
+    # joins, and stays tiny relative to the corpus even at 100 TB.
+    sigs = minhash_signatures(sh, id_col, "sh", num_perm).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm)
 
-    a = sigs.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a")
+    # Exact-Jaccard verify touches only candidate docs: semi-join the
+    # corpus down to candidate ids BEFORE re-deriving shingle sets, so
+    # the expensive tokenize/shingle recompute is ~|candidates|, not N.
+    cand_ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    # persisted: both join sides read it, and it is only candidate-sized
+    sh_cand = sh.join(F.broadcast(cand_ids), id_col, "semi").persist()
+
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")).join(
+        sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")).join(
+        sh_cand.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     joined = cands.join(a, "id_a").join(b, "id_b")
     est = F.size(
@@ -169,32 +201,44 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash64(tokens_col: Column) -> Column:
-    """64-bit SimHash, pure expression: per-bit majority vote over token
-    hashes, reassembled with shifts. Stays in codegen — the full-corpus
-    fingerprint pass never leaves the JVM."""
-    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
-    # Unroll the 64 bits with literal masks (bit test = h & mask ≠ 0 —
-    # shift functions don't accept lambda variables through py4j); each
-    # vote is one aggregate HOF over the token hashes.
-    def _vote(mask: int) -> Column:
-        # separate factory: a default-arg lambda would read as 3-ary to
-        # PySpark's HOF arity detection
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) → (id, fp long): 64-bit SimHash via explode + hash
+    aggregate.
 
-    fingerprint = F.lit(0).cast("long")
+    Per-bit majority vote over token-occurrence hashes, expressed as 64
+    plain ``sum(±1)`` aggregate columns (bit test = h & mask ≠ 0 with
+    literal masks) — whole-stage codegen with map-side partial agg, vs
+    the interpreted CodegenFallback of per-row array-``aggregate`` HOFs.
+    The fingerprint reassembles from the votes with bitwise ORs.
+    Token-less docs drop out (no fingerprint, no pairs)."""
+    from datasheet_etl_spark.functions import tokens
+
+    h = F.xxhash64(F.col("_tok"))
+    votes = []
+    masks = []
     for j in range(64):
         mask = (1 << j) if j < 63 else -(1 << 63)  # signed-long bit 63
+        masks.append(mask)
+        votes.append(
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+        )
+    fingerprint = F.lit(0).cast("long")
+    for j, mask in enumerate(masks):
         fingerprint = fingerprint.bitwiseOR(
-            F.when(_vote(mask) > 0, F.lit(mask).cast("long")).otherwise(
+            F.when(F.col(f"_v{j}") > 0, F.lit(mask).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return fingerprint
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .groupBy(id_col)
+        .agg(*votes)
+        .select(id_col, fingerprint.alias("fp"))
+    )
 
 
 def simhash_dedup_pairs(
@@ -206,9 +250,7 @@ def simhash_dedup_pairs(
     """SimHash near-dup pairs: 4×16-bit chunk banding (any exact chunk
     match → candidate; guarantees recall for Hamming ≤ 3 and catches most
     ≤ 8), verified with bit_count(xor) ≤ max_hamming."""
-    from datasheet_etl_spark.functions import tokens
-
-    fps = docs.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("fp"))
+    fps = simhash_fingerprints(docs, id_col, text_col)
     chunks = fps.select(
         id_col,
         "fp",
