@@ -12,12 +12,12 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 
 def registry():
-    from datasheet_etl_spark.plans import training  # noqa: F401  (registers)
+    from datasheet_etl_spark.plans import streaming_entries, training  # noqa: F401
 
     return dict(QUERIES)
 
 
 def oracles():
-    from datasheet_etl_spark.plans import training  # noqa: F401  (registers)
+    from datasheet_etl_spark.plans import streaming_entries, training  # noqa: F401
 
     return dict(ORACLES)

@@ -1,0 +1,71 @@
+"""Driver-contract entries that execute under Structured Streaming.
+
+Each entry stages the events table into a file-source directory, runs
+the streaming query with an availableNow trigger into a memory sink,
+and returns the drained result as a batch DataFrame — so the driver's
+oracle compare exercises the *streaming* execution path end to end.
+
+t13 is DuckDB-oracle-checked (same contract as batch q31: streaming a
+bounded input must produce exactly the batch answer). t14 is the custom
+stateful operator (applyInPandasWithState) — genuinely non-SQL-
+expressible aggregation order, registered rows-only; its parity with
+batch Q18 is asserted in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasheet_etl_spark.plans.queries import register, sql_dsum
+from datasheet_etl_spark.streaming import (
+    events_stream,
+    run_available_now,
+    sessionize_stateful,
+    tumbling_counts,
+)
+
+
+def _stage_events(sf_dir: str) -> str:
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", f"{d}/events.parquet")
+    return d
+
+
+@register(
+    "t13_streaming_tumbling",
+    f"""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec,
+           event_type,
+           count(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_sec, event_type
+    """,
+)
+def t13_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows executed under Structured Streaming
+    (file source → availableNow → memory sink) — bounded input, so the
+    result must equal the batch q31 oracle exactly."""
+    src = _stage_events(sf_dir)
+    stream = tumbling_counts(events_stream(spark, src), watermark=None)
+    name = f"t13_{uuid.uuid4().hex[:8]}"
+    return run_available_now(stream, name, "complete").orderBy(
+        "window_start_sec", "event_type"
+    )
+
+
+@register("t14_streaming_stateful_sessions")  # custom stateful op → rows-only
+def t14_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via applyInPandasWithState under
+    Structured Streaming; batch-parity vs Q18 is pinned in
+    tests/test_streaming.py."""
+    src = _stage_events(sf_dir)
+    stream = sessionize_stateful(events_stream(spark, src))
+    name = f"t14_{uuid.uuid4().hex[:8]}"
+    return run_available_now(stream, name, "update").orderBy("user_id", "session_id")

@@ -1,0 +1,289 @@
+"""Structured Streaming operators over the events table.
+
+Design rules (the 100 TB shape):
+
+- Every transformation is expressed once and runs under BOTH batch and
+  streaming DataFrames — batch is the oracle, streaming the scale path.
+- Watermarks bound state: windowed aggs and dedup state are dropped once
+  the watermark passes, so long-running streams hold O(active windows)
+  state, not O(stream).
+- The file source + checkpoint replaces the reference's
+  skip-if-output-exists rerun (batch_export.py:128-132, S7): a restarted
+  query reprocesses nothing, new files process exactly once.
+- Custom stateful logic uses ``applyInPandasWithState`` (Arrow-batched,
+  grouped state) — the extension point for operators session_window
+  can't express.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from datasheet_etl_spark.plans.queries import dsum
+
+# ---------------------------------------------------------------------------
+# source
+# ---------------------------------------------------------------------------
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS); like the
+    batch loader we read nanos as long and rebuild a microsecond
+    timestamp, so batch and streaming plans see identical values.
+    ``maxFilesPerTrigger`` is the backpressure knob: on a real cluster it
+    bounds per-microbatch input so one trigger never swallows a backfill.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        raise ValueError(
+            f"events_stream needs a directory of parquet files, got file {path!r} "
+            "(FileStreamSource tracks per-file progress under a directory basePath)"
+        )
+    df = reader.load(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregations (Q31 family)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(
+    events: DataFrame, duration: str = "1 hour", watermark: str | None = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type — the streaming form of
+    q31_tumbling_window (identical output columns)."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_sec"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts/sums — streaming form of q31b."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_sec"), "n", "total_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup (Q32 family)
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup(
+    events: DataFrame, key_cols: Iterable[str] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once events by key: ``dropDuplicates`` with watermark-bounded
+    state. A duplicate arriving later than the watermark is not caught —
+    that is the deliberate state/completeness trade; the batch Q32 top-1
+    dedup is the exact recompute."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(list(key_cols))
+
+
+# ---------------------------------------------------------------------------
+# sessions (Q18 family)
+# ---------------------------------------------------------------------------
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "10 minutes"
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window`` — the
+    streaming equivalent of the batch lag/run-length sessionize
+    (operators.relational.sessionize): same inactivity-gap semantics,
+    state merged incrementally instead of a sort-based window."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "first_event",
+            "last_event",
+            "session_value",
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "first_event long, last_event long, session_value double"
+)
+_SESSION_STATE_SCHEMA = "last_ts double, session_id long, n long, first long, last long, value double"
+
+
+def _session_fn(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: float = 1800.0,
+):
+    """Per-user gap sessionizer (applyInPandasWithState body).
+
+    State carries the open session (last ts, running aggregates); each
+    micro-batch folds its events in event_id order and emits every
+    session touched in this batch (update semantics — a session row is
+    re-emitted with refreshed aggregates if a later batch extends it).
+    """
+    (user_id,) = key
+    if state.exists:
+        last_ts, session_id, n, first, last, value = state.get
+    else:
+        last_ts, session_id, n, first, last, value = (None, 0, 0, None, None, 0.0)
+
+    touched: dict[int, tuple] = {}
+    for pdf in batches:
+        pdf = pdf.sort_values("event_id")
+        for ts_sec, event_id, val in zip(
+            pdf["ts"].astype("int64") / 1e9, pdf["event_id"], pdf["value"]
+        ):
+            if last_ts is None or ts_sec - last_ts > gap_seconds:
+                session_id += 1
+                n, first, last, value = 0, None, None, 0.0
+            n += 1
+            first = int(event_id) if first is None else min(first, int(event_id))
+            last = int(event_id) if last is None else max(last, int(event_id))
+            value += float(val)
+            last_ts = ts_sec
+            touched[session_id] = (n, first, last, value)
+
+    state.update((last_ts, session_id, n, first, last, value))
+    if touched:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_id": sid,
+                    "n_events": t[0],
+                    "first_event": t[1],
+                    "last_event": t[2],
+                    "session_value": t[3],
+                }
+                for sid, t in sorted(touched.items())
+            ]
+        )
+
+
+def sessionize_stateful(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Custom stateful sessionize via ``applyInPandasWithState`` — the
+    extension point for stateful logic ``session_window`` cannot express
+    (here: session ids numbered per user + event_id-ordered folding,
+    matching the batch Q18 output exactly).
+
+    Streaming-only (Spark restricts applyInPandasWithState to streaming
+    DataFrames); the batch oracle is operators.relational.sessionize.
+    """
+
+    def fn(key, batches, state):
+        yield from _session_fn(key, batches, state, gap_seconds)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental file pipeline (S7)
+# ---------------------------------------------------------------------------
+
+
+def incremental_file_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+):
+    """Checkpointed file-source → parquet-sink pipeline: the streaming
+    replacement for the reference's skip-if-output-exists rerun loop.
+
+    Each invocation processes exactly the files not yet recorded in the
+    checkpoint (availableNow drains them, then stops); rerunning with no
+    new input writes nothing. Returns the finished StreamingQuery.
+    """
+    src = events_stream(spark, input_dir)
+    out = transform(src) if transform is not None else src
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+# ---------------------------------------------------------------------------
+# test/drive helper
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame with availableNow into a memory sink
+    and return the result as a batch DataFrame (smoke-test harness)."""
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,198 @@
+"""Structured Streaming smoke tests: batch is the oracle — every
+streaming operator drained with availableNow must reproduce its batch
+equivalent, and the checkpointed file pipeline must be exactly-once per
+input file across reruns."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """The single events.parquet staged into a directory (FileStreamSource
+    needs a directory basePath)."""
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def staged_events(spark, tmp_path):
+    """Events split into two parquet files in a stream-source dir."""
+    src = str(tmp_path / "src")
+    from datasheet_etl_spark.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src, mode="append")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src, mode="append")
+    return src
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    from datasheet_etl_spark.plans.queries import q31_tumbling_window
+    from datasheet_etl_spark.streaming import events_stream, run_available_now, tumbling_counts
+
+    batch = q31_tumbling_window(spark, SF_SMOKE)
+    stream = tumbling_counts(events_stream(spark, events_dir), watermark=None)
+    got = run_available_now(stream, "t_tumbling", "complete")
+    cols = ["window_start_sec", "event_type", "n", "total_value"]
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    from datasheet_etl_spark.plans.queries import q31b_sliding_window
+    from datasheet_etl_spark.streaming import events_stream, run_available_now, sliding_counts
+
+    batch = q31b_sliding_window(spark, SF_SMOKE)
+    stream = sliding_counts(events_stream(spark, events_dir), watermark=None)
+    got = run_available_now(stream, "t_sliding", "complete")
+    cols = ["window_start_sec", "n", "total_value"]
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+@pytest.fixture()
+def staged_events_by_time(spark, tmp_path):
+    """Events split chronologically (first half / second half) so the
+    second micro-batch is NOT late relative to the watermark the first
+    batch establishes."""
+    src = str(tmp_path / "src_time")
+    from datasheet_etl_spark.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    mid = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(src, mode="append")
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(src, mode="append")
+    return src
+
+
+def test_watermarked_append_emits_only_complete_windows(spark, staged_events_by_time):
+    """With maxFilesPerTrigger=1 the watermark advances between batches;
+    append mode emits only finalized windows — every window it emits must
+    carry the full batch-mode counts (no partial rows)."""
+    from datasheet_etl_spark.plans.queries import q31_tumbling_window
+    from datasheet_etl_spark.streaming import events_stream, run_available_now, tumbling_counts
+
+    stream = tumbling_counts(
+        events_stream(spark, staged_events_by_time, max_files_per_trigger=1),
+        watermark="10 minutes",
+    )
+    got = run_available_now(stream, "t_wm_append", "append")
+    batch = {
+        (r["window_start_sec"], r["event_type"]): (r["n"], r["total_value"])
+        for r in q31_tumbling_window(spark, SF_SMOKE).collect()
+    }
+    emitted = got.collect()
+    assert emitted, "append-mode run emitted no finalized windows"
+    for r in emitted:
+        assert batch[(r["window_start_sec"], r["event_type"])] == (
+            r["n"],
+            r["total_value"],
+        )
+
+
+def test_streaming_dedup_matches_distinct(spark, staged_events):
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming import events_stream, run_available_now, streaming_dedup
+
+    dup_dir = staged_events + "_dup"
+    shutil.copytree(staged_events, dup_dir)
+    # re-append one of the files → duplicated event_ids in the source
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("event_id") % 2 == 0)
+    ev.coalesce(1).write.parquet(dup_dir, mode="append")
+
+    stream = streaming_dedup(events_stream(spark, dup_dir), watermark="100 days")
+    got = run_available_now(
+        stream.groupBy("event_id").count(), "t_dedup", "complete"
+    )
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    assert got.count() == n_total
+    assert got.filter(F.col("count") > 1).count() == 0
+
+
+def test_session_window_matches_batch_sessionize(spark, events_dir):
+    """Built-in session_window sessions == batch lag/run-length sessions
+    (same gap): compare per-session (user, first_event, n, value)."""
+    from datasheet_etl_spark.plans.queries import q18_sessionize
+    from datasheet_etl_spark.streaming import events_stream, run_available_now, session_counts
+
+    batch = q18_sessionize(spark, SF_SMOKE)
+    stream = session_counts(events_stream(spark, events_dir), gap="30 minutes", watermark=None)
+    got = run_available_now(stream, "t_sessions", "complete")
+    cols = ["user_id", "first_event", "last_event", "n_events", "session_value"]
+    assert _rows(got, *cols) == _rows(batch, *cols)
+
+
+def test_stateful_sessionize_matches_batch(spark, staged_events_by_time):
+    """applyInPandasWithState sessionizer across TWO micro-batches (state
+    must carry open sessions over the batch boundary) == batch Q18.
+
+    The chronological split preserves per-user event order across batches
+    (ts is monotone in event_id in the testdata); sessions spanning the
+    split get re-emitted with refreshed aggregates in update mode — the
+    test keeps the final (max-n) emission per (user, session)."""
+    from datasheet_etl_spark.plans.queries import q18_sessionize
+    from datasheet_etl_spark.streaming import events_stream, run_available_now, sessionize_stateful
+
+    stream = sessionize_stateful(
+        events_stream(spark, staged_events_by_time, max_files_per_trigger=1)
+    )
+    got = run_available_now(stream, "t_stateful_sessions", "update").collect()
+    final = {}
+    for r in got:  # sessions only grow → the max-n emission is the final one
+        key = (r["user_id"], r["session_id"])
+        if key not in final or r["n_events"] > final[key][0]:
+            final[key] = (
+                r["n_events"],
+                r["first_event"],
+                r["last_event"],
+                r["session_value"],
+            )
+    batch = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["first_event"],
+            r["last_event"],
+            r["session_value"],
+        )
+        for r in q18_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert final.keys() == batch.keys()
+    for key, (n, first, last, val) in final.items():
+        bn, bfirst, blast, bval = batch[key]
+        assert (n, first, last) == (bn, bfirst, blast), key
+        # batch dsum rounds each element to decimal(18,2); the stateful
+        # op sums raw floats — allow the element-rounding drift
+        assert abs(val - bval) <= 0.005 * n + 1e-6, (key, val, bval)
+
+
+def test_incremental_file_pipeline_exactly_once(spark, staged_events, tmp_path):
+    from datasheet_etl_spark.streaming import incremental_file_pipeline
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_file_pipeline(spark, staged_events, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 1000
+
+    # rerun with no new input → nothing reprocessed
+    incremental_file_pipeline(spark, staged_events, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # add a new file → exactly its rows appended
+    extra = (
+        spark.read.parquet(out).limit(7).withColumn("event_id", F.col("event_id") + 10_000)
+    )
+    extra.coalesce(1).write.parquet(staged_events, mode="append")
+    incremental_file_pipeline(spark, staged_events, out, ckpt)
+    assert spark.read.parquet(out).count() == n1 + 7
