@@ -38,6 +38,13 @@ def main() -> int:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        # per-query isolation: operators may persist() intermediates and
+        # streaming entries register memory-sink views; left in place they
+        # pile up executor memory and skew later timings with GC pressure
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
     total = round(time.perf_counter() - t_all, 3)
 
     print(

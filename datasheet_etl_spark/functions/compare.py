@@ -91,6 +91,24 @@ def _contains_critical(target: Column) -> Column:
     return hit
 
 
+def severity_from_diff(field: Column, diff: Column, param_context: Column) -> Column:
+    """V6 ladder over an already-computed relative diff.
+
+    Split out so hot paths can project the (regex-heavy) numeric parse
+    ONCE in a prior select: codegen does not common-subexpression-
+    eliminate across CASE WHEN branches, so an inlined ``pct_diff``
+    re-parses both strings in every branch that mentions it.
+    """
+    base_field = F.element_at(F.split(F.lower(field), r"\."), -1)
+    return (
+        F.when(_contains_critical(base_field), "CRITICAL")
+        .when(_contains_critical(F.coalesce(param_context, F.lit(""))), "CRITICAL")
+        .when(diff > 0.10, "HIGH")
+        .when(diff > 0.05, "MEDIUM")
+        .otherwise("LOW")
+    )
+
+
 def assess_severity(field: Column, v1: Column, v2: Column, param_context: Column) -> Column:
     """V6 ladder (ref: double_verifier.py:511-550).
 
@@ -99,15 +117,7 @@ def assess_severity(field: Column, v1: Column, v2: Column, param_context: Column
     critical-substring hit → CRITICAL; pct diff > 10% → HIGH; > 5% →
     MEDIUM; else LOW.
     """
-    base_field = F.element_at(F.split(F.lower(field), r"\."), -1)
-    diff = pct_diff(v1, v2)
-    return (
-        F.when(_contains_critical(base_field), "CRITICAL")
-        .when(_contains_critical(F.coalesce(param_context, F.lit(""))), "CRITICAL")
-        .when(diff > 0.10, "HIGH")
-        .when(diff > 0.05, "MEDIUM")
-        .otherwise("LOW")
-    )
+    return severity_from_diff(field, pct_diff(v1, v2), param_context)
 
 
 def severity_penalty(severity: Column, resolved: Column) -> Column:

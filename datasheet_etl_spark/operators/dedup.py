@@ -201,6 +201,43 @@ def minhash_dedup_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    sh_df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """Exact shingle-set Jaccard pairs via a postings self-join — never
+    the N² cross join.
+
+    |A∩B| comes from joining exploded (id, shingle) postings on the
+    shingle and counting per pair; |A∪B| = |A|+|B|−|A∩B| from a tiny
+    sizes table. Docs sharing no shingle never meet, so the join output
+    is Σ_shingle df² — at corpus scale, cap that by dropping
+    stop-shingles (document frequency above a cutoff) first, exactly
+    like a search index does.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh_df = sh_df.filter(F.size(sh_col) > 0)
+    sizes = sh_df.select(F.col(id_col), F.size(sh_col).alias("_n"))
+    posts = sh_df.select(F.col(id_col), F.explode(sh_col).alias("_shingle"))
+    inter = (
+        posts.select(F.col(id_col).alias("id_a"), "_shingle")
+        .join(posts.select(F.col(id_col).alias("id_b"), "_shingle"), "_shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -899,13 +899,28 @@ def q27_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_severity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Severity assessment ladder (V6) over the Q10 pairs, via the
-    library's assess_severity expression (no critical-param context)."""
+    library's assess_severity expression (no critical-param context).
+
+    The regex-heavy numeric parse (the reference's parse-on-demand
+    semantics) is projected ONCE in a prior select: codegen does not
+    CSE across when-branches, so inlining pct_diff re-parsed the
+    strings ~8× per row (~6× slower measured end to end)."""
+    from datasheet_etl_spark.functions.compare import severity_from_diff
+    from datasheet_etl_spark.functions.scalar import extract_number
+
     li = _t(spark, sf_dir, "lineitem")
     a = F.col("l_extendedprice").cast("string")
     b = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("string")
-    sev = assess_severity(F.lit("row[0].price"), a, b, F.lit(""))
+    n1, n2 = extract_number(a), extract_number(b)
+    parsed = li.select(n1.alias("n1"), n2.alias("n2"))
+    mx = F.greatest(F.abs(F.col("n1")), F.abs(F.col("n2")))
+    diff = F.when(
+        F.col("n1").isNotNull() & F.col("n2").isNotNull() & (mx > 0),
+        F.abs(F.col("n1") - F.col("n2")) / mx,
+    )
+    sev = severity_from_diff(F.lit("row[0].price"), diff, F.lit(""))
     return (
-        li.select(sev.alias("severity"))
+        parsed.select(sev.alias("severity"))
         .groupBy("severity")
         .agg(F.count("*").alias("n"))
         .orderBy("severity")

@@ -19,6 +19,7 @@ from datasheet_etl_spark.functions import tokens
 from datasheet_etl_spark.io import load_table
 from datasheet_etl_spark.operators.dedup import (
     exact_dedup,
+    exact_jaccard_pairs,
     minhash_dedup_pairs,
     simhash_dedup_pairs,
     word_shingles,
@@ -28,6 +29,7 @@ from datasheet_etl_spark.operators.relational import top_k_per_group
 from datasheet_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    cosine_pairs_vectorized,
     hyperplane_lsh_pairs,
     ivf_topk,
 )
@@ -110,19 +112,12 @@ def t01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs (the MinHash verification
     predicate, run exactly) over a bounded slice — the oracle anchor for
-    the hash-based families."""
+    the hash-based families. Postings self-join, not the N² cross join."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    sh = docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
-    ).filter(F.size("sh") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    sh = docs.select("doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jac.alias("j"))
-        .filter(F.col("j") >= 0.5)
-        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
+        exact_jaccard_pairs(sh, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
@@ -159,21 +154,16 @@ def t03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t05_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (probe slice, exact). The
-    all-pairs scale path is t07b's hyperplane LSH."""
+    """Embedding-cosine near-dup pairs (probe slice, exact): numpy-
+    vectorized map-side scan — corpus never shuffles, one matmul per
+    Arrow batch. The all-pairs scale path is t07b's hyperplane LSH."""
     emb = _emb(spark, sf_dir)
-    probes = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    pairs = cosine_pairs_vectorized(
+        emb, emb.filter(F.col("vec_id") < 100), threshold=0.4
     )
-    corpus = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    sim = cosine(F.col("vec_a"), F.col("vec_b"))
     return (
-        F.broadcast(probes)
-        .crossJoin(corpus)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("s"))
-        .filter(F.col("s") >= 0.4)
-        .select("id_a", "id_b", F.round("s", 6).alias("cos_sim"))
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
 
@@ -406,6 +396,37 @@ def t11_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "n_same_fp", F.count("*").over(Window.partitionBy("fp"))
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# external-call stage (S8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t15_vision_stage",
+    r"""
+    SELECT doc_id AS media_id,
+           'ok' AS status,
+           1 AS attempts,
+           CAST(0.002 AS DOUBLE) AS cost_usd,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+           coalesce(list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1], '')
+             AS first_token
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def t15_vision_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-call mapInPandas stage (S8) with the deterministic mock
+    client — the extraction fields are SQL-reproducible on purpose, so
+    the oracle checks the Arrow plumbing end to end. Retry/budget paths
+    are pinned in tests/test_vision_stage.py."""
+    from datasheet_etl_spark.sources import vision_extract_stage
+
+    media = synth_media(_docs(spark, sf_dir))
+    return vision_extract_stage(media).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
