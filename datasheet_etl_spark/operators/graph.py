@@ -1,0 +1,149 @@
+"""Graph operators (survey §2.7) over edge DataFrames.
+
+The reference extracts diagrams as node/edge lists
+(interfaces.py:87-98, vision_client.py:109-124) and its topology
+questions are joins over those lists. Here the graph IS two DataFrames;
+every operator is a join/aggregate shape that Catalyst optimizes like
+any other, so the same code serves datasheet diagram topology AND the
+corpus-scale use: turning near-dup *pairs* into duplicate *clusters*.
+
+``connected_components`` uses min-label propagation with an
+early-converging contraction step (Hash-to-Min style: every node adopts
+the smallest label in its closed neighborhood, then labels propagate
+through the current representative — O(log diameter) rounds). Near-dup
+clusters have tiny diameters, so 3–5 rounds close 100 TB-scale pair
+sets; each round is one shuffle on node id, and lineage is truncated
+per round so plans don't grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_undirected(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Canonical undirected edge list: (src < dst), deduped."""
+    src = F.least(F.col(a), F.col(b)).alias("src")
+    dst = F.greatest(F.col(a), F.col(b)).alias("dst")
+    return pairs.select(src, dst).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected degree per node — one explode + hash agg."""
+    nodes = edges.select(F.explode(F.array(src, dst)).alias("id"))
+    return nodes.groupBy("id").agg(F.count("*").alias("degree"))
+
+
+def two_hop_neighbors(edges: DataFrame) -> DataFrame:
+    """Distinct 2-hop pairs (a, c) connected through some b — the
+    diagram topology question ('what reaches GND via one component')
+    as a self-join. Excludes direct edges and self-pairs."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    l = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    r = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    hops = (
+        l.join(r, "b")
+        .filter(F.col("a") != F.col("c"))
+        .select(
+            F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")
+        )
+        .distinct()
+    )
+    return hops.join(edges, ["src", "dst"], "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node id → component id) with component id = min member id.
+
+    Min-label propagation: each round every node adopts the minimum
+    label over its closed neighborhood, then chases one level of
+    pointer (label := label's label) to contract chains. Convergence is
+    checked with a changed-count aggregate; each round's result is
+    localCheckpoint'ed so the plan stays one-round deep regardless of
+    iteration count (loops over DataFrames otherwise accrete lineage).
+    """
+    edges = edges_undirected(pairs, a, b)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min label over closed neighborhood
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id", F.least("label", F.coalesce("nmin", "label")).alias("label")
+            )
+        )
+        # pointer chase: label := label(label) — contracts chains fast
+        chased = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("parent")
+                ).alias("p"),
+                "label",
+                "left",
+            )
+            .select("id", F.least("label", F.coalesce("parent", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            chased.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = chased
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Near-dup pairs → duplicate clusters: (doc id, cluster
+    representative = min member id, cluster size). Docs not in any pair
+    are their own singleton cluster and are simply absent here."""
+    cc = connected_components(pairs, a, b)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
+
+
+def drop_duplicates_by_cluster(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per near-dup cluster (the min id) plus
+    every unpaired doc — the end-to-end corpus dedup: pairs → clusters →
+    left-anti on the non-representatives."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

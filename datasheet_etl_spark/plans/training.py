@@ -399,6 +399,104 @@ def t11_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph family (§2.7): components, topology joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t16_dedup_clusters",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT doc_id, {_SQL_BIGRAMS} AS sh FROM t WHERE len(toks) >= 2
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT c.id AS doc_id, c.component AS cluster_rep, z.cluster_size AS cluster_size
+    FROM comp c JOIN sizes z USING (component)
+    ORDER BY doc_id
+    """,
+)
+def t16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via distributed connected
+    components (min-label propagation, O(log diameter) rounds). The
+    oracle computes the same components with a recursive CTE over the
+    same exact-Jaccard pairs."""
+    from datasheet_etl_spark.operators.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sh = docs.select("doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh"))
+    pairs = exact_jaccard_pairs(sh, threshold=0.5)
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "t17_graph_copurchase",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a AS part_a, pa.p_name AS name_a,
+           p.part_b AS part_b, pb.p_name AS name_b, p.n_orders AS n_orders
+    FROM pairs p
+    JOIN part pa ON pa.p_partkey = p.part_a
+    JOIN part pb ON pb.p_partkey = p.part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def t17_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence graph (G2/G4 topology shape over real tables):
+    edges = parts sharing an order (self-join on the order key), top-20
+    heaviest edges, names attached via broadcast dim joins."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b"))),
+            "part_b",
+        )
+        .select("part_a", "name_a", "part_b", "name_b", "n_orders")
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # external-call stage (S8)
 # ---------------------------------------------------------------------------
 
