@@ -44,6 +44,81 @@ def zip_frames(
     return lhs.join(rhs, [*partition_keys, pos_col], "inner")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: Sequence[str],
+    left_on: str,
+    right_on: str,
+    right_value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_on <= left_on`` (direction='backward'; 'forward' matches the
+    earliest right row ≥), per partition key. Unmatched → NULLs.
+
+    Built as merge-ordered union + forward fill, NOT a per-row range
+    subquery: both sides union into one stream tagged by side, sort
+    within the partition key by (ts, side), and ``last(value,
+    ignoreNulls)`` carries the right side's payload onto each left row.
+    ONE shuffle on the partition keys regardless of |right| matches per
+    row — the shape that survives market-data-sized inputs; an
+    inequality self-join would be quadratic per key.
+
+    Ties (equal timestamps) match: the right row sorts before the left
+    row at the same instant.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(partition_keys)
+    lcols = [c for c in left.columns if c not in keys and c != left_on]
+    tagged_r = right.select(
+        *keys,
+        F.col(right_on).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        *keys,
+        F.col(left_on).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = [
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_value_cols
+        ]
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = [
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_value_cols
+        ]
+    return (
+        unioned.select(*keys, "_ts", "_side", *[F.col(f"_l_{c}") for c in lcols], *carry)
+        .filter(F.col("_side") == 1)
+        .select(
+            *keys,
+            F.col("_ts").alias(left_on),
+            *[F.col(f"_l_{c}").alias(c) for c in lcols],
+            *right_value_cols,
+        )
+    )
+
+
 def span_join(
     facts: DataFrame,
     spans: DataFrame,

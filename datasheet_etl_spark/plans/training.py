@@ -497,6 +497,66 @@ def t17_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t18_asof_join",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, event_id, us, side,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+             last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+      FROM e
+    )
+    SELECT user_id, event_id AS purchase_id, click_id,
+           round((us - click_us) / 1000000.0, 6) AS gap_sec
+    FROM w WHERE side = 1
+    ORDER BY purchase_id
+    """,
+)
+def t18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (backward, inclusive). Merge-ordered union +
+    forward fill — one shuffle on user_id, never an inequality join."""
+    from datasheet_etl_spark.operators.relational import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us"), F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        partition_keys=["user_id"],
+        left_on="us",
+        right_on="us",
+        right_value_cols=["click_id", "click_us"],
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.round((F.col("us") - F.col("click_us")) / 1e6, 6).alias("gap_sec"),
+    ).orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
 # external-call stage (S8)
 # ---------------------------------------------------------------------------
 

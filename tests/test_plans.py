@@ -1,0 +1,83 @@
+"""Physical-plan audits: the scale properties the engine is designed
+around must be visible in the plans Catalyst actually produces —
+predicate pushdown into the parquet scan, column pruning, broadcast
+join selection for dimension joins, and map-side partial aggregation.
+A regression here is a 100 TB incident even when results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    from datasheet_etl_spark.plans.queries import q01_scan_filter
+
+    plan = _plan(q01_scan_filter(spark, SF_SMOKE))
+    scan = plan[plan.index("FileScan") :]
+    m = re.search(r"PushedFilters: \[([^\n]*)", scan)
+    assert m and "l_quantity" in m.group(1) and "l_shipdate" in m.group(1), scan[:400]
+    # projection pruned to the 4 output columns + the filter column
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan)
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert read_cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    }, read_cols
+
+
+def test_q05_dimension_joins_broadcast(spark):
+    from datasheet_etl_spark.plans.queries import q05_broadcast_join
+
+    plan = _plan(q05_broadcast_join(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:600]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q11_partial_aggregation(spark):
+    from datasheet_etl_spark.plans.queries import q11_tpch_q1
+
+    plan = _plan(q11_tpch_q1(spark, SF_SMOKE))
+    # map-side partial agg before the shuffle, final after
+    assert "partial_" in plan, plan[:600]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_t17_dim_joins_broadcast(spark):
+    from datasheet_etl_spark.plans.training import t17_graph_copurchase
+
+    plan = _plan(t17_graph_copurchase(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:600]
+
+
+def test_binary_hygiene_in_plan(spark):
+    """The media payload column must not appear in any exchange above
+    the mapInPandas stage that consumes it."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.multimodal import extract_features, synth_media
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = extract_features(synth_media(docs)).groupBy("kind").count()
+    plan = _plan(feats)
+    above_stage = plan[: plan.index("MapInPandas")]
+    assert "content" not in above_stage, above_stage
+
+
+def test_q19_percentile_single_shuffle(spark):
+    """Percentiles per group: one hash-partition exchange, no global
+    sort before aggregation."""
+    from datasheet_etl_spark.plans.queries import q19_percentiles
+
+    plan = _plan(q19_percentiles(spark, SF_SMOKE))
+    body = plan.split("Sort", 1)[-1]  # final presentation sort is fine
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -115,6 +115,33 @@ def test_langid_accuracy_on_en(spark):
     assert preds <= {"en", "de", "es", "fr", "zh", "und"}
 
 
+def test_asof_join_semantics(spark):
+    """Backward matches latest right ≤ left (ties inclusive), unmatched
+    lefts get NULLs, forward matches earliest right ≥ left."""
+    from datasheet_etl_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "c"), (2, 7, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30), (1, 5, 50), (1, 9, 90), (2, 8, 80)],
+        "k long, ts long, v long",
+    )
+    back = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert back == {(1, 5): 50, (1, 10): 90, (1, 2): None, (2, 7): None}
+    fwd = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 5): 50, (1, 10): None, (1, 2): 30, (2, 7): 80}
+
+
 def test_rolling_hash_deterministic(spark):
     from datasheet_etl_spark.operators.text import rolling_hash
 
