@@ -119,6 +119,36 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    salt_from: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the (large, skewed) left side gets a
+    deterministic salt in [0, buckets) derived from ``salt_from`` (a
+    column unique-ish per row — NOT the join key), the (smaller) right
+    side is replicated once per salt, and the join runs on
+    (keys…, salt). A single hot key thereby spreads over ``buckets``
+    tasks instead of melting one executor.
+
+    The salt is hash-derived, not rand(): task retries must re-produce
+    the same salt or rows are lost/duplicated under speculative
+    execution. AQE's skew-join split handles moderate skew on its own —
+    reach for this when one key dominates by orders of magnitude.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets)).cast("int").alias("_salt")
+    lhs = left.withColumn("_salt", salt)
+    rhs = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    return lhs.join(rhs, [*keys, "_salt"], how).drop("_salt")
+
+
 def span_join(
     facts: DataFrame,
     spans: DataFrame,

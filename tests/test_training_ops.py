@@ -142,6 +142,25 @@ def test_asof_join_semantics(spark):
     assert fwd == {(1, 5): 50, (1, 10): None, (1, 2): 30, (2, 7): 80}
 
 
+def test_salted_join_equivalence(spark):
+    """Salting must not change join results — only the key distribution.
+    90% of the left rows share one hot key."""
+    from datasheet_etl_spark.operators.relational import salted_join
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        (F.col("id") * 2).alias("lv"),
+    )
+    right = left.select("k").distinct().withColumn("rv", F.length("k"))
+    plain = {(r["row_id"], r["rv"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["row_id"], r["rv"])
+        for r in salted_join(left, right, ["k"], salt_from="row_id", buckets=8).collect()
+    }
+    assert salted == plain and len(plain) == 1000
+
+
 def test_rolling_hash_deterministic(spark):
     from datasheet_etl_spark.operators.text import rolling_hash
 
