@@ -288,3 +288,124 @@ def enhance_tables(
     rows = resolved_row_maps(resolve_rows(cells, merges, key), headers, key)
     routing = merge_confidence(merges, tables, key)
     return EnhanceResult(merges=merges, headers=headers, resolved_rows=rows, routing=routing)
+
+
+# ---------------------------------------------------------------------------
+# W8: row-continuation merge (ref: docs/EDGE_CASES_ANALYSIS.md:16-32 —
+# planned in the reference, implemented here)
+# ---------------------------------------------------------------------------
+
+
+def merge_row_continuations(
+    cells: DataFrame, key: str = "key", mode: str = "fill_down"
+) -> DataFrame:
+    """A row whose first column is empty but that carries values
+    continues the previous row (TC-002 vertical merge / cross-page W8).
+
+    mode='fill_down' keeps every row and spreads the anchor row's first-
+    column value into the continuations (the UVLO Rising/Falling shape —
+    sub-rows stay distinct rows). mode='concat' collapses each
+    continuation group to one row, joining non-empty cell texts per
+    column (the literal 'merge with previous row' strategy).
+
+    One shuffle on ``key``; the group id is the W1/W8 run-length idiom —
+    a running sum of is-new-row flags ordered by row_idx.
+    """
+    flags = cells.groupBy(key, "row_idx").agg(
+        F.max(
+            ((F.col("col_idx") == 0) & _nonempty(F.col("content"))).cast("int")
+        ).alias("has_first"),
+        F.max(
+            ((F.col("col_idx") > 0) & _nonempty(F.col("content"))).cast("int")
+        ).alias("has_values"),
+    )
+    is_new = (
+        (F.col("has_first") == 1) | (F.col("has_values") == 0)
+    ).cast("int")
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy("row_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    groups = flags.select(
+        key, "row_idx", is_new.alias("is_new")
+    ).withColumn("grp", F.sum("is_new").over(wrun))
+    tagged = cells.join(groups.select(key, "row_idx", "grp"), [key, "row_idx"])
+
+    if mode == "fill_down":
+        # fill only within the continuation group: the anchor value
+        # carries down exactly while grp is unchanged
+        wgrp = (
+            Window.partitionBy(key, "grp", "col_idx")
+            .orderBy("row_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.when(
+            (F.col("col_idx") == 0) & ~_nonempty(F.col("content")),
+            F.last(
+                F.when(_nonempty(F.col("content")), F.col("content")), ignorenulls=True
+            ).over(wgrp),
+        ).otherwise(F.col("content"))
+        return tagged.select(
+            key, "row_idx", "col_idx", F.coalesce(filled, F.col("content")).alias("content")
+        )
+
+    if mode == "concat":
+        joined = (
+            tagged.groupBy(key, "grp", "col_idx")
+            .agg(
+                F.min("row_idx").alias("row_idx"),
+                F.array_join(
+                    F.filter(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("row_idx", "content"))
+                            ),
+                            lambda s: F.trim(s["content"]),
+                        ),
+                        lambda c: c != "",
+                    ),
+                    " ",
+                ).alias("content"),
+            )
+        )
+        return joined.select(key, "row_idx", "col_idx", "content")
+
+    raise ValueError(f"mode must be fill_down|concat, got {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# P19: footnote linking (ref: docs/EDGE_CASES_ANALYSIS.md:74-89 — planned
+# in the reference, implemented here)
+# ---------------------------------------------------------------------------
+
+
+def extract_notes(pages: DataFrame, key: str = "key", text_col: str = "text") -> DataFrame:
+    """Page-bottom footnote definitions: 'Note N: …' lines →
+    (key, note_id, note_text)."""
+    lines = pages.select(
+        key, F.explode(F.split(F.col(text_col), r"\n")).alias("_line")
+    )
+    return lines.select(
+        key,
+        F.regexp_extract("_line", r"^\s*Note\s+(\d+)\s*:", 1).alias("note_id"),
+        F.trim(F.regexp_extract("_line", r"^\s*Note\s+\d+\s*:\s*(.*)$", 1)).alias(
+            "note_text"
+        ),
+    ).filter(F.col("note_id") != "")
+
+
+def link_footnotes(cells: DataFrame, notes: DataFrame, key: str = "key") -> DataFrame:
+    """Footnote markers '(Note N)' inside cell text, exploded and
+    equi-joined to the notes table — one marker row per (cell, note).
+    Cells without markers do not appear; unmatched markers keep NULL
+    note_text (left join), surfacing dangling references."""
+    marked = cells.select(
+        key,
+        "row_idx",
+        "col_idx",
+        F.explode(
+            F.expr(r"regexp_extract_all(content, 'Note\\s+(\\d+)', 1)")
+        ).alias("note_id"),
+    )
+    return marked.join(notes, [key, "note_id"], "left")

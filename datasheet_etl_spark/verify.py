@@ -354,3 +354,39 @@ def verifier_stats(verdicts: DataFrame, conflicts: DataFrame, key: str = "key") 
         F.count_if(F.col("resolution").isNotNull()).alias("conflicts_resolved"),
     )
     return counts.crossJoin(cstats)
+
+
+def accuracy_metrics(
+    extracted: DataFrame, golden: DataFrame, key: str = "key"
+) -> DataFrame:
+    """A10 (ref: docs/architecture_v04.md:515-527 — planned in the
+    reference, implemented here): extraction accuracy vs ground truth at
+    cell, row, and table grain in ONE pass via ROLLUP.
+
+    Full-outer join on (key, row_idx, col_idx) so both misses (golden
+    cell never extracted) and hallucinations (extracted cell not in
+    golden) count as mismatches; match is null-safe equality. Output:
+    one row per (grain, key[, row_idx]) with accuracy ∈ [0,1] and the
+    cell count it averages over.
+    """
+    e = extracted.select(
+        key, "row_idx", "col_idx", F.col("content").alias("_e")
+    )
+    g = golden.select(key, "row_idx", "col_idx", F.col("content").alias("_g"))
+    j = e.join(g, [key, "row_idx", "col_idx"], "full_outer")
+    match = F.col("_e").eqNullSafe(F.col("_g")).cast("double")
+    return (
+        j.select(key, "row_idx", match.alias("_m"))
+        .rollup(key, "row_idx")
+        .agg(F.avg("_m").alias("accuracy"), F.count("*").alias("n_cells"))
+        .select(
+            F.when(F.col("row_idx").isNotNull(), "row")
+            .when(F.col(key).isNotNull(), "table")
+            .otherwise("overall")
+            .alias("grain"),
+            key,
+            "row_idx",
+            F.round("accuracy", 6).alias("accuracy"),
+            "n_cells",
+        )
+    )
