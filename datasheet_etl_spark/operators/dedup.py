@@ -154,10 +154,13 @@ def minhash_dedup_pairs(
     """
     from datasheet_etl_spark.functions import tokens
 
-    sh = docs.select(
-        F.col(id_col),
-        word_shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
-    )
+    def shingle(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col),
+            word_shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
+        )
+
+    sh = shingle(docs)
     # (id, 64×long) is ~0.5 KB/doc — persisting it (not the shingle sets)
     # keeps the corpus pass single-execution across the banding and verify
     # joins, and stays tiny relative to the corpus even at 100 TB.
@@ -170,8 +173,12 @@ def minhash_dedup_pairs(
     cand_ids = cands.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    # persisted: both join sides read it, and it is only candidate-sized
-    sh_cand = sh.join(F.broadcast(cand_ids), id_col, "semi").persist()
+    # semi-join the raw docs BEFORE shingling (explicit pushdown: only
+    # candidate docs pay the tokenize/shingle cost) and persist — both
+    # verify join sides read it, and it is only candidate-sized
+    sh_cand = shingle(
+        docs.join(F.broadcast(cand_ids), id_col, "semi")
+    ).persist()
 
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")).join(
         sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
