@@ -21,6 +21,7 @@ def zip_frames(
     order_keys: Sequence[str],
     pos_col: str = "pos",
     suffixes: tuple[str, str] = ("_l", "_r"),
+    right_order_keys: Sequence[str] | None = None,
 ) -> DataFrame:
     """Positional (zip) join — J1.
 
@@ -33,10 +34,19 @@ def zip_frames(
     Scale: both sides shuffle once on ``partition_keys`` (the window and
     the join reuse the same hash partitioning, so Catalyst plans a single
     exchange per side).
+
+    Determinism: ``order_keys`` must be a TOTAL order per partition on
+    each side (or ties must only occur between fully-identical rows) —
+    row_number over a partial order assigns positions arbitrarily and
+    results stop being reproducible. Sides with different payload
+    columns can pass ``right_order_keys`` to tie-break independently.
     """
-    w = Window.partitionBy(*partition_keys).orderBy(*order_keys)
-    lhs = left.withColumn(pos_col, F.row_number().over(w))
-    rhs = right.withColumn(pos_col, F.row_number().over(w))
+    wl = Window.partitionBy(*partition_keys).orderBy(*order_keys)
+    wr = Window.partitionBy(*partition_keys).orderBy(
+        *(right_order_keys if right_order_keys is not None else order_keys)
+    )
+    lhs = left.withColumn(pos_col, F.row_number().over(wl))
+    rhs = right.withColumn(pos_col, F.row_number().over(wr))
     overlap = (set(lhs.columns) & set(rhs.columns)) - set(partition_keys) - {pos_col}
     for c in overlap:
         lhs = lhs.withColumnRenamed(c, c + suffixes[0])

@@ -202,11 +202,13 @@ def q05_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT l_orderkey, l_linenumber, l_quantity,
-             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS pos
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_quantity) AS pos
       FROM lineitem WHERE l_quantity > 10
     ), b AS (
       SELECT l_orderkey, l_linenumber, l_discount,
-             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS pos
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_discount) AS pos
       FROM lineitem WHERE l_discount > 0.02
     )
     SELECT a.l_orderkey AS l_orderkey, a.pos AS pos,
@@ -218,11 +220,20 @@ def q05_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional zip join (J1) via the reusable ``zip_frames`` helper.
-    Inner-on-pos reproduces Python zip truncation semantics."""
+    Inner-on-pos reproduces Python zip truncation semantics.
+    (l_orderkey, l_linenumber) is NOT unique in the testdata, so each
+    side tie-breaks on its payload column — any remaining ties are
+    between identical rows and cannot change the output."""
     li = _t(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_linenumber", "l_quantity")
     b = li.filter(F.col("l_discount") > 0.02).select("l_orderkey", "l_linenumber", "l_discount")
-    zipped = zip_frames(a, b, ["l_orderkey"], ["l_linenumber"])
+    zipped = zip_frames(
+        a,
+        b,
+        ["l_orderkey"],
+        ["l_linenumber", "l_quantity"],
+        right_order_keys=["l_linenumber", "l_discount"],
+    )
     return zipped.select(
         "l_orderkey",
         "pos",
