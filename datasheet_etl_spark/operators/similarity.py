@@ -131,6 +131,150 @@ def brute_force_topk(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means (Lloyd's) over the embedding column — the real
+    IVF coarse quantizer. Returns a unit-normalized (k, dim) numpy array.
+
+    The 100 TB shape: centroids (k×dim, a few KB) live on the driver;
+    each iteration is ONE vectorized map pass over the corpus (assign =
+    argmax dot against the broadcast centroid matrix inside mapInPandas)
+    followed by one hash-aggregate of per-cell component sums. The
+    corpus never shuffles by more than (cell, 64 doubles) partial sums.
+
+    Deterministic: init = the k lowest-id vectors; ties in assignment
+    break toward the lower cell index. Empty cells keep their previous
+    centroid.
+    """
+    import numpy as np
+
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cent = np.array([r[1] for r in init_rows], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(iters):
+        assigned = assign_cells(corpus, cent, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(vec_col).alias("idx", "c")
+            )
+            .groupBy("cell", "idx")
+            .agg(F.sum(F.col("c").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cell"], np.zeros(cent.shape[1]))[r["idx"]] = r["s"]
+        for cell, vec in acc.items():
+            nrm = np.linalg.norm(vec)
+            if nrm > 0:
+                new[cell] = vec / nrm
+        cent = new
+    return cent
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) → (id, vec, cell): argmax-dot cell assignment against a
+    driver-held unit centroid matrix, one matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def op(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nrm = np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            cells = ((cm / nrm) @ cent.T).argmax(axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = cells.astype("int32")
+            yield out
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    schema = f"{id_col} long, {vec_col} {vec_type}, cell int"
+    return corpus.select(id_col, vec_col).mapInPandas(op, schema=schema)
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """IVF with a trained spherical-kmeans quantizer: probes search only
+    their ``nprobe`` nearest cells, scored exactly with the vectorized
+    scanner. At rest the corpus would be written partitioned by ``cell``
+    so each probe's scan partition-prunes to nprobe/k_clusters of data.
+    """
+    import numpy as np
+
+    cent = kmeans_fit(corpus, k_clusters, iters, id_col, vec_col)
+    cells = assign_cells(corpus, cent, id_col, vec_col).persist()
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    pm = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    pm /= np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+    sims_pc = pm @ cent.T  # (p, k_clusters)
+    probe_cells = [
+        (int(r[0]), [int(c) for c in np.argsort(-sims_pc[i])[:nprobe]])
+        for i, r in enumerate(probe_rows)
+    ]
+    spark = corpus.sparkSession
+    pc = spark.createDataFrame(
+        [(pid, c) for pid, cs in probe_cells for c in cs],
+        f"{probe_id} long, cell int",
+    )
+    # restrict the corpus to the union of probed cells, then exact-score
+    # probe×member pairs and keep only pairs within the probe's own cells
+    member = cells.join(
+        F.broadcast(pc.select("cell").distinct()), "cell", "semi"
+    )
+    scored = cosine_pairs_vectorized(
+        member,
+        probes,
+        threshold=-1.0,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id=probe_id,
+        corpus_id=id_col,
+    )
+    scored = (
+        scored.join(
+            cells.select(F.col(id_col), "cell"), id_col
+        )
+        .join(F.broadcast(pc), [probe_id, "cell"], "semi")
+        .filter(F.col(probe_id) != F.col(id_col))
+    )
+    return top_k_per_group(
+        scored.select(probe_id, id_col, "cos_sim"),
+        [probe_id],
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+
+
 def label_centroids(
     corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

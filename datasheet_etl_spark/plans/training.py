@@ -245,6 +245,22 @@ def t07_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+@register("t20_ann_ivf_kmeans")  # trained quantizer → rows-only; recall pinned in tests
+def t20_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a trained spherical-kmeans quantizer (Lloyd's, driver-
+    held centroids, corpus streamed): nprobe=4 of 16 cells searched
+    exactly. Recall vs brute force asserted in tests."""
+    from datasheet_etl_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = _emb(spark, sf_dir)
+    out = ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=10, k_clusters=16, nprobe=4, iters=3
+    )
+    return out.select(
+        "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("probe_id", "rank")
+
+
 @register("t07b_ann_lsh_buckets")  # hyperplane signs are seed-specific → rows-only
 def t07b_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed near-neighbor pairs — the all-pairs
@@ -396,6 +412,89 @@ def t11_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "n_same_fp", F.count("*").over(Window.partitionBy("fp"))
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation (the 100 TB headline composition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t19_corpus_curation",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id, text, toks,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_intersect(list_distinct(toks),
+                 ['the','and','of','to','in','is','that','for'])) AS stop_hits,
+             CASE WHEN len(toks) > 0
+                  THEN length(array_to_string(toks, '')) / len(toks)
+                  ELSE 0.0 END AS avg_tok
+      FROM t
+    ), scored AS (
+      SELECT doc_id, toks,
+             CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN stop_hits >= 1 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1
+                      THEN 0.25 ELSE 0.0 END AS quality,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+               AS ws_tokens,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+             {_sql_lang_scores()}
+      FROM feat
+    ), lang AS (
+      SELECT doc_id, quality, ws_tokens, fp,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM scored
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM lang WHERE quality >= 0.75
+      ) WHERE rn = 1
+    )
+    SELECT lang_pred, count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM kept
+    GROUP BY lang_pred
+    ORDER BY lang_pred
+    """,
+)
+def t19_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation composition a training-data pipeline runs
+    at 100 TB: quality-filter → language-ID → exact-dedup on the token-
+    set fingerprint (keep min doc_id) → per-language corpus stats.
+    Single pass of per-doc expressions, one window for the dedup, one
+    aggregate — three shuffles total regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        detect_language(toks).alias("lang_pred"),
+    ).filter(F.col("quality") >= 0.75)
+    kept = exact_dedup(scored, ["fp"], "doc_id", keep="min")
+    return (
+        kept.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
 
 
 # ---------------------------------------------------------------------------

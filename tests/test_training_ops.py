@@ -75,6 +75,25 @@ def test_ivf_recall_vs_bruteforce(spark):
             assert abs(r["cos_sim"] - brute_sims[key]) < 1e-9
 
 
+def test_ivf_kmeans_recall_and_exactness(spark):
+    """Trained-quantizer IVF: recall@10 must beat the nprobe/k_clusters
+    random floor decisively, and every returned similarity must equal
+    the brute-force cosine bit-for-bit (search is exact within cells)."""
+    from datasheet_etl_spark.plans.training import t06_ann_bruteforce, t20_ann_ivf_kmeans
+
+    brute = t06_ann_bruteforce(spark, SF_ORACLE).collect()
+    ivf = t20_ann_ivf_kmeans(spark, SF_ORACLE).collect()
+    brute_top = {(r["probe_id"], r["vec_id"]) for r in brute}
+    ivf_top = {(r["probe_id"], r["vec_id"]) for r in ivf}
+    recall = len(brute_top & ivf_top) / len(brute_top)
+    assert recall >= 0.5, f"kmeans-IVF recall@10 too low: {recall}"
+    brute_sims = {(r["probe_id"], r["vec_id"]): r["cos_sim"] for r in brute}
+    for r in ivf:
+        key = (r["probe_id"], r["vec_id"])
+        if key in brute_sims:
+            assert abs(r["cos_sim"] - brute_sims[key]) < 1e-9
+
+
 def test_multimodal_plumbing(spark, docs):
     """mapInPandas stage: schema, batch shape, binary hygiene, and the
     clearly-marked stub decode."""
