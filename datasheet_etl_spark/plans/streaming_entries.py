@@ -36,6 +36,23 @@ def _stage_events(sf_dir: str) -> str:
     return d
 
 
+class _few_state_partitions:
+    """Streaming state partition count is captured from
+    spark.sql.shuffle.partitions when the query starts; 32 state stores
+    × N micro-batches is pure file-IO overhead for these bounded
+    drains — run them at 8 and restore the session conf after."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 @register(
     "t13_streaming_tumbling",
     f"""
@@ -53,11 +70,11 @@ def t13_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (file source → availableNow → memory sink) — bounded input, so the
     result must equal the batch q31 oracle exactly."""
     src = _stage_events(sf_dir)
-    stream = tumbling_counts(events_stream(spark, src), watermark=None)
-    name = f"t13_{uuid.uuid4().hex[:8]}"
-    return run_available_now(stream, name, "complete").orderBy(
-        "window_start_sec", "event_type"
-    )
+    with _few_state_partitions(spark):
+        stream = tumbling_counts(events_stream(spark, src), watermark=None)
+        name = f"t13_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(stream, name, "complete")
+    return out.orderBy("window_start_sec", "event_type")
 
 
 @register("t14_streaming_stateful_sessions")  # custom stateful op → rows-only
@@ -66,6 +83,8 @@ def t14_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     Structured Streaming; batch-parity vs Q18 is pinned in
     tests/test_streaming.py."""
     src = _stage_events(sf_dir)
-    stream = sessionize_stateful(events_stream(spark, src))
-    name = f"t14_{uuid.uuid4().hex[:8]}"
-    return run_available_now(stream, name, "update").orderBy("user_id", "session_id")
+    with _few_state_partitions(spark):
+        stream = sessionize_stateful(events_stream(spark, src))
+        name = f"t14_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(stream, name, "update")
+    return out.orderBy("user_id", "session_id")
