@@ -202,3 +202,22 @@ def is_category_header(text: Column) -> Column:
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     ratio_ok = (F.length(t) > 0) & ((alpha / F.length(t)) > 0.8)
     return (F.length(t) > 0) & (known | ratio_ok)
+
+
+def diagram_type(text: Column) -> Column:
+    """G1 diagram-type detect (ref: extractor_v03.py:300-347): caption /
+    page-text regex ladder → block_diagram | typical_app | pinout |
+    unknown. First match wins, mirroring the reference's pattern order."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+    return (
+        F.when(t.rlike(r"(functional|simplified)?\s*block\s*diagram"), "block_diagram")
+        .when(
+            t.rlike(r"typical\s*application|application\s*(circuit|schematic)"),
+            "typical_app",
+        )
+        .when(
+            t.rlike(r"pin\s*(out|configuration|assignment|description)|pinout"),
+            "pinout",
+        )
+        .otherwise("unknown")
+    )

@@ -390,3 +390,70 @@ def accuracy_metrics(
             "n_cells",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2: pluggable comparator / arbiter registries
+# (ref: interfaces.py:357-409, double_verifier.py:206-236, 287-289)
+# ---------------------------------------------------------------------------
+
+# name → (v1: Column, v2: Column) -> Column<boolean>. Built-ins compile to
+# native expressions (codegen); user comparators may be pandas_udf-backed
+# Column functions — the registry doesn't care, anything Column-in/
+# Column-out composes into the match cascade.
+def _builtin_comparators():
+    from datasheet_etl_spark.functions.compare import (
+        numbers_match,
+        text_match,
+        units_match,
+    )
+
+    return {
+        "numeric": lambda a, b: numbers_match(a, b),
+        "unit": lambda a, b: units_match(a, b),
+        "text": lambda a, b: text_match(a, b),
+    }
+
+
+COMPARATORS: dict = _builtin_comparators()
+
+# name → (conflicts: DataFrame) -> Column<string resolution>
+ARBITERS: dict = {
+    "smart": lambda df: F.when(
+        F.col("conflict_type") == "unit", "rule_wins"
+    ).otherwise("vision_wins"),
+    "vision_wins": lambda df: F.lit("vision_wins"),
+    "rule_wins": lambda df: F.lit("rule_wins"),
+}
+
+
+def register_comparator(name: str, fn) -> None:
+    """U1 extension point: fn(Column, Column) -> boolean Column."""
+    COMPARATORS[name] = fn
+
+
+def register_arbiter(name: str, fn) -> None:
+    """U2 extension point: fn(conflicts DataFrame) -> string Column
+    ('vision_wins' | 'rule_wins' per row)."""
+    ARBITERS[name] = fn
+
+
+def custom_match(v1, v2, comparator_names=None):
+    """OR-composition of registered comparators — the cascade shape the
+    reference runs (any comparator passing ⇒ values match)."""
+    names = comparator_names or list(COMPARATORS)
+    out = F.lit(False)
+    for name in names:
+        out = out | COMPARATORS[name](v1, v2)
+    return out
+
+
+def arbitrate_with(conflicts: DataFrame, arbiter: str = "smart") -> DataFrame:
+    """arbitrate() with a registry-selected arbiter (U2)."""
+    resolution = ARBITERS[arbiter](conflicts)
+    return conflicts.withColumn("resolution", resolution).withColumn(
+        "resolved_value",
+        F.when(F.col("resolution") == "rule_wins", F.col("rule_value")).otherwise(
+            F.col("vision_value")
+        ),
+    )

@@ -93,6 +93,78 @@ def test_footnote_linking(spark, uvlo_cells):
     assert r["note_text"].startswith("Measured at")
 
 
+def test_diagram_type_detect(spark):
+    from datasheet_etl_spark.functions.scalar import diagram_type
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("Functional Block Diagram", "block_diagram"),
+        ("Simplified block diagram of the device", "block_diagram"),
+        ("Typical Application Circuit", "typical_app"),
+        ("Figure 3. Typical application", "typical_app"),
+        ("Pin Configuration and Functions", "pinout"),
+        ("PINOUT (Top View)", "pinout"),
+        ("Electrical Characteristics", "unknown"),
+        (None, "unknown"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "caption string")
+    got = [r["d"] for r in df.select(diagram_type(F.col("caption")).alias("d")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_comparator_and_arbiter_registries(spark):
+    """U1/U2: a custom pandas_udf comparator composes into the cascade;
+    a registered arbiter drives resolution."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from datasheet_etl_spark.verify import (
+        ARBITERS,
+        arbitrate_with,
+        custom_match,
+        register_arbiter,
+        register_comparator,
+    )
+
+    # lambda form: postponed annotations (future import) break hint-based
+    # pandas_udf signatures in test modules
+    fuzzy_len = pandas_udf(
+        lambda a, b: (a.str.len() - b.str.len()).abs() <= 1, "boolean"
+    )
+
+    register_comparator("fuzzy_len", lambda x, y: fuzzy_len(x, y))
+    try:
+        df = spark.createDataFrame(
+            [("abc", "abcd"), ("abc", "abcdef")], "v1 string, v2 string"
+        )
+        got = [
+            r["m"]
+            for r in df.select(
+                custom_match(F.col("v1"), F.col("v2"), ["fuzzy_len"]).alias("m")
+            ).collect()
+        ]
+        assert got == [True, False]
+    finally:
+        del __import__("datasheet_etl_spark.verify", fromlist=["x"]).COMPARATORS["fuzzy_len"]
+
+    conflicts = spark.createDataFrame(
+        [("t1", "numeric", "3.3", "3.9"), ("t1", "unit", "uA", "µA")],
+        "key string, conflict_type string, vision_value string, rule_value string",
+    )
+    smart = {r["conflict_type"]: r["resolved_value"] for r in arbitrate_with(conflicts).collect()}
+    assert smart == {"numeric": "3.3", "unit": "µA"}
+    register_arbiter("always_rule", lambda df: F.lit("rule_wins"))
+    try:
+        forced = {
+            r["conflict_type"]: r["resolved_value"]
+            for r in arbitrate_with(conflicts, "always_rule").collect()
+        }
+        assert forced == {"numeric": "3.9", "unit": "µA"}
+    finally:
+        del ARBITERS["always_rule"]
+
+
 def test_accuracy_rollup(spark):
     from datasheet_etl_spark.verify import accuracy_metrics
 
