@@ -62,3 +62,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Write a table in parquet/csv/json. CSV keeps a header; timestamps
+    serialize ISO-8601 so csv/json round-trips are lossless to the
+    microsecond (with the reader below)."""
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+    elif fmt == "json":
+        w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    w.format(fmt).save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Read parquet/csv/json written by ``write_table``. For csv/json an
+    explicit schema is required at scale (schema inference re-reads the
+    whole input — never rely on it on a 100 TB path)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+    elif fmt == "json":
+        r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    return r.format(fmt).load(path)
