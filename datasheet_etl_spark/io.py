@@ -94,3 +94,31 @@ def read_table(
     elif fmt == "json":
         r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     return r.format(fmt).load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key.
+
+    At 100 TB this is THE lever for repeated fact-fact joins: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange on either side — the shuffle is paid once at write time
+    instead of on every query. (Bucketing requires saveAsTable — bucket
+    metadata lives in the catalog, not the files.)
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned parquet layout: directory per partition
+    value, so partition-key predicates prune whole directories at plan
+    time (PartitionFilters in the scan — no file IO for pruned keys)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

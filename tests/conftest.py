@@ -15,6 +15,16 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from datasheet_etl_spark.session import get_session
 
-    s = get_session(app_name="datasheet_etl_spark_tests", shuffle_partitions=4)
+    import tempfile
+
+    s = get_session(
+        app_name="datasheet_etl_spark_tests",
+        shuffle_partitions=4,
+        # static conf — must be set at session build; keeps saveAsTable
+        # (bucketing tests) out of the repo's working directory
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")
+        },
+    )
     yield s
     s.stop()

@@ -9,6 +9,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
@@ -71,6 +72,56 @@ def test_binary_hygiene_in_plan(spark):
     plan = _plan(feats)
     above_stage = plan[: plan.index("MapInPandas")]
     assert "content" not in above_stage, above_stage
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the join key into the same bucket count
+    must join with NO shuffle on either side — the co-location payoff
+    that amortizes one write-time shuffle across every later join."""
+    from datasheet_etl_spark.io import load_table, write_bucketed
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", 4, ["l_orderkey"])
+    write_bucketed(od, "od_b", 4, ["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_b").join(
+            spark.table("od_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan[:400]
+        assert "Exchange" not in plan, plan[:800]
+        assert "Bucketed: true" in plan and "SelectedBucketsCount: 4 out of 4" in plan
+        # and it actually computes
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A partition-key predicate must prune at plan time: the scan's
+    PartitionFilters carries it and non-matching directories are never
+    listed into the scan."""
+    from datasheet_etl_spark.io import load_table, write_partitioned
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+    got = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = _plan(got)
+    scan = plan[plan.index("FileScan") :]
+    m = re.search(r"PartitionFilters: \[([^\n]*)", scan)
+    assert m and "day" in m.group(1), scan[:400]
+    n_days = ev.select("day").distinct().count()
+    assert got.count() == ev.filter(F.col("day") == "2024-01-05").count()
+    assert n_days > 1
 
 
 def test_q19_percentile_single_shuffle(spark):
