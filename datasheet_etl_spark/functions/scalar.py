@@ -13,9 +13,30 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Python's whitespace set (str.strip() / re \s on str): ASCII \s plus the
+# C1 separators \x1c-\x1f, NEL \x85, NBSP \xa0, and the Unicode space
+# family. Java's trim() and ASCII \s stop at \x20 — the engine must strip
+# what the reference's Python strip()/\s+ strips (found by hypothesis).
+_PY_WS = (
+    "[ \\t\\n\\r\\f\\x0b\\x1c\\x1d\\x1e\\x1f\\x85\\xa0"
+    "\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
+
+def py_trim(col: Column) -> Column:
+    """Python-semantics strip(): leading/trailing whitespace incl. the
+    control/unicode spaces Java trim() leaves behind."""
+    return F.regexp_replace(col, f"^{_PY_WS}+|{_PY_WS}+$", "")
+
+
+def py_collapse_ws(col: Column) -> Column:
+    """Python-semantics ``re.sub(r'\\s+', ' ')``."""
+    return F.regexp_replace(col, f"{_PY_WS}+", " ")
+
+
 def clean_cell(col: Column) -> Column:
     """None→'' and whitespace collapse (ref: extractor_v03.py:288-294)."""
-    return F.coalesce(F.regexp_replace(F.trim(col), r"\s+", " "), F.lit(""))
+    return F.coalesce(py_collapse_ws(py_trim(col)), F.lit(""))
 
 
 def extract_number(col: Column) -> Column:
@@ -33,9 +54,10 @@ def extract_number(col: Column) -> Column:
 
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse whitespace, strip ``[.,;:!?]`` (ref:
-    double_verifier.py:188-199). NULL input → ''."""
-    lowered = F.lower(F.trim(F.coalesce(col.cast("string"), F.lit(""))))
-    collapsed = F.regexp_replace(lowered, r"\s+", " ")
+    double_verifier.py:188-199). NULL input → ''. Whitespace follows
+    Python strip()/\\s semantics (see _PY_WS)."""
+    lowered = F.lower(py_trim(F.coalesce(col.cast("string"), F.lit(""))))
+    collapsed = py_collapse_ws(lowered)
     return F.regexp_replace(collapsed, r"[.,;:!?]", "")
 
 

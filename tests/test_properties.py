@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): the expression library must agree
+with an executable Python model of the reference semantics on arbitrary
+input, not just the curated case tables. Each example is a batch of
+strings evaluated in ONE Spark job."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+
+
+def _py_extract_number(s: str | None) -> float | None:
+    # ref semantics: strip non [0-9.+-eE], float(), None on failure
+    if s is None:
+        return None
+    cleaned = re.sub(r"[^0-9.\-+eE]", "", s.strip())
+    if cleaned == "":
+        return None
+    try:
+        v = float(cleaned)
+    except ValueError:
+        return None
+    return None if math.isnan(v) else v
+
+
+def _py_normalize_text(s: str | None) -> str:
+    if s is None:
+        return ""
+    out = re.sub(r"\s+", " ", s.strip().lower())
+    return re.sub(r"[.,;:!?]", "", out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXT, min_size=30, max_size=30))
+def test_extract_number_matches_model(spark, samples):
+    from datasheet_etl_spark.functions.scalar import extract_number
+
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    got = [r["n"] for r in df.select(extract_number(F.col("v")).alias("n")).collect()]
+    want = [_py_extract_number(s) for s in samples]
+    for s, g, w in zip(samples, got, want):
+        if w is None or g is None:
+            # Java float parsing accepts a few shapes Python rejects
+            # (e.g. 'd/f' suffixes can't appear — alphabet keeps parity);
+            # require agreement on None-ness
+            assert g == w, (s, g, w)
+        elif math.isinf(w) or math.isinf(g):
+            assert g == w, (s, g, w)
+        else:
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (s, g, w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXT, min_size=30, max_size=30))
+def test_normalize_text_matches_model(spark, samples):
+    from datasheet_etl_spark.functions.scalar import normalize_text
+
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    got = [r["n"] for r in df.select(normalize_text(F.col("v")).alias("n")).collect()]
+    for s, g in zip(samples, got):
+        assert g == _py_normalize_text(s), repr(s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-1e6, 1e6), TEXT),
+            st.one_of(st.none(), st.floats(-1e6, 1e6), TEXT),
+        ),
+        min_size=20,
+        max_size=20,
+    )
+)
+def test_values_match_symmetric(spark, pairs):
+    """The match cascade must be symmetric — the reference compares
+    vision-vs-rule, and swapping sides must never change the verdict."""
+    from datasheet_etl_spark.functions.compare import values_match
+
+    rows = [(str(a) if a is not None else None, str(b) if b is not None else None) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a string, b string")
+    fwd = [r["m"] for r in df.select(values_match(F.col("a"), F.col("b")).alias("m")).collect()]
+    rev = [r["m"] for r in df.select(values_match(F.col("b"), F.col("a")).alias("m")).collect()]
+    assert fwd == rev
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcde"), max_size=6).map("".join), min_size=1, max_size=12))
+def test_word_shingles_match_model(spark, toks):
+    from datasheet_etl_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([(toks,)], "t array<string>")
+    got = df.select(word_shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
+    want = sorted({f"{a} {b}" for a, b in zip(toks, toks[1:])}) if len(toks) >= 2 else []
+    assert sorted(got) == want, toks
