@@ -33,6 +33,11 @@ def main() -> int:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reg = registry()
+    # session/JIT warmup so the first timed query measures the query,
+    # not JVM startup + first-scan codegen
+    from datasheet_etl_spark.io import load_table
+
+    load_table(spark, sf_dir, "region").count()
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(reg):

@@ -31,8 +31,17 @@ from datasheet_etl_spark.streaming import (
 
 
 def _stage_events(sf_dir: str) -> str:
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", f"{d}/events.parquet")
+    # deterministic per-sf staging dir, reused across calls (repeated
+    # bench/driver runs must not leak one events copy per invocation)
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    dst = f"{d}/events.parquet"
+    if not os.path.exists(dst):
+        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", dst)
     return d
 
 

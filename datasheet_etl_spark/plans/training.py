@@ -43,7 +43,7 @@ from datasheet_etl_spark.operators.text import (
     quality_score,
     whitespace_token_count,
 )
-from datasheet_etl_spark.plans.queries import register
+from datasheet_etl_spark.plans.queries import dsum, register, sql_dsum
 
 _SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
 _SQL_BIGRAMS = (
@@ -592,6 +592,39 @@ def t17_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "name_a", "part_b", "name_b", "n_orders")
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
+    )
+
+
+@register(
+    "t21_time_rollup",
+    f"""
+    WITH b AS (
+      SELECT CAST((epoch_us(ts) // 86400000000) * 86400 AS BIGINT) AS day_sec,
+             CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS hour_sec,
+             value
+      FROM events
+    )
+    SELECT day_sec, hour_sec, count(*) AS n, {sql_dsum('value')} AS total_value
+    FROM b
+    GROUP BY GROUPING SETS ((day_sec, hour_sec), (day_sec))
+    ORDER BY day_sec, hour_sec NULLS FIRST
+    """,
+)
+def t21_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one pass produces hour-grain and
+    day-grain aggregates via ROLLUP over time buckets (partial agg at
+    the finest grain feeds the coarser one — no second scan)."""
+    e = load_table(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / 86400000000).cast("long") * 86400
+    hour = (F.unix_micros("ts") / 3600000000).cast("long") * 3600
+    bucketed = e.select(
+        day.alias("day_sec"), hour.alias("hour_sec"), F.col("value")
+    )
+    return (
+        bucketed.rollup("day_sec", "hour_sec")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .filter(F.col("day_sec").isNotNull())  # drop the grand-total row
+        .orderBy("day_sec", F.col("hour_sec").asc_nulls_first())
     )
 
 
