@@ -106,21 +106,19 @@ def brute_force_topk(
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
 ) -> DataFrame:
-    """Exact top-k: broadcast the (small) probe set, score everything,
-    deterministic top-k per probe (ties broken by corpus id)."""
-    p = probes.select(
-        F.col(id_col).alias(probe_id), F.col(vec_col).alias("probe_vec")
-    )
-    scored = (
-        F.broadcast(p)
-        .crossJoin(corpus.select(id_col, vec_col))
-        .filter(F.col(probe_id) != F.col(id_col))
-        .select(
-            probe_id,
-            id_col,
-            cosine(F.col("probe_vec"), F.col(vec_col)).alias("cos_sim"),
-        )
-    )
+    """Exact top-k: the probe set ships as a numpy matrix in the scanner
+    closure, the corpus streams through map-side (one matmul per Arrow
+    batch, no shuffle), deterministic top-k per probe (ties broken by
+    corpus id)."""
+    scored = cosine_pairs_vectorized(
+        corpus,
+        probes,
+        threshold=-1.0,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id=probe_id,
+        corpus_id=id_col,
+    ).filter(F.col(probe_id) != F.col(id_col))
     return top_k_per_group(
         scored,
         [probe_id],
