@@ -19,6 +19,7 @@ from datasheet_etl_spark.streaming.streams import (
     sessionize_stateful,
     sliding_counts,
     streaming_dedup,
+    streaming_dedup_within_watermark,
     tumbling_counts,
 )
 
@@ -30,5 +31,6 @@ __all__ = [
     "sessionize_stateful",
     "sliding_counts",
     "streaming_dedup",
+    "streaming_dedup_within_watermark",
     "tumbling_counts",
 ]

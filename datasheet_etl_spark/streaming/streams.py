@@ -121,6 +121,22 @@ def streaming_dedup(
     return events.dropDuplicates(list(key_cols))
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, key_cols: Iterable[str] = ("event_id",), watermark: str = "1 hour"
+) -> DataFrame:
+    """Dedup where duplicates arrive within ``watermark`` of EACH OTHER
+    (``dropDuplicatesWithinWatermark``): state for a key expires one
+    watermark after its first sighting instead of growing with the
+    stream — the right tool when duplicates are retry/redelivery
+    artifacts (bounded lag) rather than arbitrary re-sends. State is
+    O(keys per watermark window), not O(all keys seen)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sessions (Q18 family)
 # ---------------------------------------------------------------------------

@@ -120,6 +120,31 @@ def test_streaming_dedup_matches_distinct(spark, staged_events):
     assert got.filter(F.col("count") > 1).count() == 0
 
 
+def test_dedup_within_watermark(spark, staged_events):
+    """dropDuplicatesWithinWatermark: duplicates landing within the
+    watermark of each other collapse to one row."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming import (
+        events_stream,
+        run_available_now,
+        streaming_dedup_within_watermark,
+    )
+
+    dup_dir = staged_events + "_wm_dup"
+    shutil.copytree(staged_events, dup_dir)
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("event_id") % 2 == 1)
+    ev.coalesce(1).write.parquet(dup_dir, mode="append")
+
+    stream = streaming_dedup_within_watermark(
+        events_stream(spark, dup_dir), watermark="100 days"
+    )
+    got = run_available_now(
+        stream.groupBy("event_id").count(), "t_wm_dedup", "complete"
+    )
+    assert got.count() == load_table(spark, SF_SMOKE, "events").count()
+    assert got.filter(F.col("count") > 1).count() == 0
+
+
 def test_session_window_matches_batch_sessionize(spark, events_dir):
     """Built-in session_window sessions == batch lag/run-length sessions
     (same gap): compare per-session (user, first_event, n, value)."""
