@@ -409,3 +409,119 @@ def link_footnotes(cells: DataFrame, notes: DataFrame, key: str = "key") -> Data
         ).alias("note_id"),
     )
     return marked.join(notes, [key, "note_id"], "left")
+
+
+# ---------------------------------------------------------------------------
+# TC-006: cross-page table continuation (ref: docs/EDGE_CASES_ANALYSIS.md
+# §2.4 — planned in the reference, implemented here)
+# ---------------------------------------------------------------------------
+
+
+def merge_cross_page_tables(
+    tables: DataFrame,
+    doc_col: str = "doc",
+    page_col: str = "page_num",
+    headers_col: str = "headers",
+    raw_col: str = "raw_table",
+    key_col: str = "key",
+) -> DataFrame:
+    """Tables on consecutive pages with an identical column structure are
+    one logical table split by pagination: a table whose headers equal
+    the previous table's headers (per document, in page order) continues
+    it. Groups form with the run-length idiom (sum of is-new flags over
+    the page order); each group's raw rows concatenate in page order.
+
+    Returns one row per merged table: (doc, key = first member's key,
+    n_parts, headers, raw_table)."""
+    w = Window.partitionBy(doc_col).orderBy(page_col, key_col)
+    prev = F.lag(F.col(headers_col)).over(w)
+    is_new = (
+        prev.isNull() | (F.col(headers_col) != prev)
+    ).cast("int")
+    grp = F.sum(is_new).over(
+        Window.partitionBy(doc_col)
+        .orderBy(page_col, key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = tables.withColumn("_grp", grp)
+    return (
+        tagged.groupBy(doc_col, "_grp")
+        .agg(
+            F.min_by(key_col, F.col(page_col)).alias(key_col),
+            F.count("*").alias("n_parts"),
+            F.first(headers_col).alias(headers_col),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(page_col, key_col, raw_col))
+                    ),
+                    lambda s: s[raw_col],
+                )
+            ).alias(raw_col),
+        )
+        .drop("_grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TC-004: borderless (whitespace-aligned) table parsing (ref:
+# docs/EDGE_CASES_ANALYSIS.md §2.2 — the reference routes these to the
+# vision model; here the rule-based fallback is implemented directly)
+# ---------------------------------------------------------------------------
+
+
+def parse_whitespace_table(
+    pages: DataFrame, key: str = "key", text_col: str = "text", min_gap: int = 2
+) -> DataFrame:
+    """Parse a whitespace-aligned text table into cell rows.
+
+    Column boundaries are the character positions that are blank (space /
+    past end-of-line) in EVERY non-empty line for a run of ≥ ``min_gap``
+    characters — the visual gutters. Runs as an Arrow-batched
+    mapInPandas stage (per-document char-grid analysis is genuinely
+    imperative); output is the cell-long form the merge/W-operators
+    consume: (key, row_idx, col_idx, content).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def parse_one(text: str):
+        lines = [ln.rstrip() for ln in (text or "").split("\n")]
+        lines = [ln for ln in lines if ln.strip()]
+        if not lines:
+            return []
+        width = max(len(ln) for ln in lines)
+        grid = np.full((len(lines), width), " ", dtype="<U1")
+        for i, ln in enumerate(lines):
+            grid[i, : len(ln)] = list(ln)
+        blank = (grid == " ").all(axis=0)
+        # gutters: blank runs of >= min_gap, not touching the left edge
+        cuts, run = [], 0
+        for pos in range(width):
+            run = run + 1 if blank[pos] else 0
+            if run == min_gap and pos + 1 - run > 0:
+                cuts.append(pos + 1 - run)
+        bounds = [0, *cuts, width]
+        rows = []
+        for r, ln in enumerate(lines):
+            for c in range(len(bounds) - 1):
+                lo = bounds[c]
+                hi = bounds[c + 1]
+                rows.append((r, c, ln[lo:hi].strip()))
+        return rows
+
+    def op(batches):
+        for pdf in batches:
+            out = []
+            for k, text in zip(pdf[key], pdf[text_col]):
+                for r, c, content in parse_one(text):
+                    out.append(
+                        {key: k, "row_idx": r, "col_idx": c, "content": content}
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    key_type = dict(pages.dtypes)[key]
+    return pages.select(key, text_col).mapInPandas(
+        op, schema=f"{key} {key_type}, row_idx int, col_idx int, content string"
+    )

@@ -165,6 +165,51 @@ def test_comparator_and_arbiter_registries(spark):
         del ARBITERS["always_rule"]
 
 
+def test_cross_page_table_merge(spark):
+    """TC-006: tables with identical headers on consecutive pages fuse
+    into one logical table; a different-header table breaks the run."""
+    from datasheet_etl_spark.merge_cells import merge_cross_page_tables
+
+    rows = [
+        ("d1", 1, "t1", ["Parameter", "Min", "Max"], [["VIN", "4.2", "36"]]),
+        ("d1", 2, "t2", ["Parameter", "Min", "Max"], [["IQ", "25", "40"]]),
+        ("d1", 3, "t3", ["Pin", "Name"], [["1", "VIN"]]),
+        ("d1", 4, "t4", ["Parameter", "Min", "Max"], [["TJ", "-40", "150"]]),
+    ]
+    tables = spark.createDataFrame(
+        rows,
+        "doc string, page_num int, key string, headers array<string>, "
+        "raw_table array<array<string>>",
+    )
+    got = {r["key"]: r for r in merge_cross_page_tables(tables).collect()}
+    assert set(got) == {"t1", "t3", "t4"}
+    assert got["t1"]["n_parts"] == 2
+    assert got["t1"]["raw_table"] == [["VIN", "4.2", "36"], ["IQ", "25", "40"]]
+    assert got["t3"]["n_parts"] == 1 and got["t4"]["n_parts"] == 1
+
+
+def test_whitespace_table_parse(spark):
+    """TC-004: the borderless example from the reference doc parses into
+    aligned columns via the blank-gutter grid."""
+    from datasheet_etl_spark.merge_cells import parse_whitespace_table
+
+    text = (
+        "Parameter              Min    Typ    Max    Unit\n"
+        "VIN Operating Range    4.2           36     V\n"
+        "Quiescent Current             25     40     µA\n"
+    )
+    pages = spark.createDataFrame([("p1", text)], "key string, text string")
+    cells = parse_whitespace_table(pages)
+    got = {(r["row_idx"], r["col_idx"]): r["content"] for r in cells.collect()}
+    ncols = 1 + max(c for _, c in got)
+    assert ncols == 5
+    assert got[(0, 0)] == "Parameter" and got[(0, 4)] == "Unit"
+    assert got[(1, 0)] == "VIN Operating Range"
+    assert got[(1, 1)] == "4.2" and got[(1, 2)] == "" and got[(1, 3)] == "36"
+    assert got[(2, 1)] == "" and got[(2, 2)] == "25" and got[(2, 3)] == "40"
+    assert got[(2, 4)] == "µA"
+
+
 def test_accuracy_rollup(spark):
     from datasheet_etl_spark.verify import accuracy_metrics
 
