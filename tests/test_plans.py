@@ -124,6 +124,27 @@ def test_partition_pruning(spark, tmp_path):
     assert n_days > 1
 
 
+def test_ivf_at_rest_partition_prunes(spark, tmp_path):
+    """The IVF scale story made physical: corpus written partitioned by
+    kmeans cell id; a probe restricted to its nprobe cells carries the
+    cell predicate in PartitionFilters and scans only those directories."""
+    from datasheet_etl_spark.io import load_table, write_partitioned
+    from datasheet_etl_spark.operators.similarity import assign_cells, kmeans_fit
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent = kmeans_fit(emb, k=8, iters=2)
+    cells = assign_cells(emb, cent)
+    path = str(tmp_path / "ivf_corpus")
+    write_partitioned(cells, path, ["cell"])
+
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(1, 3))
+    plan = _plan(probed)
+    scan = plan[plan.index("FileScan") :]
+    m = re.search(r"PartitionFilters: \[([^\n]*)", scan)
+    assert m and "cell" in m.group(1), scan[:400]
+    assert probed.count() == cells.filter(F.col("cell").isin(1, 3)).count()
+
+
 def test_q19_percentile_single_shuffle(spark):
     """Percentiles per group: one hash-partition exchange, no global
     sort before aggregation."""
