@@ -33,11 +33,12 @@ def main() -> int:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reg = registry()
-    # session/JIT warmup so the first timed query measures the query,
-    # not JVM startup + first-scan codegen
+    # session/JIT/page-cache warmup so the first timed queries measure
+    # steady-state query speed, not JVM startup + cold parquet footers
     from datasheet_etl_spark.io import load_table
 
-    load_table(spark, sf_dir, "region").count()
+    for warm in ("region", "lineitem", "orders", "documents", "embeddings", "events"):
+        load_table(spark, sf_dir, warm).count()
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(reg):

@@ -254,7 +254,7 @@ def t20_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     out = ivf_kmeans_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=10, k_clusters=16, nprobe=4, iters=3
+        emb, emb.filter(F.col("vec_id") < 10), k=10, k_clusters=16, nprobe=4, iters=2
     )
     return out.select(
         "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"

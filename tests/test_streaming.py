@@ -201,6 +201,44 @@ def test_stateful_sessionize_matches_batch(spark, staged_events_by_time):
         assert abs(val - bval) <= 0.005 * n + 1e-6, (key, val, bval)
 
 
+def test_curation_scalars_run_under_streaming(spark, tmp_path):
+    """The whole text-curation scalar layer (quality, langid, tokens,
+    fingerprint) is stateless projection — it must run unchanged on a
+    streaming DataFrame and produce exactly the batch answer."""
+    import shutil as sh
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.text import (
+        detect_language,
+        fingerprint,
+        quality_score,
+        whitespace_token_count,
+    )
+    from datasheet_etl_spark.functions import tokens
+    from datasheet_etl_spark.streaming import run_available_now
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.coalesce(1).write.parquet(src)
+
+    def curate(df):
+        return df.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("quality"),
+            detect_language(tokens(F.col("text"))).alias("lang_pred"),
+            whitespace_token_count(F.col("text")).alias("ws_tokens"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+
+    stream_src = (
+        spark.readStream.schema(docs.schema).format("parquet").load(src)
+    )
+    got = run_available_now(curate(stream_src), "t_curation", "append")
+    batch = curate(docs)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(got) == key(batch)
+
+
 def test_incremental_file_pipeline_exactly_once(spark, staged_events, tmp_path):
     from datasheet_etl_spark.streaming import incremental_file_pipeline
 
