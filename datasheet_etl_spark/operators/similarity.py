@@ -357,51 +357,88 @@ def ivf_topk(
     )
 
 
-def hyperplane_signature(vec: Column, num_planes: int = 16, dim: int = 64, seed: int = 7) -> Column:
-    """Random-hyperplane LSH signature (sign pattern as a long).
+def hyperplane_buckets(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 16,
+    bits: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH buckets: (id, table, bucket)
+    long form, one row per (vector, table).
 
-    Hyperplane components are deterministic pseudo-random literals; the
-    signature is sign(v·h) bits packed into a long — two vectors with
-    small angle share most bits.
+    Signatures compute in ONE numpy matmul per Arrow batch against a
+    deterministic (num_tables·bits × dim) plane matrix held in the UDF
+    closure — the map-side-only corpus pass. Multiple tables are what
+    make hyperplane LSH usable: a single b-bit signature has recall
+    p(θ)^b, while L tables give 1−(1−p^b)^L (e.g. cos ≥ 0.95 →
+    p≈0.90 → one 12-bit table 28%, 16 tables 99.5%).
     """
-    rng = random.Random(seed)
-    bits = []
-    for j in range(num_planes):
-        plane = F.array(*[F.lit(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
-        bits.append(
-            F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    import numpy as np
+    import pandas as pd
+
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * bits, dim))
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def op(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = (v @ planes.T) > 0  # (batch, T*B)
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for t in range(num_tables):
+                chunk = signs[:, t * bits : (t + 1) * bits]
+                buckets = chunk @ weights
+                out.append(
+                    pd.DataFrame({id_col: ids, "table": t, "bucket": buckets})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, table int, bucket long"
+    )
 
 
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
+    num_tables: int = 16,
+    bits: int = 12,
     threshold: float = 0.9,
+    seed: int = 7,
 ) -> DataFrame:
-    """All-pairs near-dup at scale: bucket by full hyperplane signature,
-    verify candidates with exact cosine ≥ threshold."""
-    sigs = corpus.select(
-        id_col, vec_col, hyperplane_signature(F.col(vec_col), num_planes).alias("sig")
-    )
-    a = sigs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "sig"
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "sig"
-    )
-    return (
-        a.join(b, "sig")
+    """All-pairs near-dup at scale: candidates from any shared
+    (table, bucket), verified with exact cosine ≥ threshold. The
+    self-join shuffles only (id, table, bucket) — vectors re-attach to
+    the (small) candidate set afterward, so payload never rides the
+    bucket shuffle."""
+    buckets = hyperplane_buckets(corpus, id_col, vec_col, num_tables, bits, seed)
+    cands = (
+        buckets.withColumnRenamed(id_col, "id_a")
+        .join(buckets.withColumnRenamed(id_col, "id_b"), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cand_ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    vecs = corpus.join(F.broadcast(cand_ids), id_col, "semi").select(id_col, vec_col)
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")

@@ -263,10 +263,11 @@ def t20_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("t07b_ann_lsh_buckets")  # hyperplane signs are seed-specific → rows-only
 def t07b_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed near-neighbor pairs — the all-pairs
-    scale path (bucket join, no N²)."""
+    """Random-hyperplane LSH near-dup pairs — the all-pairs scale path
+    (multi-table bucket join, no N²); recall vs exact pairs pinned in
+    tests."""
     emb = _emb(spark, sf_dir)
-    return hyperplane_lsh_pairs(emb, num_planes=12, threshold=0.3)
+    return hyperplane_lsh_pairs(emb, num_tables=16, bits=12, threshold=0.9)
 
 
 # ---------------------------------------------------------------------------

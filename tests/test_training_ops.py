@@ -94,6 +94,42 @@ def test_ivf_kmeans_recall_and_exactness(spark):
             assert abs(r["cos_sim"] - brute_sims[key]) < 1e-9
 
 
+def test_hyperplane_lsh_recall(spark):
+    """Multi-table LSH must recover nearly all truly-close pairs
+    (cos ≥ 0.95 → per-table hit ~28%, 16 tables ~99.5%) and report only
+    pairs passing the exact-cosine verify. The driver testdata contains
+    no natural near-dups (max pair cosine ≈ 0.48), so near-identical
+    vectors are planted deterministically here."""
+    import numpy as np
+
+    from datasheet_etl_spark.operators.similarity import (
+        cosine_pairs_vectorized,
+        hyperplane_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 64))
+    jitter = base[:50] + 0.05 * rng.standard_normal((50, 64))
+    vecs = np.vstack([base, jitter])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_vectorized(emb, emb, threshold=0.95)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    assert len(exact) >= 40  # the planted jittered copies
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_lsh_pairs(emb, threshold=0.95).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"LSH recall collapsed: {recall} ({len(exact)} exact)"
+    assert got <= exact  # verify stage guarantees precision 1.0
+
+
 def test_multimodal_plumbing(spark, docs):
     """mapInPandas stage: schema, batch shape, binary hygiene, and the
     clearly-marked stub decode."""
