@@ -13,8 +13,11 @@ Layout
 - ``functions``  : pure Column-expression library (clean/parse/normalize/
                    compare) — the scalar layer, all JVM-side codegen-able
 - ``operators``  : reusable relational shapes (positional zip join, span
-                   join, forward fill, run-length, sessionize, dedup,
-                   similarity, text analysis, multimodal plumbing)
+                   join, as-of join, salted skew join, forward fill,
+                   run-length, sessionize, dedup, similarity/ANN, text
+                   analysis, graph/components, multimodal plumbing)
+- ``sources``    : external-call stages (vision client: Arrow-batched,
+                   retrying, rate-limited, cost-budgeted)
 - ``verify``     : the double-verification dataflow (conflict detection,
                    arbitration, resolution, confidence scoring)
 - ``pipeline``   : the end-to-end extraction pipeline over mock stages
