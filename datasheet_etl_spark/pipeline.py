@@ -260,3 +260,20 @@ def run_pipeline(
 def write_result_json(result: DataFrame, path: str) -> None:
     """S9 JSON sink: nested result rows as JSON lines."""
     result.write.mode("overwrite").json(path)
+
+
+def observed(df, name: str, *metrics):
+    """Attach observable metrics to a DataFrame (survey §4: the
+    reference's mutable stats counters become ``observe()`` aggregates —
+    computed during the SAME action that runs the plan, exact under task
+    retry, no second job and no accumulator double-count).
+
+    Returns (df, Observation); read ``observation.get`` after an action.
+    Default metrics: row count.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    cols = list(metrics) or [F.count(F.lit(1)).alias("rows")]
+    return df.observe(obs, *cols), obs

@@ -112,3 +112,27 @@ def test_csv_json_roundtrip_lossless(spark, tmp_path):
         write_table(src, path, fmt)
         back = read_table(spark, path, fmt, schema=src.schema)
         assert sorted(tuple(r) for r in back.collect()) == expect, fmt
+
+
+def test_observed_metrics_single_action(spark):
+    """observe(): stage metrics materialize with the action itself and
+    match a separately-computed aggregate."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.pipeline import observed
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    staged, obs = observed(
+        li.filter(F.col("l_quantity") > 25),
+        "filter_stage",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    out = staged.groupBy("l_returnflag").count()
+    out.collect()  # one action drives both the query and the metrics
+    got = obs.get
+    check = li.filter(F.col("l_quantity") > 25).agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("l_quantity").alias("qty")
+    ).first()
+    assert got["rows"] == check["rows"] and got["qty"] == check["qty"]
