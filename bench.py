@@ -50,6 +50,9 @@ def main() -> int:
         # per-query isolation: operators may persist() intermediates and
         # streaming entries register memory-sink views; left in place they
         # pile up executor memory and skew later timings with GC pressure
+        from datasheet_etl_spark.caching import release_caches
+
+        release_caches()
         spark.catalog.clearCache()
         for t in spark.catalog.listTables():
             if t.isTemporary:

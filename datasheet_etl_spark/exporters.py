@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.functions import manufacturer_from_mpn_prefix
-from datasheet_etl_spark.operators.relational import dynamic_pivot
+from datasheet_etl_spark.operators.relational import dynamic_pivot, top_k_per_group
 
 # 16-column Import-Script contract (ref: batch_export.py:272-289)
 IMPORT_SCRIPT_COLUMNS = [
@@ -183,6 +183,14 @@ def to_review_format(result: DataFrame) -> DataFrame:
                 (F.col("table_confidence") < REVIEW_THRESHOLD).alias("needs_review"),
             ).alias("value"),
         ).alias("entry"),
+    )
+    # a mapped param (input_voltage_range_min -> v_in_min) can collide with
+    # a literal param already named v_in_min; duplicate map keys raise under
+    # Spark's default EXCEPTION mapKeyDedupPolicy — keep the most confident
+    entries = top_k_per_group(
+        entries,
+        ["key", "mpn", "source_file", "entry.name"],
+        [F.col("entry.value.confidence").desc(), F.col("entry.value.source")],
     )
     return entries.groupBy("key", "mpn", "source_file").agg(
         F.map_from_entries(F.collect_list("entry")).alias("params")

@@ -28,6 +28,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datasheet_etl_spark.caching import scoped_persist
 from datasheet_etl_spark.operators.relational import top_k_per_group
 
 MERSENNE_PRIME = (1 << 31) - 1
@@ -164,7 +165,7 @@ def minhash_dedup_pairs(
     # (id, 64×long) is ~0.5 KB/doc — persisting it (not the shingle sets)
     # keeps the corpus pass single-execution across the banding and verify
     # joins, and stays tiny relative to the corpus even at 100 TB.
-    sigs = minhash_signatures(sh, id_col, "sh", num_perm).persist()
+    sigs = scoped_persist(minhash_signatures(sh, id_col, "sh", num_perm))
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm)
 
     # Exact-Jaccard verify touches only candidate docs: semi-join the
@@ -176,9 +177,9 @@ def minhash_dedup_pairs(
     # semi-join the raw docs BEFORE shingling (explicit pushdown: only
     # candidate docs pay the tokenize/shingle cost) and persist — both
     # verify join sides read it, and it is only candidate-sized
-    sh_cand = shingle(
-        docs.join(F.broadcast(cand_ids), id_col, "semi")
-    ).persist()
+    sh_cand = scoped_persist(
+        shingle(docs.join(F.broadcast(cand_ids), id_col, "semi"))
+    )
 
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")).join(
         sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"

@@ -117,6 +117,13 @@ def connected_components(
         labels = chased
         if changed == 0:
             break
+    else:
+        # max_iter exhausted with labels still moving: surfacing this
+        # beats silently returning wrong components on long-chain graphs
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -18,11 +18,10 @@
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datasheet_etl_spark.caching import scoped_persist
 from datasheet_etl_spark.operators.relational import top_k_per_group
 
 
@@ -227,7 +226,7 @@ def ivf_kmeans_topk(
     import numpy as np
 
     cent = kmeans_fit(corpus, k_clusters, iters, id_col, vec_col)
-    cells = assign_cells(corpus, cent, id_col, vec_col).persist()
+    cells = scoped_persist(assign_cells(corpus, cent, id_col, vec_col))
 
     probe_rows = probes.select(id_col, vec_col).collect()
     pm = np.array([r[1] for r in probe_rows], dtype=np.float64)
@@ -282,7 +281,6 @@ def label_centroids(
     the label partition keeps the cell assignment reproducible for the
     oracle; the IVF *mechanics* are identical either way.)
     """
-    dim = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
     exploded = corpus.select(
         label_col, F.posexplode(vec_col).alias("idx", "component")
     )
@@ -316,6 +314,13 @@ def ivf_topk(
     Scale: centroids are tiny (broadcast); the corpus-side filter is an
     equi-join on the cell id, so with the corpus stored partitioned by
     label the scan prunes to nprobe partitions per probe.
+
+    Cell selection runs on the broadcast probes×centroids product (tiny:
+    |probes|·|labels| rows — the HOF cosine is fine there); cell SCORING
+    streams the chosen members through the numpy matmul scanner
+    (``cosine_pairs_vectorized``), the same path ``ivf_kmeans_topk``
+    uses — the HOF cosine over corpus-sized input is CodegenFallback
+    (interpreted) and measured ~10× slower.
     """
     cents = label_centroids(corpus, label_col, vec_col)
     p = probes.select(F.col(id_col).alias(probe_id), F.col(vec_col).alias("probe_vec"))
@@ -325,7 +330,6 @@ def ivf_topk(
         .crossJoin(F.broadcast(cents))
         .select(
             probe_id,
-            "probe_vec",
             label_col,
             cosine(F.col("probe_vec"), F.col("centroid")).alias("cent_sim"),
         )
@@ -335,20 +339,29 @@ def ivf_topk(
         [probe_id],
         [F.col("cent_sim").desc(), F.col(label_col).asc()],
         k=nprobe,
-    ).select(probe_id, "probe_vec", label_col)
+    ).select(probe_id, label_col)
 
+    # exact-score only members of the union of chosen cells, then keep
+    # each pair only if the member's cell is among that probe's cells
+    member = corpus.select(id_col, vec_col, label_col).join(
+        F.broadcast(chosen.select(label_col).distinct()), label_col, "semi"
+    )
     scored = (
-        corpus.select(id_col, vec_col, label_col)
-        .join(F.broadcast(chosen), label_col)
-        .filter(F.col(probe_id) != F.col(id_col))
-        .select(
-            probe_id,
-            id_col,
-            cosine(F.col("probe_vec"), F.col(vec_col)).alias("cos_sim"),
+        cosine_pairs_vectorized(
+            member,
+            probes,
+            threshold=-1.0,
+            id_col=id_col,
+            vec_col=vec_col,
+            probe_id=probe_id,
+            corpus_id=id_col,
         )
+        .join(corpus.select(id_col, label_col), id_col)
+        .join(F.broadcast(chosen), [probe_id, label_col], "semi")
+        .filter(F.col(probe_id) != F.col(id_col))
     )
     return top_k_per_group(
-        scored,
+        scored.select(probe_id, id_col, "cos_sim"),
         [probe_id],
         [F.col("cos_sim").desc(), F.col(id_col).asc()],
         k=k,

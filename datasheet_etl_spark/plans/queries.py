@@ -587,8 +587,8 @@ def q17_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), sessions AS (
       SELECT user_id, event_id, value,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

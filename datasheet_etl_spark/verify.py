@@ -64,7 +64,10 @@ def _cells(df: DataFrame, key: str) -> DataFrame:
 def _pyliststr(arr) -> F.Column:
     """Python ``str(list)`` shape for header-conflict values:
     ['a', 'b'] — matches the reference's str(headers)."""
-    return F.concat(F.lit("['"), F.array_join(arr, "', '"), F.lit("']"))
+    # str([]) == '[]' — the concat form would render "['']" for empties
+    return F.when(F.size(arr) == 0, F.lit("[]")).otherwise(
+        F.concat(F.lit("['"), F.array_join(arr, "', '"), F.lit("']"))
+    )
 
 
 def find_conflicts(vision: DataFrame, rule: DataFrame, key: str = "key") -> DataFrame:
@@ -318,7 +321,12 @@ def patch_final_tables(
             .withColumn(fld, F.coalesce(F.col(f"__fix_{fld}"), F.col(fld)))
             .drop(f"__fix_{fld}")
         )
-    return meta.join(tables_rows, key, "left")
+    # row-less tables get no tables_rows entry; the reference's
+    # final_result preserves the original [] rather than null
+    return meta.join(tables_rows, key, "left").withColumn(
+        "rows",
+        F.coalesce(F.col("rows"), F.array().cast("array<map<string,string>>")),
+    )
 
 
 def verify(
