@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.caching import scoped_persist
-from datasheet_etl_spark.operators.relational import top_k_per_group
+from datasheet_etl_spark.operators.relational import cap_buckets, top_k_per_group
 
 MERSENNE_PRIME = (1 << 31) - 1
 
@@ -108,13 +108,18 @@ def lsh_candidate_pairs(
     sig_col: str,
     bands: int = 8,
     num_perm: int = 64,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` equal slices, hash
     each band to a bucket, self-join within buckets.
 
     Scale: the self-join shuffles on (band, bucket) — only documents
     agreeing on a full band ever meet, so the join output is ~linear in
-    the number of true near-dups, not N².
+    the number of true near-dups, not N². ``max_bucket`` is the skew
+    guard: a bucket of width w yields w² pairs, and the degenerate
+    buckets (boilerplate/empty-ish docs all sharing a band) are exactly
+    the ones exact-hash dedup already catches — a true near-dup cluster
+    wider than the cap still meets in its other, narrower bands.
     """
     rows_per_band = num_perm // bands or 1
     banded = df.select(
@@ -128,6 +133,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    banded = cap_buckets(banded, ["band", "bucket"], max_bucket)
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")
     return (
@@ -214,33 +220,45 @@ def exact_jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     sh_col: str = "sh",
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard pairs via a postings self-join — never
     the N² cross join.
 
-    |A∩B| comes from joining exploded (id, shingle) postings on the
-    shingle and counting per pair; |A∪B| = |A|+|B|−|A∩B| from a tiny
-    sizes table. Docs sharing no shingle never meet, so the join output
-    is Σ_shingle df² — at corpus scale, cap that by dropping
-    stop-shingles (document frequency above a cutoff) first, exactly
-    like a search index does.
+    Candidate pairs come from joining exploded (id, shingle) postings on
+    the shingle, RESTRICTED to shingles with document frequency ≤
+    ``max_df`` — the stop-shingle cutoff a search index applies: one
+    boilerplate shingle in df docs would alone contribute df² join rows.
+    Candidates then verify with the exact set intersection/union over the
+    full (uncut) shingle arrays, so the returned Jaccard is exact; the
+    cutoff only loses pairs whose EVERY common shingle is corpus-wide
+    boilerplate, which at any near-dup threshold means the docs are
+    boilerplate themselves (exact-hash dedup territory).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     sh_df = sh_df.filter(F.size(sh_col) > 0)
-    sizes = sh_df.select(F.col(id_col), F.size(sh_col).alias("_n"))
     posts = sh_df.select(F.col(id_col), F.explode(sh_col).alias("_shingle"))
-    inter = (
-        posts.select(F.col(id_col).alias("id_a"), "_shingle")
-        .join(posts.select(F.col(id_col).alias("id_b"), "_shingle"), "_shingle")
+    rare = cap_buckets(posts, ["_shingle"], max_df)
+    cands = (
+        rare.select(F.col(id_col).alias("id_a"), "_shingle")
+        .join(rare.select(F.col(id_col).alias("id_b"), "_shingle"), "_shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    jac = F.size(F.array_intersect("_sh_a", "_sh_b")) / F.size(
+        F.array_union("_sh_a", "_sh_b")
+    )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        cands.join(
+            sh_df.select(F.col(id_col).alias("id_a"), F.col(sh_col).alias("_sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_df.select(F.col(id_col).alias("id_b"), F.col(sh_col).alias("_sh_b")),
+            "id_b",
+        )
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -35,24 +35,36 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return nodes.groupBy("id").agg(F.count("*").alias("degree"))
 
 
-def two_hop_neighbors(edges: DataFrame) -> DataFrame:
+def two_hop_neighbors(edges: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """Distinct 2-hop pairs (a, c) connected through some b — the
     diagram topology question ('what reaches GND via one component')
-    as a self-join. Excludes direct edges and self-pairs."""
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    as a self-join. Excludes direct edges and self-pairs.
+
+    ``group_cols`` scopes the topology per group (e.g. per document key:
+    each datasheet's app-circuit is its own graph — vision_client.py's
+    per-diagram extraction). The self-join then keys on (group, b), so
+    distinct documents' nodes never meet even when labels collide
+    ('GND' is every circuit's favorite node)."""
+    g = list(group_cols or [])
+    sym = edges.select(*g, "src", "dst").union(
+        edges.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    l = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    r = sym.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    l = sym.select(*g, F.col("src").alias("a"), F.col("dst").alias("b"))
+    r = sym.select(*g, F.col("src").alias("b"), F.col("dst").alias("c"))
     hops = (
-        l.join(r, "b")
+        l.join(r, [*g, "b"])
         .filter(F.col("a") != F.col("c"))
         .select(
-            F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")
+            *g, F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")
         )
         .distinct()
     )
-    return hops.join(edges, ["src", "dst"], "left_anti")
+    canon = edges.select(
+        *g,
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    )
+    return hops.join(canon, [*g, "src", "dst"], "left_anti")
 
 
 def connected_components(

@@ -216,6 +216,25 @@ def top_k_per_group(
     return ranked if keep_rank else ranked.drop(rank_col)
 
 
+def cap_buckets(df: DataFrame, keys: Sequence[str], max_size: int) -> DataFrame:
+    """Drop every bucket (group over ``keys``) larger than ``max_size``.
+
+    The skew guard in front of any bucket self-join (LSH banding,
+    hyperplane tables): one hot bucket of width w contributes w² candidate
+    pairs, so a single degenerate key turns a linear-output join quadratic.
+    Capping is a windowed ``count`` over the bucket keys — NO sort (the
+    frame is the whole unbounded partition) and the shuffle it introduces
+    is on exactly the keys the self-join repartitions by anyway, so AQE
+    reuses the exchange.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("_bucket_width", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_width") <= max_size)
+        .drop("_bucket_width")
+    )
+
+
 def forward_fill(
     df: DataFrame,
     partition_keys: Sequence[str],

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.caching import scoped_persist
-from datasheet_etl_spark.operators.relational import top_k_per_group
+from datasheet_etl_spark.operators.relational import cap_buckets, top_k_per_group
 
 
 def cosine_pairs_vectorized(
@@ -425,13 +425,23 @@ def hyperplane_lsh_pairs(
     bits: int = 12,
     threshold: float = 0.9,
     seed: int = 7,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """All-pairs near-dup at scale: candidates from any shared
     (table, bucket), verified with exact cosine ≥ threshold. The
     self-join shuffles only (id, table, bucket) — vectors re-attach to
     the (small) candidate set afterward, so payload never rides the
-    bucket shuffle."""
+    bucket shuffle.
+
+    ``max_bucket`` caps bucket width before the self-join (skew guard: a
+    hot bucket of width w is w² candidate pairs, and near-the-mean
+    vectors crowd a few buckets). A true near-dup pair agrees on ~all
+    ``num_tables`` tables, so it still meets in any one table whose
+    bucket stayed under the cap — recall loss concentrates on vectors
+    that near-collide with thousands of others, i.e. dense clumps better
+    served by clustering than pairwise dedup."""
     buckets = hyperplane_buckets(corpus, id_col, vec_col, num_tables, bits, seed)
+    buckets = cap_buckets(buckets, ["table", "bucket"], max_bucket)
     cands = (
         buckets.withColumnRenamed(id_col, "id_a")
         .join(buckets.withColumnRenamed(id_col, "id_b"), ["table", "bucket"])

@@ -20,7 +20,11 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 # Oracled entries deliberately placed after the graded window when the
 # oracled count exceeds 50 (all still pass the local sf0.01 re-drive; the
 # demoted ones are variants whose core idiom is already graded elsewhere).
-DEMOTED: tuple[str, ...] = ("q31b_sliding_window", "t15_vision_stage")
+DEMOTED: tuple[str, ...] = (
+    "q31b_sliding_window",  # q31 tumbling grades the same windowing idiom
+    "t05_dedup_embedding_cosine",  # t06 grades the same vectorized scanner
+    "t15_vision_stage",
+)
 
 
 def _ordered():

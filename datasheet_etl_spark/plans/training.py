@@ -265,9 +265,25 @@ def t20_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t07b_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs — the all-pairs scale path
     (multi-table bucket join, no N²); recall vs exact pairs pinned in
-    tests."""
-    emb = _emb(spark, sf_dir)
-    return hyperplane_lsh_pairs(emb, num_tables=16, bits=12, threshold=0.9)
+    tests.
+
+    The synthetic embeddings have no natural near-dups (max pairwise
+    cosine ≈ 0.48), so the corpus is augmented with deterministic
+    perturbed copies of the first 50 vectors (id + 1_000_000, each
+    component nudged ±0.3%): the planted (v, v′) pairs sit at cosine
+    ≈ 0.99997 and make the entry's output non-vacuous — the operator
+    must both bucket them together and verify them above threshold."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda c, i: c * (1.0 + 0.003 * ((F.col("vec_id") + i) % 3 - 1)),
+        ).alias("embedding"),
+    )
+    return hyperplane_lsh_pairs(
+        emb.unionByName(planted), num_tables=16, bits=12, threshold=0.9
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -732,3 +748,139 @@ def t12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary hygiene — real)."""
     media = synth_media(_docs(spark, sf_dir))
     return extract_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# diagram / pinout / app-circuit extraction (G2-G4 extract side)
+# ---------------------------------------------------------------------------
+
+# Deterministic vision-response doubles: the entries BUILD each JSON with
+# to_json over part-table columns, then parse it back through the typed
+# from_json contracts in operators.diagrams — so the driver checks the
+# parse/explode plumbing end to end while the oracle generates the same
+# relational rows directly (no JSON) in SQL.
+
+_PIN_NAMES = ("VIN", "GND", "SW", "FB")
+_PIN_TYPES = ("power", "ground", "io", "io")
+
+
+@register(
+    "t22_pinout",
+    """
+    WITH p AS (
+      SELECT p_partkey AS key,
+             CASE p_partkey % 3 WHEN 0 THEN 'QFN-16' WHEN 1 THEN 'SOIC-8'
+                                ELSE 'TSSOP-20' END AS package,
+             p_name
+      FROM part WHERE p_partkey <= 300
+    ), pins(pin_number, pin_name, pin_type) AS (
+      VALUES (1, 'VIN', 'power'), (2, 'GND', 'ground'),
+             (3, 'SW', 'io'), (4, 'FB', 'io')
+    )
+    SELECT key, package, 4 AS pin_count, pin_number, pin_name, pin_type,
+           pin_name || ' of ' || p_name AS description
+    FROM p CROSS JOIN pins
+    ORDER BY key, pin_number
+    """,
+)
+def t22_pinout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 pinout extraction: vision-JSON (package, pin_count, pins
+    {number,name,type,description} — vision_client.py:144-152) parsed
+    with the typed PINOUT_SCHEMA and exploded to one row per pin.
+
+    The JSON is built deterministically from the part table (to_json),
+    so the oracle can generate the identical rows without the JSON
+    round-trip — what is graded is the from_json/explode plumbing."""
+    from datasheet_etl_spark.operators.diagrams import pinout_pins
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    pins = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("number"),
+                F.lit(_PIN_NAMES[i]).alias("name"),
+                F.lit(_PIN_TYPES[i]).alias("type"),
+                F.concat(F.lit(_PIN_NAMES[i] + " of "), F.col("p_name")).alias(
+                    "description"
+                ),
+            )
+            for i in range(4)
+        ]
+    )
+    doubles = part.select(
+        F.col("p_partkey").alias("key"),
+        F.to_json(
+            F.struct(
+                F.element_at(
+                    F.array(F.lit("QFN-16"), F.lit("SOIC-8"), F.lit("TSSOP-20")),
+                    (F.col("p_partkey") % 3 + 1).cast("int"),
+                ).alias("package"),
+                F.lit(4).alias("pin_count"),
+                pins.alias("pins"),
+            )
+        ).alias("vision_json"),
+    )
+    return pinout_pins(doubles, "key", "vision_json").orderBy("key", "pin_number")
+
+
+@register(
+    "t23_app_circuit_topology",
+    """
+    WITH k AS (
+      SELECT p_partkey AS key, p_partkey % 2 AS v FROM part WHERE p_partkey <= 200
+    ), base(v, src, dst) AS (
+      VALUES (0, 'VIN', 'IC.VIN'), (0, 'IC.SW', 'VOUT'), (0, 'VOUT', 'GND'),
+             (1, 'VIN', 'IC.VIN'), (1, 'IC.SW', 'VOUT'), (1, 'VOUT', 'GND'),
+             (1, 'VIN', 'GND')
+    ), edges AS (
+      SELECT key, src, dst FROM k JOIN base USING (v)
+    ), sym AS (
+      SELECT key, src, dst FROM edges
+      UNION SELECT key, dst AS src, src AS dst FROM edges
+    ), hops AS (
+      SELECT DISTINCT l.key,
+             least(l.src, r.dst) AS src, greatest(l.src, r.dst) AS dst
+      FROM sym l JOIN sym r ON l.key = r.key AND l.dst = r.src
+      WHERE l.src <> r.dst
+    ), canon AS (
+      SELECT key, least(src, dst) AS src, greatest(src, dst) AS dst FROM edges
+    )
+    SELECT key, src, dst FROM hops
+    EXCEPT SELECT key, src, dst FROM canon
+    ORDER BY key, src, dst
+    """,
+)
+def t23_app_circuit_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 app-circuit connectivity: vision-JSON (components/connections —
+    vision_client.py:166-180) parsed with APP_CIRCUIT_SCHEMA, the
+    connections exploded to per-document edges, and the topology question
+    ('which nets reach each other through exactly one component')
+    answered by ``two_hop_neighbors`` scoped per document key."""
+    from datasheet_etl_spark.operators.diagrams import app_connections
+    from datasheet_etl_spark.operators.graph import two_hop_neighbors
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+
+    def conn(src: str, dst: str, through: str):
+        return F.struct(
+            F.lit(src).alias("from"), F.lit(dst).alias("to"), F.lit(through).alias("through")
+        )
+
+    base = F.array(
+        conn("VIN", "IC.VIN", "C1"), conn("IC.SW", "VOUT", "L1"), conn("VOUT", "GND", "C2")
+    )
+    extra = F.array(conn("VIN", "GND", "C3"))
+    doubles = part.select(
+        F.col("p_partkey").alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit("buck_converter").alias("circuit_type"),
+                F.lit("IC1").alias("main_ic"),
+                F.when(F.col("p_partkey") % 2 == 1, F.concat(base, extra))
+                .otherwise(base)
+                .alias("connections"),
+            )
+        ).alias("vision_json"),
+    )
+    edges = app_connections(doubles, "key", "vision_json")
+    return two_hop_neighbors(edges, group_cols=["key"]).orderBy("key", "src", "dst")
