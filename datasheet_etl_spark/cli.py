@@ -1,0 +1,303 @@
+"""Command-line interface — the reference's primary UX
+(``cli.py:182-239`` dispatch; ``:32-179`` command handlers) over the
+Spark pipeline.
+
+    python -m datasheet_etl_spark extract <doc> [--output DIR] [--tier T]
+    python -m datasheet_etl_spark batch <input_dir> <output_dir> [--csv]
+    python -m datasheet_etl_spark verify <json_path>
+    python -m datasheet_etl_spark export <json_path> --format csv|review
+    python -m datasheet_etl_spark stats [--tier T]
+
+Spark-first notes:
+
+- ``batch`` is ONE job over every document (mock vision/rule frames
+  union into a single ``run_pipeline`` call), not the reference's
+  per-file Python loop — per-doc JSONs are then split from the one
+  result DataFrame. At cluster scale the same code handles a million
+  documents; only the per-doc driver-side file writes (a CLI
+  convenience mirroring the reference's one-file-per-PDF contract)
+  would move to the partitioned ``write_result_json`` sink.
+- result JSONs round-trip through an explicit schema (``run_pipeline``'s
+  own output schema), never schema inference, so empty arrays and
+  nested nulls read back exactly.
+- accuracy tiers (Gold/Silver/Bronze — architecture_v04.md:17-23) map
+  to the verification confidence threshold; the stats block reports the
+  tier plus the vision cost estimate (pipeline.py:380-388).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from collections.abc import Sequence
+
+# Gold is the reference default ("Default: Gold tier (99%+)")
+ACCURACY_TIERS = {"gold": 0.99, "silver": 0.95, "bronze": 0.85}
+COST_PER_TABLE_USD = 0.002  # demo per-table vision price
+
+
+def _get_spark(spark=None):
+    if spark is not None:
+        return spark
+    from datasheet_etl_spark.session import get_session
+
+    return get_session(app_name="datasheet_etl_spark_cli")
+
+
+def _result_schema(spark):
+    """The canonical result schema (for schema-pinned JSON read-back)."""
+    from datasheet_etl_spark.pipeline import run_pipeline
+
+    result, _ = run_pipeline(spark)
+    return result.schema
+
+
+def _read_result(spark, json_path: str):
+    """Result JSON (single pretty-printed file or Spark output dir) →
+    DataFrame with the pinned result schema (never inference: empty
+    arrays and nested nulls must read back exactly)."""
+    return (
+        spark.read.option("multiLine", True).json(
+            json_path, schema=_result_schema(spark)
+        )
+    )
+
+
+def _write_single_json(row_json: str, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(json.loads(row_json), f, indent=2, ensure_ascii=False)
+
+
+def _write_single_csv(frame, path: str) -> None:
+    """Driver-side one-file CSV (reference CLI contract); the
+    partitioned sink for cluster-scale output is
+    ``exporters.export_import_script_csv``."""
+    import csv
+
+    rows = frame.collect()
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(frame.columns)
+        for r in rows:
+            w.writerow(["" if v is None else v for v in r])
+
+
+def _mock_frames(spark, doc_keys: Sequence[str]):
+    """Union one mock vision/rule frame per document key — the
+    environment's stand-in for PDF ingestion (no PDF libs; see
+    operators.pdf_bridge for the import-guarded real path)."""
+    from functools import reduce
+
+    from datasheet_etl_spark.pipeline import mock_rule_tables, mock_vision_tables
+
+    vision = reduce(
+        lambda a, b: a.unionByName(b), [mock_vision_tables(spark, k) for k in doc_keys]
+    )
+    rule = reduce(
+        lambda a, b: a.unionByName(b), [mock_rule_tables(spark, k) for k in doc_keys]
+    )
+    return vision, rule
+
+
+def _run(spark, doc_keys: Sequence[str], tier: str):
+    from datasheet_etl_spark.pipeline import run_pipeline
+
+    vision, rule = _mock_frames(spark, doc_keys)
+    # tier → confidence threshold for needs_review routing
+    return run_pipeline(
+        spark, vision, rule, confidence_threshold=ACCURACY_TIERS[tier]
+    )
+
+
+def cmd_extract(args, spark=None) -> int:
+    spark = _get_spark(spark)
+    stem = os.path.splitext(os.path.basename(args.doc))[0]
+    out_dir = args.output or "output"
+    out_path = os.path.join(out_dir, f"{stem}_v04.json")
+
+    result, _ = _run(spark, [os.path.basename(args.doc)], args.tier)
+    rows = result.toJSON().collect()
+    _write_single_json(rows[0], out_path)
+
+    first = json.loads(rows[0])
+    print(f"Extracting: {args.doc}")
+    print(f"Output: {out_path}")
+    print("EXTRACTION COMPLETE")
+    print(f"Status: {first['verification']['status']}")
+    print(f"Confidence: {first['verification']['confidence']:.0%}")
+    params = json.loads(first.get("parameters_json") or "{}")
+    print(f"Parameters: {len(params)}")
+    if args.verbose:
+        for k, v in params.items():
+            print(f"  {k}: {v}")
+    return 0
+
+
+def cmd_batch(args, spark=None) -> int:
+    spark = _get_spark(spark)
+    names = sorted(
+        f for f in os.listdir(args.input_dir)
+        if os.path.isfile(os.path.join(args.input_dir, f))
+    )
+    if not names:
+        print(f"No input files in {args.input_dir}")
+        return 1
+
+    from datasheet_etl_spark.exporters import (
+        batch_report_markdown,
+        batch_stats,
+        import_script_frame,
+    )
+
+    result, _ = _run(spark, names, args.tier)
+    os.makedirs(args.output_dir, exist_ok=True)
+    # per-doc JSONs from the ONE batch result (reference: one file per PDF)
+    for row in result.toJSON().collect():
+        doc = json.loads(row)
+        stem = os.path.splitext(doc["metadata"]["source_file"])[0]
+        _write_single_json(row, os.path.join(args.output_dir, f"{stem}_v04.json"))
+
+    report_path = os.path.join(args.output_dir, "batch_report.md")
+    with open(report_path, "w", encoding="utf-8") as f:
+        f.write(batch_report_markdown(result))
+
+    if args.csv:
+        csv_path = os.path.join(args.output_dir, "extracted_components.csv")
+        _write_single_csv(import_script_frame(result), csv_path)
+        print(f"CSV Export: {csv_path}")
+
+    stats = batch_stats(result).collect()[0]
+    print("BATCH COMPLETE")
+    print(f"Total: {stats['total']}")
+    print(f"Success: {stats['success']}")
+    print(f"Needs review: {stats['needs_review']}")
+    print(f"Report: {report_path}")
+    return 0
+
+
+def cmd_verify(args, spark=None) -> int:
+    with open(args.json_path, encoding="utf-8") as f:
+        data = json.load(f)
+    verification = data.get("verification", {})
+    print(f"Verifying: {args.json_path}")
+    print(f"Status: {verification.get('status', 'unknown')}")
+    print(f"Confidence: {verification.get('confidence', 0):.0%}")
+    print(f"Resolution: {verification.get('resolution_method', 'unknown')}")
+    print(f"Conflicts: {verification.get('conflict_count', 0)}")
+    for c in data.get("conflicts", []):
+        print(
+            f"  - {c['field']}: '{c['vision_value']}' vs '{c['rule_value']}'"
+            f" -> {c['resolution']}"
+        )
+    return 0
+
+
+def convert_review_file(spark, input_path: str, output_path: str | None = None) -> str:
+    """The review-adapter file driver (ref: review_adapter.py:207-231):
+    result JSON in → Review-UI JSON out."""
+    from datasheet_etl_spark.exporters import to_review_format
+
+    result = _read_result(spark, input_path)
+    rows = [json.loads(r) for r in to_review_format(result).toJSON().collect()]
+    if output_path is None:
+        stem, _ = os.path.splitext(input_path)
+        output_path = f"{stem}_review.json"
+    payload = rows[0] if len(rows) == 1 else rows
+    with open(output_path, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=2, ensure_ascii=False)
+    return output_path
+
+
+def cmd_export(args, spark=None) -> int:
+    spark = _get_spark(spark)
+    if args.format == "csv":
+        from datasheet_etl_spark.exporters import import_script_frame
+
+        result = _read_result(spark, args.json_path)
+        out = args.output or args.json_path.replace(".json", ".csv")
+        _write_single_csv(import_script_frame(result), out)
+        print(f"Exported to: {out}")
+    elif args.format == "review":
+        out = convert_review_file(spark, args.json_path, args.output)
+        print(f"Exported Review UI format to: {out}")
+    else:
+        print(f"Unknown format: {args.format}")
+        return 1
+    return 0
+
+
+def cmd_stats(args, spark=None) -> int:
+    spark = _get_spark(spark)
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.verify import review_queue, verifier_stats
+
+    result, vr = _run(spark, [args.doc or "lmr51430.pdf"], args.tier)
+    n_docs = result.count()
+    n_tables = result.select(F.explode("tables")).count()
+    queue = review_queue(vr.verdicts).count()
+    vstats = verifier_stats(vr.verdicts, vr.conflicts).collect()[0]
+
+    print("Pipeline Statistics")
+    print(f"Processed: {n_docs}")
+    print(f"Review Queue: {queue}")
+    print(f"Accuracy tier: {args.tier} (confidence >= {ACCURACY_TIERS[args.tier]:.0%})")
+    print("Vision Stats:")
+    print(f"  Calls: {n_tables}")
+    print(f"  Est. Cost: ${n_tables * COST_PER_TABLE_USD:.4f}")
+    print("Verifier Stats:")
+    for k in vstats.asDict():
+        print(f"  {k}: {vstats[k]}")
+    return 0
+
+
+def main(argv: Sequence[str] | None = None, spark=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="datasheet_etl_spark",
+        description="Datasheet ETL (Spark) — extract structured data from datasheets",
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("extract", help="Extract from a single document")
+    p.add_argument("doc")
+    p.add_argument("--output", "-o")
+    p.add_argument("--tier", choices=ACCURACY_TIERS, default="gold")
+    p.add_argument("--verbose", "-v", action="store_true")
+
+    p = sub.add_parser("batch", help="Batch process a directory (one Spark job)")
+    p.add_argument("input_dir")
+    p.add_argument("output_dir")
+    p.add_argument("--csv", action="store_true")
+    p.add_argument("--tier", choices=ACCURACY_TIERS, default="gold")
+
+    p = sub.add_parser("verify", help="Inspect an extraction result")
+    p.add_argument("json_path")
+
+    p = sub.add_parser("export", help="Export a result to csv/review format")
+    p.add_argument("json_path")
+    p.add_argument("--format", "-f", default="csv", choices=["csv", "review"])
+    p.add_argument("--output", "-o")
+
+    p = sub.add_parser("stats", help="Pipeline statistics")
+    p.add_argument("--doc", default=None)
+    p.add_argument("--tier", choices=ACCURACY_TIERS, default="gold")
+
+    args = parser.parse_args(argv)
+    if not args.command:
+        parser.print_help()
+        return 1
+    handlers = {
+        "extract": cmd_extract,
+        "batch": cmd_batch,
+        "verify": cmd_verify,
+        "export": cmd_export,
+        "stats": cmd_stats,
+    }
+    return handlers[args.command](args, spark=spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

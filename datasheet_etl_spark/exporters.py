@@ -80,9 +80,11 @@ def export_dynamic_csv(result: DataFrame, params_long: DataFrame, path: str) -> 
     return ["source_file", "confidence", "status", *param_cols]
 
 
-def export_import_script_csv(result: DataFrame, path: str) -> DataFrame:
-    """S11: fixed 16-column Import-Script CSV (ref:
-    batch_export.py:254-323; golden output/for_import_script.csv)."""
+def import_script_frame(result: DataFrame) -> DataFrame:
+    """The fixed 16-column Import-Script projection (ref:
+    batch_export.py:254-323; golden output/for_import_script.csv) —
+    sink-agnostic (the CLI writes it as one driver-side file, the batch
+    sink as a partitioned directory)."""
     p = _params_map(result)
 
     def pget(name):
@@ -118,6 +120,12 @@ def export_import_script_csv(result: DataFrame, path: str) -> DataFrame:
         F.lit("").alias("Datasheet_URL"),
         notes.alias("Notes"),
     )
+    return out
+
+
+def export_import_script_csv(result: DataFrame, path: str) -> DataFrame:
+    """S11: fixed 16-column Import-Script CSV sink."""
+    out = import_script_frame(result)
     out.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     return out
 

@@ -184,14 +184,28 @@ def run_pipeline(
     vision: DataFrame | None = None,
     rule: DataFrame | None = None,
     source_file: str | None = None,
+    confidence_threshold: float | None = None,
 ) -> tuple[DataFrame, VerifyResult]:
     """Assemble the full result DataFrame: one row per document with
     metadata / verification / tables / parameters_json / conflicts —
-    parsed-equal to the reference's result JSON."""
+    parsed-equal to the reference's result JSON.
+
+    ``confidence_threshold`` routes docs below it to needs_review (the
+    CLI maps Gold/Silver/Bronze accuracy tiers onto it)."""
+    from datasheet_etl_spark.verify import DEFAULT_CONFIDENCE_THRESHOLD
+
     vision = vision if vision is not None else mock_vision_tables(spark)
     rule = rule if rule is not None else mock_rule_tables(spark)
 
-    vr = verify(vision, rule)
+    vr = verify(
+        vision,
+        rule,
+        confidence_threshold=(
+            DEFAULT_CONFIDENCE_THRESHOLD
+            if confidence_threshold is None
+            else confidence_threshold
+        ),
+    )
     params = extract_parameters(vr.final_tables)
     pmap = parameters_map(params)
 

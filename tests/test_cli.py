@@ -1,0 +1,82 @@
+"""End-to-end CLI coverage: extract/batch/verify/export/stats over the
+mock pipeline (ref: cli.py:182-239 dispatch)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def test_extract_writes_result_json(spark, tmp_path, capsys):
+    from datasheet_etl_spark.cli import main
+
+    rc = main(
+        ["extract", "lmr51430.pdf", "--output", str(tmp_path), "--verbose"],
+        spark=spark,
+    )
+    assert rc == 0
+    out_path = tmp_path / "lmr51430_v04.json"
+    assert out_path.exists()
+    doc = json.loads(out_path.read_text())
+    assert doc["metadata"]["source_file"] == "lmr51430.pdf"
+    assert doc["verification"]["status"] == "verified"
+    assert doc["verification"]["confidence"] >= 0.99  # golden block
+    assert len(json.loads(doc["parameters_json"])) == 14
+    out = capsys.readouterr().out
+    assert "EXTRACTION COMPLETE" in out and "Parameters: 14" in out
+
+
+def test_batch_one_job_many_docs(spark, tmp_path, capsys):
+    from datasheet_etl_spark.cli import main
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name in ("a.pdf", "b.pdf", "c.pdf"):
+        (in_dir / name).write_bytes(b"%PDF mock")
+    out_dir = tmp_path / "out"
+
+    rc = main(["batch", str(in_dir), str(out_dir), "--csv"], spark=spark)
+    assert rc == 0
+    for stem in ("a", "b", "c"):
+        assert (out_dir / f"{stem}_v04.json").exists()
+    report = (out_dir / "batch_report.md").read_text()
+    assert "| Total Files | 3 |" in report
+    csv_text = (out_dir / "extracted_components.csv").read_text()
+    assert csv_text.count("\n") >= 4  # header + 3 docs
+    assert "BATCH COMPLETE" in capsys.readouterr().out
+
+
+def test_verify_and_export_roundtrip(spark, tmp_path, capsys):
+    from datasheet_etl_spark.cli import main
+
+    main(["extract", "lmr51430.pdf", "--output", str(tmp_path)], spark=spark)
+    json_path = str(tmp_path / "lmr51430_v04.json")
+
+    rc = main(["verify", json_path], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Status: verified" in out and "Conflicts: 1" in out
+
+    rc = main(["export", json_path, "--format", "review"], spark=spark)
+    assert rc == 0
+    review_path = json_path.replace(".json", "_review.json")
+    assert os.path.exists(review_path)
+    review = json.loads(open(review_path).read())
+    assert review["mpn"] == "LMR51430"
+    assert "v_in_min" in review["params"]
+
+    rc = main(["export", json_path, "--format", "csv"], spark=spark)
+    assert rc == 0
+    csv_path = json_path.replace(".json", ".csv")
+    assert os.path.exists(csv_path)
+
+
+def test_stats_block(spark, capsys):
+    from datasheet_etl_spark.cli import main
+
+    rc = main(["stats", "--tier", "silver"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Processed: 1" in out
+    assert "Accuracy tier: silver (confidence >= 95%)" in out
+    assert "Est. Cost: $0.0020" in out

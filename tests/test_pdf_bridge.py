@@ -1,0 +1,76 @@
+"""S1-S5 PDF bridge: fixture path runs here; the real path is
+import-guarded and activates wherever pdfplumber/PyMuPDF exist."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "pages_lmr51430.json")
+
+
+def test_fixture_pages_match_page_schema(spark):
+    from datasheet_etl_spark.sources.pdf_bridge import PAGE_SCHEMA, pages_from_fixture
+
+    pages = pages_from_fixture(spark, FIXTURE)
+    assert pages.schema == spark.createDataFrame([], PAGE_SCHEMA).schema
+    rows = pages.orderBy("page_num").collect()
+    assert [r.page_num for r in rows] == [1, 7]
+    assert "LMR51430" in rows[0].text
+    assert len(rows[1].tables) == 2
+
+
+def test_lift_page_tables_shapes_pipeline_tables(spark):
+    from datasheet_etl_spark.sources.pdf_bridge import (
+        lift_page_tables,
+        pages_from_fixture,
+    )
+
+    tables = lift_page_tables(pages_from_fixture(spark, FIXTURE)).orderBy("table_id")
+    rows = tables.collect()
+    assert [r.table_id for r in rows] == ["page_7_table_1", "page_7_table_2"]
+    elec = rows[0]
+    assert elec.key == "lmr51430.pdf"
+    assert elec.headers == ["Parameter", "Test Condition", "Min", "Typ", "Max", "Unit"]
+    assert elec.rows[0]["Parameter"] == "Input voltage range"
+    assert elec.rows[0]["Max"] == "36"
+    assert elec.rows[2]["Typ"] == "75"
+    # pinout table lifts with its own (shorter) header set
+    assert rows[1].headers == ["Pin", "Name", "Description"]
+    assert rows[1].rows[1]["Name"] == "GND"
+
+
+def test_lifted_tables_flow_into_verify(spark):
+    """Fixture pages → lifted tables → double verification end to end
+    (the S1→S2→V* chain with no PDF library present)."""
+    from datasheet_etl_spark.sources.pdf_bridge import (
+        lift_page_tables,
+        pages_from_fixture,
+    )
+    from datasheet_etl_spark.verify import verify
+
+    lifted = lift_page_tables(pages_from_fixture(spark, FIXTURE)).filter(
+        F.col("table_id") == "page_7_table_1"
+    )
+    vr = verify(lifted, lifted)  # self-verify: zero conflicts, verified
+    verdict = vr.verdicts.collect()[0]
+    assert verdict["status"] == "verified"
+    assert verdict["conflict_count"] == 0
+
+
+def test_real_backends_guarded(spark):
+    from datasheet_etl_spark.sources import pdf_bridge
+
+    binary_df = spark.createDataFrame(
+        [("x.pdf", b"%PDF-1.4 not really")], "path string, content binary"
+    )
+    if pdf_bridge.pdf_backend() == "none":
+        with pytest.raises(RuntimeError, match="pdfplumber"):
+            pdf_bridge.pdf_pages(binary_df)
+    else:  # pragma: no cover - exercised on machines with the libs
+        assert pdf_bridge.pdf_pages(binary_df).columns[0] == "doc"
+    if pdf_bridge.render_backend() == "none":
+        with pytest.raises(RuntimeError, match="PyMuPDF"):
+            pdf_bridge.render_pages(binary_df)
