@@ -154,8 +154,13 @@ def cmd_batch(args, spark=None) -> int:
 
     result, _ = _run(spark, names, args.tier)
     os.makedirs(args.output_dir, exist_ok=True)
-    # per-doc JSONs from the ONE batch result (reference: one file per PDF)
-    for row in result.toJSON().collect():
+    # per-doc JSONs from the ONE batch result (reference: one file per PDF);
+    # task-level progress stands in for the reference's per-file callback
+    from datasheet_etl_spark.progress import ProgressReporter, progress_printer
+
+    with ProgressReporter(spark, progress_printer()):
+        rows = result.toJSON().collect()
+    for row in rows:
         doc = json.loads(row)
         stem = os.path.splitext(doc["metadata"]["source_file"])[0]
         _write_single_json(row, os.path.join(args.output_dir, f"{stem}_v04.json"))

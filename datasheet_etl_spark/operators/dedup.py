@@ -102,6 +102,72 @@ def minhash_signatures(
     )
 
 
+def shingle_hashes_col(sh_col: Column | str) -> Column:
+    """Shingle array → hash array (the shared base of every permutation).
+    Stage this ONCE in a select before ``minhash_signature_col``: array
+    HOFs get no common-subexpression elimination, so inlining it would
+    re-hash every shingle ``num_perm`` times (measured ~2× total cost)."""
+    sh = F.col(sh_col) if isinstance(sh_col, str) else sh_col
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME)))
+
+
+def minhash_signature_col(
+    hashes_col: Column | str,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> Column:
+    """Per-ROW signature expression over a ``shingle_hashes_col`` array —
+    bit-identical to ``minhash_signatures`` (same xxhash64 + permutation
+    constants), but stateless: usable on a streaming DataFrame where the
+    explode+groupBy form would be a (disallowed pre-stateful)
+    aggregation.
+
+    Cost note: ``num_perm`` array HOFs per row is the interpreted path —
+    right for incremental micro-batches, wrong for full-corpus passes
+    (use ``minhash_signatures`` there)."""
+    hs = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hs,
+                    lambda h: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(MERSENNE_PRIME)
+                    ),
+                )
+            )
+            for a, b in _permutations(num_perm, seed)
+        ]
+    )
+
+
+def banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = 8,
+    num_perm: int = 64,
+    keep_sig: bool = False,
+) -> DataFrame:
+    """(id, sig) → (id[, sig], band, bucket): hash each of ``bands``
+    signature slices. Stateless (streaming-safe); the batch path caps and
+    self-joins these, the streaming path groups them into bucket state
+    (which needs the signature along — ``keep_sig``)."""
+    rows_per_band = num_perm // bands or 1
+    cols = [id_col, sig_col] if keep_sig else [id_col]
+    return df.select(
+        *cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -121,19 +187,9 @@ def lsh_candidate_pairs(
     the ones exact-hash dedup already catches — a true near-dup cluster
     wider than the cap still meets in its other, narrower bands.
     """
-    rows_per_band = num_perm // bands or 1
-    banded = df.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band), b
-                ),
-            )
-        ).alias("band", "bucket"),
+    banded = cap_buckets(
+        banded_buckets(df, id_col, sig_col, bands, num_perm), ["band", "bucket"], max_bucket
     )
-    banded = cap_buckets(banded, ["band", "bucket"], max_bucket)
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")
     return (

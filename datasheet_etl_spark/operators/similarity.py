@@ -466,3 +466,103 @@ def hyperplane_lsh_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index at rest (quantizer persistence)
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    k_clusters: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a trained IVF index: ``{path}/centroids`` (tiny parquet:
+    cell, centroid) + ``{path}/corpus`` partitioned by cell id — the
+    at-rest layout where a probe's nprobe-cell search partition-prunes
+    to nprobe/k_clusters of the data (PartitionFilters, zero IO for the
+    rest). Train once, search many: the quantizer survives the session.
+    """
+
+    from datasheet_etl_spark.io import write_partitioned
+
+    cent = kmeans_fit(corpus, k_clusters, iters, id_col, vec_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cell int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cells = assign_cells(corpus, cent, id_col, vec_col)
+    write_partitioned(cells, f"{path}/corpus", ["cell"])
+
+
+def read_ivf_centroids(spark, path: str):
+    """(k, dim) numpy centroid matrix from a persisted index — a few KB,
+    driver-held, exactly as during training."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Top-k ANN over a persisted IVF index: centroids load driver-side,
+    each probe picks its nprobe nearest cells, and the corpus scan
+    carries ``cell IN (...)`` — a PartitionFilter against the at-rest
+    layout, so only the probed directories are read (plan-pinned in
+    tests/test_plans.py). Scoring is the vectorized matmul scanner.
+    """
+    import numpy as np
+
+    cent = read_ivf_centroids(spark, path)
+    probe_rows = probes.select(id_col, vec_col).collect()
+    pm = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    pm /= np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+    sims_pc = pm @ cent.T
+    probe_cells = [
+        (int(r[0]), [int(c) for c in np.argsort(-sims_pc[i])[:nprobe]])
+        for i, r in enumerate(probe_rows)
+    ]
+    wanted = sorted({c for _, cs in probe_cells for c in cs})
+
+    member = spark.read.parquet(f"{path}/corpus").filter(F.col("cell").isin(wanted))
+    pc = spark.createDataFrame(
+        [(pid, c) for pid, cs in probe_cells for c in cs],
+        f"{probe_id} long, cell int",
+    )
+    scored = (
+        cosine_pairs_vectorized(
+            member,
+            probes,
+            threshold=-1.0,
+            id_col=id_col,
+            vec_col=vec_col,
+            probe_id=probe_id,
+            corpus_id=id_col,
+        )
+        .join(member.select(id_col, "cell"), id_col)
+        .join(F.broadcast(pc), [probe_id, "cell"], "semi")
+        .filter(F.col(probe_id) != F.col(id_col))
+    )
+    return top_k_per_group(
+        scored.select(probe_id, id_col, "cos_sim"),
+        [probe_id],
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )

@@ -97,3 +97,50 @@ def t14_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         name = f"t14_{uuid.uuid4().hex[:8]}"
         out = run_available_now(stream, name, "update")
     return out.orderBy("user_id", "session_id")
+
+
+@register("t24_streaming_minhash")  # stateful bucket matcher → rows-only
+def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dup detection: per-row signatures →
+    stateless band explode → stateful capped-bucket matcher
+    (applyInPandasWithState). Documents stream through a file source
+    with planted cross-batch duplicates (first 25 docs re-arrive with
+    offset ids), so matches must cross micro-batch state. Cross-batch
+    recall and signature parity with the batch pipeline are pinned in
+    tests/test_streaming.py."""
+    import os
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming.streams import streaming_minhash_pairs
+
+    # bounded slice (like t04): the entry demonstrates cross-batch
+    # stateful matching, not corpus throughput — the per-row signature
+    # expression is the interpreted path by design (incremental arrivals)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 500)
+    )
+    # deterministic staged dir: originals + planted copies as 2 files
+    import hashlib
+
+    tag = hashlib.md5(f"docs:{sf_dir}".encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS2")):
+        docs.coalesce(1).write.parquet(d, mode="overwrite")
+        docs.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+        ).coalesce(1).write.parquet(d, mode="append")
+        open(os.path.join(d, "_SUCCESS2"), "w").close()
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        name = f"t24_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(
+            streaming_minhash_pairs(stream), name, "append"
+        )
+    return out.dropDuplicates(["id_a", "id_b"]).orderBy("id_a", "id_b")

@@ -884,3 +884,26 @@ def t23_app_circuit_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = app_connections(doubles, "key", "vision_json")
     return two_hop_neighbors(edges, group_cols=["key"]).orderBy("key", "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# sketch family (q24b extension)
+# ---------------------------------------------------------------------------
+
+
+@register("t25_kmv_distinct")  # sketch values are hash-engine-specific → rows-only
+def t25_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV distinct sketch (k smallest hashes; mergeable by
+    construction) next to the exact count and the relative error — the
+    self-auditing form of q24b's HLL. Mergeability (sketch(A∪B) ==
+    merge(sketch(A), sketch(B))) and error bounds are pinned in
+    tests/test_sketches.py."""
+    from datasheet_etl_spark.operators.sketches import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    est = kmv_distinct(li, "l_orderkey", k=256)
+    return spark.createDataFrame(
+        [(float(est), int(exact), abs(est - exact) / exact)],
+        "kmv_estimate double, exact_count long, rel_err double",
+    )

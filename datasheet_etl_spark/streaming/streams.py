@@ -303,3 +303,121 @@ def run_available_now(
     )
     query.awaitTermination()
     return sdf.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+# ---------------------------------------------------------------------------
+# streaming MinHash dedup
+# ---------------------------------------------------------------------------
+
+_MINHASH_OUT_SCHEMA = "id_a long, id_b long, est_jaccard double"
+_MINHASH_STATE_SCHEMA = "ids array<long>, sigs array<array<long>>"
+
+
+def _minhash_bucket_fn(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+    num_perm: int,
+    max_bucket: int,
+    threshold: float,
+):
+    """Per-(band, bucket) matcher (applyInPandasWithState body).
+
+    State holds this bucket's members (doc id + full signature), capped
+    at ``max_bucket`` — the same skew guard as the batch path, expressed
+    as bounded state. Each arriving doc compares against the members
+    already in state (est. Jaccard = signature agreement), emits pairs
+    over threshold, then joins the bucket. Docs are folded in doc_id
+    order so replays are deterministic."""
+    if state.exists:
+        seen_ids, seen_sigs = state.get
+        seen_ids, seen_sigs = list(seen_ids), [list(s) for s in seen_sigs]
+    else:
+        seen_ids, seen_sigs = [], []
+
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values("doc_id")
+        for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+            doc_id = int(doc_id)
+            sig = [int(x) for x in sig]
+            if doc_id in seen_ids:
+                continue  # replayed row — state already counts it
+            for sid, ssig in zip(seen_ids, seen_sigs):
+                est = sum(a == b for a, b in zip(sig, ssig)) / num_perm
+                if est >= threshold:
+                    out.append(
+                        {
+                            "id_a": min(doc_id, sid),
+                            "id_b": max(doc_id, sid),
+                            "est_jaccard": est,
+                        }
+                    )
+            if len(seen_ids) < max_bucket:
+                seen_ids.append(doc_id)
+                seen_sigs.append(sig)
+
+    state.update((seen_ids, seen_sigs))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_minhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Streaming MinHash near-dup detection: each arriving document is
+    matched against everything previously seen that shares an LSH
+    bucket, incrementally — the streaming face of
+    ``operators.dedup.minhash_dedup_pairs``.
+
+    Stage shape (one stateful op, everything before it stateless):
+    per-row signature expression (bit-identical to the batch
+    signatures) → stateless band explode → groupBy(band, bucket) →
+    ``applyInPandasWithState`` holding capped bucket membership.
+    State is O(buckets × max_bucket × num_perm) regardless of stream
+    length. A pair agreeing in k bands emits up to k times (per-band
+    groups are independent); downstream dedups with
+    ``dropDuplicates``/first-wins, exactly as the batch path applies
+    ``distinct`` after banding.
+
+    Emits (id_a, id_b, est_jaccard) with est = signature agreement —
+    the exact-Jaccard re-verify of the batch path needs the full corpus
+    at rest and belongs downstream of the match stream.
+    """
+    from datasheet_etl_spark.functions import tokens
+    from datasheet_etl_spark.operators.dedup import (
+        banded_buckets,
+        minhash_signature_col,
+        shingle_hashes_col,
+        word_shingles,
+    )
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    # hash staged once (no CSE across the num_perm HOFs), then permute
+    sigs = sh.select("doc_id", shingle_hashes_col("sh").alias("_h")).select(
+        "doc_id", minhash_signature_col("_h", num_perm).alias("sig")
+    )
+    banded = banded_buckets(sigs, "doc_id", "sig", bands, num_perm, keep_sig=True)
+
+    def fn(key, batches, state):
+        yield from _minhash_bucket_fn(
+            key, batches, state, num_perm, max_bucket, threshold
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=_MINHASH_OUT_SCHEMA,
+        stateStructType=_MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -153,3 +153,38 @@ def test_q19_percentile_single_shuffle(spark):
     plan = _plan(q19_percentiles(spark, SF_SMOKE))
     body = plan.split("Sort", 1)[-1]  # final presentation sort is fine
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ivf_index_persists_and_search_prunes(spark, tmp_path):
+    """Quantizer persistence: write_ivf_index → ivf_search_indexed reads
+    ONLY the probed cell directories (PartitionFilters) and returns the
+    same top-k as the in-session kmeans IVF with identical parameters."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.similarity import (
+        ivf_kmeans_topk,
+        ivf_search_indexed,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, k_clusters=8, iters=2)
+
+    assert read_ivf_centroids(spark, path).shape[0] == 8
+
+    indexed = ivf_search_indexed(spark, path, probes, k=5, nprobe=2)
+    live = ivf_kmeans_topk(emb, probes, k=5, k_clusters=8, nprobe=2, iters=2)
+
+    def canon(df):  # BLAS accumulate order differs per batch shape → ulp
+        return sorted((r[0], r[1], round(r[2], 9), r[3]) for r in df.collect())
+
+    assert canon(indexed) == canon(live)
+
+    # physical: the corpus scan inside the search carries the cell filter
+    member = spark.read.parquet(f"{path}/corpus").filter(F.col("cell").isin(0, 1))
+    plan = _plan(member)
+    scan = plan[plan.index("FileScan") :]
+    m = re.search(r"PartitionFilters: \[([^\n]*)", scan)
+    assert m and "cell" in m.group(1), scan[:400]

@@ -259,3 +259,59 @@ def test_incremental_file_pipeline_exactly_once(spark, staged_events, tmp_path):
     extra.coalesce(1).write.parquet(staged_events, mode="append")
     incremental_file_pipeline(spark, staged_events, out, ckpt)
     assert spark.read.parquet(out).count() == n1 + 7
+
+
+def test_streaming_minhash_finds_cross_batch_near_dups(spark, tmp_path):
+    """Near-dup pairs whose members arrive in DIFFERENT micro-batches are
+    found via bucket state; signatures are bit-identical to batch."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.dedup import (
+        minhash_signature_col,
+        minhash_signatures,
+        word_shingles,
+    )
+    from datasheet_etl_spark.functions import tokens
+    from datasheet_etl_spark.streaming.streams import (
+        run_available_now,
+        streaming_minhash_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+
+    src = str(tmp_path / "docs_src")
+    # originals in file 1, identical copies in file 2 → with
+    # maxFilesPerTrigger=1 each pair spans two micro-batches
+    docs.coalesce(1).write.parquet(src, mode="append")
+    planted.coalesce(1).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = run_available_now(
+        streaming_minhash_pairs(stream), "minhash_stream", output_mode="append"
+    )
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, i + 10_000)) == 1.0, f"missed planted pair {i}"
+
+    # per-row streaming signatures == batch explode/groupBy signatures
+    sh = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
+    ).filter(F.size("sh") > 0)
+    batch_sig = {r.doc_id: r.sig for r in minhash_signatures(sh, "doc_id", "sh").collect()}
+    from datasheet_etl_spark.operators.dedup import shingle_hashes_col
+
+    row_sig = {
+        r.doc_id: r.sig
+        for r in sh.select("doc_id", shingle_hashes_col("sh").alias("_h"))
+        .select("doc_id", minhash_signature_col("_h").alias("sig"))
+        .collect()
+    }
+    assert batch_sig == row_sig
