@@ -62,10 +62,16 @@ def asof_join(
     right_on: str,
     right_value_cols: Sequence[str],
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_on <= left_on`` (direction='backward'; 'forward' matches the
     earliest right row ≥), per partition key. Unmatched → NULLs.
+
+    ``tolerance`` (pandas ``merge_asof``-style) voids a match further
+    than that many units away — seconds for timestamp on-columns, plain
+    difference for numeric ones; the matched row's payload comes back
+    NULL, as if no right row existed.
 
     Built as merge-ordered union + forward fill, NOT a per-row range
     subquery: both sides union into one stream tagged by side, sort
@@ -97,35 +103,44 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+    order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+        for c in right_value_cols
+    ]
+    # the matched right row's own timestamp rides along for tolerance
+    match_ts = F.last(
+        F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+    ).over(w).alias("_match_ts")
+
+    out = (
+        unioned.select(
+            *keys, "_ts", "_side", *[F.col(f"_l_{c}") for c in lcols], *carry, match_ts
         )
-        carry = [
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in right_value_cols
-        ]
-    else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        carry = [
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in right_value_cols
-        ]
-    return (
-        unioned.select(*keys, "_ts", "_side", *[F.col(f"_l_{c}") for c in lcols], *carry)
         .filter(F.col("_side") == 1)
-        .select(
+    )
+    if tolerance is not None:
+        # timestamp → double yields epoch seconds; numeric casts verbatim
+        gap = F.abs(F.col("_ts").cast("double") - F.col("_match_ts").cast("double"))
+        within = F.col("_match_ts").isNotNull() & (gap <= F.lit(float(tolerance)))
+        out = out.select(
             *keys,
-            F.col("_ts").alias(left_on),
-            *[F.col(f"_l_{c}").alias(c) for c in lcols],
-            *right_value_cols,
+            "_ts",
+            "_side",
+            *[F.col(f"_l_{c}") for c in lcols],
+            *[F.when(within, F.col(c)).alias(c) for c in right_value_cols],
+            "_match_ts",
         )
+    return out.select(
+        *keys,
+        F.col("_ts").alias(left_on),
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *right_value_cols,
     )
 
 

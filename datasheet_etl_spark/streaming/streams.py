@@ -421,3 +421,34 @@ def streaming_minhash_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class rocksdb_state_store:
+    """Run streaming queries started inside the block with the RocksDB
+    state-store provider — the large-state path (state spills to local
+    disk instead of living on the JVM heap; the right provider when
+    session/dedup state approaches executor memory, i.e. at 100 TB).
+    Results must be provider-independent; pinned in tests."""
+
+    PROVIDER = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.KEY)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.KEY, self.PROVIDER)
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self.prev)

@@ -315,3 +315,30 @@ def test_streaming_minhash_finds_cross_batch_near_dups(spark, tmp_path):
         .collect()
     }
     assert batch_sig == row_sig
+
+
+def test_stateful_sessionize_provider_independent(spark, staged_events_by_time):
+    """Identical session output under the default (HDFS-backed, on-heap)
+    and RocksDB (disk-backed, large-state) state store providers."""
+    import uuid
+
+    from datasheet_etl_spark.streaming.streams import (
+        events_stream,
+        rocksdb_state_store,
+        run_available_now,
+        sessionize_stateful,
+    )
+
+    def drain():
+        name = f"prov_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(
+            sessionize_stateful(events_stream(spark, staged_events_by_time)),
+            name,
+            "update",
+        )
+        return sorted(map(tuple, out.collect()))
+
+    default_rows = drain()
+    with rocksdb_state_store(spark):
+        rocks_rows = drain()
+    assert default_rows == rocks_rows and len(default_rows) > 0

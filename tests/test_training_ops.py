@@ -227,3 +227,29 @@ def test_rolling_hash_deterministic(spark):
     for ch in "abc":
         expect = (expect * 31 + ord(ch)) % ((1 << 31) - 1)
     assert vals[0] == expect
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: matches farther than the bound come
+    back NULL, nearer ones are unchanged; forward direction symmetric."""
+    from datasheet_etl_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 100.0, "t1"), ("A", 205.0, "t2"), ("A", 500.0, "t3")],
+        "sym string, t double, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 95.0, 1.0), ("A", 200.0, 2.0)], "sym string, t double, px double"
+    )
+    no_tol = asof_join(trades, quotes, ["sym"], "t", "t", ["px"]).orderBy("t")
+    assert [r.px for r in no_tol.collect()] == [1.0, 2.0, 2.0]
+
+    tol = asof_join(trades, quotes, ["sym"], "t", "t", ["px"], tolerance=10.0).orderBy("t")
+    # t=100 matches 95 (gap 5 ≤ 10); t=205 matches 200 (gap 5); t=500 gap 300 → NULL
+    assert [r.px for r in tol.collect()] == [1.0, 2.0, None]
+
+    fwd = asof_join(
+        trades, quotes, ["sym"], "t", "t", ["px"], direction="forward", tolerance=10.0
+    ).orderBy("t")
+    # forward: t=100 → next quote 200 (gap 100) → NULL; t=205 → none ahead → NULL
+    assert [r.px for r in fwd.collect()] == [None, None, None]
