@@ -174,7 +174,7 @@ def lsh_candidate_pairs(
     sig_col: str,
     bands: int = 8,
     num_perm: int = 64,
-    max_bucket: int = 256,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` equal slices, hash
     each band to a bucket, self-join within buckets.
@@ -186,6 +186,9 @@ def lsh_candidate_pairs(
     buckets (boilerplate/empty-ish docs all sharing a band) are exactly
     the ones exact-hash dedup already catches — a true near-dup cluster
     wider than the cap still meets in its other, narrower bands.
+    ``max_bucket=None`` disables the cap (full recall); audit what a cap
+    drops with ``relational.dropped_buckets`` on ``banded_buckets``
+    output.
     """
     banded = cap_buckets(
         banded_buckets(df, id_col, sig_col, bands, num_perm), ["band", "bucket"], max_bucket
@@ -208,12 +211,16 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 2,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banding,
     verified with *exact* shingle-set Jaccard ≥ threshold.
 
     Returns (id_a, id_b, est_jaccard, jaccard) — est from signature
     agreement, exact from the shingle sets.
+
+    ``max_bucket`` caps LSH bucket width (skew guard; see
+    ``lsh_candidate_pairs`` for the recall tradeoff); ``None`` disables.
     """
     from datasheet_etl_spark.functions import tokens
 
@@ -228,7 +235,7 @@ def minhash_dedup_pairs(
     # keeps the corpus pass single-execution across the banding and verify
     # joins, and stays tiny relative to the corpus even at 100 TB.
     sigs = scoped_persist(minhash_signatures(sh, id_col, "sh", num_perm))
-    cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm)
+    cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm, max_bucket)
 
     # Exact-Jaccard verify touches only candidate docs: semi-join the
     # corpus down to candidate ids BEFORE re-deriving shingle sets, so

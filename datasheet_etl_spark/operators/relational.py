@@ -113,28 +113,38 @@ def asof_join(
         F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
         for c in right_value_cols
     ]
-    # the matched right row's own timestamp rides along for tolerance
-    match_ts = F.last(
-        F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
-    ).over(w).alias("_match_ts")
+    # Per-column match timestamp: each carried value is the most recent
+    # NON-NULL per column, so the tolerance gate must use the timestamp
+    # of the row that supplied THAT column — a newer right row with a
+    # NULL in one column must not re-validate a stale value carried from
+    # an older, out-of-tolerance row.
+    match_ts = [
+        F.last(
+            F.when((F.col("_side") == 0) & F.col(f"_r_{c}").isNotNull(), F.col("_ts")),
+            ignorenulls=True,
+        ).over(w).alias(f"_match_ts_{c}")
+        for c in right_value_cols
+    ]
 
     out = (
         unioned.select(
-            *keys, "_ts", "_side", *[F.col(f"_l_{c}") for c in lcols], *carry, match_ts
+            *keys, "_ts", "_side", *[F.col(f"_l_{c}") for c in lcols], *carry, *match_ts
         )
         .filter(F.col("_side") == 1)
     )
     if tolerance is not None:
-        # timestamp → double yields epoch seconds; numeric casts verbatim
-        gap = F.abs(F.col("_ts").cast("double") - F.col("_match_ts").cast("double"))
-        within = F.col("_match_ts").isNotNull() & (gap <= F.lit(float(tolerance)))
+        def _within(c: str) -> Column:
+            # timestamp → double yields epoch seconds; numeric casts verbatim
+            mts = F.col(f"_match_ts_{c}")
+            gap = F.abs(F.col("_ts").cast("double") - mts.cast("double"))
+            return mts.isNotNull() & (gap <= F.lit(float(tolerance)))
+
         out = out.select(
             *keys,
             "_ts",
             "_side",
             *[F.col(f"_l_{c}") for c in lcols],
-            *[F.when(within, F.col(c)).alias(c) for c in right_value_cols],
-            "_match_ts",
+            *[F.when(_within(c), F.col(c)).alias(c) for c in right_value_cols],
         )
     return out.select(
         *keys,
@@ -231,8 +241,9 @@ def top_k_per_group(
     return ranked if keep_rank else ranked.drop(rank_col)
 
 
-def cap_buckets(df: DataFrame, keys: Sequence[str], max_size: int) -> DataFrame:
+def cap_buckets(df: DataFrame, keys: Sequence[str], max_size: int | None) -> DataFrame:
     """Drop every bucket (group over ``keys``) larger than ``max_size``.
+    ``max_size=None`` disables the guard (full recall, quadratic risk).
 
     The skew guard in front of any bucket self-join (LSH banding,
     hyperplane tables): one hot bucket of width w contributes w² candidate
@@ -241,12 +252,30 @@ def cap_buckets(df: DataFrame, keys: Sequence[str], max_size: int) -> DataFrame:
     frame is the whole unbounded partition) and the shuffle it introduces
     is on exactly the keys the self-join repartitions by anyway, so AQE
     reuses the exchange.
+
+    Recall caveat: a cluster of > ``max_size`` near-identical documents
+    collides in EVERY band, so all its buckets drop and it yields zero
+    pairs — run exact-hash dedup alongside, and audit the loss with
+    ``dropped_buckets`` when tuning the cap.
     """
+    if max_size is None:
+        return df
     w = Window.partitionBy(*[F.col(k) for k in keys])
     return (
         df.withColumn("_bucket_width", F.count(F.lit(1)).over(w))
         .filter(F.col("_bucket_width") <= max_size)
         .drop("_bucket_width")
+    )
+
+
+def dropped_buckets(df: DataFrame, keys: Sequence[str], max_size: int) -> DataFrame:
+    """Observability twin of ``cap_buckets``: one row per bucket the cap
+    WOULD drop, with its width — (keys…, bucket_width). Callers count or
+    inspect these to quantify the recall the skew guard trades away."""
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("bucket_width"))
+        .filter(F.col("bucket_width") > max_size)
     )
 
 

@@ -31,11 +31,18 @@ def _norm_hash(col) -> "F.Column":
 def kmv_partials(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """Per-partition partial sketches: ≤ k smallest distinct normalized
     hashes each, built in one vectorized pass (numpy unique + partition).
-    Output: one row per kept hash value (column ``h``)."""
+    Output: one row per kept hash value (column ``h``).
+
+    NULLs are excluded before hashing, matching SQL COUNT(DISTINCT) and
+    ``approx_count_distinct`` semantics (xxhash64(NULL) would otherwise
+    degenerate to the seed hash and count as one extra distinct value).
+    """
     import numpy as np
     import pandas as pd
 
-    hashed = df.select(_norm_hash(F.col(col)).alias("h"))
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        _norm_hash(F.col(col)).alias("h")
+    )
 
     def op(batches):
         best: "np.ndarray | None" = None
@@ -78,3 +85,50 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> float:
 def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> float:
     """One-shot estimate of ``count(distinct col)``."""
     return kmv_estimate(kmv_sketch(df, col, k), k)
+
+
+# ---------------------------------------------------------------------------
+# Theta-style set algebra over KMV sketches
+# ---------------------------------------------------------------------------
+# A KMV sketch is a uniform sample of the distinct-hash space below a
+# threshold theta (= the k-th smallest hash, or 1.0 when the domain is
+# smaller than k and the sketch is exact). Intersections and differences
+# follow the theta-sketch construction (Dasgupta et al., "Theta-Sketch
+# Framework", and the Apache DataSketches docs): restrict both samples
+# to the COMMON theta = min(theta_a, theta_b), apply the exact set op to
+# the restricted samples, and scale by 1/theta. Corpus-overlap audits
+# (how many training docs does corpus B share with corpus A?) run on
+# kilobyte sketches instead of a distinct-join over the corpora.
+
+
+def _theta(vals: list[float], k: int) -> float:
+    """Sampling threshold of a collected sketch: 1.0 while exact
+    (< k values kept), else the largest (k-th smallest) kept hash."""
+    return 1.0 if len(vals) < k else vals[-1]
+
+
+def kmv_set_estimates(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) -> dict:
+    """Estimate |A∪B|, |A∩B|, |A\\B|, |B\\A| and Jaccard from two KMV
+    sketches built with the same k.
+
+    Driver-side by design: each sketch is at most k rows (kilobytes at
+    any corpus scale), so collecting both is O(k) — the whole point of
+    sketching is that the set algebra never touches the corpora again.
+    """
+    va = sorted(r["h"] for r in sketch_a.collect())
+    vb = sorted(r["h"] for r in sketch_b.collect())
+    theta = min(_theta(va, k), _theta(vb, k))
+    sa = {h for h in va if h < theta or theta == 1.0}
+    sb = {h for h in vb if h < theta or theta == 1.0}
+    inter = len(sa & sb) / theta
+    a_only = len(sa - sb) / theta
+    b_only = len(sb - sa) / theta
+    union = len(sa | sb) / theta
+    return {
+        "union": union,
+        "intersection": inter,
+        "difference_a_minus_b": a_only,
+        "difference_b_minus_a": b_only,
+        "jaccard": (inter / union) if union else 0.0,
+        "theta": theta,
+    }

@@ -169,10 +169,14 @@ def lift_page_tables(pages: DataFrame) -> DataFrame:
         ).alias("table_id"),
         F.concat(F.lit("Page "), F.col("page_num"), F.lit(" Table")).alias("title"),
         header.alias("headers"),
+        # Ragged body rows: a row may carry fewer OR more cells than the
+        # header; truncate both sides to the common width so
+        # map_from_arrays never sees keys/values of unequal length.
         F.transform(
             body,
             lambda row: F.map_from_arrays(
-                F.slice(header, 1, F.size(row)), row
+                F.slice(header, 1, F.least(F.size(row), F.size(header))),
+                F.slice(row, 1, F.least(F.size(row), F.size(header))),
             ),
         ).alias("rows"),
         F.lit(0.92).alias("confidence"),

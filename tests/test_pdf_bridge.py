@@ -74,3 +74,27 @@ def test_real_backends_guarded(spark):
     if pdf_bridge.render_backend() == "none":
         with pytest.raises(RuntimeError, match="PyMuPDF"):
             pdf_bridge.render_pages(binary_df)
+
+
+def test_lift_page_tables_handles_ragged_rows(spark):
+    """Body rows with MORE cells than the header must not crash
+    map_from_arrays (keys and values truncate to the common width);
+    shorter rows keep their existing truncate-to-row behavior."""
+    from datasheet_etl_spark.sources.pdf_bridge import PAGE_SCHEMA, lift_page_tables
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "doc.pdf",
+                1,
+                "",
+                [[["h1", "h2"], ["a", "b", "EXTRA"], ["only_a"]]],
+                612.0,
+                792.0,
+            )
+        ],
+        PAGE_SCHEMA,
+    )
+    rows = lift_page_tables(pages).collect()[0]["rows"]
+    assert rows[0] == {"h1": "a", "h2": "b"}   # extra cell dropped
+    assert rows[1] == {"h1": "only_a"}          # short row truncates keys

@@ -41,3 +41,48 @@ def test_kmv_sketches_merge_exactly(spark):
     )
     whole = kmv_sketch(li, "l_orderkey", 128)
     assert [r["h"] for r in merged.collect()] == [r["h"] for r in whole.collect()]
+
+
+def test_kmv_excludes_nulls_like_count_distinct(spark):
+    """COUNT(DISTINCT) semantics: NULL is not a distinct value."""
+    from datasheet_etl_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "c", None, None, "a"]], "v string"
+    )
+    assert kmv_distinct(df, "v", k=64) == 3.0
+
+
+def test_kmv_set_estimates_small_domain_exact(spark):
+    """Below k the sketches are exact samples (theta=1), so the theta
+    set algebra must reproduce exact set cardinalities."""
+    from datasheet_etl_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    a = spark.range(0, 100).selectExpr("id as v")        # {0..99}
+    b = spark.range(60, 140).selectExpr("id as v")       # {60..139}
+    est = kmv_set_estimates(kmv_sketch(a, "v", 256), kmv_sketch(b, "v", 256), k=256)
+    assert est["theta"] == 1.0
+    assert est["union"] == 140.0
+    assert est["intersection"] == 40.0
+    assert est["difference_a_minus_b"] == 60.0
+    assert est["difference_b_minus_a"] == 40.0
+    assert abs(est["jaccard"] - 40.0 / 140.0) < 1e-12
+
+
+def test_kmv_set_estimates_error_bound(spark):
+    """Large overlapping ranges: every estimate within KMV 3σ (≈19% at
+    k=256) of truth."""
+    from datasheet_etl_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    a = spark.range(0, 60_000).selectExpr("id as v")
+    b = spark.range(30_000, 90_000).selectExpr("id as v")
+    est = kmv_set_estimates(kmv_sketch(a, "v", 256), kmv_sketch(b, "v", 256), k=256)
+    truth = {
+        "union": 90_000,
+        "intersection": 30_000,
+        "difference_a_minus_b": 30_000,
+        "difference_b_minus_a": 30_000,
+    }
+    for key, exact in truth.items():
+        assert abs(est[key] - exact) / exact < 0.25, (key, est[key], exact)
+    assert abs(est["jaccard"] - 30_000 / 90_000) < 0.08

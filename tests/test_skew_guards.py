@@ -59,3 +59,36 @@ def test_hyperplane_bucket_cap(spark):
     uncapped = hyperplane_lsh_pairs(corpus, max_bucket=64).count()
     assert capped == 0
     assert uncapped == 25 * 24 // 2
+
+
+def test_bucket_cap_none_disables_guard(spark):
+    """max_bucket=None keeps full recall (quadratic risk is the caller's
+    explicit choice)."""
+    from datasheet_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = list(range(64))
+    df = spark.createDataFrame(
+        [(i, sig) for i in range(30)], "doc_id long, sig array<long>"
+    )
+    assert (
+        lsh_candidate_pairs(df, "doc_id", "sig", max_bucket=None).count()
+        == 30 * 29 // 2
+    )
+
+
+def test_dropped_buckets_reports_capped_width(spark):
+    """Observability twin of cap_buckets: the recall the cap trades away
+    is countable, not silent."""
+    from datasheet_etl_spark.operators.dedup import banded_buckets
+    from datasheet_etl_spark.operators.relational import dropped_buckets
+
+    sig = list(range(64))
+    # 30 identical docs (hot in every band) + 2 docs unique per band
+    rows = [(i, sig) for i in range(30)]
+    rows += [(100, [i * 3 for i in range(64)]), (101, [i * 5 for i in range(64)])]
+    df = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+    banded = banded_buckets(df, "doc_id", "sig", bands=8, num_perm=64)
+    hot = dropped_buckets(banded, ["band", "bucket"], max_size=10).collect()
+    # the 30-wide cluster occupies exactly one bucket per band = 8 hot buckets
+    assert len(hot) == 8
+    assert all(r.bucket_width == 30 for r in hot)

@@ -253,3 +253,27 @@ def test_asof_join_tolerance(spark):
     ).orderBy("t")
     # forward: t=100 → next quote 200 (gap 100) → NULL; t=205 → none ahead → NULL
     assert [r.px for r in fwd.collect()] == [None, None, None]
+
+
+def test_asof_join_tolerance_is_per_column(spark):
+    """A newer right row with a NULL in one payload column must not
+    re-validate a stale value of that column carried from an older,
+    out-of-tolerance row — each column gates on the timestamp of the
+    row that actually supplied it."""
+    from datasheet_etl_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 300.0, "t1")], "sym string, t double, trade string"
+    )
+    # px last supplied at t=100 (gap 200, outside tol); qty supplied at
+    # t=295 (gap 5, inside tol) but that row has px=NULL
+    quotes = spark.createDataFrame(
+        [("A", 100.0, 1.0, None), ("A", 295.0, None, 7.0)],
+        "sym string, t double, px double, qty double",
+    )
+    got = asof_join(
+        trades, quotes, ["sym"], "t", "t", ["px", "qty"], tolerance=10.0
+    ).collect()
+    assert len(got) == 1
+    assert got[0].px is None  # stale px NOT re-validated by the t=295 row
+    assert got[0].qty == 7.0  # fresh qty within tolerance survives
