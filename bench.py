@@ -39,19 +39,25 @@ def main() -> int:
 
     for warm in ("region", "lineitem", "orders", "documents", "embeddings", "events"):
         load_table(spark, sf_dir, warm).count()
-    timings: dict[str, float] = {}
+    from datasheet_etl_spark.caching import release_caches
+
+    timings: dict[str, object] = {}
     t_all = time.perf_counter()
     for name in sorted(reg):
+        # one broken entry must not destroy the whole run's perf signal:
+        # record the error, keep timing the rest, always emit the JSON line
         t0 = time.perf_counter()
-        df = reg[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        try:
+            df = reg[name](spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
         # per-query isolation: operators may persist() intermediates and
         # streaming entries register memory-sink views; left in place they
         # pile up executor memory and skew later timings with GC pressure
-        from datasheet_etl_spark.caching import release_caches
-
         release_caches()
         spark.catalog.clearCache()
         for t in spark.catalog.listTables():

@@ -31,11 +31,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read nanos as a long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a
-    microsecond-precision timestamp — the exact value DuckDB's
-    ``epoch_us(ts)`` sees, so oracle comparisons stay bit-identical.
+    ``events.ts`` has shipped under two parquet encodings and must come out
+    as a plain ``timestamp`` either way, with epoch-µs values bit-identical
+    to DuckDB's ``epoch_us(ts)`` (session tz is pinned UTC):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so we read
+      nanos as a long (``spark.sql.legacy.parquet.nanosAsLong``) and
+      rebuild a microsecond timestamp.
+    - ``timestamp[us]`` with ``isAdjustedToUTC=false`` (what pyarrow/pandas
+      write by default): Spark ≥3.4 infers TIMESTAMP_NTZ, which breaks
+      ``unix_micros``/``window``/numeric casts. We disable the inference
+      (and cast defensively if a stray NTZ still appears) so the wall-clock
+      values are interpreted as UTC instants.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -47,9 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -117,14 +117,22 @@ def asof_join(
     # NON-NULL per column, so the tolerance gate must use the timestamp
     # of the row that supplied THAT column — a newer right row with a
     # NULL in one column must not re-validate a stale value carried from
-    # an older, out-of-tolerance row.
-    match_ts = [
-        F.last(
-            F.when((F.col("_side") == 0) & F.col(f"_r_{c}").isNotNull(), F.col("_ts")),
-            ignorenulls=True,
-        ).over(w).alias(f"_match_ts_{c}")
-        for c in right_value_cols
-    ]
+    # an older, out-of-tolerance row. Only computed when there IS a
+    # tolerance gate — in the common no-tolerance path these extra
+    # last()-over-window aggregates would be dead compute.
+    match_ts = (
+        [
+            F.last(
+                F.when(
+                    (F.col("_side") == 0) & F.col(f"_r_{c}").isNotNull(), F.col("_ts")
+                ),
+                ignorenulls=True,
+            ).over(w).alias(f"_match_ts_{c}")
+            for c in right_value_cols
+        ]
+        if tolerance is not None
+        else []
+    )
 
     out = (
         unioned.select(

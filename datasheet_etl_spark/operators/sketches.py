@@ -72,11 +72,23 @@ def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     return out.distinct().orderBy("h").limit(k)
 
 
+def _collect_sketch(sketch: DataFrame, k: int) -> list[float]:
+    """Collect a sketch as the k smallest distinct hashes, ascending.
+
+    Tolerant of oversized input (raw ``kmv_partials`` output, or a sketch
+    built with a larger k): the k smallest of a valid KMV pool IS the
+    k-sketch of the same set, so truncating is exact — whereas trusting
+    ``vals[-1]`` of an oversized pool would silently inflate theta and
+    wreck every estimate."""
+    vals = sorted({r["h"] for r in sketch.collect()})
+    return vals[:k]
+
+
 def kmv_estimate(sketch: DataFrame, k: int = 256) -> float:
     """Distinct-count estimate from a sketch: (k−1)/R, or the exact
     count when fewer than k distinct hashes exist (small domains are
     exact by construction)."""
-    vals = [r["h"] for r in sketch.collect()]
+    vals = _collect_sketch(sketch, k)
     if len(vals) < k:
         return float(len(vals))
     return (k - 1) / vals[-1]
@@ -115,8 +127,8 @@ def kmv_set_estimates(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) ->
     any corpus scale), so collecting both is O(k) — the whole point of
     sketching is that the set algebra never touches the corpora again.
     """
-    va = sorted(r["h"] for r in sketch_a.collect())
-    vb = sorted(r["h"] for r in sketch_b.collect())
+    va = _collect_sketch(sketch_a, k)
+    vb = _collect_sketch(sketch_b, k)
     theta = min(_theta(va, k), _theta(vb, k))
     sa = {h for h in va if h < theta or theta == 1.0}
     sb = {h for h in vb if h < theta or theta == 1.0}

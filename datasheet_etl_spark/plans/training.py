@@ -897,13 +897,27 @@ def t25_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction) next to the exact count and the relative error — the
     self-auditing form of q24b's HLL. Mergeability (sketch(A∪B) ==
     merge(sketch(A), sketch(B))) and error bounds are pinned in
-    tests/test_sketches.py."""
-    from datasheet_etl_spark.operators.sketches import kmv_distinct
+    tests/test_sketches.py.
 
+    Fully lazy (registry contract: entries build plans, the driver acts):
+    the estimate is an aggregate over the ≤k-row sketch, the exact count
+    a second single-row aggregate, cross-joined — both 1×1, so the cross
+    join is trivially broadcast and nothing runs until the caller acts.
+    """
+    from datasheet_etl_spark.operators.sketches import kmv_sketch
+
+    k = 256
     li = load_table(spark, sf_dir, "lineitem")
-    exact = li.select("l_orderkey").distinct().count()
-    est = kmv_distinct(li, "l_orderkey", k=256)
-    return spark.createDataFrame(
-        [(float(est), int(exact), abs(est - exact) / exact)],
-        "kmv_estimate double, exact_count long, rel_err double",
+    est = kmv_sketch(li, "l_orderkey", k=k).agg(
+        F.when(F.count("h") < k, F.count("h").cast("double"))
+        .otherwise(F.lit(k - 1) / F.max("h"))
+        .alias("kmv_estimate")
+    )
+    exact = li.agg(F.count_distinct("l_orderkey").alias("exact_count"))
+    return est.crossJoin(exact).select(
+        "kmv_estimate",
+        "exact_count",
+        (F.abs(F.col("kmv_estimate") - F.col("exact_count")) / F.col("exact_count")).alias(
+            "rel_err"
+        ),
     )

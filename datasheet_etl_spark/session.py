@@ -52,6 +52,10 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pyarrow writes timestamp[us] with isAdjustedToUTC=false; Spark ≥3.4
+        # would infer TIMESTAMP_NTZ, which unix_micros/window/numeric casts
+        # reject. Read those as plain (UTC-instant) timestamps instead.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")

@@ -39,14 +39,17 @@ def events_stream(
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS); like the
-    batch loader we read nanos as long and rebuild a microsecond
-    timestamp, so batch and streaming plans see identical values.
-    ``maxFilesPerTrigger`` is the backpressure knob: on a real cluster it
-    bounds per-microbatch input so one trigger never swallows a backfill.
+    ``ts`` must come out as a plain ``timestamp`` whatever the parquet
+    encoding (TIMESTAMP(NANOS) → nanosAsLong + rebuild; pyarrow's
+    non-UTC-adjusted ``timestamp[us]`` → NTZ inference disabled + cast),
+    mirroring the batch loader so batch and streaming plans see identical
+    values. ``maxFilesPerTrigger`` is the backpressure knob: on a real
+    cluster it bounds per-microbatch input so one trigger never swallows
+    a backfill.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
@@ -59,6 +62,8 @@ def events_stream(
     df = reader.load(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
