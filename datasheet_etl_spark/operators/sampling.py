@@ -1,0 +1,176 @@
+"""Deterministic sampling and sequence packing for training-data curation.
+
+A 100 TB training pipeline cannot use ``rand()``-based sampling: task
+retries under speculative execution would re-roll the dice and lose or
+duplicate rows, and no oracle can re-check the result. Every operator
+here derives its randomness from a cryptographic hash of a stable row
+key (md5 → hex string), which makes the sample
+
+- **deterministic**: same corpus → same sample, on any cluster, any
+  partitioning, any retry;
+- **re-checkable**: the exact same selection is expressible in ANSI SQL
+  (DuckDB ``md5`` produces identical hex), so every operator carries a
+  value-level oracle;
+- **incremental**: new rows hash independently — adding a shard to the
+  corpus never changes which old rows are sampled (rate-based ops), the
+  property that lets a curation run resume after backfill.
+
+Lexicographic order of the fixed-length lowercase-hex digest equals
+numeric order of the 128-bit hash, so "k smallest hashes" is a uniform
+k-sample and ``hex_prefix < threshold`` is a Bernoulli(rate) filter —
+no hex→int conversion needed on either engine.
+
+Scale shapes:
+- ``uniform_sample``: global top-N by hash → Spark's TakeOrderedAndProject
+  (per-partition partial top-N, merge on driver) — no full sort, no
+  shuffle of the corpus.
+- ``stratified_sample``: two-phase top-k — per-(stratum, salt-bucket)
+  local top-k first (map-side shrink to S·k candidate rows per stratum),
+  then exact top-k per stratum over candidates. The full corpus never
+  sorts inside one giant per-stratum partition; only candidates do. The
+  salt is hash-derived (retry-safe), and the pre-filter is lossless: the
+  k smallest of a union is a subset of the union of per-bucket k smallest.
+- ``weighted_sample``: pure per-row filter — zero shuffles.
+- ``pack_sequences``: packing is embarrassingly parallel across hash
+  shards; each shard packs independently under its own running total
+  (one shuffle on the shard key). Shard count = 16^shard_hex_chars —
+  raise the prefix length at scale so shards stay executor-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "doc_hash",
+    "uniform_sample",
+    "stratified_sample",
+    "weighted_sample",
+    "rate_to_hex_threshold",
+    "pack_sequences",
+]
+
+
+def doc_hash(key: Column) -> Column:
+    """Deterministic sampling hash: md5 of the stringified key, lowercase
+    hex. Identical in Spark and DuckDB (``md5(CAST(k AS VARCHAR))``)."""
+    return F.md5(key.cast("string"))
+
+
+def uniform_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
+    """The n rows with the smallest sampling hash — a deterministic
+    uniform n-sample. ``orderBy(hash).limit(n)`` compiles to
+    TakeOrderedAndProject: each partition keeps its local top-n, the
+    driver merges — no global sort at any corpus size."""
+    return (
+        df.withColumn("_h", doc_hash(F.col(key_col)))
+        .orderBy("_h")
+        .limit(n)
+        .drop("_h")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_cols: Sequence[str],
+    k: int,
+    salt_buckets: int = 32,
+    rank_col: str | None = "stratum_rank",
+) -> DataFrame:
+    """The k rows with the smallest sampling hash per stratum, with an
+    optional deterministic 1-based rank within the stratum.
+
+    Low-cardinality strata (language, source) make per-stratum partitions
+    corpus-sized; the two-phase shape keeps the heavy sort off the full
+    data: phase 1 ranks within (stratum, hash-salt bucket) — ≥k-row
+    buckets shrink to k — phase 2 ranks the ≤ salt_buckets·k survivors
+    per stratum exactly. Both phases are one shuffle each, and phase 2's
+    input is tiny.
+    """
+    strata = list(strata_cols)
+    h = df.withColumn("_h", doc_hash(F.col(key_col)))
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*strata, "_salt").orderBy("_h")
+    cand = (
+        h.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*strata).orderBy("_h")
+    out = cand.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") <= k)
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_rn"))
+    return out.drop("_rn", "_h")
+
+
+def rate_to_hex_threshold(rate: float, hex_digits: int = 4) -> str:
+    """Quantize a sampling rate to a fixed-width lowercase-hex threshold:
+    rows whose hash prefix sorts (strictly) below it are kept. 4 hex
+    digits → rate resolution 1/65536. Rate 1.0 returns ``"g"``, which
+    sorts after every hex prefix, so nothing is dropped."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    q = int(rate * 16**hex_digits)
+    if q >= 16**hex_digits:
+        return "g"
+    return format(q, f"0{hex_digits}x")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    hex_digits: int = 4,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling at stratum-specific rates — the
+    mixture-reweighting step of corpus curation (upsample scarce
+    high-quality sources, downsample the crawl) as a pure map-side
+    filter: zero shuffles, retry-safe, incremental under corpus growth.
+
+    Keep iff ``substr(hash, 1, hex_digits) < hex_threshold(rate)``;
+    rates quantize to 1/16^hex_digits.
+    """
+    prefix = F.substring(doc_hash(F.col(key_col)), 1, hex_digits)
+    thresh: Column = F.lit(rate_to_hex_threshold(default_rate, hex_digits))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(rate_to_hex_threshold(rate, hex_digits))
+        ).otherwise(thresh)
+    return df.filter(prefix < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    cost_col: str,
+    budget: int,
+    shard_hex_chars: int = 1,
+    shard_col: str = "shard",
+    bin_col: str = "bin_id",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """Assign rows to fixed-budget training bins (sequence packing).
+
+    Rows are sharded by a hash prefix, ordered by hash within the shard,
+    and chunked greedily by running cost: a row starting at running
+    offset ``o`` lands in bin ``floor(o / budget)`` — concatenate-then-
+    chunk semantics, the shape used to pack documents into fixed-length
+    token streams. Deterministic, one shuffle (on the shard key), and
+    shards pack independently so parallelism = 16^shard_hex_chars.
+    """
+    h = df.withColumn("_h", doc_hash(F.col(key_col)))
+    out = h.withColumn(shard_col, F.substring("_h", 1, shard_hex_chars))
+    w = Window.partitionBy(shard_col).orderBy("_h")
+    running = F.sum(cost_col).over(w) - F.col(cost_col)
+    return (
+        out.withColumn(offset_col, running)
+        .withColumn(bin_col, F.floor(F.col(offset_col) / budget))
+        .drop("_h")
+    )

@@ -18,12 +18,20 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 
 # Oracled entries deliberately placed after the graded window when the
-# oracled count exceeds 50 (all still pass the local sf0.01 re-drive; the
-# demoted ones are variants whose core idiom is already graded elsewhere).
+# oracled count exceeds 50 (all still pass the local sf0.01 re-drive and
+# the full pytest oracle sweep; the demoted ones are variants whose core
+# idiom is already graded elsewhere).
 DEMOTED: tuple[str, ...] = (
     "q31b_sliding_window",  # q31 tumbling grades the same windowing idiom
     "t05_dedup_embedding_cosine",  # t06 grades the same vectorized scanner
     "t15_vision_stage",
+    # r4: swapped out for the t26-t30 sampling/packing family — each
+    # demotee's idiom stays graded inside a superset entry:
+    "q09_semi_join",  # semi-join idiom graded inside t07's probed-cell semi-join
+    "q17_forward_fill",  # last(ignorenulls) carry graded inside t18_asof_join
+    "q20_running_total",  # window cumsum graded inside t28_sequence_pack
+    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t26 + q16
+    "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
 )
 
 

@@ -921,3 +921,172 @@ def t25_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / packing family (operators/sampling.py)
+# ---------------------------------------------------------------------------
+# Hash-derived randomness (md5 of the row key) instead of rand(): the
+# sample is identical across clusters, partitionings, and task retries,
+# and the exact selection is re-expressible in ANSI SQL — so unlike
+# rand()-based sampling, every operator here is value-level oracled.
+
+_SQL_DOC_H = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "t26_sample_uniform",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    ORDER BY {_SQL_DOC_H} LIMIT 200
+    """,
+)
+def t26_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 200-sample: the 200 smallest sampling
+    hashes. Compiles to TakeOrderedAndProject (per-partition top-N,
+    driver merge) — no global sort at any corpus size."""
+    from datasheet_etl_spark.operators.sampling import uniform_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return uniform_sample(docs, "doc_id", 200)
+
+
+@register(
+    "t27_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source, stratum_rank FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY {_SQL_DOC_H})
+               AS stratum_rank
+      FROM documents
+    ) WHERE stratum_rank <= 20
+    """,
+)
+def t27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language k=20 sample (k smallest hashes per stratum), ranked.
+    Two-phase top-k: local top-k per (stratum, hash-salt bucket) shrinks
+    each corpus-sized stratum map-side before the exact per-stratum rank
+    — the skew-proof form of a low-cardinality-strata row_number."""
+    from datasheet_etl_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample(docs, "doc_id", ["lang"], k=20)
+
+
+@register(
+    "t28_sequence_pack",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, {_SQL_DOC_H} AS hh FROM documents
+    ), pos AS (
+      SELECT doc_id, substring(hh, 1, 1) AS shard, n_chars,
+             CAST(SUM(n_chars) OVER (PARTITION BY substring(hh, 1, 1) ORDER BY hh)
+                  - n_chars AS BIGINT) AS bin_offset
+      FROM h
+    )
+    SELECT doc_id, shard, n_chars, bin_offset,
+           CAST(FLOOR(bin_offset / 2048.0) AS BIGINT) AS bin_id
+    FROM pos
+    """,
+)
+def t28_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget (2048-char)
+    training bins — concatenate-then-chunk over a deterministic hash
+    order, sharded by hash prefix so shards pack independently in
+    parallel (one shuffle on the shard key)."""
+    from datasheet_etl_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    packed = pack_sequences(docs, "doc_id", "n_chars", budget=2048)
+    return packed.select("doc_id", "shard", "n_chars", "bin_offset", "bin_id")
+
+
+# mixture rates: upsample src0, neutral src1, downsample src2, crawl-level
+# default for the rest — quantized to 4 hex digits (1/65536 resolution)
+_MIX_RATES = {"src0": 0.75, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.125
+
+
+@register(
+    "t29_mixture_weighted",
+    f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(CASE WHEN substring({_SQL_DOC_H}, 1, 4) <
+                  CASE source WHEN 'src0' THEN 'c000'
+                              WHEN 'src1' THEN '8000'
+                              WHEN 'src2' THEN '4000'
+                              ELSE '2000' END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def t29_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: per-source Bernoulli sampling at source-
+    specific rates via hash-prefix thresholds — a pure map-side filter
+    (zero shuffles for the sample itself), deterministic under retries,
+    incremental under corpus growth. Output: per-source kept counts."""
+    from datasheet_etl_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = weighted_sample(
+        docs, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sampled = kept.groupBy("source").agg(F.count("*").alias("n_sampled"))
+    return (
+        totals.join(sampled, "source", "left")
+        .na.fill(0, ["n_sampled"])
+        .orderBy("source")
+    )
+
+
+# Java and RE2 compatible subset: no backrefs, no lookaround
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+\d[\d-]{7,}"
+
+
+@register(
+    "t30_redact_pii",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com tel: +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+               AS raw_text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(raw_text, '{_EMAIL_RE}'))
+                + len(regexp_extract_all(raw_text, '{_PHONE_RE}')) AS BIGINT) AS n_redacted
+    FROM raw
+    """,
+)
+def t30_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails and phone numbers from document text
+    — pure JVM regexp expressions, shuffle-free per doc. The synthetic
+    corpus contains no PII, so deterministic doc-keyed contact strings
+    are injected first (identically in the oracle) to make the
+    value-level comparison non-vacuous."""
+    docs = _docs(spark, sf_dir)
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel: +1-555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("raw_text"),
+    )
+    return raw.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw_text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+        (
+            F.regexp_count("raw_text", F.lit(_EMAIL_RE))
+            + F.regexp_count("raw_text", F.lit(_PHONE_RE))
+        ).cast("long").alias("n_redacted"),
+    )

@@ -1,0 +1,125 @@
+"""Deterministic sampling / packing operator properties.
+
+These pin the properties the oracle comparison can't see on its own:
+retry-determinism (two evaluations of the same plan agree), the losslessness
+of the stratified two-phase shape vs the naive one-phase rank, rate
+quantization edges, packing invariants, and the plan shapes the 100 TB
+story depends on (TakeOrdered for uniform, no corpus-wide single-partition
+sort anywhere).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datasheet_etl_spark.io import load_table
+from datasheet_etl_spark.operators.sampling import (
+    doc_hash,
+    pack_sequences,
+    rate_to_hex_threshold,
+    stratified_sample,
+    uniform_sample,
+    weighted_sample,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def test_uniform_sample_deterministic_and_sized(docs):
+    a = sorted(r["doc_id"] for r in uniform_sample(docs, "doc_id", 100).collect())
+    b = sorted(r["doc_id"] for r in uniform_sample(docs, "doc_id", 100).collect())
+    assert len(a) == 100
+    assert a == b
+    # repartitioning must not change the selection (retry/partitioning safety)
+    c = sorted(
+        r["doc_id"]
+        for r in uniform_sample(docs.repartition(13), "doc_id", 100).collect()
+    )
+    assert a == c
+
+
+def test_uniform_sample_plan_is_take_ordered(docs):
+    plan = uniform_sample(docs, "doc_id", 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_two_phase_matches_naive(docs):
+    got = {
+        (r["doc_id"], r["stratum_rank"])
+        for r in stratified_sample(docs, "doc_id", ["lang"], k=7, salt_buckets=5).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(doc_hash(F.col("doc_id")))
+    naive = {
+        (r["doc_id"], r["rn"])
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_stratified_sample_k_per_stratum(docs):
+    out = stratified_sample(docs, "doc_id", ["lang"], k=7)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_langs = docs.select("lang").distinct().count()
+    assert len(sizes) == n_langs
+    assert all(v == 7 for v in sizes.values())
+
+
+def test_rate_to_hex_threshold_edges():
+    assert rate_to_hex_threshold(0.0) == "0000"
+    assert rate_to_hex_threshold(0.5) == "8000"
+    assert rate_to_hex_threshold(0.25, hex_digits=2) == "40"
+    assert rate_to_hex_threshold(1.0) == "g"  # sorts after every hex prefix
+    with pytest.raises(ValueError):
+        rate_to_hex_threshold(1.5)
+
+
+def test_weighted_sample_rates_and_monotonicity(docs):
+    # rate 1 keeps everything, rate 0 nothing; a higher rate keeps a superset
+    total = docs.count()
+    assert weighted_sample(docs, "doc_id", "lang", {}, default_rate=1.0).count() == total
+    assert weighted_sample(docs, "doc_id", "lang", {}, default_rate=0.0).count() == 0
+    lo = {r["doc_id"] for r in weighted_sample(docs, "doc_id", "lang", {}, default_rate=0.2).collect()}
+    hi = {r["doc_id"] for r in weighted_sample(docs, "doc_id", "lang", {}, default_rate=0.6).collect()}
+    assert lo <= hi
+    # realized rate within a loose binomial band
+    assert 0.1 * total < len(lo) < 0.3 * total
+
+
+def test_pack_sequences_invariants(docs):
+    budget = 2048
+    out = pack_sequences(docs, "doc_id", "n_chars", budget=budget).collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["bin_offset"])
+        # offsets are the exact running sum: contiguous concatenation
+        run = 0
+        for r in rows:
+            assert r["bin_offset"] == run
+            assert r["bin_id"] == run // budget
+            run += r["n_chars"]
+    # every doc packed exactly once
+    assert sum(len(v) for v in by_shard.values()) == docs.count()
+
+
+def test_pack_sequences_bins_dense(docs):
+    # bin ids per shard are dense from 0 (no empty bins in the chunking)
+    out = pack_sequences(docs, "doc_id", "n_chars", budget=4096)
+    agg = (
+        out.groupBy("shard")
+        .agg(F.max("bin_id").alias("mx"), F.count_distinct("bin_id").alias("nd"))
+        .collect()
+    )
+    for r in agg:
+        assert r["nd"] == r["mx"] + 1
