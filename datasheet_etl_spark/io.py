@@ -57,10 +57,63 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts", F.timestamp_micros(_epoch_to_micros("ts", _ts_parquet_unit(path)))
+        )
     elif dict(df.dtypes).get("ts") == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _ts_parquet_unit(path: str) -> str | None:
+    """Resolution of a bigint-read ``ts`` from the parquet footer.
+
+    When Spark reads ``ts`` as bigint it is either TIMESTAMP(NANOS)
+    surfaced through nanosAsLong, or a raw INT64 epoch of unknown
+    resolution — the footer's logical type disambiguates exactly.
+    Metadata-only, one file, driver-side (no data scan); returns None
+    (→ magnitude heuristic) for raw INT64 or any non-local path."""
+    try:
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            parts = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+            if not parts:
+                return None
+            p = os.path.join(p, parts[0])
+        return getattr(pq.read_schema(p).field("ts").type, "unit", None)
+    except Exception:
+        return None
+
+
+def _epoch_to_micros(name: str, unit: str | None = None) -> F.Column:
+    """Normalize an integer epoch column to µs.
+
+    With a known ``unit`` (from the parquet footer) the conversion is
+    exact. Without one, classify by magnitude: epoch magnitudes sit ~3
+    decimal orders apart per resolution (2001–2286: seconds ~1e9–1e10,
+    millis ~1e12–1e13, micros ~1e15–1e16, nanos ~1e18–1e19), so
+    thresholds at the geometric gaps classify any realistic epoch —
+    though values within ~16 years of 1970 are inherently ambiguous,
+    which is why the footer path is preferred. Integer ``div`` (not
+    ``/``) — a double can't hold an epoch-ns exactly (>2^53). Pure
+    expression — stays in whole-stage codegen."""
+    col = F.col(name)
+    if unit is not None:
+        return {
+            "ns": F.expr(f"{name} div 1000"),
+            "us": col,
+            "ms": col * 1000,
+            "s": col * 1_000_000,
+        }[unit]
+    a = F.abs(col)
+    return (
+        F.when(a >= F.lit(int(5e17)), F.expr(f"{name} div 1000"))  # nanos
+        .when(a >= F.lit(int(5e14)), col)  # micros
+        .when(a >= F.lit(int(5e11)), col * 1000)  # millis
+        .otherwise(col * 1_000_000)  # seconds
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -61,7 +61,11 @@ def events_stream(
         )
     df = reader.load(path)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from datasheet_etl_spark.io import _epoch_to_micros, _ts_parquet_unit
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(_epoch_to_micros("ts", _ts_parquet_unit(path)))
+        )
     elif dict(df.dtypes).get("ts") == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -96,6 +96,26 @@ def test_nanos_encoding(spark, tmp_path):
     assert got == _duckdb_epochs(sf_dir)
 
 
+def test_bigint_epoch_resolution_heuristic(spark, tmp_path):
+    """A future generator could ship ts as a raw bigint in any epoch
+    resolution; the loader classifies by magnitude (resolutions sit ~3
+    decimal orders apart) and normalizes all of them to the same µs."""
+    base = EPOCH_US[0]
+    cases = {
+        "ns": base * 1000,
+        "us": base,
+        "ms": base // 1000,
+        "s": base // 1_000_000,
+    }
+    for unit, raw in cases.items():
+        sf_dir = _write_events(tmp_path, pa.array([raw] * len(WALL), pa.int64()))
+        got = _loaded_epochs(spark, sf_dir)
+        expect = (base // 1_000_000) * 1_000_000 if unit == "s" else (
+            (base // 1000) * 1000 if unit == "ms" else base
+        )
+        assert got == [expect] * len(WALL), unit
+
+
 def test_time_ops_resolve_on_ntz_source(spark, tmp_path):
     """The operators that broke on the NTZ drift (cast-to-double,
     unix_micros, window) must all analyze against a loader-normalized
