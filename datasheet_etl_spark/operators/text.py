@@ -4,7 +4,7 @@ all oracle-expressible, all shuffle-free per document."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.functions import tokens
@@ -116,4 +116,42 @@ def rolling_hash(text: Column, modulus: int = (1 << 31) - 1, base: int = 31) -> 
         F.filter(chars, lambda c: c != ""),
         F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * base + F.ascii(c), F.lit(modulus)),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    chunk_size: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Sliding-window chunking: split each document into fixed-size
+    character chunks at ``stride`` offsets (stride < chunk_size →
+    overlapping context windows, the standard shape for embedding /
+    pretraining corpus prep).
+
+    Pure map-side expansion — ``sequence`` + ``explode`` + ``substring``,
+    all codegen'd, no shuffle; output rows per doc are bounded by
+    ceil(len/stride). An empty document yields one empty chunk (start 0)
+    so no document silently disappears from the chunked corpus.
+
+    Appends: chunk_start (0-based), chunk_idx (= chunk_start / stride),
+    chunk_text, chunk_len.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError(f"chunk_size and stride must be > 0, got {chunk_size}, {stride}")
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col(len_col).cast("long") - 1, F.lit(0).cast("long")),
+        F.lit(stride).cast("long"),
+    )
+    return (
+        df.withColumn("chunk_start", F.explode(starts))
+        .withColumn("chunk_idx", (F.col("chunk_start") / stride).cast("long"))
+        .withColumn(
+            "chunk_text",
+            F.expr(f"substring({text_col}, chunk_start + 1, {int(chunk_size)})"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
     )

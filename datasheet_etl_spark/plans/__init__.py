@@ -32,6 +32,7 @@ DEMOTED: tuple[str, ...] = (
     "q20_running_total",  # window cumsum graded inside t28_sequence_pack
     "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t26 + q16
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
+    "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
 )
 
 

@@ -1040,6 +1040,34 @@ def t29_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t31_chunk_documents",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(n_chars - 1, 0), 192)) AS chunk_start
+      FROM documents
+    )
+    SELECT doc_id, chunk_start,
+           CAST(chunk_start / 192 AS BIGINT) AS chunk_idx,
+           substring(text, CAST(chunk_start + 1 AS INT), 256) AS chunk_text,
+           CAST(length(substring(text, CAST(chunk_start + 1 AS INT), 256)) AS BIGINT)
+             AS chunk_len
+    FROM s
+    """,
+)
+def t31_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (256-char chunks, 192-char
+    stride → 64-char overlap) — embedding/pretraining corpus prep as a
+    pure map-side sequence+explode+substring expansion, no shuffle."""
+    from datasheet_etl_spark.operators.text import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    return chunk_documents(docs, chunk_size=256, stride=192).select(
+        "doc_id", "chunk_start", "chunk_idx", "chunk_text", "chunk_len"
+    )
+
+
 # Java and RE2 compatible subset: no backrefs, no lookaround
 _EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PHONE_RE = r"\+\d[\d-]{7,}"

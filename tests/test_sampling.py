@@ -123,3 +123,26 @@ def test_pack_sequences_bins_dense(docs):
     )
     for r in agg:
         assert r["nd"] == r["mx"] + 1
+
+
+def test_chunk_documents_coverage_and_overlap(spark, docs):
+    from datasheet_etl_spark.operators.text import chunk_documents
+
+    full = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "n_chars")
+    out = chunk_documents(full, chunk_size=100, stride=60).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in full.collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_start"])
+        text = texts[doc_id]
+        # starts are exactly 0, 60, 120, ... and the reassembled prefix
+        # windows reproduce the document (coverage: chunk i overlaps i+1)
+        assert [r["chunk_start"] for r in rows] == list(range(0, max(len(text), 1), 60))
+        for r in rows:
+            assert r["chunk_text"] == text[r["chunk_start"] : r["chunk_start"] + 100]
+        # every char covered: next start <= current end
+        for a, b in zip(rows, rows[1:]):
+            assert b["chunk_start"] <= a["chunk_start"] + 100
+    assert set(by_doc) == set(texts)  # no doc dropped, even empty ones
