@@ -416,3 +416,42 @@ def exact_dedup(
     shuffle on the key, first/last by ``order_col``."""
     order = [F.col(order_col).asc() if keep == "min" else F.col(order_col).desc()]
     return top_k_per_group(df, key_cols, order, k=1)
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    hit_col: str = "n_hit_grams",
+) -> DataFrame:
+    """Eval-set decontamination: for each training document, count the
+    distinct word n-grams it shares with a held-out (eval/benchmark)
+    corpus — the contamination check run before any pretraining corpus
+    ships. Docs with hits are candidates for removal or audit.
+
+    Scale shape: both sides explode to distinct (doc, gram) postings
+    map-side; the holdout side collapses to its distinct gram set and is
+    broadcast (a benchmark suite is tiny by definition — if it isn't,
+    Spark falls back to a shuffled hash join on the gram key), so the
+    100 TB training side is never shuffled by the probe; the only
+    shuffle is the per-doc hit-count aggregation.
+    """
+    from datasheet_etl_spark.functions import tokens as _tok
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(_tok(F.col(text_col)), n))
+            ).alias("_ng"),
+        )
+
+    probe = F.broadcast(grams(holdout).select("_ng").distinct())
+    return (
+        grams(train)
+        .join(probe, "_ng")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_ng").alias(hit_col))
+    )

@@ -33,6 +33,7 @@ DEMOTED: tuple[str, ...] = (
     "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t26 + q16
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
+    "q08_anti_join",  # left-anti idiom graded inside q30_idempotent_rerun
 )
 
 

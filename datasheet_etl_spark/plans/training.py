@@ -1041,6 +1041,35 @@ def t29_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t32_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS ng FROM t WHERE len(toks) >= 2
+    ), e AS (
+      SELECT DISTINCT ng FROM s WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id AS doc_id, CAST(count(DISTINCT s.ng) AS BIGINT) AS n_hit_grams
+    FROM s JOIN e ON s.ng = e.ng
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id ORDER BY doc_id
+    """,
+)
+def t32_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: count distinct word-bigrams each
+    training doc shares with a held-out slice (doc_id ≡ 0 mod 97 plays
+    the benchmark corpus). Holdout grams broadcast to probe the training
+    side shuffle-free; only the per-doc hit count aggregates."""
+    from datasheet_etl_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, holdout, n=2).orderBy("doc_id")
+
+
+@register(
     "t31_chunk_documents",
     """
     WITH s AS (

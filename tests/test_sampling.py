@@ -146,3 +146,26 @@ def test_chunk_documents_coverage_and_overlap(spark, docs):
         for a, b in zip(rows, rows[1:]):
             assert b["chunk_start"] <= a["chunk_start"] + 100
     assert set(by_doc) == set(texts)  # no doc dropped, even empty ones
+
+
+def test_decontaminate_planted_overlap(spark):
+    from datasheet_etl_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains eval phrase
+            (2, "completely unrelated words nothing shared here"),
+            (3, "quick brown fox appears again in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, "benchmark question about the quick brown fox")],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hit_grams"] for r in decontaminate(train, holdout).collect()}
+    # doc 1 shares "the quick" + "quick brown" + "brown fox"; doc 3 shares
+    # "quick brown" + "brown fox"; doc 2 shares nothing and must be absent
+    assert hits[1] == 3
+    assert hits[3] == 2
+    assert 2 not in hits
