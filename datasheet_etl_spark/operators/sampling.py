@@ -121,6 +121,24 @@ def rate_to_hex_threshold(rate: float, hex_digits: int = 4) -> str:
     return format(q, f"0{hex_digits}x")
 
 
+def _keep_predicate(
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    hex_digits: int,
+    default_rate: float,
+) -> Column:
+    """Keep iff ``substr(hash, 1, hex_digits) < hex_threshold(rate)``;
+    rates quantize to 1/16^hex_digits."""
+    prefix = F.substring(doc_hash(F.col(key_col)), 1, hex_digits)
+    thresh: Column = F.lit(rate_to_hex_threshold(default_rate, hex_digits))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(rate_to_hex_threshold(rate, hex_digits))
+        ).otherwise(thresh)
+    return prefix < thresh
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,
@@ -133,17 +151,29 @@ def weighted_sample(
     mixture-reweighting step of corpus curation (upsample scarce
     high-quality sources, downsample the crawl) as a pure map-side
     filter: zero shuffles, retry-safe, incremental under corpus growth.
-
-    Keep iff ``substr(hash, 1, hex_digits) < hex_threshold(rate)``;
-    rates quantize to 1/16^hex_digits.
     """
-    prefix = F.substring(doc_hash(F.col(key_col)), 1, hex_digits)
-    thresh: Column = F.lit(rate_to_hex_threshold(default_rate, hex_digits))
-    for value, rate in sorted(rates.items()):
-        thresh = F.when(
-            F.col(strata_col) == value, F.lit(rate_to_hex_threshold(rate, hex_digits))
-        ).otherwise(thresh)
-    return df.filter(prefix < thresh)
+    return df.filter(
+        _keep_predicate(key_col, strata_col, rates, hex_digits, default_rate)
+    )
+
+
+def weighted_sample_stats(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    hex_digits: int = 4,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum (n_docs, n_sampled) audit of a ``weighted_sample``
+    selection in ONE scan: a conditional aggregate over the same keep
+    predicate — at corpus scale the separate scan-filter-scan-join form
+    would read the data twice."""
+    keep = _keep_predicate(key_col, strata_col, rates, hex_digits, default_rate)
+    return df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
+    )
 
 
 def pack_sequences(

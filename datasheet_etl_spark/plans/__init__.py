@@ -34,6 +34,7 @@ DEMOTED: tuple[str, ...] = (
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside q30_idempotent_rerun
+    "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside t29
 )
 
 

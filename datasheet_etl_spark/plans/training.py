@@ -1024,19 +1024,71 @@ def t29_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture reweighting: per-source Bernoulli sampling at source-
     specific rates via hash-prefix thresholds — a pure map-side filter
     (zero shuffles for the sample itself), deterministic under retries,
-    incremental under corpus growth. Output: per-source kept counts."""
-    from datasheet_etl_spark.operators.sampling import weighted_sample
+    incremental under corpus growth. Audit counts computed in one scan
+    (conditional agg), not a filter+join double read."""
+    from datasheet_etl_spark.operators.sampling import weighted_sample_stats
 
     docs = _docs(spark, sf_dir)
-    kept = weighted_sample(
+    return weighted_sample_stats(
         docs, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT
+    ).orderBy("source")
+
+
+@register(
+    "t33_corpus_prep_e2e",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents WHERE n_chars >= 100
+    ), fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+      FROM t
+    ), dedup AS (
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ), samp AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh FROM dedup
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+    ), pos AS (
+      SELECT doc_id, substring(hh, 1, 1) AS shard, n_chars,
+             CAST(SUM(n_chars) OVER (PARTITION BY substring(hh, 1, 1) ORDER BY hh)
+                  - n_chars AS BIGINT) AS bin_offset
+      FROM samp
     )
-    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    sampled = kept.groupBy("source").agg(F.count("*").alias("n_sampled"))
+    SELECT shard, CAST(FLOOR(bin_offset / 4096.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM pos GROUP BY shard, bin_id ORDER BY shard, bin_id
+    """,
+)
+def t33_corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation: length filter →
+    fingerprint exact-dedup (min doc_id representative) → deterministic
+    50% hash downsample → fixed-budget sequence packing → per-bin stats.
+    Four operators composed; three shuffles total (dedup window, pack
+    window, final agg) regardless of corpus size — the filter and the
+    sample are map-side, and every stage is retry-deterministic."""
+    from datasheet_etl_spark.operators.dedup import exact_dedup
+    from datasheet_etl_spark.operators.sampling import pack_sequences, weighted_sample
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= 100)
+    with_fp = docs.select(
+        "doc_id", "n_chars", fingerprint(F.col("text")).alias("fp")
+    )
+    deduped = exact_dedup(with_fp, ["fp"], "doc_id", keep="min").select(
+        "doc_id", "n_chars"
+    )
+    sampled = weighted_sample(deduped, "doc_id", "doc_id", {}, default_rate=0.5)
+    packed = pack_sequences(sampled, "doc_id", "n_chars", budget=4096)
     return (
-        totals.join(sampled, "source", "left")
-        .na.fill(0, ["n_sampled"])
-        .orderBy("source")
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard", "bin_id")
     )
 
 
