@@ -100,3 +100,43 @@ def test_word_shingles_match_model(spark, toks):
     got = df.select(word_shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
     want = sorted({f"{a} {b}" for a, b in zip(toks, toks[1:])}) if len(toks) >= 2 else []
     assert sorted(got) == want, toks
+
+
+# ---------------------------------------------------------------------------
+# sampling family: pure-Python model checks (no Spark job per example)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    r1=st.floats(min_value=0.0, max_value=1.0),
+    r2=st.floats(min_value=0.0, max_value=1.0),
+    digits=st.integers(min_value=1, max_value=8),
+)
+def test_hex_threshold_monotone_and_wellformed(r1, r2, digits):
+    from datasheet_etl_spark.operators.sampling import rate_to_hex_threshold
+
+    t1, t2 = (rate_to_hex_threshold(r, digits) for r in (r1, r2))
+    # monotone: a higher rate never maps to a lexicographically smaller
+    # threshold (the property that makes nested samples subsets)
+    if r1 <= r2:
+        assert t1 <= t2
+    for t in (t1, t2):
+        assert t == "g" or (len(t) == digits and all(c in "0123456789abcdef" for c in t))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    costs=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200),
+    budget=st.integers(min_value=1, max_value=5_000),
+)
+def test_pack_model_bins_monotone_contiguous(costs, budget):
+    # python model of pack_sequences' per-shard chunking: bin ids are
+    # nondecreasing, start at 0, and never skip a bin
+    offset, bins = 0, []
+    for c in costs:
+        bins.append(offset // budget)
+        offset += c
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    assert all(b2 - b1 <= max(costs) // budget + 1 for b1, b2 in zip(bins, bins[1:]))
