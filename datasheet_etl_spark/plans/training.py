@@ -1199,3 +1199,61 @@ def t30_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.regexp_count("raw_text", F.lit(_PHONE_RE))
         ).cast("long").alias("n_redacted"),
     )
+
+
+@register(
+    "t34_repetition_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+               AS ng
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY doc_id, ng
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(max(cnt) AS BIGINT) AS max_gram_count,
+           round(max(cnt) * 1.0 / sum(cnt), 6) AS repetition_ratio,
+           (max(cnt) * 1.0 / sum(cnt)) > 0.2 AS is_repetitive
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t34_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher-style repetition
+    filter): share of a document's word-bigram occurrences taken by its
+    single most frequent bigram; boilerplate/spam shows up as a high
+    ratio. Two hash aggregations — (doc, gram) counts map-side partial,
+    then per-doc rollup — shuffle-bounded by distinct grams, never N².
+
+    Counts here are NOT deduped (unlike the shingle sets in the dedup
+    family): repetition is precisely the multiplicity the sets discard.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    # multiset of bigrams: zip_with concat over shifted slices, no distinct
+    length = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, length),
+        F.slice(toks, 2, length),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(grams).alias("ng"))
+        .groupBy("doc_id", "ng")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ratio = F.max("cnt") / F.sum("cnt")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.max("cnt").cast("long").alias("max_gram_count"),
+            F.round(ratio, 6).alias("repetition_ratio"),
+            (ratio > 0.2).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
