@@ -259,6 +259,46 @@ def cmd_stats(args, spark=None) -> int:
     return 0
 
 
+def cmd_curate(args, spark=None) -> int:
+    """Training-corpus preparation over a documents parquet: length
+    filter → fingerprint exact-dedup → deterministic hash downsample →
+    fixed-budget sequence packing; writes doc→bin assignments as parquet
+    and prints per-stage counts (each stage's count is an action on the
+    same lazily-composed plan — Spark reuses nothing across them unless
+    asked, so the counts are for audit, not the hot path)."""
+    spark = _get_spark(spark)
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.dedup import exact_dedup
+    from datasheet_etl_spark.operators.sampling import pack_sequences, weighted_sample
+    from datasheet_etl_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet(args.input)
+    filtered = docs.filter(F.length("text") >= args.min_chars)
+    with_fp = filtered.select(
+        "doc_id", F.length("text").alias("n_chars"), fingerprint(F.col("text")).alias("fp")
+    )
+    deduped = exact_dedup(with_fp, ["fp"], "doc_id", keep="min").select(
+        "doc_id", "n_chars"
+    )
+    sampled = weighted_sample(
+        deduped, "doc_id", "doc_id", {}, default_rate=args.sample_rate
+    )
+    packed = pack_sequences(sampled, "doc_id", "n_chars", budget=args.budget)
+    packed.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    n_bins = out.select("shard", "bin_id").distinct().count()
+    print("Corpus curation")
+    print(f"  Input docs:     {docs.count()}")
+    print(f"  After filter:   {filtered.count()} (min_chars={args.min_chars})")
+    print(f"  After dedup:    {deduped.count()}")
+    print(f"  After sample:   {out.count()} (rate={args.sample_rate})")
+    print(f"  Packed bins:    {n_bins} (budget={args.budget} chars)")
+    print(f"  Output:         {args.output}")
+    return 0
+
+
 def main(argv: Sequence[str] | None = None, spark=None) -> int:
     parser = argparse.ArgumentParser(
         prog="datasheet_etl_spark",
@@ -290,6 +330,15 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     p.add_argument("--doc", default=None)
     p.add_argument("--tier", choices=ACCURACY_TIERS, default="gold")
 
+    p = sub.add_parser(
+        "curate", help="Prepare a training corpus (filter/dedup/sample/pack)"
+    )
+    p.add_argument("input", help="documents parquet path")
+    p.add_argument("output", help="output parquet path for doc→bin assignments")
+    p.add_argument("--min-chars", type=int, default=100)
+    p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument("--budget", type=int, default=4096)
+
     args = parser.parse_args(argv)
     if not args.command:
         parser.print_help()
@@ -300,6 +349,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "verify": cmd_verify,
         "export": cmd_export,
         "stats": cmd_stats,
+        "curate": cmd_curate,
     }
     return handlers[args.command](args, spark=spark)
 
