@@ -29,7 +29,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.caching import scoped_persist
-from datasheet_etl_spark.operators.relational import cap_buckets, top_k_per_group
+from datasheet_etl_spark.operators.relational import (
+    cap_buckets,
+    top_k_per_group,
+)
 
 MERSENNE_PRIME = (1 << 31) - 1
 

@@ -249,6 +249,29 @@ def top_k_per_group(
     return ranked if keep_rank else ranked.drop(rank_col)
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a CPU-bound stage has at least the session's default
+    parallelism: round-robin repartition only when the input is
+    under-partitioned (a single unsplittable file, a post-coalesce
+    plan); no-op — no shuffle added — when the input is already
+    parallel, as any at-scale scan is.
+
+    NOT applied by default inside this repo's operators — measured at
+    bench scale (sf0.1, single-row-group parquet): the JIT-warm
+    single-core corpus passes are faster than paying the extra exchange
+    (JVM hash-agg stages: ≤ ~8% win; Pandas-UDF scans: a large LOSS,
+    32 partitions spin up 32 Python workers whose startup dwarfs the
+    compute). Reach for it explicitly when a genuinely heavy per-row
+    stage (vision decode, model scoring) meets a few-partition input.
+    Checking partition count converts the plan to an RDD (driver-side,
+    no job)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def cap_buckets(df: DataFrame, keys: Sequence[str], max_size: int | None) -> DataFrame:
     """Drop every bucket (group over ``keys``) larger than ``max_size``.
     ``max_size=None`` disables the guard (full recall, quadratic risk).

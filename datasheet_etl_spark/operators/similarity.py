@@ -22,7 +22,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.caching import scoped_persist
-from datasheet_etl_spark.operators.relational import cap_buckets, top_k_per_group
+from datasheet_etl_spark.operators.relational import (
+    cap_buckets,
+    top_k_per_group,
+)
 
 
 def cosine_pairs_vectorized(
@@ -74,6 +77,9 @@ def cosine_pairs_vectorized(
                 }
             )
 
+    # NOT spread(): a Pandas-UDF scan over a small corpus is dominated by
+    # Python-worker startup — forcing 32 partitions costs more than the
+    # single-core matmul saves. At scale the scan is already parallel.
     return corpus.select(id_col, vec_col).mapInPandas(
         op, schema=f"{probe_id} long, {corpus_id} long, cos_sim double"
     )
