@@ -572,3 +572,47 @@ def ivf_search_indexed(
         keep_rank=True,
         rank_col="rank",
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    q_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Per-vector symmetric integer quantization of an embedding column —
+    the storage/bandwidth lever for vector corpora at scale (int8 cuts a
+    100 TB float32 embedding store to 25 TB plus one scale per vector).
+
+    scale = max|v| / qmax; q_i = clamp(floor(v_i/scale + 0.5)) — floor of
+    the shifted value, NOT round(): floor is bit-deterministic and
+    engine-portable, while SQL ROUND ties differ (HALF_UP vs HALF_EVEN)
+    across engines. Zero vectors quantize to zeros with scale 0.
+    Reconstruction is q_i * scale; max abs error ≤ scale/2.
+
+    Pure codegen expressions (transform/zip_with) — no UDF, no shuffle.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(float(qmax))
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-qmax).cast("long"),
+                F.least(
+                    F.lit(qmax).cast("long"),
+                    F.floor(x / scale + F.lit(0.5)),
+                ),
+            )
+        ),
+    )
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def dequantize(q_col, scale_col) -> Column:
+    """Reconstruct a quantized vector: q_i * scale (double array)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)

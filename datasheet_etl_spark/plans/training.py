@@ -1257,3 +1257,53 @@ def t34_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t35_quantize_embeddings",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings WHERE vec_id < 500
+    ), q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                  ELSE greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))
+                  END) AS qv
+      FROM s
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(list_max(list_transform(list_zip(v, qv),
+                 z -> abs(z[1] - z[2] * scale))), 6) AS max_abs_err
+    FROM q ORDER BY vec_id
+    """,
+)
+def t35_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit over a probe slice: per-vector
+    scale and max reconstruction error (bounded by scale/2 — the
+    property that makes int8 ANN recall predictable). Pure codegen array
+    expressions; no UDF, no shuffle."""
+    from datasheet_etl_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 500)
+    q = quantize_embeddings(emb, "embedding", bits=8)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.array_max(
+        F.zip_with(v, dequantize("qvec", "scale"), lambda a, b: F.abs(a - b))
+    )
+    # err must be materialized BEFORE a projection that aliases
+    # round(scale) back to the name "scale": lateral column alias
+    # resolution (Spark ≥3.4) would otherwise bind err's `scale`
+    # reference to the ROUNDED sibling in the same select list, skewing
+    # the reconstruction by |q|·(scale − round(scale)).
+    staged = q.withColumn("max_abs_err", err)
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    ).orderBy("vec_id")

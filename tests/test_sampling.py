@@ -169,3 +169,18 @@ def test_decontaminate_planted_overlap(spark):
     assert hits[1] == 3
     assert hits[3] == 2
     assert 2 not in hits
+
+
+def test_quantize_embeddings_error_bound(spark):
+    from datasheet_etl_spark.operators.similarity import dequantize, quantize_embeddings
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    q = quantize_embeddings(emb, "embedding", bits=8)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.array_max(F.zip_with(v, dequantize("qvec", "scale"), lambda a, b: F.abs(a - b)))
+    rows = q.withColumn("err", err).select("scale", "err", "qvec").collect()
+    assert rows
+    for r in rows:
+        # symmetric quantization guarantee: reconstruction off by ≤ scale/2
+        assert r["err"] <= r["scale"] / 2 + 1e-12
+        assert all(-127 <= x <= 127 for x in r["qvec"])
