@@ -25,7 +25,6 @@ from datasheet_etl_spark.operators.dedup import (
     word_shingles,
 )
 from datasheet_etl_spark.operators.multimodal import extract_features, synth_media
-from datasheet_etl_spark.operators.relational import top_k_per_group
 from datasheet_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -35,7 +34,6 @@ from datasheet_etl_spark.operators.similarity import (
 )
 from datasheet_etl_spark.operators.text import (
     LANG_PROFILES,
-    STOPWORDS,
     bpe_ish_token_count,
     detect_language,
     fingerprint,
