@@ -461,3 +461,52 @@ class rocksdb_state_store:
             self.spark.conf.unset(self.KEY)
         else:
             self.spark.conf.set(self.KEY, self.prev)
+
+
+def incremental_curation_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.5,
+    sample_rate: float = 1.0,
+):
+    """Streaming corpus curation: quality filter → deterministic hash
+    downsample → fingerprint dedup, file source to parquet sink.
+
+    The batch curation stages compose unchanged on the stream because
+    every per-doc step is a stateless projection/filter and the sampling
+    is hash-derived (not rand()) — a replayed micro-batch re-selects
+    exactly the same docs, which is what makes the checkpointed sink
+    exactly-once. Dedup state is the fingerprint set via
+    ``dropDuplicates`` with no watermark: for corpus building that
+    state IS the corpus index and grows with distinct content —
+    bound it with the RocksDB state store provider on a long-lived run.
+
+    Each invocation drains only files not yet in the checkpoint
+    (availableNow), so re-running after a backfill processes exactly
+    the new files — the reference's skip-if-output-exists rerun, with
+    the ledger in the checkpoint instead of the output directory.
+    """
+    from datasheet_etl_spark.operators.sampling import weighted_sample
+    from datasheet_etl_spark.operators.text import fingerprint, quality_score
+
+    schema = spark.read.parquet(input_dir).schema
+    src = spark.readStream.schema(schema).format("parquet").load(input_dir)
+    curated = (
+        src.withColumn("quality", quality_score(F.col("text")))
+        .filter(F.col("quality") >= min_quality)
+        .withColumn("fp", fingerprint(F.col("text")))
+    )
+    sampled = weighted_sample(curated, "doc_id", "doc_id", {}, default_rate=sample_rate)
+    deduped = sampled.dropDuplicates(["fp"])
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

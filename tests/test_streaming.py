@@ -342,3 +342,56 @@ def test_stateful_sessionize_provider_independent(spark, staged_events_by_time):
     with rocksdb_state_store(spark):
         rocks_rows = drain()
     assert default_rows == rocks_rows and len(default_rows) > 0
+
+
+def test_incremental_curation_pipeline(spark, tmp_path):
+    """Streaming corpus curation: exactly-once across reruns, hash-sample
+    determinism across replays, and batch-parity of the selection."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sampling import weighted_sample
+    from datasheet_etl_spark.operators.text import fingerprint, quality_score
+    from datasheet_etl_spark.streaming.streams import incremental_curation_pipeline
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "curated_out")
+    ckpt = str(tmp_path / "curated_ckpt")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.filter(F.col("doc_id") < 400).coalesce(1).write.parquet(src)
+
+    incremental_curation_pipeline(
+        spark, src, out, ckpt, min_quality=0.5, sample_rate=0.5
+    )
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 > 0
+
+    # batch parity of the same composition (dedup keeps one per fp)
+    batch = (
+        docs.filter(F.col("doc_id") < 400)
+        .withColumn("quality", quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.5)
+        .withColumn("fp", fingerprint(F.col("text")))
+    )
+    batch = weighted_sample(batch, "doc_id", "doc_id", {}, default_rate=0.5)
+    assert n1 == batch.dropDuplicates(["fp"]).count()
+    assert set(r["fp"] for r in first.select("fp").collect()) == set(
+        r["fp"] for r in batch.select("fp").distinct().collect()
+    )
+
+    # rerun with no new files → nothing reprocessed
+    incremental_curation_pipeline(
+        spark, src, out, ckpt, min_quality=0.5, sample_rate=0.5
+    )
+    assert spark.read.parquet(out).count() == n1
+
+    # backfill: only new docs process; already-seen fingerprints stay deduped
+    docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    incremental_curation_pipeline(
+        spark, src, out, ckpt, min_quality=0.5, sample_rate=0.5
+    )
+    final = spark.read.parquet(out)
+    assert final.count() >= n1
+    # dedup invariant holds across the whole incremental run
+    assert final.select("fp").distinct().count() == final.count()
