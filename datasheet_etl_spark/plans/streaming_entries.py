@@ -39,9 +39,18 @@ def _stage_events(sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
     dst = f"{d}/events.parquet"
-    if not os.path.exists(dst):
-        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", dst)
+    # re-stage when the source was regenerated (the testdata is rebuilt
+    # between rounds, sometimes with a different parquet encoding — a
+    # stale copy here would silently pin the old encoding)
+    st_src = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.stat(dst).st_size != st_src.st_size
+        or os.stat(dst).st_mtime < st_src.st_mtime
+    ):
+        shutil.copy2(src, dst)
     return d
 
 
