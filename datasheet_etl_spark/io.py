@@ -128,9 +128,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """Write a table in parquet/csv/json. CSV keeps a header; timestamps
-    serialize ISO-8601 so csv/json round-trips are lossless to the
-    microsecond (with the reader below)."""
+    """Write a table in parquet/orc/csv/json. CSV keeps a header;
+    timestamps serialize ISO-8601 so csv/json round-trips are lossless
+    to the microsecond (with the reader below). ORC is the other
+    splittable columnar option (predicate pushdown + column pruning,
+    same as parquet) for pipelines standardized on it."""
     w = df.write.mode("overwrite")
     if fmt == "csv":
         w = w.option("header", "true").option(
@@ -144,9 +146,9 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
 def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", schema=None
 ) -> DataFrame:
-    """Read parquet/csv/json written by ``write_table``. For csv/json an
-    explicit schema is required at scale (schema inference re-reads the
-    whole input — never rely on it on a 100 TB path)."""
+    """Read parquet/orc/csv/json written by ``write_table``. For
+    csv/json an explicit schema is required at scale (schema inference
+    re-reads the whole input — never rely on it on a 100 TB path)."""
     r = spark.read
     if schema is not None:
         r = r.schema(schema)

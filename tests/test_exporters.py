@@ -101,13 +101,13 @@ def test_batch_stats_and_report(spark, pipeline_out):
 
 
 def test_csv_json_roundtrip_lossless(spark, tmp_path):
-    """write_table/read_table: csv and json round-trips reproduce the
+    """write_table/read_table: orc/csv/json round-trips reproduce the
     parquet source exactly (schema given, ISO timestamps)."""
     from datasheet_etl_spark.io import load_table, read_table, write_table
 
     src = load_table(spark, "/root/testdata/sf0.001", "orders").limit(200)
     expect = sorted(tuple(r) for r in src.collect())
-    for fmt in ("csv", "json"):
+    for fmt in ("orc", "csv", "json"):
         path = str(tmp_path / f"orders_{fmt}")
         write_table(src, path, fmt)
         back = read_table(spark, path, fmt, schema=src.schema)
