@@ -64,7 +64,12 @@ def uniform_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
     """The n rows with the smallest sampling hash — a deterministic
     uniform n-sample. ``orderBy(hash).limit(n)`` compiles to
     TakeOrderedAndProject: each partition keeps its local top-n, the
-    driver merges — no global sort at any corpus size."""
+    driver merges — no global sort at any corpus size.
+
+    The merged top-n lands on the driver, so this is for samples that
+    fit there (≲ millions of rows). For corpus-scale samples use
+    ``weighted_sample`` with rate = n/|corpus|: same hash family, pure
+    map-side filter, approximately-n rows that never centralize."""
     return (
         df.withColumn("_h", doc_hash(F.col(key_col)))
         .orderBy("_h")
