@@ -188,3 +188,58 @@ def test_ivf_index_persists_and_search_prunes(spark, tmp_path):
     scan = plan[plan.index("FileScan") :]
     m = re.search(r"PartitionFilters: \[([^\n]*)", scan)
     assert m and "cell" in m.group(1), scan[:400]
+
+
+def test_mixture_stats_single_scan(spark):
+    """t29's audit must stay one scan: a conditional aggregate, not a
+    filter+join double read of the corpus."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sampling import weighted_sample_stats
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        weighted_sample_stats(docs, "doc_id", "source", {"src0": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    # the keep predicate must live inside the aggregate, not a filter node
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_decontaminate_broadcasts_holdout(spark):
+    """t32's holdout gram set must broadcast so the training side is
+    never shuffled by the probe."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = (
+        decontaminate(train, holdout)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """t31 chunking is a pure map-side expansion — no exchange in the
+    plan, and the scan reads only the three needed columns."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in plan
