@@ -41,7 +41,8 @@ def main() -> int:
         load_table(spark, sf_dir, warm).count()
     from datasheet_etl_spark.caching import release_caches
 
-    timings: dict[str, object] = {}
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for name in sorted(reg):
         # one broken entry must not destroy the whole run's perf signal:
@@ -53,7 +54,7 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
-            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
         # per-query isolation: operators may persist() intermediates and
         # streaming entries register memory-sink views; left in place they
@@ -65,6 +66,8 @@ def main() -> int:
                 spark.catalog.dropTempView(t.name)
     total = round(time.perf_counter() - t_all, 3)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-query detail first (long line; useful when fully captured)...
     print(
         json.dumps(
             {
@@ -72,7 +75,24 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "errors": errors,
+                "sf": sf_val,
+            }
+        )
+    )
+    # ...then a short summary as the LAST line: tail-capture of the output
+    # truncates long lines from the front, so the detail line alone can lose
+    # its leading keys (BENCH_r04 recorded parsed:null that way). This line
+    # is always <200 bytes and always last, so any tail parses it.
+    print(
+        json.dumps(
+            {
+                "metric": "query_inventory_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
             }
         )
     )

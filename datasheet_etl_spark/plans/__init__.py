@@ -35,6 +35,9 @@ DEMOTED: tuple[str, ...] = (
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside q30_idempotent_rerun
     "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside t29
+    # r5: swapped out for t34/t35 — again idiom-superset demotions:
+    "q02_normalize",  # regex normalize idiom graded inside t30's regexp pack + q03
+    "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact + q24
 )
 
 
