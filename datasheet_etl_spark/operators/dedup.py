@@ -428,6 +428,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 2,
     hit_col: str = "n_hit_grams",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Eval-set decontamination: for each training document, count the
     distinct word n-grams it shares with a held-out (eval/benchmark)
@@ -435,11 +436,19 @@ def decontaminate(
     ships. Docs with hits are candidates for removal or audit.
 
     Scale shape: both sides explode to distinct (doc, gram) postings
-    map-side; the holdout side collapses to its distinct gram set and is
-    broadcast (a benchmark suite is tiny by definition — if it isn't,
-    Spark falls back to a shuffled hash join on the gram key), so the
-    100 TB training side is never shuffled by the probe; the only
-    shuffle is the per-doc hit-count aggregation.
+    map-side; the holdout side collapses to its distinct gram set.
+
+    ``broadcast=True`` (default) force-broadcasts that gram set — right
+    for a single benchmark suite, which is tiny by definition. The hint
+    OVERRIDES ``autoBroadcastJoinThreshold``: there is no automatic
+    fallback, and an oversized holdout fails at the 8 GB broadcast limit
+    (or drives the driver OOM) rather than degrading. For a
+    multi-benchmark holdout whose distinct gram set may be large, pass
+    ``broadcast=False`` to take a deliberate shuffled hash join
+    (``shuffle_hash`` hint, probe side as build side) on the gram key —
+    the training side then shuffles once on ``_ng``, which is the honest
+    cost of a probe set that can't be replicated. Either way the per-doc
+    hit-count aggregation is the other shuffle.
     """
     from datasheet_etl_spark.functions import tokens as _tok
 
@@ -451,7 +460,8 @@ def decontaminate(
             ).alias("_ng"),
         )
 
-    probe = F.broadcast(grams(holdout).select("_ng").distinct())
+    probe = grams(holdout).select("_ng").distinct()
+    probe = F.broadcast(probe) if broadcast else probe.hint("shuffle_hash")
     return (
         grams(train)
         .join(probe, "_ng")

@@ -117,9 +117,20 @@ def rate_to_hex_threshold(rate: float, hex_digits: int = 4) -> str:
     """Quantize a sampling rate to a fixed-width lowercase-hex threshold:
     rows whose hash prefix sorts (strictly) below it are kept. 4 hex
     digits → rate resolution 1/65536. Rate 1.0 returns ``"g"``, which
-    sorts after every hex prefix, so nothing is dropped."""
+    sorts after every hex prefix, so nothing is dropped.
+
+    Rates quantize DOWNWARD by up to one quantum (1/16^hex_digits); a
+    nonzero rate below one quantum would silently quantize to an empty
+    sample, so it raises instead — callers with tiny rates must raise
+    ``hex_digits`` (each extra digit buys 16× resolution)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if 0.0 < rate < 1.0 / 16**hex_digits:
+        raise ValueError(
+            f"rate {rate} is below the resolution 1/16^{hex_digits} "
+            f"({1.0 / 16**hex_digits:.2e}) and would quantize to an empty "
+            f"sample; increase hex_digits"
+        )
     q = int(rate * 16**hex_digits)
     if q >= 16**hex_digits:
         return "g"
@@ -203,9 +214,12 @@ def pack_sequences(
     h = df.withColumn("_h", doc_hash(F.col(key_col)))
     out = h.withColumn(shard_col, F.substring("_h", 1, shard_hex_chars))
     w = Window.partitionBy(shard_col).orderBy("_h")
-    running = F.sum(cost_col).over(w) - F.col(cost_col)
+    running = F.sum(F.col(cost_col).cast("long")).over(w) - F.col(cost_col)
+    # integer `div`, not floor(o / budget): the double division loses
+    # exactness past 2^53, reachable when few shards carry ~100 TB of
+    # token counts (same rule as the epoch-µs math in io.py)
     return (
         out.withColumn(offset_col, running)
-        .withColumn(bin_col, F.floor(F.col(offset_col) / budget))
+        .withColumn(bin_col, F.expr(f"{offset_col} div {int(budget)}"))
         .drop("_h")
     )

@@ -983,7 +983,7 @@ def t27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT doc_id, shard, n_chars, bin_offset,
-           CAST(FLOOR(bin_offset / 2048.0) AS BIGINT) AS bin_id
+           bin_offset // 2048 AS bin_id
     FROM pos
     """,
 )
@@ -1056,7 +1056,7 @@ def t29_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - n_chars AS BIGINT) AS bin_offset
       FROM samp
     )
-    SELECT shard, CAST(FLOOR(bin_offset / 4096.0) AS BIGINT) AS bin_id,
+    SELECT shard, bin_offset // 4096 AS bin_id,
            CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM pos GROUP BY shard, bin_id ORDER BY shard, bin_id
     """,

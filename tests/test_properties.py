@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 import re
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -116,7 +117,16 @@ def test_word_shingles_match_model(spark, toks):
 def test_hex_threshold_monotone_and_wellformed(r1, r2, digits):
     from datasheet_etl_spark.operators.sampling import rate_to_hex_threshold
 
-    t1, t2 = (rate_to_hex_threshold(r, digits) for r in (r1, r2))
+    def thresh(r):
+        # sub-quantum nonzero rates raise (would silently sample nothing);
+        # model them as the empty-sample threshold for the monotone check
+        if 0.0 < r < 1.0 / 16**digits:
+            with pytest.raises(ValueError, match="resolution"):
+                rate_to_hex_threshold(r, digits)
+            return "0" * digits
+        return rate_to_hex_threshold(r, digits)
+
+    t1, t2 = thresh(r1), thresh(r2)
     # monotone: a higher rate never maps to a lexicographically smaller
     # threshold (the property that makes nested samples subsets)
     if r1 <= r2:

@@ -81,6 +81,10 @@ def test_rate_to_hex_threshold_edges():
     assert rate_to_hex_threshold(1.0) == "g"  # sorts after every hex prefix
     with pytest.raises(ValueError):
         rate_to_hex_threshold(1.5)
+    # a nonzero rate below one quantum must raise, not silently sample nothing
+    with pytest.raises(ValueError, match="resolution"):
+        rate_to_hex_threshold(1e-6)
+    assert rate_to_hex_threshold(1e-6, hex_digits=8) == "000010c6"
 
 
 def test_weighted_sample_rates_and_monotonicity(docs):
@@ -169,6 +173,23 @@ def test_decontaminate_planted_overlap(spark):
     assert hits[1] == 3
     assert hits[3] == 2
     assert 2 not in hits
+
+
+def test_decontaminate_shuffle_path_matches_broadcast(spark):
+    """broadcast=False takes a shuffled join (for holdouts too big to
+    replicate) and must produce identical hits to the broadcast path."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    fast = decontaminate(train, holdout, broadcast=True)
+    slow = decontaminate(train, holdout, broadcast=False)
+    assert "BroadcastHashJoin" not in slow._jdf.queryExecution().executedPlan().toString()
+    a = {(r["doc_id"], r["n_hit_grams"]) for r in fast.collect()}
+    b = {(r["doc_id"], r["n_hit_grams"]) for r in slow.collect()}
+    assert a == b and a, "paths disagree or empty"
 
 
 def test_quantize_embeddings_error_bound(spark):
