@@ -1314,3 +1314,42 @@ def t35_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.round("max_abs_err", 6).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+@register("t36_ann_ivf_quantized")  # int8-decoded scores → rows-only
+def t36_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quantized ANN: an int8 IVF index at rest (cell-
+    partitioned ``qvec array<tinyint>`` + per-vector scale — ¼ the
+    float32 bytes) searched with partition-pruned scans and in-plan
+    dequantize. Proves the t35 storage lever preserves search quality:
+    recall@10 ≥ 0.9 vs the float index is pinned in
+    tests/test_training_ops.py. Index build is cached on disk keyed by
+    the source parquet mtime (train once, search many)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datasheet_etl_spark.operators.similarity import (
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    tag = hashlib.md5(f"ivfq8:{sf_dir}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_q8_{tag}")
+    marker = os.path.join(path, "_STAGED")
+    st_mtime = os.stat(src).st_mtime
+    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
+    if not staged:
+        emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+        write_ivf_index(
+            emb, path, k_clusters=16, iters=2, quantize_bits=8
+        )
+        with open(marker, "w") as f:
+            f.write(str(st_mtime))
+
+    probes = _emb(spark, sf_dir).filter(F.col("vec_id") < 10)
+    out = ivf_search_indexed(spark, path, probes, k=10, nprobe=4)
+    return out.select(
+        "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("probe_id", "rank")

@@ -94,6 +94,44 @@ def test_ivf_kmeans_recall_and_exactness(spark):
             assert abs(r["cos_sim"] - brute_sims[key]) < 1e-9
 
 
+def test_quantized_ivf_recall_vs_float_index(spark, tmp_path):
+    """An int8 IVF index must return (nearly) the float index's top-10:
+    both indexes share the identical quantizer and cell assignment (cells
+    are assigned before quantization), so the candidate sets are equal
+    and only the ≤ scale/2 per-component rounding error can reorder the
+    ranking. recall@10 ≥ 0.9, and the stored corpus must actually be
+    tinyint + scale (the 4× storage claim), decoded without a scan of
+    any float column."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.similarity import (
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 10)
+    fpath, qpath = str(tmp_path / "ivf_f"), str(tmp_path / "ivf_q8")
+    write_ivf_index(emb, fpath, k_clusters=8, iters=2)
+    write_ivf_index(emb, qpath, k_clusters=8, iters=2, quantize_bits=8)
+
+    stored = spark.read.parquet(f"{qpath}/corpus")
+    assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
+    assert "embedding" not in stored.columns
+
+    flt = ivf_search_indexed(spark, fpath, probes, k=10, nprobe=2).collect()
+    qnt = ivf_search_indexed(spark, qpath, probes, k=10, nprobe=2).collect()
+    f_top = {(r["probe_id"], r["vec_id"]) for r in flt}
+    q_top = {(r["probe_id"], r["vec_id"]) for r in qnt}
+    recall = len(f_top & q_top) / len(f_top)
+    assert recall >= 0.9, f"quantized-index recall@10 too low: {recall}"
+    # quantized scores must sit within the dequantization error envelope
+    f_sims = {(r["probe_id"], r["vec_id"]): r["cos_sim"] for r in flt}
+    for r in qnt:
+        key = (r["probe_id"], r["vec_id"])
+        if key in f_sims:
+            assert abs(r["cos_sim"] - f_sims[key]) < 0.02
+
+
 def test_hyperplane_lsh_recall(spark):
     """Multi-table LSH must recover nearly all truly-close pairs
     (cos ≥ 0.95 → per-table hit ~28%, 16 tables ~99.5%) and report only
