@@ -470,6 +470,9 @@ def incremental_curation_pipeline(
     checkpoint_dir: str,
     min_quality: float = 0.5,
     sample_rate: float = 1.0,
+    dedup_within_watermark: str | None = None,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming corpus curation: quality filter → deterministic hash
     downsample → fingerprint dedup, file source to parquet sink.
@@ -478,10 +481,24 @@ def incremental_curation_pipeline(
     every per-doc step is a stateless projection/filter and the sampling
     is hash-derived (not rand()) — a replayed micro-batch re-selects
     exactly the same docs, which is what makes the checkpointed sink
-    exactly-once. Dedup state is the fingerprint set via
-    ``dropDuplicates`` with no watermark: for corpus building that
-    state IS the corpus index and grows with distinct content —
-    bound it with the RocksDB state store provider on a long-lived run.
+    exactly-once.
+
+    Dedup state is the operational knob at scale:
+
+    - ``dedup_within_watermark=None`` (default): ``dropDuplicates`` with
+      unbounded state — the fingerprint set IS the corpus index, and at
+      100 TB of distinct content it grows to the corpus' distinct-hash
+      set. Exact forever, but a long-lived run must carry that state
+      (use the RocksDB state store provider) — a real operational cliff.
+    - ``dedup_within_watermark="24 hours"`` (or any interval): switches
+      to ``dropDuplicatesWithinWatermark`` keyed on ``ts_col`` (an
+      ingest-time column is added if the input lacks one): state for a
+      fingerprint expires one watermark after its first sighting, so
+      state is O(docs per watermark window), not O(all docs ever). The
+      trade: a duplicate arriving later than the watermark is re-emitted
+      — right when duplicates are redelivery/crawl-overlap artifacts
+      with bounded lag, wrong when they can recur arbitrarily late
+      (then the exact batch dedup is the periodic recompute).
 
     Each invocation drains only files not yet in the checkpoint
     (availableNow), so re-running after a backfill processes exactly
@@ -492,14 +509,27 @@ def incremental_curation_pipeline(
     from datasheet_etl_spark.operators.text import fingerprint, quality_score
 
     schema = spark.read.parquet(input_dir).schema
-    src = spark.readStream.schema(schema).format("parquet").load(input_dir)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(input_dir)
     curated = (
         src.withColumn("quality", quality_score(F.col("text")))
         .filter(F.col("quality") >= min_quality)
         .withColumn("fp", fingerprint(F.col("text")))
     )
     sampled = weighted_sample(curated, "doc_id", "doc_id", {}, default_rate=sample_rate)
-    deduped = sampled.dropDuplicates(["fp"])
+    if dedup_within_watermark is None:
+        deduped = sampled.dropDuplicates(["fp"])
+    else:
+        drop_ts = ts_col not in sampled.columns
+        if drop_ts:
+            sampled = sampled.withColumn(ts_col, F.current_timestamp())
+        deduped = sampled.withWatermark(
+            ts_col, dedup_within_watermark
+        ).dropDuplicatesWithinWatermark(["fp"])
+        if drop_ts:
+            deduped = deduped.drop(ts_col)
     query = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)

@@ -395,3 +395,70 @@ def test_incremental_curation_pipeline(spark, tmp_path):
     assert final.count() >= n1
     # dedup invariant holds across the whole incremental run
     assert final.select("fp").distinct().count() == final.count()
+
+
+def test_curation_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dedup_within_watermark switches the pipeline to watermark-bounded
+    state: a duplicate arriving beyond the watermark is re-emitted —
+    the observable proof its fingerprint state was evicted — while the
+    default unbounded mode suppresses it forever. Exactly-once reruns
+    hold in both modes."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datasheet_etl_spark.streaming.streams import incremental_curation_pipeline
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def write_file(d, name, rows, mtime):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(d, name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))  # file source orders by mtime
+
+    dup_text = "the same duplicated document body repeated verbatim"
+    h3 = datetime.timedelta(hours=3)
+    files = [
+        ("f1.parquet", [(1, dup_text, t0)], 1_000),
+        # filler 3h later advances the watermark past f1's 1h expiry;
+        # two filler batches because the watermark computed from f2's
+        # data only evicts state at the END of the batch after it (f3) —
+        # the dup must arrive in the batch after the eviction
+        ("f2.parquet", [(2, "some entirely different filler body", t0 + h3)], 2_000),
+        ("f3.parquet", [(4, "another unrelated filler document here", t0 + h3)], 3_000),
+        ("f4.parquet", [(3, dup_text, t0 + h3 + datetime.timedelta(seconds=2))], 4_000),
+    ]
+
+    results = {}
+    for mode, wm in (("bounded", "1 hour"), ("unbounded", None)):
+        src = str(tmp_path / f"src_{mode}")
+        out = str(tmp_path / f"out_{mode}")
+        ckpt = str(tmp_path / f"ckpt_{mode}")
+        os.makedirs(src)
+        for name, rows, mtime in files:
+            write_file(src, name, rows, mtime)
+        kw = dict(
+            min_quality=0.0,
+            sample_rate=1.0,
+            dedup_within_watermark=wm,
+            max_files_per_trigger=1,  # one file per micro-batch → 4 batches
+        )
+        incremental_curation_pipeline(spark, src, out, ckpt, **kw)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        # exactly-once: rerun with no new files adds nothing in either mode
+        incremental_curation_pipeline(spark, src, out, ckpt, **kw)
+        assert spark.read.parquet(out).count() == len(got), mode
+        results[mode] = got
+
+    # unbounded state remembers f1's fingerprint forever → dup suppressed
+    assert results["unbounded"] == {1, 2, 4}
+    # bounded state evicted it after the watermark passed → dup re-emitted
+    assert results["bounded"] == {1, 2, 3, 4}
