@@ -468,3 +468,147 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_ng").alias(hit_col))
     )
+
+
+class GramBloom:
+    """A Bloom filter over a gram set: numpy uint64 word array + params.
+    Built distributed (JVM-side bit positions → ``bit_or`` word agg),
+    probed vectorized. Picklable — ships to executors in the probe-UDF
+    closure as m/8 bytes regardless of how many grams went in."""
+
+    def __init__(self, words, m_bits: int, k_hashes: int, n_grams: int):
+        self.words = words  # numpy uint64[m_bits / 64]
+        self.m_bits = m_bits
+        self.k_hashes = k_hashes
+        self.n_grams = n_grams
+
+    def fp_rate(self) -> float:
+        """Expected false-positive rate at the observed fill."""
+        import math
+
+        load = 1.0 - math.exp(-self.k_hashes * self.n_grams / self.m_bits)
+        return load**self.k_hashes
+
+
+def _bloom_positions(col: Column, k_hashes: int, m_bits: int) -> list[Column]:
+    # position j = xxhash64(gram, j) mod m — deterministic across engines
+    # and partitionings; hashing the (gram, j) tuple gives k independent
+    # functions without string concat churn
+    return [
+        F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m_bits)).cast("long")
+        for j in range(k_hashes)
+    ]
+
+
+def build_gram_bloom(
+    holdout: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    fpp: float = 0.01,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+) -> GramBloom:
+    """Build a Bloom filter of a holdout corpus' distinct word n-grams —
+    the decontamination probe for holdouts whose raw gram set is too
+    large even for the shuffled join to be worth it.
+
+    The bit array is built WITHOUT centralizing grams: each gram's k bit
+    positions are computed JVM-side, reduced to 64-bit words with a
+    ``bit_or`` hash-aggregate (m/64 rows shuffle, not the gram set), and
+    only the word array (m/8 bytes — 1.2 MB per 1M grams at 1% fpp)
+    is collected. Sizing: m = -n·ln(fpp)/ln2², k = (m/n)·ln2 when not
+    given explicitly (one extra count job over the distinct grams).
+    """
+    import math
+
+    import numpy as np
+
+    from datasheet_etl_spark.functions import tokens as _tok
+
+    grams = holdout.select(
+        F.explode(
+            F.array_distinct(word_shingles(_tok(F.col(text_col)), n))
+        ).alias("_ng")
+    ).distinct()
+    if m_bits is None or k_hashes is None:
+        n_grams = grams.count()
+        m_bits = max(64, int(-n_grams * math.log(fpp) / (math.log(2) ** 2)))
+        m_bits = (m_bits + 63) // 64 * 64
+        k_hashes = max(1, round(m_bits / max(n_grams, 1) * math.log(2)))
+    else:
+        n_grams = -1  # caller-sized; fp_rate() meaningless until set
+
+    pos = F.explode(F.array(*_bloom_positions(F.col("_ng"), k_hashes, m_bits)))
+    words = (
+        grams.select(pos.alias("p"))
+        .select(
+            F.expr("p div 64").alias("widx"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    arr = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        arr[r["widx"]] = np.uint64(r["word"] & 0xFFFFFFFFFFFFFFFF)
+    return GramBloom(arr, m_bits, k_hashes, n_grams)
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    bloom: GramBloom,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    hit_col: str = "n_hit_grams",
+) -> DataFrame:
+    """Decontamination against a :class:`GramBloom` probe: per training
+    document, the count of distinct n-grams the filter claims are in the
+    holdout. A CONSERVATIVE SUPERSET of :func:`decontaminate` — Bloom
+    false positives (rate ``bloom.fp_rate()``) can only over-count, so
+    hit counts are ≥ the exact path's and no contaminated doc is ever
+    missed; docs flagged only by FPs are the price of a probe that costs
+    m/8 bytes instead of the gram set.
+
+    Scale shape: the training side is never shuffled by the probe at all
+    — membership is a map-side vectorized bit test (numpy over Arrow
+    batches; xxhash64 bit positions match the builder's JVM hashing via
+    pyspark's xxhash64 on the same (gram, j) tuples computed in-plan) —
+    the only shuffle is the per-doc count aggregation.
+    """
+    import numpy as np
+
+    from datasheet_etl_spark.functions import tokens as _tok
+
+    words, k, m = bloom.words, bloom.k_hashes, bloom.m_bits
+
+    grams = train.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(_tok(F.col(text_col)), n))
+        ).alias("_ng"),
+    )
+    # bit positions computed IN-PLAN with the same JVM xxhash64 as the
+    # builder — the Python stage only tests bits, it never re-hashes
+    # (keeps the two sides bit-identical by construction)
+    probe_in = grams.select(
+        id_col, F.array(*_bloom_positions(F.col("_ng"), k, m)).alias("_pos")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pos = np.array(list(pdf["_pos"]), dtype=np.int64)  # (rows, k)
+            widx = pos >> 6
+            bits = np.uint64(1) << (pos & 63).astype(np.uint64)
+            hit = (words[widx] & bits).astype(bool).all(axis=1)
+            out = pdf.loc[hit, [id_col]]
+            if not out.empty:
+                yield out
+
+    hits = probe_in.mapInPandas(op, schema=f"{id_col} long")
+    return hits.groupBy(id_col).agg(F.count("*").cast("long").alias(hit_col))

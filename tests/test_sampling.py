@@ -175,6 +175,38 @@ def test_decontaminate_planted_overlap(spark):
     assert 2 not in hits
 
 
+def test_decontaminate_bloom_is_conservative_superset(spark):
+    """The Bloom path may only OVER-count (false positives), never
+    under-count: every exact hit is reported with an equal-or-higher
+    gram count, and on sf0.01 with 1% fpp the spurious extras stay a
+    small fraction of the corpus."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.dedup import (
+        build_gram_bloom,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    bloom = build_gram_bloom(holdout, fpp=0.01)
+    assert 0 < bloom.fp_rate() < 0.02
+    exact = {r["doc_id"]: r["n_hit_grams"] for r in decontaminate(train, holdout).collect()}
+    approx = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in decontaminate_bloom(train, bloom).collect()
+    }
+    # no false negatives: every exact hit present, count never lower
+    for doc, n_hits in exact.items():
+        assert approx.get(doc, 0) >= n_hits, doc
+    # false positives bounded: docs flagged by the bloom but not exactly
+    # contaminated are a small fraction of the training corpus
+    spurious = set(approx) - set(exact)
+    assert len(spurious) <= 0.05 * train.count(), len(spurious)
+
+
 def test_decontaminate_shuffle_path_matches_broadcast(spark):
     """broadcast=False takes a shuffled join (for holdouts too big to
     replicate) and must produce identical hits to the broadcast path."""
