@@ -51,6 +51,7 @@ __all__ = [
     "weighted_sample",
     "rate_to_hex_threshold",
     "pack_sequences",
+    "pack_sequences_nosplit",
 ]
 
 
@@ -223,3 +224,69 @@ def pack_sequences(
         .withColumn(bin_col, F.expr(f"{offset_col} div {int(budget)}"))
         .drop("_h")
     )
+
+
+def pack_sequences_nosplit(
+    df: DataFrame,
+    key_col: str,
+    cost_col: str,
+    budget: int,
+    shard_hex_chars: int = 1,
+    shard_col: str = "shard",
+    bin_col: str = "bin_id",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """Assign rows to fixed-budget bins WITHOUT splitting a row across
+    bins — greedy next-fit in deterministic hash order: a row that does
+    not fit in the current bin's remaining budget opens the next bin.
+    The SFT-style packing shape, where a document must never straddle a
+    training sequence (vs :func:`pack_sequences`' concatenate-then-chunk
+    for pretraining token streams). A row with cost > budget gets a bin
+    of its own (flagged ``oversize`` — never silently dropped; drop or
+    chunk first via ``chunk_documents`` as policy dictates).
+
+    Scale shape: next-fit is inherently sequential — the canonical case
+    for ``applyInPandas`` — but only WITHIN a shard: rows hash-shard
+    exactly as in :func:`pack_sequences` (one shuffle), each shard packs
+    independently in one pass, and parallelism = 16^shard_hex_chars.
+    Deterministic and partitioning-independent: order inside a shard is
+    the md5 hash, not arrival order. Bin ids are globally unique as
+    (shard, bin_id); waste vs the split-allowed form is < one row's cost
+    per bin (next-fit's bound), the price of row integrity.
+    """
+    import pandas as pd
+
+    h = df.withColumn("_h", doc_hash(F.col(key_col)))
+    sharded = h.withColumn(shard_col, F.substring("_h", 1, shard_hex_chars))
+    out_fields = sharded.schema.fields
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_h", kind="mergesort").reset_index(drop=True)
+        costs = pdf[cost_col].astype("int64").to_numpy()
+        bins = [0] * len(costs)
+        offsets = [0] * len(costs)
+        oversize = [False] * len(costs)
+        cur_bin, fill = 0, 0
+        for i, c in enumerate(costs):
+            if c > budget:
+                # dedicated bin, then continue packing in a fresh one
+                if fill > 0:
+                    cur_bin += 1
+                bins[i], offsets[i], oversize[i] = cur_bin, 0, True
+                cur_bin, fill = cur_bin + 1, 0
+                continue
+            if fill + c > budget:
+                cur_bin, fill = cur_bin + 1, 0
+            bins[i], offsets[i] = cur_bin, fill
+            fill += c
+        pdf[bin_col] = pd.Series(bins, dtype="int64")
+        pdf[offset_col] = pd.Series(offsets, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"{bin_col} long", f"{offset_col} long", "oversize boolean"]
+    )
+    packed = sharded.groupBy(shard_col).applyInPandas(pack, schema=schema)
+    return packed.drop("_h")

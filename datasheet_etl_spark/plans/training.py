@@ -1316,6 +1316,23 @@ def t35_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@register("t37_sequence_pack_nosplit")  # sequential next-fit → rows-only
+def t37_sequence_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing: greedy next-fit into 2048-char bins in
+    deterministic hash order — documents never straddle bins (the SFT
+    packing contract; t28 is the straddling pretraining form). Genuinely
+    sequential within a shard, so it runs as applyInPandas per hash
+    shard; invariants (fill ≤ budget, dense bins, determinism under
+    repartitioning) are pinned in tests/test_sampling.py."""
+    from datasheet_etl_spark.operators.sampling import pack_sequences_nosplit
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    packed = pack_sequences_nosplit(docs, "doc_id", "n_chars", budget=2048)
+    return packed.select(
+        "doc_id", "shard", "n_chars", "bin_id", "bin_offset", "oversize"
+    ).orderBy("shard", "bin_id", "bin_offset", "doc_id")
+
+
 @register("t36_ann_ivf_quantized")  # int8-decoded scores → rows-only
 def t36_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quantized ANN: an int8 IVF index at rest (cell-

@@ -129,6 +129,48 @@ def test_pack_sequences_bins_dense(docs):
         assert r["nd"] == r["mx"] + 1
 
 
+def test_pack_nosplit_invariants(docs):
+    from datasheet_etl_spark.operators.sampling import pack_sequences_nosplit
+
+    budget = 2048
+    out = pack_sequences_nosplit(docs, "doc_id", "n_chars", budget=budget).collect()
+    by_bin: dict[tuple, list] = {}
+    for r in out:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (shard, bin_id), rows in by_bin.items():
+        fill = sum(r["n_chars"] for r in rows)
+        if any(r["oversize"] for r in rows):
+            # an oversize doc owns its bin exclusively
+            assert len(rows) == 1 and rows[0]["n_chars"] > budget
+        else:
+            # no bin overflows, and offsets tile the bin contiguously
+            assert fill <= budget, (shard, bin_id, fill)
+            rows.sort(key=lambda r: r["bin_offset"])
+            run = 0
+            for r in rows:
+                assert r["bin_offset"] == run
+                run += r["n_chars"]
+    # dense bins per shard, every doc packed exactly once
+    shards: dict[str, set] = {}
+    for shard, bin_id in by_bin:
+        shards.setdefault(shard, set()).add(bin_id)
+    for shard, bins in shards.items():
+        assert bins == set(range(len(bins))), shard
+    assert len(out) == docs.count()
+
+
+def test_pack_nosplit_deterministic_under_repartition(docs):
+    from datasheet_etl_spark.operators.sampling import pack_sequences_nosplit
+
+    a = pack_sequences_nosplit(docs, "doc_id", "n_chars", budget=1024)
+    b = pack_sequences_nosplit(
+        docs.repartition(13), "doc_id", "n_chars", budget=1024
+    )
+    ra = sorted((r["doc_id"], r["shard"], r["bin_id"], r["bin_offset"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["shard"], r["bin_id"], r["bin_offset"]) for r in b.collect())
+    assert ra == rb
+
+
 def test_chunk_documents_coverage_and_overlap(spark, docs):
     from datasheet_etl_spark.operators.text import chunk_documents
 
