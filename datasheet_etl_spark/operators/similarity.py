@@ -524,6 +524,41 @@ def write_ivf_index(
     write_partitioned(cells, f"{path}/corpus", ["cell"])
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign new vectors to cells with
+    the PERSISTED centroids (no retrain — the quantizer is frozen) and
+    append them to the cell-partitioned corpus, matching the stored
+    layout (float, or quantized to the stored integer width).
+
+    One map-side pass over the new vectors plus a partitioned append —
+    the arriving shard never touches the existing corpus files, and
+    partition pruning over the union is unchanged. The operational
+    contract of every IVF system: appends are cheap, but cell balance
+    and recall degrade as the data distribution drifts from the
+    centroids' training set — monitor cell sizes and retrain
+    (``write_ivf_index``) as the periodic recompute.
+    """
+    cent = read_ivf_centroids(spark, path)
+    cells = assign_cells(new_vectors, cent, id_col, vec_col)
+    stored = dict(spark.read.parquet(f"{path}/corpus").dtypes)
+    if vec_col not in stored:  # quantized at-rest layout
+        int_t = stored["qvec"].removeprefix("array<").removesuffix(">")
+        bits = {"tinyint": 8, "smallint": 16}[int_t]
+        cells = quantize_embeddings(cells, vec_col, bits=bits).select(
+            id_col,
+            F.col("qvec").cast(f"array<{int_t}>").alias("qvec"),
+            "scale",
+            "cell",
+        )
+    cells.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+
+
 def read_ivf_centroids(spark, path: str):
     """(k, dim) numpy centroid matrix from a persisted index — a few KB,
     driver-held, exactly as during training."""
