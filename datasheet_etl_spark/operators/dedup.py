@@ -470,6 +470,31 @@ def decontaminate(
     )
 
 
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    fp_col: str = "fp",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-incremental dedup: an arriving shard against the persisted
+    fingerprint index of everything already in the corpus — first
+    within-shard exact dedup (min ``order_col`` representative), then an
+    anti-join on the index. The batch analog of the streaming pipeline's
+    fingerprint state: the index lives in storage (a parquet table of
+    fingerprints), so state is a table scan, not executor memory, and
+    the shard's survivors are exactly what :func:`exact_dedup` over
+    (corpus ∪ shard) would newly admit.
+
+    Scale shape: one shuffle for the within-shard dedup, one join
+    against the index on the fingerprint key (broadcast if the index is
+    small; at corpus scale, a shuffled join where only fingerprints —
+    never document bodies — move). Append the survivors' fingerprints
+    to the index to complete the increment.
+    """
+    fresh = exact_dedup(new_docs, [fp_col], order_col, keep="min")
+    return fresh.join(index.select(fp_col).distinct(), fp_col, "left_anti")
+
+
 class GramBloom:
     """A Bloom filter over a gram set: numpy uint64 word array + params.
     Built distributed (JVM-side bit positions → ``bit_or`` word agg),

@@ -48,6 +48,8 @@ __all__ = [
     "doc_hash",
     "uniform_sample",
     "stratified_sample",
+    "stratified_sample_by_counts",
+    "temperature_mixture_counts",
     "weighted_sample",
     "rate_to_hex_threshold",
     "pack_sequences",
@@ -112,6 +114,79 @@ def stratified_sample(
     if rank_col is not None:
         out = out.withColumn(rank_col, F.col("_rn"))
     return out.drop("_rn", "_h")
+
+
+def stratified_sample_by_counts(
+    df: DataFrame,
+    key_col: str,
+    strata_cols: Sequence[str],
+    counts_df: DataFrame,
+    k_col: str = "k_s",
+    salt_buckets: int = 32,
+    rank_col: str | None = "stratum_rank",
+) -> DataFrame:
+    """:func:`stratified_sample` with a PER-STRATUM sample size: keep
+    each stratum's ``k_s`` smallest-hash rows, where ``counts_df`` maps
+    the strata columns to a ``k_col`` long — the primitive behind
+    temperature-scaled mixture sampling, where k_s derives from the
+    stratum's own size rather than a global k.
+
+    Same skew-proof two-phase shape (the per-bucket pre-shrink is
+    lossless for any per-stratum k: the k smallest of a union is a
+    subset of the union of per-bucket k smallest); ``counts_df`` is one
+    row per stratum, broadcast into both phases.
+    """
+    strata = list(strata_cols)
+    sized = F.broadcast(counts_df)
+    h = df.withColumn("_h", doc_hash(F.col(key_col))).join(sized, strata)
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*strata, "_salt").orderBy("_h")
+    cand = (
+        h.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= F.col(k_col))
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*strata).orderBy("_h")
+    out = cand.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= F.col(k_col)
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_rn").cast("long"))
+    return out.drop("_rn", "_h")
+
+
+def temperature_mixture_counts(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    scale: float = 8.0,
+    exponent_num: int = 1,
+    exponent_den: int = 2,
+    k_col: str = "k_s",
+    n_col: str = "n_s",
+) -> DataFrame:
+    """Per-stratum target counts for temperature-scaled mixture
+    sampling: ``k_s = ceil(scale · n_s^(num/den))``, capped at n_s. With
+    the default exponent ½ (multilingual-corpus temperature sampling's
+    classic α), small strata keep proportionally more of their data than
+    large ones — the anti-crowding reweighting — computed with ``sqrt``
+    (IEEE exactly-rounded, hence engine-stable) rather than ``pow``.
+
+    Integer-count-based on purpose: rate-based temperature mixing needs
+    data-dependent float thresholds that no static oracle can re-derive
+    bit-exactly; counts + hash-order ranks stay exact on any engine.
+    """
+    if (exponent_num, exponent_den) != (1, 2):
+        raise NotImplementedError(
+            "only exponent 1/2 is supported: sqrt is the one fractional "
+            "power IEEE guarantees exactly rounded (pow is not), and "
+            "engine-stable determinism is the point of this operator"
+        )
+    n = F.count("*").alias(n_col)
+    k = F.least(
+        F.col(n_col), F.ceil(F.lit(float(scale)) * F.sqrt(F.col(n_col)))
+    ).cast("long")
+    return df.groupBy(*strata_cols).agg(n).withColumn(k_col, k)
 
 
 def rate_to_hex_threshold(rate: float, hex_digits: int = 4) -> str:

@@ -1370,3 +1370,138 @@ def t36_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     ).orderBy("probe_id", "rank")
+
+
+@register(
+    "t38_mixture_temperature",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n_s,
+             least(count(*), CAST(ceil(8.0 * sqrt(count(*))) AS BIGINT)) AS k_s
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, c.n_s, c.k_s, CAST(rn AS BIGINT) AS stratum_rank
+    FROM r JOIN c USING (source) WHERE rn <= c.k_s
+    ORDER BY source, stratum_rank
+    """,
+)
+def t38_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling: each source keeps its
+    ceil(8·√n_s) lowest-hash docs (capped at n_s) — the α=½ anti-
+    crowding reweighting of multilingual corpus mixing, done with exact
+    integer per-stratum counts instead of data-dependent float rates so
+    the selection is engine-stable and SQL-re-checkable (sqrt is the one
+    fractional power IEEE rounds exactly). Two-phase salted top-k keeps
+    the per-source sort off the full corpus."""
+    from datasheet_etl_spark.operators.sampling import (
+        stratified_sample_by_counts,
+        temperature_mixture_counts,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = temperature_mixture_counts(docs, ["source"], scale=8.0)
+    out = stratified_sample_by_counts(docs, "doc_id", ["source"], counts)
+    return out.select(
+        "doc_id", "source", "n_s", "k_s", "stratum_rank"
+    ).orderBy("source", "stratum_rank")
+
+
+@register(
+    "t39_quality_percentile_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_SQL_TOKS} AS toks FROM documents
+    ), f AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars, len(toks) AS n_tokens,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_intersect(list_distinct(toks),
+                 ['the','and','of','to','in','is','that','for'])) AS stop_hits,
+             CASE WHEN len(toks) > 0
+                  THEN length(array_to_string(toks, '')) / len(toks)
+                  ELSE 0.0 END AS avg_token_len
+      FROM t
+    ), q AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN n_tokens >= 20 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN stop_hits >= 1 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1
+                     THEN 0.25 ELSE 0.0 END AS DOUBLE) AS quality
+      FROM f
+    ), p AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY quality, doc_id
+             ) AS pr
+      FROM q
+    )
+    SELECT doc_id, source, quality, round(pr, 6) AS q_rank
+    FROM p WHERE pr >= 0.75 ORDER BY doc_id
+    """,
+)
+def t39_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile gating: keep each source's top
+    quartile by composite quality score (percent_rank over (quality,
+    doc_id) — the doc_id tiebreak makes ranks unique, hence
+    engine-stable). The relative-to-peers form of quality filtering: an
+    absolute threshold starves clean sources and floods noisy ones.
+
+    Scale note: percent_rank sorts within each source partition; for
+    corpus-sized strata compute an approx_percentile threshold per
+    source (tiny agg, broadcast back) and keep quality ≥ threshold —
+    same selection up to boundary ties, no full sort."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    p = q.withColumn("pr", F.percent_rank().over(w))
+    return (
+        p.filter(F.col("pr") >= 0.75)
+        .select("doc_id", "source", "quality", F.round("pr", 6).alias("q_rank"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t40_dedup_incremental",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), fps AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+      FROM t
+    ), idx AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id < 250
+    ), shard AS (
+      SELECT fp, min(doc_id) AS doc_id FROM fps WHERE doc_id >= 250 GROUP BY fp
+    )
+    SELECT doc_id, fp FROM shard
+    WHERE fp NOT IN (SELECT fp FROM idx)
+    ORDER BY doc_id
+    """,
+)
+def t40_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental dedup: an arriving shard (doc_id ≥ 250) against
+    the persisted fingerprint index of the existing corpus (doc_id <
+    250) — within-shard exact dedup first (min-doc_id winner), then an
+    anti-join on the index. The batch analog of the streaming pipeline's
+    fingerprint state, with the state in a storage-resident table
+    instead of executor memory."""
+    from datasheet_etl_spark.operators.dedup import dedup_against_index
+
+    docs = _docs(spark, sf_dir)
+    with_fp = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    index = with_fp.filter(F.col("doc_id") < 250).select("fp").distinct()
+    shard = with_fp.filter(F.col("doc_id") >= 250)
+    return dedup_against_index(shard, index).select("doc_id", "fp").orderBy("doc_id")

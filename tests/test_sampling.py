@@ -129,6 +129,30 @@ def test_pack_sequences_bins_dense(docs):
         assert r["nd"] == r["mx"] + 1
 
 
+def test_temperature_mixture_counts(docs):
+    from datasheet_etl_spark.operators.sampling import (
+        stratified_sample_by_counts,
+        temperature_mixture_counts,
+    )
+
+    counts = temperature_mixture_counts(docs, ["source"], scale=2.0)
+    rows = counts.collect()
+    import math
+
+    for r in rows:
+        assert r["k_s"] == min(r["n_s"], math.ceil(2.0 * math.sqrt(r["n_s"])))
+    # only the IEEE-exact exponent is allowed
+    with pytest.raises(NotImplementedError):
+        temperature_mixture_counts(docs, ["source"], exponent_num=2, exponent_den=3)
+    # sampling honors the per-stratum k exactly
+    out = stratified_sample_by_counts(docs, "doc_id", ["source"], counts)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {r["source"]: r["k_s"] for r in rows}
+
+
 def test_pack_nosplit_invariants(docs):
     from datasheet_etl_spark.operators.sampling import pack_sequences_nosplit
 
