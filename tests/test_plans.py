@@ -243,3 +243,37 @@ def test_chunk_documents_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in plan
+
+
+def test_mixture_temperature_broadcasts_counts(spark):
+    """t38's per-stratum counts (one row per source) must broadcast into
+    the sampling phases — never a sort-merge join against the corpus."""
+    from datasheet_etl_spark.plans.training import t38_mixture_temperature
+
+    plan = _plan(t38_mixture_temperature(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_gate_single_scan_single_shuffle(spark):
+    """t39 is one scan and one exchange: the percent_rank window is the
+    only shuffle, with no join or second read of the corpus."""
+    from datasheet_etl_spark.plans.training import t39_quality_percentile_gate
+
+    plan = _plan(t39_quality_percentile_gate(spark, SF_SMOKE))
+    assert plan.count("FileScan") == 1
+    # single-partition smoke input can elide the exchange entirely
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
+
+
+def test_dedup_incremental_groupLimit_and_anti(spark):
+    """t40's within-shard dedup must pre-shrink map-side
+    (WindowGroupLimit partial) and probe the index with a broadcast
+    anti-join — document bodies never shuffle for the index probe."""
+    from datasheet_etl_spark.plans.training import t40_dedup_incremental
+
+    plan = _plan(t40_dedup_incremental(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "LeftAnti, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
