@@ -299,6 +299,53 @@ def cmd_curate(args, spark=None) -> int:
     return 0
 
 
+def cmd_index(args, spark=None) -> int:
+    """ANN index lifecycle over an embeddings parquet: ``build`` trains
+    the spherical-kmeans quantizer and writes the cell-partitioned
+    corpus (optionally int8-quantized), ``append`` adds vectors with the
+    frozen quantizer, ``search`` runs partition-pruned top-k for a probe
+    id set and prints the hits."""
+    spark = _get_spark(spark)
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    if args.action == "build":
+        emb = spark.read.parquet(args.vectors).select("vec_id", "embedding")
+        write_ivf_index(
+            emb,
+            args.index,
+            k_clusters=args.clusters,
+            iters=args.iters,
+            quantize_bits=8 if args.int8 else None,
+        )
+        n = spark.read.parquet(f"{args.index}/corpus").count()
+        print(f"Index built: {args.index}")
+        print(f"  vectors={n} clusters={args.clusters} int8={args.int8}")
+    elif args.action == "append":
+        emb = spark.read.parquet(args.vectors).select("vec_id", "embedding")
+        append_to_ivf_index(spark, args.index, emb)
+        n = spark.read.parquet(f"{args.index}/corpus").count()
+        print(f"Appended {emb.count()} vectors; corpus now {n}")
+    else:  # search
+        emb = spark.read.parquet(args.vectors).select("vec_id", "embedding")
+        probe_ids = [int(x) for x in args.probes.split(",")]
+        probes = emb.filter(F.col("vec_id").isin(probe_ids))
+        hits = ivf_search_indexed(
+            spark, args.index, probes, k=args.k, nprobe=args.nprobe
+        ).collect()
+        for r in hits:
+            print(
+                f"probe={r['probe_id']} rank={r['rank']} "
+                f"vec={r['vec_id']} cos={r['cos_sim']:.6f}"
+            )
+    return 0
+
+
 def main(argv: Sequence[str] | None = None, spark=None) -> int:
     parser = argparse.ArgumentParser(
         prog="datasheet_etl_spark",
@@ -339,6 +386,19 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--budget", type=int, default=4096)
 
+    p = sub.add_parser(
+        "index", help="ANN index lifecycle (build/append/search an IVF index)"
+    )
+    p.add_argument("action", choices=["build", "append", "search"])
+    p.add_argument("index", help="index root path")
+    p.add_argument("vectors", help="embeddings parquet (vec_id, embedding)")
+    p.add_argument("--clusters", type=int, default=16)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--int8", action="store_true", help="quantize stored vectors")
+    p.add_argument("--probes", default="0", help="comma-separated probe vec_ids")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--nprobe", type=int, default=4)
+
     args = parser.parse_args(argv)
     if not args.command:
         parser.print_help()
@@ -350,6 +410,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "export": cmd_export,
         "stats": cmd_stats,
         "curate": cmd_curate,
+        "index": cmd_index,
     }
     return handlers[args.command](args, spark=spark)
 

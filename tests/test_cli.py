@@ -116,3 +116,25 @@ def test_cli_curate(spark, tmp_path, capsys):
     a = sorted(map(tuple, got.select("doc_id", "shard", "bin_id").collect()))
     b = sorted(map(tuple, spark.read.parquet(rerun).select("doc_id", "shard", "bin_id").collect()))
     assert a == b
+
+
+def test_cli_index_lifecycle(spark, tmp_path, capsys):
+    from datasheet_etl_spark.cli import main
+
+    vecs = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    rc = main(
+        ["index", "build", idx, vecs, "--clusters", "8", "--iters", "2", "--int8"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "Index built" in capsys.readouterr().out
+
+    rc = main(
+        ["index", "search", idx, vecs, "--probes", "0,1", "-k", "3", "--nprobe", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("probe=")]
+    assert len(lines) == 6  # 2 probes x k=3
+    assert all("cos=" in l for l in lines)
