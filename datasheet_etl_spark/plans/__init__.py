@@ -38,6 +38,10 @@ DEMOTED: tuple[str, ...] = (
     # r5: swapped out for t34/t35 — again idiom-superset demotions:
     "q02_normalize",  # regex normalize idiom graded inside t30's regexp pack + q03
     "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact + q24
+    # r5: swapped out for t41_streaming_interval_join — t13 grades the
+    # IDENTICAL tumbling-window contract (same oracle result) through the
+    # strictly-stronger streaming path:
+    "q31_tumbling_window",
 )
 
 

@@ -28,6 +28,7 @@ from datasheet_etl_spark.streaming import (
     sessionize_stateful,
     tumbling_counts,
 )
+from datasheet_etl_spark.streaming.streams import stream_interval_join
 
 
 def _stage_events(sf_dir: str) -> str:
@@ -106,6 +107,47 @@ def t14_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         name = f"t14_{uuid.uuid4().hex[:8]}"
         out = run_available_now(stream, name, "update")
     return out.orderBy("user_id", "session_id")
+
+
+@register(
+    "t41_streaming_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    ORDER BY purchase_id, click_id
+    """,
+)
+def t41_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under Structured Streaming: each
+    purchase attributed to the same user's clicks in the preceding 6
+    hours. The interval condition plus watermarks bound the join state
+    to O(events per lookback window); bounded input, so the drained
+    result must equal the batch interval join (DuckDB oracle)."""
+    src = _stage_events(sf_dir)
+    with _few_state_partitions(spark):
+        purchases = events_stream(spark, src).filter(
+            F.col("event_type") == "purchase"
+        )
+        clicks = events_stream(spark, src).filter(F.col("event_type") == "click")
+        joined = stream_interval_join(
+            purchases, clicks, key="user_id", lookback="6 hours", watermark="1 hour"
+        )
+        out = run_available_now(
+            joined.select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("r_event_id").alias("click_id"),
+                (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+            ),
+            f"t41_{uuid.uuid4().hex[:8]}",
+            "append",
+        )
+    return out.orderBy("purchase_id", "click_id")
 
 
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only

@@ -118,6 +118,44 @@ def sliding_counts(
 # ---------------------------------------------------------------------------
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lookback: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    right_prefix: str = "r_",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: each left row matches right rows
+    with the same ``key`` whose timestamp falls in
+    ``[left.ts - lookback, left.ts]`` — the attribution-join shape
+    (purchase ← preceding click). Right columns come back prefixed.
+
+    Both sides are watermarked, and the interval condition is what makes
+    the join's state BOUNDED: Spark can discard right-side state older
+    than ``left_watermark - lookback`` and left-side state older than
+    the watermark, so state is O(rows per lookback window per key),
+    independent of stream length. An equi-join on key alone (no time
+    bound) would have to buffer both streams forever — the unbounded-
+    state trap this operator exists to avoid. On a bounded input the
+    result equals the batch interval join exactly (DuckDB-oracled as
+    t41).
+    """
+    lhs = left.withWatermark(ts_col, watermark)
+    rhs = right.withWatermark(ts_col, watermark).select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    r_key, r_ts = f"{right_prefix}{key}", f"{right_prefix}{ts_col}"
+    cond = (
+        (F.col(key) == F.col(r_key))
+        & (F.col(r_ts) <= F.col(ts_col))
+        & (F.col(r_ts) >= F.col(ts_col) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lhs.join(rhs, cond, how)
+
+
 def streaming_dedup(
     events: DataFrame, key_cols: Iterable[str] = ("event_id",), watermark: str = "1 hour"
 ) -> DataFrame:
