@@ -336,6 +336,51 @@ def incremental_file_pipeline(
 # ---------------------------------------------------------------------------
 
 
+def idempotent_keyed_sink(
+    sdf: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: Iterable[str] = ("event_id",),
+):
+    """Drain a stream into a keyed parquet target with INSERT-ONLY merge
+    semantics via ``foreachBatch``: each micro-batch is deduped on the
+    key, anti-joined against the current target, and only genuinely new
+    keys are appended.
+
+    The anti-join — not the checkpoint — is what makes the sink
+    idempotent: a parquet append is not transactional with the
+    checkpoint commit, so a crash between the two replays the batch on
+    restart, and a plain append sink would duplicate it. Here the replay
+    re-arrives, anti-joins against what the first attempt already wrote,
+    and appends nothing. (Delta/Iceberg MERGE is the transactional form;
+    this is the same guarantee built from primitives, at the cost of one
+    target-keys scan per micro-batch — keep the target partitioned or
+    compacted so that scan reads keys, not bodies, at corpus scale.)
+    """
+    import os
+
+    keys = list(key_cols)
+    spark = sdf.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates(keys)
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            existing = spark.read.parquet(target_dir).select(keys)
+            fresh = fresh.join(existing, keys, "left_anti")
+        fresh.write.mode("append").parquet(target_dir)
+
+    query = (
+        sdf.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

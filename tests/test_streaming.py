@@ -397,6 +397,49 @@ def test_incremental_curation_pipeline(spark, tmp_path):
     assert final.select("fp").distinct().count() == final.count()
 
 
+def test_idempotent_keyed_sink_survives_replay(spark, tmp_path):
+    """The sink's idempotency must come from the key anti-join, not the
+    checkpoint: wiping the checkpoint (the worst-case full replay) and
+    re-draining adds zero duplicate keys, while genuinely new input
+    still lands."""
+    import shutil
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming.streams import (
+        events_stream,
+        idempotent_keyed_sink,
+    )
+
+    src = str(tmp_path / "ev_src")
+    target = str(tmp_path / "ev_target")
+    ckpt = str(tmp_path / "ev_ckpt")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.filter(F.col("event_id") < 300).coalesce(1).write.parquet(src)
+
+    def drain():
+        idempotent_keyed_sink(
+            events_stream(spark, src), target, ckpt, key_cols=("event_id",)
+        )
+        return spark.read.parquet(target)
+
+    n1 = drain().count()
+    assert n1 == ev.filter(F.col("event_id") < 300).count()
+    # checkpointed rerun: no new files -> nothing processed
+    assert drain().count() == n1
+    # checkpoint lost -> FULL replay of every input file; the anti-join
+    # must swallow it
+    shutil.rmtree(ckpt)
+    out = drain()
+    assert out.count() == n1
+    assert out.select("event_id").distinct().count() == n1
+    # new data still lands (and only once)
+    ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 400)).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    n2 = drain().count()
+    assert n2 == ev.filter(F.col("event_id") < 400).count()
+
+
 def test_curation_dedup_within_watermark_bounds_state(spark, tmp_path):
     """dedup_within_watermark switches the pipeline to watermark-bounded
     state: a duplicate arriving beyond the watermark is re-emitted —
