@@ -1,0 +1,58 @@
+"""Column profiling — the data-quality audit pass every ingest runs
+before a corpus ships.
+
+One scan for any number of columns: all per-column aggregates (non-null
+count, distinct count, min, max) land in a single ``agg`` row, which is
+then unpivoted with ``stack`` into one row per column — at 100 TB the
+naive per-column query loop would read the table once per column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max cast to string so heterogeneous
+    column types share one output schema.
+
+    Numeric-formatting caveat: string-casting floats is engine-specific
+    (scientific-notation cutoffs differ), so profile floating columns
+    through an explicit ``round``/cast upstream if the output must be
+    compared across engines; integer and string columns cast
+    identically everywhere.
+
+    ``n_distinct`` is exact (one expand over the agg — fine for a
+    handful of audit columns); swap ``approx_count_distinct`` in at
+    thousands of columns if the expand dominates.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"__{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__{c}__nn`, `__{c}__nd`, `__{c}__min`, `__{c}__max`"
+        for c in cols
+    )
+    long = row.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, __nn, n_distinct, min_value, max_value)",
+    )
+    return long.select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

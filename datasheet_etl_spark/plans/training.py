@@ -1505,3 +1505,41 @@ def t40_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = with_fp.filter(F.col("doc_id") < 250).select("fp").distinct()
     shard = with_fp.filter(F.col("doc_id") >= 250)
     return dedup_against_index(shard, index).select("doc_id", "fp").orderBy("doc_id")
+
+
+@register(
+    "t42_profile_documents",
+    """
+    WITH n AS (SELECT count(*) AS total FROM documents)
+    SELECT 'doc_id' AS col_name, total AS n_rows,
+           total - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents, n GROUP BY total
+    UNION ALL
+    SELECT 'lang', total, total - count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents, n GROUP BY total
+    UNION ALL
+    SELECT 'source', total, total - count(source), count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents, n GROUP BY total
+    UNION ALL
+    SELECT 'n_chars', total, total - count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents, n GROUP BY total
+    ORDER BY col_name
+    """,
+)
+def t42_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling audit over the documents table: one scan for all
+    columns (single agg row unpivoted with stack) vs the oracle's
+    per-column UNION — same numbers, but the Spark plan reads the table
+    once where the naive form reads it once per column."""
+    from datasheet_etl_spark.operators.profile import profile_table
+
+    docs = _docs(spark, sf_dir)
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).orderBy(
+        "col_name"
+    )
