@@ -135,6 +135,30 @@ def test_hex_threshold_monotone_and_wellformed(r1, r2, digits):
         assert t == "g" or (len(t) == digits and all(c in "0123456789abcdef" for c in t))
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    member=st.lists(st.text("abcdef ", min_size=1, max_size=20), min_size=1, max_size=50),
+    m_bits=st.sampled_from([64, 256, 1024]),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_bloom_model_no_false_negatives(member, m_bits, k):
+    # pure-python model of GramBloom's bit math: anything inserted is
+    # always found (xxhash64 replaced by a stand-in — the property is
+    # about the set/test bit logic, which is engine-independent)
+    import numpy as np
+
+    def positions(g):
+        return [hash((g, j)) % m_bits for j in range(k)]
+
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for g in member:
+        for p in positions(g):
+            words[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+    for g in member:
+        pos = np.array(positions(g), dtype=np.int64)
+        assert bool((words[pos >> 6] & (np.uint64(1) << (pos & 63).astype(np.uint64))).astype(bool).all())
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     costs=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200),
