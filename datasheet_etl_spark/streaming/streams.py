@@ -381,6 +381,59 @@ def idempotent_keyed_sink(
     return query
 
 
+def materialized_agg_sink(
+    agg_sdf: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    partition_cols: Iterable[str],
+):
+    """Maintain a streaming aggregation as a queryable parquet table —
+    the incremental-materialized-view pattern: the aggregation runs in
+    ``update`` output mode (each micro-batch emits only the groups that
+    batch changed), and ``foreachBatch`` rewrites exactly those groups'
+    partitions via dynamic partition overwrite. Unchanged groups'
+    files are never touched, so maintenance cost tracks the CHANGED
+    group count, not the table size — the property that makes a 100 TB
+    rollup maintainable from a stream.
+
+    CONTRACT: ``partition_cols`` must be the aggregation's FULL grouping
+    key. A coarser partitioning would make an update-mode batch (which
+    carries only changed groups) overwrite a partition that also holds
+    unchanged groups, silently dropping them. Presence of the columns is
+    checked here; their equality with the grouping key is the caller's
+    responsibility (the grouping key is not recoverable from the
+    DataFrame).
+
+    Replays are safe by construction: rewriting a group's partition with
+    its latest aggregate state is idempotent.
+    """
+    parts = list(partition_cols)
+    missing = [c for c in parts if c not in agg_sdf.columns]
+    if missing:
+        raise ValueError(f"partition cols not in aggregate output: {missing}")
+
+    def replace(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.write.mode("overwrite").partitionBy(*parts).parquet(target_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    query = (
+        agg_sdf.writeStream.outputMode("update")
+        .foreachBatch(replace)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

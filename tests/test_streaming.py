@@ -11,6 +11,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from datasheet_etl_spark.plans.queries import dsum
 from tests.conftest import SF_SMOKE
 
 
@@ -438,6 +439,83 @@ def test_idempotent_keyed_sink_survives_replay(spark, tmp_path):
     ).write.parquet(src, mode="append")
     n2 = drain().count()
     assert n2 == ev.filter(F.col("event_id") < 400).count()
+
+
+def test_materialized_agg_sink_incremental_maintenance(spark, tmp_path):
+    """The materialized daily rollup must equal the batch aggregate
+    after every drain, and a second drain must rewrite ONLY the
+    partitions whose groups the new data touched (unchanged partition
+    files keep their mtimes — the maintenance-cost-tracks-changes
+    property)."""
+    import os
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming.streams import (
+        events_stream,
+        materialized_agg_sink,
+    )
+
+    src = str(tmp_path / "mv_src")
+    target = str(tmp_path / "mv_target")
+    ckpt = str(tmp_path / "mv_ckpt")
+    ev = load_table(spark, SF_SMOKE, "events")
+    first = ev.filter(F.col("event_id") < 500)
+    first.coalesce(1).write.parquet(src)
+
+    def agg(df):
+        return df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("total"),  # exact decimal sum: the
+            # streaming accumulation order must not perturb the compare
+        )
+
+    def drain():
+        materialized_agg_sink(
+            agg(events_stream(spark, src)), target, ckpt, ["day", "event_type"]
+        )
+        return spark.read.parquet(target)
+
+    got = {(str(r["day"]), r["event_type"]): (r["n"], r["total"]) for r in drain().collect()}
+    want = {
+        (r["day"], r["event_type"]): (r["n"], r["total"])
+        for r in agg(first).collect()
+    }
+    assert got == want
+
+    # second increment: one new day's events only → other days untouched
+    second = ev.filter((F.col("event_id") >= 500) & (F.col("event_id") < 700))
+    touched_days = {
+        r["day"] for r in second.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).distinct().collect()
+    }
+    untouched = [
+        d for d in os.listdir(target)
+        if d.startswith("day=") and d.split("=", 1)[1] not in touched_days
+    ]
+    mtimes_before = {
+        d: max(
+            os.path.getmtime(os.path.join(target, d, sub))
+            for sub in os.listdir(os.path.join(target, d))
+        )
+        for d in untouched
+    }
+    second.coalesce(1).write.parquet(src, mode="append")
+    got2 = {(str(r["day"]), r["event_type"]): (r["n"], r["total"]) for r in drain().collect()}
+    want2 = {
+        (r["day"], r["event_type"]): (r["n"], r["total"])
+        for r in agg(ev.filter(F.col("event_id") < 700)).collect()
+    }
+    assert got2 == want2
+    for d, m in mtimes_before.items():
+        now = max(
+            os.path.getmtime(os.path.join(target, d, sub))
+            for sub in os.listdir(os.path.join(target, d))
+        )
+        assert now == m, f"untouched partition {d} was rewritten"
 
 
 def test_curation_dedup_within_watermark_bounds_state(spark, tmp_path):
