@@ -187,3 +187,54 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     value, so partition-key predicates prune whole directories at plan
     time (PartitionFilters in the scan — no file IO for pruned keys)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], num_files: int
+) -> None:
+    """Range-partitioned, within-file-sorted parquet: rows route to
+    files by range of ``sort_cols`` (sampled split points) and sort
+    inside each file, so every file's min/max stats for those columns
+    are TIGHT AND DISJOINT. A point or range predicate on the sort key
+    then prunes to the few overlapping files via parquet row-group
+    statistics — the poor-man's z-order, and the single biggest
+    read-amplification lever for a selective scan over 100 TB that
+    partition directories are too coarse to serve (high-cardinality
+    keys would explode a Hive layout into millions of dirs; range
+    files keep it to ``num_files``).
+
+    Disjointness of the per-file ranges is asserted from the parquet
+    footers in tests/test_io_layout.py, not just claimed.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Rewrite a parquet directory into ``target_files`` files and
+    return the file count before compaction. The small-files antidote:
+    streaming sinks and fine-grained appends accrete kilobyte files
+    whose per-file open/footer cost eventually dominates scans (and
+    whose count is a driver-memory burden at listing time). Rewrite via
+    a temp sibling directory + atomic rename so a crash never leaves
+    the table half-compacted."""
+    import os
+    import shutil
+
+    before = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    tmp = f"{path}__compacting"
+    spark.read.parquet(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(before)
