@@ -142,6 +142,14 @@ def stream_interval_join(
     state trap this operator exists to avoid. On a bounded input the
     result equals the batch interval join exactly (DuckDB-oracled as
     t41).
+
+    ``how`` passes through to the join, but note the outer-mode caveat:
+    unmatched rows emit only when the watermark CLOSES their interval,
+    and a bounded availableNow drain ends with the watermark at
+    ``max(ts) - watermark`` — trailing unmatched rows inside that last
+    window are never emitted. Inner join (the default) has no such
+    tail; for bounded replays needing outer semantics, run the batch
+    join instead.
     """
     lhs = left.withWatermark(ts_col, watermark)
     rhs = right.withWatermark(ts_col, watermark).select(

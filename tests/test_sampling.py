@@ -129,6 +129,32 @@ def test_pack_sequences_bins_dense(docs):
         assert r["nd"] == r["mx"] + 1
 
 
+def test_stratified_by_counts_matches_single_phase(docs):
+    """The salted two-phase pre-shrink must be lossless: the selection
+    equals a direct single-window per-stratum top-k_s for every stratum
+    (the k smallest of a union ⊇ property, checked end to end)."""
+    from pyspark.sql import Window
+
+    from datasheet_etl_spark.operators.sampling import (
+        doc_hash,
+        stratified_sample_by_counts,
+        temperature_mixture_counts,
+    )
+
+    counts = temperature_mixture_counts(docs, ["source"], scale=3.0)
+    fast = stratified_sample_by_counts(docs, "doc_id", ["source"], counts)
+    w = Window.partitionBy("source").orderBy("_h")
+    naive = (
+        docs.withColumn("_h", doc_hash(F.col("doc_id")))
+        .join(counts, "source")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("k_s"))
+    )
+    a = sorted((r["source"], r["doc_id"], r["stratum_rank"]) for r in fast.collect())
+    b = sorted((r["source"], r["doc_id"], r["_rn"]) for r in naive.collect())
+    assert a == b
+
+
 def test_temperature_mixture_counts(docs):
     from datasheet_etl_spark.operators.sampling import (
         stratified_sample_by_counts,
