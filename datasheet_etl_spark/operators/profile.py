@@ -9,9 +9,9 @@ naive per-column query loop would read the table once per column.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,4 +55,42 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "n_distinct",
         "min_value",
         "max_value",
+    )
+
+
+def check_expectations(
+    df: DataFrame, rules: Mapping[str, Column]
+) -> DataFrame:
+    """Data-expectation audit: each rule is a boolean Column that every
+    row is EXPECTED to satisfy; the result is one row per rule with the
+    violation count and rate. All rules evaluate in ONE scan (a single
+    agg of conditional sums unpivoted with stack) — the gate a corpus
+    build runs before shipping, at the cost of one table read no matter
+    how many rules.
+
+    Null semantics: a rule evaluating to NULL counts as a violation
+    (an expectation you cannot prove held, didn't) — the conservative
+    reading, via ``coalesce(rule, false)``.
+    """
+    names = list(rules)
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(rules[r], F.lit(False)), 0).otherwise(1)
+        ).cast("long").alias(f"__r{i}")
+        for i, r in enumerate(names)
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(f"'{r}', __r{i}" for i, r in enumerate(names))
+    long = row.selectExpr(
+        "__n", f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"
+    )
+    return long.select(
+        "rule",
+        F.col("__n").alias("n_rows"),
+        "n_violations",
+        F.round(
+            F.when(F.col("__n") > 0, F.col("n_violations") / F.col("__n"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("violation_rate"),
     )

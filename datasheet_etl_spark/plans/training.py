@@ -1543,3 +1543,46 @@ def t42_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).orderBy(
         "col_name"
     )
+
+
+@register(
+    "t43_expectations",
+    """
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             CAST(SUM(CASE WHEN coalesce(doc_id IS NOT NULL, false) THEN 0 ELSE 1 END) AS BIGINT) AS r0,
+             CAST(SUM(CASE WHEN coalesce(n_chars >= 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN coalesce(length(text) = n_chars, false) THEN 0 ELSE 1 END) AS BIGINT) AS r2,
+             CAST(SUM(CASE WHEN coalesce(lang IN ('en','de','fr','es','zh'), false) THEN 0 ELSE 1 END) AS BIGINT) AS r3,
+             CAST(SUM(CASE WHEN coalesce(n_chars >= 100, false) THEN 0 ELSE 1 END) AS BIGINT) AS r4
+      FROM documents
+    )
+    SELECT v.rule, a.n_rows, v.n_violations,
+           round(CASE WHEN a.n_rows > 0 THEN v.n_violations / a.n_rows ELSE 0.0 END, 6) AS violation_rate
+    FROM a, (VALUES ('doc_id_not_null', (SELECT r0 FROM a)),
+                    ('n_chars_nonneg', (SELECT r1 FROM a)),
+                    ('n_chars_consistent', (SELECT r2 FROM a)),
+                    ('lang_known', (SELECT r3 FROM a)),
+                    ('text_min_len', (SELECT r4 FROM a))) AS v(rule, n_violations)
+    ORDER BY rule
+    """,
+)
+def t43_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-expectations audit over documents: five rules (key non-null,
+    non-negative length, length-consistency, closed language set, and a
+    minimum-length policy the synthetic corpus genuinely violates —
+    non-zero counts exercise the violation path) checked in ONE scan via
+    conditional sums unpivoted with stack — the pre-ship gate of a
+    corpus build. NULL rule results count as violations (can't prove it
+    held → it didn't)."""
+    from datasheet_etl_spark.operators.profile import check_expectations
+
+    docs = _docs(spark, sf_dir)
+    rules = {
+        "doc_id_not_null": F.col("doc_id").isNotNull(),
+        "n_chars_nonneg": F.col("n_chars") >= 0,
+        "n_chars_consistent": F.length("text") == F.col("n_chars"),
+        "lang_known": F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        "text_min_len": F.col("n_chars") >= 100,
+    }
+    return check_expectations(docs, rules).orderBy("rule")

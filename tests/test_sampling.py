@@ -329,3 +329,25 @@ def test_quantize_embeddings_error_bound(spark):
         # symmetric quantization guarantee: reconstruction off by ≤ scale/2
         assert r["err"] <= r["scale"] / 2 + 1e-12
         assert all(-127 <= x <= 127 for x in r["qvec"])
+
+
+def test_check_expectations_null_is_violation(spark):
+    """A rule that evaluates to NULL must count as a violation — an
+    expectation you cannot prove held, didn't — and the whole audit must
+    stay one scan."""
+    from datasheet_etl_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5)], "id long, v int"
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["violation_rate"])
+        for r in check_expectations(
+            df, {"v_positive": F.col("v") > 0, "id_odd": F.col("id") % 2 == 1}
+        ).collect()
+    }
+    # v_positive: NULL (id=2) and -5 (id=3) both violate
+    assert out["v_positive"] == (2, round(2 / 3, 6))
+    assert out["id_odd"] == (1, round(1 / 3, 6))
+    plan = check_expectations(df, {"a": F.col("v") > 0})._jdf.queryExecution()
+    assert plan.executedPlan().toString().count("Scan") <= 1
