@@ -189,6 +189,36 @@ def temperature_mixture_counts(
     return df.groupBy(*strata_cols).agg(n).withColumn(k_col, k)
 
 
+def quantile_gate(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    q: float = 0.75,
+    accuracy: int = 10_000,
+    keep_threshold_col: str | None = None,
+) -> DataFrame:
+    """Keep rows at or above their stratum's q-th quantile of
+    ``value_col`` — the corpus-scale form of the percentile gate
+    (t39): per-stratum ``percentile_approx`` thresholds are a tiny
+    aggregate broadcast back into a map-side filter, so no stratum is
+    ever sorted. vs the exact ``percent_rank`` gate: tie handling
+    differs at the threshold value (this keeps the WHOLE boundary tie
+    group; percent_rank cuts inside it) and the quantile itself is
+    approximate to ``1/accuracy`` — both immaterial for gating, which
+    is a policy filter, not an exact top-k.
+    """
+    thr = df.groupBy(strata_col).agg(
+        F.percentile_approx(value_col, q, accuracy).alias("_thr")
+    )
+    out = (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(F.col(value_col) >= F.col("_thr"))
+    )
+    if keep_threshold_col is not None:
+        return out.withColumnRenamed("_thr", keep_threshold_col)
+    return out.drop("_thr")
+
+
 def rate_to_hex_threshold(rate: float, hex_digits: int = 4) -> str:
     """Quantize a sampling rate to a fixed-width lowercase-hex threshold:
     rows whose hash prefix sorts (strictly) below it are kept. 4 hex

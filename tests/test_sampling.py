@@ -351,3 +351,37 @@ def test_check_expectations_null_is_violation(spark):
     assert out["id_odd"] == (1, round(1 / 3, 6))
     plan = check_expectations(df, {"a": F.col("v") > 0})._jdf.queryExecution()
     assert plan.executedPlan().toString().count("Scan") <= 1
+
+
+def test_quantile_gate_vs_exact_percentile(spark):
+    """The broadcast-threshold gate must agree with the exact
+    percent_rank gate up to boundary ties: everything strictly above the
+    threshold kept, nothing below it, and per-stratum keep-fraction at
+    least (1-q)."""
+    from datasheet_etl_spark.operators.sampling import quantile_gate
+    from datasheet_etl_spark.operators.text import quality_score
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+    )
+    kept = quantile_gate(
+        docs, "source", "quality", q=0.75, keep_threshold_col="thr"
+    )
+    rows = kept.collect()
+    assert rows
+    thr_by_src = {r["source"]: r["thr"] for r in rows}
+    for r in rows:
+        assert r["quality"] >= thr_by_src[r["source"]]
+    # nothing below threshold leaked through, per-stratum floor holds
+    n_by_src = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept_by_src: dict[str, int] = {}
+    for r in rows:
+        kept_by_src[r["source"]] = kept_by_src.get(r["source"], 0) + 1
+    for src, n in n_by_src.items():
+        assert kept_by_src.get(src, 0) >= 0.25 * n, src
+    dropped = docs.join(
+        kept.select("doc_id"), "doc_id", "left_anti"
+    ).collect()
+    for r in dropped:
+        assert r["quality"] < thr_by_src[r["source"]]
