@@ -139,6 +139,76 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (id, rank).
+
+    Each iteration is the canonical two-shuffle shape: contributions =
+    edges ⋈ ranks on ``src`` (rank/out_degree down each edge), then a
+    hash-aggregate on ``dst``; rank = (1-d)/N + d·(contribs + dangling
+    mass/N). Dangling mass (rank parked on nodes with no out-edges —
+    dropped by the join) is a ONE-ROW aggregate per iteration,
+    kilobytes at any graph size, and redistributed uniformly so ranks
+    keep summing to 1. Each round's contributions are localCheckpoint'ed
+    so lineage depth stays constant at any iteration count — the same
+    discipline as ``connected_components``.
+
+    Deterministic given the edge list; iteration count is the
+    convergence knob (power iteration contracts by ~``damping`` per
+    round).
+    """
+    e = edges.select(src, dst).distinct()
+    out_deg = e.groupBy(src).agg(F.count("*").alias("_outd"))
+    nodes = (
+        e.select(F.col(src).alias("id"))
+        .union(e.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    links = (
+        e.join(out_deg, src)
+        .select(F.col(src).alias("id"), F.col(dst).alias("_to"), "_outd")
+        .localCheckpoint(eager=True)
+    )
+
+    for i in range(iters):
+        # materialize the round's contributions ONCE: the dangling-mass
+        # scalar and the next ranks both read the checkpointed result,
+        # so each iteration is exactly one join+agg job plus a
+        # kilobyte-scale agg — an un-truncated lineage would recompute
+        # the whole chain at every per-round action
+        contribs = (
+            links.join(ranks, "id")
+            .select("_to", (F.col("rank") / F.col("_outd")).alias("_c"))
+            .groupBy("_to")
+            .agg(F.sum("_c").alias("_contrib"))
+            .localCheckpoint(eager=True)
+        )
+        # every non-dangling node's rank arrives somewhere, so what
+        # flowed is exactly sum(contribs); the rest sat on dangling nodes
+        flowed = contribs.agg(F.sum("_contrib")).first()[0]
+        dangling = 1.0 - (flowed or 0.0)
+        ranks = (
+            nodes.join(contribs, nodes["id"] == contribs["_to"], "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
 def dedup_clusters(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
     """Near-dup pairs → duplicate clusters: (doc id, cluster
     representative = min member id, cluster size). Docs not in any pair

@@ -1586,3 +1586,38 @@ def t43_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_min_len": F.col("n_chars") >= 100,
     }
     return check_expectations(docs, rules).orderBy("rule")
+
+
+@register("t44_pagerank")  # iterative power method → rows-only
+def t44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (both directions of each
+    co-purchase pair, so the chain is the out-degree-weighted random
+    surfer): top-20 parts by rank, numpy-reference-checked in tests.
+
+    Bench scope note: 4 iterations over a bounded subgraph (partkey <
+    2000) — iterative batch algorithms pay one job per round regardless
+    of data size, so the entry demonstrates the per-round shape (join +
+    agg + lineage truncation + kilobyte dangling-mass scalar) without
+    double-digit seconds of fixed job latency; at cluster scale the
+    same code runs more rounds on the full graph and the per-round
+    latency amortizes over real data volume."""
+    from datasheet_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 2000)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    # undirected surfer: both edge directions
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iters=4)
+    return (
+        ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
