@@ -98,3 +98,42 @@ def test_lift_page_tables_handles_ragged_rows(spark):
     rows = lift_page_tables(pages).collect()[0]["rows"]
     assert rows[0] == {"h1": "a", "h2": "b"}   # extra cell dropped
     assert rows[1] == {"h1": "only_a"}          # short row truncates keys
+
+
+def test_detect_regions_xy_cut_vs_annotated_truth(spark):
+    """S4 real geometry: the XY-cut detector over the two-column word
+    fixture must recover the four annotated layout regions (title, two
+    prose columns, parameter table) with IoU ≥ 0.9 each, classify the
+    table as 'table' and the prose as 'text', and never emit a region
+    spanning both columns."""
+    import json
+
+    from datasheet_etl_spark.sources.pdf_bridge import (
+        detect_regions,
+        words_from_fixture,
+    )
+
+    path = "tests/fixtures/words_twocol.json"
+    words = words_from_fixture(spark, path)
+    got = detect_regions(words).collect()
+    truth = json.load(open(path))[0]["truth_regions"]
+
+    def iou(a, b):
+        ix0, iy0 = max(a["x0"], b["x0"]), max(a["y0"], b["y0"])
+        ix1, iy1 = min(a["x1"], b["x1"]), min(a["y1"], b["y1"])
+        inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+        area = lambda r: (r["x1"] - r["x0"]) * (r["y1"] - r["y0"])  # noqa: E731
+        return inter / (area(a) + area(b) - inter)
+
+    assert len(got) == len(truth), [tuple(r) for r in got]
+    matched = {}
+    for name, t in truth.items():
+        best = max(got, key=lambda r: iou(r.asDict(), t))
+        score = iou(best.asDict(), t)
+        assert score >= 0.9, (name, score, best)
+        assert best["kind"] == t["kind"], (name, best["kind"])
+        matched[name] = best["region_id"]
+    assert len(set(matched.values())) == len(truth)  # one region per truth box
+    # reading order: title first, table last
+    assert matched["title"] == 0
+    assert matched["param_table"] == max(matched.values())
