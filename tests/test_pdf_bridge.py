@@ -137,3 +137,62 @@ def test_detect_regions_xy_cut_vs_annotated_truth(spark):
     # reading order: title first, table last
     assert matched["title"] == 0
     assert matched["param_table"] == max(matched.values())
+
+
+def test_crop_regions_raw_raster_bit_exact(spark):
+    """S5 cropping on raw rasters: paint the fixture page 1 px/point
+    with a distinct color inside each truth region, detect regions, crop
+    — every crop must contain exactly its region's color (bit-exact
+    numpy check), proving the coordinate scaling and slicing, not just
+    the plumbing."""
+    import json
+
+    import numpy as np
+
+    from datasheet_etl_spark.operators.multimodal import crop_regions
+    from datasheet_etl_spark.sources.pdf_bridge import (
+        detect_regions,
+        words_from_fixture,
+    )
+
+    path = "tests/fixtures/words_twocol.json"
+    truth = json.load(open(path))[0]["truth_regions"]
+    page_w, page_h = 612, 792
+    img = np.full((page_h, page_w, 3), 255, dtype=np.uint8)
+    colors = {}
+    for i, (name, t) in enumerate(sorted(truth.items())):
+        c = (40 * (i + 1), 10, 200 - 40 * i)
+        colors[name] = c
+        img[int(t["y0"]):int(np.ceil(t["y1"])), int(t["x0"]):int(np.ceil(t["x1"]))] = c
+
+    raw = spark.createDataFrame(
+        [("synth_twocol.pdf", 1, float(page_w), float(page_h),
+          page_w, page_h, 3, bytearray(img.tobytes()))],
+        "doc string, page_num int, page_w double, page_h double, "
+        "px_w int, px_h int, channels int, pixels binary",
+    )
+    regions = detect_regions(words_from_fixture(spark, path))
+    crops = crop_regions(raw, regions).collect()
+    assert len(crops) == len(truth)
+
+    def region_for(crop):  # match crop back to truth by geometry
+        best, score = None, float("-inf")
+        for name, t in truth.items():
+            w = int(np.ceil(t["x1"])) - int(t["x0"])
+            h = int(np.ceil(t["y1"])) - int(t["y0"])
+            s = -abs(w - crop["px_w"]) - abs(h - crop["px_h"])
+            if s > score:
+                best, score = name, s
+        return best
+
+    for crop in crops:
+        name = region_for(crop)
+        arr = np.frombuffer(bytes(crop["pixels"]), dtype=np.uint8).reshape(
+            crop["px_h"], crop["px_w"], 3
+        )
+        # interior pixels (1px border tolerance for ceil rounding) are
+        # exactly the painted color
+        interior = arr[1:-1, 1:-1]
+        assert interior.size, name
+        expect = np.array(colors[name], dtype=np.uint8)
+        assert (interior == expect).all(), (name, np.unique(interior.reshape(-1, 3), axis=0)[:4])
