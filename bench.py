@@ -41,8 +41,28 @@ def main() -> int:
         load_table(spark, sf_dir, warm).count()
     from datasheet_etl_spark.caching import release_caches
 
+    def cpu_ticks() -> dict[str, int] | None:
+        # host-contention audit: on an oversubscribed hypervisor, steal
+        # time (ticks the VM was runnable but not scheduled) inflates
+        # wall-clock timings through no fault of the plans being timed.
+        # Recording the delta lets a reader separate engine regressions
+        # from environment noise (observed: same-commit entry timings
+        # varying 5-20x between back-to-back runs with steal present).
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return {
+                "user": int(parts[1]),
+                "system": int(parts[3]),
+                "idle": int(parts[4]),
+                "steal": int(parts[8]),
+            }
+        except Exception:  # noqa: BLE001
+            return None
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    ticks0 = cpu_ticks()
     t_all = time.perf_counter()
     for name in sorted(reg):
         # one broken entry must not destroy the whole run's perf signal:
@@ -65,6 +85,16 @@ def main() -> int:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
     total = round(time.perf_counter() - t_all, 3)
+    ticks1 = cpu_ticks()
+    env: dict[str, float] = {}
+    if ticks0 and ticks1:
+        hz = float(os.sysconf("SC_CLK_TCK"))
+        for k in ("user", "system", "steal"):
+            env[f"{k}_sec"] = round((ticks1[k] - ticks0[k]) / hz, 1)
+        busy = env["user_sec"] + env["system_sec"] + env["steal_sec"]
+        if busy > 0:
+            # fraction of the run's CPU demand the hypervisor withheld
+            env["steal_frac"] = round(env["steal_sec"] / busy, 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full per-query detail first (long line; useful when fully captured)...
@@ -76,6 +106,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "errors": errors,
+                "env": env,
                 "sf": sf_val,
             }
         )
@@ -93,6 +124,8 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
+                "steal_sec": env.get("steal_sec"),
+                "steal_frac": env.get("steal_frac"),
             }
         )
     )

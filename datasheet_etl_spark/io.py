@@ -238,3 +238,52 @@ def compact_small_files(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return len(before)
+
+
+def read_json_lenient(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Schema-enforced JSON-lines read that CAPTURES malformed records
+    instead of dropping (DROPMALFORMED) or poisoning the job
+    (FAILFAST): PERMISSIVE mode with an explicit corrupt-record column.
+    Raw-crawl JSON at corpus scale always contains breakage; the
+    lenient read turns it into an auditable side-channel — downstream
+    splits on ``corrupt_col IS NULL`` into clean rows and a quarantine
+    sink, so one bad shard never kills a 100 TB ingest.
+
+    ``schema`` is the DDL of the EXPECTED fields; the corrupt column is
+    appended here. Note Spark requires the corrupt column to be
+    explicitly selected-through with a cache/checkpoint boundary for
+    counts to be stable — callers splitting the stream should filter
+    first, as ``split_corrupt`` does.
+    """
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(df, corrupt_col: str = "_corrupt_record"):
+    """(clean_rows_without_the_corrupt_col, quarantine_rows) from a
+    lenient read. Spark leaves every schema field NULL on a corrupt
+    row, so the corrupt column itself is the discriminator."""
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, bad
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str):
+    """Read parquet written under an EVOLVING schema (columns added
+    over time) as one table: ``mergeSchema`` unions the footer schemas
+    and back-fills missing columns with NULL. The corpus-build reality:
+    month N's shards gained a ``quality`` column that month N-1 lacks;
+    the merged read lets one query span both vintages. Schema merge
+    cost is per-FOOTER (driver-side), not per-row — fine at 100 TB as
+    long as the file count is sane (see ``compact_small_files``)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

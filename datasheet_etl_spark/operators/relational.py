@@ -426,3 +426,39 @@ def unpivot(
     return df.selectExpr(
         *id_keys, f"stack({n}, {pairs}) as (`{key_col}`, `{value_col}`)"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    fp_col: str = "fp",
+    status_col: str = "status",
+) -> DataFrame:
+    """Corpus-version diff: classify every key across two snapshots as
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both, but
+    the fingerprint differs) or ``unchanged``. The primitive behind
+    incremental corpus releases: ship only added+changed downstream,
+    tombstone removed, and audit churn rates between builds.
+
+    Both inputs carry ``(key_col, fp_col)`` — fingerprints are computed
+    MAP-SIDE by the caller (e.g. ``md5(text)``) so only (key, 16-byte
+    fp) ever shuffles, never document bodies. One sort-merge full-outer
+    join on the key is the entire cost; at 100 TB both snapshots shuffle
+    once, or zero times if both are bucketed by the key
+    (``io.write_bucketed``), which is how successive corpus builds
+    should be laid out. AQE handles per-key skew (keys are unique here,
+    so there is none by construction).
+
+    Returns ``(key_col, status, old_fp, new_fp)``.
+    """
+    o = old.select(F.col(key_col), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key_col), F.col(fp_col).alias("new_fp"))
+    j = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(key_col, status.alias(status_col), "old_fp", "new_fp")

@@ -395,3 +395,65 @@ def pack_sequences_nosplit(
     )
     packed = sharded.groupBy(shard_col).applyInPandas(pack, schema=schema)
     return packed.drop("_h")
+
+
+def length_bucket(len_col: Column, buckets: tuple[int, ...]) -> Column:
+    """Smallest bucket ceiling ≥ the length (an explicit CASE ladder —
+    engine-stable, unlike float log2 at boundaries); lengths above the
+    largest ceiling land in the ``-1`` overflow bucket."""
+    expr = F.lit(-1).cast("long")
+    for b in sorted(buckets, reverse=True):
+        expr = F.when(len_col <= b, F.lit(b).cast("long")).otherwise(expr)
+    return F.when(len_col <= 0, F.lit(0).cast("long")).otherwise(expr)
+
+
+def packing_histogram(
+    df: DataFrame,
+    len_col: str,
+    buckets: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048),
+) -> DataFrame:
+    """Packing-efficiency planner: bucket documents by token length into
+    power-of-two ceilings and report, per bucket, the document count,
+    the real token mass, the padded token mass if every doc were padded
+    to its bucket ceiling (the cost of naive fixed-shape batching), and
+    the resulting utilization. The pre-flight audit that motivates
+    sequence packing (:func:`pack_sequences`): utilization far below 1.0
+    in a heavy bucket is exactly the waste packing recovers.
+
+    Overflow docs (longer than the largest ceiling) report bucket ``-1``
+    with padded mass = real mass (they'd be chunked, not padded);
+    empties land in bucket ``0``.
+
+    ONE map-side projection + one tiny grouped aggregate (≤ len(buckets)
+    + 2 output rows): shuffle volume is the bucket cardinality, not the
+    corpus. Utilization is a double ratio of exact integer sums, rounded
+    to 6 places — engine-portable (integer inputs are IEEE-exact, and
+    division is correctly rounded in both engines).
+    """
+    lc = F.col(len_col)
+    b = length_bucket(lc, buckets).alias("bucket")
+    padded = (
+        F.when(F.col("bucket") > 0, F.col("bucket"))
+        .otherwise(F.col("_n"))
+        .cast("long")
+    )
+    return (
+        df.select(b, lc.alias("_n"))
+        .select("bucket", "_n", padded.alias("_pad"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("sum_tokens"),
+            F.sum("_pad").cast("long").alias("padded_tokens"),
+        )
+        .withColumn(
+            "utilization",
+            F.when(
+                F.col("padded_tokens") > 0,
+                F.round(
+                    F.col("sum_tokens").cast("double") / F.col("padded_tokens"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

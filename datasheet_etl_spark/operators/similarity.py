@@ -698,3 +698,66 @@ def dequantize(q_col, scale_col) -> Column:
     q = F.col(q_col) if isinstance(q_col, str) else q_col
     s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
     return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.6,
+    kept_col: str = "kept",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into cells (here a
+    caller-supplied cell column — the ``label`` coarse quantizer for the
+    oracle-checkable entry, :func:`assign_cells` over a k-means fit for
+    the trained variant), then within each cell drop every vector that
+    has a strictly-smaller-id neighbor at cosine ≥ ``threshold``. The
+    min-id keep rule is the deterministic, engine-stable stand-in for
+    SemDeDup's keep-farthest-from-centroid; the pruning set is identical
+    in size.
+
+    Returns ``(id_col, cell_col, kept_col)`` for every input row.
+
+    Scale shape: ONE shuffle (groupBy cell), then each cell is scored
+    independently with a single normalized float64 matmul per cell —
+    pairwise work is bounded by cell size (k cells → N²/k total work,
+    the whole point of cell-partitioning), and the O(cell²) similarity
+    matrix never leaves the executor: only (id, cell, bool) rows come
+    back. Oversized cells are the skew risk; at corpus scale pick k so
+    cells are ~10⁴ vectors (SemDeDup's operating point) and split hot
+    cells by re-clustering, exactly as the paper does.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.array(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        unit = np.divide(m, nrm, out=np.zeros_like(m), where=nrm > 0)
+        sims = unit @ unit.T
+        # strict upper triangle: dup[j] = any i<j with cos(i,j) >= threshold
+        hit = np.triu(sims >= threshold, k=1)
+        dropped = hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                cell_col: pdf[cell_col].to_numpy()[order],
+                kept_col: ~dropped,
+            }
+        )
+
+    cell_field = emb.schema[cell_col].dataType.simpleString()
+    id_field = emb.schema[id_col].dataType.simpleString()
+    return (
+        emb.select(id_col, cell_col, vec_col)
+        .groupBy(cell_col)
+        .applyInPandas(
+            prune,
+            schema=f"{id_col} {id_field}, {cell_col} {cell_field}, {kept_col} boolean",
+        )
+    )

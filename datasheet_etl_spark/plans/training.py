@@ -1621,3 +1621,187 @@ def t44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "id")
         .limit(20)
     )
+
+
+@register(
+    "t45_semantic_dedup",
+    """
+    SELECT e.vec_id, e.label,
+           NOT EXISTS (
+             SELECT 1 FROM embeddings d
+             WHERE d.label = e.label AND d.vec_id < e.vec_id
+               AND list_cosine_similarity(d.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]) >= 0.6
+           ) AS kept
+    FROM embeddings e
+    ORDER BY vec_id
+    """,
+)
+def t45_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, arXiv:2303.09540): within each
+    coarse-quantizer cell (the deterministic ``label`` cells, as in
+    t07), drop every vector with a smaller-id neighbor at cosine ≥ 0.6.
+    One shuffle on the cell, one float64 matmul per cell — pairwise
+    work is N²/k, and the cell similarity matrix never leaves the
+    executor. The oracle re-checks the keep set with a per-row EXISTS
+    over the same cells."""
+    from datasheet_etl_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    return semantic_dedup(emb, cell_col="label", threshold=0.6).orderBy("vec_id")
+
+
+@register(
+    "t46_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 3 THEN text || ' (rev 2)' ELSE text END) AS fp
+      FROM documents WHERE doc_id % 10 <> 1
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.fp AS old_fp, n.fp AS new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """,
+)
+def t46_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: two simulated releases of the documents
+    table (v2 adds the %10==0 docs, drops the %10==1 docs, and edits
+    the %7==3 docs) classified added/removed/changed/unchanged by md5
+    fingerprint. Fingerprints are computed map-side so only (key, fp)
+    shuffles; ONE full-outer sort-merge join is the entire cost — zero
+    if successive builds are bucketed by doc_id."""
+    from datasheet_etl_spark.operators.relational import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" (rev 2)"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return snapshot_diff(old, new, key_col="doc_id", fp_col="fp").orderBy("doc_id")
+
+
+@register(
+    "t48_packing_histogram",
+    rf"""
+    WITH t AS (
+      SELECT len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+               AS n_toks
+      FROM documents
+    ), b AS (
+      SELECT n_toks,
+             CASE WHEN n_toks <= 0 THEN 0
+                  WHEN n_toks <= 32 THEN 32
+                  WHEN n_toks <= 64 THEN 64
+                  WHEN n_toks <= 128 THEN 128
+                  WHEN n_toks <= 256 THEN 256
+                  WHEN n_toks <= 512 THEN 512
+                  WHEN n_toks <= 1024 THEN 1024
+                  WHEN n_toks <= 2048 THEN 2048
+                  ELSE -1 END AS bucket
+      FROM t
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(sum(CASE WHEN bucket > 0 THEN bucket ELSE n_toks END) AS BIGINT)
+             AS padded_tokens,
+           CASE WHEN sum(CASE WHEN bucket > 0 THEN bucket ELSE n_toks END) > 0
+                THEN round(CAST(sum(n_toks) AS DOUBLE)
+                           / sum(CASE WHEN bucket > 0 THEN bucket ELSE n_toks END), 6)
+                ELSE 0.0 END AS utilization
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def t48_packing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency planner: power-of-two token-length buckets
+    with real vs padded token mass and the utilization ratio — the
+    audit that quantifies what naive fixed-shape batching wastes and
+    sequence packing (t28/t37) recovers. One projection + one
+    bucket-cardinality aggregate; shuffle volume is ≤ 9 rows."""
+    from datasheet_etl_spark.operators.sampling import packing_histogram
+
+    docs = _docs(spark, sf_dir)
+    counted = docs.select(
+        whitespace_token_count(F.col("text")).alias("n_toks")
+    )
+    return packing_histogram(counted, "n_toks").orderBy("bucket")
+
+
+@register(
+    "t49_fuzzy_dedup_corpus",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT doc_id, {_SQL_BIGRAMS} AS sh FROM t WHERE len(toks) >= 2
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(z.cluster_size, 1) AS BIGINT) AS cluster_size
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN sizes z ON z.component = c.component
+    WHERE c.id IS NULL OR c.component = d.doc_id
+    ORDER BY doc_id
+    """,
+)
+def t49_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup corpus reduction: exact-Jaccard near-dup
+    pairs → connected components → keep ONE representative (min id) per
+    cluster plus every unpaired doc, each with its cluster size — the
+    composition t16's clusters exist for, returning the deduped corpus
+    a pretraining build actually ships. Same scale shape as t16 (the CC
+    rounds dominate) plus one broadcast-size join back to the corpus."""
+    from datasheet_etl_spark.operators.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sh = docs.select("doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh"))
+    pairs = exact_jaccard_pairs(sh, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    keep = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .filter(
+            F.col("cluster_rep").isNull()
+            | (F.col("cluster_rep") == F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+        )
+    )
+    return keep.orderBy("doc_id")

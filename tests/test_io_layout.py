@@ -66,3 +66,41 @@ def test_compact_small_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == docs.count()
     assert got.select("doc_id").distinct().count() == docs.count()
+
+
+def test_read_json_lenient_quarantines_corrupt(spark, tmp_path):
+    """PERMISSIVE read: clean rows parse, malformed lines land in the
+    corrupt column verbatim, and clean+bad partitions the input."""
+    from datasheet_etl_spark.io import read_json_lenient, split_corrupt
+
+    p = tmp_path / "raw.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "{broken json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '["not","an","object"]\n'
+    )
+    df = read_json_lenient(spark, str(p), "doc_id long, text string")
+    clean, bad = split_corrupt(df)
+    got = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert got == {1: "ok", 2: "also ok"}
+    bad_rows = [r[0] for r in bad.collect()]
+    assert len(bad_rows) == 2 and "{broken json" in bad_rows
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_read_parquet_evolved_merges_schema(spark, tmp_path):
+    """mergeSchema read spans two vintages: the old shard's missing
+    column reads as NULL, and both shards' rows appear."""
+    from datasheet_etl_spark.io import read_parquet_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "doc_id long, text string, quality double"
+    ).write.parquet(v2)
+    df = read_parquet_evolved(spark, v1, v2)
+    assert set(df.columns) == {"doc_id", "text", "quality"}
+    rows = {r["doc_id"]: r["quality"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == 0.9

@@ -383,3 +383,84 @@ def test_pagerank_matches_power_iteration(spark):
     # the leaf exactly (both are fed only by node 1) — a property the
     # numpy agreement above already witnesses
     assert got[0] > got[3]
+
+
+def test_semantic_dedup_prunes_planted_pair(spark):
+    """A planted near-identical pair in the same cell loses its larger
+    id; vectors in different cells never prune each other even if
+    identical; the min-id member of every cell is always kept."""
+    from datasheet_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        # cell 0: ids 1,2 near-identical -> 2 dropped; id 9 orthogonal kept
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),
+        (9, [0.0, 1.0, 0.0, 0.0], 0),
+        # cell 1: identical to id 1 but in another cell -> kept
+        (5, [1.0, 0.0, 0.0, 0.0], 1),
+        # cell 1 chain: 6~5 dropped
+        (6, [0.998, 0.02, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, threshold=0.9).collect()
+    }
+    assert out == {1: True, 2: False, 9: True, 5: True, 6: False}
+
+
+def test_snapshot_diff_statuses(spark):
+    from datasheet_etl_spark.operators.relational import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, fp string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # join stays a key-equijoin: no cartesian in the plan
+    plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+
+
+def test_packing_histogram_buckets_and_utilization(spark):
+    from datasheet_etl_spark.operators.sampling import packing_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (10,), (32,), (33,), (5000,)], "n long"
+    )
+    rows = {r["bucket"]: r for r in packing_histogram(df, "n").collect()}
+    assert rows[0]["n_docs"] == 1 and rows[0]["padded_tokens"] == 0
+    b32 = rows[32]
+    assert b32["n_docs"] == 2 and b32["sum_tokens"] == 42
+    assert b32["padded_tokens"] == 64 and abs(b32["utilization"] - 0.65625) < 1e-9
+    assert rows[64]["n_docs"] == 1 and rows[64]["padded_tokens"] == 64
+    # overflow: padded == real (chunked, not padded)
+    assert rows[-1]["sum_tokens"] == rows[-1]["padded_tokens"] == 5000
+    assert rows[-1]["utilization"] == 1.0
+
+
+def test_fuzzy_dedup_corpus_partitions_docs(spark):
+    """t49 invariants at smoke scale: kept set = reps + singletons;
+    sum(cluster_size) over kept == total docs in scope (every doc is
+    accounted to exactly one kept representative)."""
+    from datasheet_etl_spark.plans.training import t49_fuzzy_dedup_corpus
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    out = t49_fuzzy_dedup_corpus(spark, SF_SMOKE)
+    total = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .count()
+    )
+    agg = out.agg(F.sum("cluster_size").alias("s")).collect()[0]["s"]
+    assert agg == total
+    assert out.count() <= total
