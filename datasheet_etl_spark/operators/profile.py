@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,4 +93,56 @@ def check_expectations(
             .otherwise(F.lit(0.0)),
             6,
         ).alias("violation_rate"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Join/agg-key skew audit: the ``top_n`` hottest key values with
+    their row count, share of all rows, cumulative share, and skew
+    factor (count ÷ the all-keys mean — 1.0 everywhere means perfectly
+    uniform). The pre-flight check before any large shuffle: a key with
+    skew_x ≫ 1 is the straggler task; the fix is salting
+    (``relational.salted_join``) or AQE skew-join, and this report is
+    what tells you which keys need it.
+
+    ONE aggregation over the data (map-side partial combine, shuffle
+    volume = distinct keys); the top-n is TakeOrdered over the grouped
+    counts; totals come from a second tiny agg over the SAME grouped
+    result (key-cardinality-sized, not data-sized) broadcast back. The
+    cumulative-share window runs on ``top_n`` rows — driver-trivial.
+    """
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    order = [F.col("n").desc()] + [F.col(k).asc() for k in keys]
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "share", F.round(F.col("n").cast("double") / F.col("_total"), 6)
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ).cast("double")
+                / F.col("_total"),
+                6,
+            ),
+        )
+        .withColumn(
+            "skew_x",
+            F.round(
+                F.col("n").cast("double") * F.col("_nkeys") / F.col("_total"), 6
+            ),
+        )
+        .select(*keys, "rank", "n", "share", "cum_share", "skew_x")
     )

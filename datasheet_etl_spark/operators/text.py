@@ -155,3 +155,68 @@ def chunk_documents(
         )
         .withColumn("chunk_len", F.length("chunk_text"))
     )
+
+
+def boilerplate_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    df_frac: float = 0.1,
+) -> DataFrame:
+    """Document-frequency boilerplate scoring (the C4/CCNet corpus-
+    hygiene primitive): an n-gram that appears in more than ``df_frac``
+    of all documents is boilerplate (navigation chrome, license
+    headers, templated text); each document's score is the fraction of
+    its distinct n-grams that are boilerplate. High-score docs are
+    template shells worth dropping; the per-gram document-frequency
+    table is the same artifact IDF weighting needs.
+
+    Returns ``(id_col, n_grams, n_boiler, boiler_frac)`` for every doc
+    (zero-gram docs report 0 / 0 / 0.0).
+
+    Scale shape: explode per-doc DISTINCT grams (map-side), ONE
+    groupBy(gram) for document frequency, the boilerplate cutoff
+    compared against a lazy 1×1 corpus count (no driver action), then
+    a gram-key join back and ONE groupBy(doc). The gram↔doc join reuses
+    the gram hash partitioning from the frequency agg (no extra
+    exchange). At 100 TB add a min-DF cutoff before the join-back (drop
+    df=1 grams — the long tail is most of the postings) or probe a
+    Bloom filter of boilerplate grams map-side (``dedup.GramBloom``);
+    boilerplate grams themselves are few by definition (DF > f·N caps
+    their count at 1/f · grams-per-doc).
+    """
+    from datasheet_etl_spark.operators.dedup import word_shingles
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+        ).alias("_g"),
+    )
+    dfreq = (
+        grams.filter(F.col("_g").isNotNull())
+        .groupBy("_g")
+        .agg(F.count("*").alias("_df"))
+    )
+    total = docs.agg(F.count("*").alias("_n_docs"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(total))
+        .filter(F.col("_df") > F.lit(df_frac) * F.col("_n_docs"))
+        .select("_g", F.lit(True).alias("_is_boiler"))
+    )
+    return (
+        grams.join(boiler, "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").alias("n_grams"),
+            F.count(F.when(F.col("_is_boiler"), 1)).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -1805,3 +1805,80 @@ def t49_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return keep.orderBy("doc_id")
+
+
+@register(
+    "t47_skew_report",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nkeys FROM c
+    ), r AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+             sum(n) OVER (ORDER BY n DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_n
+      FROM c
+    )
+    SELECT user_id, rank, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(CAST(cum_n AS DOUBLE) / total, 6) AS cum_share,
+           round(CAST(n AS DOUBLE) * nkeys / total, 6) AS skew_x
+    FROM r, t WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def t47_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit over events.user_id: top-20 hottest keys
+    with share, cumulative share and skew factor (count ÷ uniform
+    mean). The pre-join diagnostic that decides between a plain
+    shuffle, salting (`salted_join`) and AQE skew handling. One
+    data-sized aggregation; everything after runs on key-cardinality
+    rows."""
+    from datasheet_etl_spark.operators.profile import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top_n=20).orderBy("rank")
+
+
+@register(
+    "t50_boilerplate_df",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS _g FROM t WHERE len(toks) >= 2
+    ), dfreq AS (
+      SELECT _g, count(*) AS _df FROM g GROUP BY _g
+    ), tot AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), b AS (
+      SELECT _g FROM dfreq, tot WHERE _df > 0.1 * n_docs
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_boiler, 0) AS BIGINT) AS n_boiler,
+           coalesce(s.boiler_frac, 0.0) AS boiler_frac
+    FROM documents d
+    LEFT JOIN (
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN b._g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+             round(CAST(sum(CASE WHEN b._g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS boiler_frac
+      FROM g LEFT JOIN b ON g._g = b._g
+      GROUP BY g.doc_id
+    ) s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def t50_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate scoring (C4/CCNet hygiene): per
+    doc, the fraction of its distinct bigrams that occur in >10% of
+    the corpus. Explode distinct grams → one DF agg → lazy corpus-count
+    cutoff → gram-key join back → one per-doc agg; the gram join reuses
+    the DF agg's partitioning."""
+    from datasheet_etl_spark.operators.text import boilerplate_scores
+
+    docs = _docs(spark, sf_dir)
+    return boilerplate_scores(docs, n=2, df_frac=0.1).orderBy("doc_id")

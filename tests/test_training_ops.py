@@ -464,3 +464,34 @@ def test_fuzzy_dedup_corpus_partitions_docs(spark):
     agg = out.agg(F.sum("cluster_size").alias("s")).collect()[0]["s"]
     assert agg == total
     assert out.count() <= total
+
+
+def test_skew_report_flags_hot_key(spark):
+    from datasheet_etl_spark.operators.profile import skew_report
+
+    rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    out = {r["k"]: r for r in skew_report(df, ["k"], top_n=2).collect()}
+    hot = out[1]
+    assert hot["rank"] == 1 and hot["n"] == 90
+    assert abs(hot["share"] - 0.9) < 1e-9
+    assert abs(hot["skew_x"] - 2.7) < 1e-9  # 90 / (100/3 keys)
+    assert abs(out[2]["cum_share"] - 0.95) < 1e-9
+    assert 3 not in out  # top_n respected
+
+
+def test_boilerplate_scores_planted_template(spark):
+    """A bigram shared by >10% of docs scores as boilerplate; a unique
+    doc scores 0; an empty doc reports 0/0/0.0."""
+    from datasheet_etl_spark.operators.text import boilerplate_scores
+
+    docs = [(i, "copyright header real content " + f"unique{i} body{i}") for i in range(9)]
+    docs.append((100, "totally different words entirely"))
+    docs.append((101, ""))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_scores(df).collect()}
+    # 'copyright header' appears in 9/11 docs -> boilerplate for those 9
+    assert out[0]["n_boiler"] >= 1 and out[0]["boiler_frac"] > 0
+    assert out[100]["n_boiler"] == 0 and out[100]["boiler_frac"] == 0.0
+    assert out[101]["n_grams"] == 0 and out[101]["boiler_frac"] == 0.0
+    assert len(out) == 11  # every doc present, including the empty one
