@@ -299,6 +299,37 @@ def cmd_curate(args, spark=None) -> int:
     return 0
 
 
+def cmd_diff(args, spark=None) -> int:
+    """Corpus snapshot diff: fingerprint two documents parquets map-side
+    (md5 of the text column) and classify every key added / removed /
+    changed / unchanged across them; prints the status counts and
+    optionally writes the row-level diff as parquet. The audit run
+    between successive corpus builds."""
+    spark = _get_spark(spark)
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.relational import snapshot_diff
+
+    def fp(path):
+        return spark.read.parquet(path).select(
+            F.col(args.key), F.md5(F.col(args.text).cast("string")).alias("fp")
+        )
+
+    diff = snapshot_diff(fp(args.old), fp(args.new), key_col=args.key)
+    if args.output:
+        diff.write.mode("overwrite").parquet(args.output)
+        diff = spark.read.parquet(args.output)
+    counts = {r["status"]: r["n"] for r in diff.groupBy("status").agg(
+        F.count("*").alias("n")
+    ).collect()}
+    print("Snapshot diff")
+    for s in ("added", "removed", "changed", "unchanged"):
+        print(f"  {s:10s} {counts.get(s, 0)}")
+    if args.output:
+        print(f"  Output:    {args.output}")
+    return 0
+
+
 def cmd_index(args, spark=None) -> int:
     """ANN index lifecycle over an embeddings parquet: ``build`` trains
     the spherical-kmeans quantizer and writes the cell-partitioned
@@ -387,6 +418,15 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     p.add_argument("--budget", type=int, default=4096)
 
     p = sub.add_parser(
+        "diff", help="Diff two corpus snapshots (added/removed/changed)"
+    )
+    p.add_argument("old", help="old documents parquet path")
+    p.add_argument("new", help="new documents parquet path")
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--text", default="text")
+    p.add_argument("--output", default=None, help="write row-level diff parquet")
+
+    p = sub.add_parser(
         "index", help="ANN index lifecycle (build/append/search an IVF index)"
     )
     p.add_argument("action", choices=["build", "append", "search"])
@@ -410,6 +450,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "export": cmd_export,
         "stats": cmd_stats,
         "curate": cmd_curate,
+        "diff": cmd_diff,
         "index": cmd_index,
     }
     return handlers[args.command](args, spark=spark)

@@ -1454,9 +1454,10 @@ def t39_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute threshold starves clean sources and floods noisy ones.
 
     Scale note: percent_rank sorts within each source partition; for
-    corpus-sized strata compute an approx_percentile threshold per
-    source (tiny agg, broadcast back) and keep quality ≥ threshold —
-    same selection up to boundary ties, no full sort."""
+    corpus-sized strata use ``sampling.percentile_gate_approx`` — one
+    approx_percentile threshold per source (tiny agg, broadcast back),
+    keep quality ≥ threshold. Same selection up to boundary ties, no
+    full sort; equivalence is pinned in tests/test_sampling.py."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)

@@ -138,3 +138,26 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("probe=")]
     assert len(lines) == 6  # 2 probes x k=3
     assert all("cos=" in l for l in lines)
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    from datasheet_etl_spark.cli import main
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-edited"), (4, "d")], "doc_id long, text string"
+    )
+    p_old, p_new = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(p_old)
+    new.write.parquet(p_new)
+    out = str(tmp_path / "diff")
+
+    rc = main(["diff", p_old, p_new, "--output", out], spark=spark)
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "added      1" in printed and "removed    1" in printed
+    assert "changed    1" in printed and "unchanged  1" in printed
+    rows = {r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

@@ -385,3 +385,39 @@ def test_quantile_gate_vs_exact_percentile(spark):
     ).collect()
     for r in dropped:
         assert r["quality"] < thr_by_src[r["source"]]
+
+
+def test_percentile_gate_approx_matches_exact_off_boundary(spark):
+    """The approx gate (t39's documented 100 TB path) agrees with the
+    exact percent_rank gate everywhere off the threshold boundary:
+    score > threshold → kept by both; score < threshold → kept by
+    neither. Only rows AT the threshold may differ (rank tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sampling import percentile_gate_approx
+    from datasheet_etl_spark.operators.text import quality_score
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    q = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    th = {
+        r["source"]: r["_th"]
+        for r in q.groupBy("source")
+        .agg(F.percentile_approx("quality", 0.75, 10000).alias("_th"))
+        .collect()
+    }
+    approx_kept = {
+        r["doc_id"] for r in percentile_gate_approx(q, "quality", ["source"]).collect()
+    }
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    exact = q.withColumn("pr", F.percent_rank().over(w))
+    for r in exact.collect():
+        t = th[r["source"]]
+        if r["quality"] > t:
+            assert r["doc_id"] in approx_kept
+        elif r["quality"] < t:
+            assert r["doc_id"] not in approx_kept
