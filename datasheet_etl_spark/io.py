@@ -255,17 +255,30 @@ def read_json_lenient(
     sink, so one bad shard never kills a 100 TB ingest.
 
     ``schema`` is the DDL of the EXPECTED fields; the corrupt column is
-    appended here. Note Spark requires the corrupt column to be
-    explicitly selected-through with a cache/checkpoint boundary for
-    counts to be stable — callers splitting the stream should filter
-    first, as ``split_corrupt`` does.
+    appended here.
+
+    Deliberately built as ``text`` scan + ``from_json`` rather than the
+    native JSON source: the native source forbids any query whose only
+    referenced file column is the corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and its
+    documented workaround — cache the parsed result — is exactly what a
+    100 TB ingest cannot do. The text+from_json form has no such
+    restriction, costs the same single scan, and keeps the malformed
+    line verbatim. Blank lines are dropped to match the native JSON
+    reader's behavior.
     """
     full = f"{schema}, {corrupt_col} string"
     return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.from_json(
+                F.col("value"),
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+            ).alias("_j")
+        )
+        .select("_j.*")
     )
 
 
