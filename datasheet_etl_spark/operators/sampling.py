@@ -57,6 +57,8 @@ __all__ = [
     "length_bucket",
     "packing_histogram",
     "percentile_gate_approx",
+    "split_thresholds",
+    "assign_split",
 ]
 
 
@@ -500,3 +502,68 @@ def percentile_gate_approx(
         .filter(F.col(score_col) >= F.col("_th"))
         .drop("_th")
     )
+
+
+def split_thresholds(
+    fractions: Mapping[str, float], hex_digits: int = 4
+) -> list[tuple[str, str]]:
+    """Cumulative hex boundaries for :func:`assign_split`, in the
+    fractions' insertion order: ``[(split, upper_hex_bound), ...]``.
+    Each boundary is the quantized cumulative fraction; the LAST split's
+    bound is forced to ``"g"`` (sorts after every hex prefix) so
+    quantization shortfall never leaves a row unassigned — the final
+    split absorbs the remainder, exactly like the reference rule
+    "everything not sampled elsewhere is train".
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bounds: list[tuple[str, str]] = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names:
+        cum += fractions[name]
+        bounds.append((name, rate_to_hex_threshold(min(cum, 1.0), hex_digits)))
+    bounds[-1] = (names[-1], "g")
+    return bounds
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: Mapping[str, float],
+    split_col: str = "split",
+    hex_digits: int = 4,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training-data build needs, as a pure map-side expression.
+
+    The row's md5-hash prefix is compared against cumulative hex
+    boundaries (first boundary it sorts below wins), so the assignment
+    is:
+
+    - **retry-safe / partitioning-independent** — hash-derived, not
+      ``rand()``: a re-run, a repartition, or a speculative duplicate
+      task assigns every row identically;
+    - **stable under corpus growth** — a document keeps its split when
+      new documents arrive (no re-shuffling of holdout membership, the
+      property that prevents silent eval-set contamination across
+      corpus versions);
+    - **zero-shuffle** — one scan, no joins, no aggregates; at 100 TB
+      the split costs what the scan costs;
+    - **SQL-re-checkable** — the same CASE over ``md5(key)`` runs in
+      any engine (the t52 oracle re-derives it in DuckDB).
+
+    Fractions quantize to 1/16^hex_digits (4 digits → 1/65536); the
+    last split absorbs the quantization remainder. Keys must be unique
+    per row (doc ids) — duplicate keys co-assign, which is usually the
+    desired "all shards of one document stay together" behavior.
+    """
+    bounds = split_thresholds(fractions, hex_digits)
+    prefix = F.substring(doc_hash(F.col(key_col)), 1, hex_digits)
+    expr: Column = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(prefix < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -83,3 +83,124 @@ def q36_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q37_lateral_topk",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) c
+    ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+    """,
+)
+def q37_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (dependent) join: per driving row, a correlated ordered
+    subquery with LIMIT — the "top-k related rows per entity" shape
+    written as SQL the way an application developer writes it.
+
+    Scale note: a lateral subquery re-evaluates per driving row, so it
+    is the right plan only when the driving side is SMALL (here: 25
+    nations). For a large driving side the window-function top-k (q16)
+    is the scalable equivalent — one shuffle instead of a dependent
+    join. Both are in the inventory precisely so the engine documents
+    which to reach for."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q37_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q37_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM q37_nation n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM q37_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+        """
+    )
+
+
+@register(
+    "t51_salted_join",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type, upper(event_type) AS type_code
+        FROM events
+    )
+    SELECT e.event_id, e.event_type, d.type_code
+    FROM events e JOIN dim d USING (event_type)
+    ORDER BY e.event_id
+    """,
+)
+def t51_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the mitigation t47's skew report motivates,
+    proven equal to the plain join it replaces (the oracle IS the plain
+    join). ``events.event_type`` has a handful of values over the whole
+    table — the textbook hot-key shuffle join: every row of one type
+    lands on one reducer. The salt (hash of event_id, NOT rand() —
+    retry-safe) spreads each hot key over ``buckets`` tasks; the small
+    side is replicated once per salt via a broadcast range cross join,
+    so correctness is untouched while the per-task ceiling drops by
+    ``buckets``×.
+
+    At 100 TB: reach for this when ONE key dominates by orders of
+    magnitude and AQE's skew split (which only splits oversized
+    partitions of sort-merge joins) can't help — e.g. a shuffled hash
+    join against a medium dim that won't broadcast."""
+    from datasheet_etl_spark.operators.relational import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.upper("event_type"))
+    )
+    return (
+        salted_join(e, dim, ["event_type"], salt_from="event_id", buckets=8)
+        .select("event_id", "event_type", "type_code")
+        .orderBy("event_id")
+    )
+
+
+def _t52_case_sql() -> str:
+    from datasheet_etl_spark.operators.sampling import split_thresholds
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    whens = " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{b}' THEN '{name}'"
+        for name, b in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+@register(
+    "t52_split_assign",
+    f"""
+    SELECT {_t52_case_sql()} AS split, source, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY split, source
+    """,
+)
+def t52_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by doc_id hash) +
+    per-(split, source) counts — the holdout-assignment step of every
+    training-data build. Hash-derived: stable under retries,
+    repartitioning, AND corpus growth (a doc keeps its split forever,
+    so eval membership never migrates into train between corpus
+    versions). Pure map-side CASE; the only shuffle is the audit
+    count."""
+    from datasheet_etl_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "source")
+    )

@@ -421,3 +421,38 @@ def test_percentile_gate_approx_matches_exact_off_boundary(spark):
             assert r["doc_id"] in approx_kept
         elif r["quality"] < t:
             assert r["doc_id"] not in approx_kept
+
+
+def test_split_thresholds_validation_and_remainder():
+    """Fractions must sum to 1; last split's bound is 'g' so the
+    quantization remainder is absorbed, never dropped."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.operators.sampling import split_thresholds
+
+    with _pytest.raises(ValueError):
+        split_thresholds({"train": 0.5, "val": 0.4})
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert bounds[0] == ("train", "cccc")
+    assert bounds[1] == ("val", "e666")
+    assert bounds[2] == ("test", "g")
+
+
+def test_assign_split_deterministic_and_partition_independent(spark):
+    """Every row gets exactly one split; the assignment is identical
+    after a repartition (hash-derived, not rand()); fractions come out
+    near the request on a uniform key."""
+    from datasheet_etl_spark.operators.sampling import assign_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["k"]: r["split"] for r in assign_split(df, "k", fr).collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in assign_split(df.repartition(13), "k", fr).collect()
+    }
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.75 < train_frac < 0.85
