@@ -146,3 +146,51 @@ def skew_report(
         )
         .select(*keys, "rank", "n", "share", "cum_share", "skew_x")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    strata: Sequence[str],
+    k: float = 3.0,
+    z_col: str = "robust_z",
+) -> DataFrame:
+    """Robust per-stratum outlier gate: flag rows whose value sits more
+    than ``k`` robust standard deviations from their stratum median,
+    where the scale is the MAD (median absolute deviation, ×1.4826 to
+    make it σ-consistent for normal data). Mean/stddev z-scores break on
+    exactly the data this gate exists for — a handful of extreme rows
+    drags the mean toward themselves and inflates the stddev until
+    nothing is flagged; median and MAD ignore them.
+
+    Shape at scale: two tiny per-stratum aggregates (median, then MAD
+    against it) broadcast back onto the scan — the corpus is read, never
+    sorted. ``percentile`` here is the exact interpolated median (cheap
+    per stratum at audit cardinalities and engine-portable for the
+    oracle); at billions of rows per stratum swap ``percentile_approx``
+    in, same plan shape (cf. ``sampling.percentile_gate_approx``).
+
+    A stratum with MAD = 0 (over half its rows share one value) yields
+    NULL z — those rows are never flagged; gate such strata on exact
+    value inequality instead.
+    """
+    med = df.groupBy(*strata).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_m")
+    )
+    dev = (
+        df.join(F.broadcast(med), list(strata))
+        .groupBy(*strata)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - _m), 0.5)").alias("_mad"),
+            F.max("_m").alias("_m"),
+        )
+    )
+    z = (F.col(value_col) - F.col("_m")) / (
+        F.lit(1.4826) * F.nullif(F.col("_mad"), F.lit(0.0))
+    )
+    return (
+        df.join(F.broadcast(dev), list(strata))
+        .withColumn(z_col, z)
+        .filter(F.abs(F.col(z_col)) > k)
+        .drop("_m", "_mad")
+    )

@@ -462,3 +462,51 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(key_col, status.alias(status_col), "old_fp", "new_fp")
+
+
+def resample_locf(
+    series: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+    grid_col: str = "grid_sec",
+    out_col: str = "last_value",
+) -> DataFrame:
+    """Resample an irregular series onto a regular epoch-second grid
+    with last-observation-carried-forward — the gap-fill/regularization
+    step feature pipelines run before joining signals sampled at
+    different rates.
+
+    ``series`` must already be ONE row per (keys…, ts) — pre-aggregate
+    ties (e.g. ``max_by(value, seq)``) or the carried value is
+    nondeterministic. ``ts_col`` is epoch seconds (long).
+
+    Per key: the grid spans floor(min_ts, step) … max_ts, materialized
+    with ``sequence``+``explode`` (grid rows ≈ span/step per key — rows
+    are generated, nothing is shuffled to build them), then one as-of
+    join (merge-ordered union + forward fill, see :func:`asof_join`)
+    carries the latest observation onto each grid point. Grid points
+    before the first observation get NULL, like a left as-of join
+    should. Total cost: one tiny bounds aggregate + the as-of join's
+    single shuffle on the keys.
+    """
+    lo = (F.floor(F.min(ts_col) / step_sec) * step_sec).cast("long")
+    bounds = series.groupBy(*keys).agg(
+        lo.alias("_lo"), F.max(ts_col).cast("long").alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step_sec)))
+        ).alias(grid_col),
+    )
+    out = asof_join(
+        grid,
+        series.select(*keys, F.col(ts_col), F.col(value_col)),
+        keys,
+        grid_col,
+        ts_col,
+        [value_col],
+    )
+    return out.withColumnRenamed(value_col, out_col)

@@ -204,3 +204,93 @@ def t52_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split", "source")
     )
+
+
+@register(
+    "t53_outlier_mad",
+    """
+    WITH med AS (
+        SELECT source, median(n_chars) AS m FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, median(abs(d.n_chars - med.m)) AS mad
+        FROM documents d JOIN med USING (source) GROUP BY d.source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round((d.n_chars - med.m) / (1.4826 * nullif(dev.mad, 0.0)), 6)
+               AS robust_z
+    FROM documents d JOIN med USING (source) JOIN dev USING (source)
+    WHERE abs((d.n_chars - med.m) / (1.4826 * nullif(dev.mad, 0.0))) > 2.0
+    ORDER BY d.doc_id
+    """,
+)
+def t53_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier gate over document lengths per
+    source — the curation filter that catches truncated shards and
+    concatenation blowups without letting the outliers themselves
+    poison the statistics (mean/stddev z-scores suffer exactly that
+    masking). Two kilobyte-sized per-stratum aggregates broadcast back
+    onto one scan; no sort anywhere. k=2 at test scale so the synthetic
+    corpus actually has flagged rows."""
+    from datasheet_etl_spark.operators.profile import mad_outliers
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = mad_outliers(docs, "n_chars", ["source"], k=2.0)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("robust_z", 6).alias("robust_z"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t54_resample_locf",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec,
+               arg_max(value, event_id) AS value
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, epoch_us(ts) // 1000000
+    ),
+    b AS (
+        SELECT user_id, (min(ts_sec) // 3600) * 3600 AS lo, max(ts_sec) AS hi
+        FROM e GROUP BY user_id
+    ),
+    grid AS (
+        SELECT b.user_id, g.g AS grid_sec
+        FROM b, LATERAL unnest(generate_series(b.lo, b.hi, 3600)) AS g(g)
+    )
+    SELECT grid.user_id, grid.grid_sec, e.value AS last_value
+    FROM grid ASOF LEFT JOIN e
+        ON grid.user_id = e.user_id AND e.ts_sec <= grid.grid_sec
+    ORDER BY grid.user_id, grid.grid_sec
+    """,
+)
+def t54_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with last-observation-carried-forward:
+    per-user event values regularized onto an hourly grid — the
+    series-alignment step before multi-signal feature joins. Ties
+    within a second are pre-aggregated with max_by(value, event_id) so
+    the carried value is deterministic; grid points before a user's
+    first event stay NULL. One bounds aggregate + one as-of join
+    shuffle."""
+    from datasheet_etl_spark.operators.relational import resample_locf
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("ts_sec"),
+            "value",
+            "event_id",
+        )
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return resample_locf(e, ["user_id"], "ts_sec", "value", 3600).orderBy(
+        "user_id", "grid_sec"
+    )

@@ -495,3 +495,53 @@ def test_boilerplate_scores_planted_template(spark):
     assert out[100]["n_boiler"] == 0 and out[100]["boiler_frac"] == 0.0
     assert out[101]["n_grams"] == 0 and out[101]["boiler_frac"] == 0.0
     assert len(out) == 11  # every doc present, including the empty one
+
+
+def test_mad_outliers_resists_masking(spark):
+    """The robust gate flags extreme rows that a mean/stddev z-score
+    would mask: one huge value inflates the stddev but not the MAD."""
+    import pyspark.sql.functions as F
+
+    from datasheet_etl_spark.operators.profile import mad_outliers
+
+    rows = [(i, "s", 100 + (i % 7)) for i in range(40)] + [(99, "s", 100000)]
+    df = spark.createDataFrame(rows, "id long, src string, v long")
+    flagged = {r["id"] for r in mad_outliers(df, "v", ["src"], k=3.0).collect()}
+    assert flagged == {99}
+    # mean/stddev z on the same data does NOT flag it at 3 sigma... the
+    # single outlier owns so much of the variance its own z stays small
+    stats = df.agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("s")).first()
+    z99 = (100000 - stats["m"]) / stats["s"]
+    assert abs(z99) < 6.4  # barely above any practical threshold
+
+
+def test_mad_outliers_zero_mad_flags_nothing(spark):
+    from datasheet_etl_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, "s", 5) for i in range(10)] + [(10, "s", 9)],
+        "id long, src string, v long",
+    )
+    # >half the stratum shares v=5 so MAD=0 -> NULL z -> nothing flagged
+    assert mad_outliers(df, "v", ["src"], k=3.0).count() == 0
+
+
+def test_resample_locf_grid_and_carry(spark):
+    """Grid starts at floor(min, step); values carry forward between
+    observations; grid points before the first observation are NULL
+    only when the floor precedes it."""
+    from datasheet_etl_spark.operators.relational import resample_locf
+
+    df = spark.createDataFrame(
+        [(1, 130, 10.0), (1, 250, 20.0), (2, 70, 5.0)],
+        "k int, ts long, v double",
+    )
+    out = {
+        (r["k"], r["grid_sec"]): r["last_value"]
+        for r in resample_locf(df, ["k"], "ts", "v", 100).collect()
+    }
+    assert out == {
+        (1, 100): None,  # floor(130,100)=100 precedes the first obs
+        (1, 200): 10.0,  # carried from ts=130
+        (2, 0): None,  # grid is sequence(0, 70, 100) = [0], before ts=70
+    }
