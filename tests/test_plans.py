@@ -277,3 +277,73 @@ def test_dedup_incremental_groupLimit_and_anti(spark):
     assert "WindowGroupLimit" in plan
     assert "LeftAnti, BuildRight" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """t51: the salted join must actually join on (key, salt) — the salt
+    column appears in the join keys — and the per-task row ceiling for a
+    hot key drops by ~buckets x vs the plain join."""
+    from datasheet_etl_spark.operators.relational import salted_join
+
+    left = spark.range(0, 4000).select(
+        F.col("id").alias("row_id"), F.lit("hot").alias("k")
+    )
+    right = spark.createDataFrame([("hot", 1)], "k string, payload int")
+    out = salted_join(left, right, ["k"], salt_from="row_id", buckets=8)
+    plan = _plan(out)
+    assert "_salt" in plan
+    # semantic spread: the hot key's rows hash to >1 (key, salt) group
+    n_salts = (
+        left.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8))
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+
+
+def test_assign_split_map_side_only(spark):
+    """t52: split assignment is a pure projection — no exchange, no
+    join, single scan; the only shuffle in the registry entry is its
+    audit aggregate."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    plan = _plan(
+        assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    """t53: both per-stratum statistics tables (kilobytes) broadcast
+    back onto the scan — the corpus is never sort-merge joined or
+    sorted."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.profile import mad_outliers
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = _plan(mad_outliers(docs, "n_chars", ["source"], k=2.0))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan  # no global/stratum sort anywhere
+
+
+def test_resample_locf_single_shuffle(spark):
+    """t54: one exchange on the partition keys (the as-of join's merge
+    sort) — grid generation adds none."""
+    from datasheet_etl_spark.operators.relational import resample_locf
+
+    series = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 350, 2.0), (2, 90, 3.0)],
+        "k int, ts long, v double",
+    )
+    plan = _plan(resample_locf(series, ["k"], "ts", "v", 100))
+    assert plan.count("Exchange hashpartitioning") <= 2  # grid + series sides
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
