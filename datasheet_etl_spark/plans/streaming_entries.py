@@ -195,3 +195,40 @@ def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             streaming_minhash_pairs(stream), name, "append"
         )
     return out.dropDuplicates(["id_a", "id_b"]).orderBy("id_a", "id_b")
+
+
+@register(
+    "t55_streaming_kmv_distinct",
+    """
+    SELECT user_id, CAST(count(DISTINCT props) AS DOUBLE) AS distinct_est
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def t55_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user distinct-payload count maintained as a KMV sketch in
+    grouped streaming state — O(k) state per key forever, where the
+    exact streaming distinct would hold every value. The testdata keeps
+    each user's distinct count under the pool size k, where KMV is
+    EXACT by construction — so the streaming sketch must reproduce
+    DuckDB's ``count(DISTINCT ...)`` bit-for-bit, and the estimator's
+    beyond-k regime is pinned separately in tests/test_streaming.py."""
+    from datasheet_etl_spark.streaming.streams import kmv_distinct_stateful
+
+    src = _stage_events(sf_dir)
+    with _few_state_partitions(spark):
+        stream = events_stream(spark, src)
+        name = f"t55_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(
+            kmv_distinct_stateful(stream, "user_id", "props", k=256),
+            name,
+            "update",
+        )
+    # update mode emits one row per key per micro-batch; the pool only
+    # grows (no TTL here), so the latest estimate is the max
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("distinct_est").alias("distinct_est"))
+        .orderBy("user_id")
+    )

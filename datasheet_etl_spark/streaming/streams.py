@@ -684,3 +684,127 @@ def incremental_curation_pipeline(
     )
     query.awaitTermination()
     return query
+
+
+# ---------------------------------------------------------------------------
+# streaming per-key KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_fold(cur: set, pdfs, k: int):
+    """Fold incoming hash batches into a k-min pool; return (pool,
+    estimate). Exact while the pool is under k (the pool IS the
+    distinct hash set); theta-estimated past it — the same estimator as
+    ``operators.sketches`` (``(k-1)/theta`` with the signed 64-bit hash
+    mapped onto [0,1)), so batch and streaming distinct counts agree."""
+    for pdf in pdfs:
+        cur.update(int(h) for h in pdf["h"].dropna())
+    pool = sorted(cur)[:k]
+    if len(pool) < k:
+        est = float(len(pool))
+    else:
+        theta = (pool[-1] + 2**63) / 2**64
+        est = (k - 1) / theta
+    return pool, est
+
+
+def kmv_distinct_stateful(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Streaming per-key approximate distinct count via a KMV sketch
+    held in grouped state (``applyInPandasWithState``).
+
+    State is O(k × 8 bytes) per key FOREVER, by construction — the
+    sketch never grows past k hashes no matter how many events a key
+    sees, which is the whole point at 100 TB: exact per-key streaming
+    distinct state is unbounded (it must remember every value), the
+    sketch is a fixed-size register. Hashing happens IN-PLAN
+    (``xxhash64`` before the stateful op), so the Python worker only
+    ever sees 8-byte hashes, never values. Folding a replayed row is
+    idempotent (set union), so retries/replays cannot skew the pool.
+
+    Output (update mode): one row per key per micro-batch with the
+    running ``distinct_est`` — exact below k distinct, ``(k-1)/theta``
+    beyond (relative error ~1/sqrt(k-2)).
+
+    See :func:`kmv_distinct_tws` for the same operator on Spark 4's
+    typed-state ``transformWithState`` API (adds store-enforced state
+    TTL for idle keys); it needs protobuf at runtime, absent in this
+    build environment.
+    """
+    hashed = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col), F.xxhash64(F.col(value_col)).alias("h")
+    )
+
+    def fn(key, pdfs, state):
+        cur = set(state.get[0]) if state.exists else set()
+        pool, est = _kmv_fold(cur, pdfs, k)
+        state.update((pool,))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "distinct_est": [est], "pool_size": [len(pool)]}
+        )
+
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, distinct_est double, pool_size int",
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_distinct_tws(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """:func:`kmv_distinct_stateful` on Spark 4's ``transformWithState``
+    API — typed ``ValueState`` plus store-enforced TTL (``ttl_ms``
+    expires idle keys without user-code bookkeeping), and requires the
+    RocksDB state-store provider (``rocksdb_state_store``).
+
+    Environment-gated the same way as the PDF/vision backends: the
+    transformWithState Python state server speaks protobuf, which this
+    build image lacks — the operator is import-guarded and its contract
+    is exercised through :func:`kmv_distinct_stateful` (identical fold
+    + estimator, pinned by the shared ``_kmv_fold``); on a cluster with
+    protobuf installed it is a drop-in swap.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _KMVProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.pool = handle.getValueState(
+                "kmv_pool", "hashes array<bigint>", ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self.pool.get()
+            cur = set(prev[0]) if prev is not None else set()
+            pool, est = _kmv_fold(cur, rows, k)
+            self.pool.update((pool,))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "distinct_est": [est],
+                    "pool_size": [len(pool)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    hashed = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col), F.xxhash64(F.col(value_col)).alias("h")
+    )
+    return hashed.groupBy(key_col).transformWithStateInPandas(
+        _KMVProcessor(),
+        outputStructType=f"{key_col} bigint, distinct_est double, pool_size int",
+        outputMode="Update",
+        timeMode="None",
+    )

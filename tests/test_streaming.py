@@ -583,3 +583,38 @@ def test_curation_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert results["unbounded"] == {1, 2, 4}
     # bounded state evicted it after the watermark passed → dup re-emitted
     assert results["bounded"] == {1, 2, 3, 4}
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_beyond(spark, tmp_path):
+    """t55's sketch: exact distinct while the pool is under k; beyond k
+    the theta estimator stays within ~4/sqrt(k) relative error; state
+    (pool) never exceeds k hashes. Cross-batch folding is exercised by
+    two staged files read one per trigger."""
+    import pandas as pd
+
+    from datasheet_etl_spark.streaming.streams import (
+        kmv_distinct_stateful,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "src")
+    # key 1: 3000 distinct values (>> k=64); key 2: 10 distinct
+    rows1 = [(1, f"v{i}") for i in range(1500)] + [(2, f"w{i % 10}") for i in range(50)]
+    rows2 = [(1, f"v{i}") for i in range(1500, 3000)]
+    spark.createDataFrame(rows1, "user_id long, props string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, "user_id long, props string").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = run_available_now(
+        kmv_distinct_stateful(stream, "user_id", "props", k=64), "t_kmv", "update"
+    ).toPandas()
+    final = out.sort_values("distinct_est").groupby("user_id").last()
+    assert final.loc[2, "distinct_est"] == 10.0  # exact below k
+    assert final.loc[2, "pool_size"] == 10
+    assert final.loc[1, "pool_size"] == 64  # capped at k
+    rel_err = abs(final.loc[1, "distinct_est"] - 3000) / 3000
+    assert rel_err < 0.5, rel_err  # 4/sqrt(62) ~ 0.5 at k=64
