@@ -164,22 +164,39 @@ def mad_outliers(
     nothing is flagged; median and MAD ignore them.
 
     Shape at scale: two tiny per-stratum aggregates (median, then MAD
-    against it) broadcast back onto the scan — the corpus is read, never
-    sorted. ``percentile`` here is the exact interpolated median (cheap
-    per stratum at audit cardinalities and engine-portable for the
+    against it — MAD is inherently two-pass) broadcast back onto the
+    final gate scan. That is THREE column-pruned reads of
+    (strata, value) and zero sorts/shuffles of the corpus; persist the
+    projected columns to pay one I/O pass instead of three.
+    ``percentile`` here is the exact interpolated median (cheap per
+    stratum at audit cardinalities and engine-portable for the
     oracle); at billions of rows per stratum swap ``percentile_approx``
     in, same plan shape (cf. ``sampling.percentile_gate_approx``).
 
     A stratum with MAD = 0 (over half its rows share one value) yields
     NULL z — those rows are never flagged; gate such strata on exact
     value inequality instead.
+
+    Rows with a NULL stratum key form their OWN stratum (the joins back
+    onto the scan are null-safe, matching groupBy's NULL-keeps-a-group
+    semantics) — an extreme row can't dodge the gate by missing its
+    source tag.
     """
-    med = df.groupBy(*strata).agg(
+
+    def _nullsafe(left: DataFrame, right: DataFrame):
+        cond = None
+        for s in strata:
+            c = left[s].eqNullSafe(right[f"_s_{s}"])
+            cond = c if cond is None else cond & c
+        return cond
+
+    skeys = [F.col(s).alias(f"_s_{s}") for s in strata]
+    med = df.groupBy(*skeys).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("_m")
     )
     dev = (
-        df.join(F.broadcast(med), list(strata))
-        .groupBy(*strata)
+        df.join(F.broadcast(med), _nullsafe(df, med))
+        .groupBy(*[med[f"_s_{s}"] for s in strata])
         .agg(
             F.expr(f"percentile(abs({value_col} - _m), 0.5)").alias("_mad"),
             F.max("_m").alias("_m"),
@@ -189,8 +206,8 @@ def mad_outliers(
         F.lit(1.4826) * F.nullif(F.col("_mad"), F.lit(0.0))
     )
     return (
-        df.join(F.broadcast(dev), list(strata))
+        df.join(F.broadcast(dev), _nullsafe(df, dev))
         .withColumn(z_col, z)
         .filter(F.abs(F.col(z_col)) > k)
-        .drop("_m", "_mad")
+        .drop("_m", "_mad", *[f"_s_{s}" for s in strata])
     )

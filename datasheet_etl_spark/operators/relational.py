@@ -162,6 +162,13 @@ def asof_join(
     )
 
 
+def salt_expr(salt_from: str, buckets: int) -> Column:
+    """The deterministic salt :func:`salted_join` derives — exposed so
+    tests and diagnostics reproduce the operator's own spread instead
+    of re-stating the formula."""
+    return F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets)).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -182,8 +189,7 @@ def salted_join(
     execution. AQE's skew-join split handles moderate skew on its own —
     reach for this when one key dominates by orders of magnitude.
     """
-    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets)).cast("int").alias("_salt")
-    lhs = left.withColumn("_salt", salt)
+    lhs = left.withColumn("_salt", salt_expr(salt_from, buckets))
     rhs = right.crossJoin(
         F.broadcast(
             left.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_salt"))
@@ -491,6 +497,10 @@ def resample_locf(
     should. Total cost: one tiny bounds aggregate + the as-of join's
     single shuffle on the keys.
     """
+    # a NULL-ts row would be invisible to the bounds agg yet sort FIRST
+    # in the as-of window (asc = nulls first) and wrongly carry its
+    # value onto pre-first-observation grid points — drop such rows
+    series = series.filter(F.col(ts_col).isNotNull())
     lo = (F.floor(F.min(ts_col) / step_sec) * step_sec).cast("long")
     bounds = series.groupBy(*keys).agg(
         lo.alias("_lo"), F.max(ts_col).cast("long").alias("_hi")

@@ -520,6 +520,18 @@ def split_thresholds(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
+    quantum = 1.0 / 16**hex_digits
+    for name, frac in fractions.items():
+        # cumulative bounds bypass rate_to_hex_threshold's own
+        # quantize-to-empty guard, so enforce it per split here: a
+        # fraction under one quantum would collapse onto the previous
+        # bound and silently assign ZERO rows to that split
+        if frac < quantum:
+            raise ValueError(
+                f"fraction {frac} for split {name!r} is below the "
+                f"resolution 1/16^{hex_digits} ({quantum:.2e}) and would "
+                f"receive no rows; increase hex_digits"
+            )
     bounds: list[tuple[str, str]] = []
     cum = 0.0
     names = list(fractions)

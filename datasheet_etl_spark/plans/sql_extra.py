@@ -230,8 +230,9 @@ def t53_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenation blowups without letting the outliers themselves
     poison the statistics (mean/stddev z-scores suffer exactly that
     masking). Two kilobyte-sized per-stratum aggregates broadcast back
-    onto one scan; no sort anywhere. k=2 at test scale so the synthetic
-    corpus actually has flagged rows."""
+    onto the gate scan — three column-pruned reads, no sort or corpus
+    shuffle anywhere. k=2 at test scale so the synthetic corpus
+    actually has flagged rows."""
     from datasheet_etl_spark.operators.profile import mad_outliers
 
     docs = load_table(spark, sf_dir, "documents").select(

@@ -735,6 +735,7 @@ def kmv_distinct_stateful(
     TTL for idle keys); it needs protobuf at runtime, absent in this
     build environment.
     """
+    key_type = events.schema[key_col].dataType.simpleString()
     hashed = events.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col), F.xxhash64(F.col(value_col)).alias("h")
     )
@@ -749,7 +750,7 @@ def kmv_distinct_stateful(
 
     return hashed.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=f"{key_col} bigint, distinct_est double, pool_size int",
+        outputStructType=f"{key_col} {key_type}, distinct_est double, pool_size int",
         stateStructType="hashes array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -799,12 +800,15 @@ def kmv_distinct_tws(
         def close(self) -> None:
             pass
 
+    key_type = events.schema[key_col].dataType.simpleString()
     hashed = events.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col), F.xxhash64(F.col(value_col)).alias("h")
     )
     return hashed.groupBy(key_col).transformWithStateInPandas(
         _KMVProcessor(),
-        outputStructType=f"{key_col} bigint, distinct_est double, pool_size int",
+        outputStructType=f"{key_col} {key_type}, distinct_est double, pool_size int",
         outputMode="Update",
-        timeMode="None",
+        # state TTL is only legal under ProcessingTime time mode
+        # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL otherwise)
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

@@ -286,22 +286,32 @@ def test_salted_join_spreads_hot_key(spark):
     from datasheet_etl_spark.operators.relational import salted_join
 
     left = spark.range(0, 4000).select(
-        F.col("id").alias("row_id"), F.lit("hot").alias("k")
+        F.col("id").alias("row_id"),
+        # non-constant key (a literal would fold out of the join keys):
+        # one hot key owning ~99% of rows plus a trickle of cold ones
+        F.when(F.col("id") % 100 == 0, "cold").otherwise("hot").alias("k"),
     )
-    right = spark.createDataFrame([("hot", 1)], "k string, payload int")
+    right = spark.createDataFrame(
+        [("hot", 1), ("cold", 2)], "k string, payload int"
+    )
     out = salted_join(left, right, ["k"], salt_from="row_id", buckets=8)
     plan = _plan(out)
-    assert "_salt" in plan
-    # semantic spread: the hot key's rows hash to >1 (key, salt) group
-    n_salts = (
-        left.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8))
-        )
-        .select("_salt")
+    # the physical join's key list must contain the salt next to the
+    # user key — i.e. the join really runs on (k, _salt), not k alone
+    assert re.search(r"\[k#\d+[^\]\n]*_salt#\d+\]", plan), plan[:600]
+    # semantic spread, via the operator's OWN salt derivation: the
+    # single hot key's rows land in all 8 (key, salt) groups
+    from datasheet_etl_spark.operators.relational import salt_expr
+
+    spread = (
+        out.withColumn("_s", salt_expr("row_id", 8))
+        .select("_s")
         .distinct()
         .count()
     )
-    assert n_salts == 8
+    assert spread == 8
+    # and no rows were lost or duplicated vs the plain join
+    assert out.count() == left.join(right, "k").count()
 
 
 def test_assign_split_map_side_only(spark):

@@ -498,21 +498,36 @@ def test_boilerplate_scores_planted_template(spark):
 
 
 def test_mad_outliers_resists_masking(spark):
-    """The robust gate flags extreme rows that a mean/stddev z-score
-    would mask: one huge value inflates the stddev but not the MAD."""
+    """The robust gate flags a GROUP of extreme rows that a mean/stddev
+    z-score masks: several large outliers inflate the stddev (and drag
+    the mean) enough that none of them reaches 3 sigma — the classic
+    masking effect — while median/MAD ignore them entirely."""
     import pyspark.sql.functions as F
 
     from datasheet_etl_spark.operators.profile import mad_outliers
 
-    rows = [(i, "s", 100 + (i % 7)) for i in range(40)] + [(99, "s", 100000)]
+    rows = [(i, "s", 100 + (i % 7)) for i in range(20)] + [
+        (90 + j, "s", 100000 + j) for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, v long")
+    flagged = {r["id"] for r in mad_outliers(df, "v", ["src"], k=3.0).collect()}
+    assert flagged == {90, 91, 92, 93, 94}
+    # mean/stddev z on the same data flags NOTHING at 3 sigma: the five
+    # outliers own the variance, capping every |z| near sqrt(n/n_out)=2.2
+    stats = df.agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("s")).first()
+    z_max = max(abs(v - stats["m"]) / stats["s"] for _, _, v in rows)
+    assert z_max < 3.0, z_max
+
+
+def test_mad_outliers_null_stratum_not_dropped(spark):
+    """Rows with a NULL stratum key form their own stratum (null-safe
+    joins) — an extreme row can't dodge the gate by missing its tag."""
+    from datasheet_etl_spark.operators.profile import mad_outliers
+
+    rows = [(i, None, 100 + (i % 5)) for i in range(20)] + [(99, None, 50000)]
     df = spark.createDataFrame(rows, "id long, src string, v long")
     flagged = {r["id"] for r in mad_outliers(df, "v", ["src"], k=3.0).collect()}
     assert flagged == {99}
-    # mean/stddev z on the same data does NOT flag it at 3 sigma... the
-    # single outlier owns so much of the variance its own z stays small
-    stats = df.agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("s")).first()
-    z99 = (100000 - stats["m"]) / stats["s"]
-    assert abs(z99) < 6.4  # barely above any practical threshold
 
 
 def test_mad_outliers_zero_mad_flags_nothing(spark):
