@@ -295,3 +295,35 @@ def t54_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_locf(e, ["user_id"], "ts_sec", "value", 3600).orderBy(
         "user_id", "grid_sec"
     )
+
+
+@register(
+    "q38_variant_extract",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q38_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4's VARIANT type: the JSON
+    payload is parsed ONCE into variant's binary encoding
+    (``try_parse_json`` — malformed rows yield NULL instead of killing
+    the scan, the lenient-ingest posture of ``io.read_json_lenient``),
+    then fields are extracted in-plan with ``try_variant_get``.
+
+    At 100 TB this is the difference between re-tokenizing a JSON
+    string per accessed field (``get_json_object`` × N fields = N
+    parses) and one parse feeding arbitrarily many typed extractions —
+    and parquet stores the variant binary, so downstream reads skip
+    string parsing entirely."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
