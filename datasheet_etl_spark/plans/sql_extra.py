@@ -327,3 +327,48 @@ def q38_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q39_recursive_cte",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, p_partkey AS root, 0 AS depth
+        FROM part WHERE p_partkey <= 10
+        UNION ALL
+        SELECT c.p_partkey, a.root, a.depth + 1
+        FROM part c JOIN anc a
+          ON c.p_partkey // 10 = a.node AND c.p_partkey > 10
+    )
+    SELECT root, depth, count(*) AS n
+    FROM anc GROUP BY root, depth ORDER BY root, depth
+    """,
+)
+def q39_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): hierarchy traversal — every part keyed
+    into a decimal-digit tree (parent = key div 10), walked from the
+    ≤10 roots with per-level depth, aggregated per (root, depth). The
+    BOM-explosion / org-chart shape SQL users expect from an engine.
+
+    Scale note: each recursion level is one distributed self-join, and
+    the engine materializes level frontiers — right for BOUNDED-depth
+    hierarchies (depth here ≈ log10(keys); the level limit is
+    ``spark.sql.cteRecursionLevelLimit``). For unbounded/deep graphs
+    use the iterative operators with explicit lineage truncation
+    instead (t16 connected components, t44 PageRank — localCheckpoint
+    per iteration), which is why both live in this inventory."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q39_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS node, p_partkey AS root, 0 AS depth
+            FROM q39_part WHERE p_partkey <= 10
+            UNION ALL
+            SELECT c.p_partkey, a.root, a.depth + 1
+            FROM q39_part c JOIN anc a
+              ON c.p_partkey div 10 = a.node AND c.p_partkey > 10
+        )
+        SELECT root, depth, count(*) AS n
+        FROM anc GROUP BY root, depth ORDER BY root, depth
+        """
+    )
