@@ -53,6 +53,39 @@ class MockVisionClient:
         }
 
 
+class HttpVisionClient(MockVisionClient):
+    """The REAL HTTP client (ref: vision_client.py:235-307): POST the
+    payload, parse the JSON response — one request per media item, a
+    hard timeout so a hung endpoint fails the row instead of wedging
+    the executor, and errors surfaced as exceptions for the stage's
+    in-UDF retry/backoff to handle.
+
+    Instantiated per partition inside ``vision_extract_stage`` (the
+    factory runs in the Python worker), so connections/credentials are
+    never pickled through the plan. Exercised end-to-end in
+    tests/test_vision_stage.py against a loopback ``http.server`` —
+    the full urllib POST → JSON → retry path, no network required;
+    pointing it at a production endpoint is a URL change.
+    """
+
+    def __init__(self, endpoint: str, timeout_s: float = 60.0):
+        self.endpoint = endpoint
+        self.timeout_s = timeout_s
+
+    def extract(self, payload: bytes) -> dict:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.endpoint,
+            data=payload,
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+
 class FlakyMockVisionClient(MockVisionClient):
     """Fails deterministically on the first ``fail_attempts`` tries for
     payloads whose id hits ``fail_mod`` — exercises the retry path."""

@@ -84,3 +84,80 @@ def test_rate_partitioning_bounds_concurrency(spark, media):
 
     out = vision_extract_stage(media, rate_partitions=2)
     assert out.rdd.getNumPartitions() == 2
+
+
+@pytest.fixture(scope="module")
+def loopback_server():
+    """A real HTTP endpoint on 127.0.0.1: POST body in, JSON features
+    out — the same extraction contract as MockVisionClient, so the
+    HTTP path must produce byte-identical stage output. /flaky returns
+    503 for the first two hits of each distinct payload, proving the
+    stage's in-UDF retry against genuine HTTP errors."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from datasheet_etl_spark.sources.vision import MockVisionClient
+
+    hits: dict[bytes, int] = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            payload = self.rfile.read(int(self.headers["Content-Length"]))
+            if self.path == "/flaky":
+                with lock:
+                    n = hits.get(payload, 0) + 1
+                    hits[payload] = n
+                if n <= 2:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+            body = json.dumps(MockVisionClient().extract(payload)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_client_end_to_end_matches_mock(spark, media, loopback_server):
+    """S8's real path: urllib POST from executor Python workers to a
+    live HTTP server; output must equal the in-process mock exactly."""
+    from datasheet_etl_spark.sources import vision_extract_stage
+    from datasheet_etl_spark.sources.vision import HttpVisionClient
+
+    url = f"{loopback_server}/extract"
+    via_http = vision_extract_stage(
+        media, client_factory=lambda: HttpVisionClient(url)
+    )
+    via_mock = vision_extract_stage(media)
+    a = sorted(map(tuple, via_http.collect()))
+    b = sorted(map(tuple, via_mock.collect()))
+    assert a == b
+    assert all(r[1] == "ok" for r in a)
+
+
+def test_http_client_retries_real_503(spark, media, loopback_server):
+    """Each payload's first two POSTs return HTTP 503; the in-UDF retry
+    must absorb them and land every row at attempts == 3."""
+    from datasheet_etl_spark.sources import vision_extract_stage
+    from datasheet_etl_spark.sources.vision import HttpVisionClient
+
+    url = f"{loopback_server}/flaky"
+    out = vision_extract_stage(
+        media.limit(10),
+        client_factory=lambda: HttpVisionClient(url),
+        max_retries=3,
+    ).collect()
+    assert len(out) == 10
+    assert all(r["status"] == "ok" and r["attempts"] == 3 for r in out)
