@@ -520,3 +520,36 @@ def resample_locf(
         [value_col],
     )
     return out.withColumnRenamed(value_col, out_col)
+
+
+def funnel_stages(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel completion per key: for each key (user, session,
+    …), the timestamp each stage was FIRST reached strictly after the
+    previous stage — ``t_0`` = first stage-0 event, ``t_i`` = first
+    stage-i event with ts > t_{i-1}; NULL from the first missed stage
+    onward. The product-analytics "view → click → purchase" question.
+
+    ONE shuffle total: every stage is an unbounded window aggregate
+    over the same partitioning, so Catalyst reuses a single exchange
+    for all chained windows AND the final per-key collapse — the stage
+    count adds window passes, not shuffles. A join-per-stage funnel
+    (the naive translation) costs S shuffles and S join states at
+    100 TB; this shape is why funnels belong in window-function form.
+    """
+    w = Window.partitionBy(*keys)
+    cur = df
+    prev: Column | None = None
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        cur = cur.withColumn(f"t_{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(f"t_{i}")
+    out_cols = [f"t_{i}" for i in range(len(stages))]
+    return cur.groupBy(*keys).agg(*[F.first(c).alias(c) for c in out_cols])

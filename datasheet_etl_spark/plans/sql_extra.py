@@ -372,3 +372,123 @@ def q39_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY root, depth ORDER BY root, depth
         """
     )
+
+
+@register(
+    "t56_triangle_count",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey < 5000 AND b.l_partkey < 5000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.dst = e2.src
+    JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def t56_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts sharing an
+    order) via degree-ordered orientation — the graph-analytics
+    cohesion metric, and the operator whose NAIVE form melts at scale:
+    an id-ordered wedge join explodes quadratically on hub nodes,
+    while orientation toward the higher-degree endpoint caps every
+    out-degree at O(sqrt(m)). The oracle recomputes the count with the
+    straightforward id-ordered 3-way self-join — counting is
+    orientation-invariant, so the scalable plan must reproduce the
+    naive plan's number exactly."""
+    from datasheet_etl_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 5000
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumnRenamed("id_a", "src")
+        .withColumnRenamed("id_b", "dst")
+    )
+    return triangle_count(pairs)
+
+
+@register(
+    "t57_funnel",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS prev_us
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CAST(sum(CASE WHEN prev_us IS NULL
+                           OR ts_us - prev_us > 1800000000 THEN 1
+                           ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM ordered
+    ), s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                    OVER (PARTITION BY user_id, session_id) AS t_0
+      FROM sessions
+    ), s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t_0
+                         THEN ts_us END)
+                    OVER (PARTITION BY user_id, session_id) AS t_1
+      FROM s1
+    ), s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t_1
+                         THEN ts_us END)
+                    OVER (PARTITION BY user_id, session_id) AS t_2
+      FROM s2
+    ), per_session AS (
+      SELECT user_id, session_id,
+             any_value(t_0) AS t_0, any_value(t_1) AS t_1,
+             any_value(t_2) AS t_2
+      FROM s3 GROUP BY user_id, session_id
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(count(t_0) AS BIGINT) AS n_view,
+           CAST(count(t_1) AS BIGINT) AS n_view_click,
+           CAST(count(t_2) AS BIGINT) AS n_view_click_purchase
+    FROM per_session
+    """,
+)
+def t57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel: per 30-min-gap session, did view → click →
+    purchase occur IN ORDER (each stage strictly after the previous
+    one's first completion)? Emits the funnel counts. Sessionize + all
+    three chained stage windows + the final collapse share ONE
+    partitioning — one shuffle end-to-end, where the naive
+    join-per-stage funnel pays a shuffle per stage."""
+    from datasheet_etl_spark.operators.relational import funnel_stages, sessionize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    sess = sessionize(
+        e, ["user_id"], "ts_us", gap_seconds=1_800_000_000, order_keys=["event_id"]
+    )
+    fun = funnel_stages(
+        sess,
+        ["user_id", "session_id"],
+        "ts_us",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+    return fun.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_0").alias("n_view"),
+        F.count("t_1").alias("n_view_click"),
+        F.count("t_2").alias("n_view_click_purchase"),
+    )

@@ -106,3 +106,58 @@ def test_minhash_clusters_match_exact_clusters(spark):
     ).collect()
     as_map = lambda rows: {r["doc_id"]: r["cluster_rep"] for r in rows}
     assert as_map(exact) == as_map(mh)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented count equals a python brute-force enumeration on
+    a deterministic graph containing hubs, chains and cliques."""
+    from itertools import combinations
+
+    from datasheet_etl_spark.operators.graph import triangle_count
+
+    edges = set()
+    # a 5-clique, a hub fanning to 10 leaves (no triangles), a 4-cycle
+    # with one chord (2 triangles), and a chain
+    for a, b in combinations(range(5), 2):
+        edges.add((a, b))
+    edges |= {(100, 200 + i) for i in range(10)}
+    edges |= {(50, 51), (51, 52), (52, 53), (50, 53), (50, 52)}
+    edges |= {(70, 71), (71, 72), (72, 73)}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = sum(
+        1
+        for u, v, w in combinations(sorted(adj), 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = triangle_count(df).first()["n_triangles"]
+    assert got == expected == 10 + 0 + 2 + 0
+
+
+def test_funnel_stages_order_strictness(spark):
+    """A stage event at or before the previous stage's completion does
+    not count; NULLs cascade from the first missed stage."""
+    from datasheet_etl_spark.operators.relational import funnel_stages
+
+    rows = [
+        # key 1: proper view(10) -> click(20) -> purchase(30)
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # key 2: click BEFORE the view -> funnel stops after view
+        (2, 20, "click"), (2, 30, "view"), (2, 40, "purchase"),
+        # key 3: click at EXACTLY the view instant -> strict > rejects
+        (3, 10, "view"), (3, 10, "click"),
+        # key 4: no view at all
+        (4, 10, "click"), (4, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, et string")
+    out = {
+        r["k"]: (r["t_0"], r["t_1"], r["t_2"])
+        for r in funnel_stages(df, ["k"], "ts", "et", ["view", "click", "purchase"]).collect()
+    }
+    assert out[1] == (10, 20, 30)
+    assert out[2] == (30, None, None)  # purchase can't count past a NULL click
+    assert out[3] == (10, None, None)
+    assert out[4] == (None, None, None)

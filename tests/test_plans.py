@@ -357,3 +357,19 @@ def test_resample_locf_single_shuffle(spark):
     plan = _plan(resample_locf(series, ["k"], "ts", "v", 100))
     assert plan.count("Exchange hashpartitioning") <= 2  # grid + series sides
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_shuffle(spark):
+    """t57: sessionize + three chained stage windows + the final
+    per-key collapse share one hash partitioning — a single exchange,
+    not one per stage."""
+    from datasheet_etl_spark.operators.relational import funnel_stages
+
+    df = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "click"), (1, 30, "purchase")] * 5,
+        "k long, ts long, et string",
+    )
+    plan = _plan(
+        funnel_stages(df, ["k"], "ts", "et", ["view", "click", "purchase"])
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:800]
