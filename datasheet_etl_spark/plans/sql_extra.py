@@ -492,3 +492,47 @@ def t57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_1").alias("n_view_click"),
         F.count("t_2").alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "t58_cohort_retention",
+    """
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                    // 604800000000 AS BIGINT) AS week
+        FROM events
+    ), c AS (
+        SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort, wk.week - c.cohort AS week_n,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM wk JOIN c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def t58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted in each subsequent week they return — the
+    product-analytics complement of t57's funnel. Two hash shuffles
+    (both on user_id, so Catalyst reuses one exchange for the distinct,
+    the min-cohort aggregate and the join) + the small final rollup;
+    at 100 TB the (user, week) distinct is the only data-sized stage
+    and it prunes to two columns."""
+    e = load_table(spark, sf_dir, "events")
+    # integer div per the repo's io.py rule — a double quotient would be
+    # correctly rounded here, but div makes floor semantics explicit and
+    # engine-portable
+    week = F.expr(
+        "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+        " div 604800000000"
+    )
+    wk = e.select("user_id", week.alias("week")).distinct()
+    c = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        wk.join(c, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_n"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "week_n")
+    )
