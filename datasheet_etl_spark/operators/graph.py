@@ -256,9 +256,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     invariant, which is exactly what the DuckDB oracle (id-ordered
     3-way join) re-checks.
 
-    Three shuffles: degree agg, wedge join on u, closing join on
-    (v, w). Returns a single row ``n_triangles``.
+    The oriented edge list is PERSISTED before fanning out: it feeds
+    both wedge sides and both directions of the closing join, and
+    without the persist Catalyst re-expands the edges⋈degrees plan into
+    every branch (~4 recomputations of the expensive join — verified in
+    the executed plan). With it: one degree aggregate, one orientation
+    join pass, then the wedge and closing joins over the cached
+    oriented edges. Returns a single row ``n_triangles``.
     """
+    from datasheet_etl_spark.caching import scoped_persist
+
     deg = degrees(edges)
     # total order by (degree, id): orient edge toward the larger key
     e = (
@@ -274,9 +281,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     fwd = (F.col("d_src") < F.col("d_dst")) | (
         (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
     )
-    oriented = e.select(
-        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
-        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    oriented = scoped_persist(
+        e.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        )
     )
     w1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("v2"))

@@ -373,6 +373,12 @@ def sessionize(
     the session id is the running count of starts. One shuffle on the
     partition keys; in streaming the same semantics come from
     ``session_window`` (see streaming module).
+
+    UNIT CONTRACT: the gap is compared against raw ``ts_col`` deltas
+    (after a double cast), so ``gap_seconds`` is in seconds ONLY when
+    ``ts_col`` is a timestamp (whose double cast is epoch seconds). For
+    a numeric ts column the gap is in that column's own units — a
+    microsecond ts needs a microsecond gap (as t57 passes).
     """
     order_keys = list(order_keys or [ts_col])
     w = Window.partitionBy(*partition_keys).orderBy(*order_keys)
@@ -542,6 +548,8 @@ def funnel_stages(
     (the naive translation) costs S shuffles and S join states at
     100 TB; this shape is why funnels belong in window-function form.
     """
+    if not stages:
+        raise ValueError("stages must be non-empty")
     w = Window.partitionBy(*keys)
     cur = df
     prev: Column | None = None

@@ -401,20 +401,15 @@ def t56_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive plan's number exactly."""
     from datasheet_etl_spark.operators.graph import triangle_count
 
+    from datasheet_etl_spark.operators.graph import edges_undirected
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") < 5000
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .withColumnRenamed("id_a", "src")
-        .withColumnRenamed("id_b", "dst")
-    )
-    return triangle_count(pairs)
+    co = a.join(b, "l_orderkey").filter(F.col("id_a") != F.col("id_b"))
+    return triangle_count(edges_undirected(co))
 
 
 @register(
@@ -476,6 +471,9 @@ def t57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts")).alias("ts_us"),
     )
+    # ts is in MICROSECONDS, so per sessionize's unit contract the gap
+    # is too: 1.8e9 µs = 30 min (µs keep the funnel's strict-order
+    # comparisons exact against the epoch_us oracle)
     sess = sessionize(
         e, ["user_id"], "ts_us", gap_seconds=1_800_000_000, order_keys=["event_id"]
     )
@@ -499,8 +497,9 @@ def t57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wk AS (
         SELECT DISTINCT user_id,
-               CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
-                    // 604800000000 AS BIGINT) AS week
+               CAST(floor((epoch_us(ts)
+                           - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                          / 604800000000.0) AS BIGINT) AS week
         FROM events
     ), c AS (
         SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id
@@ -515,20 +514,31 @@ def t57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-active week,
     counted in each subsequent week they return — the
-    product-analytics complement of t57's funnel. Two hash shuffles
-    (both on user_id, so Catalyst reuses one exchange for the distinct,
-    the min-cohort aggregate and the join) + the small final rollup;
-    at 100 TB the (user, week) distinct is the only data-sized stage
-    and it prunes to two columns."""
+    product-analytics complement of t57's funnel.
+
+    The (user, week) distinct is the only data-sized stage (pruned to
+    two columns) and it is persisted before fanning out: without the
+    persist Catalyst re-derives it from the raw scan for BOTH the
+    min-cohort aggregate and the join side (two extra table reads —
+    verified in the executed plan). One scan + the distinct's exchange
+    + the cohort/join exchanges on user_id + the small final rollup.
+
+    Week bucketing uses ``floor``, not integer ``div``: div truncates
+    toward zero, so a pre-anchor event (replayed 2023 history) would
+    collapse week −0.x into week 0 and silently merge two weeks; floor
+    keeps the bucket lattice uniform on both sides of the anchor, and
+    the quotient is a correctly-rounded double well inside 2^53."""
+    from datasheet_etl_spark.caching import scoped_persist
+
     e = load_table(spark, sf_dir, "events")
-    # integer div per the repo's io.py rule — a double quotient would be
-    # correctly rounded here, but div makes floor semantics explicit and
-    # engine-portable
-    week = F.expr(
-        "(unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
-        " div 604800000000"
-    )
-    wk = e.select("user_id", week.alias("week")).distinct()
+    week = F.floor(
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        / F.lit(604_800_000_000.0)
+    ).cast("long")
+    wk = scoped_persist(e.select("user_id", week.alias("week")).distinct())
     c = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
     return (
         wk.join(c, "user_id")

@@ -53,24 +53,37 @@ class MockVisionClient:
         }
 
 
-class HttpVisionClient(MockVisionClient):
+class HttpVisionClient:
     """The REAL HTTP client (ref: vision_client.py:235-307): POST the
     payload, parse the JSON response — one request per media item, a
     hard timeout so a hung endpoint fails the row instead of wedging
     the executor, and errors surfaced as exceptions for the stage's
-    in-UDF retry/backoff to handle.
+    in-UDF retry/backoff to handle. NOT a subclass of the mock — the
+    stage's client contract is just ``.extract(payload) -> dict`` +
+    ``.cost_per_call``.
+
+    ``cost_per_call`` MUST be set to the endpoint's real price — the
+    stage's budget guard and spend accumulator bill with it, so a wrong
+    value means a real overrun (the default matches the reference's
+    demo price purely for test parity with the mock).
 
     Instantiated per partition inside ``vision_extract_stage`` (the
     factory runs in the Python worker), so connections/credentials are
     never pickled through the plan. Exercised end-to-end in
     tests/test_vision_stage.py against a loopback ``http.server`` —
     the full urllib POST → JSON → retry path, no network required;
-    pointing it at a production endpoint is a URL change.
+    pointing it at a production endpoint is a URL + price change.
     """
 
-    def __init__(self, endpoint: str, timeout_s: float = 60.0):
+    def __init__(
+        self,
+        endpoint: str,
+        timeout_s: float = 60.0,
+        cost_per_call: float = MockVisionClient.cost_per_call,
+    ):
         self.endpoint = endpoint
         self.timeout_s = timeout_s
+        self.cost_per_call = cost_per_call
 
     def extract(self, payload: bytes) -> dict:
         import json
