@@ -211,3 +211,68 @@ def mad_outliers(
         .filter(F.abs(F.col(z_col)) > k)
         .drop("_m", "_mad", *[f"_s_{s}" for s in strata])
     )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE scan: all
+    M + M(M+1)/2 moments (per-column sums, all cross/self products)
+    land in a single aggregate row, then the M(M-1)/2 correlations are
+    computed from the moments and unpivoted — where the naive loop
+    (``df.stat.corr`` per pair) reads the table once per pair,
+    O(M²) scans at 100 TB.
+
+    Moments are EXACT decimals (values cast to DECIMAL(14,3) — exact
+    for these ≤2-dp measures and narrow enough that engines multiply
+    without internal int64 overflow — products summed at DECIMAL(38,6)),
+    so the result is independent of
+    partitioning/aggregation order AND engine — float summation order
+    is exactly what makes naive correlation non-reproducible at scale;
+    correlations are then derived from the moments in double
+    (corr = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²))).
+
+    Returns (col_x, col_y, corr) for x < y in ``cols`` order. NULL corr
+    for a zero-variance column. NULL values poison the decimal sums
+    (SQL sum skips NULLs but pairwise moments then disagree on n) —
+    drop or impute upstream; this operator assumes complete columns.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(14,3)")).alias(f"_s_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(x).cast("decimal(14,3)")
+                        * F.col(y).cast("decimal(14,3)")
+                    ).cast("decimal(38,6)")
+                ).alias(f"_p_{x}_{y}")
+            )
+    row = df.agg(*aggs)
+
+    def _corr(x: str, y: str) -> Column:
+        n = F.col("_n")
+        sx = F.col(f"_s_{x}").cast("double")
+        sy = F.col(f"_s_{y}").cast("double")
+        pxy = F.col(f"_p_{x}_{y}").cast("double")
+        pxx = F.col(f"_p_{x}_{x}").cast("double")
+        pyy = F.col(f"_p_{y}_{y}").cast("double")
+        num = n * pxy - sx * sy
+        den = F.sqrt((n * pxx - sx * sx) * (n * pyy - sy * sy))
+        return num / F.nullif(den, F.lit(0.0))
+
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1 :]]
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("col_x"),
+                        F.lit(y).alias("col_y"),
+                        F.round(_corr(x, y), 6).alias("corr"),
+                    )
+                    for x, y in pairs
+                ]
+            )
+        ).alias("_pair")
+    ).select("_pair.*")

@@ -546,3 +546,63 @@ def t58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort", "week_n")
     )
+
+
+_T59_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _t59_sql() -> str:
+    """DuckDB mirror of correlation_matrix's exact-decimal moments: the
+    same DECIMAL(18,6)/(38,12) sums and the same double arithmetic, so
+    both engines derive identical correlations bit-for-bit."""
+    cols = _T59_COLS
+    m = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        m.append(f"sum(CAST({c} AS DECIMAL(14,3))) AS s_{c}")
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            m.append(
+                f"sum(CAST(CAST({x} AS DECIMAL(14,3)) * "
+                f"CAST({y} AS DECIMAL(14,3)) AS DECIMAL(38,6))) AS p_{x}_{y}"
+            )
+    selects = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            num = (
+                f"(n * CAST(p_{x}_{y} AS DOUBLE)"
+                f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            )
+            dx = (
+                f"(n * CAST(p_{x}_{x} AS DOUBLE)"
+                f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            )
+            dy = (
+                f"(n * CAST(p_{y}_{y} AS DOUBLE)"
+                f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            )
+            selects.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+                f"round({num} / nullif(sqrt({dx} * {dy}), 0.0), 6) AS corr "
+                f"FROM m"
+            )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(m)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+@register("t59_correlation_matrix", _t59_sql())
+def t59_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over four lineitem measures in ONE
+    scan (all moments in a single aggregate row) — ``df.stat.corr``
+    per pair would read the table M(M-1)/2 times. Moments are exact
+    decimals, so the answer is identical under any partitioning, task
+    order, or engine — float-sum correlation is order-dependent, which
+    is why naive implementations fail reproducibility audits at scale."""
+    from datasheet_etl_spark.operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, list(_T59_COLS)).orderBy("col_x", "col_y")

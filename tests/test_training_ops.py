@@ -560,3 +560,27 @@ def test_resample_locf_grid_and_carry(spark):
         (1, 200): 10.0,  # carried from ts=130
         (2, 0): None,  # grid is sequence(0, 70, 100) = [0], before ts=70
     }
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    """One-scan decimal-moment correlations equal numpy.corrcoef to 6dp
+    (values are ≤3-dp so the decimal moments are exact)."""
+    import numpy as np
+
+    from datasheet_etl_spark.operators.profile import correlation_matrix
+
+    rows = [
+        (float(i), round(2.5 * i + (i % 7) * 0.125 * 8, 3) / 1.0, float((i * 37) % 11))
+        for i in range(200)
+    ]
+    # keep everything representable at 3 decimal places
+    rows = [(a, round(b, 3), c) for a, b, c in rows]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    m = np.corrcoef(np.array(rows).T)
+    assert abs(got[("x", "y")] - m[0, 1]) < 1e-6
+    assert abs(got[("x", "z")] - m[0, 2]) < 1e-6
+    assert abs(got[("y", "z")] - m[1, 2]) < 1e-6
