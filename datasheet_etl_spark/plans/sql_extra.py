@@ -1,4 +1,11 @@
-"""Additional SQL-surface entries (CUBE, RANGE window frames).
+"""Additional SQL-surface and analytics entries.
+
+SQL breadth: CUBE (q35), RANGE window frames (q36), LATERAL top-k
+(q37), VARIANT semi-structured extraction (q38), recursive CTE (q39).
+Ops/analytics: salted skew join (t51), train/val/test split (t52),
+MAD outlier gate (t53), LOCF grid resample (t54), triangle count
+(t56), session funnel (t57), cohort retention (t58), one-scan
+correlation matrix (t59).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
