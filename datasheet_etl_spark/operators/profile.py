@@ -223,8 +223,8 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
     Moments are EXACT decimals (values cast to DECIMAL(14,3) — exact
     for these ≤2-dp measures and narrow enough that engines multiply
-    without internal int64 overflow — products summed at DECIMAL(38,6)),
-    so the result is independent of
+    without internal int64 overflow — product sums accumulate at
+    DECIMAL(38,6)), so the result is independent of
     partitioning/aggregation order AND engine — float summation order
     is exactly what makes naive correlation non-reproducible at scale;
     correlations are then derived from the moments in double
@@ -240,12 +240,14 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         aggs.append(F.sum(F.col(c).cast("decimal(14,3)")).alias(f"_s_{c}"))
     for i, x in enumerate(cols):
         for y in cols[i:]:
+            # native product precision (29,6) — no widening cast: the
+            # sum accumulates at (38,6) regardless, and the explicit
+            # (38,6) cast per row measured 2x slower (per-row BigDecimal
+            # rescale) for zero extra exactness
             aggs.append(
                 F.sum(
-                    (
-                        F.col(x).cast("decimal(14,3)")
-                        * F.col(y).cast("decimal(14,3)")
-                    ).cast("decimal(38,6)")
+                    F.col(x).cast("decimal(14,3)")
+                    * F.col(y).cast("decimal(14,3)")
                 ).alias(f"_p_{x}_{y}")
             )
     row = df.agg(*aggs)
