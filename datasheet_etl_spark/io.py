@@ -223,8 +223,11 @@ def compact_small_files(
     streaming sinks and fine-grained appends accrete kilobyte files
     whose per-file open/footer cost eventually dominates scans (and
     whose count is a driver-memory burden at listing time). Rewrite via
-    a temp sibling directory + atomic rename so a crash never leaves
-    the table half-compacted."""
+    a temp sibling directory, then swap with two renames (old table is
+    renamed aside BEFORE the new one takes its place): at no point is
+    the path absent with the data deleted — a crash leaves either the
+    original table, or the compacted one plus a ``__old`` directory to
+    garbage-collect, never nothing."""
     import os
     import shutil
 
@@ -232,11 +235,15 @@ def compact_small_files(
         f for f in os.listdir(path) if f.endswith(".parquet")
     ]
     tmp = f"{path}__compacting"
+    old = f"{path}__old"
     spark.read.parquet(path).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a prior crashed compaction
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(before)
 
 

@@ -556,12 +556,18 @@ def build_gram_bloom(
         ).alias("_ng")
     ).distinct()
     if m_bits is None or k_hashes is None:
+        # derive ONLY the missing parameter(s): a caller-chosen size or
+        # hash count must never be silently overwritten
         n_grams = grams.count()
-        m_bits = max(64, int(-n_grams * math.log(fpp) / (math.log(2) ** 2)))
-        m_bits = (m_bits + 63) // 64 * 64
-        k_hashes = max(1, round(m_bits / max(n_grams, 1) * math.log(2)))
+        if m_bits is None:
+            m_bits = max(64, int(-n_grams * math.log(fpp) / (math.log(2) ** 2)))
+        if k_hashes is None:
+            k_hashes = max(1, round(m_bits / max(n_grams, 1) * math.log(2)))
     else:
         n_grams = -1  # caller-sized; fp_rate() meaningless until set
+    # the word array is uint64-backed: round any size up to a multiple
+    # of 64 so the highest bit positions have a word to land in
+    m_bits = (m_bits + 63) // 64 * 64
 
     pos = F.explode(F.array(*_bloom_positions(F.col("_ng"), k_hashes, m_bits)))
     words = (
@@ -635,5 +641,6 @@ def decontaminate_bloom(
             if not out.empty:
                 yield out
 
-    hits = probe_in.mapInPandas(op, schema=f"{id_col} long")
+    id_type = train.schema[id_col].dataType.simpleString()
+    hits = probe_in.mapInPandas(op, schema=f"{id_col} {id_type}")
     return hits.groupBy(id_col).agg(F.count("*").cast("long").alias(hit_col))

@@ -171,6 +171,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list (pre-filter matched nothing): empty ranks,
+        # not a driver-side ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     links = (
         e.join(out_deg, src)

@@ -164,10 +164,15 @@ def crop_regions(raw_pages: DataFrame, regions: DataFrame) -> DataFrame:
                     r.px_h, r.px_w, r.channels
                 )
                 sx, sy = r.px_w / r.page_w, r.px_h / r.page_h
-                cx0 = max(0, int(np.floor(r.x0 * sx)))
-                cy0 = max(0, int(np.floor(r.y0 * sy)))
-                cx1 = min(r.px_w, int(np.ceil(r.x1 * sx)))
-                cy1 = min(r.px_h, int(np.ceil(r.y1 * sy)))
+                # clamp BOTH ends into [0, px] and force x1>=x0: a box
+                # outside the raster (bad detector output, mismatched
+                # coordinate basis) degrades to an empty 0-wide crop
+                # instead of emitting negative px_w/px_h rows that crash
+                # any reshape-ing consumer
+                cx0 = min(max(0, int(np.floor(r.x0 * sx))), r.px_w)
+                cy0 = min(max(0, int(np.floor(r.y0 * sy))), r.px_h)
+                cx1 = max(cx0, min(r.px_w, int(np.ceil(r.x1 * sx))))
+                cy1 = max(cy0, min(r.px_h, int(np.ceil(r.y1 * sy))))
                 crop = np.ascontiguousarray(img[cy0:cy1, cx0:cx1])
                 out.append(
                     (

@@ -30,23 +30,29 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     handful of audit columns); swap ``approx_count_distinct`` in at
     thousands of columns if the expand dominates.
     """
+    # internal agg names are INDEX-based and labels are F.lit()s, so no
+    # user-supplied column name is ever spliced into SQL text (a quote,
+    # backtick or dot in a profiled column name must not break parsing)
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"__{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"__{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
+            F.count(df[c]).alias(f"__p{i}_nn"),
+            F.count_distinct(df[c]).alias(f"__p{i}_nd"),
+            F.min(df[c]).cast("string").alias(f"__p{i}_min"),
+            F.max(df[c]).cast("string").alias(f"__p{i}_max"),
         ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    stack_args = ", ".join(
-        f"'{c}', `__{c}__nn`, `__{c}__nd`, `__{c}__min`, `__{c}__max`"
-        for c in cols
-    )
-    long = row.selectExpr(
-        "__n",
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(col_name, __nn, n_distinct, min_value, max_value)",
+    stack_args = [F.lit(len(cols))]
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c),
+            F.col(f"__p{i}_nn"),
+            F.col(f"__p{i}_nd"),
+            F.col(f"__p{i}_min"),
+            F.col(f"__p{i}_max"),
+        ]
+    long = row.select(F.col("__n"), F.stack(*stack_args)).toDF(
+        "__n", "col_name", "__nn", "n_distinct", "min_value", "max_value"
     )
     return long.select(
         "col_name",
@@ -80,9 +86,13 @@ def check_expectations(
         for i, r in enumerate(names)
     ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    stack_args = ", ".join(f"'{r}', __r{i}" for i, r in enumerate(names))
-    long = row.selectExpr(
-        "__n", f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"
+    # rule labels go through F.lit, never SQL text — quotes in a rule
+    # name must not become a ParseException
+    stack_args = [F.lit(len(names))]
+    for i, r in enumerate(names):
+        stack_args += [F.lit(r), F.col(f"__r{i}")]
+    long = row.select(F.col("__n"), F.stack(*stack_args)).toDF(
+        "__n", "rule", "n_violations"
     )
     return long.select(
         "rule",

@@ -464,13 +464,24 @@ def snapshot_diff(
 
     Returns ``(key_col, status, old_fp, new_fp)``.
     """
-    o = old.select(F.col(key_col), F.col(fp_col).alias("old_fp"))
-    n = new.select(F.col(key_col), F.col(fp_col).alias("new_fp"))
+    # presence comes from explicit indicator columns, NOT fp nullness:
+    # a row present in both snapshots with a NULL fingerprint (md5 of a
+    # NULL body) must classify as changed/unchanged, never added/removed
+    o = old.select(
+        F.col(key_col),
+        F.col(fp_col).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.col(fp_col).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
+    )
     j = o.join(n, key_col, "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(key_col, status.alias(status_col), "old_fp", "new_fp")

@@ -202,26 +202,13 @@ def quantile_gate(
     accuracy: int = 10_000,
     keep_threshold_col: str | None = None,
 ) -> DataFrame:
-    """Keep rows at or above their stratum's q-th quantile of
-    ``value_col`` — the corpus-scale form of the percentile gate
-    (t39): per-stratum ``percentile_approx`` thresholds are a tiny
-    aggregate broadcast back into a map-side filter, so no stratum is
-    ever sorted. vs the exact ``percent_rank`` gate: tie handling
-    differs at the threshold value (this keeps the WHOLE boundary tie
-    group; percent_rank cuts inside it) and the quantile itself is
-    approximate to ``1/accuracy`` — both immaterial for gating, which
-    is a policy filter, not an exact top-k.
-    """
-    thr = df.groupBy(strata_col).agg(
-        F.percentile_approx(value_col, q, accuracy).alias("_thr")
+    """Single-stratum convenience form of
+    :func:`percentile_gate_approx` — same thresholds, same tie
+    semantics, one implementation (kept as a wrapper for the
+    established call sites)."""
+    return percentile_gate_approx(
+        df, value_col, [strata_col], q, accuracy, keep_threshold_col
     )
-    out = (
-        df.join(F.broadcast(thr), strata_col)
-        .filter(F.col(value_col) >= F.col("_thr"))
-    )
-    if keep_threshold_col is not None:
-        return out.withColumnRenamed("_thr", keep_threshold_col)
-    return out.drop("_thr")
 
 
 def rate_to_hex_threshold(rate: float, hex_digits: int = 4) -> str:
@@ -470,6 +457,7 @@ def percentile_gate_approx(
     strata: Sequence[str],
     q: float = 0.75,
     accuracy: int = 10000,
+    keep_threshold_col: str | None = None,
 ) -> DataFrame:
     """The corpus-scale form of the per-stratum percentile gate
     (t39_quality_percentile_gate): instead of a percent_rank sort over
@@ -497,11 +485,12 @@ def percentile_gate_approx(
     th = df.groupBy(*[F.col(s) for s in strata]).agg(
         F.percentile_approx(score_col, q, accuracy).alias("_th")
     )
-    return (
-        df.join(F.broadcast(th), list(strata))
-        .filter(F.col(score_col) >= F.col("_th"))
-        .drop("_th")
+    out = df.join(F.broadcast(th), list(strata)).filter(
+        F.col(score_col) >= F.col("_th")
     )
+    if keep_threshold_col is not None:
+        return out.withColumnRenamed("_th", keep_threshold_col)
+    return out.drop("_th")
 
 
 def split_thresholds(

@@ -365,18 +365,20 @@ def idempotent_keyed_sink(
     target-keys scan per micro-batch — keep the target partitioned or
     compacted so that scan reads keys, not bodies, at corpus scale.)
     """
-    import os
-
     keys = list(key_cols)
     spark = sdf.sparkSession
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates(keys)
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
+        # target existence is checked THROUGH Spark, not os.path — the
+        # target may be s3a://, hdfs://, etc., where a local-fs check
+        # silently skips the anti-join and forfeits idempotency
+        try:
             existing = spark.read.parquet(target_dir).select(keys)
             fresh = fresh.join(existing, keys, "left_anti")
+        except Exception as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
         fresh.write.mode("append").parquet(target_dir)
 
     query = (

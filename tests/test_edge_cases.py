@@ -234,3 +234,65 @@ def test_accuracy_rollup(spark):
     assert by[("table", "t2", None)] == (0.0, 2)
     assert by[("row", "t1", 0)] == (0.5, 2)
     assert by[("row", "t1", 1)] == (1.0, 1)
+
+
+def test_snapshot_diff_null_fingerprints(spark):
+    """Presence is decided by join-side indicators, not fp nullness: a
+    key in both snapshots with NULL fingerprints (md5 of NULL body) is
+    unchanged, and NULL->value / value->NULL are changed."""
+    from datasheet_etl_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "b"), (4, None)], "doc_id long, fp string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_expectations_rule_names_with_quotes(spark):
+    """Rule/column labels go through F.lit, never SQL splicing — quotes
+    and backticks in names must not break parsing."""
+    import pyspark.sql.functions as F
+
+    from datasheet_etl_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, t string")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in check_expectations(
+            df, {"text isn't `empty`": F.col("t").isNotNull()}
+        ).collect()
+    }
+    assert out == {"text isn't `empty`": 1}
+
+
+def test_crop_regions_out_of_raster_box_degrades_to_empty(spark):
+    """A region box outside the raster yields a 0-sized crop, never a
+    negative-dimension row."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.multimodal import crop_regions
+
+    pages = spark.createDataFrame(
+        [("d", 1, 4, 4, 1, bytes(range(16)))],
+        "doc string, page_num int, px_w int, px_h int, channels int, pixels binary",
+    ).withColumn("page_w", F.lit(4.0)).withColumn("page_h", F.lit(4.0))
+    regions = spark.createDataFrame(
+        [("d", 1, 0, "table", 10.0, 10.0, 20.0, 20.0)],
+        "doc string, page_num int, region_id int, kind string, "
+        "x0 double, y0 double, x1 double, y1 double",
+    )
+    rows = crop_regions(regions, pages).collect()
+    assert len(rows) == 1
+    assert rows[0]["px_w"] == 0 and rows[0]["px_h"] == 0
+    assert rows[0]["pixels"] == b""
+
+
+def test_pagerank_empty_edges(spark):
+    from datasheet_etl_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e).count() == 0

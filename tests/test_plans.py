@@ -235,6 +235,10 @@ def test_chunk_documents_no_shuffle(spark):
     from datasheet_etl_spark.io import load_table
     from datasheet_etl_spark.operators.text import chunk_documents
 
+    # pin the UNCACHED plan: another module's cached `documents` would
+    # substitute an InMemoryRelation whose scan reads all columns,
+    # hiding the pruning this test exists to assert
+    spark.catalog.clearCache()
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "text", "n_chars"
     )
