@@ -174,3 +174,88 @@ def test_pack_model_bins_monotone_contiguous(costs, budget):
     assert bins[0] == 0
     assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
     assert all(b2 - b1 <= max(costs) // budget + 1 for b1, b2 in zip(bins, bins[1:]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1e-4, max_value=1.0),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_split_thresholds_partition_properties(fracs):
+    """For any normalized fraction vector above the quantum: bounds are
+    strictly increasing, the last is the absorb-everything sentinel, and
+    each bound is a 4-hex-digit string (or 'g')."""
+    from datasheet_etl_spark.operators.sampling import split_thresholds
+
+    total = sum(fracs)
+    fractions = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    if any(f < 1.0 / 16**4 for f in fractions.values()):
+        with pytest.raises(ValueError):
+            split_thresholds(fractions)
+        return
+    bounds = split_thresholds(fractions)
+    assert bounds[-1][1] == "g"
+    hex_bounds = [b for _, b in bounds[:-1]]
+    assert all(len(b) == 4 for b in hex_bounds)
+    assert hex_bounds == sorted(hex_bounds)
+    assert len(set(hex_bounds)) == len(hex_bounds)  # strictly increasing
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=100),  # ts
+            st.sampled_from(["a", "b", "c", "x"]),  # stage type
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_funnel_stages_matches_model(spark, rows):
+    """funnel_stages equals a per-key python model: t_0 = first 'a',
+    t_i = first stage-i event strictly after t_{i-1}."""
+    from datasheet_etl_spark.operators.relational import funnel_stages
+
+    # dedupe (key, ts) collisions deterministically: keep the first
+    # occurrence, mirroring the operator's requirement of one row per
+    # (key, ts) for deterministic results
+    seen, uniq = set(), []
+    for k, ts, et in rows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            uniq.append((k, ts, et))
+    df = spark.createDataFrame(uniq, "k int, ts long, et string")
+    got = {
+        r["k"]: (r["t_0"], r["t_1"], r["t_2"])
+        for r in funnel_stages(df, ["k"], "ts", "et", ["a", "b", "c"]).collect()
+    }
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, ts, et in uniq:
+        by_key.setdefault(k, []).append((ts, et))
+    for k, evs in by_key.items():
+        # model: first stage-0 ts, then first stage-i ts strictly after
+        # the previous completion; NULL cascade after the first miss
+        exp = []
+        prev_ts = None
+        alive = True
+        for stage in ("a", "b", "c"):
+            if not alive:
+                exp.append(None)
+                continue
+            cand = [
+                ts
+                for ts, et in evs
+                if et == stage and (prev_ts is None or ts > prev_ts)
+            ]
+            if cand:
+                prev_ts = min(cand)
+                exp.append(prev_ts)
+            else:
+                exp.append(None)
+                alive = False
+        assert got[k] == tuple(exp), (k, evs, got[k], exp)
