@@ -377,6 +377,46 @@ def cmd_index(args, spark=None) -> int:
     return 0
 
 
+def cmd_explain(args, spark=None) -> int:
+    """Print the physical plan of any registry entry — the explain-first
+    audit loop as a command: check PushedFilters / ReadSchema /
+    broadcast choices / exchange counts for a query without writing a
+    script. ``--all`` sweeps every entry and prints one summary line
+    each (scans, exchanges, broadcast joins, whether a sort appears) —
+    the quick regression scan for plan-shape drift."""
+    spark = _get_spark(spark)
+    from datasheet_etl_spark.plans import registry
+
+    reg = registry()
+    if args.entry != "all" and args.entry not in reg:
+        print(f"unknown entry {args.entry!r}; choices: {', '.join(sorted(reg))}")
+        return 1
+
+    def plan_of(name):
+        return reg[name](spark, args.sf_dir)._jdf.queryExecution()
+
+    if args.entry == "all":
+        for name in reg:
+            try:
+                plan = plan_of(name).executedPlan().toString()
+            except Exception as exc:  # noqa: BLE001
+                print(f"{name:34s} ERROR {type(exc).__name__}")
+                continue
+            print(
+                f"{name:34s} scans={plan.count('FileScan'):2d} "
+                f"exchanges={plan.count('Exchange hashpartitioning'):2d} "
+                f"bcast={plan.count('BroadcastHashJoin'):2d} "
+                f"smj={plan.count('SortMergeJoin'):2d}"
+            )
+        return 0
+    qe = plan_of(args.entry)
+    if args.mode == "formatted":
+        print(qe.explainString("formatted"))
+    else:
+        print(qe.executedPlan().toString())
+    return 0
+
+
 def main(argv: Sequence[str] | None = None, spark=None) -> int:
     parser = argparse.ArgumentParser(
         prog="datasheet_etl_spark",
@@ -439,6 +479,13 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--nprobe", type=int, default=4)
 
+    p = sub.add_parser(
+        "explain", help="Print the physical plan of a registry entry"
+    )
+    p.add_argument("entry", help="registry entry name, or 'all' for a sweep")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--mode", choices=["plan", "formatted"], default="plan")
+
     args = parser.parse_args(argv)
     if not args.command:
         parser.print_help()
@@ -452,6 +499,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "curate": cmd_curate,
         "diff": cmd_diff,
         "index": cmd_index,
+        "explain": cmd_explain,
     }
     return handlers[args.command](args, spark=spark)
 

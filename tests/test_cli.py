@@ -161,3 +161,12 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert "changed    1" in printed and "unchanged  1" in printed
     rows = {r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()}
     assert rows == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_cli_explain(spark, capsys):
+    from datasheet_etl_spark.cli import main
+
+    assert main(["explain", "t01_dedup_exact"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "FileScan" in out or "AdaptiveSparkPlan" in out
+    assert main(["explain", "nope_not_an_entry"], spark=spark) == 1
