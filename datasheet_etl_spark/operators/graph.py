@@ -270,7 +270,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """
     from datasheet_etl_spark.caching import scoped_persist
 
-    deg = degrees(edges)
+    # deg is consumed twice (src and dst joins) and itself re-derives
+    # the edge list — persist it so the orientation pass reads edges
+    # once, not three times
+    deg = scoped_persist(degrees(edges))
     # total order by (degree, id): orient edge toward the larger key
     e = (
         edges.join(deg.withColumnRenamed("id", "src"), "src")

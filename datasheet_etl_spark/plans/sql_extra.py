@@ -408,6 +408,7 @@ def t56_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive plan's number exactly."""
     from datasheet_etl_spark.operators.graph import triangle_count
 
+    from datasheet_etl_spark.caching import scoped_persist
     from datasheet_etl_spark.operators.graph import edges_undirected
 
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -416,7 +417,9 @@ def t56_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
     co = a.join(b, "l_orderkey").filter(F.col("id_a") != F.col("id_b"))
-    return triangle_count(edges_undirected(co))
+    # the edge list feeds the degree agg AND the orientation join —
+    # persist it so the co-purchase self-join runs once
+    return triangle_count(scoped_persist(edges_undirected(co)))
 
 
 @register(
