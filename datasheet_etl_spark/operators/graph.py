@@ -308,3 +308,44 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "inner",
     )
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame, k: int, max_iter: int = 30
+) -> DataFrame:
+    """The k-core of an undirected graph (``src`` < ``dst``, deduped):
+    the maximal subgraph where every node has degree ≥ k, computed by
+    iterative peeling — drop all nodes with degree < k, recompute
+    degrees on the surviving subgraph, repeat until stable. The
+    community-mining / spam-subgraph primitive (dense cores survive,
+    tendrils and stars peel away) that degree filtering alone cannot
+    compute: removing a low-degree node can demote its neighbors, so
+    one pass is not enough.
+
+    Each round is one degree aggregate + one semi-join pair on the
+    CURRENT edge set, localCheckpoint'ed so lineage stays one-round
+    deep at any iteration count (same discipline as
+    ``connected_components``/``pagerank``). Round count is bounded by
+    the graph's degeneracy ordering depth — small for real graphs; a
+    non-converged run raises rather than returning a wrong core.
+
+    Returns the surviving edge list (src, dst); nodes of the core are
+    its distinct endpoints.
+    """
+    cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = degrees(cur)
+        low = deg.filter(F.col("degree") < k).select("id")
+        n_low = low.count()
+        if n_low == 0:
+            return cur
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        cur = (
+            cur.join(keep.withColumnRenamed("id", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core did not stabilize in {max_iter} rounds; raise max_iter"
+    )

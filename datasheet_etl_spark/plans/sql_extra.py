@@ -616,3 +616,82 @@ def t59_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return correlation_matrix(li, list(_T59_COLS)).orderBy("col_x", "col_y")
+
+
+@register(
+    "t60_psi_drift",
+    """
+    WITH o AS (
+        SELECT least(9, greatest(0, CAST(n_chars // 100 AS BIGINT))) AS bucket
+        FROM documents WHERE doc_id % 2 = 0
+    ), nw AS (
+        SELECT least(9, greatest(0, CAST(n_chars // 100 AS BIGINT))) AS bucket
+        FROM documents WHERE doc_id % 2 = 1
+    ), ob AS (
+        SELECT bucket, count(*) AS n_old FROM o GROUP BY bucket
+    ), nb AS (
+        SELECT bucket, count(*) AS n_new FROM nw GROUP BY bucket
+    ), spine AS (
+        SELECT CAST(g AS BIGINT) AS bucket
+        FROM unnest(generate_series(0, 9)) AS t(g)
+    ), j AS (
+        SELECT s.bucket,
+               coalesce(ob.n_old, 0) AS n_old,
+               coalesce(nb.n_new, 0) AS n_new
+        FROM spine s LEFT JOIN ob USING (bucket) LEFT JOIN nb USING (bucket)
+    ), tot AS (
+        SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j
+    )
+    SELECT j.bucket, j.n_old, j.n_new,
+           round((j.n_old + 0.5) / (tot.t_o + 5.0), 6) AS p_old,
+           round((j.n_new + 0.5) / (tot.t_n + 5.0), 6) AS p_new,
+           round(((j.n_new + 0.5) / (tot.t_n + 5.0)
+                  - (j.n_old + 0.5) / (tot.t_o + 5.0))
+                 * ln(((j.n_new + 0.5) / (tot.t_n + 5.0))
+                      / ((j.n_old + 0.5) / (tot.t_o + 5.0))), 6) AS psi
+    FROM j, tot
+    ORDER BY j.bucket
+    """,
+)
+def t60_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus versions (here the
+    even/odd doc_id halves standing in for build N and N+1): per-bucket
+    Population Stability Index over document length on a fixed grid.
+    The pre-ship alarm a corpus build runs with t46's snapshot diff —
+    diff says WHAT changed, PSI says whether the corpus DISTRIBUTION
+    moved. Two kilobyte aggregates + a 10-row spine; zero data-sized
+    shuffles."""
+    from datasheet_etl_spark.operators.profile import psi_drift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return psi_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        bucket_width=100,
+    )
+
+
+@register("t61_k_core")  # iterative peeling → rows-only (model-tested)
+def t61_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction over the co-purchase graph: the 4-core
+    (every surviving part co-purchased with ≥4 other surviving parts) —
+    the community/spam-mining primitive where peeling cascades make a
+    single degree filter wrong. Iterative, so rows-only; equality with
+    the python peeling model is pinned in tests/test_graph.py. Survives
+    scale the same way t16/t44 do: per-round degree agg + semi-joins
+    with localCheckpoint lineage truncation."""
+    from datasheet_etl_spark.caching import scoped_persist
+    from datasheet_etl_spark.operators.graph import degrees, edges_undirected, k_core
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 2000)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+    co = a.join(b, "l_orderkey").filter(F.col("id_a") != F.col("id_b"))
+    core = k_core(scoped_persist(edges_undirected(co)), k=4)
+    return (
+        degrees(core)
+        .withColumnRenamed("id", "part_id")
+        .withColumnRenamed("degree", "core_degree")
+        .orderBy("part_id")
+    )

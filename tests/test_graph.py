@@ -161,3 +161,36 @@ def test_funnel_stages_order_strictness(spark):
     assert out[2] == (30, None, None)  # purchase can't count past a NULL click
     assert out[3] == (10, None, None)
     assert out[4] == (None, None, None)
+
+
+def test_k_core_matches_model(spark):
+    """Peeled 2-core equals the python model on a graph where one
+    removal cascades (chain off a triangle) — the case a single
+    degree filter gets wrong."""
+    edges = [
+        (1, 2), (2, 3), (1, 3),      # triangle: the 2-core
+        (3, 4), (4, 5), (5, 6),      # chain: peels entirely
+        (7, 8),                      # isolated edge: peels
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from datasheet_etl_spark.operators.graph import k_core
+
+    core = {(r["src"], r["dst"]) for r in k_core(df, 2).collect()}
+    assert core == {(1, 2), (2, 3), (1, 3)}
+
+    # python model: iterative peeling
+    def model(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return es
+            es = {(u, v) for u, v in es if u not in bad and v not in bad}
+
+    assert core == model(edges, 2)
+    # k=3: triangle nodes have degree 2 -> nothing survives
+    assert k_core(df, 3).count() == 0

@@ -584,3 +584,29 @@ def test_correlation_matrix_matches_numpy(spark):
     assert abs(got[("x", "y")] - m[0, 1]) < 1e-6
     assert abs(got[("x", "z")] - m[0, 2]) < 1e-6
     assert abs(got[("y", "z")] - m[1, 2]) < 1e-6
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """Identical halves give PSI ~ 0; a planted mean shift pushes the
+    index past the 0.25 'distribution shifted' line."""
+    from datasheet_etl_spark.operators.profile import psi_drift
+
+    same = spark.createDataFrame(
+        [(i, 100 + (i % 300)) for i in range(600)], "id long, v long"
+    )
+    psi_same = (
+        psi_drift(same, same, "v", bucket_width=100)
+        .agg(F.sum("psi").alias("s"))
+        .first()["s"]
+    )
+    assert abs(psi_same) < 1e-9
+
+    shifted = spark.createDataFrame(
+        [(i, 500 + (i % 300)) for i in range(600)], "id long, v long"
+    )
+    psi_shift = (
+        psi_drift(same, shifted, "v", bucket_width=100)
+        .agg(F.sum("psi").alias("s"))
+        .first()["s"]
+    )
+    assert psi_shift > 0.25, psi_shift
