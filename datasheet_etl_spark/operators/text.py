@@ -4,6 +4,8 @@ all oracle-expressible, all shuffle-free per document."""
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -219,4 +221,56 @@ def boilerplate_scores(
                 F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6),
             ).otherwise(F.lit(0.0)),
         )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every matching document for a bag of query
+    terms — ranked retrieval as a dataflow. Classic Robertson/Sparck
+    Jones idf ``ln(1 + (N − df + 0.5)/(df + 0.5))`` with the standard
+    (k1, b) saturation/length normalization.
+
+    Scale shape: the postings explode FILTERS to the query terms before
+    aggregating, so shuffle volume is O(matches), not O(corpus tokens);
+    per-term document frequencies and the (N, avgdl) stats are
+    kilobyte-sized broadcasts back onto the match list. For a standing
+    query workload, materialize the full postings list once
+    (term-bucketed parquet) and reuse it — this operator is the
+    ad-hoc/one-shot form. All inputs to the score are exact integers
+    (tf, df, dl, N), so the double arithmetic is engine-reproducible.
+
+    Returns (id, bm25) for documents matching ≥1 term, unordered —
+    callers add their top-k.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    lens = toks.select(id_col, F.size("_t").alias("_dl"))
+    tf = (
+        toks.select(id_col, F.explode("_t").alias("_term"))
+        .filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfc = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    stats = lens.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    idf = F.log(
+        1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    contrib = idf * F.col("_tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfc), "_term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("bm25"))
     )

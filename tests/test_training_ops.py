@@ -610,3 +610,30 @@ def test_psi_drift_detects_planted_shift(spark):
         .first()["s"]
     )
     assert psi_shift > 0.25, psi_shift
+
+
+def test_bm25_ranking_sanity(spark):
+    """More matched terms and rarer terms score higher; non-matching
+    docs are absent."""
+    from datasheet_etl_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # all three terms
+            (2, "alpha beta filler filler"),  # two terms
+            (3, "alpha filler filler"),       # one common term
+            (4, "filler filler filler"),      # no terms
+            (5, "alpha alpha filler"),        # common term, repeated
+            (6, "gamma filler filler"),       # one RARE term
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["alpha", "beta", "gamma"]).collect()
+    }
+    assert 4 not in got
+    assert got[1] > got[2] > got[3]
+    # gamma appears in 1 doc, alpha in 4: the rare term outweighs the
+    # common one at equal tf and length
+    assert got[6] > got[3]
