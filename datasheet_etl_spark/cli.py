@@ -409,11 +409,12 @@ def cmd_explain(args, spark=None) -> int:
                 f"smj={plan.count('SortMergeJoin'):2d}"
             )
         return 0
-    qe = plan_of(args.entry)
     if args.mode == "formatted":
-        print(qe.explainString("formatted"))
+        # DataFrame.explain routes through PySpark's ExplainMode plumbing
+        # (the raw Java QueryExecution has no String overload)
+        reg[args.entry](spark, args.sf_dir).explain("formatted")
     else:
-        print(qe.executedPlan().toString())
+        print(plan_of(args.entry).executedPlan().toString())
     return 0
 
 

@@ -224,18 +224,25 @@ def compact_small_files(
     whose per-file open/footer cost eventually dominates scans (and
     whose count is a driver-memory burden at listing time). Rewrite via
     a temp sibling directory, then swap with two renames (old table is
-    renamed aside BEFORE the new one takes its place): at no point is
-    the path absent with the data deleted — a crash leaves either the
-    original table, or the compacted one plus a ``__old`` directory to
-    garbage-collect, never nothing."""
+    renamed aside BEFORE the new one takes its place). The data is
+    never deleted before the swap completes: a crash leaves the
+    original table (possibly as ``__old``), and a RERUN self-heals —
+    the recovery branch below restores ``__old`` to ``path`` if a
+    previous attempt died between the two renames."""
     import os
     import shutil
 
+    tmp = f"{path}__compacting"
+    old = f"{path}__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # prior run crashed between its two renames: the original data
+        # is intact in __old; restore it and recompact from scratch
+        os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
     before = [
         f for f in os.listdir(path) if f.endswith(".parquet")
     ]
-    tmp = f"{path}__compacting"
-    old = f"{path}__old"
     spark.read.parquet(path).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(tmp)

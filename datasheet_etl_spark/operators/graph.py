@@ -334,7 +334,10 @@ def k_core(
     """
     cur = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     for _ in range(max_iter):
-        deg = degrees(cur)
+        # materialize the round's degrees once: the stop-condition count
+        # and both semi-joins read the checkpoint instead of re-running
+        # the degree aggregate per consumer
+        deg = degrees(cur).localCheckpoint(eager=True)
         low = deg.filter(F.col("degree") < k).select("id")
         n_low = low.count()
         if n_low == 0:

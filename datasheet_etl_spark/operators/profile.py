@@ -336,14 +336,17 @@ def psi_drift(
         .join(counts(new, "n_new"), "bucket", "left")
         .fillna(0, ["n_old", "n_new"])
     )
-    tot = j.agg(
-        F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn")
+    # totals via an unpartitioned window over the n_buckets rows: one
+    # plan, so each side's bucket aggregate (and scan) runs exactly once
+    # — a separate totals aggregate would re-execute j's whole lineage
+    w = Window.partitionBy()
+    j = j.withColumn("_to", F.sum("n_old").over(w)).withColumn(
+        "_tn", F.sum("n_new").over(w)
     )
     p_old = (F.col("n_old") + 0.5) / (F.col("_to") + 0.5 * n_buckets)
     p_new = (F.col("n_new") + 0.5) / (F.col("_tn") + 0.5 * n_buckets)
     return (
-        j.crossJoin(F.broadcast(tot))
-        .select(
+        j.select(
             "bucket",
             "n_old",
             "n_new",

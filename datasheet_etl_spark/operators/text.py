@@ -237,24 +237,35 @@ def bm25_scores(
     Jones idf ``ln(1 + (N − df + 0.5)/(df + 0.5))`` with the standard
     (k1, b) saturation/length normalization.
 
-    Scale shape: the postings explode FILTERS to the query terms before
-    aggregating, so shuffle volume is O(matches), not O(corpus tokens);
-    per-term document frequencies and the (N, avgdl) stats are
-    kilobyte-sized broadcasts back onto the match list. For a standing
-    query workload, materialize the full postings list once
-    (term-bucketed parquet) and reuse it — this operator is the
-    ad-hoc/one-shot form. All inputs to the score are exact integers
-    (tf, df, dl, N), so the double arithmetic is engine-reproducible.
+    Scale shape: ONE tokenization pass — each document collapses
+    map-side to (id, doc_length, query-term matches only), and THAT
+    tiny frame (kilobytes per million docs for a normal query) is
+    persisted and feeds the tf aggregate, the length join and the
+    corpus stats, so the corpus text is read and tokenized exactly
+    once. Shuffle volume is O(matches), not O(corpus tokens); per-term
+    document frequencies and the (N, avgdl) stats broadcast back onto
+    the match list. For a standing query workload, materialize the full
+    postings list once (term-bucketed parquet) and reuse it — this
+    operator is the ad-hoc/one-shot form. All inputs to the score are
+    exact integers (tf, df, dl, N), so the double arithmetic is
+    engine-reproducible.
 
     Returns (id, bm25) for documents matching ≥1 term, unordered —
     callers add their top-k.
     """
+    from datasheet_etl_spark.caching import scoped_persist
+
     terms = [t.lower() for t in query_terms]
-    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    lens = toks.select(id_col, F.size("_t").alias("_dl"))
+    base = scoped_persist(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).select(
+            id_col,
+            F.size("_t").alias("_dl"),
+            F.filter("_t", lambda t: t.isin(terms)).alias("_qt"),
+        )
+    )
+    lens = base.select(id_col, "_dl")
     tf = (
-        toks.select(id_col, F.explode("_t").alias("_term"))
-        .filter(F.col("_term").isin(terms))
+        base.select(id_col, F.explode("_qt").alias("_term"))
         .groupBy(id_col, "_term")
         .agg(F.count("*").alias("_tf"))
     )

@@ -682,14 +682,15 @@ def t61_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     the python peeling model is pinned in tests/test_graph.py. Survives
     scale the same way t16/t44 do: per-round degree agg + semi-joins
     with localCheckpoint lineage truncation."""
-    from datasheet_etl_spark.caching import scoped_persist
     from datasheet_etl_spark.operators.graph import degrees, edges_undirected, k_core
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 2000)
     a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
     co = a.join(b, "l_orderkey").filter(F.col("id_a") != F.col("id_b"))
-    core = k_core(scoped_persist(edges_undirected(co)), k=4)
+    # no persist: k_core localCheckpoints its input immediately, so a
+    # cached copy would never be re-read
+    core = k_core(edges_undirected(co), k=4)
     return (
         degrees(core)
         .withColumnRenamed("id", "part_id")
@@ -698,7 +699,10 @@ def t61_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_T62_TERMS = ("broadcast", "shuffle", "partition")
+# terms chosen FROM the corpus vocabulary (a query with zero matches
+# would make the oracle vacuous); "dup" is ~30x rarer than the other
+# two, so the idf weighting is actually exercised
+_T62_TERMS = ("join", "hash", "dup")
 
 
 @register(

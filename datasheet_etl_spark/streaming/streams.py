@@ -368,17 +368,20 @@ def idempotent_keyed_sink(
     keys = list(key_cols)
     spark = sdf.sparkSession
 
+    def _target_exists() -> bool:
+        # Hadoop FileSystem check — works for file://, hdfs://, s3a://
+        # alike (an os.path check would silently skip the anti-join on
+        # remote targets; matching error-message text is version-fragile)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates(keys)
-        # target existence is checked THROUGH Spark, not os.path — the
-        # target may be s3a://, hdfs://, etc., where a local-fs check
-        # silently skips the anti-join and forfeits idempotency
-        try:
+        if _target_exists():
             existing = spark.read.parquet(target_dir).select(keys)
             fresh = fresh.join(existing, keys, "left_anti")
-        except Exception as exc:
-            if "PATH_NOT_FOUND" not in str(exc) and "UNABLE_TO_INFER_SCHEMA" not in str(exc):
-                raise
         fresh.write.mode("append").parquet(target_dir)
 
     query = (
