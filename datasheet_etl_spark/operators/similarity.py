@@ -761,3 +761,80 @@ def semantic_dedup(
             schema=f"{id_col} {id_field}, {cell_col} {cell_field}, {kept_col} boolean",
         )
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    pool: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection: per probe, k items chosen
+    greedily by ``lam·relevance − (1−lam)·max-similarity-to-already-
+    chosen`` — the diversity-aware top-k used for few-shot example and
+    eval-set selection, where plain top-k returns k near-copies of the
+    best hit.
+
+    Two-stage by construction: stage 1 is the DISTRIBUTED relevance
+    top-``pool`` (the existing map-side matmul scan — the corpus never
+    shuffles); stage 2 runs greedy MMR on the collected pool per probe
+    — pool × dim floats on the driver, bounded by the caller, the same
+    bounded-collect discipline as the centroid/probe sets elsewhere in
+    this module. MMR's greedy loop is inherently sequential in k, so
+    pushing it into the cluster buys nothing; bounding its INPUT is the
+    scalable design.
+
+    Deterministic: ties in the MMR score break on corpus id.
+    Returns (probe_id, id, mmr_rank, cos_sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = brute_force_topk(
+        corpus, probes, k=pool, id_col=id_col, vec_col=vec_col, probe_id=probe_id
+    )
+    vecs = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in corpus.select(
+        id_col, vec_col
+    ).join(cand.select(F.col(id_col)).distinct(), id_col, "semi").collect()}
+    rows = cand.select(probe_id, id_col, "cos_sim").collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(int(r[0]), []).append((int(r[1]), float(r[2])))
+
+    out = []
+    for p, items in sorted(by_probe.items()):
+        ids = [i for i, _ in items]
+        rel = {i: s for i, s in items}
+        mat = np.stack([vecs[i] / (np.linalg.norm(vecs[i]) or 1.0) for i in ids])
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        max_sim = np.full(len(ids), -1.0)
+        for rank in range(min(k, len(ids))):
+            best_j, best_score = None, None
+            for j in remaining:
+                score = (
+                    lam * rel[ids[j]] - (1.0 - lam) * max_sim[j]
+                    if chosen
+                    else rel[ids[j]]
+                )
+                key = (score, -ids[j])
+                if best_score is None or key > best_score:
+                    best_score, best_j = key, j
+            chosen.append(best_j)
+            remaining.remove(best_j)
+            sims = mat[remaining] @ mat[best_j]
+            for idx, j in enumerate(remaining):
+                if sims[idx] > max_sim[j]:
+                    max_sim[j] = sims[idx]
+            out.append((p, ids[best_j], rank + 1, rel[ids[best_j]]))
+
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame(
+            out, columns=[probe_id, id_col, "mmr_rank", "cos_sim"]
+        )
+    )

@@ -6,7 +6,8 @@ Ops/analytics: salted skew join (t51), train/val/test split (t52),
 MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 (t56), session funnel (t57), cohort retention (t58), one-scan
 correlation matrix (t59), PSI drift monitor (t60), k-core (t61,
-rows-only), BM25 ranked retrieval (t62).
+rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
+rows-only).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -758,3 +759,22 @@ def t62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("bm25", 6).alias("bm25"))
     )
+
+
+@register("t63_mmr_select")  # greedy sequential selection → rows-only
+def t63_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k (Maximal Marginal Relevance) for five
+    probes: relevance top-pool runs distributed (map-side matmul, no
+    corpus shuffle), the greedy MMR loop runs on the bounded collected
+    pool — few-shot/eval example selection where plain top-k returns k
+    near-copies. Inherently sequential in k, so rows-only; the
+    clone-vs-reflection diversification behavior is pinned in
+    tests/test_training_ops.py."""
+    from datasheet_etl_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = mmr_select(emb, probes, k=10, lam=0.5, pool=50)
+    return out.select(
+        "probe_id", "vec_id", "mmr_rank", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("probe_id", "mmr_rank")

@@ -637,3 +637,34 @@ def test_bm25_ranking_sanity(spark):
     # gamma appears in 1 doc, alpha in 4: the rare term outweighs the
     # common one at equal tf and length
     assert got[6] > got[3]
+
+
+def test_mmr_select_diversifies(spark):
+    """MMR must break up a cluster of near-copies: with lam=0.5, picks
+    after the first avoid the chosen item's clones even when clones
+    out-rank the diverse alternative on pure relevance."""
+    import math
+
+    from datasheet_etl_spark.operators.similarity import brute_force_topk, mmr_select
+
+    # probe at angle 0; best hit at +0.14 rad; a clone of it at +0.15;
+    # a REFLECTED item at -0.15 — same relevance as the clone but far
+    # from the chosen hit. Pure relevance keeps the clone pair; MMR's
+    # diversity term must swap the clone for the reflection.
+    def v(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    corpus = spark.createDataFrame(
+        [(1, v(0.14)), (2, v(0.15)), (3, v(-0.15))],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame([(100, v(0.0))], "vec_id long, embedding array<float>")
+    plain = [r["vec_id"] for r in brute_force_topk(corpus, probes, k=2).orderBy("rank").collect()]
+    assert plain == [1, 2]  # pure relevance: hit + its clone (id tiebreak over 3)
+    mmr = [
+        r["vec_id"]
+        for r in mmr_select(corpus, probes, k=2, lam=0.5, pool=3)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert mmr == [1, 3], mmr  # second pick is the reflected, diverse item
