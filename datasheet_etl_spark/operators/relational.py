@@ -572,3 +572,39 @@ def funnel_stages(
         prev = F.col(f"t_{i}")
     out_cols = [f"t_{i}" for i in range(len(stages))]
     return cur.groupBy(*keys).agg(*[F.first(c).alias(c) for c in out_cols])
+
+
+def fuzzy_levenshtein_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_block: Column,
+    right_block: Column,
+    max_dist: int = 2,
+    dist_col: str = "edit_dist",
+) -> DataFrame:
+    """Blocked fuzzy equi-join: candidates pair only within a blocking
+    key (caller-chosen, e.g. a corruption-stable suffix, a phonetic
+    code, a length band), then the exact Levenshtein distance verifies
+    ``<= max_dist``. The entity-resolution shape — dirty keys matched
+    to a reference dictionary — built so the candidate count is
+    Σ |block_l|·|block_r| per block, NEVER the |left|×|right| cross
+    join a naive distance filter implies.
+
+    At scale: resolve DICTIONARIES, not row sets (distinct the names
+    first — real corpora have heavy key duplication and the fuzzy match
+    is a property of the name, not the row), pick a block the expected
+    corruptions cannot move across, and audit block sizes with
+    ``profile.skew_report`` — one hot block is a quadratic pocket, the
+    same remedy set as any skewed join (salt or split the block).
+    """
+    lhs = left.withColumn("_blk", left_block)
+    rhs = right.withColumn("_blk", right_block)
+    d = F.levenshtein(F.col(left_col), F.col(right_col))
+    return (
+        lhs.join(rhs, "_blk")
+        .withColumn(dist_col, d)
+        .filter(F.col(dist_col) <= max_dist)
+        .drop("_blk")
+    )

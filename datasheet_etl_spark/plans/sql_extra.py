@@ -7,7 +7,7 @@ MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 (t56), session funnel (t57), cohort retention (t58), one-scan
 correlation matrix (t59), PSI drift monitor (t60), k-core (t61,
 rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
-rows-only).
+rows-only), blocked fuzzy Levenshtein join (t64).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -778,3 +778,57 @@ def t63_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "vec_id", "mmr_rank", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("probe_id", "mmr_rank")
+
+
+@register(
+    "t64_fuzzy_join",
+    """
+    WITH clean AS (
+        SELECT DISTINCT p_name FROM part
+    ), dirty AS (
+        SELECT DISTINCT CASE WHEN substr(md5(p_name), 1, 1) < '8'
+                             THEN substr(p_name, 2)
+                             ELSE p_name END AS dirty_name
+        FROM part
+    )
+    SELECT c.p_name, d.dirty_name,
+           levenshtein(c.p_name, d.dirty_name) AS edit_dist
+    FROM clean c JOIN dirty d
+      ON right(c.p_name, 4) = right(d.dirty_name, 4)
+    WHERE levenshtein(c.p_name, d.dirty_name) <= 2
+    ORDER BY c.p_name, d.dirty_name
+    """,
+)
+def t64_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution between a clean name dictionary and a
+    deterministically-corrupted one (hash-selected names lose their
+    first character — the md5 selector keeps the corruption identical
+    in both engines): suffix-blocked candidates verified by exact
+    Levenshtein ≤ 2. Dictionaries, not rows — the 2000-row part table
+    collapses to its ~64 distinct names before any pairing, and the
+    last-4-chars block is stable under the front-of-string corruption,
+    so candidates stay per-block-sized, never a cross join."""
+    from datasheet_etl_spark.operators.relational import fuzzy_levenshtein_join
+
+    part = load_table(spark, sf_dir, "part")
+    clean = part.select("p_name").distinct()
+    dirty = part.select(
+        F.when(
+            F.substring(F.md5("p_name"), 1, 1) < "8",
+            F.expr("substr(p_name, 2)"),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("dirty_name")
+    ).distinct()
+    out = fuzzy_levenshtein_join(
+        clean,
+        dirty,
+        "p_name",
+        "dirty_name",
+        F.expr("right(p_name, 4)"),
+        F.expr("right(dirty_name, 4)"),
+        max_dist=2,
+    )
+    return out.select("p_name", "dirty_name", "edit_dist").orderBy(
+        "p_name", "dirty_name"
+    )
