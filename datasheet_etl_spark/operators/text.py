@@ -285,3 +285,60 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum(contrib).alias("bm25"))
     )
+
+
+def unigram_log_ppl(
+    reference: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality scoring, the CCNet/KenLM-style perplexity
+    filter reduced to its distributable core: a unigram LM estimated on
+    a REFERENCE corpus (Laplace-smoothed, so out-of-vocabulary tokens
+    cost a finite, principled penalty), then every candidate document
+    scored by its mean token negative log-likelihood — low = looks like
+    the reference distribution, high = gibberish/boilerplate/wrong
+    language. The standard corpus-curation gate between heuristic
+    quality scores (t09) and a real neural LM.
+
+    Scale shape: the vocabulary (distinct reference tokens + counts) is
+    a broadcast dimension; candidate tokens explode map-side, join the
+    broadcast vocab, and ONE per-doc aggregate produces the score.
+    Per-token costs are cast to DECIMAL(18,9) before summing so the
+    mean is independent of partitioning/aggregation order — float sums
+    are not, and an order-dependent quality gate cannot be re-checked
+    by any oracle.
+
+    Returns (id, n_tokens, log_ppl) for docs with ≥1 token.
+    """
+    ref_toks = reference.select(
+        F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    vocab = ref_toks.groupBy("_t").agg(F.count("*").alias("_c"))
+    totals = ref_toks.agg(
+        F.count("*").alias("_total"),
+        F.count_distinct("_t").alias("_v"),
+    )
+    doc_toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    joined = (
+        doc_toks.join(F.broadcast(vocab), "_t", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_nll",
+            (
+                -F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + 1.0)
+                    / (F.col("_total") + F.col("_v") + 1.0)
+                )
+            ).cast("decimal(18,9)"),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            (F.sum("_nll") / F.count("*")).cast("double"), 6
+        ).alias("log_ppl"),
+    )

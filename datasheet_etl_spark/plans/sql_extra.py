@@ -7,7 +7,8 @@ MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 (t56), session funnel (t57), cohort retention (t58), one-scan
 correlation matrix (t59), PSI drift monitor (t60), k-core (t61,
 rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
-rows-only), blocked fuzzy Levenshtein join (t64).
+rows-only), blocked fuzzy Levenshtein join (t64), unigram
+log-perplexity quality gate (t65).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -832,3 +833,49 @@ def t64_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_name", "dirty_name", "edit_dist").orderBy(
         "p_name", "dirty_name"
     )
+
+
+@register(
+    "t65_unigram_log_ppl",
+    """
+    WITH ref AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 0
+    ), vocab AS (
+        SELECT t, count(*) AS c FROM ref GROUP BY t
+    ), tot AS (
+        SELECT count(*) AS total, count(DISTINCT t) AS v FROM ref
+    ), dt AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 1
+    ), scored AS (
+        SELECT dt.doc_id,
+               CAST(-ln((coalesce(vocab.c, 0) + 1.0) / (tot.total + tot.v + 1.0))
+                    AS DECIMAL(18,9)) AS nll
+        FROM dt LEFT JOIN vocab USING (t), tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(nll) / count(*) AS DOUBLE), 6) AS log_ppl
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def t65_unigram_log_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate: a Laplace-smoothed unigram LM
+    trained on the even-doc_id half of the corpus scores the odd half
+    by mean token negative log-likelihood — the distributable core of
+    CCNet's KenLM filter. Vocabulary broadcasts; one per-doc shuffle;
+    DECIMAL-summed costs make the score partitioning-independent and
+    DuckDB-oracled."""
+    from datasheet_etl_spark.operators.text import unigram_log_ppl
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_log_ppl(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    return out.orderBy("doc_id")

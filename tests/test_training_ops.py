@@ -668,3 +668,27 @@ def test_mmr_select_diversifies(spark):
         .collect()
     ]
     assert mmr == [1, 3], mmr  # second pick is the reflected, diverse item
+
+
+def test_unigram_log_ppl_orders_quality(spark):
+    """A document drawn from the reference vocabulary scores lower
+    (more likely) than OOV gibberish; per-token OOV penalty is the
+    smoothed floor."""
+    import math
+
+    from datasheet_etl_spark.operators.text import unigram_log_ppl
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(100, "the quick fox"), (101, "zxqv wvbn qqqq")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_log_ppl(ref, cand).collect()}
+    assert got[100]["log_ppl"] < got[101]["log_ppl"]
+    # gibberish: every token OOV -> exactly the smoothed floor
+    total, v = 90, 8  # 10 copies x 9 tokens; 8 distinct
+    floor = -math.log(1.0 / (total + v + 1.0))
+    assert abs(got[101]["log_ppl"] - round(floor, 6)) < 1e-6
