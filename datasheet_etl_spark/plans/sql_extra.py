@@ -8,7 +8,8 @@ MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 correlation matrix (t59), PSI drift monitor (t60), k-core (t61,
 rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
 rows-only), blocked fuzzy Levenshtein join (t64), unigram
-log-perplexity quality gate (t65).
+log-perplexity quality gate (t65), pairwise-similarity histogram
+(t66).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -879,3 +880,55 @@ def t65_unigram_log_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "t66_similarity_histogram",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'
+    ), pairs AS (
+        SELECT list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT least(9, greatest(-10, CAST(floor(cos * 10) AS INT))) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def t66_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity audit: the distribution of pairwise cosine
+    similarities over a deterministic hash-sample of the embedding
+    corpus, bucketed at 0.1 — the mode-collapse detector for synthetic
+    data (a healthy corpus has its mass near 0; a collapsing generator
+    piles mass toward 1). Pairwise work is sample² BY CHOICE (the
+    auditor sets the sample rate; ~1/8 here), never corpus² — the same
+    budget-bounded-audit stance as t47's top-N skew report. Cosines are
+    sequential double folds in both engines (same fold order → same
+    doubles), so the histogram is value-oracled."""
+    from datasheet_etl_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "2"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        cosine(F.col("va"), F.col("vb")).alias("cos")
+    )
+    bucket = F.least(
+        F.lit(9), F.greatest(F.lit(-10), F.floor(F.col("cos") * 10).cast("int"))
+    )
+    return (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("bucket")
+    )
