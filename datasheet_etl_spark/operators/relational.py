@@ -599,9 +599,17 @@ def fuzzy_levenshtein_join(
     ``profile.skew_report`` — one hot block is a quadratic pocket, the
     same remedy set as any skewed join (salt or split the block).
     """
-    lhs = left.withColumn("_blk", left_block)
+    # disambiguate colliding column names (the natural call joins two
+    # dictionaries that BOTH call their column e.g. "name"): right-side
+    # collisions get a _r suffix. The caller's block expression refers
+    # to ORIGINAL names, so it is applied before the rename.
+    overlap = set(left.columns) & set(right.columns)
     rhs = right.withColumn("_blk", right_block)
-    d = F.levenshtein(F.col(left_col), F.col(right_col))
+    for c in overlap:
+        rhs = rhs.withColumnRenamed(c, f"{c}_r")
+    rcol = f"{right_col}_r" if right_col in overlap else right_col
+    lhs = left.withColumn("_blk", left_block)
+    d = F.levenshtein(F.col(left_col), F.col(rcol))
     return (
         lhs.join(rhs, "_blk")
         .withColumn(dist_col, d)

@@ -53,6 +53,12 @@ def cosine_pairs_vectorized(
     import pandas as pd
 
     probe_rows = probes.select(id_col, vec_col).collect()
+    if not probe_rows:
+        # empty probe set: an empty result with the contract schema —
+        # np.array([]) would be 1-D and crash the axis-1 normalization
+        return corpus.sparkSession.createDataFrame(
+            [], f"{probe_id} long, {corpus_id} long, cos_sim double"
+        )
     p_ids = np.array([r[0] for r in probe_rows], dtype=np.int64)
     pm = np.array([r[1] for r in probe_rows], dtype=np.float64)
     p_norm = np.linalg.norm(pm, axis=1, keepdims=True)
@@ -794,8 +800,14 @@ def mmr_select(
     import numpy as np
     import pandas as pd
 
-    cand = brute_force_topk(
-        corpus, probes, k=pool, id_col=id_col, vec_col=vec_col, probe_id=probe_id
+    from datasheet_etl_spark.caching import scoped_persist
+
+    # persisted: the candidate frame (the corpus-scan matmul + top-k,
+    # the operator's dominant cost) is consumed by two actions below
+    cand = scoped_persist(
+        brute_force_topk(
+            corpus, probes, k=pool, id_col=id_col, vec_col=vec_col, probe_id=probe_id
+        )
     )
     vecs = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in corpus.select(
         id_col, vec_col
@@ -833,8 +845,12 @@ def mmr_select(
             out.append((p, ids[best_j], rank + 1, rel[ids[best_j]]))
 
     spark = corpus.sparkSession
+    schema = f"{probe_id} long, {id_col} long, mmr_rank int, cos_sim double"
+    if not out:
+        # empty probes/corpus: an empty frame with the contract schema,
+        # not a pandas schema-inference failure
+        return spark.createDataFrame([], schema)
     return spark.createDataFrame(
-        pd.DataFrame(
-            out, columns=[probe_id, id_col, "mmr_rank", "cos_sim"]
-        )
+        pd.DataFrame(out, columns=[probe_id, id_col, "mmr_rank", "cos_sim"]),
+        schema,
     )

@@ -316,9 +316,11 @@ def unigram_log_ppl(
         F.explode(tokens(F.col(text_col))).alias("_t")
     )
     vocab = ref_toks.groupBy("_t").agg(F.count("*").alias("_c"))
-    totals = ref_toks.agg(
-        F.count("*").alias("_total"),
-        F.count_distinct("_t").alias("_v"),
+    # totals derive from the (small) vocab aggregate — re-scanning
+    # ref_toks would tokenize the reference corpus a second time
+    totals = vocab.agg(
+        F.sum("_c").alias("_total"),
+        F.count("*").alias("_v"),
     )
     doc_toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")

@@ -890,9 +890,14 @@ def t65_unigram_log_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
         WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'
     ), pairs AS (
-        SELECT list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+        -- zero-vector guard mirrors the engine's cosine(): denom <= 0
+        -- yields 0.0, never NaN
+        SELECT CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)) > 0
+                    THEN list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)))
+                    ELSE 0.0 END AS cos
         FROM s a JOIN s b ON a.vec_id < b.vec_id
     )
     SELECT least(9, greatest(-10, CAST(floor(cos * 10) AS INT))) AS bucket,

@@ -296,3 +296,37 @@ def test_pagerank_empty_edges(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(e).count() == 0
+
+
+def test_fuzzy_join_same_column_name(spark):
+    """The natural entity-resolution call — both dictionaries call
+    their column 'name' — must work (right side auto-suffixed)."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.relational import fuzzy_levenshtein_join
+
+    clean = spark.createDataFrame([("red widget",), ("blue bolt",)], "name string")
+    dirty = spark.createDataFrame([("ed widget",), ("blue bolt",)], "name string")
+    out = fuzzy_levenshtein_join(
+        clean,
+        dirty,
+        "name",
+        "name",
+        F.expr("right(name, 4)"),
+        F.expr("right(name, 4)"),
+        max_dist=2,
+    ).collect()
+    got = {(r["name"], r["name_r"], r["edit_dist"]) for r in out}
+    assert got == {("red widget", "ed widget", 1), ("blue bolt", "blue bolt", 0)}
+
+
+def test_mmr_select_empty_probes(spark):
+    from datasheet_etl_spark.operators.similarity import mmr_select
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    probes = corpus.filter("vec_id < 0")
+    out = mmr_select(corpus, probes, k=3)
+    assert out.count() == 0
+    assert out.columns == ["probe_id", "vec_id", "mmr_rank", "cos_sim"]
