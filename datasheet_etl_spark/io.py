@@ -314,3 +314,42 @@ def read_parquet_evolved(spark: SparkSession, *paths: str):
     cost is per-FOOTER (driver-side), not per-row — fine at 100 TB as
     long as the file count is sane (see ``compact_small_files``)."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def z_order_key(a, b, bits: int = 16):
+    """Bit-interleaved Z-order key for two non-negative int columns —
+    the multi-dimension clustering key behind Delta/Iceberg ZORDER BY:
+    range-sorting files by this key gives every file a bounded min/max
+    box in BOTH dimensions, so a scan predicated on either (or both)
+    columns prunes files via parquet footer stats. A single-column sort
+    buys pruning on that column only — the second column spans its full
+    range in every file.
+
+    Pure codegen bit arithmetic (shift/and/or), ``2·bits`` terms; cap
+    ``bits`` at the columns' actual magnitude. Values must be
+    non-negative and < 2^bits (higher bits silently truncate — callers
+    with larger domains should bucket/scale first). The dimensions
+    should occupy COMPARABLE bit widths: interleaving a 4-bit domain
+    with a 20-bit one degenerates to the wide column's plain sort —
+    scale both to a common resolution (e.g. percentile buckets) first.
+    """
+    z = F.lit(0).cast("long")
+    a = a.cast("long")
+    b = b.cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return z
+
+
+def zorder_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB-dialect SQL computing the same Z-order key (bit-disjoint
+    terms OR'd), for value-level oracles of :func:`z_order_key`."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)

@@ -9,7 +9,7 @@ correlation matrix (t59), PSI drift monitor (t60), k-core (t61,
 rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
 rows-only), blocked fuzzy Levenshtein join (t64), unigram
 log-perplexity quality gate (t65), pairwise-similarity histogram
-(t66).
+(t66), Z-order clustering key (t67).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datasheet_etl_spark.io import load_table
+from datasheet_etl_spark.io import load_table, zorder_sql
 from datasheet_etl_spark.plans.queries import dsum, register, sql_dsum
 
 
@@ -937,3 +937,30 @@ def t66_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "t67_zorder_key",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {zorder_sql("l_partkey", "l_suppkey", 16)} AS zkey
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def t67_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimension file-skipping layout lever: range-sorting by
+    this key bounds every file's min/max box in BOTH dimensions (the
+    per-file range-width contraction is pinned in
+    tests/test_io_layout.py). Pure codegen bit arithmetic; the oracle
+    recomputes the interleave with DuckDB bit operators."""
+    from datasheet_etl_spark.io import z_order_key
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z_order_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    ).orderBy("l_orderkey", "l_linenumber")

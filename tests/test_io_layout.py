@@ -104,3 +104,40 @@ def test_read_parquet_evolved_merges_schema(spark, tmp_path):
     assert set(df.columns) == {"doc_id", "text", "quality"}
     rows = {r["doc_id"]: r["quality"] for r in df.collect()}
     assert rows[1] is None and rows[2] == 0.9
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Range-sorting by the Z-order key contracts every file's min/max
+    box in BOTH dimensions; a single-column sort leaves the OTHER
+    column spanning (nearly) its full range in every file. The
+    footer-stats contract behind 2-D file skipping."""
+    from datasheet_etl_spark.io import load_table, write_range_sorted, z_order_key
+
+    # two comparable 8-bit dimensions (z-ordering mismatched bit widths
+    # degenerates to the wide column's sort — the documented caveat)
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        (F.col("l_orderkey") % 256).alias("x"),
+        (F.col("l_partkey") % 256).alias("y"),
+    )
+    zpath, spath = str(tmp_path / "zsort"), str(tmp_path / "ssort")
+    write_range_sorted(
+        li.withColumn("zkey", z_order_key(F.col("x"), F.col("y"), bits=8)),
+        zpath,
+        ["zkey"],
+        num_files=16,
+    )
+    write_range_sorted(li, spath, ["x"], num_files=16)
+
+    def avg_width(path, col):
+        ranges = _file_ranges(path, col)
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    full_y = avg_width(spath, "y")  # ~the whole y domain under x-sort
+    z_y = avg_width(zpath, "y")
+    z_x = avg_width(zpath, "x")
+    # z-sorted files bound the SECOND dimension far tighter than a
+    # single-column sort does, while still contracting the first well
+    # below its 255-wide domain
+    assert z_y < 0.7 * full_y, (z_y, full_y)
+    assert z_x < 0.7 * 255, z_x
+    assert avg_width(spath, "x") < z_x  # single-dim sort wins its own dim
