@@ -616,3 +616,53 @@ def fuzzy_levenshtein_join(
         .filter(F.col(dist_col) <= max_dist)
         .drop("_blk")
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — MERGE semantics built from
+    primitives (the Delta/Iceberg-less form of ``MERGE INTO``): for
+    each key, the LATEST change by ``seq_col`` wins; op 'D' deletes the
+    row, 'I'/'U' upsert the change's payload; unchanged base rows pass
+    through. Ties on ``seq_col`` break deterministically on op
+    (deletes-last), so a same-instant upsert+delete deletes.
+
+    Scale shape: ONE window pass over the changelog (latest change per
+    key — the changelog, not the snapshot, pays the sort), then one
+    outer join against the base on the key. At 100 TB keep base and
+    changelog bucketed by the key (``io.write_bucketed``) and the join
+    shuffles nothing; this is exactly how streaming upserts land via
+    ``foreachBatch`` (cf. ``streaming.idempotent_keyed_sink`` for the
+    insert-only special case).
+    """
+    kl = list(keys)
+    pcols = list(payload_cols or [c for c in base.columns if c not in kl])
+    w = Window.partitionBy(*kl).orderBy(
+        F.col(seq_col).desc(), (F.col(op_col) == "D").cast("int").desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *kl,
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(f"_c_{c}") for c in pcols],
+        )
+    )
+    j = base.join(latest, kl, "full_outer")
+    out_cols = [
+        F.coalesce(
+            F.when(F.col("_op").isin("I", "U"), F.col(f"_c_{c}")), F.col(c)
+        ).alias(c)
+        for c in pcols
+    ]
+    return (
+        j.filter(F.col("_op").isNull() | (F.col("_op") != "D"))
+        .select(*kl, *out_cols)
+    )

@@ -9,7 +9,7 @@ correlation matrix (t59), PSI drift monitor (t60), k-core (t61,
 rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
 rows-only), blocked fuzzy Levenshtein join (t64), unigram
 log-perplexity quality gate (t65), pairwise-similarity histogram
-(t66), Z-order clustering key (t67).
+(t66), Z-order clustering key (t67), CDC changelog apply (t68).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -964,3 +964,74 @@ def t67_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         z_order_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "t68_cdc_apply",
+    """
+    WITH base AS (
+        SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0
+    ), ch AS (
+        SELECT doc_id, 1 AS seq,
+               CASE doc_id % 3 WHEN 0 THEN 'D' WHEN 1 THEN 'U'
+                               ELSE 'I' END AS op,
+               source, n_chars + 1000 AS n_chars
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2 AS seq, 'U' AS op, source, n_chars + 5000 AS n_chars
+        FROM documents WHERE doc_id % 7 = 0
+    ), latest AS (
+        SELECT * FROM (
+            SELECT ch.*,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY seq DESC, CAST(op = 'D' AS INT) DESC
+                   ) AS rn
+            FROM ch
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+           coalesce(CASE WHEN l.op IN ('I','U') THEN l.source END,
+                    b.source) AS source,
+           coalesce(CASE WHEN l.op IN ('I','U') THEN l.n_chars END,
+                    b.n_chars) AS n_chars
+    FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY doc_id
+    """,
+)
+def t68_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — MERGE INTO semantics from primitives: a
+    synthesized changelog (deletes, updates, inserts, plus a second
+    later change for some keys) applied to the even-doc_id snapshot.
+    Latest change per key wins (one window pass over the CHANGELOG —
+    the snapshot never sorts), one key join; deletes drop, upserts take
+    the change payload, untouched rows pass through. Bucket base and
+    changelog by the key and the join shuffles nothing."""
+    from datasheet_etl_spark.operators.relational import apply_changes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    op = (
+        F.when(F.col("doc_id") % 3 == 0, "D")
+        .when(F.col("doc_id") % 3 == 1, "U")
+        .otherwise("I")
+    )
+    ch = docs.select(
+        "doc_id",
+        F.lit(1).alias("seq"),
+        op.alias("op"),
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            "source",
+            (F.col("n_chars") + 5000).alias("n_chars"),
+        )
+    )
+    return apply_changes(base, ch, ["doc_id"], "seq").orderBy("doc_id")

@@ -330,3 +330,24 @@ def test_mmr_select_empty_probes(spark):
     out = mmr_select(corpus, probes, k=3)
     assert out.count() == 0
     assert out.columns == ["probe_id", "vec_id", "mmr_rank", "cos_sim"]
+
+
+def test_apply_changes_semantics(spark):
+    """CDC apply: latest-wins per key, delete drops, insert adds,
+    untouched passes through; same-seq upsert+delete deletes."""
+    from datasheet_etl_spark.operators.relational import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "a2"), (1, 2, "U", "a3"),   # two updates: seq 2 wins
+            (2, 1, "D", None),                        # delete
+            (4, 1, "I", "d"),                         # insert new key
+            (5, 1, "U", "x"), (5, 1, "D", None),      # same seq: delete wins
+        ],
+        "k long, seq int, op string, v string",
+    )
+    got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"], "seq").collect()}
+    assert got == {1: "a3", 3: "c", 4: "d"}
