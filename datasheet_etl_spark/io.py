@@ -350,6 +350,7 @@ def zorder_sql(a: str, b: str, bits: int = 16) -> str:
     terms OR'd), for value-level oracles of :func:`z_order_key`."""
     terms = []
     for i in range(bits):
-        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+        # BIGINT cast before the shift: DuckDB errors on INT32 << 31
+        terms.append(f"(CAST((({a} >> {i}) & 1) AS BIGINT) << {2 * i})")
+        terms.append(f"(CAST((({b} >> {i}) & 1) AS BIGINT) << {2 * i + 1})")
     return " | ".join(terms)

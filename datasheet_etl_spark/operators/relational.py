@@ -643,8 +643,14 @@ def apply_changes(
     """
     kl = list(keys)
     pcols = list(payload_cols or [c for c in base.columns if c not in kl])
+    # total order: seq, then delete-wins, then op and payload columns —
+    # same-seq duplicate deliveries (at-least-once sources) must pick
+    # the SAME winner on every run/partitioning
     w = Window.partitionBy(*kl).orderBy(
-        F.col(seq_col).desc(), (F.col(op_col) == "D").cast("int").desc()
+        F.col(seq_col).desc(),
+        (F.col(op_col) == "D").cast("int").desc(),
+        F.col(op_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in pcols],
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
@@ -656,10 +662,13 @@ def apply_changes(
         )
     )
     j = base.join(latest, kl, "full_outer")
+    # when/otherwise, NOT coalesce: an update carrying a NULL payload
+    # must SET the field to NULL (MERGE semantics), not silently retain
+    # the stale base value
     out_cols = [
-        F.coalesce(
-            F.when(F.col("_op").isin("I", "U"), F.col(f"_c_{c}")), F.col(c)
-        ).alias(c)
+        F.when(F.col("_op").isin("I", "U"), F.col(f"_c_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
         for c in pcols
     ]
     return (

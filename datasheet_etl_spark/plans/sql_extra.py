@@ -991,10 +991,10 @@ def t67_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     )
     SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
-           coalesce(CASE WHEN l.op IN ('I','U') THEN l.source END,
-                    b.source) AS source,
-           coalesce(CASE WHEN l.op IN ('I','U') THEN l.n_chars END,
-                    b.n_chars) AS n_chars
+           CASE WHEN l.op IN ('I','U') THEN l.source
+                ELSE b.source END AS source,
+           CASE WHEN l.op IN ('I','U') THEN l.n_chars
+                ELSE b.n_chars END AS n_chars
     FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
     WHERE l.op IS NULL OR l.op <> 'D'
     ORDER BY doc_id

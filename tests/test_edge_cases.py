@@ -351,3 +351,24 @@ def test_apply_changes_semantics(spark):
     )
     got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"], "seq").collect()}
     assert got == {1: "a3", 3: "c", 4: "d"}
+
+
+def test_apply_changes_null_update_and_same_seq_determinism(spark):
+    """An update carrying NULL sets the field to NULL (MERGE, not
+    stale-retain); same-seq same-op duplicates resolve identically on
+    every run (total window order)."""
+    from datasheet_etl_spark.operators.relational import apply_changes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, 1, "U", None), (2, 1, "U", "x"), (2, 1, "U", "y")],
+        "k long, seq int, op string, v string",
+    )
+    for _ in range(3):
+        got = {
+            r["k"]: r["v"]
+            for r in apply_changes(
+                base.repartition(7), changes.repartition(5), ["k"], "seq"
+            ).collect()
+        }
+        assert got == {1: None, 2: "y"}  # NULL applied; desc tiebreak -> y
