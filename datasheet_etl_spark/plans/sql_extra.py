@@ -1,7 +1,8 @@
 """Additional SQL-surface and analytics entries.
 
 SQL breadth: CUBE (q35), RANGE window frames (q36), LATERAL top-k
-(q37), VARIANT semi-structured extraction (q38), recursive CTE (q39).
+(q37), VARIANT semi-structured extraction (q38), recursive CTE (q39),
+explicit GROUPING SETS + grouping_id (q40).
 Ops/analytics: salted skew join (t51), train/val/test split (t52),
 MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 (t56), session funnel (t57), cohort retention (t58), one-scan
@@ -1035,3 +1036,40 @@ def t68_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_changes(base, ch, ["doc_id"], "seq").orderBy("doc_id")
+
+
+@register(
+    "q40_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+           + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+           count(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the caller-chosen grain list (here the
+    ROLLUP grains minus nothing, written explicitly), completing the
+    grouping family next to q13 ROLLUP and q35 CUBE: ONE Expand + hash
+    aggregate pass whatever the set list, vs one scan per grain for
+    separate GROUP BYs. ``grouping_id`` distinguishes a NULL-valued key
+    from a rolled-up one — the oracle derives the same id from the
+    grain structure (every grain here nulls a key iff it excludes it,
+    because the grouped columns are non-null in the data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q40_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n_items,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM q40_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
