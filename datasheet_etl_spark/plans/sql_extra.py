@@ -2,7 +2,8 @@
 
 SQL breadth: CUBE (q35), RANGE window frames (q36), LATERAL top-k
 (q37), VARIANT semi-structured extraction (q38), recursive CTE (q39),
-explicit GROUPING SETS + grouping_id (q40).
+explicit GROUPING SETS + grouping_id (q40), bag-semantics set
+ops INTERSECT ALL / EXCEPT ALL (q41).
 Ops/analytics: salted skew join (t51), train/val/test split (t52),
 MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 (t56), session funnel (t57), cohort retention (t58), one-scan
@@ -1073,3 +1074,44 @@ def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+@register(
+    "q41_set_ops_all",
+    """
+    WITH y94 AS (
+        SELECT c.c_nationkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+    ), y95 AS (
+        SELECT c.c_nationkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    )
+    SELECT k, count(*) AS n FROM (
+        SELECT k FROM y94 INTERSECT ALL SELECT k FROM y95
+    ) GROUP BY k
+    UNION ALL
+    SELECT k, -count(*) AS n FROM (
+        SELECT k FROM y94 EXCEPT ALL SELECT k FROM y95
+    ) GROUP BY k
+    ORDER BY n, k
+    """,
+)
+def q41_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) —
+    multiplicity-preserving, the variant q22's DISTINCT set ops cannot
+    express: how many order-placements per nation two years share, and
+    the per-nation surplus of year one over year two. Spark plans both
+    as a single aggregate computing per-key min/max of the two sides'
+    counts — no distinct, no join explosion."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("k"), "o_orderdate"
+    )
+    y94 = j.filter(F.col("o_orderdate").between("1994-01-01", "1994-12-31")).select("k")
+    y95 = j.filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31")).select("k")
+    shared = y94.intersectAll(y95).groupBy("k").agg(F.count("*").alias("n"))
+    surplus = y94.exceptAll(y95).groupBy("k").agg((-F.count("*")).alias("n"))
+    return shared.unionByName(surplus).orderBy("n", "k")
