@@ -1043,8 +1043,7 @@ def t68_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q40_grouping_sets",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
-           + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+           CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid,
            count(*) AS n_items,
            {sql_dsum('l_quantity')} AS sum_qty
     FROM lineitem
@@ -1058,9 +1057,8 @@ def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping family next to q13 ROLLUP and q35 CUBE: ONE Expand + hash
     aggregate pass whatever the set list, vs one scan per grain for
     separate GROUP BYs. ``grouping_id`` distinguishes a NULL-valued key
-    from a rolled-up one — the oracle derives the same id from the
-    grain structure (every grain here nulls a key iff it excludes it,
-    because the grouped columns are non-null in the data)."""
+    from a rolled-up one — both engines compute it natively, so the
+    oracle is data-independent."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("q40_lineitem")
     return spark.sql(
