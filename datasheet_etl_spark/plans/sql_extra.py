@@ -11,7 +11,8 @@ correlation matrix (t59), PSI drift monitor (t60), k-core (t61,
 rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
 rows-only), blocked fuzzy Levenshtein join (t64), unigram
 log-perplexity quality gate (t65), pairwise-similarity histogram
-(t66), Z-order clustering key (t67), CDC changelog apply (t68).
+(t66), Z-order clustering key (t67), CDC changelog apply (t68),
+rolling anomaly detection (t69).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -1113,3 +1114,82 @@ def q41_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = y94.intersectAll(y95).groupBy("k").agg(F.count("*").alias("n"))
     surplus = y94.exceptAll(y95).groupBy("k").agg((-F.count("*")).alias("n"))
     return shared.unionByName(surplus).orderBy("n", "k")
+
+
+@register(
+    "t69_rolling_anomaly",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec,
+               value,
+               CAST(value AS DECIMAL(14,3)) AS dv,
+               CAST(CAST(value AS DECIMAL(14,3))
+                    * CAST(value AS DECIMAL(14,3)) AS DECIMAL(38,6)) AS dv2
+        FROM events
+    ), m AS (
+        SELECT event_id, user_id, ts_sec, value,
+               count(*) OVER w AS n,
+               CAST(sum(dv) OVER w AS DOUBLE) AS sx,
+               CAST(sum(dv2) OVER w AS DOUBLE) AS sxx
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts_sec,
+           round((value - sx / n)
+                 / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS z
+    FROM m
+    WHERE n >= 8
+      AND (n * sxx - sx * sx) / (n * (n - 1.0)) > 0
+      AND abs((value - sx / n)
+              / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) > 3.0
+    ORDER BY event_id
+    """,
+)
+def t69_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event scored against the mean/
+    stddev of its user's TRAILING week (RANGE frame ending 1s before
+    the event — the event never scores against itself; the window
+    length is sized to the data's per-user event rate so the ≥8-sample
+    warmup actually fills), flagging |z| > 3. The streaming-adjacent
+    monitoring shape: one shuffle on user_id, a single sorted pass per
+    partition evaluates both moment windows.
+
+    Moments accumulate as exact decimals (the t59 discipline): mean
+    and variance derive from (n, Σx, Σx²) in double, so the flag set
+    is identical under any partitioning and engine — an order-dependent
+    anomaly detector cannot be re-checked by any oracle, or trusted
+    across reruns."""
+    e = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(14,3)")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "value",
+        dv.alias("dv"),
+        (dv * dv).cast("decimal(38,6)").alias("dv2"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-604_800, -1)
+    )
+    m = base.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum("dv").over(w).cast("double").alias("sx"),
+        F.sum("dv2").over(w).cast("double").alias("sxx"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * (F.col("n") - 1.0)
+    )
+    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(var)
+    return (
+        m.filter((F.col("n") >= 8) & (var > 0) & (F.abs(z) > 3.0))
+        .select("event_id", "user_id", "ts_sec", F.round(z, 6).alias("z"))
+        .orderBy("event_id")
+    )
