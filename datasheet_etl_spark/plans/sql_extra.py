@@ -3,7 +3,7 @@
 SQL breadth: CUBE (q35), RANGE window frames (q36), LATERAL top-k
 (q37), VARIANT semi-structured extraction (q38), recursive CTE (q39),
 explicit GROUPING SETS + grouping_id (q40), bag-semantics set
-ops INTERSECT ALL / EXCEPT ALL (q41).
+ops INTERSECT ALL / EXCEPT ALL (q41), value-window trio (q42).
 Ops/analytics: salted skew join (t51), train/val/test split (t52),
 MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 (t56), session funnel (t57), cohort retention (t58), one-scan
@@ -12,7 +12,8 @@ rows-only), BM25 ranked retrieval (t62), MMR diverse selection (t63,
 rows-only), blocked fuzzy Levenshtein join (t64), unigram
 log-perplexity quality gate (t65), pairwise-similarity histogram
 (t66), Z-order clustering key (t67), CDC changelog apply (t68),
-rolling anomaly detection (t69).
+rolling anomaly detection (t69), per-source dedup-rate report
+(t70).
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -1193,3 +1194,78 @@ def t69_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts_sec", F.round(z, 6).alias("z"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "t70_dedup_rate_report",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t70_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report — the corpus-health metric
+    that decides WHERE dedup effort goes (a source at 40% dup rate gets
+    the MinHash pass first): docs vs distinct content fingerprints per
+    source, one hash aggregate over map-side md5 (bodies never
+    shuffle — only 16-byte fingerprints reach the distinct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q42_value_window_trio",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def q42_value_window_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window trio (first_value / last_value / nth_value) over an
+    explicit UNBOUNDED frame — complements q21's rank trio. The
+    explicit frame matters: last_value over the DEFAULT frame (up to
+    current row) is a famous footgun that silently returns the current
+    row; the full frame names the per-partition extremes correctly.
+    Total order (date, key) keeps ties deterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).orderBy("o_orderkey")
