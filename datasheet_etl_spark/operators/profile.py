@@ -200,15 +200,20 @@ def mad_outliers(
             cond = c if cond is None else cond & c
         return cond
 
+    # Column objects, not f-string SQL: a value column named with a
+    # quote/backtick/dot/space must resolve as a column reference, never
+    # re-parse as SQL text (same injection hardening as profile_table).
     skeys = [F.col(s).alias(f"_s_{s}") for s in strata]
     med = df.groupBy(*skeys).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_m")
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_m")
     )
     dev = (
         df.join(F.broadcast(med), _nullsafe(df, med))
         .groupBy(*[med[f"_s_{s}"] for s in strata])
         .agg(
-            F.expr(f"percentile(abs({value_col} - _m), 0.5)").alias("_mad"),
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("_m")), F.lit(0.5)
+            ).alias("_mad"),
             F.max("_m").alias("_m"),
         )
     )
@@ -324,8 +329,15 @@ def psi_drift(
     )
 
     def counts(df: DataFrame, out: str) -> DataFrame:
-        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
-            F.count("*").alias(out)
+        # NULL measurements are excluded, not silently folded into
+        # bucket 0 (greatest() skips NULL operands, so NULL/width would
+        # bucket to 0 and inflate it on whichever side has more NULLs);
+        # NULL-rate drift is profile_table's job, not PSI's.
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(out))
         )
 
     spine = old.sparkSession.range(n_buckets).select(

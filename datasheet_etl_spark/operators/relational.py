@@ -363,7 +363,7 @@ def sessionize(
     df: DataFrame,
     partition_keys: Sequence[str],
     ts_col: str,
-    gap_seconds: int,
+    gap: int,
     order_keys: Sequence[str] | None = None,
     session_col: str = "session_id",
 ) -> DataFrame:
@@ -374,17 +374,18 @@ def sessionize(
     partition keys; in streaming the same semantics come from
     ``session_window`` (see streaming module).
 
-    UNIT CONTRACT: the gap is compared against raw ``ts_col`` deltas
-    (after a double cast), so ``gap_seconds`` is in seconds ONLY when
-    ``ts_col`` is a timestamp (whose double cast is epoch seconds). For
-    a numeric ts column the gap is in that column's own units — a
-    microsecond ts needs a microsecond gap (as t57 passes).
+    UNIT CONTRACT: ``gap`` is in ``ts_col``'s OWN units — the gap is
+    compared against raw ``ts_col`` deltas (after a double cast), so a
+    timestamp column (whose double cast is epoch seconds) takes a gap
+    in seconds, while a microsecond ts needs a microsecond gap (as t57
+    passes). Named ``gap``, not ``gap_seconds``, exactly so the name
+    never promises a unit the column doesn't have.
     """
     order_keys = list(order_keys or [ts_col])
     w = Window.partitionBy(*partition_keys).orderBy(*order_keys)
     ts = F.col(ts_col).cast("double")
     prev = F.lag(ts).over(w)
-    is_start = F.when(prev.isNull() | ((ts - prev) > gap_seconds), 1).otherwise(0)
+    is_start = F.when(prev.isNull() | ((ts - prev) > gap), 1).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(session_col, F.sum(is_start).over(wsum))
 

@@ -610,7 +610,7 @@ def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "event_id", "value", "ts"),
         ["user_id"],
         "ts",
-        gap_seconds=1800,
+        gap=1800,
         order_keys=["event_id"],
     )
     return (

@@ -493,7 +493,7 @@ def t57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is too: 1.8e9 µs = 30 min (µs keep the funnel's strict-order
     # comparisons exact against the epoch_us oracle)
     sess = sessionize(
-        e, ["user_id"], "ts_us", gap_seconds=1_800_000_000, order_keys=["event_id"]
+        e, ["user_id"], "ts_us", gap=1_800_000_000, order_keys=["event_id"]
     )
     fun = funnel_stages(
         sess,
@@ -892,7 +892,8 @@ def t65_unigram_log_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT vec_id, embedding::DOUBLE[] AS v
         FROM embeddings
-        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'
+        ORDER BY md5(CAST(vec_id AS VARCHAR))
+        LIMIT 128
     ), pairs AS (
         -- zero-vector guard mirrors the engine's cosine(): denom <= 0
         -- yields 0.0, never NaN
@@ -913,23 +914,31 @@ def t65_unigram_log_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t66_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus diversity audit: the distribution of pairwise cosine
-    similarities over a deterministic hash-sample of the embedding
-    corpus, bucketed at 0.1 — the mode-collapse detector for synthetic
-    data (a healthy corpus has its mass near 0; a collapsing generator
-    piles mass toward 1). Pairwise work is sample² BY CHOICE (the
-    auditor sets the sample rate; ~1/8 here), never corpus² — the same
-    budget-bounded-audit stance as t47's top-N skew report. Cosines are
+    similarities over a deterministic ABSOLUTE-SIZE sample of the
+    embedding corpus (the S=128 smallest sampling hashes, the
+    ``uniform_sample`` idiom), bucketed at 0.1 — the mode-collapse
+    detector for synthetic data (a healthy corpus has its mass near 0;
+    a collapsing generator piles mass toward 1). The audit budget is
+    corpus-size-independent: pairwise work is S²/2 = 8128 cosines at
+    ANY corpus size, where a rate-based sample (the r5 version) made
+    the audit quadratic in corpus size — (N/8)² pairs, 10,000× the
+    cost at a 100× scale-up. Sample selection is TakeOrderedAndProject
+    (per-partition top-S, driver merge — no global sort); S rows of a
+    few KB each trivially broadcast for the self-join. Cosines are
     sequential double folds in both engines (same fold order → same
     doubles), so the histogram is value-oracled."""
+    from datasheet_etl_spark.operators.sampling import uniform_sample
     from datasheet_etl_spark.operators.similarity import cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    s = emb.filter(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "2"
-    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    s = uniform_sample(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+        n=128,
+    )
     a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
         cosine(F.col("va"), F.col("vb")).alias("cos")
     )
     bucket = F.least(

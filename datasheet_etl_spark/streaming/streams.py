@@ -371,11 +371,19 @@ def idempotent_keyed_sink(
     def _target_exists() -> bool:
         # Hadoop FileSystem check — works for file://, hdfs://, s3a://
         # alike (an os.path check would silently skip the anti-join on
-        # remote targets; matching error-message text is version-fragile)
+        # remote targets; matching error-message text is version-fragile).
+        # Requires at least one *data* file, not mere directory
+        # existence: a dir holding only _temporary/ left by a crashed
+        # first micro-batch (or a pre-created empty dir) has no schema,
+        # so read.parquet would fail inference on every later batch.
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(target_dir)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        if not fs.exists(hpath):
+            return False
+        glob = jvm.org.apache.hadoop.fs.Path(target_dir + "/*.parquet")
+        statuses = fs.globStatus(glob)
+        return statuses is not None and len(statuses) > 0
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates(keys)

@@ -398,6 +398,33 @@ def test_incremental_curation_pipeline(spark, tmp_path):
     assert final.select("fp").distinct().count() == final.count()
 
 
+def test_idempotent_keyed_sink_tolerates_dataless_target_dir(spark, tmp_path):
+    """A pre-existing target dir with no data files (pre-created empty,
+    or only _temporary/ left by a crashed first attempt) must behave as
+    'no target yet': the first drain writes, instead of wedging every
+    batch on parquet schema inference over zero files."""
+    import os
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming.streams import (
+        events_stream,
+        idempotent_keyed_sink,
+    )
+
+    src = str(tmp_path / "ev_src")
+    target = str(tmp_path / "ev_target")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(os.path.join(target, "_temporary", "0"))  # crash residue
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.filter(F.col("event_id") < 100).coalesce(1).write.parquet(src)
+
+    idempotent_keyed_sink(
+        events_stream(spark, src), target, ckpt, key_cols=("event_id",)
+    )
+    got = spark.read.parquet(target)
+    assert got.count() == ev.filter(F.col("event_id") < 100).count()
+
+
 def test_idempotent_keyed_sink_survives_replay(spark, tmp_path):
     """The sink's idempotency must come from the key anti-join, not the
     checkpoint: wiping the checkpoint (the worst-case full replay) and

@@ -612,6 +612,38 @@ def test_psi_drift_detects_planted_shift(spark):
     assert psi_shift > 0.25, psi_shift
 
 
+def test_psi_drift_ignores_nulls(spark):
+    """NULL measurements must not count as bucket 0: a side with many
+    NULLs but the same non-NULL distribution shows zero drift (greatest()
+    skips NULL operands, so unfiltered NULLs would bucket to 0)."""
+    from datasheet_etl_spark.operators.profile import psi_drift
+
+    base = spark.createDataFrame(
+        [(i, 100 + (i % 300)) for i in range(600)], "id long, v long"
+    )
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(10_000 + i, None) for i in range(400)], base.schema)
+    )
+    out = psi_drift(base, with_nulls, "v", bucket_width=100)
+    psi = out.agg(F.sum("psi").alias("s")).first()["s"]
+    assert abs(psi) < 1e-9, psi
+    # and bucket 0 counts match exactly (no NULL inflation)
+    b0 = out.filter(F.col("bucket") == 0).first()
+    assert b0["n_old"] == b0["n_new"]
+
+
+def test_mad_outliers_hostile_column_name(spark):
+    """Column references must never re-parse as SQL text: a value column
+    whose name contains spaces/quotes still resolves (the r5 f-string
+    percentile would raise ParseException)."""
+    from datasheet_etl_spark.operators.profile import mad_outliers
+
+    rows = [(i, "a", float(i % 7)) for i in range(40)] + [(99, "a", 1e6)]
+    df = spark.createDataFrame(rows, ["id", "src", "weird name's"])
+    flagged = {r["id"] for r in mad_outliers(df, "weird name's", ["src"], k=3.0).collect()}
+    assert flagged == {99}
+
+
 def test_bm25_ranking_sanity(spark):
     """More matched terms and rarer terms score higher; non-matching
     docs are absent."""
