@@ -3,24 +3,86 @@
 ``queries.py``  : Q01–Q34 — the survey §2.9 correctness contract.
 ``training.py`` : training-data pipeline ops (dedup / similarity / text /
                   multimodal) — first-class beyond-reference surface.
+``sql_extra.py``: SQL-breadth + data-quality/ops entries (r5+).
 
-Both register into one registry; ``registry()`` / ``oracles()`` are what
+All register into one registry; ``registry()`` / ``oracles()`` are what
 ``__spark_entry__`` exposes to the driver.
 
 Ordering contract: the driver grades only the FIRST 50 registry entries
-(insertion order), so ``registry()`` lists every oracle-checkable entry
-first (stable within-group insertion order) and the rows-only entries
-(engine-specific hashes, stateful streaming) last — those carry
-parity-to-exact pytest coverage instead of a DuckDB oracle.
+(insertion order), so the window is now EXPLICIT — ``WINDOW`` lists the
+50 graded entries by name (every one DuckDB-oracled), rotated each round
+so the newest work is driver-graded, not only pytest-oracled. Everything
+else follows: remaining oracled entries (all still hash-checked by the
+pytest oracle sweep), then the DEMOTED idiom-variants, then the
+rows-only entries (engine-specific hashes, stateful streaming) which
+carry parity-to-exact pytest coverage instead of a DuckDB oracle.
 """
 
 from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
+# The driver-graded window (first 50 registry entries), every entry
+# oracled. Round-6 rotation (VERDICT r5 next-round #1): t57/t59/t64/
+# t65/t67/t68/q35/q38 in; t08-t11/t22/t23/t26/t31 out (rationales in
+# DEMOTED).
+WINDOW: tuple[str, ...] = (
+    "q01_scan_filter",
+    "q03_regex_extract_cast",
+    "q04_case_classify",
+    "q05_broadcast_join",
+    "q06_positional_join",
+    "q07_range_join",
+    "q11_tpch_q1",
+    "q13_rollup",
+    "q14_dynamic_pivot",
+    "q15_unpivot",
+    "q16_topk_per_group",
+    "q18_sessionize",
+    "q19_percentiles",
+    "q21_ranking_trio",
+    "q24_distinct_exact",
+    "q25_array_ops",
+    "q26_json_roundtrip",
+    "q28_severity_ladder",
+    "q29_confidence_agg",
+    "q30_idempotent_rerun",
+    "q32_dedup_latest",
+    "q33_similarity_topk",
+    "q34_wordcount",
+    "t13_streaming_tumbling",
+    "t41_streaming_interval_join",
+    "t55_streaming_kmv_distinct",
+    "t01_dedup_exact",
+    "t04_dedup_ngram_jaccard",
+    "t06_ann_bruteforce",
+    "t07_ann_ivf",
+    "t19_corpus_curation",
+    "t16_dedup_clusters",
+    "t17_graph_copurchase",
+    "t21_time_rollup",
+    "t18_asof_join",
+    "t27_stratified_sample",
+    "t28_sequence_pack",
+    "t29_mixture_weighted",
+    "t33_corpus_prep_e2e",
+    "t32_decontaminate",
+    "t30_redact_pii",
+    "t34_repetition_score",
+    # --- rotated IN for round 6 (r5 additions, previously past the window) ---
+    "q35_cube",
+    "q38_variant_extract",
+    "t57_funnel",
+    "t59_correlation_matrix",
+    "t64_fuzzy_join",
+    "t65_unigram_log_ppl",
+    "t67_zorder_key",
+    "t68_cdc_apply",
+)
 
-# Oracled entries deliberately placed after the graded window when the
-# oracled count exceeds 50 (all still pass the local sf0.01 re-drive and
-# the full pytest oracle sweep; the demoted ones are variants whose core
-# idiom is already graded elsewhere).
+
+# Oracled entries deliberately placed after the graded window (all still
+# pass the local sf0.01 re-drive and the full pytest oracle sweep; the
+# demoted ones are variants whose core idiom is already graded inside a
+# superset entry that remains in the window).
 DEMOTED: tuple[str, ...] = (
     "q31b_sliding_window",  # q31 tumbling grades the same windowing idiom
     "t05_dedup_embedding_cosine",  # t06 grades the same vectorized scanner
@@ -42,20 +104,44 @@ DEMOTED: tuple[str, ...] = (
     # IDENTICAL tumbling-window contract (same oracle result) through the
     # strictly-stronger streaming path:
     "q31_tumbling_window",
+    # r6: swapped out for t57/t59/t64/t65/t67/t68/q35/q38 (VERDICT r5
+    # next-round #1) — every outgoing idiom stays graded inside an
+    # in-window superset:
+    "t08_text_langid",  # detect_language scoring graded inside t19's lang-ID + per-lang agg
+    "t09_text_quality",  # quality_score ratios graded inside t19's quality gate
+    "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + q34 wordcount
+    "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
+    "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
+    "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16/t17 graph entries + q26 parse
+    "t26_sample_uniform",  # hash-rank sample graded inside t27 (per-stratum rank, same doc_hash family)
+    "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t28's budget packing
 )
 
 
 def _ordered():
-    # Import order IS registration order (the graded window is the first
-    # 50 entries): streaming/training first, then sql_extra so its
-    # oracled entries land past the window (pytest still oracles them).
+    # Import registers entries into QUERIES/ORACLES; the graded window
+    # is then pinned EXPLICITLY by name (WINDOW), so adding entries in
+    # any module can never silently evict a graded one.
     from datasheet_etl_spark.plans import streaming_entries, training  # noqa: F401
     from datasheet_etl_spark.plans import sql_extra  # noqa: F401  isort:skip
 
-    oracled = {k: v for k, v in QUERIES.items() if k in ORACLES and k not in DEMOTED}
+    missing = [k for k in WINDOW if k not in QUERIES]
+    unoracled = [k for k in WINDOW if k not in ORACLES]
+    overlap = set(WINDOW) & set(DEMOTED)
+    assert len(WINDOW) == 50, f"window must be exactly 50, got {len(WINDOW)}"
+    assert not missing, f"window entries not registered: {missing}"
+    assert not unoracled, f"window entries lack oracles: {unoracled}"
+    assert not overlap, f"entries both windowed and demoted: {sorted(overlap)}"
+
+    window = {k: QUERIES[k] for k in WINDOW}
+    oracled = {
+        k: v
+        for k, v in QUERIES.items()
+        if k in ORACLES and k not in window and k not in DEMOTED
+    }
     demoted = {k: QUERIES[k] for k in DEMOTED if k in QUERIES}
     rows_only = {k: v for k, v in QUERIES.items() if k not in ORACLES}
-    return {**oracled, **demoted, **rows_only}
+    return {**window, **oracled, **demoted, **rows_only}
 
 
 def registry():

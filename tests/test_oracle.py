@@ -28,3 +28,22 @@ def test_query_matches_oracle(spark, name):
         return
     ok, msg = compare(df, ora[name], SF_ORACLE)
     assert ok, f"{name}: {msg}"
+
+
+def test_graded_window_contract():
+    """The driver grades the first 50 registry entries. Pin that the
+    window is exactly the explicit WINDOW list, every entry oracled,
+    and that the r6 rotation actually covers round-5 work (>= 8 r5
+    entries driver-graded, per VERDICT r5 next-round #1)."""
+    from datasheet_etl_spark.plans import WINDOW, oracles, registry
+
+    first50 = list(registry())[:50]
+    assert first50 == list(WINDOW)
+    ora = oracles()
+    assert all(k in ora for k in first50)
+    r5_entries = {
+        "q35_cube", "q38_variant_extract", "t57_funnel",
+        "t59_correlation_matrix", "t64_fuzzy_join", "t65_unigram_log_ppl",
+        "t67_zorder_key", "t68_cdc_apply",
+    }
+    assert r5_entries <= set(first50)
