@@ -3,7 +3,9 @@
 SQL breadth: CUBE (q35), RANGE window frames (q36), LATERAL top-k
 (q37), VARIANT semi-structured extraction (q38), recursive CTE (q39),
 explicit GROUPING SETS + grouping_id (q40), bag-semantics set
-ops INTERSECT ALL / EXCEPT ALL (q41), value-window trio (q42).
+ops INTERSECT ALL / EXCEPT ALL (q41), value-window trio (q42),
+six-table star-join revenue (q43, TPC-H Q5 shape), correlated
+scalar/EXISTS subqueries (q44).
 Ops/analytics: salted skew join (t51), train/val/test split (t52),
 MAD outlier gate (t53), LOCF grid resample (t54), triangle count
 (t56), session funnel (t57), cohort retention (t58), one-scan
@@ -1278,3 +1280,138 @@ def q42_value_window_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q43_star_join_revenue",
+    f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q43_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (reference seed: the 3-table q05 join,
+    queries.py:186): local-supplier revenue by nation — a genuine
+    SIX-table star join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    nation ⋈ region) with selective date + region filters, the single
+    most common real-analytics plan shape.
+
+    100 TB plan shape (plan-pinned in tests/test_plans.py):
+    region/nation/supplier/customer are dimensions — region+nation
+    broadcast outright, and the customer/supplier sides stay tiny
+    relative to the facts, so Spark's size estimation (+ AQE at
+    runtime) broadcasts every dimension ⇒ the two FACT tables
+    (lineitem, orders) are the only sides that shuffle, one exchange
+    each for their o_orderkey join. The selective o_orderdate range
+    filter is pushed INTO the orders scan (PushedFilters) and shrinks
+    the orders side ~6× before any join; the c_nationkey = s_nationkey
+    local-supplier predicate rides the broadcast joins as a post-join
+    filter. Decimal-exact revenue keeps the answer identical on 1 core
+    or 1000 executors."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q44_correlated_subqueries",
+    """
+    SELECT c_custkey, c_name, max_order,
+           CAST(nation_avg AS DOUBLE) AS nation_avg
+    FROM (
+        SELECT c.c_custkey, c.c_name,
+               (SELECT max(o.o_totalprice) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_order,
+               (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                  FROM orders o2 JOIN customer c2
+                    ON o2.o_custkey = c2.c_custkey
+                 WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o3
+                       WHERE o3.o_custkey = c.c_custkey
+                         AND o3.o_orderstatus = 'O')
+    )
+    WHERE max_order > 2 * nation_avg
+    ORDER BY c_custkey
+    """,
+)
+def q44_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery family, run through spark.sql as real
+    correlated SQL (not hand-decorelated DataFrame ops): a correlated
+    SCALAR subquery (each customer's max order), a second correlated
+    scalar at a different correlation level (their nation's average
+    order value), and a correlated EXISTS gate — customers with an
+    open order whose largest order is >2× their nation's average.
+
+    Catalyst DECORRELATES all three (the rewrite q37's LATERAL does
+    not exercise): each scalar subquery becomes a grouped aggregate on
+    the correlation key joined back (left outer), and EXISTS becomes a
+    left-semi join — so the plan is 3 aggregates + 3 joins on grouped
+    (small) sides, never a per-row re-execution of the subquery. At
+    100 TB that rewrite is the entire difference between O(N) and
+    O(N²): a nested-loop evaluation of the nation-average subquery
+    would re-scan orders once per customer. The nation-level aggregate
+    is ~25 rows ⇒ broadcast; the per-customer aggregates join on the
+    same key the aggregate produced (shuffle reuse). avg over an exact
+    DECIMAL cast keeps the threshold comparison engine-identical."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_q44_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, max_order,
+               CAST(nation_avg AS DOUBLE) AS nation_avg
+        FROM (
+            SELECT c.c_custkey, c.c_name,
+                   (SELECT max(o.o_totalprice) FROM _q44_orders o
+                     WHERE o.o_custkey = c.c_custkey) AS max_order,
+                   (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                      FROM _q44_orders o2 JOIN _q44_customer c2
+                        ON o2.o_custkey = c2.c_custkey
+                     WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+            FROM _q44_customer c
+            WHERE EXISTS (SELECT 1 FROM _q44_orders o3
+                           WHERE o3.o_custkey = c.c_custkey
+                             AND o3.o_orderstatus = 'O')
+        )
+        WHERE max_order > 2 * nation_avg
+        ORDER BY c_custkey
+        """
+    )

@@ -377,3 +377,41 @@ def test_funnel_single_shuffle(spark):
         funnel_stages(df, ["k"], "ts", "et", ["view", "click", "purchase"])
     )
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:800]
+
+
+def test_q43_star_join_broadcasts_dims_one_shuffle_per_fact(spark):
+    """The 6-table star (TPC-H Q5 shape): every dimension side
+    (region, nation, supplier, customer) joins as a broadcast, so the
+    only exchanges are the two fact tables' o_orderkey shuffle (plus
+    the final group-by and sort) — at 100 TB the facts shuffle once
+    each and nothing else moves. Also pin that the selective
+    o_orderdate range filter reached the orders scan."""
+    from datasheet_etl_spark.plans.sql_extra import q43_star_join_revenue
+
+    df = q43_star_join_revenue(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:1200]
+    # fact⋈fact is the lone non-broadcast join (sort-merge or shuffled
+    # hash, either is fine) ⇒ at most one join-key exchange per fact +
+    # one for the aggregation
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert joins <= 1, plan[:1200]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:1200]
+    scan = plan[plan.index("FileScan") :]
+    assert "o_orderdate" in plan[plan.index("PushedFilters") :][:2000] or re.search(
+        r"PushedFilters: \[[^\]]*o_orderdate", plan
+    ), scan[:600]
+
+
+def test_q44_subqueries_decorrelate_to_joins(spark):
+    """Catalyst must rewrite all three correlated subqueries into
+    aggregate+join form: no nested-loop (BroadcastNestedLoopJoin /
+    CartesianProduct) anywhere, and the EXISTS shows up as a semi
+    join — per-row re-execution of a subquery is the O(N²) shape this
+    entry exists to prove the engine avoids."""
+    from datasheet_etl_spark.plans.sql_extra import q44_correlated_subqueries
+
+    plan = _plan(q44_correlated_subqueries(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:1200]
+    assert "LeftSemi" in plan, plan[:1200]
+    assert "HashAggregate" in plan
