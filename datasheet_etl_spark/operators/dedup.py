@@ -644,3 +644,112 @@ def decontaminate_bloom(
     id_type = train.schema[id_col].dataType.simpleString()
     hits = probe_in.mapInPandas(op, schema=f"{id_col} {id_type}")
     return hits.groupBy(id_col).agg(F.count("*").cast("long").alias(hit_col))
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup: persisted banded-signature index
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    sigs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 8,
+    num_perm: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the banded MinHash signature index of a corpus: one row
+    per (id, band) holding (id, sig, band, bucket), written partitioned
+    by ``band``. The near-dup analog of t40's exact-fingerprint index —
+    the nightly-ingest state for incremental NEAR-dup dedup, resident
+    in storage (≈ bands · 0.6 KB/doc), never executor memory.
+
+    Partitioning by band matters twice at 100 TB: (a) a probe that
+    banding assigns to band b only ever reads partition b (the probe
+    join's scan is partition-pruned per band), and (b) the signature
+    column needed for verify is recoverable from ANY single band
+    partition (every id appears once per band), so est-Jaccard verify
+    reads 1/bands of the index."""
+    banded_buckets(sigs, id_col, sig_col, bands, num_perm, keep_sig=True).write.mode(
+        mode
+    ).partitionBy("band").parquet(path)
+
+
+def append_to_minhash_index(
+    sigs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 8,
+    num_perm: int = 64,
+) -> None:
+    """Append a (deduped) shard's banded signatures to the index —
+    dynamic partition append, so each band's new files land inside the
+    existing band= directory. Same idempotence posture as the exact
+    index: append AFTER the shard's survivors are decided."""
+    write_minhash_index(sigs, path, id_col, sig_col, bands, num_perm, mode="append")
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    shard_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 8,
+    num_perm: int = 64,
+    threshold_est: float = 0.5,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """New-shard near-dup probe against a persisted signature index:
+    band the shard's signatures, join on (band, bucket) against the
+    index AT REST, then verify candidates with the signature-estimated
+    Jaccard (fraction of agreeing slots) ≥ ``threshold_est``.
+
+    This is the incremental complement of :func:`minhash_dedup_pairs`
+    (same permutation constants, same banding — a pair meets here iff
+    it would meet in the from-scratch run over corpus ∪ shard; recall
+    pinned in tests/test_skew_guards.py): the corpus side costs one
+    index scan of bucket keys + one 1/bands scan for verify sigs, and
+    the corpus TEXT is never touched — the entire point of keeping the
+    index at 100 TB, where re-shingling the corpus per nightly shard
+    would dwarf the shard itself.
+
+    ``max_bucket`` caps index-side bucket width (same skew stance as
+    ``lsh_candidate_pairs``: degenerate boilerplate buckets are exact-
+    dedup territory). Returns (new_id, index_id, est_jaccard).
+    """
+    idx = spark.read.parquet(path)
+    idx_b = cap_buckets(
+        idx.select(F.col(id_col).alias("index_id"), "band", "bucket"),
+        ["band", "bucket"],
+        max_bucket,
+    )
+    shard_b = banded_buckets(shard_sigs, id_col, sig_col, bands, num_perm).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    cands = (
+        shard_b.join(idx_b, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    # verify sigs: every id appears once per band ⇒ band 0 alone is a
+    # full (id, sig) map, and the read partition-prunes to that band
+    idx_sigs = idx.filter(F.col("band") == 0).select(
+        F.col(id_col).alias("index_id"), F.col(sig_col).alias("_sig_i")
+    )
+    new_sigs = shard_sigs.select(
+        F.col(id_col).alias("new_id"), F.col(sig_col).alias("_sig_n")
+    )
+    est = F.size(
+        F.filter(F.zip_with("_sig_n", "_sig_i", lambda x, y: x == y), lambda eq: eq)
+    ) / F.size("_sig_n")
+    return (
+        cands.join(new_sigs, "new_id")
+        .join(idx_sigs, "index_id")
+        .select("new_id", "index_id", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold_est)
+    )

@@ -1883,3 +1883,86 @@ def t50_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return boilerplate_scores(docs, n=2, df_frac=0.1).orderBy("doc_id")
+
+
+@register("t71_incremental_minhash_dedup")  # engine-hash signatures → rows-only
+def t71_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest NEAR-dup dedup: the arriving shard (doc_id ≥ 250)
+    probed against the PERSISTED banded MinHash signature index of the
+    existing corpus (doc_id < 250) — t40's incremental shape lifted
+    from exact fingerprints to near-dup signatures. The corpus text is
+    never re-read: candidates come from the (band, bucket)-partitioned
+    index at rest, verify uses index-resident signatures (band-0
+    partition only). Cross-shard recall vs recomputing the full-corpus
+    t02 from scratch, plus the append lifecycle, are pinned in
+    tests/test_skew_guards.py. xxhash64 signatures are engine-specific
+    ⇒ rows-only."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datasheet_etl_spark.functions import tokens
+    from datasheet_etl_spark.operators.dedup import (
+        minhash_signatures,
+        probe_minhash_index,
+        word_shingles,
+        write_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
+    )
+    sigs = minhash_signatures(sh, "doc_id", "sh")
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    tag = hashlib.md5(f"mhidx:{sf_dir}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"minhash_idx_{tag}")
+    marker = os.path.join(path, "_STAGED")
+    st_mtime = os.stat(src).st_mtime
+    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
+    if not staged:
+        write_minhash_index(sigs.filter(F.col("doc_id") < 250), path)
+        with open(marker, "w") as f:
+            f.write(str(st_mtime))
+
+    shard = sigs.filter(F.col("doc_id") >= 250)
+    return probe_minhash_index(spark, path, shard).orderBy("new_id", "index_id")
+
+
+@register("t72_ann_two_stage_rerank")  # engine kmeans + int8 scan → rows-only
+def t72_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage production retrieval: wide int8 IVF scan (4·k
+    candidates per probe, partition-pruned) + exact float re-rank of
+    just those candidates — t36's single-stage search with the refine
+    stage on top. Returned scores are EXACT (bit-equal to brute force;
+    pinned with recall@10 ≥ 0.95 in tests/test_training_ops.py), so
+    quantization costs recall only when a true neighbor misses the 4×
+    candidate margin. Index build cached on disk like t36."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datasheet_etl_spark.operators.similarity import (
+        ivf_search_refined,
+        write_ivf_index,
+    )
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    tag = hashlib.md5(f"ivfq8r:{sf_dir}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ivf_q8r_{tag}")
+    marker = os.path.join(path, "_STAGED")
+    st_mtime = os.stat(src).st_mtime
+    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
+    if not staged:
+        emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+        write_ivf_index(emb, path, k_clusters=16, iters=2, quantize_bits=8)
+        with open(marker, "w") as f:
+            f.write(str(st_mtime))
+
+    exact = _emb(spark, sf_dir).select("vec_id", "embedding")
+    probes = exact.filter(F.col("vec_id") < 10)
+    out = ivf_search_refined(spark, path, probes, exact, k=10, nprobe=4)
+    return out.select(
+        "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("probe_id", "rank")

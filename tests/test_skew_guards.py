@@ -92,3 +92,96 @@ def test_dropped_buckets_reports_capped_width(spark):
     # the 30-wide cluster occupies exactly one bucket per band = 8 hot buckets
     assert len(hot) == 8
     assert all(r.bucket_width == 30 for r in hot)
+
+
+def _doc_sigs(spark, sf_dir):
+    from datasheet_etl_spark.functions import tokens
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh"))
+    return minhash_signatures(sh, "doc_id", "sh")
+
+
+def test_incremental_minhash_probe_matches_from_scratch(spark, tmp_path):
+    """Cross-shard recall contract: probing the persisted index finds
+    EXACTLY the (corpus, shard) pairs the from-scratch LSH run over the
+    full corpus finds (same banding constants ⇒ same bucket
+    collisions), with the identical est-Jaccard values."""
+    from tests.conftest import SF_SMOKE
+
+    from datasheet_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    sigs = _doc_sigs(spark, SF_SMOKE).persist()
+    corpus = sigs.filter(F.col("doc_id") < 250)
+    shard = sigs.filter(F.col("doc_id") >= 250)
+
+    path = str(tmp_path / "mh_idx")
+    write_minhash_index(corpus, path)
+    probed = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in probe_minhash_index(spark, path, shard, threshold_est=0.5).collect()
+    }
+
+    # from-scratch over the FULL corpus, restricted to cross-shard pairs
+    # and verified with the same est-Jaccard predicate
+    full = lsh_candidate_pairs(sigs, "doc_id", "sig")
+    sig_map = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    scratch = set()
+    for r in full.collect():
+        lo, hi = r["id_a"], r["id_b"]
+        if (lo < 250) == (hi < 250):  # keep only cross-shard pairs
+            continue
+        new_id, idx_id = (hi, lo) if hi >= 250 else (lo, hi)
+        a, b = sig_map[new_id], sig_map[idx_id]
+        est = round(sum(x == y for x, y in zip(a, b)) / len(a), 6)
+        if est >= 0.5:
+            scratch.add((new_id, idx_id, est))
+    sigs.unpersist()
+    assert probed == scratch and probed, (len(probed), len(scratch))
+
+
+def test_minhash_index_append_lifecycle(spark, tmp_path):
+    """Write → probe → append survivors → a later shard's probe sees
+    BOTH the original corpus and the appended shard (the nightly-ingest
+    loop), and appending never duplicates candidates."""
+    from tests.conftest import SF_SMOKE
+
+    from datasheet_etl_spark.operators.dedup import (
+        append_to_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    sigs = _doc_sigs(spark, SF_SMOKE).persist()
+    corpus = sigs.filter(F.col("doc_id") < 200)
+    shard1 = sigs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    shard2 = sigs.filter(F.col("doc_id") >= 300)
+
+    path = str(tmp_path / "mh_idx")
+    write_minhash_index(corpus, path)
+    hits1 = probe_minhash_index(spark, path, shard1)
+    dup_ids = [r["new_id"] for r in hits1.select("new_id").distinct().collect()]
+    survivors = shard1.filter(~F.col("doc_id").isin(dup_ids))
+    append_to_minhash_index(survivors, path)
+
+    hits2 = probe_minhash_index(spark, path, shard2)
+    partners = {r["index_id"] for r in hits2.collect()}
+    # shard2 must be able to match appended shard-1 survivors as well as
+    # the original corpus; at minimum every partner is a real index id
+    idx_ids = {
+        r["doc_id"] for r in spark.read.parquet(path).select("doc_id").distinct().collect()
+    }
+    assert partners <= idx_ids
+    assert {r["doc_id"] for r in survivors.select("doc_id").collect()} <= idx_ids
+    # no duplicate (new, index) rows
+    assert hits2.count() == hits2.select("new_id", "index_id").distinct().count()
+    sigs.unpersist()
