@@ -188,9 +188,20 @@ def pagerank(
         # so each iteration is exactly one join+agg job plus a
         # kilobyte-scale agg — an un-truncated lineage would recompute
         # the whole chain at every per-round action
+        # per-edge contribution is a double DIVISION (deterministic per
+        # row in any engine), but the per-node SUM runs as DECIMAL —
+        # decimal addition is exactly associative/commutative, so the
+        # aggregate is independent of partitioning/merge order. That
+        # makes fixed-iteration PageRank bit-reproducible across runs,
+        # cluster sizes, AND engines (t44 is DuckDB-oracled on exactly
+        # this property); scale 28 captures every double ulp for rank
+        # magnitudes down to ~1e-11.
         contribs = (
             links.join(ranks, "id")
-            .select("_to", (F.col("rank") / F.col("_outd")).alias("_c"))
+            .select(
+                "_to",
+                (F.col("rank") / F.col("_outd")).cast("decimal(38,28)").alias("_c"),
+            )
             .groupBy("_to")
             .agg(F.sum("_c").alias("_contrib"))
             .localCheckpoint(eager=True)
@@ -198,7 +209,7 @@ def pagerank(
         # every non-dangling node's rank arrives somewhere, so what
         # flowed is exactly sum(contribs); the rest sat on dangling nodes
         flowed = contribs.agg(F.sum("_contrib")).first()[0]
-        dangling = 1.0 - (flowed or 0.0)
+        dangling = 1.0 - float(flowed or 0.0)
         ranks = (
             nodes.join(contribs, nodes["id"] == contribs["_to"], "left")
             .select(

@@ -1589,11 +1589,89 @@ def t43_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_expectations(docs, rules).orderBy("rule")
 
 
-@register("t44_pagerank")  # iterative power method → rows-only
+def _t44_oracle_sql(iters: int = 4, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as pure ANSI SQL — the decimal
+    discipline (t59's) applied to an iterative algorithm: the per-edge
+    contribution rank/out_degree is a double DIVISION (identical IEEE
+    result in any engine), and the per-node SUM runs over
+    DECIMAL(38,28) casts, so the aggregate is exactly order-independent
+    — the one place float arithmetic would diverge between engines (and
+    between cluster sizes!) is removed. Every other arithmetic step is
+    straight-line double ops mirrored expression-for-expression from
+    ``operators.graph.pagerank`` (base (1-d)/N, damping multiply,
+    dangling mass (1 - flowed)/N redistributed uniformly), so 4 rounds
+    stay bit-identical. Fixed ``iters`` lets the recursion unroll into
+    chained CTEs — no recursive-CTE aggregation (which standard SQL
+    disallows) is needed.
+
+    Residual (documented) risk: the double→DECIMAL(38,28) cast and
+    round(·,9) could in principle round differently on an exact
+    half-ulp tie; ranks are generic doubles where such ties do not
+    occur (and the oracle sweep would catch one immediately)."""
+    d = repr(damping)
+    parts = [
+        """WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_partkey < 2000
+    ), pairs AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), edges AS (
+        SELECT src, dst FROM pairs
+        UNION
+        SELECT dst AS src, src AS dst FROM pairs
+    ), nodes AS (
+        SELECT src AS id FROM edges
+        UNION
+        SELECT dst AS id FROM edges
+    ), cnt AS (SELECT count(*) AS n FROM nodes),
+    outd AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+    links AS (
+        SELECT e.src AS id, e.dst AS _to, o.outd
+        FROM edges e JOIN outd o ON e.src = o.src
+    ),
+    r0 AS (SELECT id, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+    c{i} AS (
+        SELECT l._to AS id,
+               sum(CAST(r.rank / l.outd AS DECIMAL(38,28))) AS contrib
+        FROM links l JOIN r{i} r ON l.id = r.id
+        GROUP BY l._to
+    ),
+    f{i} AS (SELECT CAST(coalesce(sum(contrib), 0) AS DOUBLE) AS flowed
+             FROM c{i}),
+    r{i + 1} AS (
+        SELECT n.id,
+               (1.0 - {d}) / cnt.n
+               + {d} * (coalesce(CAST(c.contrib AS DOUBLE), 0.0)
+                        + (1.0 - f.flowed) / cnt.n) AS rank
+        FROM nodes n
+        CROSS JOIN cnt CROSS JOIN f{i} f
+        LEFT JOIN c{i} c ON c.id = n.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id, round(rank, 9) AS rank
+    FROM r{iters}
+    ORDER BY rank DESC, id
+    LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("t44_pagerank", _t44_oracle_sql())  # decimal-exact per-round sums
+
 def t44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase part graph (both directions of each
     co-purchase pair, so the chain is the out-degree-weighted random
-    surfer): top-20 parts by rank, numpy-reference-checked in tests.
+    surfer): top-20 parts by rank — numpy-reference-checked in tests
+    AND DuckDB-oracled (since r6): decimal per-round contribution sums
+    make every iteration order-independent, so the fixed-iteration
+    result is bit-identical across engines (see ``_t44_oracle_sql``).
 
     Bench scope note: 4 iterations over a bounded subgraph (partkey <
     2000) — iterative batch algorithms pay one job per round regardless
