@@ -717,19 +717,33 @@ def probe_minhash_index(
     index at 100 TB, where re-shingling the corpus per nightly shard
     would dwarf the shard itself.
 
-    ``max_bucket`` caps index-side bucket width (same skew stance as
-    ``lsh_candidate_pairs``: degenerate boilerplate buckets are exact-
-    dedup territory). Returns (new_id, index_id, est_jaccard).
+    ``max_bucket`` caps the COMBINED (index + shard) bucket width —
+    the same quantity ``lsh_candidate_pairs`` caps on the unified
+    corpus, so the iff-equivalence above survives the cap, and a
+    degenerate boilerplate SHARD (10k docs colliding into one bucket)
+    can't go quadratic against the index either (degenerate buckets
+    are exact-dedup territory). Returns (new_id, index_id,
+    est_jaccard).
     """
     idx = spark.read.parquet(path)
-    idx_b = cap_buckets(
-        idx.select(F.col(id_col).alias("index_id"), "band", "bucket"),
-        ["band", "bucket"],
-        max_bucket,
-    )
+    idx_b = idx.select(F.col(id_col).alias("index_id"), "band", "bucket")
     shard_b = banded_buckets(shard_sigs, id_col, sig_col, bands, num_perm).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
+    if max_bucket is not None:
+        # combined-width cap: only buckets present on BOTH sides yield
+        # cross pairs, so an inner count-join names exactly the buckets
+        # to keep; the count aggs and semi-joins share the (band,
+        # bucket) partitioning with the candidate join below
+        iw = idx_b.groupBy("band", "bucket").agg(F.count("*").alias("_iw"))
+        sw = shard_b.groupBy("band", "bucket").agg(F.count("*").alias("_sw"))
+        ok = (
+            iw.join(sw, ["band", "bucket"])
+            .filter((F.col("_iw") + F.col("_sw")) <= max_bucket)
+            .select("band", "bucket")
+        )
+        idx_b = idx_b.join(ok, ["band", "bucket"], "semi")
+        shard_b = shard_b.join(ok, ["band", "bucket"], "semi")
     cands = (
         shard_b.join(idx_b, ["band", "bucket"])
         .filter(F.col("new_id") != F.col("index_id"))

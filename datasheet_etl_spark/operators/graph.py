@@ -192,10 +192,11 @@ def pagerank(
         # row in any engine), but the per-node SUM runs as DECIMAL —
         # decimal addition is exactly associative/commutative, so the
         # aggregate is independent of partitioning/merge order. That
-        # makes fixed-iteration PageRank bit-reproducible across runs,
-        # cluster sizes, AND engines (t44 is DuckDB-oracled on exactly
-        # this property); scale 28 captures every double ulp for rank
-        # magnitudes down to ~1e-11.
+        # makes fixed-iteration PageRank bit-reproducible across runs
+        # and cluster sizes, and cross-ENGINE agreement tightens to the
+        # double->decimal cast's sub-ulp representation difference
+        # (t44's DuckDB oracle rides exactly this property); scale 28
+        # captures every double ulp for rank magnitudes down to ~1e-11.
         contribs = (
             links.join(ranks, "id")
             .select(

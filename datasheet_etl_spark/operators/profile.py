@@ -15,6 +15,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ref(name: str) -> Column:
+    """Resolve ``name`` as exactly ONE top-level column, whatever it
+    contains: backtick-quote the identifier (doubling embedded
+    backticks, Spark's escape) so a dot never splits into struct-field
+    access — both ``F.col(name)`` and ``df[name]`` split on dots — and
+    no user-supplied text is ever parsed as SQL."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
     min_value, max_value) — min/max cast to string so heterogeneous
@@ -36,10 +45,10 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggs = []
     for i, c in enumerate(cols):
         aggs += [
-            F.count(df[c]).alias(f"__p{i}_nn"),
-            F.count_distinct(df[c]).alias(f"__p{i}_nd"),
-            F.min(df[c]).cast("string").alias(f"__p{i}_min"),
-            F.max(df[c]).cast("string").alias(f"__p{i}_max"),
+            F.count(_ref(c)).alias(f"__p{i}_nn"),
+            F.count_distinct(_ref(c)).alias(f"__p{i}_nd"),
+            F.min(_ref(c)).cast("string").alias(f"__p{i}_min"),
+            F.max(_ref(c)).cast("string").alias(f"__p{i}_max"),
         ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
     stack_args = [F.lit(len(cols))]
@@ -196,28 +205,29 @@ def mad_outliers(
     def _nullsafe(left: DataFrame, right: DataFrame):
         cond = None
         for s in strata:
-            c = left[s].eqNullSafe(right[f"_s_{s}"])
+            c = _ref(s).eqNullSafe(right[f"_s_{s}"])
             cond = c if cond is None else cond & c
         return cond
 
-    # Column objects, not f-string SQL: a value column named with a
-    # quote/backtick/dot/space must resolve as a column reference, never
-    # re-parse as SQL text (same injection hardening as profile_table).
-    skeys = [F.col(s).alias(f"_s_{s}") for s in strata]
+    # df[...] indexing, not f-string SQL and not F.col(): a value column
+    # named with a quote/backtick/DOT/space must resolve as exactly one
+    # column, never re-parse as SQL text or split on dots into a
+    # struct-field access (same hardening as profile_table).
+    skeys = [_ref(s).alias(f"_s_{s}") for s in strata]
     med = df.groupBy(*skeys).agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("_m")
+        F.percentile(_ref(value_col), F.lit(0.5)).alias("_m")
     )
     dev = (
         df.join(F.broadcast(med), _nullsafe(df, med))
         .groupBy(*[med[f"_s_{s}"] for s in strata])
         .agg(
             F.percentile(
-                F.abs(F.col(value_col) - F.col("_m")), F.lit(0.5)
+                F.abs(_ref(value_col) - F.col("_m")), F.lit(0.5)
             ).alias("_mad"),
             F.max("_m").alias("_m"),
         )
     )
-    z = (F.col(value_col) - F.col("_m")) / (
+    z = (_ref(value_col) - F.col("_m")) / (
         F.lit(1.4826) * F.nullif(F.col("_mad"), F.lit(0.0))
     )
     return (

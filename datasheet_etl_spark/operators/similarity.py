@@ -682,15 +682,18 @@ def ivf_search_refined(
     top-k neighbor falls outside the top-4k of the int8 ranking — a 4×
     margin on the ≤ scale/2 rounding error — so recall@10 ≥ 0.95 vs
     brute force is pinned (tests/test_training_ops.py) where the
-    single-stage quantized floor is 0.9, and the scores returned are
-    EXACT (bit-equal to brute force on the same pairs).
+    single-stage quantized floor is 0.9. Returned scores are
+    full-precision cosines of the original vectors (sequential-fold
+    ``cosine`` expression); they agree with the numpy/BLAS brute path
+    to float accumulation order — within 1e-9, pinned — not bit-for-
+    bit, since BLAS blocks its summation.
 
     Cost shape at 100 TB: stage 1 reads int8 arrays (¼ the float bytes)
     from nprobe/k_clusters of the partitions; stage 2 touches only
     |probes|·candidates corpus rows — a semi-join against the float
     store, never a scan. The probe side broadcasts (probe batches are
-    small by contract); exact scoring is the same codegen ``cosine``
-    expression as the oracle-checked brute path."""
+    small by contract); exact scoring is the codegen ``cosine``
+    expression (JVM-side, no UDF)."""
     if candidates is None:
         candidates = 4 * k
     cands = ivf_search_indexed(

@@ -1354,13 +1354,13 @@ def q43_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q44_correlated_subqueries",
     """
-    SELECT c_custkey, c_name, max_order,
-           CAST(nation_avg AS DOUBLE) AS nation_avg
+    SELECT c_custkey, c_name, max_order, nation_avg
     FROM (
         SELECT c.c_custkey, c.c_name,
                (SELECT max(o.o_totalprice) FROM orders o
                  WHERE o.o_custkey = c.c_custkey) AS max_order,
-               (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+               (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                            AS DOUBLE) / count(*)
                   FROM orders o2 JOIN customer c2
                     ON o2.o_custkey = c2.c_custkey
                  WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
@@ -1390,19 +1390,23 @@ def q44_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N²): a nested-loop evaluation of the nation-average subquery
     would re-scan orders once per customer. The nation-level aggregate
     is ~25 rows ⇒ broadcast; the per-customer aggregates join on the
-    same key the aggregate produced (shuffle reuse). avg over an exact
-    DECIMAL cast keeps the threshold comparison engine-identical."""
+    same key the aggregate produced (shuffle reuse). nation_avg is the
+    exact DECIMAL sum cast to double, divided by the count — identical
+    IEEE ops in both engines (Spark's avg(DECIMAL) returns a
+    HALF_UP-rounded DECIMAL(22,6) while DuckDB's returns DOUBLE, so a
+    literal avg() would let the >2× threshold diverge near rounding
+    boundaries)."""
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"_q44_{t}")
     return spark.sql(
         """
-        SELECT c_custkey, c_name, max_order,
-               CAST(nation_avg AS DOUBLE) AS nation_avg
+        SELECT c_custkey, c_name, max_order, nation_avg
         FROM (
             SELECT c.c_custkey, c.c_name,
                    (SELECT max(o.o_totalprice) FROM _q44_orders o
                      WHERE o.o_custkey = c.c_custkey) AS max_order,
-                   (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                   (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                                AS DOUBLE) / count(*)
                       FROM _q44_orders o2 JOIN _q44_customer c2
                         ON o2.o_custkey = c2.c_custkey
                      WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg

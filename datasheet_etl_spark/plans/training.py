@@ -1333,6 +1333,28 @@ def t37_sequence_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard", "bin_id", "bin_offset", "doc_id")
 
 
+def _staged_path(sf_dir: str, src_name: str, tag: str, build) -> str:
+    """Disk-cached artifact build keyed by the source parquet's mtime:
+    ``build(path)`` runs once per testdata generation (train once,
+    search many across bench runs); a newer source file invalidates the
+    ``_STAGED`` marker and triggers a rebuild."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/{src_name}"
+    h = hashlib.md5(f"{tag}:{sf_dir}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"{tag}_{h}")
+    marker = os.path.join(path, "_STAGED")
+    st_mtime = os.stat(src).st_mtime
+    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
+    if not staged:
+        build(path)
+        with open(marker, "w") as f:
+            f.write(str(st_mtime))
+    return path
+
+
 @register("t36_ann_ivf_quantized")  # int8-decoded scores → rows-only
 def t36_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quantized ANN: an int8 IVF index at rest (cell-
@@ -1342,29 +1364,16 @@ def t36_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@10 ≥ 0.9 vs the float index is pinned in
     tests/test_training_ops.py. Index build is cached on disk keyed by
     the source parquet mtime (train once, search many)."""
-    import hashlib
-    import os
-    import tempfile
-
     from datasheet_etl_spark.operators.similarity import (
         ivf_search_indexed,
         write_ivf_index,
     )
 
-    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    tag = hashlib.md5(f"ivfq8:{sf_dir}".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"ivf_q8_{tag}")
-    marker = os.path.join(path, "_STAGED")
-    st_mtime = os.stat(src).st_mtime
-    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
-    if not staged:
+    def build(path):
         emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-        write_ivf_index(
-            emb, path, k_clusters=16, iters=2, quantize_bits=8
-        )
-        with open(marker, "w") as f:
-            f.write(str(st_mtime))
+        write_ivf_index(emb, path, k_clusters=16, iters=2, quantize_bits=8)
 
+    path = _staged_path(sf_dir, "embeddings.parquet", "ivf_q8", build)
     probes = _emb(spark, sf_dir).filter(F.col("vec_id") < 10)
     out = ivf_search_indexed(spark, path, probes, k=10, nprobe=4)
     return out.select(
@@ -1604,10 +1613,20 @@ def _t44_oracle_sql(iters: int = 4, damping: float = 0.85) -> str:
     chained CTEs — no recursive-CTE aggregation (which standard SQL
     disallows) is needed.
 
-    Residual (documented) risk: the double→DECIMAL(38,28) cast and
-    round(·,9) could in principle round differently on an exact
-    half-ulp tie; ranks are generic doubles where such ties do not
-    occur (and the oracle sweep would catch one immediately)."""
+    What is and is NOT identical across engines: every scalar double
+    op (subtractions, divisions, the damping multiply — all literals
+    CAST AS DOUBLE, since DuckDB otherwise evaluates 1.0 - 0.85 in
+    exact DECIMAL) is the same IEEE operation on the same inputs, and
+    the decimal SUM removes all order-dependence. The one remaining
+    divergence is the double→DECIMAL(38,28) cast itself: Spark rounds
+    the double's SHORTEST decimal repr (≤17 significant digits, then
+    zero-padded) while DuckDB rounds its exact binary expansion, so a
+    single cast can differ by < one double ulp (~1e-18 for rank-scale
+    values). Total cross-engine drift is therefore bounded by ~(edges
+    per node)·1e-18·(4 iterations) ≪ 1e-12 — absorbed by round(·,9)
+    and the harness's 6-decimal compare with >3 orders of margin, but
+    NOT bit-identical; the docstring says so to keep the claim
+    honest."""
     d = repr(damping)
     parts = [
         """WITH op AS (
@@ -1630,7 +1649,8 @@ def _t44_oracle_sql(iters: int = 4, damping: float = 0.85) -> str:
         SELECT e.src AS id, e.dst AS _to, o.outd
         FROM edges e JOIN outd o ON e.src = o.src
     ),
-    r0 AS (SELECT id, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt)"""
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / cnt.n AS rank
+           FROM nodes CROSS JOIN cnt)"""
     ]
     for i in range(iters):
         parts.append(
@@ -1645,9 +1665,10 @@ def _t44_oracle_sql(iters: int = 4, damping: float = 0.85) -> str:
              FROM c{i}),
     r{i + 1} AS (
         SELECT n.id,
-               (1.0 - {d}) / cnt.n
-               + {d} * (coalesce(CAST(c.contrib AS DOUBLE), 0.0)
-                        + (1.0 - f.flowed) / cnt.n) AS rank
+               (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / cnt.n
+               + CAST({d} AS DOUBLE)
+                 * (coalesce(CAST(c.contrib AS DOUBLE), CAST(0.0 AS DOUBLE))
+                    + (CAST(1.0 AS DOUBLE) - f.flowed) / cnt.n) AS rank
         FROM nodes n
         CROSS JOIN cnt CROSS JOIN f{i} f
         LEFT JOIN c{i} c ON c.id = n.id
@@ -1670,8 +1691,9 @@ def t44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase pair, so the chain is the out-degree-weighted random
     surfer): top-20 parts by rank — numpy-reference-checked in tests
     AND DuckDB-oracled (since r6): decimal per-round contribution sums
-    make every iteration order-independent, so the fixed-iteration
-    result is bit-identical across engines (see ``_t44_oracle_sql``).
+    make every iteration order-independent; residual cross-engine
+    drift is the double→decimal cast representation only, bounded
+    ≪ 1e-12 vs the 0.5e-6 compare tolerance (see ``_t44_oracle_sql``).
 
     Bench scope note: 4 iterations over a bounded subgraph (partkey <
     2000) — iterative batch algorithms pay one job per round regardless
@@ -1975,10 +1997,6 @@ def t71_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     t02 from scratch, plus the append lifecycle, are pinned in
     tests/test_skew_guards.py. xxhash64 signatures are engine-specific
     ⇒ rows-only."""
-    import hashlib
-    import os
-    import tempfile
-
     from datasheet_etl_spark.functions import tokens
     from datasheet_etl_spark.operators.dedup import (
         minhash_signatures,
@@ -1992,18 +2010,12 @@ def t71_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
     )
     sigs = minhash_signatures(sh, "doc_id", "sh")
-
-    src = f"{sf_dir.rstrip('/')}/documents.parquet"
-    tag = hashlib.md5(f"mhidx:{sf_dir}".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"minhash_idx_{tag}")
-    marker = os.path.join(path, "_STAGED")
-    st_mtime = os.stat(src).st_mtime
-    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
-    if not staged:
-        write_minhash_index(sigs.filter(F.col("doc_id") < 250), path)
-        with open(marker, "w") as f:
-            f.write(str(st_mtime))
-
+    path = _staged_path(
+        sf_dir,
+        "documents.parquet",
+        "minhash_idx",
+        lambda p: write_minhash_index(sigs.filter(F.col("doc_id") < 250), p),
+    )
     shard = sigs.filter(F.col("doc_id") >= 250)
     return probe_minhash_index(spark, path, shard).orderBy("new_id", "index_id")
 
@@ -2013,31 +2025,21 @@ def t72_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage production retrieval: wide int8 IVF scan (4·k
     candidates per probe, partition-pruned) + exact float re-rank of
     just those candidates — t36's single-stage search with the refine
-    stage on top. Returned scores are EXACT (bit-equal to brute force;
-    pinned with recall@10 ≥ 0.95 in tests/test_training_ops.py), so
-    quantization costs recall only when a true neighbor misses the 4×
-    candidate margin. Index build cached on disk like t36."""
-    import hashlib
-    import os
-    import tempfile
-
+    stage on top. Returned scores are full-precision cosines (agree
+    with brute force to 1e-9; recall@10 ≥ 0.95 pinned in
+    tests/test_training_ops.py), so quantization costs recall only
+    when a true neighbor misses the 4× candidate margin. Index build
+    cached on disk like t36."""
     from datasheet_etl_spark.operators.similarity import (
         ivf_search_refined,
         write_ivf_index,
     )
 
-    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    tag = hashlib.md5(f"ivfq8r:{sf_dir}".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"ivf_q8r_{tag}")
-    marker = os.path.join(path, "_STAGED")
-    st_mtime = os.stat(src).st_mtime
-    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
-    if not staged:
+    def build(p):
         emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-        write_ivf_index(emb, path, k_clusters=16, iters=2, quantize_bits=8)
-        with open(marker, "w") as f:
-            f.write(str(st_mtime))
+        write_ivf_index(emb, p, k_clusters=16, iters=2, quantize_bits=8)
 
+    path = _staged_path(sf_dir, "embeddings.parquet", "ivf_q8r", build)
     exact = _emb(spark, sf_dir).select("vec_id", "embedding")
     probes = exact.filter(F.col("vec_id") < 10)
     out = ivf_search_refined(spark, path, probes, exact, k=10, nprobe=4)

@@ -368,26 +368,24 @@ def idempotent_keyed_sink(
     keys = list(key_cols)
     spark = sdf.sparkSession
 
-    def _target_exists() -> bool:
-        # Hadoop FileSystem check — works for file://, hdfs://, s3a://
-        # alike (an os.path check would silently skip the anti-join on
-        # remote targets; matching error-message text is version-fragile).
-        # Requires at least one *data* file, not mere directory
-        # existence: a dir holding only _temporary/ left by a crashed
-        # first micro-batch (or a pre-created empty dir) has no schema,
-        # so read.parquet would fail inference on every later batch.
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(target_dir)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
+    def _target_readable() -> bool:
+        # The question is precisely "would spark.read.parquet(target)
+        # succeed?", so ask Spark: schema inference reads one footer and
+        # fails on a missing path OR a dir with no data files (e.g.
+        # only _temporary/ left by a crashed first micro-batch, or a
+        # pre-created empty dir — either would otherwise wedge every
+        # later batch). Works for file://, hdfs://, s3a:// and for
+        # partitioned/compacted layouts (key=…/part-*.parquet) alike —
+        # an os.path or flat-glob check would misjudge both.
+        try:
+            spark.read.parquet(target_dir).schema
+            return True
+        except Exception:
             return False
-        glob = jvm.org.apache.hadoop.fs.Path(target_dir + "/*.parquet")
-        statuses = fs.globStatus(glob)
-        return statuses is not None and len(statuses) > 0
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates(keys)
-        if _target_exists():
+        if _target_readable():
             existing = spark.read.parquet(target_dir).select(keys)
             fresh = fresh.join(existing, keys, "left_anti")
         fresh.write.mode("append").parquet(target_dir)

@@ -397,10 +397,12 @@ def test_q43_star_join_broadcasts_dims_one_shuffle_per_fact(spark):
     joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert joins <= 1, plan[:1200]
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:1200]
-    scan = plan[plan.index("FileScan") :]
-    assert "o_orderdate" in plan[plan.index("PushedFilters") :][:2000] or re.search(
-        r"PushedFilters: \[[^\]]*o_orderdate", plan
-    ), scan[:600]
+    # the date range must appear INSIDE a PushedFilters list (i.e. in
+    # the orders scan itself) — not merely anywhere in the plan text,
+    # which a post-scan Filter node would also satisfy
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), plan[
+        plan.index("FileScan") :
+    ][:600]
 
 
 def test_q44_subqueries_decorrelate_to_joins(spark):

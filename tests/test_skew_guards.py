@@ -185,3 +185,29 @@ def test_minhash_index_append_lifecycle(spark, tmp_path):
     # no duplicate (new, index) rows
     assert hits2.count() == hits2.select("new_id", "index_id").distinct().count()
     sigs.unpersist()
+
+
+def test_probe_minhash_index_caps_combined_bucket_width(spark, tmp_path):
+    """The probe's skew guard must cap the COMBINED (index + shard)
+    bucket width — exactly what the from-scratch run caps on the
+    unified corpus. 20 index + 10 shard copies of one signature: a cap
+    of 25 (> index width alone!) must drop the bucket entirely, a cap
+    of 40 must admit all 200 cross pairs."""
+    from datasheet_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    sig = list(range(64))
+    corpus = spark.createDataFrame(
+        [(i, sig) for i in range(20)], "doc_id long, sig array<long>"
+    )
+    shard = spark.createDataFrame(
+        [(100 + i, sig) for i in range(10)], "doc_id long, sig array<long>"
+    )
+    path = str(tmp_path / "mh_idx")
+    write_minhash_index(corpus, path)
+    capped = probe_minhash_index(spark, path, shard, max_bucket=25).count()
+    open_ = probe_minhash_index(spark, path, shard, max_bucket=40).count()
+    assert capped == 0
+    assert open_ == 200

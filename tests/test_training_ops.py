@@ -639,9 +639,10 @@ def test_mad_outliers_hostile_column_name(spark):
     from datasheet_etl_spark.operators.profile import mad_outliers
 
     rows = [(i, "a", float(i % 7)) for i in range(40)] + [(99, "a", 1e6)]
-    df = spark.createDataFrame(rows, ["id", "src", "weird name's"])
-    flagged = {r["id"] for r in mad_outliers(df, "weird name's", ["src"], k=3.0).collect()}
-    assert flagged == {99}
+    for name in ("weird name's", "chars.total", "back`tick"):
+        df = spark.createDataFrame(rows, ["id", "src", name])
+        flagged = {r["id"] for r in mad_outliers(df, name, ["src"], k=3.0).collect()}
+        assert flagged == {99}, name
 
 
 def test_bm25_ranking_sanity(spark):
