@@ -676,3 +676,134 @@ def apply_changes(
         j.filter(F.col("_op").isNull() | (F.col("_op") != "D"))
         .select(*kl, *out_cols)
     )
+
+
+def resample_interp(
+    series: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_sec: int,
+    grid_col: str = "grid_sec",
+    out_col: str = "interp_value",
+) -> DataFrame:
+    """Regular-grid resample with LINEAR INTERPOLATION between the
+    bracketing observations — :func:`resample_locf`'s sibling for
+    signals where a step function misrepresents the physics (gauges,
+    prices, temperatures): each grid point gets
+    ``v_prev + (v_next − v_prev) · (g − t_prev)/(t_next − t_prev)``,
+    exactly ``v`` at an exact observation, NULL before the first
+    observation. Same contract as locf: one row per (keys…, ts)
+    (pre-aggregate ties), ``ts_col`` in epoch seconds.
+
+    Shape at scale: grid generation is the same bounds-agg +
+    ``sequence`` explode (generated, never shuffled); prev/next come
+    from ONE merge-ordered union of observations and grid rows with
+    two window passes (forward ``last`` / backward ``first``, both
+    ignorenulls) over the SAME partitioning and sort — one shuffle,
+    one sort, no self-join. The naive per-grid-point "min ts ≥ g"
+    subquery would be a range join per row.
+    """
+    series = series.filter(F.col(ts_col).isNotNull())
+    lo = (F.floor(F.min(ts_col) / step_sec) * step_sec).cast("long")
+    bounds = series.groupBy(*keys).agg(
+        lo.alias("_lo"), F.max(ts_col).cast("long").alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step_sec)))
+        ).alias(grid_col),
+    )
+    obs = series.select(
+        *keys,
+        F.col(ts_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.lit(1).alias("_o"),
+    )
+    gr = grid.select(
+        *keys,
+        F.col(grid_col).alias("_t"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(0).alias("_o"),
+    )
+    # observations sort BEFORE the grid row at an equal timestamp, so
+    # the forward fill sees them (t_prev = g at exact observations) and
+    # the backward fill starts strictly after (t_next > g)
+    order = [F.col("_t").asc(), F.col("_o").desc()]
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_obs = F.col("_o") == 1
+    tp = F.last(F.when(is_obs, F.col("_t")), ignorenulls=True).over(wp)
+    vp = F.last(F.when(is_obs, F.col("_v")), ignorenulls=True).over(wp)
+    tn = F.first(F.when(is_obs, F.col("_t")), ignorenulls=True).over(wn)
+    vn = F.first(F.when(is_obs, F.col("_v")), ignorenulls=True).over(wn)
+    g = F.col("_t")
+    interp = (
+        F.when(tp.isNull(), F.lit(None).cast("double"))
+        .when(g == tp, vp)
+        .when(tn.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            vp
+            + (vn - vp)
+            * ((g - tp).cast("double") / (tn - tp).cast("double"))
+        )
+    )
+    return (
+        gr.unionByName(obs)
+        .withColumn(out_col, interp)
+        .filter(F.col("_o") == 0)
+        .select(*keys, F.col("_t").alias(grid_col), out_col)
+    )
+
+
+def partial_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    sum_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Mergeable partial aggregate per key group: (keys…, n, sum_v,
+    min_v, max_v) — the persisted building block of INCREMENTAL
+    aggregate maintenance. The sum runs as DECIMAL so merging partials
+    is EXACTLY the same as recomputing from scratch (decimal addition
+    is associative/commutative; a double sum would make the
+    incremental path drift from the recompute it must replace).
+
+    The 100 TB pattern: a daily corpus rollup stores these partials
+    per (ingest_date, keys…); tonight's update aggregates ONLY the new
+    shard and merges kilobyte-scale partials (:func:`merge_rollups`)
+    instead of rescanning the corpus — t73 oracles merge == full
+    recompute. avg is derived at read time (sum/n), never stored:
+    averages don't merge, (sum, n) pairs do."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast(sum_type)).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_rollups(parts: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge :func:`partial_rollup` outputs into the rollup of the
+    union of their inputs: counts and decimal sums add, min/max fold —
+    each combinator associative, so ANY merge tree (per-shard, per-day,
+    per-region) yields the identical result. One union + one kilobyte-
+    scale aggregate; the underlying data is never re-read."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

@@ -15,7 +15,10 @@ rows-only), blocked fuzzy Levenshtein join (t64), unigram
 log-perplexity quality gate (t65), pairwise-similarity histogram
 (t66), Z-order clustering key (t67), CDC changelog apply (t68),
 rolling anomaly detection (t69), per-source dedup-rate report
-(t70).
+(t70). r6: star-join revenue (q43), correlated subqueries (q44),
+schema-evolution UNION BY NAME (q45), null-safe join (q46),
+incremental rollup maintenance (t73), linear-interpolation resample
+(t74); t75 (stream-static join) lives in streaming_entries.
 
 Registered from a module imported AFTER ``training`` on purpose: the
 driver grades the first 50 registry entries, and these land past the
@@ -1419,3 +1422,209 @@ def q44_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "q45_union_by_name",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), v2 AS (
+        SELECT o_orderpriority, o_orderkey, o_custkey
+        FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority, o_custkey
+    FROM (
+        SELECT * FROM v1
+        UNION ALL BY NAME
+        SELECT * FROM v2
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def q45_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two shard vintages with DIFFERENT column
+    sets and orders combined by NAME (missing columns NULL-filled) —
+    ``unionByName(allowMissingColumns=True)``, DuckDB's UNION ALL BY
+    NAME. The ingest reality at 100 TB: producers add/drop columns
+    mid-stream, and a positional UNION would silently misalign columns
+    of the same type (the worst kind of corruption — no error, wrong
+    data). Pure map-side projection + concat; no shuffle at all beyond
+    the final presentation sort."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderpriority", "o_orderkey", "o_custkey"
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority", "o_custkey",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q46_nullsafe_join",
+    """
+    WITH e AS (
+        SELECT event_id, user_id,
+               nullif(user_id % 7, 0) AS cohort_key
+        FROM events WHERE event_type = 'error'
+    ), d AS (
+        SELECT cohort_key AS _dk, count(*) AS n_in_cohort
+        FROM e GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id, e.cohort_key, d.n_in_cohort
+    FROM e JOIN d ON e.cohort_key IS NOT DISTINCT FROM d._dk
+    ORDER BY e.event_id
+    """,
+)
+def q46_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): rows whose
+    join key is NULL still pair with the NULL group instead of silently
+    dropping — the semantics dimension enrichments over OPTIONAL keys
+    need (a plain equi-join deletes every NULL-keyed row, understating
+    whatever is counted downstream). The cohort key is built with
+    nullif so a NONEMPTY slice of rows (user_id % 7 == 0, ~1/7 of the
+    corpus) genuinely carries NULL — the null-safe path is exercised,
+    not vacuously satisfied. Spark plans ``<=>`` as a regular hash
+    join (NULL hashes like any value under null-safe equality), so the
+    scale shape is identical to q05 — no nested-loop penalty."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.nullif(F.col("user_id") % 7, F.lit(0)).alias("cohort_key"),
+        )
+    )
+    d = e.groupBy(F.col("cohort_key").alias("_dk")).agg(
+        F.count("*").alias("n_in_cohort")
+    )
+    return (
+        e.join(d, F.col("cohort_key").eqNullSafe(F.col("_dk")))
+        .select("event_id", "user_id", "cohort_key", "n_in_cohort")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "t73_incremental_rollup",
+    """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def t73_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the corpus rollup by (source,
+    lang) computed the way a nightly pipeline maintains it — persisted
+    partials of the EXISTING corpus (doc_id < 250) MERGED with the new
+    shard's partials — while the oracle recomputes from scratch over
+    everything. The two must be identical, and are by construction:
+    counts and decimal sums add exactly, min/max fold associatively,
+    and avg is derived from (sum, n) at read time (averages don't
+    merge; (sum, n) pairs do).
+
+    This is the 100 TB lever hiding in plain sight: tonight's update
+    aggregates ONLY the arriving shard and merges kilobyte-scale
+    partial rows — the existing corpus is never re-read. A double sum
+    would quietly break it (merge order ≠ scan order ⇒ different
+    float folds); the decimal discipline makes incremental == full
+    recompute bit-for-bit."""
+    from datasheet_etl_spark.operators.relational import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keys = ["source", "lang"]
+    old = partial_rollup(docs.filter(F.col("doc_id") < 250), keys, "n_chars")
+    shard = partial_rollup(docs.filter(F.col("doc_id") >= 250), keys, "n_chars")
+    merged = merge_rollups([old, shard], keys)
+    return merged.select(
+        "source",
+        "lang",
+        "n",
+        F.col("sum_v").cast("double").alias("sum_chars"),
+        F.col("min_v").alias("min_chars"),
+        F.col("max_v").alias("max_chars"),
+        (F.col("sum_v").cast("double") / F.col("n")).alias("avg_chars"),
+    ).orderBy("source", "lang")
+
+
+@register(
+    "t74_resample_interp",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec,
+               arg_max(value, event_id) AS value
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, epoch_us(ts) // 1000000
+    ),
+    b AS (
+        SELECT user_id, (min(ts_sec) // 3600) * 3600 AS lo, max(ts_sec) AS hi
+        FROM e GROUP BY user_id
+    ),
+    grid AS (
+        SELECT b.user_id, g.g AS grid_sec
+        FROM b, LATERAL unnest(generate_series(b.lo, b.hi, 3600)) AS g(g)
+    )
+    SELECT grid.user_id, grid.grid_sec,
+           round(CASE
+               WHEN p.ts_sec IS NULL THEN NULL
+               WHEN grid.grid_sec = p.ts_sec THEN p.value
+               WHEN n.ts_sec IS NULL THEN NULL
+               ELSE p.value + (n.value - p.value)
+                    * (CAST(grid.grid_sec - p.ts_sec AS DOUBLE)
+                       / CAST(n.ts_sec - p.ts_sec AS DOUBLE))
+           END, 6) AS interp_value
+    FROM grid
+    ASOF LEFT JOIN e p
+        ON grid.user_id = p.user_id AND p.ts_sec <= grid.grid_sec
+    ASOF LEFT JOIN e n
+        ON grid.user_id = n.user_id AND n.ts_sec >= grid.grid_sec
+    ORDER BY grid.user_id, grid.grid_sec
+    """,
+)
+def t74_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with LINEAR interpolation (t54's sibling):
+    per-user values onto an hourly grid, each point interpolated
+    between its bracketing observations — exact value at an exact
+    observation, NULL before the first. The oracle brackets with two
+    DuckDB ASOF joins (≤ for prev, ≥ for next); the engine computes
+    both fills in ONE merge-ordered window pass (single shuffle, no
+    self-join — see ``relational.resample_interp``). Interpolation
+    arithmetic is the identical double expression in both engines."""
+    from datasheet_etl_spark.operators.relational import resample_interp
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("ts_sec"),
+            "value",
+            "event_id",
+        )
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = resample_interp(e, ["user_id"], "ts_sec", "value", 3600)
+    return out.select(
+        "user_id", "grid_sec", F.round("interp_value", 6).alias("interp_value")
+    ).orderBy("user_id", "grid_sec")

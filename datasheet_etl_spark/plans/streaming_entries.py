@@ -232,3 +232,50 @@ def t55_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("distinct_est").alias("distinct_est"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "t75_stream_static_join",
+    f"""
+    WITH dim AS (
+        SELECT DISTINCT event_type, upper(event_type) AS type_code
+        FROM events
+    )
+    SELECT d.type_code,
+           count(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY d.type_code
+    ORDER BY d.type_code
+    """,
+)
+def t75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under Structured Streaming: the
+    arriving event stream joins a STATIC dimension table (the
+    enrichment shape of every production stream — config, product,
+    geo lookups), then aggregates per enriched code. Bounded input ⇒
+    the drained result must equal the batch join+agg oracle exactly.
+
+    Scale shape: a stream-static equi-join needs NO watermark and NO
+    join state — the static side broadcasts to every micro-batch task
+    (it is re-resolved per batch, so a dim refresh is picked up on the
+    next batch; only stream-stream joins buffer state, cf. t41). The
+    aggregate holds one row of state per enriched code."""
+    from datasheet_etl_spark.plans.queries import dsum
+    from datasheet_etl_spark.io import load_table
+
+    src = _stage_events(sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("type_code", F.upper("event_type"))
+    )
+    with _few_state_partitions(spark):
+        stream = events_stream(spark, src).join(F.broadcast(dim), "event_type")
+        agg = stream.groupBy("type_code").agg(
+            F.count("*").alias("n"), dsum(F.col("value")).alias("total_value")
+        )
+        name = f"t75_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(agg, name, "complete")
+    return out.orderBy("type_code")

@@ -766,3 +766,61 @@ def test_two_stage_refined_search_recall_and_exact_scores(spark, tmp_path):
         key = (r["probe_id"], r["vec_id"])
         if key in b_sims:
             assert abs(r["cos_sim"] - b_sims[key]) < 1e-9, key
+
+
+def test_resample_interp_brackets_and_boundaries(spark):
+    """Linear interpolation: exact value at observations, correct
+    weights between them, NULL before the first observation."""
+    from datasheet_etl_spark.operators.relational import resample_interp
+
+    obs = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 3.0), (1, 40, 7.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r["grid_sec"]: r["interp_value"]
+        for r in resample_interp(obs, ["k"], "ts", "v", 5).collect()
+    }
+    # grid spans floor(10,5)=10 .. 40
+    assert got[10] == 1.0 and got[20] == 3.0 and got[40] == 7.0  # exact obs
+    assert abs(got[15] - 2.0) < 1e-12          # midpoint of (1.0, 3.0)
+    assert abs(got[25] - 4.0) < 1e-12          # 20→40 slope 0.2/sec
+    assert abs(got[35] - 6.0) < 1e-12
+    # pre-first-observation grid point: needs a key whose min ts is not
+    # already grid-aligned
+    obs2 = spark.createDataFrame([(2, 13, 5.0), (2, 27, 12.0)], "k long, ts long, v double")
+    got2 = {
+        r["grid_sec"]: r["interp_value"]
+        for r in resample_interp(obs2, ["k"], "ts", "v", 5).collect()
+    }
+    assert got2[10] is None                     # before first obs
+    assert abs(got2[15] - (5.0 + 7.0 * 2 / 14)) < 1e-12
+
+
+def test_merge_rollups_any_tree_equals_recompute(spark):
+    """Partial-rollup merges are associative: shard-wise merge, a
+    nested merge tree, and the from-scratch rollup all agree exactly
+    (decimal sums make merge order irrelevant)."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.relational import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    keys = ["source"]
+    parts = [
+        partial_rollup(docs.filter(F.col("doc_id") % 3 == i), keys, "n_chars")
+        for i in range(3)
+    ]
+    flat = merge_rollups(parts, keys)
+    nested = merge_rollups([merge_rollups(parts[:2], keys), parts[2]], keys)
+    scratch = partial_rollup(docs, keys, "n_chars")
+
+    def norm(df):
+        return {
+            r["source"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in df.collect()
+        }
+
+    assert norm(flat) == norm(nested) == norm(scratch)
