@@ -417,3 +417,50 @@ def test_q44_subqueries_decorrelate_to_joins(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:1200]
     assert "LeftSemi" in plan, plan[:1200]
     assert "HashAggregate" in plan
+
+
+def test_q45_union_by_name_no_shuffle_before_sort(spark):
+    """Schema-evolution union is pure map-side: projections + Union —
+    the only exchange in the plan is the presentation sort's range
+    partitioning. A hash shuffle here would mean the union was planned
+    as something other than a concatenation."""
+    from datasheet_etl_spark.plans.sql_extra import q45_union_by_name
+
+    plan = _plan(q45_union_by_name(spark, SF_SMOKE))
+    assert "Union" in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:800]
+
+
+def test_q46_nullsafe_join_is_hash_join(spark):
+    """<=> must plan as a hash join (NULL hashes like any value under
+    null-safe equality) — never a nested loop, which is what a naive
+    'a = b OR (a IS NULL AND b IS NULL)' predicate would force."""
+    from datasheet_etl_spark.plans.sql_extra import q46_nullsafe_join
+
+    plan = _plan(q46_nullsafe_join(spark, SF_SMOKE))
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan[:800]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_t73_merge_never_rereads_corpus(spark):
+    """Incremental rollup merge: the merged plan reads each shard ONCE
+    (two scans total — the partials), with map-side partial aggregation
+    below the merge; and the merge aggregate itself operates on
+    kilobyte-scale grouped rows, not corpus rows."""
+    from datasheet_etl_spark.plans.sql_extra import t73_incremental_rollup
+
+    plan = _plan(t73_incremental_rollup(spark, SF_SMOKE))
+    assert plan.count("FileScan") == 2, plan[:800]
+    assert "HashAggregate" in plan
+
+
+def test_t74_resample_interp_single_data_shuffle(spark):
+    """Both fills (forward last / backward first) share one window
+    partitioning: the series data shuffles ONCE for the window pass
+    (plus the tiny bounds aggregate); no self-join, no range join."""
+    from datasheet_etl_spark.plans.sql_extra import t74_resample_interp
+
+    plan = _plan(t74_resample_interp(spark, SF_SMOKE))
+    assert "Join" not in plan.replace("joinType", ""), plan[:800]
+    # window exchange + bounds-agg exchange (+ pre-agg of ties)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:800]
