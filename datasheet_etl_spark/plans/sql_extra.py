@@ -1628,3 +1628,61 @@ def t74_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "grid_sec", F.round("interp_value", 6).alias("interp_value")
     ).orderBy("user_id", "grid_sec")
+
+
+@register(
+    "t76_udtf_sentence_split",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split(text, '.'), x -> trim(x)),
+                   x -> x <> ''
+               ) AS parts
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT t.doc_id, CAST(g.i - 1 AS INT) AS pos, t.parts[g.i] AS sentence
+    FROM t, LATERAL unnest(generate_series(1, len(t.parts))) AS g(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def t76_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) in a LATERAL
+    join: one document row fans out to (pos, sentence) rows — the
+    §2.8 extension surface beyond scalar UDFs, for transforms whose
+    output CARDINALITY depends on the input (parsers, tokenizers,
+    chunkers emitting variable row counts).
+
+    Scale stance: a UDTF is the interpreted Python path — correct for
+    logic that genuinely needs Python, but THIS particular split has a
+    pure-codegen equivalent (split + posexplode + trim/filter, the
+    q25/t31 idiom) that should win the hot path at 100 TB. The entry
+    exists to prove the surface works and is oracle-checkable, and its
+    docstring is the signpost to the codegen form. Deterministic
+    output ⇒ full DuckDB oracle (split on '.', space-trim, drop
+    empties — semantics matched expression-for-expression)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            for part in text.split("."):
+                part = part.strip(" ")
+                if part:
+                    yield (i, part)
+                    i += 1
+
+    spark.udtf.register("t76_split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_t76_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM _t76_docs d, LATERAL t76_split_sentences(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
