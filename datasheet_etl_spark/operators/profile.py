@@ -202,7 +202,9 @@ def mad_outliers(
     source tag.
     """
 
-    def _nullsafe(left: DataFrame, right: DataFrame):
+    def _nullsafe(right: DataFrame):
+        # resolves the stratum columns BY NAME against the joined plan
+        # (the aggregate side is renamed _s_*, so names are unambiguous)
         cond = None
         for s in strata:
             c = _ref(s).eqNullSafe(right[f"_s_{s}"])
@@ -218,7 +220,7 @@ def mad_outliers(
         F.percentile(_ref(value_col), F.lit(0.5)).alias("_m")
     )
     dev = (
-        df.join(F.broadcast(med), _nullsafe(df, med))
+        df.join(F.broadcast(med), _nullsafe(med))
         .groupBy(*[med[f"_s_{s}"] for s in strata])
         .agg(
             F.percentile(
@@ -231,7 +233,7 @@ def mad_outliers(
         F.lit(1.4826) * F.nullif(F.col("_mad"), F.lit(0.0))
     )
     return (
-        df.join(F.broadcast(dev), _nullsafe(df, dev))
+        df.join(F.broadcast(dev), _nullsafe(dev))
         .withColumn(z_col, z)
         .filter(F.abs(F.col(z_col)) > k)
         .drop("_m", "_mad", *[f"_s_{s}" for s in strata])

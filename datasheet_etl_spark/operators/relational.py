@@ -696,6 +696,12 @@ def resample_interp(
     observation. Same contract as locf: one row per (keys…, ts)
     (pre-aggregate ties), ``ts_col`` in epoch seconds.
 
+    A NULL observation VALUE is treated as no observation at all (the
+    row is filtered with NULL timestamps): otherwise the timestamp
+    fills and the value fills would desynchronize — t_prev could come
+    from a NULL-valued row while v_prev carries an older row's value,
+    anchoring the interpolation at a (t, v) pair that never existed.
+
     Shape at scale: grid generation is the same bounds-agg +
     ``sequence`` explode (generated, never shuffled); prev/next come
     from ONE merge-ordered union of observations and grid rows with
@@ -704,7 +710,9 @@ def resample_interp(
     one sort, no self-join. The naive per-grid-point "min ts ≥ g"
     subquery would be a range join per row.
     """
-    series = series.filter(F.col(ts_col).isNotNull())
+    series = series.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     lo = (F.floor(F.min(ts_col) / step_sec) * step_sec).cast("long")
     bounds = series.groupBy(*keys).agg(
         lo.alias("_lo"), F.max(ts_col).cast("long").alias("_hi")

@@ -368,26 +368,31 @@ def idempotent_keyed_sink(
     keys = list(key_cols)
     spark = sdf.sparkSession
 
-    def _target_readable() -> bool:
+    def _read_target() -> DataFrame | None:
         # The question is precisely "would spark.read.parquet(target)
-        # succeed?", so ask Spark: schema inference reads one footer and
+        # succeed?", so ask Spark once and REUSE the answer: analysis
         # fails on a missing path OR a dir with no data files (e.g.
         # only _temporary/ left by a crashed first micro-batch, or a
         # pre-created empty dir — either would otherwise wedge every
         # later batch). Works for file://, hdfs://, s3a:// and for
         # partitioned/compacted layouts (key=…/part-*.parquet) alike —
-        # an os.path or flat-glob check would misjudge both.
+        # an os.path or flat-glob check would misjudge both. ONLY
+        # AnalysisException means "no target yet": a transient IO or
+        # credential failure must propagate and fail the batch (the
+        # checkpoint retries it) — swallowing it would silently skip
+        # the anti-join and append duplicates forever.
+        from pyspark.errors import AnalysisException
+
         try:
-            spark.read.parquet(target_dir).schema
-            return True
-        except Exception:
-            return False
+            return spark.read.parquet(target_dir)
+        except AnalysisException:
+            return None
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.dropDuplicates(keys)
-        if _target_readable():
-            existing = spark.read.parquet(target_dir).select(keys)
-            fresh = fresh.join(existing, keys, "left_anti")
+        existing = _read_target()
+        if existing is not None:
+            fresh = fresh.join(existing.select(keys), keys, "left_anti")
         fresh.write.mode("append").parquet(target_dir)
 
     query = (

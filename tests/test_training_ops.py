@@ -824,3 +824,21 @@ def test_merge_rollups_any_tree_equals_recompute(spark):
         }
 
     assert norm(flat) == norm(nested) == norm(scratch)
+
+
+def test_resample_interp_null_values_are_not_observations(spark):
+    """A NULL-valued observation must not anchor a bracket: with
+    (10, 1.0), (20, NULL), (30, 3.0), grid 20 interpolates between the
+    REAL neighbors (value 2.0), never 'exactly 1.0 at t=20'."""
+    from datasheet_etl_spark.operators.relational import resample_interp
+
+    obs = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, None), (1, 30, 3.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r["grid_sec"]: r["interp_value"]
+        for r in resample_interp(obs, ["k"], "ts", "v", 10).collect()
+    }
+    assert got[10] == 1.0 and got[30] == 3.0
+    assert abs(got[20] - 2.0) < 1e-12, got
