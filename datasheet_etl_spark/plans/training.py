@@ -2039,7 +2039,9 @@ def t72_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _emb(spark, sf_dir).select("vec_id", "embedding")
         write_ivf_index(emb, p, k_clusters=16, iters=2, quantize_bits=8)
 
-    path = _staged_path(sf_dir, "embeddings.parquet", "ivf_q8r", build)
+    # identical build parameters to t36 ⇒ share its staged index (one
+    # kmeans build serves both the single-stage and the refined search)
+    path = _staged_path(sf_dir, "embeddings.parquet", "ivf_q8", build)
     exact = _emb(spark, sf_dir).select("vec_id", "embedding")
     probes = exact.filter(F.col("vec_id") < 10)
     out = ivf_search_refined(spark, path, probes, exact, k=10, nprobe=4)
