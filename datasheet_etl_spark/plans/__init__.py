@@ -28,7 +28,6 @@ WINDOW: tuple[str, ...] = (
     "q01_scan_filter",
     "q03_regex_extract_cast",
     "q04_case_classify",
-    "q05_broadcast_join",
     "q06_positional_join",
     "q07_range_join",
     "q11_tpch_q1",
@@ -58,10 +57,8 @@ WINDOW: tuple[str, ...] = (
     "t19_corpus_curation",
     "t16_dedup_clusters",
     "t17_graph_copurchase",
-    "t21_time_rollup",
     "t18_asof_join",
     "t27_stratified_sample",
-    "t28_sequence_pack",
     "t29_mixture_weighted",
     "t33_corpus_prep_e2e",
     "t32_decontaminate",
@@ -76,6 +73,10 @@ WINDOW: tuple[str, ...] = (
     "t65_unigram_log_ppl",
     "t67_zorder_key",
     "t68_cdc_apply",
+    # --- r6 additions promoted in-round (q43/q44 were VERDICT r5 asks #2/#3) ---
+    "q43_star_join_revenue",
+    "q44_correlated_subqueries",
+    "t73_incremental_rollup",
 )
 
 
@@ -91,8 +92,8 @@ DEMOTED: tuple[str, ...] = (
     # demotee's idiom stays graded inside a superset entry:
     "q09_semi_join",  # semi-join idiom graded inside t07's probed-cell semi-join
     "q17_forward_fill",  # last(ignorenulls) carry graded inside t18_asof_join
-    "q20_running_total",  # window cumsum graded inside t28_sequence_pack
-    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t26 + q16
+    "q20_running_total",  # window cumsum graded inside t33 (pack_sequences' bin cumsum; r6: was t28, itself now demoted into t33)
+    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside q16 top-k (r6: t26 reference dropped, itself demoted)
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside q30_idempotent_rerun
@@ -114,7 +115,11 @@ DEMOTED: tuple[str, ...] = (
     "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
     "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16/t17 graph entries + q26 parse
     "t26_sample_uniform",  # hash-rank sample graded inside t27 (per-stratum rank, same doc_hash family)
-    "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t28's budget packing
+    "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t33's budget packing
+    # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
+    "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
+    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q13 (rollup) + q35 (CUBE superset) + t13 (hour buckets)
+    "t28_sequence_pack",  # pack_sequences budget packing graded inside t33's e2e composition (same operator)
 )
 
 

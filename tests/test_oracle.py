@@ -47,3 +47,9 @@ def test_graded_window_contract():
         "t67_zorder_key", "t68_cdc_apply",
     }
     assert r5_entries <= set(first50)
+    # and the r6 additions the verdict asked for are themselves graded
+    r6_entries = {
+        "q43_star_join_revenue", "q44_correlated_subqueries",
+        "t73_incremental_rollup",
+    }
+    assert r6_entries <= set(first50)
