@@ -585,6 +585,40 @@ def append_to_ivf_index(
     cells.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
 
 
+def ivf_cell_report(spark, path: str) -> "DataFrame":
+    """Operational health report for a persisted IVF index: one row per
+    cell with its vector count, share of the corpus, and imbalance
+    factor (count ÷ mean cell size — 1.0 everywhere is a perfectly
+    balanced quantizer). This is the retrain monitor the append
+    lifecycle needs: appends ride the frozen quantizer
+    (:func:`append_to_ivf_index`), so as the data distribution drifts,
+    hot cells grow — search cost on a probed hot cell grows with it —
+    and a max imbalance of ~3-5× is the usual cue to retrain
+    (:func:`write_ivf_index`).
+
+    Cost: one column-pruned scan of the cell partition KEY only (the
+    vectors are never read — at rest the key is directory metadata),
+    one kilobyte-sized aggregate, and a broadcast of the 1-row totals.
+    Safe to run after every append at any corpus size."""
+    corpus = spark.read.parquet(f"{path}/corpus").select("cell")
+    counts = corpus.groupBy("cell").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_ncells")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("_ncells") / F.col("_total"), 6).alias(
+                "imbalance_x"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "cell")
+    )
+
+
 def read_ivf_centroids(spark, path: str):
     """(k, dim) numpy centroid matrix from a persisted index — a few KB,
     driver-held, exactly as during training."""

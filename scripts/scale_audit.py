@@ -1,0 +1,117 @@
+"""Empirical 10x-beyond-bench scaling audit.
+
+Builds an ~sf1-equivalent dataset in /tmp by replicating the sf0.1
+driver tables 10x with key offsets (document text gets a per-copy
+suffix so replication does NOT plant cross-copy near-duplicates, which
+would quadratically inflate candidate pairs by construction rather
+than by operator behavior), then times a representative subset of
+data-term-heavy inventory entries at sf0.1 and at the x10 copy.
+
+Run:  python scripts/scale_audit.py
+Output: one line per entry — sf0.1 secs, x10 secs, ratio — plus a
+summary; results are recorded in COVERAGE.md's scaling-audit section.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfx10"
+COPIES = 10
+ENTRIES = [
+    "q11_tpch_q1",
+    "q43_star_join_revenue",
+    "t01_dedup_exact",
+    "t02_dedup_minhash_lsh",
+    "t19_corpus_curation",
+    "t45_semantic_dedup",
+    "t56_triangle_count",
+    "t57_funnel",
+    "t59_correlation_matrix",
+    "t65_unigram_log_ppl",
+    "t66_similarity_histogram",
+    "t73_incremental_rollup",
+]
+
+# per-table key columns to offset so copies don't collide
+OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+STEP = 100_000_000
+
+
+def stage(spark):
+    from datasheet_etl_spark.io import load_table
+
+    os.makedirs(DST, exist_ok=True)
+    for table, keys in OFFSETS.items():
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        df = load_table(spark, SRC, table)
+        if not keys:  # tiny dims: one copy suffices
+            df.write.mode("overwrite").parquet(out)
+            continue
+        copies = []
+        for i in range(COPIES):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * STEP))
+            if table == "documents":
+                # break cross-copy textual identity WITHOUT changing
+                # each copy's internal near-dup structure
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copymark{i}"))
+                )
+            copies.append(c)
+        u = copies[0]
+        for c in copies[1:]:
+            u = u.unionByName(c)
+        u.write.mode("overwrite").parquet(out)
+        print(f"staged {table}", flush=True)
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("AUDIT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as ep
+
+    stage(spark)
+    q = ep.queries()
+    print(f"{'entry':34s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}")
+    ratios = []
+    for name in ENTRIES:
+        fn = q[name]
+        fn(spark, SRC).count()  # warm (cache/codegen)
+        t0 = time.time(); fn(spark, SRC).count(); base = time.time() - t0
+        t0 = time.time(); fn(spark, DST).count(); big = time.time() - t0
+        r = big / base if base > 0 else float("inf")
+        ratios.append((name, base, big, r))
+        print(f"{name:34s} {base:8.2f} {big:8.2f} {r:6.2f}", flush=True)
+    worst = max(ratios, key=lambda x: x[3])
+    print(f"\nworst ratio under 10x data: {worst[0]} at {worst[3]:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -842,3 +842,38 @@ def test_resample_interp_null_values_are_not_observations(spark):
     }
     assert got[10] == 1.0 and got[30] == 3.0
     assert abs(got[20] - 2.0) < 1e-12, got
+
+
+def test_ivf_cell_report_flags_append_drift(spark, tmp_path):
+    """The retrain monitor: after appending a skewed batch (every new
+    vector lands in one cell), that cell's imbalance_x must dominate,
+    and shares must sum to 1."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_cell_report,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, k_clusters=8, iters=2)
+    base = ivf_cell_report(spark, path)
+    assert abs(sum(r["share"] for r in base.collect()) - 1.0) < 1e-6
+
+    # skewed append: clones of one existing vector -> one cell grows
+    import numpy as np
+
+    cent = read_ivf_centroids(spark, path)
+    hot_vec = [float(x) for x in cent[0]]  # dead-center of cell 0
+    n_new = emb.count()  # double the corpus into one cell
+    skewed = spark.createDataFrame(
+        [(10_000 + i, hot_vec) for i in range(n_new)],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(spark, path, skewed)
+    after = ivf_cell_report(spark, path)
+    top = after.first()
+    assert top["imbalance_x"] > 3.0, after.collect()
+    assert abs(sum(r["share"] for r in after.collect()) - 1.0) < 1e-6
