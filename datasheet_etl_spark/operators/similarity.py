@@ -807,6 +807,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.6,
     kept_col: str = "kept",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space into cells (here a
@@ -828,6 +829,18 @@ def semantic_dedup(
     back. Oversized cells are the skew risk; at corpus scale pick k so
     cells are ~10⁴ vectors (SemDeDup's operating point) and split hot
     cells by re-clustering, exactly as the paper does.
+
+    ``max_cell`` is the in-engine skew guard when re-clustering isn't
+    an option: a cell wider than the cap is split DETERMINISTICALLY
+    (xxhash64 of the id, mod ceil(n/max_cell)) into sub-cells that
+    prune independently, bounding the matmul at max_cell² per task at
+    any corpus size. Tradeoff, stated plainly: a duplicate pair whose
+    members hash into different sub-cells is missed — hash-splitting
+    trades bounded recall loss (≈ 1/n_sub of pairs in split cells) for
+    a hard per-task ceiling, the same stance as ``cap_buckets``; the
+    paper's re-cluster split is the recall-preserving (but
+    retrain-cost) alternative. ``None`` disables (full within-cell
+    recall — the t45 oracle path).
     """
     import numpy as np
     import pandas as pd
@@ -853,9 +866,21 @@ def semantic_dedup(
 
     cell_field = emb.schema[cell_col].dataType.simpleString()
     id_field = emb.schema[id_col].dataType.simpleString()
+    work = emb.select(id_col, cell_col, vec_col)
+    group_cols = [cell_col]
+    if max_cell is not None:
+        sizes = work.groupBy(cell_col).agg(F.count("*").alias("_cn"))
+        n_sub = F.greatest(
+            F.lit(1), F.ceil(F.col("_cn") / F.lit(int(max_cell)))
+        ).cast("int")
+        work = (
+            work.join(F.broadcast(sizes), cell_col)
+            .withColumn("_sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int"))
+            .drop("_cn")
+        )
+        group_cols = [cell_col, "_sub"]
     return (
-        emb.select(id_col, cell_col, vec_col)
-        .groupBy(cell_col)
+        work.groupBy(*group_cols)
         .applyInPandas(
             prune,
             schema=f"{id_col} {id_field}, {cell_col} {cell_field}, {kept_col} boolean",

@@ -828,3 +828,94 @@ def kmv_distinct_tws(
         # (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL otherwise)
         timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
+
+
+def read_cdc_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Current snapshot of a :func:`cdc_upsert_sink` target, or None if
+    no version has committed yet. Readers resolve the ``_LATEST``
+    pointer (written only AFTER a version's parquet commit), so they
+    never observe a half-written table."""
+    marker = os.path.join(target_dir, "_LATEST")
+    if not os.path.exists(marker):
+        return None
+    version = open(marker).read().strip()
+    if not version:
+        return None
+    return spark.read.parquet(os.path.join(target_dir, version))
+
+
+def cdc_upsert_sink(
+    changes_sdf: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> None:
+    """Streaming MERGE INTO built from primitives: each micro-batch of
+    CDC changes (op I/U/D + payload, ordered by ``seq_col``) is applied
+    onto the current snapshot with :func:`operators.relational.
+    apply_changes`, and the result is committed as a NEW immutable
+    snapshot version — ``{target}/v{batch_id}`` — with the ``_LATEST``
+    pointer updated last. The streaming complement of t68's batch CDC
+    apply; the transactional form is Delta/Iceberg MERGE, this is the
+    same guarantee from parquet + a pointer file.
+
+    Correctness properties, each load-bearing:
+    - **Out-of-order across batches**: the snapshot retains each row's
+      last-applied ``seq_col``, and incoming changes with
+      ``seq <= stored seq`` are dropped BEFORE the merge — a late,
+      stale change can never overwrite a newer row (within a batch,
+      ``apply_changes``' latest-per-key window handles ordering).
+    - **Crash replay**: re-applying a batch is idempotent — same-seq
+      changes are filtered as stale against the already-advanced
+      snapshot, so the rewritten version is identical.
+    - **Reader isolation**: versions are immutable and the pointer is
+      a one-line file written post-commit; a concurrent reader sees
+      the old version or the new one, never a mix.
+
+    Scale shape: one changelog window + one key join per batch (see
+    ``apply_changes``); snapshot rewrite is the cost of the
+    format-less approach — at real scale partition the target and
+    rewrite only touched partitions, or graduate to a table format
+    whose MERGE does exactly that."""
+    kl = list(keys)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = read_cdc_snapshot(spark, target_dir)
+        payload = batch_df.drop(op_col)
+        if base is None:
+            base = payload.limit(0)
+        # stale-change guard: seq must strictly advance per key
+        fresh = (
+            batch_df.join(
+                base.select(*kl, F.col(seq_col).alias("_base_seq")),
+                kl,
+                "left",
+            )
+            .filter(
+                F.col("_base_seq").isNull()
+                | (F.col(seq_col) > F.col("_base_seq"))
+            )
+            .drop("_base_seq")
+        )
+        from datasheet_etl_spark.operators.relational import apply_changes
+
+        nxt = apply_changes(base, fresh, kl, seq_col, op_col=op_col)
+        version = f"v{batch_id:010d}"
+        nxt.write.mode("overwrite").parquet(os.path.join(target_dir, version))
+        tmp = os.path.join(target_dir, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(target_dir, "_LATEST"))
+
+    query = (
+        changes_sdf.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

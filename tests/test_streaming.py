@@ -645,3 +645,61 @@ def test_kmv_distinct_exact_below_k_and_estimates_beyond(spark, tmp_path):
     assert final.loc[1, "pool_size"] == 64  # capped at k
     rel_err = abs(final.loc[1, "distinct_est"] - 3000) / 3000
     assert rel_err < 0.5, rel_err  # 4/sqrt(62) ~ 0.5 at k=64
+
+
+def test_cdc_upsert_sink_matches_batch_apply_and_survives_replay(spark, tmp_path):
+    """Streaming MERGE: draining a changelog in two batches produces
+    exactly the batch apply_changes result; a stale (lower-seq) change
+    arriving in a LATER batch cannot overwrite; wiping the checkpoint
+    and replaying the whole changelog leaves the snapshot unchanged."""
+    import shutil
+
+    from datasheet_etl_spark.operators.relational import apply_changes
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    src = str(tmp_path / "changes_src")
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, seq long, op string, v string"
+    batch1 = spark.createDataFrame(
+        [(1, 1, "I", "a1"), (2, 1, "I", "b1"), (3, 1, "I", "c1"),
+         (2, 2, "U", "b2")],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(batch1.schema).format("parquet").load(src)
+        )
+        cdc_upsert_sink(stream, target, ckpt, keys=["k"], seq_col="seq")
+        return {r["k"]: (r["seq"], r["v"]) for r in read_cdc_snapshot(spark, target).collect()}
+
+    got1 = drain()
+    assert got1 == {1: (1, "a1"), 2: (2, "b2"), 3: (1, "c1")}
+
+    # batch 2: delete k=3, update k=1, and a STALE change for k=2
+    batch2 = spark.createDataFrame(
+        [(3, 3, "D", None), (1, 4, "U", "a2"), (2, 1, "U", "SHOULD_NOT_WIN")],
+        schema,
+    )
+    batch2.coalesce(1).write.parquet(src, mode="append")
+    got2 = drain()
+    assert got2 == {1: (4, "a2"), 2: (2, "b2")}
+
+    # equals the one-shot batch apply over the full changelog
+    full = batch1.unionByName(batch2)
+    base0 = full.drop("op").limit(0)
+    expect = {
+        r["k"]: (r["seq"], r["v"])
+        for r in apply_changes(base0, full, ["k"], "seq").collect()
+    }
+    assert got2 == expect
+
+    # checkpoint lost -> full replay must be a no-op on the snapshot
+    shutil.rmtree(ckpt)
+    got3 = drain()
+    assert got3 == got2

@@ -877,3 +877,28 @@ def test_ivf_cell_report_flags_append_drift(spark, tmp_path):
     top = after.first()
     assert top["imbalance_x"] > 3.0, after.collect()
     assert abs(sum(r["share"] for r in after.collect()) - 1.0) < 1e-6
+
+
+def test_semantic_dedup_max_cell_bounds_work(spark):
+    """The SemDeDup skew guard: a 30-clone hot cell with max_cell=10
+    splits into 3 independent sub-cells (3 survivors — the documented
+    recall tradeoff for a bounded matmul), while max_cell=None keeps
+    exactly one; vectors in other cells are untouched either way."""
+    from datasheet_etl_spark.operators.similarity import semantic_dedup
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, 0, v) for i in range(30)] + [(100, 1, w)]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+    full = semantic_dedup(emb, threshold=0.9)
+    kept_full = {r["vec_id"] for r in full.collect() if r["kept"]}
+    assert kept_full == {0, 100}
+
+    capped = semantic_dedup(emb, threshold=0.9, max_cell=10)
+    rows_c = capped.collect()
+    kept_c = {r["vec_id"] for r in rows_c if r["kept"]}
+    assert 100 in kept_c
+    hot_kept = kept_c - {100}
+    assert len(hot_kept) == 3, kept_c  # one survivor per sub-cell
+    assert len(rows_c) == 31  # every input row still reported
