@@ -626,6 +626,7 @@ def apply_changes(
     seq_col: str,
     op_col: str = "op",
     payload_cols: Sequence[str] | None = None,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Apply a CDC changelog to a snapshot — MERGE semantics built from
     primitives (the Delta/Iceberg-less form of ``MERGE INTO``): for
@@ -641,9 +642,22 @@ def apply_changes(
     shuffles nothing; this is exactly how streaming upserts land via
     ``foreachBatch`` (cf. ``streaming.idempotent_keyed_sink`` for the
     insert-only special case).
+
+    ``tombstone_col`` switches delete semantics from drop-the-row to
+    KEEP a tombstone (payload NULLed, ``seq_col`` advanced to the
+    delete's sequence, tombstone flag true) — required whenever the
+    result feeds a LATER incremental application: without the
+    tombstone, a deleted key loses its sequence watermark and a late,
+    lower-seq change would resurrect it (the streaming
+    ``cdc_upsert_sink`` bug class). ``base`` may carry the tombstone
+    column already (it passes through for untouched keys); readers
+    filter ``NOT tombstone``.
     """
     kl = list(keys)
-    pcols = list(payload_cols or [c for c in base.columns if c not in kl])
+    pcols = list(
+        payload_cols
+        or [c for c in base.columns if c not in kl and c != tombstone_col]
+    )
     # total order: seq, then delete-wins, then op and payload columns —
     # same-seq duplicate deliveries (at-least-once sources) must pick
     # the SAME winner on every run/partitioning
@@ -666,16 +680,42 @@ def apply_changes(
     # when/otherwise, NOT coalesce: an update carrying a NULL payload
     # must SET the field to NULL (MERGE semantics), not silently retain
     # the stale base value
-    out_cols = [
-        F.when(F.col("_op").isin("I", "U"), F.col(f"_c_{c}"))
-        .otherwise(F.col(c))
-        .alias(c)
-        for c in pcols
-    ]
-    return (
-        j.filter(F.col("_op").isNull() | (F.col("_op") != "D"))
-        .select(*kl, *out_cols)
+    base_types = dict(base.dtypes)
+
+    def out_col(c: str) -> Column:
+        if tombstone_col is not None and c == seq_col:
+            # every applied change advances the sequence watermark —
+            # deletes included, or the tombstone can't gate staleness
+            return (
+                F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        upd = F.when(F.col("_op").isin("I", "U"), F.col(f"_c_{c}"))
+        if tombstone_col is not None:
+            upd = upd.when(
+                F.col("_op") == "D", F.lit(None).cast(base_types.get(c, "string"))
+            )
+        return upd.otherwise(F.col(c)).alias(c)
+
+    out_cols = [out_col(c) for c in pcols]
+    if tombstone_col is None:
+        return (
+            j.filter(F.col("_op").isNull() | (F.col("_op") != "D"))
+            .select(*kl, *out_cols)
+        )
+    prior_tomb = (
+        F.coalesce(F.col(tombstone_col), F.lit(False))
+        if tombstone_col in base.columns
+        else F.lit(False)
     )
+    tomb = (
+        F.when(F.col("_op") == "D", F.lit(True))
+        .when(F.col("_op").isin("I", "U"), F.lit(False))
+        .otherwise(prior_tomb)
+        .alias(tombstone_col)
+    )
+    return j.select(*kl, *out_cols, tomb)
 
 
 def resample_interp(

@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.caching import scoped_persist
@@ -833,14 +833,16 @@ def semantic_dedup(
     ``max_cell`` is the in-engine skew guard when re-clustering isn't
     an option: a cell wider than the cap is split DETERMINISTICALLY
     (xxhash64 of the id, mod ceil(n/max_cell)) into sub-cells that
-    prune independently, bounding the matmul at max_cell² per task at
-    any corpus size. Tradeoff, stated plainly: a duplicate pair whose
-    members hash into different sub-cells is missed — hash-splitting
-    trades bounded recall loss (≈ 1/n_sub of pairs in split cells) for
-    a hard per-task ceiling, the same stance as ``cap_buckets``; the
-    paper's re-cluster split is the recall-preserving (but
-    retrain-cost) alternative. ``None`` disables (full within-cell
-    recall — the t45 oracle path).
+    prune independently, capping the matmul near max_cell² per task —
+    in EXPECTATION: sub-cell sizes are multinomial, so a hot sub-cell
+    can exceed the cap (concentration keeps the overshoot small at
+    realistic sizes, but it is not a hard ceiling). Tradeoff, stated
+    plainly: only pairs whose members hash into the SAME sub-cell are
+    comparable, ≈ 1/n_sub of a split cell's pairs — i.e. 1 − 1/n_sub
+    of its pairwise recall is traded away (same stance as
+    ``cap_buckets``); the paper's re-cluster split is the
+    recall-preserving (but retrain-cost) alternative. ``None``
+    disables (full within-cell recall — the t45 oracle path).
     """
     import numpy as np
     import pandas as pd
@@ -869,14 +871,17 @@ def semantic_dedup(
     work = emb.select(id_col, cell_col, vec_col)
     group_cols = [cell_col]
     if max_cell is not None:
-        sizes = work.groupBy(cell_col).agg(F.count("*").alias("_cn"))
+        # window count, NOT a count-join: one evaluation of the (often
+        # expensive) upstream lineage, and NULL cell values keep their
+        # group (a join on cell_col would silently drop them, breaking
+        # the every-input-row-reported contract)
+        wc = Window.partitionBy(cell_col)
         n_sub = F.greatest(
-            F.lit(1), F.ceil(F.col("_cn") / F.lit(int(max_cell)))
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)).over(wc) / F.lit(int(max_cell))),
         ).cast("int")
-        work = (
-            work.join(F.broadcast(sizes), cell_col)
-            .withColumn("_sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int"))
-            .drop("_cn")
+        work = work.withColumn(
+            "_sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
         )
         group_cols = [cell_col, "_sub"]
     return (

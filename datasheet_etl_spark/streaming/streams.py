@@ -830,18 +830,76 @@ def kmv_distinct_tws(
     )
 
 
-def read_cdc_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _read_pointer(spark: SparkSession, target_dir: str) -> str | None:
+    """Current version name from the ``_LATEST`` pointer, via the Hadoop
+    FileSystem API — file://, hdfs://, s3a:// alike (an os.path check
+    would silently report 'no snapshot' on any remote scheme and the
+    sink would merge every batch onto an empty base)."""
+    fs, hpath, jvm = _hadoop_fs(spark, f"{target_dir}/_LATEST")
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        version = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        ).strip()
+    finally:
+        stream.close()
+    return version or None
+
+
+def _write_pointer(spark: SparkSession, target_dir: str, version: str) -> None:
+    # create(path, overwrite=true): atomic replace on HDFS, atomic PUT
+    # on S3; a reader concurrently resolving the pointer sees the old
+    # or the new version name, never a torn write
+    fs, hpath, _ = _hadoop_fs(spark, f"{target_dir}/_LATEST")
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(version.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _next_version(spark: SparkSession, target_dir: str) -> str:
+    """Monotonic version id: max existing v* + 1 — NEVER the batch id.
+    After checkpoint loss, replayed batch ids restart at 0; naming
+    versions by batch id would overwrite 'immutable' dirs a concurrent
+    reader may still be scanning."""
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    glob = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/v*")
+    statuses = fs.globStatus(glob)
+    mx = -1
+    if statuses is not None:
+        for st in statuses:
+            name = st.getPath().getName()
+            if name[1:].isdigit():
+                mx = max(mx, int(name[1:]))
+    return f"v{mx + 1:010d}"
+
+
+def read_cdc_snapshot(
+    spark: SparkSession, target_dir: str, include_tombstones: bool = False
+) -> DataFrame | None:
     """Current snapshot of a :func:`cdc_upsert_sink` target, or None if
     no version has committed yet. Readers resolve the ``_LATEST``
     pointer (written only AFTER a version's parquet commit), so they
-    never observe a half-written table."""
-    marker = os.path.join(target_dir, "_LATEST")
-    if not os.path.exists(marker):
+    never observe a half-written table. Deleted keys are tombstone
+    rows (``_deleted`` true, payload NULL); the default read filters
+    them out, ``include_tombstones=True`` returns them (the sink needs
+    them — a tombstone carries the key's sequence watermark)."""
+    version = _read_pointer(spark, target_dir)
+    if version is None:
         return None
-    version = open(marker).read().strip()
-    if not version:
-        return None
-    return spark.read.parquet(os.path.join(target_dir, version))
+    df = spark.read.parquet(f"{target_dir}/{version}")
+    if not include_tombstones:
+        df = df.filter(~F.col("_deleted")).drop("_deleted")
+    return df
 
 
 def cdc_upsert_sink(
@@ -855,41 +913,52 @@ def cdc_upsert_sink(
     """Streaming MERGE INTO built from primitives: each micro-batch of
     CDC changes (op I/U/D + payload, ordered by ``seq_col``) is applied
     onto the current snapshot with :func:`operators.relational.
-    apply_changes`, and the result is committed as a NEW immutable
-    snapshot version — ``{target}/v{batch_id}`` — with the ``_LATEST``
-    pointer updated last. The streaming complement of t68's batch CDC
-    apply; the transactional form is Delta/Iceberg MERGE, this is the
-    same guarantee from parquet + a pointer file.
+    apply_changes` in tombstone mode, and the result is committed as a
+    NEW immutable snapshot version — ``{target}/v<n>`` with a
+    monotonic n — before the ``_LATEST`` pointer moves. The streaming
+    complement of t68's batch CDC apply; the transactional form is
+    Delta/Iceberg MERGE, this is the same guarantee from parquet + a
+    pointer file.
 
-    Correctness properties, each load-bearing:
-    - **Out-of-order across batches**: the snapshot retains each row's
-      last-applied ``seq_col``, and incoming changes with
-      ``seq <= stored seq`` are dropped BEFORE the merge — a late,
-      stale change can never overwrite a newer row (within a batch,
-      ``apply_changes``' latest-per-key window handles ordering).
-    - **Crash replay**: re-applying a batch is idempotent — same-seq
-      changes are filtered as stale against the already-advanced
-      snapshot, so the rewritten version is identical.
-    - **Reader isolation**: versions are immutable and the pointer is
-      a one-line file written post-commit; a concurrent reader sees
-      the old version or the new one, never a mix.
+    Correctness properties, each load-bearing (and each pinned in
+    tests/test_streaming.py):
+    - **Out-of-order across batches**: every key's last-applied
+      ``seq_col`` persists in the snapshot — INCLUDING deleted keys,
+      whose tombstone rows carry the delete's sequence — and incoming
+      changes with ``seq <= stored seq`` are dropped BEFORE the merge.
+      A late stale update can neither overwrite a newer row NOR
+      resurrect a deleted one.
+    - **Crash replay**: re-applying a batch is idempotent — its
+      changes are all stale against the already-advanced snapshot, so
+      the replay commits an identical new version and re-points.
+    - **Reader isolation**: version ids are monotonic (max existing
+      + 1, never the restartable batch id), so committed version dirs
+      are genuinely immutable; the pointer is replaced atomically
+      post-commit — a concurrent reader sees the old version or the
+      new one, never a mix. All pointer/version IO goes through the
+      Hadoop FileSystem API (file://, hdfs://, s3a://).
 
-    Scale shape: one changelog window + one key join per batch (see
-    ``apply_changes``); snapshot rewrite is the cost of the
-    format-less approach — at real scale partition the target and
-    rewrite only touched partitions, or graduate to a table format
-    whose MERGE does exactly that."""
+    Operational notes: tombstones accumulate — compact a version by
+    dropping tombstones older than the source's maximum replay
+    horizon; snapshot rewrite per batch is the cost of the format-less
+    approach — at real scale partition the target and rewrite only
+    touched partitions, or graduate to a table format whose MERGE does
+    exactly that."""
     kl = list(keys)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        base = read_cdc_snapshot(spark, target_dir)
-        payload = batch_df.drop(op_col)
+        base = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
         if base is None:
-            base = payload.limit(0)
-        # stale-change guard: seq must strictly advance per key
+            base = (
+                batch_df.drop(op_col)
+                .limit(0)
+                .withColumn("_deleted", F.lit(False))
+            )
+        # stale-change guard: seq must strictly advance per key; base
+        # includes tombstones, so deletes gate too
         fresh = (
             batch_df.join(
                 base.select(*kl, F.col(seq_col).alias("_base_seq")),
@@ -904,13 +973,12 @@ def cdc_upsert_sink(
         )
         from datasheet_etl_spark.operators.relational import apply_changes
 
-        nxt = apply_changes(base, fresh, kl, seq_col, op_col=op_col)
-        version = f"v{batch_id:010d}"
-        nxt.write.mode("overwrite").parquet(os.path.join(target_dir, version))
-        tmp = os.path.join(target_dir, "_LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, os.path.join(target_dir, "_LATEST"))
+        nxt = apply_changes(
+            base, fresh, kl, seq_col, op_col=op_col, tombstone_col="_deleted"
+        )
+        version = _next_version(spark, target_dir)
+        nxt.write.mode("overwrite").parquet(f"{target_dir}/{version}")
+        _write_pointer(spark, target_dir, version)
 
     query = (
         changes_sdf.writeStream.foreachBatch(upsert)

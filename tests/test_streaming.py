@@ -666,7 +666,7 @@ def test_cdc_upsert_sink_matches_batch_apply_and_survives_replay(spark, tmp_path
     schema = "k long, seq long, op string, v string"
     batch1 = spark.createDataFrame(
         [(1, 1, "I", "a1"), (2, 1, "I", "b1"), (3, 1, "I", "c1"),
-         (2, 2, "U", "b2")],
+         (2, 2, "U", "b2"), (5, 1, "I", "e1"), (5, 3, "D", None)],
         schema,
     )
     batch1.coalesce(1).write.parquet(src)
@@ -681,9 +681,12 @@ def test_cdc_upsert_sink_matches_batch_apply_and_survives_replay(spark, tmp_path
     got1 = drain()
     assert got1 == {1: (1, "a1"), 2: (2, "b2"), 3: (1, "c1")}
 
-    # batch 2: delete k=3, update k=1, and a STALE change for k=2
+    # batch 2: delete k=3, update k=1, a STALE change for k=2, and a
+    # stale update for the DELETED k=5 — the tombstone must block the
+    # resurrection (its seq watermark survives the delete)
     batch2 = spark.createDataFrame(
-        [(3, 3, "D", None), (1, 4, "U", "a2"), (2, 1, "U", "SHOULD_NOT_WIN")],
+        [(3, 3, "D", None), (1, 4, "U", "a2"), (2, 1, "U", "SHOULD_NOT_WIN"),
+         (5, 2, "U", "ZOMBIE")],
         schema,
     )
     batch2.coalesce(1).write.parquet(src, mode="append")
@@ -698,6 +701,7 @@ def test_cdc_upsert_sink_matches_batch_apply_and_survives_replay(spark, tmp_path
         for r in apply_changes(base0, full, ["k"], "seq").collect()
     }
     assert got2 == expect
+    assert 5 not in got2  # deleted key not resurrected by the stale update
 
     # checkpoint lost -> full replay must be a no-op on the snapshot
     shutil.rmtree(ckpt)

@@ -902,3 +902,17 @@ def test_semantic_dedup_max_cell_bounds_work(spark):
     hot_kept = kept_c - {100}
     assert len(hot_kept) == 3, kept_c  # one survivor per sub-cell
     assert len(rows_c) == 31  # every input row still reported
+
+
+def test_semantic_dedup_max_cell_keeps_null_cells(spark):
+    """NULL cell values must survive the max_cell split path (a count
+    JOIN on the cell column would silently drop them)."""
+    from datasheet_etl_spark.operators.similarity import semantic_dedup
+
+    v = [1.0, 0.0]
+    rows = [(1, None, v), (2, None, v), (3, 0, v)]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = semantic_dedup(emb, threshold=0.9, max_cell=10).collect()
+    assert len(out) == 3
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    assert kept == {1, 3}  # NULL cell prunes within itself, not vs cell 0
