@@ -984,9 +984,7 @@ def t67_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
-@register(
-    "t68_cdc_apply",
-    """
+_CDC_ORACLE_SQL = """
     WITH base AS (
         SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0
     ), ch AS (
@@ -1016,8 +1014,10 @@ def t67_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
     WHERE l.op IS NULL OR l.op <> 'D'
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("t68_cdc_apply", _CDC_ORACLE_SQL)
 def t68_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply — MERGE INTO semantics from primitives: a
     synthesized changelog (deletes, updates, inserts, plus a second
@@ -1685,4 +1685,79 @@ def t76_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _t76_docs d, LATERAL t76_split_sentences(d.text) s
         ORDER BY d.doc_id, s.pos
         """
+    )
+
+
+@register("t77_streaming_cdc_apply", _CDC_ORACLE_SQL)
+def t77_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t68's CDC apply executed through the STREAMING merge sink: the
+    same synthesized changelog staged as two parquet files (seq-0 base
+    seeds + seq-1 changes, then the seq-2 late updates), drained with
+    maxFilesPerTrigger=1 into ``cdc_upsert_sink`` — two genuine
+    micro-batches, so cross-batch sequencing (tombstone watermarks,
+    the stale-change guard, snapshot versioning) is on the graded
+    path, and the final snapshot must hash-match the SAME DuckDB
+    oracle as the batch apply. Equivalence holds because the base
+    seeds enter as op='I' seq=0 rows: one-shot latest-wins over
+    (seeds ∪ changes) is exactly apply_changes(base, changes)."""
+    import os
+    import shutil
+    import tempfile
+
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    seeds = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit(0).alias("seq"), F.lit("I").alias("op"),
+        "source", "n_chars",
+    )
+    op = (
+        F.when(F.col("doc_id") % 3 == 0, "D")
+        .when(F.col("doc_id") % 3 == 1, "U")
+        .otherwise("I")
+    )
+    ch1 = docs.select(
+        "doc_id", F.lit(1).alias("seq"), op.alias("op"),
+        "source", (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    ch2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        "source", (F.col("n_chars") + 5000).alias("n_chars"),
+    )
+
+    # deterministic per-sf staging, invalidated when the testdata is
+    # regenerated (mtime marker): a re-run with an intact checkpoint
+    # sees no new files and the committed snapshot simply persists —
+    # the result stays lazy, no driver-side collect
+    import hashlib
+
+    tag = hashlib.md5(f"cdcstream:{sf_dir}".encode()).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"cdc_stream_{tag}")
+    src, target, ckpt = (os.path.join(work, d) for d in ("src", "target", "ckpt"))
+    marker = os.path.join(work, "_STAGED")
+    st_mtime = os.stat(f"{sf_dir.rstrip('/')}/documents.parquet").st_mtime
+    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
+    if not staged:
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        seeds.unionByName(ch1).coalesce(1).write.parquet(src)
+        ch2.coalesce(1).write.parquet(src, mode="append")
+        with open(marker, "w") as f:
+            f.write(str(st_mtime))
+    stream = (
+        spark.readStream.schema(seeds.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    cdc_upsert_sink(stream, target, ckpt, keys=["doc_id"], seq_col="seq")
+    return (
+        read_cdc_snapshot(spark, target)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     )
