@@ -871,17 +871,34 @@ def semantic_dedup(
     work = emb.select(id_col, cell_col, vec_col)
     group_cols = [cell_col]
     if max_cell is not None:
-        # window count, NOT a count-join: one evaluation of the (often
-        # expensive) upstream lineage, and NULL cell values keep their
-        # group (a join on cell_col would silently drop them, breaking
-        # the every-input-row-reported contract)
-        wc = Window.partitionBy(cell_col)
+        # cell sizes via a tiny aggregate joined back NULL-SAFELY:
+        # - scoped_persist: one evaluation of the (often expensive)
+        #   upstream lineage for both the count and the probe side;
+        # - eqNullSafe join: NULL cell values keep their group instead
+        #   of silently dropping out of an equi-join — the
+        #   every-input-row-reported contract;
+        # - NOT a window count: Window.partitionBy(cell) would leave
+        #   the data hash-partitioned on cell alone, which the
+        #   downstream groupBy(cell, _sub) REUSES — every sub-cell of
+        #   a split hot cell would land in one task (and the window
+        #   would buffer the whole hot cell, vectors included). The
+        #   join keeps the exchange on (cell, _sub), spreading exactly
+        #   the skew this guard exists to spread.
+        from datasheet_etl_spark.caching import scoped_persist
+
+        work = scoped_persist(work)
+        sizes = work.groupBy(F.col(cell_col).alias("_sc")).agg(
+            F.count("*").alias("_cn")
+        )
         n_sub = F.greatest(
-            F.lit(1),
-            F.ceil(F.count(F.lit(1)).over(wc) / F.lit(int(max_cell))),
+            F.lit(1), F.ceil(F.col("_cn") / F.lit(int(max_cell)))
         ).cast("int")
-        work = work.withColumn(
-            "_sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+        work = (
+            work.join(
+                F.broadcast(sizes), F.col(cell_col).eqNullSafe(F.col("_sc"))
+            )
+            .withColumn("_sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int"))
+            .drop("_sc", "_cn")
         )
         group_cols = [cell_col, "_sub"]
     return (

@@ -1702,7 +1702,6 @@ def t77_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seeds ∪ changes) is exactly apply_changes(base, changes)."""
     import os
     import shutil
-    import tempfile
 
     from datasheet_etl_spark.streaming.streams import (
         cdc_upsert_sink,
@@ -1730,25 +1729,23 @@ def t77_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", (F.col("n_chars") + 5000).alias("n_chars"),
     )
 
-    # deterministic per-sf staging, invalidated when the testdata is
-    # regenerated (mtime marker): a re-run with an intact checkpoint
-    # sees no new files and the committed snapshot simply persists —
-    # the result stays lazy, no driver-side collect
-    import hashlib
+    # deterministic per-sf staging via the shared _staged_path
+    # disk-cache (mtime-invalidated): a re-run with an intact
+    # checkpoint sees no new files and the committed snapshot simply
+    # persists — the result stays lazy, no driver-side collect. The
+    # build wipes the whole work dir so target/ckpt restage together
+    # with the source files.
+    from datasheet_etl_spark.plans.training import _staged_path
 
-    tag = hashlib.md5(f"cdcstream:{sf_dir}".encode()).hexdigest()[:10]
-    work = os.path.join(tempfile.gettempdir(), f"cdc_stream_{tag}")
+    def build(path):
+        shutil.rmtree(path, ignore_errors=True)
+        seeds.unionByName(ch1).coalesce(1).write.parquet(
+            os.path.join(path, "src")
+        )
+        ch2.coalesce(1).write.parquet(os.path.join(path, "src"), mode="append")
+
+    work = _staged_path(sf_dir, "documents.parquet", "cdc_stream", build)
     src, target, ckpt = (os.path.join(work, d) for d in ("src", "target", "ckpt"))
-    marker = os.path.join(work, "_STAGED")
-    st_mtime = os.stat(f"{sf_dir.rstrip('/')}/documents.parquet").st_mtime
-    staged = os.path.exists(marker) and float(open(marker).read() or 0) >= st_mtime
-    if not staged:
-        shutil.rmtree(work, ignore_errors=True)
-        os.makedirs(work, exist_ok=True)
-        seeds.unionByName(ch1).coalesce(1).write.parquet(src)
-        ch2.coalesce(1).write.parquet(src, mode="append")
-        with open(marker, "w") as f:
-            f.write(str(st_mtime))
     stream = (
         spark.readStream.schema(seeds.schema)
         .option("maxFilesPerTrigger", "1")

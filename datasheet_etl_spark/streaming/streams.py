@@ -837,7 +837,7 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _read_pointer(spark: SparkSession, target_dir: str) -> str | None:
-    """Current version name from the ``_LATEST`` pointer, via the Hadoop
+    """Version name from the ``_LATEST`` pointer, via the Hadoop
     FileSystem API — file://, hdfs://, s3a:// alike (an os.path check
     would silently report 'no snapshot' on any remote scheme and the
     sink would merge every batch onto an empty base)."""
@@ -855,15 +855,53 @@ def _read_pointer(spark: SparkSession, target_dir: str) -> str | None:
 
 
 def _write_pointer(spark: SparkSession, target_dir: str, version: str) -> None:
-    # create(path, overwrite=true): atomic replace on HDFS, atomic PUT
-    # on S3; a reader concurrently resolving the pointer sees the old
-    # or the new version name, never a torn write
-    fs, hpath, _ = _hadoop_fs(spark, f"{target_dir}/_LATEST")
-    out = fs.create(hpath, True)
+    # tmp + rename, NOT create(overwrite=true): rename is atomic on
+    # local and HDFS, while overwrite-create is truncate-then-write —
+    # a crash or racing reader could observe an empty/torn pointer.
+    # The brief pointer-absent window between delete and rename is
+    # covered by _resolve_version's committed-dir fallback.
+    fs, tmp_path, jvm = _hadoop_fs(spark, f"{target_dir}/_LATEST.tmp")
+    out = fs.create(tmp_path, True)
     try:
         out.write(bytearray(version.encode("utf-8")))
     finally:
         out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/_LATEST")
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp_path, final)
+
+
+def _committed_versions(spark: SparkSession, target_dir: str) -> list[str]:
+    """Version dirs with a _SUCCESS marker (i.e. fully committed), sorted
+    ascending — an in-flight write's directory exists before its commit
+    and must never be resolved as a snapshot."""
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    glob = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/v*")
+    statuses = fs.globStatus(glob)
+    out = []
+    if statuses is not None:
+        for st in statuses:
+            name = st.getPath().getName()
+            if name[1:].isdigit() and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{name}/_SUCCESS")
+            ):
+                out.append(name)
+    return sorted(out)
+
+
+def _resolve_version(spark: SparkSession, target_dir: str) -> str | None:
+    """The snapshot version a reader should use: the ``_LATEST`` pointer
+    when it names a committed dir; otherwise the NEWEST committed v*
+    dir. The fallback is load-bearing: a crash (or the rename window)
+    can leave committed versions with a missing/stale pointer, and
+    treating that as 'empty table' would silently merge the next batch
+    onto a zero-row base — losing the accumulated snapshot."""
+    pointed = _read_pointer(spark, target_dir)
+    committed = _committed_versions(spark, target_dir)
+    if pointed is not None and pointed in committed:
+        return pointed
+    return committed[-1] if committed else None
 
 
 def _next_version(spark: SparkSession, target_dir: str) -> str:
@@ -893,11 +931,13 @@ def read_cdc_snapshot(
     rows (``_deleted`` true, payload NULL); the default read filters
     them out, ``include_tombstones=True`` returns them (the sink needs
     them — a tombstone carries the key's sequence watermark)."""
-    version = _read_pointer(spark, target_dir)
+    version = _resolve_version(spark, target_dir)
     if version is None:
         return None
     df = spark.read.parquet(f"{target_dir}/{version}")
-    if not include_tombstones:
+    if not include_tombstones and "_deleted" in df.columns:
+        # column guard: targets committed by a pre-tombstone sink are
+        # still readable (they simply carry no deleted keys)
         df = df.filter(~F.col("_deleted")).drop("_deleted")
     return df
 

@@ -707,3 +707,41 @@ def test_cdc_upsert_sink_matches_batch_apply_and_survives_replay(spark, tmp_path
     shutil.rmtree(ckpt)
     got3 = drain()
     assert got3 == got2
+
+
+def test_cdc_snapshot_survives_pointer_loss(spark, tmp_path):
+    """A lost/stale _LATEST pointer must NOT read as 'empty table':
+    readers fall back to the newest COMMITTED version dir, and the next
+    batch merges onto it — pointer loss can never silently discard the
+    accumulated snapshot."""
+    import os
+
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, seq long, op string, v string"
+    spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b")], schema
+    ).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cdc_upsert_sink(stream, target, ckpt, keys=["k"], seq_col="seq")
+
+    drain()
+    os.remove(os.path.join(target, "_LATEST"))
+    got = read_cdc_snapshot(spark, target)
+    assert got is not None and got.count() == 2  # recovered from v* dirs
+
+    # next batch merges onto the recovered base, not an empty one
+    spark.createDataFrame([(3, 2, "I", "c")], schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    drain()
+    rows = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
