@@ -18,7 +18,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.plans.queries import register, sql_dsum
@@ -279,3 +279,33 @@ def t75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"t75_{uuid.uuid4().hex[:8]}"
         out = run_available_now(agg, name, "complete")
     return out.orderBy("type_code")
+
+
+@register("t78_streaming_heavy_hitters")  # MG summary order-dependent → rows-only
+def t78_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type heavy-hitter users via a Misra-Gries summary in
+    grouped streaming state — the frequency sketch beside t55's
+    distinct sketch (KMV): state hard-capped at k (item, count) pairs
+    per key forever, where exact streaming top-k state is unbounded.
+    Any user holding > n/(k+1) of a type's events provably surfaces
+    (guarantee pinned in tests/test_streaming.py); the summary content
+    is arrival-order-dependent by nature, hence rows-only."""
+    from datasheet_etl_spark.streaming.streams import heavy_hitters_stateful
+
+    src = _stage_events(sf_dir)
+    with _few_state_partitions(spark):
+        stream = events_stream(spark, src)
+        name = f"t78_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(
+            heavy_hitters_stateful(stream, "event_type", "user_id", k=16),
+            name,
+            "update",
+        )
+    # final summary per key = the emission at that key's max n_seen
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("_mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("_mx"))
+        .select("event_type", "item", "est_count", "n_seen")
+        .orderBy("event_type", "item")
+    )

@@ -1027,3 +1027,91 @@ def cdc_upsert_sink(
         .start()
     )
     query.awaitTermination()
+
+
+def _mg_fold(items: list, counts: list, pdfs, k: int):
+    """Fold incoming value batches into a Misra-Gries summary of at
+    most ``k`` counters; returns (items, counts, n_seen_delta).
+
+    The classic guarantee: after n rows, every value with true
+    frequency > n/(k+1) is IN the summary, and each stored count
+    undercounts its true frequency by at most n/(k+1). A miss with a
+    full summary decrements ALL counters (O(k)); zeroed counters free
+    their slots."""
+    cur = dict(zip(items, counts))
+    seen = 0
+    for pdf in pdfs:
+        for v in pdf["_v"].dropna():
+            v = str(v)
+            seen += 1
+            if v in cur:
+                cur[v] += 1
+            elif len(cur) < k:
+                cur[v] = 1
+            else:
+                for key in list(cur):
+                    cur[key] -= 1
+                    if cur[key] == 0:
+                        del cur[key]
+    out = sorted(cur.items())
+    return [i for i, _ in out], [c for _, c in out], seen
+
+
+def heavy_hitters_stateful(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Streaming per-key heavy hitters (Misra-Gries) in grouped state —
+    the frequency-sketch sibling of :func:`kmv_distinct_stateful`
+    (distinct counts) : "which values dominate each key's stream",
+    with state hard-capped at ``k`` (item, count) pairs per key FOREVER
+    — an exact streaming top-k would need a counter per distinct
+    value, i.e. unbounded state.
+
+    Guarantee (pinned in tests/test_streaming.py): any value with true
+    frequency > n/(k+1) of a key's n rows is present in that key's
+    final summary, with estimated count within n/(k+1) below truth —
+    the audit-grade "nothing big can hide" property; small values may
+    appear or vanish, which is the accepted noise floor. Folding is
+    sequential per key (classic MG), so the summary is deterministic
+    given the per-key arrival order; cross-batch order follows
+    micro-batch sequence.
+
+    Output (update mode): one row per (key, item) per micro-batch with
+    the running estimate plus ``n_seen`` — monotone per key, so the
+    final summary after a bounded drain is the rows with each key's
+    max ``n_seen`` (the t55 aggregation idiom)."""
+    key_type = events.schema[key_col].dataType.simpleString()
+    src = events.select(
+        F.col(key_col), F.col(value_col).cast("string").alias("_v")
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            items, counts, n0 = state.get
+            items, counts = list(items), list(counts)
+        else:
+            items, counts, n0 = [], [], 0
+        items, counts, delta = _mg_fold(items, counts, pdfs, k)
+        n = n0 + delta
+        state.update((items, counts, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(items),
+                "item": items,
+                "est_count": counts,
+                "n_seen": [n] * len(items),
+            }
+        )
+
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} {key_type}, item string, est_count long, n_seen long"
+        ),
+        stateStructType="items array<string>, counts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

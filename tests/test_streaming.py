@@ -745,3 +745,59 @@ def test_cdc_snapshot_survives_pointer_loss(spark, tmp_path):
     drain()
     rows = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
     assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_heavy_hitters_misra_gries_guarantee(spark, tmp_path):
+    """MG contract across micro-batches: a planted value holding >50%
+    of a key's rows (k=4 ⇒ threshold n/5) must be in the final
+    summary with est within n/(k+1) of truth; per-key state never
+    exceeds k items; a key whose values are all unique reports only
+    noise-floor counts."""
+    from datasheet_etl_spark.streaming.streams import heavy_hitters_stateful
+
+    rows = []
+    # key 'a': 120 of 200 rows are 'HOT' (60%), rest spread over 40 values
+    rows += [(i, "a", "HOT") for i in range(120)]
+    rows += [(1000 + i, "a", f"cold{i % 40}") for i in range(80)]
+    # key 'b': 90 unique values — nothing can dominate
+    rows += [(2000 + i, "b", f"u{i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "event_id long, k string, v string")
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (state must carry the summary over)
+    df.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    df.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    from datasheet_etl_spark.streaming.streams import run_available_now
+
+    out = run_available_now(
+        heavy_hitters_stateful(stream, "k", "v", k=4), "t_mg", "update"
+    ).collect()
+    # final summary per key = rows at that key's max n_seen
+    final = {}
+    for r in out:
+        if r["k"] not in final or r["n_seen"] > final[r["k"]][0]:
+            final[r["k"]] = (r["n_seen"], {})
+        if r["n_seen"] == final[r["k"]][0]:
+            final[r["k"]][1][r["item"]] = r["est_count"]
+
+    n_a, summary_a = final["a"]
+    assert n_a == 200
+    bound = n_a / 5  # n/(k+1)
+    assert "HOT" in summary_a, summary_a
+    assert 120 - bound <= summary_a["HOT"] <= 120
+    assert len(summary_a) <= 4
+    # key 'b' may legitimately end with an EMPTY summary (unique values
+    # keep cancelling each other) — the contract is only that nothing
+    # exceeds the noise floor
+    if "b" in final:
+        n_b, summary_b = final["b"]
+        assert len(summary_b) <= 4
+        assert all(c <= n_b / 5 + 1 for c in summary_b.values())
