@@ -321,7 +321,8 @@ def t54_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_variant_extract",
     """
     SELECT event_type, count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
