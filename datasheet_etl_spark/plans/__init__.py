@@ -21,31 +21,26 @@ carry parity-to-exact pytest coverage instead of a DuckDB oracle.
 from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
-# oracled. Round-6 rotation (VERDICT r5 next-round #1): t57/t59/t64/
-# t65/t67/t68/q35/q38 in; t08-t11/t22/t23/t26/t31 out (rationales in
-# DEMOTED).
+# oracled. Round-7 rotation (VERDICT r6 next-round #2): the 6 oracled
+# round-6 additions (q45/q46/t74-t77) plus 4 never-driver-graded r5
+# residents (q39/t58/t69/t70) in; q04/q13/q15/q24/q32/q33/t18/t27/t30/
+# t34 out (idiom-superset rationales in DEMOTED).
 WINDOW: tuple[str, ...] = (
     "q01_scan_filter",
     "q03_regex_extract_cast",
-    "q04_case_classify",
     "q06_positional_join",
     "q07_range_join",
     "q11_tpch_q1",
-    "q13_rollup",
     "q14_dynamic_pivot",
-    "q15_unpivot",
     "q16_topk_per_group",
     "q18_sessionize",
     "q19_percentiles",
     "q21_ranking_trio",
-    "q24_distinct_exact",
     "q25_array_ops",
     "q26_json_roundtrip",
     "q28_severity_ladder",
     "q29_confidence_agg",
     "q30_idempotent_rerun",
-    "q32_dedup_latest",
-    "q33_similarity_topk",
     "q34_wordcount",
     "t13_streaming_tumbling",
     "t41_streaming_interval_join",
@@ -57,13 +52,9 @@ WINDOW: tuple[str, ...] = (
     "t19_corpus_curation",
     "t16_dedup_clusters",
     "t17_graph_copurchase",
-    "t18_asof_join",
-    "t27_stratified_sample",
     "t29_mixture_weighted",
     "t33_corpus_prep_e2e",
     "t32_decontaminate",
-    "t30_redact_pii",
-    "t34_repetition_score",
     # --- rotated IN for round 6 (r5 additions, previously past the window) ---
     "q35_cube",
     "q38_variant_extract",
@@ -77,6 +68,18 @@ WINDOW: tuple[str, ...] = (
     "q43_star_join_revenue",
     "q44_correlated_subqueries",
     "t73_incremental_rollup",
+    # --- rotated IN for round 7 (VERDICT r6 #2): oracled r6 additions ---
+    "q45_union_by_name",
+    "q46_nullsafe_join",
+    "t74_resample_interp",
+    "t75_stream_static_join",
+    "t76_udtf_sentence_split",
+    "t77_streaming_cdc_apply",
+    # --- r7: strong r5 residents never yet driver-graded ---
+    "q39_recursive_cte",
+    "t58_cohort_retention",
+    "t69_rolling_anomaly",
+    "t70_dedup_rate_report",
 )
 
 
@@ -91,7 +94,7 @@ DEMOTED: tuple[str, ...] = (
     # r4: swapped out for the t26-t30 sampling/packing family — each
     # demotee's idiom stays graded inside a superset entry:
     "q09_semi_join",  # semi-join idiom graded inside t07's probed-cell semi-join
-    "q17_forward_fill",  # last(ignorenulls) carry graded inside t18_asof_join
+    "q17_forward_fill",  # last(ignorenulls) carry graded inside t74_resample_interp's double-ASOF (r7: t18, the old anchor, demoted into t74)
     "q20_running_total",  # window cumsum graded inside t33 (pack_sequences' bin cumsum; r6: was t28, itself now demoted into t33)
     "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside q16 top-k (r6: t26 reference dropped, itself demoted)
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
@@ -99,8 +102,8 @@ DEMOTED: tuple[str, ...] = (
     "q08_anti_join",  # left-anti idiom graded inside q30_idempotent_rerun
     "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside t29
     # r5: swapped out for t34/t35 — again idiom-superset demotions:
-    "q02_normalize",  # regex normalize idiom graded inside t30's regexp pack + q03
-    "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact + q24
+    "q02_normalize",  # regex normalize idiom graded inside q03's regexp strip + try_cast (r7: t30, the old anchor, demoted on the same basis)
+    "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact (r7: q24, the old co-anchor, demoted into t70)
     # r5: swapped out for t41_streaming_interval_join — t13 grades the
     # IDENTICAL tumbling-window contract (same oracle result) through the
     # strictly-stronger streaming path:
@@ -114,12 +117,25 @@ DEMOTED: tuple[str, ...] = (
     "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
     "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
     "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16/t17 graph entries + q26 parse
-    "t26_sample_uniform",  # hash-rank sample graded inside t27 (per-stratum rank, same doc_hash family)
+    "t26_sample_uniform",  # hash-rank sample graded inside t29's hash-threshold Bernoulli + q16's rank top-k (r7: t27, the old anchor, demoted on the same basis)
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
     "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
-    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q13 (rollup) + q35 (CUBE superset) + t13 (hour buckets)
+    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q35 (CUBE ⊃ ROLLUP grouping sets) + t13 (hour buckets) (r7: q13, the old co-anchor, demoted into q35)
     "t28_sequence_pack",  # pack_sequences budget packing graded inside t33's e2e composition (same operator)
+    # r7: swapped out for q45/q46/t74-t77 + q39/t58/t69/t70 (VERDICT r6
+    # next-round #2) — every outgoing idiom stays graded inside an
+    # in-window superset:
+    "q04_case_classify",  # when/otherwise ladder graded inside q28_severity_ladder (same chain idiom, more branches + tolerance logic)
+    "q13_rollup",  # ROLLUP grouping sets graded inside q35_cube (CUBE is the strict grouping-sets superset, same join+multi-grain agg shape)
+    "q15_unpivot",  # stack() long-form projection OVER the in-window q14 pivot (q15 is literally q14's result + unpivot(), a pure projection)
+    "q24_distinct_exact",  # countDistinct idiom graded inside t70_dedup_rate_report (count_distinct per group) + t01's distinct-key dedup
+    "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t68_cdc_apply (same max_by-per-key resolution, superset incl. deletes) + q16 (top_k_per_group, the shared helper)
+    "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine) + t04 (same Jaccard expression)
+    "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
+    "t27_stratified_sample",  # per-stratum hash-rank sample graded inside q16 (row_number top-k per group) + t29 (md5-derived deterministic sampling family)
+    "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q03's regexp strip + try_cast — same per-row regexp family
+    "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t65_unigram_log_ppl (identical two-level agg shape)
 )
 
 
