@@ -1745,7 +1745,7 @@ def t77_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ch2.coalesce(1).write.parquet(os.path.join(path, "src"), mode="append")
 
-    work = _staged_path(sf_dir, "documents.parquet", "cdc_stream", build)
+    work = _staged_path(sf_dir, "documents.parquet", "cdc_stream_b8", build)
     src, target, ckpt = (os.path.join(work, d) for d in ("src", "target", "ckpt"))
     stream = (
         spark.readStream.schema(seeds.schema)
@@ -1753,7 +1753,12 @@ def t77_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(src)
     )
-    cdc_upsert_sink(stream, target, ckpt, keys=["doc_id"], seq_col="seq")
+    # partition-scoped mode: the second micro-batch rewrites only the
+    # buckets its changed doc_ids hash to (the 100 TB shape) — the
+    # bucketed-manifest protocol is thereby on the driver-graded path
+    cdc_upsert_sink(
+        stream, target, ckpt, keys=["doc_id"], seq_col="seq", num_buckets=8
+    )
     return (
         read_cdc_snapshot(spark, target)
         .select("doc_id", "source", "n_chars")

@@ -17,6 +17,7 @@ Design rules (the 100 TB shape):
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Iterable
 
@@ -921,6 +922,105 @@ def _next_version(spark: SparkSession, target_dir: str) -> str:
     return f"v{mx + 1:010d}"
 
 
+# --- bucketed (partition-scoped) CDC target --------------------------------
+#
+# Layout when ``num_buckets`` is set on the sink:
+#   target/_LATEST                      -> committed manifest version
+#   target/manifests/v<n>.json          commit record (atomic tmp+rename)
+#   target/v<n>/_bucket=<k>/*.parquet   immutable per-bucket data dirs
+# A manifest maps bucket id -> the relative data dir holding that
+# bucket's CURRENT rows; a new version writes dirs ONLY for buckets its
+# batch touched and re-points untouched buckets at the previous
+# version's dirs. That makes per-batch cost O(changed partitions), not
+# O(table) — the ``materialized_agg_sink`` dynamic-overwrite economics
+# with the versioned-pointer reader isolation kept intact.
+
+
+def _cdc_bucket(keys: Sequence[str], num_buckets: int):
+    """Deterministic key→bucket assignment — a pure function of the key
+    columns, so every change for a key lands in the same bucket for the
+    target's lifetime (``num_buckets`` is fixed at sink creation)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)
+    ).cast("int")
+
+
+def _manifest_path(target_dir: str, version: str) -> str:
+    return f"{target_dir}/manifests/{version}.json"
+
+
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    # same tmp+rename protocol as _write_pointer: a manifest file's
+    # EXISTENCE is the version's commit record, so it must appear
+    # atomically — never torn, never observable half-written
+    fs, tmp_path, jvm = _hadoop_fs(spark, path + ".tmp")
+    out = fs.create(tmp_path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp_path, final)
+
+
+def _read_manifest(
+    spark: SparkSession, target_dir: str, version: str
+) -> dict | None:
+    fs, hpath, jvm = _hadoop_fs(spark, _manifest_path(target_dir, version))
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _committed_manifest_versions(
+    spark: SparkSession, target_dir: str
+) -> list[str]:
+    """Versions whose manifest file exists — the bucketed-mode commit
+    criterion (the data write precedes the manifest rename, so a
+    manifest always references fully-written dirs)."""
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    glob = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/manifests/v*.json")
+    statuses = fs.globStatus(glob)
+    out = []
+    if statuses is not None:
+        for st in statuses:
+            name = st.getPath().getName()[: -len(".json")]
+            if name[1:].isdigit():
+                out.append(name)
+    return sorted(out)
+
+
+def _is_bucketed_target(spark: SparkSession, target_dir: str) -> bool:
+    fs, hpath, _ = _hadoop_fs(spark, f"{target_dir}/manifests")
+    return fs.exists(hpath)
+
+
+def _resolve_manifest(spark: SparkSession, target_dir: str) -> dict | None:
+    """Bucketed-mode resolution: the pointer when it names a committed
+    manifest, else the NEWEST committed manifest — the same stale/
+    missing-pointer fallback as :func:`_resolve_version`, for the same
+    reason (a crash between manifest rename and pointer rename must
+    not read as 'empty table')."""
+    committed = _committed_manifest_versions(spark, target_dir)
+    pointed = _read_pointer(spark, target_dir)
+    version = (
+        pointed if pointed in committed else (committed[-1] if committed else None)
+    )
+    if version is None:
+        return None
+    manifest = _read_manifest(spark, target_dir, version)
+    if manifest is not None:
+        manifest["version"] = version
+    return manifest
+
+
 def read_cdc_snapshot(
     spark: SparkSession, target_dir: str, include_tombstones: bool = False
 ) -> DataFrame | None:
@@ -930,11 +1030,23 @@ def read_cdc_snapshot(
     never observe a half-written table. Deleted keys are tombstone
     rows (``_deleted`` true, payload NULL); the default read filters
     them out, ``include_tombstones=True`` returns them (the sink needs
-    them — a tombstone carries the key's sequence watermark)."""
-    version = _resolve_version(spark, target_dir)
-    if version is None:
-        return None
-    df = spark.read.parquet(f"{target_dir}/{version}")
+    them — a tombstone carries the key's sequence watermark).
+
+    Bucketed targets resolve the committed manifest instead and read
+    the union of its per-bucket dirs — a reader still sees exactly one
+    committed version's worth of data, just assembled from dirs written
+    by several versions."""
+    if _is_bucketed_target(spark, target_dir):
+        manifest = _resolve_manifest(spark, target_dir)
+        if manifest is None or not manifest["buckets"]:
+            return None
+        paths = [f"{target_dir}/{rel}" for rel in manifest["buckets"].values()]
+        df = spark.read.parquet(*paths)
+    else:
+        version = _resolve_version(spark, target_dir)
+        if version is None:
+            return None
+        df = spark.read.parquet(f"{target_dir}/{version}")
     if not include_tombstones and "_deleted" in df.columns:
         # column guard: targets committed by a pre-tombstone sink are
         # still readable (they simply carry no deleted keys)
@@ -949,6 +1061,7 @@ def cdc_upsert_sink(
     keys: Sequence[str],
     seq_col: str,
     op_col: str = "op",
+    num_buckets: int | None = None,
 ) -> None:
     """Streaming MERGE INTO built from primitives: each micro-batch of
     CDC changes (op I/U/D + payload, ordered by ``seq_col``) is applied
@@ -978,28 +1091,30 @@ def cdc_upsert_sink(
       new one, never a mix. All pointer/version IO goes through the
       Hadoop FileSystem API (file://, hdfs://, s3a://).
 
-    Operational notes: tombstones accumulate — compact a version by
-    dropping tombstones older than the source's maximum replay
-    horizon; snapshot rewrite per batch is the cost of the format-less
-    approach — at real scale partition the target and rewrite only
-    touched partitions, or graduate to a table format whose MERGE does
-    exactly that."""
+    Scale mode — ``num_buckets``: the default (None) rewrites the FULL
+    snapshot every micro-batch, which is O(table) per batch no matter
+    how small the change set; at 100 TB with a trickle of changes that
+    is the dominant cost. ``num_buckets=N`` switches the target to the
+    bucketed-manifest layout (see the module-level comment above
+    :func:`_cdc_bucket`): keys hash to N fixed buckets, a batch reads
+    and rewrites ONLY the buckets its changed keys land in, and the
+    committed manifest re-points untouched buckets at their existing
+    immutable dirs — per-batch cost O(changed buckets), untouched
+    partition files byte-identical across versions (pinned in
+    tests/test_streaming.py). All correctness properties above carry
+    over unchanged; additionally an all-stale batch (pure replay)
+    commits NO new version at all. ``num_buckets`` is fixed at target
+    creation (a key's bucket must never move); a mismatch raises.
+
+    Operational notes: tombstones accumulate — reclaim them with
+    :func:`compact_cdc_target` once the source's replay horizon has
+    passed their sequence numbers."""
     kl = list(keys)
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        base = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
-        if base is None:
-            base = (
-                batch_df.drop(op_col)
-                .limit(0)
-                .withColumn("_deleted", F.lit(False))
-            )
+    def _stale_filtered(batch_df: DataFrame, base: DataFrame) -> DataFrame:
         # stale-change guard: seq must strictly advance per key; base
         # includes tombstones, so deletes gate too
-        fresh = (
+        return (
             batch_df.join(
                 base.select(*kl, F.col(seq_col).alias("_base_seq")),
                 kl,
@@ -1011,6 +1126,20 @@ def cdc_upsert_sink(
             )
             .drop("_base_seq")
         )
+
+    def _empty_base(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.drop(op_col).limit(0).withColumn("_deleted", F.lit(False))
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
+        if base is None:
+            base = _empty_base(batch_df)
+        fresh = _stale_filtered(batch_df, base)
         from datasheet_etl_spark.operators.relational import apply_changes
 
         nxt = apply_changes(
@@ -1020,13 +1149,200 @@ def cdc_upsert_sink(
         nxt.write.mode("overwrite").parquet(f"{target_dir}/{version}")
         _write_pointer(spark, target_dir, version)
 
+    def upsert_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        manifest = _resolve_manifest(spark, target_dir) or {
+            "num_buckets": num_buckets,
+            "buckets": {},
+        }
+        if manifest["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"target created with num_buckets={manifest['num_buckets']}, "
+                f"sink configured with {num_buckets} — a key's bucket must "
+                "never move, recreate the target to re-bucket"
+            )
+        bucket = _cdc_bucket(kl, num_buckets)
+        # bounded driver-side set: ≤ num_buckets ints, never row data
+        touched = sorted(
+            r["_b"]
+            for r in batch_df.select(bucket.alias("_b")).distinct().collect()
+        )
+        current = [
+            f"{target_dir}/{manifest['buckets'][str(b)]}"
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        # partition-scoped read: ONLY touched buckets' dirs are opened —
+        # the base-side cost is O(changed partitions) like the write
+        base = (
+            spark.read.parquet(*current) if current else _empty_base(batch_df)
+        )
+        fresh = _stale_filtered(batch_df, base)
+        if fresh.isEmpty():
+            # pure replay / all-stale batch: nothing can change, commit
+            # nothing (the full-snapshot mode instead re-commits an
+            # identical version — harmless there, wasteful here)
+            return
+        from datasheet_etl_spark.operators.relational import apply_changes
+
+        merged = apply_changes(
+            base, fresh, kl, seq_col, op_col=op_col, tombstone_col="_deleted"
+        )
+        version = _next_version(spark, target_dir)
+        (
+            merged.withColumn("_bucket", bucket)
+            # one task per bucket → one file per bucket dir, not
+            # shuffle.partitions tiny files in each
+            .repartition(F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(f"{target_dir}/{version}")
+        )
+        # manifest: touched buckets re-point at this version's dirs
+        # (a touched bucket that produced no rows drops out), untouched
+        # buckets keep their existing dirs untouched on disk
+        fs, _, jvm = _hadoop_fs(spark, target_dir)
+        statuses = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{version}/_bucket=*")
+        )
+        written = {
+            int(st.getPath().getName().split("=")[1]): (
+                f"{version}/{st.getPath().getName()}"
+            )
+            for st in (statuses or [])
+        }
+        buckets = dict(manifest["buckets"])
+        for b in touched:
+            buckets.pop(str(b), None)
+        for b, rel in written.items():
+            buckets[str(b)] = rel
+        _write_text_atomic(
+            spark,
+            _manifest_path(target_dir, version),
+            json.dumps(
+                {"num_buckets": num_buckets, "buckets": buckets}, sort_keys=True
+            ),
+        )
+        _write_pointer(spark, target_dir, version)
+
     query = (
-        changes_sdf.writeStream.foreachBatch(upsert)
+        changes_sdf.writeStream.foreachBatch(
+            upsert if num_buckets is None else upsert_bucketed
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
+
+
+def compact_cdc_target(
+    spark: SparkSession, target_dir: str, min_seq, seq_col: str = "seq"
+) -> int:
+    """Reclaim tombstones from a :func:`cdc_upsert_sink` target: drop
+    tombstone rows whose sequence is **below** ``min_seq`` (the
+    source's replay horizon — the caller's promise that no change with
+    ``seq < min_seq`` will ever arrive again; a tombstone older than
+    that can no longer gate anything). Commits the compacted state as
+    a NEW version through the same atomic pointer/manifest protocol —
+    readers see the old version or the compacted one, never a mix, and
+    a crash mid-compaction leaves the target on the old version.
+    Tombstones at/above the horizon survive, so the stale-change guard
+    keeps rejecting in-horizon replays (pinned in tests). Returns the
+    number of tombstones dropped.
+
+    Bucketed targets are compacted partition-scoped: one metadata-only
+    pass finds the bucket dirs that actually contain expired tombstones
+    (via ``input_file_name``), and ONLY those buckets are rewritten —
+    untouched buckets keep their existing immutable dirs, O(expired
+    buckets) not O(table)."""
+    from functools import reduce
+
+    expired = F.col("_deleted") & (F.col(seq_col) < F.lit(min_seq))
+    if not _is_bucketed_target(spark, target_dir):
+        snap = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
+        if snap is None or "_deleted" not in snap.columns:
+            return 0
+        n = snap.filter(expired).count()
+        if n == 0:
+            return 0
+        version = _next_version(spark, target_dir)
+        snap.filter(~expired).write.mode("overwrite").parquet(
+            f"{target_dir}/{version}"
+        )
+        _write_pointer(spark, target_dir, version)
+        return n
+
+    manifest = _resolve_manifest(spark, target_dir)
+    if manifest is None or not manifest["buckets"]:
+        return 0
+    paths = [f"{target_dir}/{rel}" for rel in manifest["buckets"].values()]
+    # bounded driver-side set: distinct FILES holding expired tombstones
+    # (≤ one per bucket dir the sink writes), mapped back to bucket ids
+    # by their `_bucket=<k>` path segment — no key columns needed
+    hit_files = [
+        r["_f"]
+        for r in spark.read.parquet(*paths)
+        .filter(expired)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    ]
+    hit_buckets = sorted(
+        {
+            int(seg.split("=", 1)[1])
+            for f in hit_files
+            for seg in f.split("/")
+            if seg.startswith("_bucket=")
+        }
+    )
+    if not hit_buckets:
+        return 0
+    # bounded loop over BUCKET ids (≤ num_buckets), not data: each dir
+    # read carries its bucket id as a literal so the rewrite partitions
+    parts = [
+        spark.read.parquet(
+            f"{target_dir}/{manifest['buckets'][str(b)]}"
+        ).withColumn("_bucket", F.lit(b))
+        for b in hit_buckets
+    ]
+    hit_df = reduce(lambda a, b: a.unionByName(b), parts)
+    n = hit_df.filter(expired).count()
+    version = _next_version(spark, target_dir)
+    (
+        hit_df.filter(~expired)
+        .repartition(F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(f"{target_dir}/{version}")
+    )
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{version}/_bucket=*")
+    )
+    written = {
+        int(st.getPath().getName().split("=")[1]): (
+            f"{version}/{st.getPath().getName()}"
+        )
+        for st in (statuses or [])
+    }
+    buckets = dict(manifest["buckets"])
+    for b in hit_buckets:
+        buckets.pop(str(b), None)
+    for b, rel in written.items():
+        buckets[str(b)] = rel
+    _write_text_atomic(
+        spark,
+        _manifest_path(target_dir, version),
+        json.dumps(
+            {"num_buckets": manifest["num_buckets"], "buckets": buckets},
+            sort_keys=True,
+        ),
+    )
+    _write_pointer(spark, target_dir, version)
+    return n
 
 
 def _mg_fold(items: list, counts: list, pdfs, k: int):

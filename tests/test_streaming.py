@@ -801,3 +801,194 @@ def test_heavy_hitters_misra_gries_guarantee(spark, tmp_path):
         n_b, summary_b = final["b"]
         assert len(summary_b) <= 4
         assert all(c <= n_b / 5 + 1 for c in summary_b.values())
+
+
+def test_cdc_bucketed_sink_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-scoped CDC merge: with num_buckets set, a micro-batch
+    rewrites ONLY the buckets its changed keys hash to. Pinned three
+    ways: (a) the committed manifest re-points untouched buckets at the
+    PREVIOUS version's dirs, (b) those dirs' data files are byte-for-
+    byte identical after the second batch, (c) the final snapshot
+    matches the full-rewrite mode's result exactly. A checkpoint-lost
+    replay (all changes stale) commits NO new version."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from datasheet_etl_spark.streaming.streams import (
+        _cdc_bucket,
+        _resolve_manifest,
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    N_BUCKETS = 4
+    schema = "k long, seq long, op string, v string"
+    batch1 = spark.createDataFrame(
+        [(k, 1, "I", f"v{k}") for k in range(12)], schema
+    )
+    # keys 1 and 5: update + delete; everything else untouched
+    batch2 = spark.createDataFrame(
+        [(1, 2, "U", "v1-new"), (5, 2, "D", None)], schema
+    )
+    touched_buckets = {
+        r["_b"]
+        for r in batch2.select(
+            _cdc_bucket(["k"], N_BUCKETS).alias("_b")
+        ).distinct().collect()
+    }
+    assert len(touched_buckets) < N_BUCKETS  # the test must leave some untouched
+
+    def drain(src, target, ckpt, bucketed=True):
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cdc_upsert_sink(
+            stream, target, ckpt, keys=["k"], seq_col="seq",
+            num_buckets=N_BUCKETS if bucketed else None,
+        )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    batch1.coalesce(1).write.parquet(src)
+    drain(src, target, ckpt)
+    m1 = _resolve_manifest(spark, target)
+    v1 = m1["version"]
+
+    def file_hashes(rel_dirs):
+        out = {}
+        for rel in rel_dirs:
+            for f in sorted(glob.glob(os.path.join(target, rel, "*.parquet"))):
+                out[f] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    untouched_dirs = [
+        m1["buckets"][str(b)] for b in range(N_BUCKETS)
+        if b not in touched_buckets and str(b) in m1["buckets"]
+    ]
+    before = file_hashes(untouched_dirs)
+    assert before  # some untouched bucket has data
+
+    batch2.coalesce(1).write.parquet(src, mode="append")
+    drain(src, target, ckpt)
+    m2 = _resolve_manifest(spark, target)
+    assert m2["version"] != v1
+    for b in range(N_BUCKETS):
+        if str(b) not in m2["buckets"]:
+            continue
+        if b in touched_buckets:
+            assert m2["buckets"][str(b)].startswith(m2["version"]), (
+                b, m2["buckets"][str(b)])
+        else:
+            # untouched bucket: SAME dir as version 1 — not rewritten
+            assert m2["buckets"][str(b)] == m1["buckets"][str(b)]
+    assert file_hashes(untouched_dirs) == before  # byte-identical
+
+    got = {r["k"]: (r["seq"], r["v"])
+           for r in read_cdc_snapshot(spark, target).collect()}
+    # full-rewrite mode over the same changelog as the oracle
+    target_f, ckpt_f = str(tmp_path / "tf"), str(tmp_path / "cf")
+    drain(src, target_f, ckpt_f, bucketed=False)
+    want = {r["k"]: (r["seq"], r["v"])
+            for r in read_cdc_snapshot(spark, target_f).collect()}
+    assert got == want
+    assert got[1] == (2, "v1-new") and 5 not in got
+
+    # tombstone survives with the delete's seq (guards resurrection)
+    tombs = {r["k"]: r["seq"] for r in read_cdc_snapshot(
+        spark, target, include_tombstones=True
+    ).filter("_deleted").collect()}
+    assert tombs == {5: 2}
+
+    # checkpoint lost → full replay: every change is stale → the sink
+    # must commit NOTHING (no new version, pointer unchanged)
+    shutil.rmtree(ckpt)
+    drain(src, target, ckpt)
+    m3 = _resolve_manifest(spark, target)
+    assert m3["version"] == m2["version"]
+    assert m3["buckets"] == m2["buckets"]
+
+
+def test_compact_cdc_target_drops_only_expired_tombstones(spark, tmp_path):
+    """Tombstone compaction (full-rewrite layout): tombstones below the
+    replay horizon are dropped, tombstones at/above it survive — and
+    the surviving tombstone still rejects an in-horizon stale change
+    after compaction. Live rows are untouched."""
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        compact_cdc_target,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b"), (3, 1, "I", "c"),
+         (2, 2, "D", None), (3, 5, "D", None)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cdc_upsert_sink(stream, target, ckpt, keys=["k"], seq_col="seq")
+
+    drain(str(tmp_path / "c1"))
+    # horizon 4: k=2's tombstone (seq 2) expires, k=3's (seq 5) survives
+    assert compact_cdc_target(spark, target, min_seq=4) == 1
+    snap = read_cdc_snapshot(spark, target, include_tombstones=True)
+    tombs = {r["k"]: r["seq"] for r in snap.filter("_deleted").collect()}
+    assert tombs == {3: 5}
+    live = {r["k"]: r["v"] for r in snap.filter("NOT _deleted").collect()}
+    assert live == {1: "a"}
+    # re-compacting is a no-op (no expired tombstones left)
+    assert compact_cdc_target(spark, target, min_seq=4) == 0
+
+    # in-horizon stale change for the SURVIVING tombstone: still rejected
+    spark.createDataFrame([(3, 4, "U", "ZOMBIE")], schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    drain(str(tmp_path / "c1"))
+    got = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert 3 not in got and got[1] == "a"
+
+
+def test_compact_cdc_target_bucketed_rewrites_only_expired_buckets(spark, tmp_path):
+    """Bucketed compaction: only buckets holding expired tombstones are
+    rewritten; every other bucket keeps its existing dir (manifest
+    entry unchanged)."""
+    from datasheet_etl_spark.streaming.streams import (
+        _cdc_bucket,
+        _resolve_manifest,
+        cdc_upsert_sink,
+        compact_cdc_target,
+        read_cdc_snapshot,
+    )
+
+    N_BUCKETS = 4
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    rows = [(k, 1, "I", f"v{k}") for k in range(12)] + [(1, 2, "D", None)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    cdc_upsert_sink(
+        stream, target, str(tmp_path / "ck"), keys=["k"], seq_col="seq",
+        num_buckets=N_BUCKETS,
+    )
+    m1 = _resolve_manifest(spark, target)
+    tomb_bucket = spark.createDataFrame([(1,)], "k long").select(
+        _cdc_bucket(["k"], N_BUCKETS).alias("b")
+    ).collect()[0]["b"]
+
+    assert compact_cdc_target(spark, target, min_seq=10) == 1
+    m2 = _resolve_manifest(spark, target)
+    for b_str, rel in m2["buckets"].items():
+        if int(b_str) == tomb_bucket:
+            assert rel.startswith(m2["version"])
+        else:
+            assert rel == m1["buckets"][b_str]  # untouched dir reused
+    snap = read_cdc_snapshot(spark, target, include_tombstones=True)
+    assert snap.filter("_deleted").count() == 0
+    assert snap.count() == 11
