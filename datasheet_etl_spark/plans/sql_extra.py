@@ -1764,3 +1764,47 @@ def t77_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t79_weighted_median_udaf",
+    """
+    WITH w AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, v,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN v END) AS DOUBLE)
+             AS w_median_price
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def t79_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-aggregate extension point, exercised end-to-end: exact
+    quantity-weighted median of extended price per return flag through
+    the ``functions.aggregates`` GROUPED_AGG registry (SURVEY §2.8 —
+    the UDAF seam next to verify's comparator/arbiter registries).
+    A holistic aggregate with no decomposable form is exactly when a
+    pandas UDAF earns its Arrow transfer; the oracle recomputes it
+    relationally (cumulative-weight window) so the UDAF's group-order
+    independence is hash-checked, not assumed. Weights are cast to
+    BIGINT so the threshold arithmetic is exact in both engines."""
+    from datasheet_etl_spark.functions.aggregates import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(weighted_median(F.col("v"), F.col("wt")).alias("w_median_price"))
+        .orderBy("l_returnflag")
+    )

@@ -128,3 +128,61 @@ def test_manufacturer_prefixes(spark):
     cases = {"LMR51430": "Texas Instruments", "MAX232": "Analog Devices", "XYZ1": ""}
     for mpn, want in cases.items():
         assert _eval(spark, manufacturer_from_mpn_prefix(F.lit(mpn))) == want
+
+
+def test_register_aggregate_seam_and_weighted_median(spark):
+    """The GROUPED_AGG extension point (SURVEY §2.8): a user-registered
+    custom aggregate runs through groupBy().agg() like a built-in, and
+    the shipped weighted_median handles ties, NULLs, and single-row
+    groups exactly."""
+    import pandas as pd
+
+    from datasheet_etl_spark.functions.aggregates import (
+        get_aggregate,
+        register_aggregate,
+        weighted_median,
+        weighted_median_fn,
+    )
+
+    # pure-python contract first (no Spark in the loop)
+    s = pd.Series
+    assert weighted_median_fn(s([1.0, 2.0, 3.0]), s([1, 1, 1])) == 2.0
+    # heavy weight drags the median down
+    assert weighted_median_fn(s([1.0, 2.0, 3.0]), s([10, 1, 1])) == 1.0
+    # even split → LOWER weighted median
+    assert weighted_median_fn(s([1.0, 2.0]), s([1, 1])) == 1.0
+    # NULL values drop, not poison
+    assert weighted_median_fn(s([None, 5.0]), s([3, 2])) == 5.0
+    assert weighted_median_fn(s([None], dtype="float64"), s([1])) is None
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 2.0, 1), ("a", 3.0, 1), ("b", 7.0, 5)],
+        "g string, v double, w long",
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(weighted_median(F.col("v"), F.col("w")).alias("m"))
+        .collect()
+    }
+    assert got == {"a": 1.0, "b": 7.0}
+
+    # user-registered aggregate: value range, vs the built-in oracle
+    def value_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    register_aggregate("value_range", value_range, "double")
+    # NB Spark disallows mixing a GROUPED_AGG UDF with non-pandas
+    # aggregates in one agg() [INVALID_PANDAS_UDF_PLACEMENT] — compute
+    # the oracle in a separate aggregation
+    rng = {
+        r["g"]: r["rng"]
+        for r in df.groupBy("g")
+        .agg(get_aggregate("value_range")(F.col("v")).alias("rng"))
+        .collect()
+    }
+    want = {
+        r["g"]: r["want"]
+        for r in df.groupBy("g").agg((F.max("v") - F.min("v")).alias("want")).collect()
+    }
+    assert rng == want
