@@ -339,7 +339,9 @@ def q38_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     string per accessed field (``get_json_object`` × N fields = N
     parses) and one parse feeding arbitrarily many typed extractions —
     and parquet stores the variant binary, so downstream reads skip
-    string parsing entirely."""
+    string parsing entirely (proven by tests/test_io_layout.py::
+    test_variant_at_rest_round_trip: same aggregate from the stored
+    variant with no parse_json in the read-side plan)."""
     e = load_table(spark, sf_dir, "events")
     k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (

@@ -141,3 +141,42 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert z_y < 0.7 * full_y, (z_y, full_y)
     assert z_x < 0.7 * 255, z_x
     assert avg_width(spath, "x") < z_x  # single-dim sort wins its own dim
+
+
+def test_variant_at_rest_round_trip(spark, tmp_path):
+    """q38's docstring claim, proven: parse the JSON props ONCE into a
+    VARIANT column, store the variant binary in parquet, read it back,
+    and run the same typed extraction + aggregate WITHOUT any parse in
+    the read-side plan. The stored-and-reread aggregate must equal the
+    parse-per-query aggregate, the read-back schema must still be
+    variant, and the read-side plan must contain no parse_json call."""
+    from datasheet_etl_spark.io import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "props")
+
+    def agg(df, props_variant):
+        k = F.try_variant_get(props_variant, "$.k", "bigint")
+        return sorted(
+            (r["event_type"], r["n"], r["sum_k"])
+            for r in df.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+            .collect()
+        )
+
+    want = agg(e, F.try_parse_json("props"))
+
+    path = str(tmp_path / "events_variant")
+    e.select(
+        "event_id", "event_type", F.try_parse_json("props").alias("pv")
+    ).write.parquet(path)
+
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["pv"] == "variant"  # binary at rest, typed on read
+    got = agg(back, F.col("pv"))
+    assert got == want
+
+    plan = back.select(
+        F.try_variant_get("pv", "$.k", "bigint").alias("k")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "parse_json" not in plan.lower()  # extraction, no re-parse
