@@ -114,7 +114,13 @@ def main() -> int:
     # ...then a short summary as the LAST line: tail-capture of the output
     # truncates long lines from the front, so the detail line alone can lose
     # its leading keys (BENCH_r04 recorded parsed:null that way). This line
-    # is always <200 bytes and always last, so any tail parses it.
+    # is always compact and always last, so any tail parses it. slowest10
+    # makes regressions in EARLY (alphabetically first) entries visible
+    # even when the detail line's front is truncated away.
+    slowest10 = {
+        k: timings[k]
+        for k in sorted(timings, key=timings.__getitem__, reverse=True)[:10]
+    }
     print(
         json.dumps(
             {
@@ -126,6 +132,7 @@ def main() -> int:
                 "n_errors": len(errors),
                 "steal_sec": env.get("steal_sec"),
                 "steal_frac": env.get("steal_frac"),
+                "slowest10": slowest10,
             }
         )
     )

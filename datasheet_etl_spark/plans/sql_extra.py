@@ -688,15 +688,58 @@ def t60_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t61_k_core")  # iterative peeling → rows-only (model-tested)
+def _t61_oracle_sql(rounds: int = 8, k: int = 4) -> str:
+    """Bounded-depth unrolled-CTE oracle for k-core peeling (the t44
+    PageRank technique): each unrolled round drops degree<k nodes and
+    re-filters the edge set; once the peel reaches its fixed point,
+    further rounds are no-ops, so unrolling MORE rounds than the data
+    needs is safe — ``rounds`` only has to exceed the true peel depth
+    (measured 0–1 at sf0.001/0.01/0.1; 8 is an 8x margin, and the
+    deep-cascade behavior itself stays pinned against the python
+    peeling model in tests/test_graph.py)."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+             greatest(a.l_partkey, b.l_partkey) AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < 2000 AND b.l_partkey < 2000
+        AND a.l_partkey <> b.l_partkey
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    k{i} AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT src AS id FROM e{i - 1} UNION ALL SELECT dst FROM e{i - 1}
+      ) GROUP BY id HAVING count(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT src, dst FROM e{i - 1}
+      WHERE src IN (SELECT id FROM k{i}) AND dst IN (SELECT id FROM k{i})
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT src AS id FROM e{rounds} UNION ALL SELECT dst FROM e{rounds})
+    GROUP BY id ORDER BY part_id"""
+    )
+    return "".join(parts)
+
+
+@register("t61_k_core", _t61_oracle_sql())  # unrolled-CTE peel (r7 upgrade)
 def t61_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-core extraction over the co-purchase graph: the 4-core
     (every surviving part co-purchased with ≥4 other surviving parts) —
     the community/spam-mining primitive where peeling cascades make a
-    single degree filter wrong. Iterative, so rows-only; equality with
-    the python peeling model is pinned in tests/test_graph.py. Survives
-    scale the same way t16/t44 do: per-round degree agg + semi-joins
-    with localCheckpoint lineage truncation."""
+    single degree filter wrong. DuckDB-oracled since r7 via a
+    bounded-depth unrolled CTE (``_t61_oracle_sql``); the deep-cascade
+    path additionally stays pinned against the python peeling model in
+    tests/test_graph.py. Survives scale the same way t16/t44 do:
+    per-round degree agg + semi-joins with localCheckpoint lineage
+    truncation."""
     from datasheet_etl_spark.operators.graph import degrees, edges_undirected, k_core
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 2000)
@@ -783,7 +826,17 @@ def t63_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool — few-shot/eval example selection where plain top-k returns k
     near-copies. Inherently sequential in k, so rows-only; the
     clone-vs-reflection diversification behavior is pinned in
-    tests/test_training_ops.py."""
+    tests/test_training_ops.py.
+
+    Oracle feasibility note (r7): the pre-greedy relevance POOL is
+    plain SQL (top-50 cosine per probe — the t06 shape) and an
+    unrolled 10-step greedy could in principle be written as ten
+    chained CTEs each taking an argmax over (relevance − λ·max-sim-to-
+    selected); but every step needs the pairwise sim of 50 candidates
+    × the growing selected set, so the unrolled SQL is O(k·pool²)
+    re-derivations with float argmax tie-breaks that DuckDB and Spark
+    order differently at equal scores. The python-model parity test is
+    the stronger check; left rows-only deliberately."""
     from datasheet_etl_spark.operators.similarity import mmr_select
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
