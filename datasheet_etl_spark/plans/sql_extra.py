@@ -187,12 +187,12 @@ def t51_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _t52_case_sql() -> str:
+def _split_case_sql(key_sql: str = "doc_id") -> str:
     from datasheet_etl_spark.operators.sampling import split_thresholds
 
     bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
     whens = " ".join(
-        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{b}' THEN '{name}'"
+        f"WHEN substr(md5(CAST({key_sql} AS VARCHAR)), 1, 4) < '{b}' THEN '{name}'"
         for name, b in bounds[:-1]
     )
     return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
@@ -201,7 +201,7 @@ def _t52_case_sql() -> str:
 @register(
     "t52_split_assign",
     f"""
-    SELECT {_t52_case_sql()} AS split, source, count(*) AS n_docs
+    SELECT {_split_case_sql()} AS split, source, count(*) AS n_docs
     FROM documents
     GROUP BY 1, 2
     ORDER BY split, source
@@ -1862,4 +1862,55 @@ def t79_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(weighted_median(F.col("v"), F.col("wt")).alias("w_median_price"))
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "t80_leakage_safe_split",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> ''))), ' ')) AS fp
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, min(doc_id) OVER (PARTITION BY fp) AS group_rep
+      FROM t
+    )
+    SELECT doc_id, source, group_rep,
+           {_split_case_sql("group_rep")} AS split
+    FROM g ORDER BY doc_id
+    """,
+)
+def t80_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: duplicate-content GROUPS
+    (content-fingerprint equivalence classes), not individual docs, are
+    the unit of split assignment — every member hashes on its group's
+    representative, so two copies of the same document can never land
+    one in train and one in test (the eval-contamination failure t52's
+    per-doc split permits: at sf0.01, 5 of the 21 multi-doc groups
+    WOULD straddle splits under per-doc hashing — pinned in
+    tests/test_sampling.py). One window shuffle on the fingerprint,
+    then the same map-side hash-threshold CASE as t52; a group's rep
+    is its min doc_id, so membership is stable under corpus growth
+    exactly like the per-doc split. At 100 TB substitute the MinHash
+    cluster id (t16) for the exact fingerprint to extend the guarantee
+    to NEAR-duplicates — same shape, one groupBy key swap."""
+    from datasheet_etl_spark.operators.sampling import assign_split
+    from datasheet_etl_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    grouped = docs.select(
+        "doc_id", "source", F.min("doc_id").over(w).alias("group_rep")
+    )
+    return (
+        assign_split(
+            grouped, "group_rep", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .select("doc_id", "source", "group_rep", "split")
+        .orderBy("doc_id")
     )

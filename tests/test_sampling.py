@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from datasheet_etl_spark.io import load_table
 from datasheet_etl_spark.operators.sampling import (
+    assign_split,
     doc_hash,
     pack_sequences,
     rate_to_hex_threshold,
@@ -456,3 +457,47 @@ def test_assign_split_deterministic_and_partition_independent(spark):
     n = len(a)
     train_frac = sum(1 for v in a.values() if v == "train") / n
     assert 0.75 < train_frac < 0.85
+
+
+def test_leakage_safe_split_keeps_groups_together(spark):
+    """t80's contract: (a) every duplicate-content group lands entirely
+    in ONE split; (b) the check is non-vacuous — multi-doc groups exist
+    in the corpus AND at least one would straddle splits under t52's
+    per-doc assignment; (c) split fractions still roughly hold over
+    GROUPS (the assignment unit)."""
+    from datasheet_etl_spark.operators.text import fingerprint
+    from datasheet_etl_spark.plans.sql_extra import t80_leakage_safe_split
+
+    out = t80_leakage_safe_split(spark, SF_SMOKE)
+    per_group = out.groupBy("group_rep").agg(
+        F.countDistinct("split").alias("n_splits"), F.count("*").alias("n")
+    )
+    assert per_group.filter("n_splits > 1").count() == 0  # no straddling
+    assert per_group.filter("n > 1").count() > 0  # multi-doc groups exist
+
+    # naive per-doc assignment straddles at least one of those groups
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    naive = assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    straddle = (
+        naive.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert straddle > 0, "corpus has no straddling dup groups; test is vacuous"
+
+    # fractions over groups: train should dominate (loose bound — the
+    # group count at smoke scale is small)
+    splits = {
+        r["split"]: r["n"]
+        for r in per_group.join(
+            out.select("group_rep", "split").distinct(), "group_rep"
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert splits.get("train", 0) > splits.get("val", 0)
+    assert splits.get("train", 0) > splits.get("test", 0)
