@@ -309,3 +309,67 @@ def t78_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "item", "est_count", "n_seen")
         .orderBy("event_type", "item")
     )
+
+
+@register(
+    "t81_streaming_dedup_watermark",
+    """
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def t81_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup via ``dropDuplicatesWithinWatermark``: the
+    events table is staged TWICE (two source files, maxFilesPerTrigger=1
+    → two genuine micro-batches), so every event arrives again in a
+    LATER batch and the cross-batch dedup state — not per-batch
+    distinct — is what the oracle checks: the drained output must hold
+    each event_id exactly once, i.e. the per-type counts of the
+    original table.
+
+    This is the Spark-native form of at-least-once-source dedup: state
+    holds one entry per key only until the event-time watermark passes
+    the key's timestamp, so long-running streams carry O(events per
+    watermark window) state, NOT O(stream) — the unbounded-state
+    failure that plain streaming dropDuplicates hits at 100 TB. The
+    delay here (60 days) deliberately exceeds the 30-day test corpus
+    so zero rows are late-dropped and the result is exactly batch
+    DISTINCT; production tunes it to the source's real redelivery
+    horizon."""
+    src = _stage_events_doubled(sf_dir)
+    with _few_state_partitions(spark):
+        stream = (
+            events_stream(spark, src, max_files_per_trigger=1)
+            .withWatermark("ts", "60 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        name = f"t81_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(
+            stream.select("event_id", "event_type"), name, "append"
+        )
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+def _stage_events_doubled(sf_dir: str) -> str:
+    # two identical files → two micro-batches under maxFilesPerTrigger=1;
+    # same mtime-invalidated reuse discipline as _stage_events
+    import os
+
+    d = _stage_events(sf_dir)
+    dd = d + "_x2"
+    os.makedirs(dd, exist_ok=True)
+    src = f"{d}/events.parquet"
+    for name in ("events_a.parquet", "events_b.parquet"):
+        dst = f"{dd}/{name}"
+        st_src = os.stat(src)
+        if (
+            not os.path.exists(dst)
+            or os.stat(dst).st_size != st_src.st_size
+            or os.stat(dst).st_mtime < st_src.st_mtime
+        ):
+            shutil.copy2(src, dst)
+    return dd

@@ -992,3 +992,58 @@ def test_compact_cdc_target_bucketed_rewrites_only_expired_buckets(spark, tmp_pa
     snap = read_cdc_snapshot(spark, target, include_tombstones=True)
     assert snap.filter("_deleted").count() == 0
     assert snap.count() == 11
+
+
+def test_drop_duplicates_within_watermark_state_bounds(spark, tmp_path):
+    """The t81 contract, both directions: a duplicate arriving in a
+    later micro-batch WITHIN the watermark window is suppressed; a
+    re-delivery whose timestamp lands AFTER the original's state was
+    evicted (watermark advanced past ts + delay) is emitted again —
+    the bounded-state tradeoff dropDuplicatesWithinWatermark makes
+    that plain streaming dropDuplicates (O(stream) state) does not."""
+    import os
+
+    schema = "k long, ts timestamp"
+    t0 = "2024-01-01 00:00:00"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(str(tmp_path), "src", name)
+        )
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(hours):
+        return base + dt.timedelta(hours=hours)
+
+    # batch 1: key 1 at t0, filler key 99 at t0+5h (advances the
+    # watermark to t0+4h under a 1h delay, past key 1's t0+1h expiry)
+    write("f1", [(1, ts(0)), (99, ts(5))])
+    # batch 2: filler only — state eviction is applied while processing
+    # a batch AFTER the watermark advanced, so this batch is where
+    # key 1's entry is actually dropped
+    write("f2", [(50, ts(6))])
+    # batch 3: key 1 redelivered — in-window twin dedupes against the
+    # re-emit, the late (ts t0) copy is dropped by the watermark filter
+    write("f3", [(1, ts(6)), (1, ts(6)), (1, ts(0))])
+
+    from datasheet_etl_spark.streaming.streams import run_available_now
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(str(tmp_path), "src", "*"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    out = run_available_now(stream, "t81_bounds", "append").collect()
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r["ts"])
+    assert len(per_key[99]) == 1
+    assert len(per_key[50]) == 1
+    # key 1: original emit + ONE post-eviction re-emit; the in-batch
+    # twin and the late copy are both suppressed
+    assert len(per_key[1]) == 2, per_key
