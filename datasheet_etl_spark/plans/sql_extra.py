@@ -720,11 +720,22 @@ def _t61_oracle_sql(rounds: int = 8, k: int = 4) -> str:
       WHERE src IN (SELECT id FROM k{i}) AND dst IN (SELECT id FROM k{i})
     )"""
         )
+    # convergence sentinel: if the last unrolled round still peeled
+    # (edge count changed), the oracle is NOT at its fixed point — emit
+    # a self-describing (-1, -1) row so the driver mismatch points at
+    # the oracle's unroll depth, not at the (correct, convergent)
+    # engine result
     parts.append(
         f"""
-    SELECT id AS part_id, CAST(count(*) AS BIGINT) AS core_degree
-    FROM (SELECT src AS id FROM e{rounds} UNION ALL SELECT dst FROM e{rounds})
-    GROUP BY id ORDER BY part_id"""
+    SELECT * FROM (
+      SELECT id AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+      FROM (SELECT src AS id FROM e{rounds} UNION ALL SELECT dst FROM e{rounds})
+      GROUP BY id
+      UNION ALL
+      SELECT -1, CAST(-1 AS BIGINT)
+      WHERE (SELECT count(*) FROM e{rounds})
+            <> (SELECT count(*) FROM e{rounds - 1})
+    ) ORDER BY part_id"""
     )
     return "".join(parts)
 

@@ -31,6 +31,21 @@ from datasheet_etl_spark.streaming import (
 from datasheet_etl_spark.streaming.streams import stream_interval_join
 
 
+def _copy_if_stale(src: str, dst: str) -> None:
+    # re-stage when the source was regenerated (the testdata is rebuilt
+    # between rounds, sometimes with a different parquet encoding — a
+    # stale copy here would silently pin the old encoding)
+    import os
+
+    st_src = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.stat(dst).st_size != st_src.st_size
+        or os.stat(dst).st_mtime < st_src.st_mtime
+    ):
+        shutil.copy2(src, dst)
+
+
 def _stage_events(sf_dir: str) -> str:
     # deterministic per-sf staging dir, reused across calls (repeated
     # bench/driver runs must not leak one events copy per invocation)
@@ -40,18 +55,7 @@ def _stage_events(sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    dst = f"{d}/events.parquet"
-    # re-stage when the source was regenerated (the testdata is rebuilt
-    # between rounds, sometimes with a different parquet encoding — a
-    # stale copy here would silently pin the old encoding)
-    st_src = os.stat(src)
-    if (
-        not os.path.exists(dst)
-        or os.stat(dst).st_size != st_src.st_size
-        or os.stat(dst).st_mtime < st_src.st_mtime
-    ):
-        shutil.copy2(src, dst)
+    _copy_if_stale(f"{sf_dir.rstrip('/')}/events.parquet", f"{d}/events.parquet")
     return d
 
 
@@ -355,8 +359,7 @@ def t81_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _stage_events_doubled(sf_dir: str) -> str:
-    # two identical files → two micro-batches under maxFilesPerTrigger=1;
-    # same mtime-invalidated reuse discipline as _stage_events
+    # two identical files → two micro-batches under maxFilesPerTrigger=1
     import os
 
     d = _stage_events(sf_dir)
@@ -364,12 +367,5 @@ def _stage_events_doubled(sf_dir: str) -> str:
     os.makedirs(dd, exist_ok=True)
     src = f"{d}/events.parquet"
     for name in ("events_a.parquet", "events_b.parquet"):
-        dst = f"{dd}/{name}"
-        st_src = os.stat(src)
-        if (
-            not os.path.exists(dst)
-            or os.stat(dst).st_size != st_src.st_size
-            or os.stat(dst).st_mtime < st_src.st_mtime
-        ):
-            shutil.copy2(src, dst)
+        _copy_if_stale(src, f"{dd}/{name}")
     return dd

@@ -837,40 +837,47 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
-def _read_pointer(spark: SparkSession, target_dir: str) -> str | None:
-    """Version name from the ``_LATEST`` pointer, via the Hadoop
-    FileSystem API — file://, hdfs://, s3a:// alike (an os.path check
-    would silently report 'no snapshot' on any remote scheme and the
-    sink would merge every batch onto an empty base)."""
-    fs, hpath, jvm = _hadoop_fs(spark, f"{target_dir}/_LATEST")
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    """Small-file read via the Hadoop FileSystem API — file://, hdfs://,
+    s3a:// alike (an os.path check would silently report 'missing' on
+    any remote scheme)."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return None
     stream = fs.open(hpath)
     try:
-        version = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        ).strip()
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return version or None
 
 
-def _write_pointer(spark: SparkSession, target_dir: str, version: str) -> None:
+def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     # tmp + rename, NOT create(overwrite=true): rename is atomic on
     # local and HDFS, while overwrite-create is truncate-then-write —
-    # a crash or racing reader could observe an empty/torn pointer.
-    # The brief pointer-absent window between delete and rename is
-    # covered by _resolve_version's committed-dir fallback.
-    fs, tmp_path, jvm = _hadoop_fs(spark, f"{target_dir}/_LATEST.tmp")
+    # a crash or racing reader could observe an empty/torn file. The
+    # brief absent window between delete and rename is covered by the
+    # resolvers' committed-version fallbacks. This is THE commit
+    # primitive for both the _LATEST pointer and bucketed manifests.
+    fs, tmp_path, jvm = _hadoop_fs(spark, path + ".tmp")
     out = fs.create(tmp_path, True)
     try:
-        out.write(bytearray(version.encode("utf-8")))
+        out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    final = jvm.org.apache.hadoop.fs.Path(f"{target_dir}/_LATEST")
+    final = jvm.org.apache.hadoop.fs.Path(path)
     if fs.exists(final):
         fs.delete(final, False)
     fs.rename(tmp_path, final)
+
+
+def _read_pointer(spark: SparkSession, target_dir: str) -> str | None:
+    """Version name from the ``_LATEST`` pointer, or None."""
+    text = _read_text(spark, f"{target_dir}/_LATEST")
+    return (text.strip() or None) if text is not None else None
+
+
+def _write_pointer(spark: SparkSession, target_dir: str, version: str) -> None:
+    _write_text_atomic(spark, f"{target_dir}/_LATEST", version)
 
 
 def _committed_versions(spark: SparkSession, target_dir: str) -> list[str]:
@@ -949,34 +956,61 @@ def _manifest_path(target_dir: str, version: str) -> str:
     return f"{target_dir}/manifests/{version}.json"
 
 
-def _write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    # same tmp+rename protocol as _write_pointer: a manifest file's
-    # EXISTENCE is the version's commit record, so it must appear
-    # atomically — never torn, never observable half-written
-    fs, tmp_path, jvm = _hadoop_fs(spark, path + ".tmp")
-    out = fs.create(tmp_path, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-    final = jvm.org.apache.hadoop.fs.Path(path)
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp_path, final)
-
-
 def _read_manifest(
     spark: SparkSession, target_dir: str, version: str
 ) -> dict | None:
-    fs, hpath, jvm = _hadoop_fs(spark, _manifest_path(target_dir, version))
-    if not fs.exists(hpath):
-        return None
-    stream = fs.open(hpath)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
+    # a manifest file's EXISTENCE is the version's commit record
+    # (written through _write_text_atomic, so never torn)
+    text = _read_text(spark, _manifest_path(target_dir, version))
+    return json.loads(text) if text is not None else None
+
+
+def _commit_bucketed_version(
+    spark: SparkSession,
+    target_dir: str,
+    version: str,
+    prev_buckets: dict,
+    replaced: Iterable[int],
+    num_buckets: int,
+    schema_json: str,
+) -> None:
+    """Commit one bucketed version: map the bucket dirs the parquet
+    write actually produced under ``{version}/``, splice them over
+    ``prev_buckets`` (every bucket in ``replaced`` is superseded — a
+    replaced bucket with NO output dir drops out), then atomically
+    publish the manifest and move the pointer. Shared by the sink's
+    per-batch commit and compaction."""
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{version}/_bucket=*")
+    )
+    written = {
+        int(st.getPath().getName().split("=")[1]): (
+            f"{version}/{st.getPath().getName()}"
+        )
+        for st in (statuses or [])
+    }
+    buckets = dict(prev_buckets)
+    for b in replaced:
+        buckets.pop(str(b), None)
+    for b, rel in written.items():
+        buckets[str(b)] = rel
+    _write_text_atomic(
+        spark,
+        _manifest_path(target_dir, version),
+        json.dumps(
+            {
+                "num_buckets": num_buckets,
+                "buckets": buckets,
+                # stored so an all-tombstones-compacted (bucketless)
+                # snapshot still reads back as an EMPTY table with its
+                # schema, matching the full-snapshot layout's behavior
+                "schema": schema_json,
+            },
+            sort_keys=True,
+        ),
+    )
+    _write_pointer(spark, target_dir, version)
 
 
 def _committed_manifest_versions(
@@ -1038,10 +1072,25 @@ def read_cdc_snapshot(
     by several versions."""
     if _is_bucketed_target(spark, target_dir):
         manifest = _resolve_manifest(spark, target_dir)
-        if manifest is None or not manifest["buckets"]:
+        if manifest is None:
             return None
-        paths = [f"{target_dir}/{rel}" for rel in manifest["buckets"].values()]
-        df = spark.read.parquet(*paths)
+        if not manifest["buckets"]:
+            # fully-compacted (or all-deleted-and-compacted) table: an
+            # EMPTY DataFrame with the committed schema, matching what
+            # the full-snapshot layout returns in the same state — not
+            # None, which reads as 'table never created'
+            if not manifest.get("schema"):
+                return None
+            from pyspark.sql.types import StructType
+
+            df = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(manifest["schema"]))
+            )
+        else:
+            paths = [
+                f"{target_dir}/{rel}" for rel in manifest["buckets"].values()
+            ]
+            df = spark.read.parquet(*paths)
     else:
         version = _resolve_version(spark, target_dir)
         if version is None:
@@ -1136,6 +1185,15 @@ def cdc_upsert_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if _is_bucketed_target(spark, target_dir):
+            # writing a flat version into a bucketed target would be
+            # WORSE than an error later: the flat version carries no
+            # manifest, so readers resolve the old manifest and the
+            # commit is silently invisible
+            raise ValueError(
+                f"{target_dir} is a bucketed CDC target; run the sink "
+                "with its original num_buckets"
+            )
         base = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
         if base is None:
             base = _empty_base(batch_df)
@@ -1153,10 +1211,20 @@ def cdc_upsert_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        manifest = _resolve_manifest(spark, target_dir) or {
-            "num_buckets": num_buckets,
-            "buckets": {},
-        }
+        manifest = _resolve_manifest(spark, target_dir)
+        if manifest is None:
+            if _committed_versions(spark, target_dir):
+                # flat-layout versions exist but no manifest: treating
+                # this as 'new table' would make every existing row
+                # invisible to the stale guard and the first bucketed
+                # commit would orphan the entire prior snapshot
+                raise ValueError(
+                    f"{target_dir} is a full-snapshot CDC target; run "
+                    "the sink without num_buckets (or migrate by "
+                    "replaying the changelog into a fresh bucketed "
+                    "target)"
+                )
+            manifest = {"num_buckets": num_buckets, "buckets": {}}
         if manifest["num_buckets"] != num_buckets:
             raise ValueError(
                 f"target created with num_buckets={manifest['num_buckets']}, "
@@ -1203,29 +1271,15 @@ def cdc_upsert_sink(
         # manifest: touched buckets re-point at this version's dirs
         # (a touched bucket that produced no rows drops out), untouched
         # buckets keep their existing dirs untouched on disk
-        fs, _, jvm = _hadoop_fs(spark, target_dir)
-        statuses = fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{version}/_bucket=*")
-        )
-        written = {
-            int(st.getPath().getName().split("=")[1]): (
-                f"{version}/{st.getPath().getName()}"
-            )
-            for st in (statuses or [])
-        }
-        buckets = dict(manifest["buckets"])
-        for b in touched:
-            buckets.pop(str(b), None)
-        for b, rel in written.items():
-            buckets[str(b)] = rel
-        _write_text_atomic(
+        _commit_bucketed_version(
             spark,
-            _manifest_path(target_dir, version),
-            json.dumps(
-                {"num_buckets": num_buckets, "buckets": buckets}, sort_keys=True
-            ),
+            target_dir,
+            version,
+            manifest["buckets"],
+            touched,
+            num_buckets,
+            merged.schema.json(),
         )
-        _write_pointer(spark, target_dir, version)
 
     query = (
         changes_sdf.writeStream.foreachBatch(
@@ -1318,30 +1372,16 @@ def compact_cdc_target(
         .partitionBy("_bucket")
         .parquet(f"{target_dir}/{version}")
     )
-    fs, _, jvm = _hadoop_fs(spark, target_dir)
-    statuses = fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{version}/_bucket=*")
-    )
-    written = {
-        int(st.getPath().getName().split("=")[1]): (
-            f"{version}/{st.getPath().getName()}"
-        )
-        for st in (statuses or [])
-    }
-    buckets = dict(manifest["buckets"])
-    for b in hit_buckets:
-        buckets.pop(str(b), None)
-    for b, rel in written.items():
-        buckets[str(b)] = rel
-    _write_text_atomic(
+    _commit_bucketed_version(
         spark,
-        _manifest_path(target_dir, version),
-        json.dumps(
-            {"num_buckets": manifest["num_buckets"], "buckets": buckets},
-            sort_keys=True,
-        ),
+        target_dir,
+        version,
+        manifest["buckets"],
+        hit_buckets,
+        manifest["num_buckets"],
+        manifest.get("schema")
+        or hit_df.drop("_bucket").schema.json(),
     )
-    _write_pointer(spark, target_dir, version)
     return n
 
 

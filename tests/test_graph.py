@@ -194,3 +194,51 @@ def test_k_core_matches_model(spark):
     assert core == model(edges, 2)
     # k=3: triangle nodes have degree 2 -> nothing survives
     assert k_core(df, 3).count() == 0
+
+
+def test_t61_oracle_unroll_depth_has_margin():
+    """The t61 oracle unrolls a FIXED number of peel rounds; if testdata
+    regeneration ever makes the true peel depth approach that bound,
+    this test fails with a clear message naming the oracle (the oracle
+    also carries a -1 sentinel row as a runtime guard). Pure DuckDB —
+    measures the actual convergence depth at both graded scales."""
+    import duckdb
+
+    UNROLLED = 8  # keep in sync with _t61_oracle_sql(rounds=...)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        con.execute("""
+          CREATE TABLE e AS
+          SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                 greatest(a.l_partkey, b.l_partkey) AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < 2000 AND b.l_partkey < 2000
+            AND a.l_partkey <> b.l_partkey""")
+        prev, depth = -1, 0
+        while True:
+            n = con.execute("SELECT count(*) FROM e").fetchone()[0]
+            if n == prev:
+                break
+            prev = n
+            depth += 1
+            con.execute("""
+              CREATE OR REPLACE TABLE e AS
+              WITH d AS (
+                SELECT id FROM (SELECT src AS id FROM e
+                                UNION ALL SELECT dst FROM e)
+                GROUP BY id HAVING count(*) >= 4)
+              SELECT src, dst FROM e
+              WHERE src IN (SELECT id FROM d) AND dst IN (SELECT id FROM d)""")
+            assert depth <= UNROLLED, (
+                f"{sf}: k-core peel depth exceeds the {UNROLLED}-round "
+                "unroll in _t61_oracle_sql — raise its rounds parameter"
+            )
+        con.close()
+        # require 2x margin, not just sufficiency
+        assert (depth - 1) * 2 <= UNROLLED, (
+            f"{sf}: peel depth {depth - 1} is within 2x of the "
+            f"{UNROLLED}-round unroll — raise _t61_oracle_sql rounds"
+        )

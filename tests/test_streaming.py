@@ -1047,3 +1047,65 @@ def test_drop_duplicates_within_watermark_state_bounds(spark, tmp_path):
     # key 1: original emit + ONE post-eviction re-emit; the in-batch
     # twin and the late copy are both suppressed
     assert len(per_key[1]) == 2, per_key
+
+
+def test_cdc_sink_layout_mode_mismatch_raises(spark, tmp_path):
+    """Running the sink in the WRONG layout mode against an existing
+    target must raise, not silently lose data: a bucketed sink on a
+    full-snapshot target would see an empty base (orphaning the whole
+    table); a flat sink on a bucketed target would commit a version no
+    manifest references (invisible to readers)."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import cdc_upsert_sink
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 1, "I", "a")], schema).coalesce(1).write.parquet(src)
+
+    def drain(target, ckpt, num_buckets):
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cdc_upsert_sink(
+            stream, target, ckpt, keys=["k"], seq_col="seq",
+            num_buckets=num_buckets,
+        )
+
+    flat = str(tmp_path / "flat")
+    drain(flat, str(tmp_path / "c1"), None)
+    with _pytest.raises(Exception, match="full-snapshot CDC target"):
+        drain(flat, str(tmp_path / "c2"), 4)
+
+    bucketed = str(tmp_path / "bucketed")
+    drain(bucketed, str(tmp_path / "c3"), 4)
+    with _pytest.raises(Exception, match="bucketed CDC target"):
+        drain(bucketed, str(tmp_path / "c4"), None)
+
+
+def test_cdc_bucketed_full_compaction_reads_empty_not_none(spark, tmp_path):
+    """Compacting away EVERY row of a bucketed target (all keys deleted,
+    all tombstones expired) must leave a readable EMPTY table with its
+    schema — the same signal the full-snapshot layout gives — not None
+    ('table never created')."""
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        compact_cdc_target,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b"), (1, 2, "D", None), (2, 2, "D", None)],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    target = str(tmp_path / "target")
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    cdc_upsert_sink(
+        stream, target, str(tmp_path / "ck"), keys=["k"], seq_col="seq",
+        num_buckets=4,
+    )
+    assert compact_cdc_target(spark, target, min_seq=10) == 2
+    snap = read_cdc_snapshot(spark, target, include_tombstones=True)
+    assert snap is not None
+    assert snap.count() == 0
+    assert set(snap.columns) == {"k", "seq", "v", "_deleted"}
