@@ -464,3 +464,32 @@ def test_t74_resample_interp_single_data_shuffle(spark):
     assert "Join" not in plan.replace("joinType", ""), plan[:800]
     # window exchange + bounds-agg exchange (+ pre-agg of ties)
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:800]
+
+
+def test_t79_grouped_agg_udaf_single_shuffle(spark):
+    """t79: the GROUPED_AGG UDAF aggregates with ONE hash exchange on
+    the grouping key (AggregateInPandas after a single shuffle) — no
+    extra exchange, no nested loop; the Arrow transfer is the only
+    Python-boundary cost."""
+    from datasheet_etl_spark.plans.sql_extra import t79_weighted_median_udaf
+
+    df = t79_weighted_median_udaf(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark 4 names the grouped-agg pandas node ArrowAggregatePython
+    # (AggregateInPandas in 3.x)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan, plan[:500]
+    # one hash exchange for the groupBy; the trailing rangepartitioning
+    # belongs to the display orderBy
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
+
+def test_t80_leakage_split_one_window_shuffle_map_side_case(spark):
+    """t80: ONE hash exchange (the fingerprint window that finds each
+    group's representative); the split assignment itself is a map-side
+    CASE over md5 — no join, no second aggregate shuffle."""
+    from datasheet_etl_spark.plans.sql_extra import t80_leakage_safe_split
+
+    df = t80_leakage_safe_split(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "Join" not in plan, plan[:800]
