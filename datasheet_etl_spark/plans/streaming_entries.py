@@ -55,7 +55,14 @@ def _stage_events(sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    _copy_if_stale(f"{sf_dir.rstrip('/')}/events.parquet", f"{d}/events.parquet")
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    if os.path.isdir(src):
+        # spark-written table: a directory of part files
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                _copy_if_stale(os.path.join(src, f), os.path.join(d, f))
+    else:
+        _copy_if_stale(src, f"{d}/events.parquet")
     return d
 
 
@@ -340,10 +347,15 @@ def t81_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     so zero rows are late-dropped and the result is exactly batch
     DISTINCT; production tunes it to the source's real redelivery
     horizon."""
+    import os
+
     src = _stage_events_doubled(sf_dir)
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(src))
     with _few_state_partitions(spark):
         stream = (
-            events_stream(spark, src, max_files_per_trigger=1)
+            # half the files per trigger → exactly two micro-batches at
+            # any staging size (2 at smoke scale, 2 at the x10 audit)
+            events_stream(spark, src, max_files_per_trigger=max(1, n_files // 2))
             .withWatermark("ts", "60 days")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
@@ -359,13 +371,15 @@ def t81_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _stage_events_doubled(sf_dir: str) -> str:
-    # two identical files → two micro-batches under maxFilesPerTrigger=1
+    # every staged file twice → with maxFilesPerTrigger = half the file
+    # count, the re-deliveries land in a LATER micro-batch
     import os
 
     d = _stage_events(sf_dir)
     dd = d + "_x2"
     os.makedirs(dd, exist_ok=True)
-    src = f"{d}/events.parquet"
-    for name in ("events_a.parquet", "events_b.parquet"):
-        _copy_if_stale(src, f"{dd}/{name}")
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            for tag in ("a", "b"):
+                _copy_if_stale(os.path.join(d, f), os.path.join(dd, f"{tag}_{f}"))
     return dd

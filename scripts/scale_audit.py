@@ -46,6 +46,14 @@ ENTRIES = [
     "t65_unigram_log_ppl",
     "t66_similarity_histogram",
     "t73_incremental_rollup",
+    # r7: leakage-safe split (fingerprint window over the full corpus)
+    # and streaming watermark dedup (state scales with events). t79 is
+    # deliberately NOT audited: a GROUPED_AGG holistic aggregate is
+    # O(group size) per group BY CONTRACT (3 return-flag groups →
+    # 3 Arrow transfers of n/3 rows each) — the aggregates.py module
+    # docstring says exactly when that cost is and is not acceptable.
+    "t80_leakage_safe_split",
+    "t81_streaming_dedup_watermark",
 ]
 
 # per-table key columns to offset so copies don't collide
