@@ -568,3 +568,86 @@ def assign_split(
     for name, bound in reversed(bounds[:-1]):
         expr = F.when(prefix < bound, F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def mixture_waterfill(
+    avail: DataFrame,
+    key_cols: Sequence[str],
+    avail_col: str,
+    weight_col: str,
+    budget: float,
+) -> DataFrame:
+    """Token-budget waterfilling across corpus sources: allocate
+    ``budget`` tokens to sources proportionally to their target mixture
+    ``weight_col``, capping each source at its availability
+    ``avail_col`` and redistributing the shortfall to the unsaturated
+    sources at their relative weights — the closed-form solution of
+    ``maximize Σ aₛ s.t. aₛ = min(nₛ, λ·wₛ), Σ aₛ = B``. The standard
+    failure this replaces: naive ``aₛ = B·wₛ/W`` silently under-fills
+    the budget whenever any source can't supply its share (small
+    high-weight wiki-like sources saturate and the leftover tokens
+    vanish instead of flowing to the big crawl sources).
+
+    One pass, no iteration: sort sources by ``nₛ/wₛ`` (the λ at which
+    each saturates), prefix-scan availability and weight, and for each
+    boundary test whether λ = (B − Σ_sat n)/(W − Σ_sat w) lands between
+    the neighbouring saturation ratios — exactly one boundary is
+    consistent (the objective is piecewise-linear increasing in λ).
+    If ``budget ≥ Σ nₛ``, every source saturates and λ is unbounded.
+
+    Scale shape: this runs on the PER-SOURCE aggregate (one row per
+    corpus domain — dozens to hundreds of rows), never on the corpus;
+    the single global window over that bounded table is deliberate.
+    Returns one row per source: allocation, sampling ``rate``
+    (allocation/availability — feed it to ``weighted_sample``'s
+    hash thresholds), and a ``saturated`` flag.
+    """
+    kl = list(key_cols)
+    ratio = (F.col(avail_col) / F.col(weight_col)).alias("_ratio")
+    d = avail.select(*kl, avail_col, weight_col, ratio)
+    # bounded table (one row per source): a single unpartitioned window
+    # is the right plan here, not a repartition
+    w_order = Window.orderBy("_ratio", *kl)
+    w_all = Window.partitionBy()
+    d = d.select(
+        "*",
+        F.sum(avail_col).over(w_order).alias("_cum_n"),
+        F.sum(weight_col).over(w_order).alias("_cum_w"),
+        F.sum(avail_col).over(w_all).alias("_tot_n"),
+        F.sum(weight_col).over(w_all).alias("_tot_w"),
+        F.lag("_ratio").over(w_order).alias("_prev_ratio"),
+    )
+    # candidate λ assuming every source BEFORE this row saturates; valid
+    # when it lands in [prev_ratio, ratio) — i.e. this row does not
+    lam_c = (F.lit(budget) - F.coalesce(F.lag("_cum_n").over(w_order), F.lit(0.0))) / (
+        F.col("_tot_w") - F.coalesce(F.lag("_cum_w").over(w_order), F.lit(0.0))
+    )
+    d = d.withColumn("_lam_c", lam_c).withColumn(
+        "_lam_valid",
+        (F.col("_lam_c") < F.col("_ratio"))
+        & (
+            F.col("_prev_ratio").isNull()
+            | (F.col("_lam_c") >= F.col("_prev_ratio"))
+        ),
+    )
+    lam_row = d.filter("_lam_valid").select(
+        F.min("_lam_c").alias("_lam")
+    )  # exactly one valid boundary; min() just collapses to one row
+    out = d.crossJoin(F.broadcast(lam_row.select(F.coalesce("_lam", F.lit(None)).alias("_lam"))))
+    alloc = F.when(
+        F.col("_lam").isNull() | (F.col("_ratio") <= F.col("_lam")),
+        F.col(avail_col).cast("double"),
+    ).otherwise(
+        # a non-positive budget yields a negative λ: clamp to zero
+        F.greatest(F.lit(0.0), F.col("_lam") * F.col(weight_col))
+    )
+    return out.select(
+        *kl,
+        F.col(avail_col),
+        F.col(weight_col),
+        F.round(alloc, 6).alias("allocation"),
+        F.round(alloc / F.col(avail_col), 6).alias("rate"),
+        (F.col("_lam").isNull() | (F.col("_ratio") <= F.col("_lam"))).alias(
+            "saturated"
+        ),
+    )

@@ -1925,3 +1925,77 @@ def t80_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "group_rep", "split")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t82_mixture_waterfill",
+    """
+    WITH a AS (
+      SELECT source,
+             CAST(sum(n_chars) AS BIGINT) AS avail,
+             CAST(1 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4)
+                  AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(avail) AS DOUBLE) AS tot_n,
+             CAST(sum(weight) AS DOUBLE) AS tot_w,
+             CAST(sum(avail) AS DOUBLE) * 0.5 AS budget
+      FROM a
+    ), s AS (
+      SELECT a.*, tot.budget, tot.tot_w,
+             CAST(avail AS DOUBLE) / weight AS ratio,
+             CAST(SUM(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_n,
+             CAST(SUM(weight) OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_w,
+             lag(CAST(avail AS DOUBLE) / weight)
+               OVER (ORDER BY CAST(avail AS DOUBLE) / weight, source) AS prev_ratio
+      FROM a, tot
+    ), c AS (
+      SELECT s.*,
+             (budget - coalesce(lag(cum_n) OVER (ORDER BY ratio, source), 0.0))
+             / (tot_w - coalesce(lag(cum_w) OVER (ORDER BY ratio, source), 0.0))
+               AS lam_c
+      FROM s
+    ), lam AS (
+      SELECT min(lam_c) AS lam FROM c
+      WHERE lam_c < ratio AND (prev_ratio IS NULL OR lam_c >= prev_ratio)
+    )
+    SELECT source, avail, weight,
+           round(CASE WHEN lam.lam IS NULL OR ratio <= lam.lam
+                      THEN CAST(avail AS DOUBLE)
+                      ELSE greatest(0.0, lam.lam * weight) END, 6) AS allocation,
+           round(CASE WHEN lam.lam IS NULL OR ratio <= lam.lam
+                      THEN CAST(avail AS DOUBLE)
+                      ELSE greatest(0.0, lam.lam * weight) END / avail, 6) AS rate,
+           (lam.lam IS NULL OR ratio <= lam.lam) AS saturated
+    FROM c, lam
+    ORDER BY source
+    """,
+)
+def t82_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture budget solver: allocate half the corpus's
+    tokens across sources at target weights (derived here from the
+    source id so the entry is self-contained), capping at availability
+    and waterfilling the shortfall to unsaturated sources — the
+    closed-form one-pass solve in ``sampling.mixture_waterfill``. The
+    oracle recomputes the same prefix-scan boundary selection
+    relationally; integer availabilities/weights make every cumulative
+    sum exact in both engines, so the only floats are the final λ
+    divisions (IEEE-identical). Runs on the per-source aggregate —
+    one row per domain — NEVER on the corpus; the resulting ``rate``
+    feeds t29's hash-threshold Bernoulli sampler unchanged."""
+    from datasheet_etl_spark.operators.sampling import mixture_waterfill
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail"),
+        (
+            1
+            + F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 4
+        ).alias("weight"),
+    )
+    budget = avail.agg(F.sum("avail").cast("double") * 0.5).first()[0]
+    return mixture_waterfill(
+        avail, ["source"], "avail", "weight", budget
+    ).orderBy("source")

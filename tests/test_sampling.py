@@ -501,3 +501,39 @@ def test_leakage_safe_split_keeps_groups_together(spark):
     }
     assert splits.get("train", 0) > splits.get("val", 0)
     assert splits.get("train", 0) > splits.get("test", 0)
+
+
+def test_mixture_waterfill_invariants(spark):
+    """The waterfill contract: allocations sum to min(budget, total);
+    saturated sources give everything (rate 1.0); unsaturated sources
+    receive tokens proportional to weight (common λ); degenerate
+    budgets (≥ total, 0) behave."""
+    from datasheet_etl_spark.operators.sampling import mixture_waterfill
+
+    avail = spark.createDataFrame(
+        [("wiki", 100, 4), ("books", 1000, 2), ("crawl", 10000, 1)],
+        "source string, avail long, weight long",
+    )
+    # budget 2000 → λ = 900: wiki (ratio 25) and books (ratio 500)
+    # both saturate, crawl absorbs the redistributed remainder (900·1)
+    out = {r["source"]: r for r in mixture_waterfill(
+        avail, ["source"], "avail", "weight", 2000.0
+    ).collect()}
+    assert out["wiki"]["saturated"] and out["wiki"]["rate"] == 1.0
+    assert out["books"]["saturated"] and out["books"]["rate"] == 1.0
+    assert not out["crawl"]["saturated"]
+    assert abs(out["crawl"]["allocation"] - 900.0) < 1e-6
+    total_alloc = sum(r["allocation"] for r in out.values())
+    assert abs(total_alloc - 2000.0) < 1e-6
+    # the naive proportional allocation would have given crawl only
+    # 2000·(1/7) ≈ 286 tokens and silently under-filled the budget —
+    # waterfilling is precisely this redistribution
+    assert out["crawl"]["allocation"] > 2000 / 7
+
+    # budget ≥ total: everything saturates
+    out = mixture_waterfill(avail, ["source"], "avail", "weight", 1e9).collect()
+    assert all(r["saturated"] and r["rate"] == 1.0 for r in out)
+
+    # zero budget: zero allocations, nothing saturated
+    out = mixture_waterfill(avail, ["source"], "avail", "weight", 0.0).collect()
+    assert all(r["allocation"] == 0.0 for r in out)
