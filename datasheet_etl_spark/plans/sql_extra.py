@@ -1999,3 +1999,62 @@ def t82_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_waterfill(
         avail, ["source"], "avail", "weight", budget
     ).orderBy("source")
+
+
+@register(
+    "t83_ngram_novelty",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS ng
+      FROM t WHERE len(toks) >= 2
+    ), dfreq AS (
+      SELECT ng, count(*) AS n_docs FROM g GROUP BY ng
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN dfreq.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(sum(CASE WHEN dfreq.n_docs = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM g JOIN dfreq USING (ng)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def t83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word bigrams that occur in NO other document — the
+    diversity-selection signal (keep high-novelty docs, down-weight
+    templated ones) complementary to t34's intra-doc repetition and
+    the dedup family's cross-doc similarity. Two hash aggregates + one
+    shuffle-bounded join on the bigram key: (doc, gram) pairs shrink
+    map-side to distinct grams, the document-frequency table is
+    keyed by gram (never wider than the vocabulary), and the join
+    back is partial-agg'd before the per-doc rollup — no pairwise
+    term anywhere, so 100 TB cost is O(total distinct grams)."""
+    from datasheet_etl_spark.operators.dedup import word_shingles
+    from datasheet_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), n=2)).alias("ng"),
+    )
+    dfreq = grams.groupBy("ng").agg(F.count("*").alias("n_docs"))
+    unique = F.sum((F.col("n_docs") == 1).cast("int"))
+    return (
+        grams.join(dfreq, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            unique.cast("long").alias("n_unique"),
+            F.round(unique / F.count("*"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

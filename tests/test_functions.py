@@ -186,3 +186,26 @@ def test_register_aggregate_seam_and_weighted_median(spark):
         for r in df.groupBy("g").agg((F.max("v") - F.min("v")).alias("want")).collect()
     }
     assert rng == want
+
+
+def test_grouped_agg_udaf_over_unbounded_window(spark):
+    """aggregates.py claims registered UDAFs work over unbounded
+    windows — prove it: weighted_median over an unbounded per-group
+    window annotates every row with its group's median."""
+    from pyspark.sql import Window
+
+    from datasheet_etl_spark.functions.aggregates import weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 10), ("a", 2.0, 1), ("b", 7.0, 5)],
+        "g string, v double, w long",
+    )
+    w = Window.partitionBy("g")
+    got = {
+        (r["g"], r["v"]): r["m"]
+        for r in df.withColumn(
+            "m", weighted_median(F.col("v"), F.col("w")).over(w)
+        ).collect()
+    }
+    assert got[("a", 1.0)] == 1.0 and got[("a", 2.0)] == 1.0
+    assert got[("b", 7.0)] == 7.0

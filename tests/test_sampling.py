@@ -537,3 +537,38 @@ def test_mixture_waterfill_invariants(spark):
     # zero budget: zero allocations, nothing saturated
     out = mixture_waterfill(avail, ["source"], "avail", "weight", 0.0).collect()
     assert all(r["allocation"] == 0.0 for r in out)
+
+
+def test_waterfill_rate_feeds_weighted_sampler(spark, docs):
+    """t82's docstring claim, executed: the waterfill ``rate`` plugs
+    straight into weighted_sample's per-stratum hash thresholds, and
+    the realized per-source sample sizes track the allocations within
+    a binomial band (saturated sources keep EVERYTHING exactly)."""
+    from datasheet_etl_spark.operators.sampling import (
+        mixture_waterfill,
+        weighted_sample,
+    )
+
+    avail = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("avail"),
+        (1 + F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 4).alias(
+            "weight"
+        ),
+    )
+    budget = avail.agg(F.sum("avail")).first()[0] * 0.5
+    fill = mixture_waterfill(avail, ["source"], "avail", "weight", budget)
+    rates = {r["source"]: r["rate"] for r in fill.collect()}
+    sampled = weighted_sample(docs, "doc_id", "source", rates, default_rate=0.0)
+    got = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_by_src = {r["source"]: r["avail"] for r in avail.collect()}
+    for src, rate in rates.items():
+        if rate == 1.0:  # saturated: exact
+            assert got.get(src, 0) == n_by_src[src]
+        else:  # Bernoulli at quantized rate: loose band
+            expect = rate * n_by_src[src]
+            assert abs(got.get(src, 0) - expect) <= max(5, 0.5 * expect), (
+                src, rate, got.get(src), expect,
+            )
