@@ -53,3 +53,13 @@ def test_graded_window_contract():
         "t73_incremental_rollup",
     }
     assert r6_entries <= set(first50)
+    # r7 rotation (VERDICT r6 next-round #2): the six oracled r6
+    # additions plus four never-driver-graded r5 residents are graded
+    r7_entries = {
+        "q45_union_by_name", "q46_nullsafe_join", "t74_resample_interp",
+        "t75_stream_static_join", "t76_udtf_sentence_split",
+        "t77_streaming_cdc_apply", "q39_recursive_cte",
+        "t58_cohort_retention", "t69_rolling_anomaly",
+        "t70_dedup_rate_report",
+    }
+    assert r7_entries <= set(first50)
