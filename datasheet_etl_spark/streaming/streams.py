@@ -1471,3 +1471,73 @@ def heavy_hitters_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def gc_cdc_target(
+    spark: SparkSession, target_dir: str, keep_versions: int = 2
+) -> int:
+    """Reclaim disk from a :func:`cdc_upsert_sink` target: every commit
+    writes a new immutable version, so superseded versions accumulate
+    forever without this. Keeps the newest ``keep_versions`` committed
+    versions plus — in the bucketed layout — every DATA DIRECTORY any
+    kept manifest still references (a current manifest legitimately
+    points into much older versions' bucket dirs for never-touched
+    buckets; reachability, not age, decides liveness). Also deletes
+    nothing newer than the oldest kept version, so an in-flight
+    (uncommitted) write's directory is never swept. Returns the number
+    of paths deleted.
+
+    ``keep_versions`` is the reader grace window: a reader that
+    resolved a version just before GC can finish scanning it as long
+    as it does so before ``keep_versions`` further commits — the same
+    retention contract as Delta's VACUUM horizon."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+
+    def rm(path: str, recursive: bool) -> None:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), recursive)
+
+    def version_dirs() -> list[str]:
+        statuses = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{target_dir}/v*")
+        )
+        return sorted(
+            st.getPath().getName()
+            for st in (statuses or [])
+            if st.getPath().getName()[1:].isdigit()
+        )
+
+    deleted = 0
+    if _is_bucketed_target(spark, target_dir):
+        committed = _committed_manifest_versions(spark, target_dir)
+        if len(committed) <= keep_versions:
+            return 0
+        kept, dropped = committed[-keep_versions:], committed[:-keep_versions]
+        live: set[str] = set(kept)
+        for v in kept:
+            m = _read_manifest(spark, target_dir, v)
+            if m:
+                live |= {rel.split("/", 1)[0] for rel in m["buckets"].values()}
+        floor = kept[0]
+        for v in dropped:
+            rm(_manifest_path(target_dir, v), False)
+            deleted += 1
+        for d in version_dirs():
+            # reachable dirs stay whatever their age; unreachable dirs
+            # are swept only BELOW the kept floor (newer unreachable =
+            # possibly in-flight)
+            if d not in live and d < floor:
+                rm(f"{target_dir}/{d}", True)
+                deleted += 1
+        return deleted
+
+    committed = _committed_versions(spark, target_dir)
+    if len(committed) <= keep_versions:
+        return 0
+    floor = committed[-keep_versions:][0]
+    for d in version_dirs():
+        if d < floor and d not in committed[-keep_versions:]:
+            rm(f"{target_dir}/{d}", True)
+            deleted += 1
+    return deleted

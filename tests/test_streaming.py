@@ -1109,3 +1109,107 @@ def test_cdc_bucketed_full_compaction_reads_empty_not_none(spark, tmp_path):
     assert snap is not None
     assert snap.count() == 0
     assert set(snap.columns) == {"k", "seq", "v", "_deleted"}
+
+
+def test_gc_cdc_target_plain_keeps_snapshot(spark, tmp_path):
+    """GC on the full-snapshot layout: superseded version dirs are
+    deleted, the kept version still reads identically."""
+    import glob
+    import os
+
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        gc_cdc_target,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+        )
+        cdc_upsert_sink(stream, target, ckpt, keys=["k"], seq_col="seq")
+
+    spark.createDataFrame([(1, 1, "I", "a")], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame([(2, 2, "I", "b")], schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    spark.createDataFrame([(1, 3, "U", "a2")], schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    drain(str(tmp_path / "ck"))
+    assert len(glob.glob(os.path.join(target, "v*"))) == 3
+    before = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+
+    assert gc_cdc_target(spark, target, keep_versions=1) == 2
+    assert len(glob.glob(os.path.join(target, "v*"))) == 1
+    after = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert after == before == {1: "a2", 2: "b"}
+    assert gc_cdc_target(spark, target, keep_versions=1) == 0  # idempotent
+
+
+def test_gc_cdc_target_bucketed_respects_manifest_reachability(spark, tmp_path):
+    """Bucketed GC is REACHABILITY-based, not age-based: the kept
+    manifest references never-touched buckets' dirs from the OLDEST
+    version — those must survive keep_versions=1; the middle version's
+    superseded dir (its only bucket re-rewritten later) is swept along
+    with the dropped manifests. Snapshot identical before/after."""
+    import glob
+    import os
+
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_manifest_versions,
+        _resolve_manifest,
+        cdc_upsert_sink,
+        gc_cdc_target,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+        )
+        cdc_upsert_sink(
+            stream, target, ckpt, keys=["k"], seq_col="seq", num_buckets=4
+        )
+
+    spark.createDataFrame(
+        [(k, 1, "I", f"v{k}") for k in range(12)], schema
+    ).coalesce(1).write.parquet(src)
+    # two successive updates of the SAME key → the middle version's
+    # bucket dir is superseded by the last one
+    spark.createDataFrame([(1, 2, "U", "b2")], schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    spark.createDataFrame([(1, 3, "U", "b3")], schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    drain(str(tmp_path / "ck"))
+    versions = _committed_manifest_versions(spark, target)
+    assert len(versions) == 3
+    v1, v2, v3 = versions
+    before = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+
+    n = gc_cdc_target(spark, target, keep_versions=1)
+    assert n == 3  # manifests v1+v2, data dir v2
+    assert _committed_manifest_versions(spark, target) == [v3]
+    dirs = {os.path.basename(p) for p in glob.glob(os.path.join(target, "v*"))}
+    assert v1 in dirs and v2 not in dirs and v3 in dirs
+    # the kept manifest still resolves and references v1 dirs
+    m = _resolve_manifest(spark, target)
+    assert any(rel.startswith(v1) for rel in m["buckets"].values())
+    after = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert after == before and after[1] == "b3"
