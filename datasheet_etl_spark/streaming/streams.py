@@ -1056,7 +1056,10 @@ def _resolve_manifest(spark: SparkSession, target_dir: str) -> dict | None:
 
 
 def read_cdc_snapshot(
-    spark: SparkSession, target_dir: str, include_tombstones: bool = False
+    spark: SparkSession,
+    target_dir: str,
+    include_tombstones: bool = False,
+    version: str | None = None,
 ) -> DataFrame | None:
     """Current snapshot of a :func:`cdc_upsert_sink` target, or None if
     no version has committed yet. Readers resolve the ``_LATEST``
@@ -1069,9 +1072,24 @@ def read_cdc_snapshot(
     Bucketed targets resolve the committed manifest instead and read
     the union of its per-bucket dirs — a reader still sees exactly one
     committed version's worth of data, just assembled from dirs written
-    by several versions."""
+    by several versions.
+
+    ``version`` pins the read to a specific COMMITTED version (time
+    travel): versions are immutable until :func:`gc_cdc_target` sweeps
+    them, so a pinned read is reproducible for as long as the GC
+    retention keeps the version. A version that was never committed or
+    has been GC'd raises (not None — 'table missing' and 'version
+    missing' are different failures)."""
     if _is_bucketed_target(spark, target_dir):
-        manifest = _resolve_manifest(spark, target_dir)
+        if version is not None:
+            if version not in _committed_manifest_versions(spark, target_dir):
+                raise ValueError(
+                    f"version {version!r} is not committed in {target_dir} "
+                    "(never existed, or swept by gc_cdc_target)"
+                )
+            manifest = _read_manifest(spark, target_dir, version)
+        else:
+            manifest = _resolve_manifest(spark, target_dir)
         if manifest is None:
             return None
         if not manifest["buckets"]:
@@ -1092,7 +1110,14 @@ def read_cdc_snapshot(
             ]
             df = spark.read.parquet(*paths)
     else:
-        version = _resolve_version(spark, target_dir)
+        if version is not None:
+            if version not in _committed_versions(spark, target_dir):
+                raise ValueError(
+                    f"version {version!r} is not committed in {target_dir} "
+                    "(never existed, or swept by gc_cdc_target)"
+                )
+        else:
+            version = _resolve_version(spark, target_dir)
         if version is None:
             return None
         df = spark.read.parquet(f"{target_dir}/{version}")

@@ -1213,3 +1213,54 @@ def test_gc_cdc_target_bucketed_respects_manifest_reachability(spark, tmp_path):
     assert any(rel.startswith(v1) for rel in m["buckets"].values())
     after = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
     assert after == before and after[1] == "b3"
+
+
+def test_cdc_time_travel_read(spark, tmp_path):
+    """Version-pinned reads: a committed version stays readable (and
+    identical) after later commits, for BOTH layouts; a GC'd or
+    never-committed version raises rather than returning None."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_manifest_versions,
+        _committed_versions,
+        cdc_upsert_sink,
+        gc_cdc_target,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    for mode, buckets in (("flat", None), ("bucketed", 4)):
+        src = str(tmp_path / f"src_{mode}")
+        target = str(tmp_path / f"target_{mode}")
+        spark.createDataFrame([(1, 1, "I", "old")], schema).coalesce(
+            1
+        ).write.parquet(src)
+        spark.createDataFrame([(1, 2, "U", "new")], schema).coalesce(
+            1
+        ).write.parquet(src, mode="append")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+        )
+        cdc_upsert_sink(
+            stream, target, str(tmp_path / f"ck_{mode}"), keys=["k"],
+            seq_col="seq", num_buckets=buckets,
+        )
+        committed = (
+            _committed_manifest_versions(spark, target)
+            if buckets
+            else _committed_versions(spark, target)
+        )
+        v_old, v_new = committed[0], committed[-1]
+        assert read_cdc_snapshot(spark, target, version=v_old).first()["v"] == "old"
+        assert read_cdc_snapshot(spark, target, version=v_new).first()["v"] == "new"
+        assert read_cdc_snapshot(spark, target).first()["v"] == "new"
+        with _pytest.raises(ValueError, match="not committed"):
+            read_cdc_snapshot(spark, target, version="v9999999999")
+        gc_cdc_target(spark, target, keep_versions=1)
+        with _pytest.raises(ValueError, match="not committed"):
+            read_cdc_snapshot(spark, target, version=v_old)
+        assert read_cdc_snapshot(spark, target).first()["v"] == "new"
