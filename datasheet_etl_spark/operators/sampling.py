@@ -603,6 +603,26 @@ def mixture_waterfill(
     hash thresholds), and a ``saturated`` flag.
     """
     kl = list(key_cols)
+    # degenerate sources never enter the solve: weight ≤ 0/NULL means
+    # 'excluded from the mixture' (allocation 0), avail ≤ 0/NULL has
+    # nothing to give — and under ANSI mode either would otherwise
+    # crash the divisions below with DIVIDE_BY_ZERO
+    solvable_pred = (
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(avail_col).isNotNull()
+        & (F.col(avail_col) > 0)
+    )
+    degenerate = avail.filter(~solvable_pred).select(
+        *kl,
+        F.col(avail_col),
+        F.col(weight_col),
+        F.lit(0.0).alias("allocation"),
+        F.lit(0.0).alias("rate"),
+        # a zero-availability source trivially gives everything it has
+        F.coalesce(F.col(avail_col) <= 0, F.lit(False)).alias("saturated"),
+    )
+    avail = avail.filter(solvable_pred)
     ratio = (F.col(avail_col) / F.col(weight_col)).alias("_ratio")
     d = avail.select(*kl, avail_col, weight_col, ratio)
     # bounded table (one row per source): a single unpartitioned window
@@ -634,20 +654,31 @@ def mixture_waterfill(
         F.min("_lam_c").alias("_lam")
     )  # exactly one valid boundary; min() just collapses to one row
     out = d.crossJoin(F.broadcast(lam_row.select(F.coalesce("_lam", F.lit(None)).alias("_lam"))))
+    # a NULL λ is legitimate ONLY when the budget covers the whole
+    # availability (everything saturates). Any other no-valid-boundary
+    # state (e.g. adverse double rounding exactly on a saturation
+    # boundary) must FAIL LOUDLY, not silently allocate full
+    # availability and blow the budget: assert_true raises then.
+    lam_ok = F.col("_lam").isNotNull() | (
+        F.col("_tot_n") <= F.lit(budget) * (1 + 1e-12)
+    )
+    saturated = F.col("_lam").isNull() | (F.col("_ratio") <= F.col("_lam"))
     alloc = F.when(
-        F.col("_lam").isNull() | (F.col("_ratio") <= F.col("_lam")),
+        F.assert_true(
+            lam_ok, F.lit("mixture_waterfill: no valid λ boundary found")
+        ).isNull()
+        & saturated,
         F.col(avail_col).cast("double"),
     ).otherwise(
         # a non-positive budget yields a negative λ: clamp to zero
         F.greatest(F.lit(0.0), F.col("_lam") * F.col(weight_col))
     )
-    return out.select(
+    solved = out.select(
         *kl,
         F.col(avail_col),
         F.col(weight_col),
         F.round(alloc, 6).alias("allocation"),
         F.round(alloc / F.col(avail_col), 6).alias("rate"),
-        (F.col("_lam").isNull() | (F.col("_ratio") <= F.col("_lam"))).alias(
-            "saturated"
-        ),
+        saturated.alias("saturated"),
     )
+    return solved.unionByName(degenerate)

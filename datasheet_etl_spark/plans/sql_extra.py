@@ -2038,13 +2038,18 @@ def t83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by gram (never wider than the vocabulary), and the join
     back is partial-agg'd before the per-doc rollup — no pairwise
     term anywhere, so 100 TB cost is O(total distinct grams)."""
+    from datasheet_etl_spark.caching import scoped_persist
     from datasheet_etl_spark.operators.dedup import word_shingles
     from datasheet_etl_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), n=2)).alias("ng"),
+    # grams feeds BOTH the document-frequency agg and the join back —
+    # persist it so the corpus-wide tokenize/shingle/explode runs once
+    grams = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), n=2)).alias("ng"),
+        )
     )
     dfreq = grams.groupBy("ng").agg(F.count("*").alias("n_docs"))
     unique = F.sum((F.col("n_docs") == 1).cast("int"))

@@ -31,19 +31,52 @@ from datasheet_etl_spark.streaming import (
 from datasheet_etl_spark.streaming.streams import stream_interval_join
 
 
-def _copy_if_stale(src: str, dst: str) -> None:
-    # re-stage when the source was regenerated (the testdata is rebuilt
-    # between rounds, sometimes with a different parquet encoding — a
-    # stale copy here would silently pin the old encoding)
+def _source_files(src: str) -> list[str]:
     import os
 
-    st_src = os.stat(src)
-    if (
-        not os.path.exists(dst)
-        or os.stat(dst).st_size != st_src.st_size
-        or os.stat(dst).st_mtime < st_src.st_mtime
-    ):
-        shutil.copy2(src, dst)
+    if os.path.isdir(src):
+        return [
+            os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        ]
+    return [src]
+
+
+def _source_signature(src: str) -> str:
+    # identity of the CURRENT source generation: name+size+mtime of
+    # every part file. Spark rewrites produce fresh UUID part names, so
+    # add/refresh-by-name staging would leave ORPHANED old-generation
+    # parts beside the new ones and every streaming entry would quietly
+    # read the union of two generations — the signature forces a full
+    # wipe-and-restage whenever the source changed in any way.
+    import os
+
+    parts = []
+    for f in _source_files(src):
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def _stage_synced(d: str, signature: str, build) -> str:
+    """Wipe-and-rebuild staging dir ``d`` via ``build(d)`` whenever
+    ``signature`` differs from the recorded one; no-op when current."""
+    import os
+
+    sig_path = os.path.join(d, "_SRC_SIG")
+    try:
+        current = open(sig_path).read()
+    except OSError:
+        current = None
+    if current == signature:
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    build(d)
+    with open(sig_path, "w") as fh:
+        fh.write(signature)
+    return d
 
 
 def _stage_events(sf_dir: str) -> str:
@@ -54,16 +87,13 @@ def _stage_events(sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
-    os.makedirs(d, exist_ok=True)
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    if os.path.isdir(src):
-        # spark-written table: a directory of part files
-        for f in sorted(os.listdir(src)):
-            if f.endswith(".parquet"):
-                _copy_if_stale(os.path.join(src, f), os.path.join(d, f))
-    else:
-        _copy_if_stale(src, f"{d}/events.parquet")
-    return d
+
+    def build(dst_dir):
+        for f in _source_files(src):
+            shutil.copy2(f, os.path.join(dst_dir, os.path.basename(f)))
+
+    return _stage_synced(d, _source_signature(src), build)
 
 
 class _few_state_partitions:
@@ -372,14 +402,28 @@ def t81_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _stage_events_doubled(sf_dir: str) -> str:
     # every staged file twice → with maxFilesPerTrigger = half the file
-    # count, the re-deliveries land in a LATER micro-batch
+    # count, the re-deliveries land in a LATER micro-batch. The file
+    # source orders by MODIFICATION TIME, not name, so the b_ copies
+    # are explicitly utime'd one minute newer than every a_ copy —
+    # otherwise copy2's preserved per-part mtimes interleave the
+    # generations and "later micro-batch" silently stops being true
+    # for multi-part sources.
     import os
 
     d = _stage_events(sf_dir)
     dd = d + "_x2"
-    os.makedirs(dd, exist_ok=True)
-    for f in sorted(os.listdir(d)):
-        if f.endswith(".parquet"):
-            for tag in ("a", "b"):
-                _copy_if_stale(os.path.join(d, f), os.path.join(dd, f"{tag}_{f}"))
-    return dd
+
+    def build(dst_dir):
+        files = [f for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        now = None
+        for f in files:
+            src_f = os.path.join(d, f)
+            st = os.stat(src_f)
+            now = max(now or 0, st.st_mtime)
+            shutil.copy2(src_f, os.path.join(dst_dir, f"a_{f}"))
+        for f in files:
+            dst = os.path.join(dst_dir, f"b_{f}")
+            shutil.copy2(os.path.join(d, f), dst)
+            os.utime(dst, (now + 60, now + 60))
+
+    return _stage_synced(dd, _source_signature(d) + ":x2", build)

@@ -1560,9 +1560,11 @@ def gc_cdc_target(
     committed = _committed_versions(spark, target_dir)
     if len(committed) <= keep_versions:
         return 0
-    floor = committed[-keep_versions:][0]
+    # zero-padded names compare lexicographically == numerically, so
+    # 'strictly below the kept floor' is the whole invariant
+    floor = committed[-keep_versions]
     for d in version_dirs():
-        if d < floor and d not in committed[-keep_versions:]:
+        if d < floor:
             rm(f"{target_dir}/{d}", True)
             deleted += 1
     return deleted

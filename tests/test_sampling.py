@@ -538,6 +538,19 @@ def test_mixture_waterfill_invariants(spark):
     out = mixture_waterfill(avail, ["source"], "avail", "weight", 0.0).collect()
     assert all(r["allocation"] == 0.0 for r in out)
 
+    # degenerate sources must not crash (ANSI DIVIDE_BY_ZERO) and get 0:
+    # weight 0 = excluded from the mixture, avail 0 has nothing to give
+    avail2 = spark.createDataFrame(
+        [("wiki", 100, 4), ("excluded", 500, 0), ("empty", 0, 3)],
+        "source string, avail long, weight long",
+    )
+    out = {r["source"]: r for r in mixture_waterfill(
+        avail2, ["source"], "avail", "weight", 50.0
+    ).collect()}
+    assert out["excluded"]["allocation"] == 0.0 and not out["excluded"]["saturated"]
+    assert out["empty"]["allocation"] == 0.0 and out["empty"]["saturated"]
+    assert abs(out["wiki"]["allocation"] - 50.0) < 1e-6  # solve unaffected
+
 
 def test_waterfill_rate_feeds_weighted_sampler(spark, docs):
     """t82's docstring claim, executed: the waterfill ``rate`` plugs
