@@ -2063,3 +2063,97 @@ def t83_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t84_curation_audit",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN len(toks) >= 20 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN (CASE WHEN len(toks) > 0
+                            THEN length(array_to_string(toks, '')) / len(toks)
+                            ELSE 0.0 END) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
+               + CASE WHEN len(list_intersect(list_distinct(toks),
+                       ['the','and','of','to','in','is','that','for'])) >= 1
+                      THEN 0.25 ELSE 0.0 END
+               + CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                            ELSE 0.0 END) <= 0.1 THEN 0.25 ELSE 0.0 END
+               AS quality,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+      FROM t
+    ), gated AS (
+      SELECT *, n_chars < 100 AS fail_length,
+             quality < 0.75 AS fail_quality
+      FROM scored
+    ), rep AS (
+      SELECT fp, min(doc_id) AS rep_id FROM gated
+      WHERE NOT fail_length AND NOT fail_quality GROUP BY fp
+    )
+    SELECT g.doc_id, g.n_chars, CAST(round(g.quality, 6) AS DOUBLE) AS quality,
+           g.fail_length, g.fail_quality,
+           (NOT g.fail_length AND NOT g.fail_quality
+            AND g.doc_id <> rep.rep_id) AS is_dup,
+           CASE WHEN g.fail_length THEN 'length'
+                WHEN g.fail_quality THEN 'quality'
+                WHEN g.doc_id <> rep.rep_id THEN 'duplicate'
+                ELSE NULL END AS dropped_by,
+           (NOT g.fail_length AND NOT g.fail_quality
+            AND g.doc_id = rep.rep_id) AS kept
+    FROM gated g LEFT JOIN rep USING (fp)
+    ORDER BY g.doc_id
+    """,
+)
+def t84_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation decision PROVENANCE — the data-governance complement to
+    t19's aggregate curation: per document, which gate (length →
+    quality → exact-dup, in pipeline order) removed it and whether it
+    survived, so a data audit can answer 'why is doc X not in the
+    training set' without re-running the pipeline. Same gate
+    definitions as t19/t33 (thresholds 100 chars / 0.75 quality /
+    min-doc_id representative); one aggregate on the fingerprint key +
+    one join back — the audit costs one extra corpus pass, not one per
+    gate. ``dropped_by`` is NULL exactly when ``kept``."""
+    from datasheet_etl_spark.operators.text import fingerprint, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).select(
+        "*",
+        (F.col("n_chars") < 100).alias("fail_length"),
+        (F.col("quality") < 0.75).alias("fail_quality"),
+    )
+    rep = (
+        gated.filter(~F.col("fail_length") & ~F.col("fail_quality"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    eligible = ~F.col("fail_length") & ~F.col("fail_quality")
+    return (
+        gated.join(rep, "fp", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("quality", 6).alias("quality"),
+            "fail_length",
+            "fail_quality",
+            (eligible & (F.col("doc_id") != F.col("rep_id"))).alias("is_dup"),
+            F.when(F.col("fail_length"), "length")
+            .when(F.col("fail_quality"), "quality")
+            .when(F.col("doc_id") != F.col("rep_id"), "duplicate")
+            .alias("dropped_by"),
+            (eligible & (F.col("doc_id") == F.col("rep_id"))).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -259,3 +259,47 @@ def test_funnel_stages_matches_model(spark, rows):
                 exp.append(None)
                 alive = False
         assert got[k] == tuple(exp), (k, evs, got[k], exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # avail
+            st.integers(min_value=0, max_value=8),  # weight (0 = excluded)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.floats(min_value=0.0, max_value=50_000.0, allow_nan=False),
+)
+def test_mixture_waterfill_properties(spark, rows, budget):
+    """Solver invariants over random instances: 0 ≤ alloc ≤ avail
+    everywhere; total allocation == min(budget, solvable availability)
+    up to rounding; unsaturated solvable sources share a common λ;
+    degenerate (zero-weight/zero-avail) sources always allocate 0."""
+    from datasheet_etl_spark.operators.sampling import mixture_waterfill
+
+    avail = spark.createDataFrame(
+        [(f"s{i}", a, w) for i, (a, w) in enumerate(rows)],
+        "source string, avail long, weight long",
+    )
+    out = mixture_waterfill(avail, ["source"], "avail", "weight", budget).collect()
+    assert len(out) == len(rows)
+    by_src = {r["source"]: r for r in out}
+    solvable_total = sum(a for a, w in rows if a > 0 and w > 0)
+    total_alloc = 0.0
+    lams = []
+    for i, (a, w) in enumerate(rows):
+        r = by_src[f"s{i}"]
+        assert 0.0 <= r["allocation"] <= a + 1e-6
+        total_alloc += r["allocation"]
+        if a == 0 or w == 0:
+            assert r["allocation"] == 0.0
+        elif not r["saturated"]:
+            lams.append(r["allocation"] / w)
+    # rounding tolerance: each source rounds to 6dp
+    tol = 1e-5 * max(1, len(rows))
+    assert abs(total_alloc - min(budget, solvable_total)) <= tol + 1e-6
+    if len(lams) > 1:
+        assert max(lams) - min(lams) <= 1e-5
