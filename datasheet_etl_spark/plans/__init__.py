@@ -24,18 +24,18 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 # oracled. Round-7 rotation (VERDICT r6 next-round #2): the 6 oracled
 # round-6 additions (q45/q46/t74-t77) plus 4 never-driver-graded r5
 # residents (q39/t58/t69/t70) in; q04/q13/q15/q24/q32/q33/t18/t27/t30/
-# t34 out (idiom-superset rationales in DEMOTED).
+# t34 out. In-round promotions: t79 (GROUPED_AGG — VERDICT r6 ask #4)
+# and t80 (leakage-safe split) in; q21/q07 out (idiom-superset
+# rationales in DEMOTED).
 WINDOW: tuple[str, ...] = (
     "q01_scan_filter",
     "q03_regex_extract_cast",
     "q06_positional_join",
-    "q07_range_join",
     "q11_tpch_q1",
     "q14_dynamic_pivot",
     "q16_topk_per_group",
     "q18_sessionize",
     "q19_percentiles",
-    "q21_ranking_trio",
     "q25_array_ops",
     "q26_json_roundtrip",
     "q28_severity_ladder",
@@ -80,6 +80,11 @@ WINDOW: tuple[str, ...] = (
     "t58_cohort_retention",
     "t69_rolling_anomaly",
     "t70_dedup_rate_report",
+    # --- r7 in-round promotions: the GROUPED_AGG seam entry (VERDICT r6
+    # ask #4) and the leakage-safe split are driver-graded immediately
+    # rather than waiting a round ---
+    "t79_weighted_median_udaf",
+    "t80_leakage_safe_split",
 )
 
 
@@ -136,6 +141,9 @@ DEMOTED: tuple[str, ...] = (
     "t27_stratified_sample",  # per-stratum hash-rank sample graded inside q16 (row_number top-k per group) + t29 (md5-derived deterministic sampling family)
     "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q03's regexp strip + try_cast — same per-row regexp family
     "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t65_unigram_log_ppl (identical two-level agg shape)
+    # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
+    "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside q16's row_number top-k (same partition/order machinery)
+    "q07_range_join",  # range-containment predicate join graded inside t41's stream-stream interval join (same range predicate through the strictly-stronger watermarked streaming path) + t74's as-of alignment
 )
 
 

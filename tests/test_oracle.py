@@ -61,5 +61,7 @@ def test_graded_window_contract():
         "t77_streaming_cdc_apply", "q39_recursive_cte",
         "t58_cohort_retention", "t69_rolling_anomaly",
         "t70_dedup_rate_report",
+        # in-round promotions (VERDICT r6 ask #4 + the new split op)
+        "t79_weighted_median_udaf", "t80_leakage_safe_split",
     }
     assert r7_entries <= set(first50)
