@@ -2048,3 +2048,71 @@ def t72_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     ).orderBy("probe_id", "rank")
+
+
+@register(
+    "t85_contamination_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS ng FROM t WHERE len(toks) >= 2
+    ), e AS (
+      SELECT DISTINCT ng FROM s WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT s.doc_id, count(DISTINCT s.ng) AS n_hit
+      FROM s JOIN e ON s.ng = e.ng
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id
+    ), train_docs AS (
+      SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(n_hit, 0) >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN coalesce(n_hit, 0) >= 3 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS contamination_rate,
+           CAST(sum(coalesce(n_hit, 0)) AS BIGINT) AS total_hit_grams
+    FROM train_docs LEFT JOIN hits USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def t85_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination report — the governance
+    rollup OVER t32's per-doc decontamination probe: which corpus
+    source is leaking eval data, at what rate (docs sharing ≥3
+    distinct bigrams with the holdout), and how intensely (total hit
+    grams). This is the number that decides whether a source gets
+    dropped, filtered, or renegotiated — t32 removes contaminated
+    docs, this explains where they came from. Same broadcast-probe
+    scan as t32 plus one LEFT join back to the (doc, source) roster —
+    zero-hit docs must count in the denominator, which the hits-only
+    t32 output cannot do alone."""
+    from datasheet_etl_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    holdout = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = decontaminate(train, holdout, n=2).withColumnRenamed(
+        "n_hit_grams", "n_hit"
+    )
+    contaminated = F.sum(
+        (F.coalesce(F.col("n_hit"), F.lit(0)) >= 3).cast("int")
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            contaminated.cast("long").alias("n_contaminated"),
+            F.round(contaminated / F.count("*"), 6).alias(
+                "contamination_rate"
+            ),
+            F.sum(F.coalesce(F.col("n_hit"), F.lit(0)))
+            .cast("long")
+            .alias("total_hit_grams"),
+        )
+        .orderBy("source")
+    )
