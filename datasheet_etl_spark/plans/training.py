@@ -124,7 +124,15 @@ def t04_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → 64-perm signature → 16
     banded buckets → candidate join → exact-Jaccard verify ≥ 0.5).
-    Agreement with t04's exact pairs is asserted in tests."""
+    Agreement with t04's exact pairs is asserted in tests.
+
+    Oracle impossibility note: the signatures are min() over affine
+    permutations of Spark's ``xxhash64`` (seed 42) — DuckDB has no
+    xxHash64, so no SQL oracle can reproduce the signature values or
+    the banded candidate set. The verified-pair OUTPUT after the exact
+    Jaccard check is hash-dependent too (recall < 1 by design). The
+    pinned recall-vs-exact test against t04's oracled exact pairs is
+    the strongest available cross-check; deliberately rows-only."""
     docs = _docs(spark, sf_dir)
     return minhash_dedup_pairs(
         docs, num_perm=64, bands=16, threshold=0.5, shingle_n=2
@@ -134,7 +142,12 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("t03_dedup_simhash")  # rows-only: xxhash64-based fingerprints
 def t03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit majority-vote fingerprint, 16-bit
-    chunk banding, Hamming ≤ 8 verify."""
+    chunk banding, Hamming ≤ 8 verify.
+
+    Oracle impossibility note: fingerprint bits are majority votes over
+    ``xxhash64`` shingle hashes — unreproducible in DuckDB (no
+    xxHash64); rows-only with the clone/near-dup behavioral pytest as
+    the cross-check (same reasoning as t02)."""
     docs = _docs(spark, sf_dir)
     return simhash_dedup_pairs(docs, max_hamming=8)
 
