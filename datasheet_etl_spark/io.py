@@ -296,6 +296,39 @@ def read_json_lenient(
     )
 
 
+def read_csv_lenient(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    sep: str = ",",
+):
+    """CSV sibling of :func:`read_json_lenient`: schema-enforced
+    delimited read that quarantines malformed lines instead of
+    dropping or failing — same text-scan + ``from_csv`` construction,
+    for the same reason (the native source's corrupt-column
+    restrictions), same ``split_corrupt`` downstream contract. Input
+    is headerless; strip the header upstream or pass it through as one
+    quarantined row."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.from_csv(
+                F.col("value"),
+                full,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": corrupt_col,
+                    "sep": sep,
+                },
+            ).alias("_c")
+        )
+        .select("_c.*")
+    )
+
+
 def split_corrupt(df, corrupt_col: str = "_corrupt_record"):
     """(clean_rows_without_the_corrupt_col, quarantine_rows) from a
     lenient read. Spark leaves every schema field NULL on a corrupt

@@ -2157,3 +2157,65 @@ def t84_curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t86_csv_lenient_ingest",
+    """
+    SELECT * FROM (
+      SELECT event_type AS kind, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_id % 53 <> 0 GROUP BY event_type
+      UNION ALL
+      SELECT '_corrupt' AS kind, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_id % 53 = 0
+    ) ORDER BY kind
+    """,
+)
+def t86_csv_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient delimited ingest (S10's inverse — raw CSV/TSV logs into
+    the engine): the events table is staged as headerless CSV with a
+    deterministic 1-in-53 slice made unparseable (non-numeric id), then
+    read back through ``io.read_csv_lenient`` — PERMISSIVE parse, the
+    malformed lines quarantined verbatim rather than dropped
+    (DROPMALFORMED silently shrinks a 100 TB ingest) or fatal
+    (FAILFAST kills it). The oracle recomputes both populations from
+    the clean events view, so the graded claim is exactly 'every clean
+    line parsed, every corrupted line quarantined, nothing lost'."""
+    import os
+
+    from datasheet_etl_spark.io import read_csv_lenient, split_corrupt
+    from datasheet_etl_spark.plans.training import _staged_path
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ok_line = F.concat_ws(",", "event_id", "user_id", "event_type")
+    bad_line = F.concat_ws(
+        ",", F.concat(F.lit("X"), F.col("event_id")), "user_id", "event_type"
+    )
+
+    def build(path):
+        e.select(
+            F.when(F.col("event_id") % 53 == 0, bad_line)
+            .otherwise(ok_line)
+            .alias("value")
+        ).coalesce(1).write.text(os.path.join(path, "csv"))
+
+    work = _staged_path(sf_dir, "events.parquet", "csv_lenient", build)
+    df = read_csv_lenient(
+        spark,
+        os.path.join(work, "csv"),
+        "event_id bigint, user_id bigint, event_type string",
+    )
+    clean, bad = split_corrupt(df)
+    per_type = clean.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    quarantined = bad.agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("_corrupt").alias("kind"), "n"
+    )
+    return (
+        per_type.select(F.col("event_type").alias("kind"), "n")
+        .unionByName(quarantined)
+        .orderBy("kind")
+    )
