@@ -281,18 +281,16 @@ def read_json_lenient(
     line verbatim. Blank lines are dropped to match the native JSON
     reader's behavior.
     """
-    full = f"{schema}, {corrupt_col} string"
-    return (
-        spark.read.text(path)
-        .filter(F.trim("value") != "")
-        .select(
-            F.from_json(
-                F.col("value"),
-                full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-            ).alias("_j")
-        )
-        .select("_j.*")
+    return _read_lenient(
+        spark,
+        path,
+        lambda value, full: F.from_json(
+            value,
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
+        schema,
+        corrupt_col,
     )
 
 
@@ -305,34 +303,49 @@ def read_csv_lenient(
 ):
     """CSV sibling of :func:`read_json_lenient`: schema-enforced
     delimited read that quarantines malformed lines instead of
-    dropping or failing — same text-scan + ``from_csv`` construction,
-    for the same reason (the native source's corrupt-column
-    restrictions), same ``split_corrupt`` downstream contract. Input
-    is headerless; strip the header upstream or pass it through as one
-    quarantined row."""
+    dropping or failing — same text-scan construction (via the shared
+    ``_read_lenient`` scaffold), for the same reason (the native
+    source's corrupt-column restrictions), same ``split_corrupt``
+    downstream contract. Input is headerless; strip the header
+    upstream or pass it through as one quarantined row."""
+    return _read_lenient(
+        spark,
+        path,
+        lambda value, full: F.from_csv(
+            value,
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": corrupt_col,
+                "sep": sep,
+            },
+        ),
+        schema,
+        corrupt_col,
+    )
+
+
+def _read_lenient(spark, path, parse, schema: str, corrupt_col: str):
+    # one scaffold for every lenient text-format reader: augment the
+    # schema with the corrupt column, scan as text, drop blank lines,
+    # parse, star-expand — so a fix here (e.g. multiline support)
+    # reaches json and csv alike
     full = f"{schema}, {corrupt_col} string"
     return (
         spark.read.text(path)
         .filter(F.trim("value") != "")
-        .select(
-            F.from_csv(
-                F.col("value"),
-                full,
-                {
-                    "mode": "PERMISSIVE",
-                    "columnNameOfCorruptRecord": corrupt_col,
-                    "sep": sep,
-                },
-            ).alias("_c")
-        )
-        .select("_c.*")
+        .select(parse(F.col("value"), full).alias("_p"))
+        .select("_p.*")
     )
 
 
 def split_corrupt(df, corrupt_col: str = "_corrupt_record"):
     """(clean_rows_without_the_corrupt_col, quarantine_rows) from a
-    lenient read. Spark leaves every schema field NULL on a corrupt
-    row, so the corrupt column itself is the discriminator."""
+    lenient read. The corrupt column alone is the discriminator — do
+    NOT infer cleanliness from schema fields: from_json leaves every
+    schema field NULL on a corrupt row, but from_csv keeps the
+    partially-parsed prefix (e.g. an extra-token line parses its first
+    N fields AND sets the corrupt column)."""
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return clean, bad

@@ -2199,7 +2199,7 @@ def t86_csv_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_id") % 53 == 0, bad_line)
             .otherwise(ok_line)
             .alias("value")
-        ).coalesce(1).write.text(os.path.join(path, "csv"))
+        ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "csv"))
 
     work = _staged_path(sf_dir, "events.parquet", "csv_lenient", build)
     df = read_csv_lenient(
