@@ -15,6 +15,8 @@ corpus size. Deterministic: xxhash64 is a fixed function of the input.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -144,3 +146,41 @@ def kmv_set_estimates(sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256) ->
         "jaccard": (inter / union) if union else 0.0,
         "theta": theta,
     }
+
+
+def hll_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key HLL distinct sketches as MERGEABLE binary columns — the
+    t73 incremental-maintenance pattern applied to COUNT DISTINCT (the
+    most common 100 TB metric, and the one a mergeable-rollup (n, sum,
+    min, max) tuple cannot carry): each ingest shard aggregates its own
+    kilobyte-scale sketch, the nightly job unions sketches WITHOUT
+    re-reading any corpus, and the estimate is Spark's Apache
+    DataSketches HLL (``hll_sketch_agg``), identical whether built in
+    one pass or merged from any shard partition. ``lg_k=12`` → 2^12
+    registers ≈ 1.6% relative standard error in ~4 KB per key."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_merge(*partials: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Union per-key HLL partials from any number of shards into one
+    sketch per key (``hll_union_agg``) — associative and commutative,
+    so any merge tree gives the same sketch state."""
+    from functools import reduce
+
+    kl = list(keys)
+    u = reduce(lambda a, b: a.unionByName(b), partials)
+    return u.groupBy(*kl).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def hll_estimate(sketches: DataFrame, out_col: str = "n_distinct") -> DataFrame:
+    """Per-key distinct estimates from stored sketch binaries."""
+    return sketches.withColumn(out_col, F.hll_sketch_estimate("hll")).drop(
+        "hll"
+    )

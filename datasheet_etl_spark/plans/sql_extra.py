@@ -2219,3 +2219,40 @@ def t86_csv_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quarantined)
         .orderBy("kind")
     )
+
+
+@register("t87_incremental_distinct_hll")  # sketch binaries are engine-specific → rows-only
+def t87_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained COUNT DISTINCT: per-source distinct-user
+    estimates assembled by UNIONING two independently-built shard
+    sketches (events split by event_id parity — in production,
+    yesterday's stored sketch + today's shard) through
+    ``sketches.hll_partials`` / ``hll_merge`` — the t73 mergeable-
+    partials pattern for the metric its (n, sum, min, max) tuples
+    can't carry. The corpus is never re-read at merge time; sketch
+    state is ~4 KB/key at any corpus size.
+
+    Oracle impossibility note: the estimate is Apache DataSketches HLL
+    register state — DuckB's approx_count_distinct uses a different
+    sketch, so no cross-engine value oracle exists. Rows-only; the
+    strong invariants are pytest-pinned instead
+    (tests/test_sketches.py): merged-estimate == one-pass-estimate
+    EXACTLY for every key and any merge order, and estimates within
+    3σ (≈5%) of exact distinct counts."""
+    from datasheet_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partials,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    shard_a = hll_partials(
+        e.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id"
+    )
+    shard_b = hll_partials(
+        e.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id"
+    )
+    merged = hll_merge(shard_a, shard_b, keys=["event_type"])
+    return hll_estimate(merged).orderBy("event_type")

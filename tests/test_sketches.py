@@ -86,3 +86,48 @@ def test_kmv_set_estimates_error_bound(spark):
     for key, exact in truth.items():
         assert abs(est[key] - exact) / exact < 0.25, (key, est[key], exact)
     assert abs(est["jaccard"] - 30_000 / 90_000) < 0.08
+
+
+def test_hll_merge_equals_one_pass_and_tracks_exact(spark):
+    """The t87 contract: unioning independently-built shard sketches
+    yields EXACTLY the one-pass sketch's estimate for every key, in
+    any merge order; estimates track exact distincts within the HLL
+    error bound (lg_k=12 → ~1.6% rse, allow 3σ)."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partials,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    shards = [
+        hll_partials(e.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id")
+        for i in range(3)
+    ]
+    one_pass = {
+        r["event_type"]: r["n_distinct"]
+        for r in hll_estimate(hll_partials(e, ["event_type"], "user_id")).collect()
+    }
+    merged = {
+        r["event_type"]: r["n_distinct"]
+        for r in hll_estimate(hll_merge(*shards, keys=["event_type"])).collect()
+    }
+    # reversed merge order must agree too (associativity/commutativity)
+    merged_rev = {
+        r["event_type"]: r["n_distinct"]
+        for r in hll_estimate(
+            hll_merge(*reversed(shards), keys=["event_type"])
+        ).collect()
+    }
+    assert merged == one_pass == merged_rev
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
