@@ -184,3 +184,119 @@ def hll_estimate(sketches: DataFrame, out_col: str = "n_distinct") -> DataFrame:
     return sketches.withColumn(out_col, F.hll_sketch_estimate("hll")).drop(
         "hll"
     )
+
+
+# --- Mergeable equi-width histogram (quantile sketch) -----------------
+#
+# The quantile counterpart to the HLL family above: once the value
+# FRAME (lo, hi, bins) is fixed, per-bin counts are plain additive
+# integers — shards aggregate their own kilobyte-scale bin vectors,
+# merges are a sum, and any merge tree yields the histogram of the
+# union exactly (unlike t-digest/KLL, whose merged state is
+# order-dependent). Quantile estimates are read off the cumulative
+# counts with one-bin-width resolution. Fixing the frame up front is
+# the documented tradeoff that buys exact mergeability: values outside
+# [lo, hi] clamp into the edge bins.
+#
+# Scale shape: the partial pass is a map-side-combined
+# groupBy(keys, bin).count() — at most keys × bins rows ever shuffle,
+# independent of corpus size; the frame pass is a 1-row min/max
+# aggregate. Deterministic: bin assignment is pure IEEE double
+# arithmetic on exact min/max, reproducible across engines (t88's
+# DuckDB oracle replays the identical expressions).
+
+
+def hist_frame(df: DataFrame, col: str) -> tuple[float, float]:
+    """The fixed value frame (min, max) the histogram family requires —
+    one aggregate pass, a single collected row (bounded)."""
+    row = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).first()
+    if row["lo"] is None:
+        raise ValueError(f"hist_frame: column {col!r} has no non-NULL values")
+    return float(row["lo"]), float(row["hi"])
+
+
+def _bin_col(col: str, lo: float, hi: float, bins: int) -> "F.Column":
+    # degenerate frame (all values equal): every value lands in bin 0
+    # rather than dividing by a zero width (ANSI-safe by construction)
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    # clamp: x == hi (or float round-up) → last bin; x < lo → bin 0
+    return F.greatest(
+        F.least(raw, F.lit(bins - 1).cast("long")), F.lit(0).cast("long")
+    )
+
+
+def hist_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Per-key per-bin counts for one shard — the mergeable partial.
+    NULLs are excluded (no bin can represent them; callers wanting a
+    NULL tally should count them separately, as profile.py does)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, _bin_col(col, lo, hi, bins).alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def hist_merge(*partials: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Sum per-(key, bin) counts across shards — associative,
+    commutative, and EXACT: the merged histogram equals the one-pass
+    histogram of the unioned input bit-for-bit."""
+    from functools import reduce
+
+    kl = [*keys, "bin"]
+    u = reduce(lambda a, b: a.unionByName(b), partials)
+    return u.groupBy(*kl).agg(F.sum("n").cast("long").alias("n"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Per-key quantile estimates from a (merged) histogram: for each
+    q, the LOWER EDGE of the first bin whose cumulative count reaches
+    q × total — resolution is one bin width. All window/agg work runs
+    over keys × bins rows (kilobytes), never the corpus."""
+    from pyspark.sql import Window
+
+    kl = list(keys)
+    w = (
+        Window.partitionBy(*kl)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *kl,
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy(*kl)).alias("total"),
+    )
+    q_df = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    width = (hi - lo) / bins if hi > lo else 0.0
+    return (
+        cum.crossJoin(F.broadcast(q_df))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy(*kl, "q")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            *kl,
+            "q",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("est"),
+        )
+    )

@@ -2256,3 +2256,81 @@ def t87_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = hll_merge(shard_a, shard_b, keys=["event_type"])
     return hll_estimate(merged).orderBy("event_type")
+
+
+@register(
+    "t88_mergeable_quantile_hist",
+    """
+    WITH frame AS (
+      SELECT min(value) AS lo, max(value) AS hi
+      FROM events WHERE value IS NOT NULL
+    ), binned AS (
+      SELECT e.event_type,
+             CAST(greatest(least(
+               floor((e.value - f.lo) / ((f.hi - f.lo) / 64.0)), 63.0), 0.0)
+               AS BIGINT) AS bin
+      FROM events e, frame f WHERE e.value IS NOT NULL
+    ), counts AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM counts
+    ), qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    pick AS (
+      SELECT event_type, q, min(bin) AS bin
+      FROM cum, qs WHERE cum >= q * total GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.q,
+           CAST(round(f.lo + p.bin * ((f.hi - f.lo) / 64.0), 6) AS DOUBLE)
+             AS est
+    FROM pick p, frame f
+    ORDER BY p.event_type, p.q
+    """,
+)
+def t88_mergeable_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained QUANTILES — the t87 shard-sketch
+    lifecycle for the other metric mergeable (n, sum, min, max)
+    partials can't carry: per-event-type p50/p90/p99 of ``value``
+    assembled by SUMMING two independently-built equi-width histogram
+    shards (events split by event_id parity — in production,
+    yesterday's stored bin vector + today's shard) through
+    ``sketches.hist_partials`` / ``hist_merge`` / ``hist_quantiles``.
+    Unlike t-digest/KLL the merged state is EXACTLY the one-pass
+    state (bin counts are additive integers), so — unlike t87's HLL —
+    a cross-engine DuckDB oracle exists: bin assignment is pure IEEE
+    double arithmetic on the exact global min/max, replayed verbatim
+    in the oracle SQL. Resolution is one bin width (frame fixed up
+    front — the tradeoff that buys exact mergeability); at most
+    keys × 64 rows ever shuffle, independent of corpus size.
+    Merge-invariance and accuracy-vs-exact are pinned in
+    tests/test_sketches.py."""
+    from datasheet_etl_spark.operators.sketches import (
+        hist_frame,
+        hist_merge,
+        hist_partials,
+        hist_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    lo, hi = hist_frame(e, "value")
+    shard_a = hist_partials(
+        e.filter(F.col("event_id") % 2 == 0), ["event_type"], "value", lo, hi
+    )
+    shard_b = hist_partials(
+        e.filter(F.col("event_id") % 2 == 1), ["event_type"], "value", lo, hi
+    )
+    merged = hist_merge(shard_a, shard_b, keys=["event_type"])
+    return (
+        hist_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99], lo, hi)
+        .select(
+            "event_type",
+            "q",
+            F.round("est", 6).cast("double").alias("est"),
+        )
+        .orderBy("event_type", "q")
+    )

@@ -131,3 +131,87 @@ def test_hll_merge_equals_one_pass_and_tracks_exact(spark):
     }
     for k, est in merged.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_hist_merge_equals_one_pass_any_order(spark):
+    """merge(shards) == one-pass histogram EXACTLY, for a 3-way split
+    and both merge orders — bin counts are additive integers, so
+    unlike HLL the equality is bit-exact, not register-state-exact."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sketches import (
+        hist_frame,
+        hist_merge,
+        hist_partials,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    lo, hi = hist_frame(e, "value")
+    shards = [
+        hist_partials(
+            e.filter(F.col("event_id") % 3 == r), ["event_type"], "value", lo, hi
+        )
+        for r in range(3)
+    ]
+    one_pass = hist_partials(e, ["event_type"], "value", lo, hi)
+
+    def rows(df):
+        return sorted(
+            (r["event_type"], r["bin"], r["n"]) for r in df.collect()
+        )
+
+    expected = rows(one_pass)
+    assert rows(hist_merge(*shards, keys=["event_type"])) == expected
+    assert rows(hist_merge(*reversed(shards), keys=["event_type"])) == expected
+
+
+def test_hist_quantiles_within_one_bin_width(spark):
+    """Estimates are the lower edge of the selected bin: each is within
+    one bin width of the exact percentile (percentile_cont on the raw
+    values), for every (event_type, q)."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sketches import (
+        hist_frame,
+        hist_partials,
+        hist_quantiles,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    lo, hi = hist_frame(e, "value")
+    bins = 64
+    width = (hi - lo) / bins
+    hist = hist_partials(e, ["event_type"], "value", lo, hi, bins)
+    est = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in hist_quantiles(
+            hist, ["event_type"], [0.5, 0.9], lo, hi, bins
+        ).collect()
+    }
+    exact = {
+        (r["event_type"], q): r[f"p{int(q * 100)}"]
+        for r in e.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+        for q in (0.5, 0.9)
+    }
+    assert est.keys() == exact.keys()
+    for k, v in est.items():
+        assert abs(v - exact[k]) <= width + 1e-9, (k, v, exact[k], width)
+
+
+def test_hist_degenerate_frame_single_bin(spark):
+    """All-equal values: no zero-width division; everything in bin 0
+    and every quantile is the (single) value."""
+    from datasheet_etl_spark.operators.sketches import (
+        hist_partials,
+        hist_quantiles,
+    )
+
+    df = spark.createDataFrame([(1, 7.0)] * 5, "k int, v double")
+    hist = hist_partials(df, ["k"], "v", 7.0, 7.0)
+    rows = hist.collect()
+    assert [(r["bin"], r["n"]) for r in rows] == [(0, 5)]
+    qs = hist_quantiles(hist, ["k"], [0.5, 0.99], 7.0, 7.0).collect()
+    assert all(r["est"] == 7.0 for r in qs)
