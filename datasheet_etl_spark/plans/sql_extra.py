@@ -2334,3 +2334,67 @@ def t88_mergeable_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+@register(
+    "t89_schema_evolution_at_rest",
+    """
+    SELECT coalesce(CASE WHEN event_id % 2 = 1 THEN event_type END,
+                    '_pre_evolution') AS kind,
+           CAST(count(*) AS BIGINT) AS n,
+           """
+    + sql_dsum("value")
+    + """ AS sum_value,
+           CAST(count(CASE WHEN event_id % 2 = 1 THEN event_type END)
+                AS BIGINT) AS n_with_type
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def t89_schema_evolution_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AT-REST schema evolution — q45's UNION BY NAME concern pushed
+    down to the parquet scan, where a 100 TB table actually evolves: an
+    old partition written before a column existed (``event_id, value``)
+    and a new partition written after (``+ event_type``) are read as
+    ONE table via ``mergeSchema=true``; the missing column surfaces as
+    NULL exactly where the footer lacks it. The aggregate proves no
+    row is lost or mistyped across the boundary (decimal-exact sums
+    per evolved/pre-evolution population).
+
+    Scale note: ``mergeSchema`` reconciles footers at PLANNING time —
+    cost grows with file count, not data size; production tables
+    should pin the merged schema in a metastore (or pass an explicit
+    schema) once evolution settles, which this reader supports by
+    construction (the scan takes any superset schema). The staged
+    fixture is rebuilt only when the source parquet changes
+    (``_staged_path``)."""
+    import os
+
+    from datasheet_etl_spark.io import read_parquet_evolved
+    from datasheet_etl_spark.plans.training import _staged_path
+
+    e = load_table(spark, sf_dir, "events")
+
+    def build(path):
+        e.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "value"
+        ).write.mode("overwrite").parquet(os.path.join(path, "v1"))
+        e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(os.path.join(path, "v2"))
+
+    work = _staged_path(sf_dir, "events.parquet", "schema_evo", build)
+    merged = read_parquet_evolved(
+        spark, os.path.join(work, "v1"), os.path.join(work, "v2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("event_type", F.lit("_pre_evolution")).alias("kind")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+            F.count("event_type").cast("long").alias("n_with_type"),
+        )
+        .orderBy("kind")
+    )
