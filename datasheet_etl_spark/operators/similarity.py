@@ -995,3 +995,62 @@ def mmr_select(
         pd.DataFrame(out, columns=[probe_id, id_col, "mmr_rank", "cos_sim"]),
         schema,
     )
+
+
+# --- Per-dimension feature scaling (train-prep normalization) ---------
+
+
+def feature_frame(df: DataFrame, col: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) of an ``array<float>`` embedding column
+    across the corpus — the fixed frame min-max scaling needs, computed
+    once and shipped to the scaler as plain literals.
+
+    Scale shape: posexplode fans out to n × dim rows but the
+    groupBy(dim) partial-aggregates to dim rows PER PARTITION before
+    the shuffle (map-side combine), so only numPartitions × dim tiny
+    rows ever move; the collect is dim rows (bounded, like the IVF
+    centroid pulls above). Ragged inputs surface here as a dim-count
+    mismatch rather than silently mis-scaling."""
+    rows = (
+        df.select(F.posexplode(col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"feature_frame: no non-empty arrays in {col!r}")
+    dims = [r["dim"] for r in rows]
+    if dims != list(range(len(dims))):
+        raise ValueError(f"feature_frame: non-contiguous dims {dims[:5]}…")
+    return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
+
+
+def scale_features(
+    df: DataFrame,
+    col: str,
+    lo: "list[float]",
+    hi: "list[float]",
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Min-max scale every dimension into [0, 1] — MAP-ONLY: the frame
+    rides along as two array literals and the per-element transform is
+    a JVM higher-order function, so the corpus pass adds zero shuffles
+    (the one shuffle in the lifecycle is feature_frame's dim-partial
+    agg). Constant dimensions (hi == lo) map to 0.5 rather than
+    dividing by a zero width. Arithmetic is double-widened (float
+    elements promote against the double literals), reproducible across
+    engines — t90's DuckDB oracle replays the identical expressions."""
+    if len(lo) != len(hi):
+        raise ValueError("scale_features: lo/hi length mismatch")
+    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+    hi_arr = F.array(*[F.lit(float(v)) for v in hi])
+
+    def scale(x, i):
+        lo_i = F.element_at(lo_arr, i + 1)
+        hi_i = F.element_at(hi_arr, i + 1)
+        return F.when(hi_i == lo_i, F.lit(0.5)).otherwise(
+            (x - lo_i) / (hi_i - lo_i)
+        )
+
+    return df.withColumn(out_col, F.transform(F.col(col), scale))

@@ -2398,3 +2398,66 @@ def t89_schema_evolution_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "t90_feature_scale",
+    """
+    WITH el AS (
+      SELECT vec_id, label, unnest(embedding) AS x,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS dim
+      FROM embeddings
+    ), stats AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM el GROUP BY dim
+    ), scaled AS (
+      SELECT e.vec_id, e.label,
+             CASE WHEN s.hi = s.lo THEN 0.5
+                  ELSE (CAST(e.x AS DOUBLE) - CAST(s.lo AS DOUBLE))
+                       / (CAST(s.hi AS DOUBLE) - CAST(s.lo AS DOUBLE))
+             END AS sx
+      FROM el e JOIN stats s USING (dim)
+    )
+    SELECT vec_id, label,
+           CAST(round(CAST(sum(CAST(sx AS DECIMAL(18,9))) AS DOUBLE)
+                      / count(*), 6) AS DOUBLE) AS mean_scaled,
+           CAST(round(min(sx), 6) AS DOUBLE) AS min_scaled,
+           CAST(round(max(sx), 6) AS DOUBLE) AS max_scaled
+    FROM scaled GROUP BY vec_id, label ORDER BY vec_id
+    """,
+)
+def t90_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max feature scaling — the train-prep
+    normalization step upstream of t35's quantization (quantize wants
+    bounded inputs) and any distance-based op: a one-shuffle stats
+    pass fixes the per-dim frame (``similarity.feature_frame``), then
+    the corpus pass is MAP-ONLY — the frame rides along as array
+    literals and the per-element rescale is a JVM higher-order
+    ``transform`` (``scale_features``), so scaling 100 TB of vectors
+    adds zero shuffles and no Python. Per-vector audit stats come off
+    the scaled array in the same pass (decimal-exact mean, the t65
+    summation pattern, so the result is partitioning-independent);
+    the oracle replays the identical double arithmetic over unnested
+    rows. Constant dims map to 0.5 (no zero-width division, ANSI-safe).
+    """
+    from datasheet_etl_spark.operators.similarity import (
+        feature_frame,
+        scale_features,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = feature_frame(emb, "embedding")
+    scaled = scale_features(emb, "embedding", lo, hi)
+    dec_sum = F.aggregate(
+        F.col("scaled"),
+        F.lit(0).cast("decimal(18,9)"),
+        lambda a, x: (a + x.cast("decimal(18,9)")).cast("decimal(18,9)"),
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        F.round(dec_sum.cast("double") / F.size("scaled"), 6).alias(
+            "mean_scaled"
+        ),
+        F.round(F.array_min("scaled"), 6).alias("min_scaled"),
+        F.round(F.array_max("scaled"), 6).alias("max_scaled"),
+    ).orderBy("vec_id")

@@ -180,3 +180,27 @@ def test_variant_at_rest_round_trip(spark, tmp_path):
         F.try_variant_get("pv", "$.k", "bigint").alias("k")
     )._jdf.queryExecution().executedPlan().toString()
     assert "parse_json" not in plan.lower()  # extraction, no re-parse
+
+
+def test_orc_scan_pushes_predicates_and_prunes_columns(spark, tmp_path):
+    """ORC is the 'other columnar' option write_table documents — prove
+    it keeps the two scan levers that make columnar worth it at scale:
+    the filter reaches the ORC reader (PushedFilters) and the projection
+    prunes to the selected columns."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table, read_table, write_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    write_table(src, path, "orc")
+    q = (
+        read_table(spark, path, "orc")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "value")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan, plan[:900]
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan

@@ -493,3 +493,26 @@ def test_t80_leakage_split_one_window_shuffle_map_side_case(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
     assert "Join" not in plan, plan[:800]
+
+
+def test_scale_features_corpus_pass_is_map_only(spark):
+    """scale_features: the frame rides as literals, so the scaled
+    corpus pass plans with NO Exchange and no Python stage — the
+    t90 100 TB claim (one shuffle in the lifecycle, and it's the
+    dim-stats pass, not this one)."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.similarity import (
+        feature_frame,
+        scale_features,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    lo, hi = feature_frame(emb, "embedding")
+    plan = (
+        scale_features(emb, "embedding", lo, hi)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # JVM higher-order transform, no UDF

