@@ -1036,6 +1036,46 @@ def _is_bucketed_target(spark: SparkSession, target_dir: str) -> bool:
     return fs.exists(hpath)
 
 
+def _checkpoint_has_commits(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True when a streaming checkpoint records at least one COMMITTED
+    micro-batch (a ``commits/<n>`` file) — i.e. Spark will treat that
+    input as already delivered on restart."""
+    fs, _, jvm = _hadoop_fs(spark, checkpoint_dir)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/commits/*")
+    )
+    return any(
+        st.getPath().getName().isdigit() for st in (statuses or [])
+    )
+
+
+def _guard_orphaned_checkpoint(
+    spark: SparkSession, target_dir: str, checkpoint_dir: str
+) -> None:
+    """The checkpoint/target pair must live and die TOGETHER: a
+    checkpoint that outlives its target (target deleted or recreated,
+    checkpoint kept) makes the restarted stream skip every
+    already-committed batch — the rebuilt target would stay empty
+    FOREVER with no error anywhere. Refuse loudly instead. Clearing
+    the checkpoint is always the safe rebuild path here: with no
+    surviving snapshot there is no stale-seq state to protect, and
+    replaying the full changelog into an empty target is exactly the
+    rebuild the user wants."""
+    if not _checkpoint_has_commits(spark, checkpoint_dir):
+        return
+    if _resolve_version(spark, target_dir) is None and (
+        _resolve_manifest(spark, target_dir) is None
+    ):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} records committed batches but "
+            f"target {target_dir} has no committed version — the target "
+            "was deleted or recreated out from under its checkpoint. "
+            "Restarting now would silently skip all replay. Delete the "
+            "checkpoint directory too (the full changelog then rebuilds "
+            "the target), or restore the target from backup/GC grace."
+        )
+
+
 def _resolve_manifest(spark: SparkSession, target_dir: str) -> dict | None:
     """Bucketed-mode resolution: the pointer when it names a committed
     manifest, else the NEWEST committed manifest — the same stale/
@@ -1182,7 +1222,10 @@ def cdc_upsert_sink(
 
     Operational notes: tombstones accumulate — reclaim them with
     :func:`compact_cdc_target` once the source's replay horizon has
-    passed their sequence numbers."""
+    passed their sequence numbers. The checkpoint and target are ONE
+    unit: recreate them together (a checkpoint that outlives its
+    target is refused at startup — see
+    :func:`_guard_orphaned_checkpoint`)."""
     kl = list(keys)
 
     def _stale_filtered(batch_df: DataFrame, base: DataFrame) -> DataFrame:
@@ -1306,6 +1349,9 @@ def cdc_upsert_sink(
             merged.schema.json(),
         )
 
+    _guard_orphaned_checkpoint(
+        changes_sdf.sparkSession, target_dir, checkpoint_dir
+    )
     query = (
         changes_sdf.writeStream.foreachBatch(
             upsert if num_buckets is None else upsert_bucketed

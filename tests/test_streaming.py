@@ -1264,3 +1264,53 @@ def test_cdc_time_travel_read(spark, tmp_path):
         with _pytest.raises(ValueError, match="not committed"):
             read_cdc_snapshot(spark, target, version=v_old)
         assert read_cdc_snapshot(spark, target).first()["v"] == "new"
+
+
+def test_cdc_sink_refuses_orphaned_checkpoint(spark, tmp_path):
+    """A checkpoint that outlives its target (target deleted,
+    checkpoint kept) must fail LOUDLY at the next sink run — the
+    restarted stream would otherwise skip every committed batch and
+    leave the rebuilt target empty forever with no error. Clearing the
+    checkpoint too is the documented rebuild path, and must work."""
+    import shutil
+
+    import pytest
+
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    src = str(tmp_path / "changes_src")
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, seq long, op string, v string"
+    changes = spark.createDataFrame(
+        [(1, 1, "I", "a1"), (2, 1, "I", "b1")], schema
+    )
+    changes.coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(changes.schema).format("parquet").load(src)
+        )
+        cdc_upsert_sink(stream, target, ckpt, keys=["k"], seq_col="seq")
+
+    drain()
+    assert read_cdc_snapshot(spark, target).count() == 2
+
+    # target vanishes, checkpoint survives → refuse
+    shutil.rmtree(target)
+    with pytest.raises(ValueError, match="no committed version"):
+        drain()
+
+    # documented recovery: drop the checkpoint too → full changelog
+    # replays into the fresh target
+    shutil.rmtree(ckpt)
+    drain()
+    got = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert got == {1: "a1", 2: "b1"}
+
+    # and the guard does not fire on a healthy restart (both present)
+    drain()
+    assert read_cdc_snapshot(spark, target).count() == 2
