@@ -1009,20 +1009,30 @@ def feature_frame(df: DataFrame, col: str) -> tuple[list[float], list[float]]:
     groupBy(dim) partial-aggregates to dim rows PER PARTITION before
     the shuffle (map-side combine), so only numPartitions × dim tiny
     rows ever move; the collect is dim rows (bounded, like the IVF
-    centroid pulls above). Ragged inputs surface here as a dim-count
-    mismatch rather than silently mis-scaling."""
+    centroid pulls above). Ragged inputs fail HERE rather than
+    silently mis-scaling: dim d is populated by exactly the rows whose
+    array is longer than d, so uniform length ⟺ every dim has the
+    same row count."""
     rows = (
         df.select(F.posexplode(col).alias("dim", "x"))
         .groupBy("dim")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.count("*").alias("n"),
+        )
         .orderBy("dim")
         .collect()
     )
     if not rows:
         raise ValueError(f"feature_frame: no non-empty arrays in {col!r}")
-    dims = [r["dim"] for r in rows]
-    if dims != list(range(len(dims))):
-        raise ValueError(f"feature_frame: non-contiguous dims {dims[:5]}…")
+    counts = {r["n"] for r in rows}
+    if len(counts) > 1:
+        raise ValueError(
+            f"feature_frame: ragged arrays in {col!r} — per-dim row "
+            f"counts range {min(counts)}..{max(counts)}; scaling a "
+            "mixed-length corpus would compare incomparable dimensions"
+        )
     return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
 
 
@@ -1040,7 +1050,10 @@ def scale_features(
     agg). Constant dimensions (hi == lo) map to 0.5 rather than
     dividing by a zero width. Arithmetic is double-widened (float
     elements promote against the double literals), reproducible across
-    engines — t90's DuckDB oracle replays the identical expressions."""
+    engines — t90's DuckDB oracle replays the identical expressions.
+    An array whose length disagrees with the frame raises AT ROW LEVEL
+    (``raise_error``) instead of letting ``element_at`` past the frame
+    NULL-poison downstream aggregates."""
     if len(lo) != len(hi):
         raise ValueError("scale_features: lo/hi length mismatch")
     lo_arr = F.array(*[F.lit(float(v)) for v in lo])
@@ -1053,4 +1066,16 @@ def scale_features(
             (x - lo_i) / (hi_i - lo_i)
         )
 
-    return df.withColumn(out_col, F.transform(F.col(col), scale))
+    scaled = F.when(
+        F.size(F.col(col)) == len(lo), F.transform(F.col(col), scale)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"scale_features: array length != frame dim {len(lo)}: "
+                ),
+                F.size(F.col(col)).cast("string"),
+            )
+        )
+    )
+    return df.withColumn(out_col, scaled)

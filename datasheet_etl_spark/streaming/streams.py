@@ -396,6 +396,9 @@ def idempotent_keyed_sink(
             fresh = fresh.join(existing.select(keys), keys, "left_anti")
         fresh.write.mode("append").parquet(target_dir)
 
+    _bind_checkpoint_target(
+        spark, target_dir, checkpoint_dir, target_alive=_read_target() is not None
+    )
     query = (
         sdf.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
@@ -448,6 +451,15 @@ def materialized_agg_sink(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    from pyspark.errors import AnalysisException
+
+    _spark = agg_sdf.sparkSession
+    try:
+        _spark.read.parquet(target_dir)
+        _alive = True
+    except AnalysisException:
+        _alive = False
+    _bind_checkpoint_target(_spark, target_dir, checkpoint_dir, target_alive=_alive)
     query = (
         agg_sdf.writeStream.outputMode("update")
         .foreachBatch(replace)
@@ -1049,31 +1061,48 @@ def _checkpoint_has_commits(spark: SparkSession, checkpoint_dir: str) -> bool:
     )
 
 
-def _guard_orphaned_checkpoint(
-    spark: SparkSession, target_dir: str, checkpoint_dir: str
+def _bind_checkpoint_target(
+    spark: SparkSession,
+    target_dir: str,
+    checkpoint_dir: str,
+    target_alive: bool,
 ) -> None:
-    """The checkpoint/target pair must live and die TOGETHER: a
-    checkpoint that outlives its target (target deleted or recreated,
-    checkpoint kept) makes the restarted stream skip every
-    already-committed batch — the rebuilt target would stay empty
-    FOREVER with no error anywhere. Refuse loudly instead. Clearing
-    the checkpoint is always the safe rebuild path here: with no
-    surviving snapshot there is no stale-seq state to protect, and
-    replaying the full changelog into an empty target is exactly the
-    rebuild the user wants."""
-    if not _checkpoint_has_commits(spark, checkpoint_dir):
-        return
-    if _resolve_version(spark, target_dir) is None and (
-        _resolve_manifest(spark, target_dir) is None
+    """The checkpoint/target pair of any checkpointed sink must live
+    and die TOGETHER: a checkpoint that outlives its target (target
+    deleted or recreated, checkpoint kept) makes the restarted stream
+    skip every already-committed batch — the rebuilt target would stay
+    missing its history FOREVER with no error anywhere. Refuse loudly
+    instead. Clearing the checkpoint is always the safe rebuild path:
+    with no surviving target there is no state to protect, and
+    replaying the full input into an empty target is exactly the
+    rebuild the user wants.
+
+    Mechanism: the first sink run drops a ``_SINK_INIT`` marker inside
+    the target (after the guard passes), so a checkpoint whose
+    committed batches happened to produce no target data yet — e.g. an
+    empty bootstrap batch — is still recognized as healthy on restart;
+    only a checkpoint with commits facing a target with neither
+    committed state (``target_alive``) nor the marker is orphaned.
+    Underscore-prefixed files are invisible to Spark's file scans, so
+    the marker never surfaces as data."""
+    marker = f"{target_dir.rstrip('/')}/_SINK_INIT"
+    fs, hmarker, _ = _hadoop_fs(spark, marker)
+    marked = fs.exists(hmarker)
+    if (
+        _checkpoint_has_commits(spark, checkpoint_dir)
+        and not target_alive
+        and not marked
     ):
         raise ValueError(
             f"checkpoint {checkpoint_dir} records committed batches but "
-            f"target {target_dir} has no committed version — the target "
+            f"target {target_dir} has no committed state — the target "
             "was deleted or recreated out from under its checkpoint. "
             "Restarting now would silently skip all replay. Delete the "
-            "checkpoint directory too (the full changelog then rebuilds "
+            "checkpoint directory too (the full input then rebuilds "
             "the target), or restore the target from backup/GC grace."
         )
+    if not marked:
+        _write_text_atomic(spark, marker, "bound\n")
 
 
 def _resolve_manifest(spark: SparkSession, target_dir: str) -> dict | None:
@@ -1225,7 +1254,7 @@ def cdc_upsert_sink(
     passed their sequence numbers. The checkpoint and target are ONE
     unit: recreate them together (a checkpoint that outlives its
     target is refused at startup — see
-    :func:`_guard_orphaned_checkpoint`)."""
+    :func:`_bind_checkpoint_target`)."""
     kl = list(keys)
 
     def _stale_filtered(batch_df: DataFrame, base: DataFrame) -> DataFrame:
@@ -1349,8 +1378,13 @@ def cdc_upsert_sink(
             merged.schema.json(),
         )
 
-    _guard_orphaned_checkpoint(
-        changes_sdf.sparkSession, target_dir, checkpoint_dir
+    _spark = changes_sdf.sparkSession
+    _bind_checkpoint_target(
+        _spark,
+        target_dir,
+        checkpoint_dir,
+        target_alive=_resolve_version(_spark, target_dir) is not None
+        or _resolve_manifest(_spark, target_dir) is not None,
     )
     query = (
         changes_sdf.writeStream.foreachBatch(

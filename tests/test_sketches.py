@@ -164,10 +164,14 @@ def test_hist_merge_equals_one_pass_any_order(spark):
     assert rows(hist_merge(*reversed(shards), keys=["event_type"])) == expected
 
 
-def test_hist_quantiles_within_one_bin_width(spark):
-    """Estimates are the lower edge of the selected bin: each is within
-    one bin width of the exact percentile (percentile_cont on the raw
-    values), for every (event_type, q)."""
+def test_hist_quantiles_match_order_statistic_bin(spark):
+    """The estimator's EXACT contract, valid for any distribution
+    (dense or gapped): for each (key, q) the estimate is the lower
+    edge of the bin holding the ceil(q·n)-th order statistic — checked
+    against a Python model binning the collected raw values with the
+    identical frame arithmetic."""
+    import math
+
     from datasheet_etl_spark.io import load_table
     from datasheet_etl_spark.operators.sketches import (
         hist_frame,
@@ -183,22 +187,22 @@ def test_hist_quantiles_within_one_bin_width(spark):
     est = {
         (r["event_type"], r["q"]): r["est"]
         for r in hist_quantiles(
-            hist, ["event_type"], [0.5, 0.9], lo, hi, bins
+            hist, ["event_type"], [0.5, 0.9, 0.99], lo, hi, bins
         ).collect()
     }
-    exact = {
-        (r["event_type"], q): r[f"p{int(q * 100)}"]
-        for r in e.groupBy("event_type")
-        .agg(
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.9)").alias("p90"),
-        )
-        .collect()
-        for q in (0.5, 0.9)
-    }
-    assert est.keys() == exact.keys()
-    for k, v in est.items():
-        assert abs(v - exact[k]) <= width + 1e-9, (k, v, exact[k], width)
+    by_key: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
+        by_key.setdefault(r["event_type"], []).append(r["value"])
+
+    def model(vals, q):
+        k = max(1, math.ceil(q * len(vals)))
+        x = sorted(vals)[k - 1]
+        b = min(int(math.floor((x - lo) / width)), bins - 1)
+        return lo + b * width
+
+    assert est, "no estimates produced"
+    for (key, q), v in est.items():
+        assert abs(v - model(by_key[key], q)) < 1e-9, (key, q, v)
 
 
 def test_hist_degenerate_frame_single_bin(spark):

@@ -1301,7 +1301,7 @@ def test_cdc_sink_refuses_orphaned_checkpoint(spark, tmp_path):
 
     # target vanishes, checkpoint survives → refuse
     shutil.rmtree(target)
-    with pytest.raises(ValueError, match="no committed version"):
+    with pytest.raises(ValueError, match="no committed state"):
         drain()
 
     # documented recovery: drop the checkpoint too → full changelog
@@ -1314,3 +1314,74 @@ def test_cdc_sink_refuses_orphaned_checkpoint(spark, tmp_path):
     # and the guard does not fire on a healthy restart (both present)
     drain()
     assert read_cdc_snapshot(spark, target).count() == 2
+
+
+def test_materialized_agg_sink_refuses_orphaned_checkpoint(spark, tmp_path):
+    """The checkpoint/target binding is a property of EVERY
+    checkpointed sink, not just CDC: update-mode materialization only
+    emits groups changed by new data, so a target deleted out from
+    under its checkpoint loses all previously-materialized groups
+    silently — unless refused at startup. An empty-bootstrap restart
+    (commits exist, target legitimately has no data yet) must NOT be
+    refused — the _SINK_INIT marker distinguishes the two."""
+    import shutil
+
+    import pytest
+
+    from datasheet_etl_spark.streaming.streams import materialized_agg_sink
+
+    src = str(tmp_path / "agg_src")
+    target = str(tmp_path / "agg_target")
+    ckpt = str(tmp_path / "agg_ckpt")
+    schema = "k string, v long"
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).coalesce(
+        1
+    ).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        agg = stream.groupBy("k").count()
+        materialized_agg_sink(agg, target, ckpt, partition_cols=["k"])
+
+    drain()
+    assert spark.read.parquet(target).count() == 2
+
+    shutil.rmtree(target)
+    with pytest.raises(ValueError, match="no committed state"):
+        drain()
+
+    shutil.rmtree(ckpt)
+    drain()  # documented rebuild: clear both → full input replays
+    assert spark.read.parquet(target).count() == 2
+
+
+def test_cdc_sink_empty_bootstrap_restart_not_refused(spark, tmp_path):
+    """Commits-without-target-state is HEALTHY when it's this sink's
+    own bootstrap (first run drained an empty source): the marker
+    written at first startup lets the restart proceed."""
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    src = str(tmp_path / "changes_src")
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, seq long, op string, v string"
+    # an empty source directory: batch 0 commits with no data
+    spark.createDataFrame([], schema).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cdc_upsert_sink(stream, target, ckpt, keys=["k"], seq_col="seq")
+
+    drain()
+    assert read_cdc_snapshot(spark, target) is None  # nothing committed
+    drain()  # restart over the bootstrapped pair: must not raise
+
+    # data finally arrives → applied normally
+    spark.createDataFrame([(1, 1, "I", "a1")], schema).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    drain()
+    assert {r["k"] for r in read_cdc_snapshot(spark, target).collect()} == {1}

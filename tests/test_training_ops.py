@@ -950,19 +950,35 @@ def test_scale_features_bounds_and_constant_dim(spark):
     ]
 
 
-def test_feature_frame_rejects_ragged_arrays(spark):
-    """Ragged embeddings fail loudly at the frame, not by mis-scaling."""
+def test_feature_frame_rejects_ragged_and_empty(spark):
+    """Ragged embeddings fail loudly at the frame (dim 1 populated by
+    only one of two rows → per-dim counts differ), an all-empty column
+    fails loudly too, and an array that disagrees with the frame at
+    scale time raises at row level instead of NULL-poisoning."""
     import pytest
 
-    from datasheet_etl_spark.operators.similarity import feature_frame
+    from datasheet_etl_spark.operators.similarity import (
+        feature_frame,
+        scale_features,
+    )
 
-    df = spark.createDataFrame(
+    ragged = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [1.0])], "vec_id long, embedding array<float>"
     )
-    # dim 1 exists for only one row — frame still contiguous, fine;
-    # a truly empty column is the loud-failure case:
+    with pytest.raises(ValueError, match="ragged"):
+        feature_frame(ragged, "embedding")
+
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no non-empty arrays"):
         feature_frame(empty, "embedding")
-    lo, hi = feature_frame(df, "embedding")
-    assert len(lo) == 2
+
+    # frame from a clean corpus, applied to a mismatched corpus → loud
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    lo, hi = feature_frame(ok, "embedding")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        scale_features(ragged, "embedding", lo, hi).collect()
