@@ -54,6 +54,11 @@ ENTRIES = [
     # docstring says exactly when that cost is and is not acceptable.
     "t80_leakage_safe_split",
     "t81_streaming_dedup_watermark",
+    # r7 continuation: mergeable histogram quantiles (frame pass +
+    # map-side-combined bin counts — at most keys x 64 rows shuffle)
+    # and min-max feature scaling (dim-stats pass + map-only rescale)
+    "t88_mergeable_quantile_hist",
+    "t90_feature_scale",
 ]
 
 # per-table key columns to offset so copies don't collide
@@ -116,9 +121,14 @@ def main():
 
     stage(spark)
     q = ep.queries()
+    # optional argv subset: audit only the named entries (new-entry
+    # incremental runs); no args = the full representative list
+    selected = sys.argv[1:] or ENTRIES
+    unknown = [n for n in selected if n not in q]
+    assert not unknown, f"unknown entries: {unknown}"
     print(f"{'entry':34s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}")
     ratios = []
-    for name in ENTRIES:
+    for name in selected:
         fn = q[name]
         fn(spark, SRC).count()  # warm (cache/codegen)
         t0 = time.time(); fn(spark, SRC).count(); base = time.time() - t0
