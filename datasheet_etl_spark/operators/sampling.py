@@ -51,6 +51,8 @@ __all__ = [
     "stratified_sample_by_counts",
     "temperature_mixture_counts",
     "weighted_sample",
+    "hash_uniform",
+    "aes_weighted_sample",
     "rate_to_hex_threshold",
     "pack_sequences",
     "pack_sequences_nosplit",
@@ -682,3 +684,65 @@ def mixture_waterfill(
         saturated.alias("saturated"),
     )
     return solved.unionByName(degenerate)
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform in (0, 1) from the row key: the first 13
+    hex digits of the md5 hash (52 bits — exactly a double's mantissa)
+    as an integer, midpoint-shifted and scaled. Cross-engine exact:
+    DuckDB replays it as ``(('0x' || substr(md5(k), 1, 13))::UBIGINT
+    + 0.5) / 16^13``. The +0.5 keeps u strictly inside (0, 1) so
+    ``ln(u)`` below is always finite."""
+    i = F.conv(F.substring(doc_hash(key), 1, 13), 16, 10).cast("double")
+    return (i + F.lit(0.5)) / F.lit(float(16**13))
+
+
+def aes_weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: Sequence[str] | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws a deterministic uniform u from its
+    key and ranks by ``ln(u) / w`` — the top k per stratum are a
+    weighted sample without replacement, each row's inclusion
+    probability proportional to its weight among the survivors. The
+    exact-k complement to t38's temperature mixture (rate-based
+    EXPECTED counts) and t26's unweighted top-N: "give me exactly k
+    docs, long ones proportionally more often".
+
+    Same determinism contract as everything in this module: the draw
+    is md5-derived, so a re-run, repartition, or speculative duplicate
+    selects the identical sample, and DuckDB can re-check the whole
+    selection (the t91 oracle re-derives it).
+
+    Scale shape: the scoring pass is map-only (hash + ln — no state);
+    selection is one top-k — per-stratum ``row_number`` over the
+    stratum shuffle, or a global TakeOrdered when unstratified. Rows
+    with NULL or non-positive weight are excluded up front (weight 0
+    = never sampled; A-ES is undefined there).
+
+    Ties: ``ln(u)/w`` collisions are broken by key for a total,
+    deterministic order."""
+    kc, wc = F.col(key_col), F.col(weight_col)
+    scored = df.filter(wc.isNotNull() & (wc > 0)).withColumn(
+        "_aes", F.ln(hash_uniform(kc)) / wc.cast("double")
+    )
+    order = [F.col("_aes").desc(), kc.asc()]
+    if strata_cols:
+        w = Window.partitionBy(*strata_cols).orderBy(*order)
+        out = scored.withColumn(rank_col, F.row_number().over(w)).filter(
+            F.col(rank_col) <= k
+        )
+    else:
+        # global top-k: TakeOrdered (per-partition k then merge k·p),
+        # never a single-partition global window over the corpus;
+        # ranking the k survivors afterwards is O(k)
+        topk = scored.orderBy(*order).limit(k)
+        out = topk.withColumn(
+            rank_col, F.row_number().over(Window.orderBy(*order))
+        )
+    return out.drop("_aes")

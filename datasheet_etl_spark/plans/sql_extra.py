@@ -2461,3 +2461,47 @@ def t90_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("scaled"), 6).alias("min_scaled"),
         F.round(F.array_max("scaled"), 6).alias("max_scaled"),
     ).orderBy("vec_id")
+
+
+@register(
+    "t91_weighted_sample",
+    """
+    WITH scored AS (
+      SELECT source, doc_id,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                 + 0.5) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS aes
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY aes DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT source, doc_id, rank FROM ranked
+    WHERE rank <= 50 ORDER BY source, rank
+    """,
+)
+def t91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k WEIGHTED sampling without replacement (Efraimidis–
+    Spirakis A-ES), stratified per source: 50 docs per source with
+    inclusion probability proportional to length — the exact-count
+    complement to t38's rate-based temperature mixture and t26's
+    unweighted top-N. The draw is md5-derived (``sampling.
+    hash_uniform``: 13 hex digits = a double's full mantissa), so the
+    selection is retry-safe, partitioning-independent, and re-derived
+    VERBATIM by the DuckDB oracle — the graded claim is the exact
+    membership and rank of every sampled row. Scoring is map-only;
+    selection is one per-stratum top-k window (the q16 machinery)."""
+    from datasheet_etl_spark.operators.sampling import aes_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return (
+        aes_weighted_sample(
+            docs, "doc_id", "n_chars", k=50, strata_cols=["source"]
+        )
+        .select("source", "doc_id", "rank")
+        .orderBy("source", "rank")
+    )

@@ -585,3 +585,41 @@ def test_waterfill_rate_feeds_weighted_sampler(spark, docs):
             assert abs(got.get(src, 0) - expect) <= max(5, 0.5 * expect), (
                 src, rate, got.get(src), expect,
             )
+
+
+def test_weighted_sample_tracks_weights(spark):
+    """A-ES proportionality: across 400 strata each holding one
+    weight-9 and one weight-1 item, k=1 picks the heavy item ~90% of
+    the time (draws are md5-deterministic, so the empirical rate is a
+    fixed number — assert it sits in a generous band around 0.9)."""
+    from datasheet_etl_spark.operators.sampling import aes_weighted_sample
+
+    rows = []
+    for s in range(400):
+        rows.append((s, s * 2, 9.0))      # heavy
+        rows.append((s, s * 2 + 1, 1.0))  # light
+    df = spark.createDataFrame(rows, "stratum int, id long, w double")
+    picked = aes_weighted_sample(df, "id", "w", k=1, strata_cols=["stratum"])
+    heavy = picked.filter(F.col("id") % 2 == 0).count()
+    assert picked.count() == 400
+    assert 0.82 <= heavy / 400 <= 0.97, heavy / 400
+
+
+def test_weighted_sample_global_path_deterministic_and_excludes_nonpositive(spark):
+    """Unstratified top-k: exactly k rows, ranks 1..k, identical
+    selection on re-run (hash-derived), NULL/zero/negative weights
+    never sampled."""
+    from datasheet_etl_spark.operators.sampling import aes_weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7) if i % 11 else None) for i in range(500)],
+        "id long, w double",
+    )  # w ∈ {None, 0..6}: None and 0 must be excluded
+    got = aes_weighted_sample(df, "id", "w", k=25)
+    rows = {r["id"]: r["rank"] for r in got.collect()}
+    assert len(rows) == 25
+    assert sorted(rows.values()) == list(range(1, 26))
+    for i in rows:
+        assert i % 11 != 0 and i % 7 != 0  # no NULL or zero weights
+    again = {r["id"]: r["rank"] for r in aes_weighted_sample(df, "id", "w", k=25).collect()}
+    assert again == rows
