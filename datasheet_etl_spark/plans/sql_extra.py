@@ -2505,3 +2505,36 @@ def t91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rank")
         .orderBy("source", "rank")
     )
+
+
+@register(
+    "q47_distribution_windows",
+    """
+    SELECT c_nationkey, c_custkey,
+           ntile(4) OVER w AS quartile,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q47_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTION window-function trio the inventory lacked:
+    ntile (equal-ish buckets, remainder to the first), percent_rank
+    ((rank-1)/(n-1)) and cume_dist (rows ≤ current / n) — the SQL
+    surface behind quartile bucketing and percentile-rank features.
+    The compound ORDER BY (acctbal, custkey) makes the order total, so
+    all three are engine-exact (ntile bucket boundaries and both
+    ratios are pure integer arithmetic over the same total order).
+    One window spec shared by all three → a single sort within the
+    nation partition, no extra exchanges."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    ).orderBy("c_nationkey", "c_custkey")

@@ -516,3 +516,19 @@ def test_scale_features_corpus_pass_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # JVM higher-order transform, no UDF
+
+
+def test_distribution_windows_share_one_window_exec(spark):
+    """q47: ntile/percent_rank/cume_dist use the same window spec, so
+    the plan carries ONE Window operator over ONE partition exchange —
+    three features for the price of a single per-nation sort."""
+    from datasheet_etl_spark.plans.sql_extra import q47_distribution_windows
+
+    plan = (
+        q47_distribution_windows(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window ") == 1, plan[:900]
+    assert plan.count("Exchange hashpartitioning") == 1
