@@ -41,7 +41,6 @@ WINDOW: tuple[str, ...] = (
     "q28_severity_ladder",
     "q29_confidence_agg",
     "q30_idempotent_rerun",
-    "q34_wordcount",
     "t13_streaming_tumbling",
     "t41_streaming_interval_join",
     "t55_streaming_kmv_distinct",
@@ -52,7 +51,6 @@ WINDOW: tuple[str, ...] = (
     "t19_corpus_curation",
     "t16_dedup_clusters",
     "t17_graph_copurchase",
-    "t29_mixture_weighted",
     "t33_corpus_prep_e2e",
     "t32_decontaminate",
     # --- rotated IN for round 6 (r5 additions, previously past the window) ---
@@ -85,6 +83,11 @@ WINDOW: tuple[str, ...] = (
     # rather than waiting a round ---
     "t79_weighted_median_udaf",
     "t80_leakage_safe_split",
+    # --- r7 continuation promotions: the two strongest new-machinery
+    # entries are driver-graded immediately (mergeable-histogram
+    # quantiles; A-ES exact-k weighted sampling) ---
+    "t88_mergeable_quantile_hist",
+    "t91_weighted_sample",
 )
 
 
@@ -105,8 +108,9 @@ DEMOTED: tuple[str, ...] = (
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside q30_idempotent_rerun
-    "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside t29
+    "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside q29_confidence_agg (CASE-weighted sum, same idiom; was t29 before its own r7 demotion)
     # r5: swapped out for t34/t35 — again idiom-superset demotions:
+    # (q12's anchor re-pointed r7-continuation: t29 itself demoted into t33/q29/t91)
     "q02_normalize",  # regex normalize idiom graded inside q03's regexp strip + try_cast (r7: t30, the old anchor, demoted on the same basis)
     "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact (r7: q24, the old co-anchor, demoted into t70)
     # r5: swapped out for t41_streaming_interval_join — t13 grades the
@@ -118,7 +122,7 @@ DEMOTED: tuple[str, ...] = (
     # in-window superset:
     "t08_text_langid",  # detect_language scoring graded inside t19's lang-ID + per-lang agg
     "t09_text_quality",  # quality_score ratios graded inside t19's quality gate
-    "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + q34 wordcount
+    "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + t65 (unigram counts; was q34 before its own r7 demotion)
     "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
     "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
     "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16/t17 graph entries + q26 parse
@@ -144,6 +148,9 @@ DEMOTED: tuple[str, ...] = (
     # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
     "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside q16's row_number top-k (same partition/order machinery)
     "q07_range_join",  # range-containment predicate join graded inside t41's stream-stream interval join (same range predicate through the strictly-stronger watermarked streaming path) + t74's as-of alignment
+    # r7 continuation: swapped for t88/t91 — same-machinery supersets stay in-window:
+    "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t65_unigram_log_ppl (identical tokenize→explode→agg shape, richer two-level rollup)
+    "t29_mixture_weighted",  # hash-prefix Bernoulli sampling graded inside t33's weighted_sample 50% gate (same operator/idiom); the per-source CASE-weighted agg side graded inside q29's CASE-weighted severity sum; the exact-k weighted form is now graded directly by t91
 )
 
 

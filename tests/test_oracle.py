@@ -63,5 +63,7 @@ def test_graded_window_contract():
         "t70_dedup_rate_report",
         # in-round promotions (VERDICT r6 ask #4 + the new split op)
         "t79_weighted_median_udaf", "t80_leakage_safe_split",
+        # r7 continuation promotions (new-machinery entries)
+        "t88_mergeable_quantile_hist", "t91_weighted_sample",
     }
     assert r7_entries <= set(first50)
