@@ -230,6 +230,14 @@ def _bin_col(col: str, lo: float, hi: float, bins: int) -> "F.Column":
     )
 
 
+def hist_bin(col: str, lo: float, hi: float, bins: int = 64) -> "F.Column":
+    """The public bin-assignment expression — what a STREAMING
+    aggregation groups by to maintain the histogram incrementally
+    (frame fixed up front, counts additive; see
+    tests/test_streaming.py's materialized-histogram composition)."""
+    return _bin_col(col, lo, hi, bins)
+
+
 def hist_partials(
     df: DataFrame,
     keys: Sequence[str],

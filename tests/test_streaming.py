@@ -1385,3 +1385,50 @@ def test_cdc_sink_empty_bootstrap_restart_not_refused(spark, tmp_path):
     ).write.parquet(src, mode="append")
     drain()
     assert {r["k"] for r in read_cdc_snapshot(spark, target).collect()} == {1}
+
+
+def test_streaming_maintained_histogram_matches_batch(spark, tmp_path):
+    """Composition: the t88 histogram maintains INCREMENTALLY from a
+    stream — the frame is fixed up front (the design tradeoff that
+    makes bins additive), the streaming agg counts (key, bin) in
+    update mode, and materialized_agg_sink keeps the partial table at
+    rest. After draining, the materialized bin counts equal the batch
+    hist_partials of the same data exactly."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sketches import (
+        hist_bin,
+        hist_frame,
+        hist_partials,
+    )
+    from datasheet_etl_spark.streaming.streams import materialized_agg_sink
+
+    src = str(tmp_path / "hist_src")
+    target = str(tmp_path / "hist_target")
+    ckpt = str(tmp_path / "hist_ckpt")
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    lo, hi = hist_frame(e, "value")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = spark.readStream.schema(e.schema).format("parquet").load(src)
+    agg = (
+        stream.filter(F.col("value").isNotNull())
+        .groupBy("event_type", hist_bin("value", lo, hi, 64).alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    materialized_agg_sink(agg, target, ckpt, partition_cols=["event_type", "bin"])
+
+    got = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in hist_partials(e, ["event_type"], "value", lo, hi).collect()
+    }
+    assert got == want
