@@ -720,22 +720,27 @@ def aes_weighted_sample(
     selection (the t91 oracle re-derives it).
 
     Scale shape: the scoring pass is map-only (hash + ln — no state);
-    selection is one top-k — per-stratum ``row_number`` over the
-    stratum shuffle, or a global TakeOrdered when unstratified. Rows
-    with NULL or non-positive weight are excluded up front (weight 0
-    = never sampled; A-ES is undefined there).
+    selection is one top-k — per-stratum via the shared
+    ``relational.top_k_per_group`` (the q16 machinery), or a global
+    TakeOrdered when unstratified. Rows with NULL or non-positive
+    weight are excluded up front (weight 0 = never sampled; A-ES is
+    undefined there), and NULL keys too (they cannot draw a uniform).
 
     Ties: ``ln(u)/w`` collisions are broken by key for a total,
-    deterministic order."""
+    deterministic order — which requires keys UNIQUE per row (the same
+    contract as ``assign_split``): duplicate keys draw the same
+    uniform and the selection among them is partitioning-dependent.
+    Sample after dedup, or on a genuinely unique id."""
     kc, wc = F.col(key_col), F.col(weight_col)
-    scored = df.filter(wc.isNotNull() & (wc > 0)).withColumn(
-        "_aes", F.ln(hash_uniform(kc)) / wc.cast("double")
-    )
+    scored = df.filter(
+        kc.isNotNull() & wc.isNotNull() & (wc > 0)
+    ).withColumn("_aes", F.ln(hash_uniform(kc)) / wc.cast("double"))
     order = [F.col("_aes").desc(), kc.asc()]
     if strata_cols:
-        w = Window.partitionBy(*strata_cols).orderBy(*order)
-        out = scored.withColumn(rank_col, F.row_number().over(w)).filter(
-            F.col(rank_col) <= k
+        from datasheet_etl_spark.operators.relational import top_k_per_group
+
+        out = top_k_per_group(
+            scored, list(strata_cols), order, k, rank_col=rank_col, keep_rank=True
         )
     else:
         # global top-k: TakeOrdered (per-partition k then merge k·p),

@@ -126,7 +126,7 @@ DEMOTED: tuple[str, ...] = (
     "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
     "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
     "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16/t17 graph entries + q26 parse
-    "t26_sample_uniform",  # hash-rank sample graded inside t29's hash-threshold Bernoulli + q16's rank top-k (r7: t27, the old anchor, demoted on the same basis)
+    "t26_sample_uniform",  # hash-rank sample graded inside t91's A-ES top-k (same md5-hash-order selection family) + q16's rank top-k (r7: t27/t29, the old anchors, themselves demoted)
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
     "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
@@ -142,7 +142,7 @@ DEMOTED: tuple[str, ...] = (
     "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t68_cdc_apply (same max_by-per-key resolution, superset incl. deletes) + q16 (top_k_per_group, the shared helper)
     "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine) + t04 (same Jaccard expression)
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
-    "t27_stratified_sample",  # per-stratum hash-rank sample graded inside q16 (row_number top-k per group) + t29 (md5-derived deterministic sampling family)
+    "t27_stratified_sample",  # per-stratum hash-rank sample graded inside q16 (row_number top-k per group) + t91 (md5-derived deterministic sampling family, per-stratum exact-k)
     "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q03's regexp strip + try_cast — same per-row regexp family
     "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t65_unigram_log_ppl (identical two-level agg shape)
     # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
