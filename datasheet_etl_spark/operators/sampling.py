@@ -751,3 +751,41 @@ def aes_weighted_sample(
             rank_col, F.row_number().over(Window.orderBy(*order))
         )
     return out.drop("_aes")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    shard_hex_chars: int = 2,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order shuffle, re-drawn per epoch: every
+    row gets a (shard, position) from the md5 hash of ``key:epoch`` —
+    the order a trainer reads shard-by-shard. The properties a 100 TB
+    training loop needs and ``rand()``/``orderBy(rand())`` cannot give:
+
+    - same epoch → the identical order on any cluster, any retry (a
+      preempted data-loading job resumes mid-epoch consistently);
+    - different epoch → a fresh, uncorrelated permutation (the salt
+      changes every hash);
+    - corpus growth moves no existing row ACROSS shards within an
+      epoch beyond its own re-hash — and the whole order is
+      re-derivable in SQL for audit (the t92 oracle).
+
+    Scale shape: shard assignment is map-only; position is a
+    row_number per shard — 16^shard_hex_chars shards, so each sort is
+    1/shards of the corpus (raise the prefix length until shards are
+    executor-sized, same dial as ``pack_sequences``). Keys must be
+    unique and non-NULL (the ``assign_split`` contract)."""
+    h = F.md5(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit(":"), F.lit(str(int(epoch)))
+        )
+    )
+    out = df.filter(F.col(key_col).isNotNull()).withColumns(
+        {"_eh": h, shard_col: F.substring(h, 1, shard_hex_chars)}
+    )
+    w = Window.partitionBy(shard_col).orderBy("_eh", F.col(key_col))
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_eh")
