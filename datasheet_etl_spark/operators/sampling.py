@@ -53,6 +53,8 @@ __all__ = [
     "weighted_sample",
     "hash_uniform",
     "aes_weighted_sample",
+    "mixture_waterfill",
+    "epoch_shuffle",
     "rate_to_hex_threshold",
     "pack_sequences",
     "pack_sequences_nosplit",
@@ -772,7 +774,7 @@ def epoch_shuffle(
       changes every hash);
     - corpus growth moves no existing row ACROSS shards within an
       epoch beyond its own re-hash — and the whole order is
-      re-derivable in SQL for audit (the t92 oracle).
+      re-derivable in SQL for audit (the t93 oracle).
 
     Scale shape: shard assignment is map-only; position is a
     row_number per shard — 16^shard_hex_chars shards, so each sort is

@@ -2508,6 +2508,40 @@ def t91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t93_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':3') AS eh
+      FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id,
+           substr(eh, 1, 2) AS shard,
+           row_number() OVER (PARTITION BY substr(eh, 1, 2)
+                              ORDER BY eh, doc_id) AS pos
+    FROM h ORDER BY shard, pos, doc_id
+    """,
+)
+def t93_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle (``sampling.
+    epoch_shuffle``): every doc gets a (shard, position) from the md5
+    of ``key:epoch`` — the order a trainer reads shard-by-shard. What
+    ``orderBy(rand())`` cannot give a 100 TB training loop: the same
+    epoch yields the identical order on any cluster/retry (resume
+    mid-epoch consistently), a different epoch is a fresh uncorrelated
+    permutation, and the whole order is re-derived VERBATIM by this
+    DuckDB oracle. Scale shape: shard assignment is map-only; each
+    position sort is 1/256th of the corpus (2 hex chars → 256 shards;
+    widen the prefix until shards are executor-sized)."""
+    from datasheet_etl_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", epoch=3, shard_hex_chars=2).orderBy(
+        "shard", "pos", "doc_id"
+    )
+
+
+@register(
     "q47_distribution_windows",
     """
     SELECT c_nationkey, c_custkey,

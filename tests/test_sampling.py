@@ -623,3 +623,40 @@ def test_weighted_sample_global_path_deterministic_and_excludes_nonpositive(spar
         assert i % 11 != 0 and i % 7 != 0  # no NULL or zero weights
     again = {r["id"]: r["rank"] for r in aes_weighted_sample(df, "id", "w", k=25).collect()}
     assert again == rows
+
+
+def test_epoch_shuffle_properties(spark, docs):
+    """The three properties a 100 TB training loop needs from the epoch
+    shuffle (t93): per-shard positions are contiguous 1..n, the order is
+    partitioning-independent (retry-safe), and a different epoch draws a
+    fresh permutation rather than a shifted copy of the old one."""
+    from datasheet_etl_spark.operators.sampling import epoch_shuffle
+
+    base = docs.select("doc_id").limit(500)
+    e1 = epoch_shuffle(base, "doc_id", epoch=1)
+    rows = {r["doc_id"]: (r["shard"], r["pos"]) for r in e1.collect()}
+    assert len(rows) == 500
+    # contiguous positions per shard
+    by_shard: dict[str, list[int]] = {}
+    for shard, pos in rows.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # repartition-invariant: same assignment regardless of layout
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in epoch_shuffle(base.repartition(7), "doc_id", epoch=1).collect()
+    }
+    assert again == rows
+    # a different epoch re-draws shard AND order (not a rotation)
+    e2 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in epoch_shuffle(base, "doc_id", epoch=2).collect()
+    }
+    moved = sum(1 for k in rows if rows[k] != e2[k])
+    assert moved > 400  # md5 re-salt: essentially everything moves
+    # NULL keys are excluded (they cannot draw a hash)
+    with_null = base.unionByName(
+        spark.createDataFrame([(None,)], "doc_id bigint")
+    )
+    assert epoch_shuffle(with_null, "doc_id", epoch=1).count() == 500
