@@ -1048,6 +1048,34 @@ def _is_bucketed_target(spark: SparkSession, target_dir: str) -> bool:
     return fs.exists(hpath)
 
 
+def _orphaned_bucketed_versions(
+    spark: SparkSession, target_dir: str
+) -> list[str]:
+    """Committed (``_SUCCESS``-marked) ``v*`` dirs whose data consists of
+    ``_bucket=*`` partition subdirs — on a target with NO manifests dir
+    this is the bucketed sink's crash window: the partitioned parquet
+    write drops ``_SUCCESS`` BEFORE the manifest commit, so a crash in
+    between leaves a bucketed-shaped version that no manifest (and no
+    checkpoint commit — foreachBatch commits after the batch function
+    returns) ever acknowledged. Such a dir is an uncommitted write: the
+    sink discards it and lets the checkpoint replay the batch. Callers
+    gate on ``not _is_bucketed_target`` themselves — once a manifest
+    exists, unreferenced version dirs are ``gc_cdc_target``'s job."""
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    orphans = []
+    for v in _committed_versions(spark, target_dir):
+        statuses = fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{v}")
+        )
+        if any(
+            st.isDirectory()
+            and st.getPath().getName().startswith("_bucket=")
+            for st in (statuses or [])
+        ):
+            orphans.append(v)
+    return orphans
+
+
 def _checkpoint_has_commits(spark: SparkSession, checkpoint_dir: str) -> bool:
     """True when a streaming checkpoint records at least one COMMITTED
     micro-batch (a ``commits/<n>`` file) — i.e. Spark will treat that
@@ -1189,6 +1217,16 @@ def read_cdc_snapshot(
             version = _resolve_version(spark, target_dir)
         if version is None:
             return None
+        if version in _orphaned_bucketed_versions(spark, target_dir):
+            # bucketed-sink crash window (data write committed, manifest
+            # not): reading it flat would surface a _bucket partition
+            # column over PARTIAL merge state — refuse instead
+            raise ValueError(
+                f"{target_dir} holds an uncommitted bucketed CDC write "
+                "(crash between the bucket data write and its manifest "
+                "commit); re-run the bucketed sink with its num_buckets "
+                "to recover"
+            )
         df = spark.read.parquet(f"{target_dir}/{version}")
     if not include_tombstones and "_deleted" in df.columns:
         # column guard: targets committed by a pre-tombstone sink are
@@ -1291,6 +1329,19 @@ def cdc_upsert_sink(
                 f"{target_dir} is a bucketed CDC target; run the sink "
                 "with its original num_buckets"
             )
+        if _orphaned_bucketed_versions(spark, target_dir):
+            # a bucketed sink crashed between its parquet write and its
+            # manifest commit: the v* dirs LOOK committed (_SUCCESS) but
+            # hold _bucket=* partial merge state. Resolving them here
+            # would surface a _bucket column and make that partial state
+            # the base snapshot — refuse with recovery directions.
+            raise ValueError(
+                f"{target_dir} holds an uncommitted bucketed CDC write "
+                "(crash between the bucket data write and its manifest "
+                "commit); re-run the bucketed sink with its num_buckets "
+                "to recover, or delete the orphaned v* dirs to start a "
+                "flat target"
+            )
         base = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
         if base is None:
             base = _empty_base(batch_df)
@@ -1310,17 +1361,36 @@ def cdc_upsert_sink(
         spark = batch_df.sparkSession
         manifest = _resolve_manifest(spark, target_dir)
         if manifest is None:
-            if _committed_versions(spark, target_dir):
-                # flat-layout versions exist but no manifest: treating
-                # this as 'new table' would make every existing row
-                # invisible to the stale guard and the first bucketed
-                # commit would orphan the entire prior snapshot
-                raise ValueError(
-                    f"{target_dir} is a full-snapshot CDC target; run "
-                    "the sink without num_buckets (or migrate by "
-                    "replaying the changelog into a fresh bucketed "
-                    "target)"
-                )
+            committed = _committed_versions(spark, target_dir)
+            if committed:
+                orphans = _orphaned_bucketed_versions(spark, target_dir)
+                if set(orphans) == set(committed):
+                    # every committed-looking version is bucketed-shaped
+                    # with no manifest: a previous bucketed run crashed
+                    # between its parquet write (which drops _SUCCESS)
+                    # and its manifest commit. The batch never reached
+                    # the checkpoint's commits either, so it WILL be
+                    # replayed — discard the uncommitted dirs and
+                    # proceed as a new bucketed target.
+                    fs, _, jvm = _hadoop_fs(spark, target_dir)
+                    for v in orphans:
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{target_dir}/{v}"
+                            ),
+                            True,
+                        )
+                else:
+                    # genuinely flat-layout versions: treating this as
+                    # 'new table' would make every existing row
+                    # invisible to the stale guard and the first
+                    # bucketed commit would orphan the prior snapshot
+                    raise ValueError(
+                        f"{target_dir} is a full-snapshot CDC target; "
+                        "run the sink without num_buckets (or migrate "
+                        "by replaying the changelog into a fresh "
+                        "bucketed target)"
+                    )
             manifest = {"num_buckets": num_buckets, "buckets": {}}
         if manifest["num_buckets"] != num_buckets:
             raise ValueError(

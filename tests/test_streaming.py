@@ -1432,3 +1432,75 @@ def test_streaming_maintained_histogram_matches_batch(spark, tmp_path):
         for r in hist_partials(e, ["event_type"], "value", lo, hi).collect()
     }
     assert got == want
+
+
+def test_cdc_bucketed_first_batch_crash_recovers(spark, tmp_path):
+    """The bucketed sink's crash window (ADVICE r7): the partitioned
+    parquet write drops ``v*/_SUCCESS`` BEFORE the manifest commit, so
+    a crash in between leaves committed-LOOKING version dirs full of
+    ``_bucket=*`` partial merge state and no manifests dir. Pinned:
+    (a) restarting the bucketed sink recovers — the orphaned dirs are
+    discarded and the checkpoint replays the batch to a correct
+    snapshot; (b) the flat sink on that state raises an ACCURATE error
+    (the old message told the operator to run without num_buckets,
+    which would have adopted the partial state as the base snapshot);
+    (c) the reader refuses it too."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(k, 1, "I", f"v{k}") for k in range(8)], schema
+    ).coalesce(1).write.parquet(src)
+    target, ckpt = str(tmp_path / "target"), str(tmp_path / "ckpt")
+
+    def drain(ckpt_dir, num_buckets):
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cdc_upsert_sink(
+            stream, target, ckpt_dir, keys=["k"], seq_col="seq",
+            num_buckets=num_buckets,
+        )
+
+    drain(ckpt, 4)
+    # simulate the crash window: manifest commit (and pointer) undone,
+    # the micro-batch not yet acknowledged in the checkpoint — exactly
+    # what a kill between the parquet write and the manifest leaves
+    shutil.rmtree(os.path.join(target, "manifests"))
+    os.remove(os.path.join(target, "_LATEST"))
+    for c in os.listdir(os.path.join(ckpt, "commits")):
+        # includes Hadoop's hidden .N.crc twins — a stale checksum would
+        # make the replayed commit write fail as a phantom concurrency
+        os.remove(os.path.join(ckpt, "commits", c))
+    orphan_dirs = glob.glob(os.path.join(target, "v*"))
+    assert orphan_dirs and all(
+        glob.glob(os.path.join(d, "_bucket=*")) for d in orphan_dirs
+    )
+
+    # (b) flat sink: accurate refusal, NOT 'run without num_buckets'
+    with _pytest.raises(Exception, match="uncommitted bucketed"):
+        drain(str(tmp_path / "ckpt_flat"), None)
+    # (c) reader refuses the partial state
+    with _pytest.raises(Exception, match="uncommitted bucketed"):
+        read_cdc_snapshot(spark, target)
+
+    # (a) bucketed restart: orphan discarded, batch replayed, correct
+    drain(ckpt, 4)
+    got = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert got == {k: f"v{k}" for k in range(8)}
+    assert "_bucket" not in read_cdc_snapshot(spark, target).columns
+    # and the sink keeps working incrementally after recovery
+    spark.createDataFrame([(1, 2, "U", "v1-new")], schema).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    drain(ckpt, 4)
+    got = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert got[1] == "v1-new" and len(got) == 8
