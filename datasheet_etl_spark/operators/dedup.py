@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.caching import scoped_persist
@@ -327,6 +327,106 @@ def exact_jaccard_pairs(
         )
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def substring_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_rows: int | None = 64,
+) -> DataFrame:
+    """Exact substring-overlap dedup (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" modality): document
+    pairs sharing a VERBATIM span of ≥ k word tokens, with the longest
+    shared span measured exactly. The set-similarity family
+    (MinHash/SimHash/Jaccard/SemDeDup) misses exactly these when the
+    copied span is small relative to both documents — quotes, licenses,
+    syndicated paragraphs — and substring overlap is the modality real
+    pretraining builds run alongside set dedup.
+
+    Mechanics: two docs share a ≥ k-token verbatim span IFF they share
+    at least one word k-gram, so every doc emits its POSITIONED k-grams
+    (``word_shingles``' zip_with-of-shifted-slices construction, with
+    posexplode keeping the offset); grams meet in a keyed self-join;
+    and matched positions that advance together — consecutive ``pos_a``
+    on one alignment diagonal ``pos_a - pos_b`` — form gaps-and-islands
+    runs, where a run of L grams is a shared span of exactly
+    L + k - 1 tokens.
+
+    Returns (id_a, id_b, n_shared_grams, max_span_tokens), id_a < id_b,
+    one row per overlapping pair. Deterministic and repartition-
+    invariant; the whole computation is joins/windows/aggregates, so a
+    SQL oracle can re-derive it verbatim (the t92 oracle does).
+
+    Scale shape: gram emission is map-side; grams shuffle as fixed
+    16-byte md5 keys (never the raw token strings — ~3× less shuffle
+    volume at any corpus size); the only other shuffles are keyed by
+    the pair. ``max_gram_rows`` is the boilerplate guard (the
+    ``cap_buckets`` machinery): a gram occurring w times meets w² times
+    in the self-join, and corpus-ubiquitous grams (headers, license
+    lines, navigation chrome) are exactly the degenerate ones — they
+    are dropped before the join, so a pair whose EVERY shared gram is
+    capped boilerplate is missed (audit the loss with
+    ``relational.dropped_buckets``); any rarer span still meets."""
+    from datasheet_etl_spark.functions import tokens
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is plain token overlap)")
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n = F.greatest(F.size("_t") - (k - 1), F.lit(0))
+    grams = F.slice("_t", 1, n)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice("_t", j + 1, n),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    g = (
+        base.filter(F.size("_t") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "_gram"))
+        .select(id_col, "pos", F.unhex(F.md5("_gram")).alias("gkey"))
+    )
+    # both sides of the self-join (and both downstream aggregates) read
+    # the capped postings — persist so the corpus tokenize/gram pass
+    # executes ONCE; the persisted frame is (id, pos, 16B key), a small
+    # multiple of the corpus token count, not of the text bytes
+    g = scoped_persist(cap_buckets(g, ["gkey"], max_gram_rows))
+    pairs = (
+        g.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "gkey")
+        .join(
+            g.select(
+                F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "gkey"
+            ),
+            "gkey",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # islands: within one diagonal, consecutive pa values are one run —
+    # (id_a, id_b, diag, pa) is unique (pa fixes the gram, diag fixes
+    # pb), so the row_number order is total and the result deterministic
+    diag = F.col("pa") - F.col("pb")
+    w = Window.partitionBy("id_a", "id_b", diag).orderBy("pa")
+    runs = pairs.select(
+        "id_a",
+        "id_b",
+        "gkey",
+        "pa",
+        diag.alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("island"),
+    )
+    spans = (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("_span"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_span").alias("max_span_tokens"))
+    )
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count_distinct("gkey").alias("n_shared_grams")
+    )
+    return shared.join(spans, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_shared_grams", "max_span_tokens"
     )
 
 

@@ -2508,6 +2508,68 @@ def t91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t92_substring_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos, toks
+      FROM t WHERE len(toks) >= 8
+    ), g0 AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM p
+    ), g AS (
+      SELECT * FROM g0 QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gkey AS gkey,
+             a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b ON a.gkey = b.gkey AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM pr
+    ), spans AS (
+      SELECT id_a, id_b, count(*) + 7 AS span
+      FROM runs GROUP BY id_a, id_b, diag, island
+    ), agg AS (
+      SELECT id_a, id_b, count(DISTINCT gkey) AS n_shared_grams
+      FROM pr GROUP BY 1, 2
+    ), best AS (
+      SELECT id_a, id_b, max(span) AS max_span_tokens
+      FROM spans GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+           CAST(max_span_tokens AS BIGINT) AS max_span_tokens
+    FROM agg JOIN best USING (id_a, id_b)
+    ORDER BY id_a, id_b
+    """,
+)
+def t92_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-overlap dedup (``dedup.substring_overlap_pairs``;
+    the Lee et al. 2022 modality): doc pairs sharing a verbatim span of
+    ≥ 8 word tokens, with the longest shared span measured EXACTLY via
+    gaps-and-islands runs of matched k-gram positions on one alignment
+    diagonal. The dedup modality set-similarity misses — a copied
+    paragraph inside two otherwise-unrelated docs — and the one major
+    family the inventory lacked (VERDICT r7 #2). Grams shuffle as
+    16-byte md5 keys with a 64-occurrence boilerplate cap
+    (``cap_buckets``) in front of the self-join; the DuckDB oracle
+    re-derives the whole thing — candidates, runs, span arithmetic —
+    verbatim in SQL."""
+    from datasheet_etl_spark.operators.dedup import substring_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_overlap_pairs(
+        docs, "doc_id", "text", k=8, max_gram_rows=64
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "t93_epoch_shuffle",
     """
     WITH h AS (

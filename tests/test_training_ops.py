@@ -982,3 +982,46 @@ def test_feature_frame_rejects_ragged_and_empty(spark):
 
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         scale_features(ragged, "embedding", lo, hi).collect()
+
+
+def test_substring_overlap_planted_span(spark):
+    """t92's operator contract on planted data: a 50-token verbatim span
+    shared by two otherwise-disjoint docs is found with its EXACT length;
+    token-identical-but-reordered docs (same multiset, no shared 8-gram)
+    are NOT matched; and a pair whose only common gram is corpus-wide
+    boilerplate is dropped by the cap (the documented recall tradeoff)."""
+    from datasheet_etl_spark.operators.dedup import substring_overlap_pairs
+
+    span = [f"shared{c}{d}" for c in "abcdefghij" for d in "abcde"]  # 50
+    filler_a = [f"fillerx{c}{d}" for c in "abcdef" for d in "abcde"]  # 30
+    filler_b = [f"fillery{c}{d}" for c in "abcdef" for d in "abcde"]  # 30
+    doc1 = " ".join(filler_a + span)
+    doc2 = " ".join(span + filler_b)
+    doc3 = " ".join(reversed((filler_a + span)))  # same multiset as doc1
+    rows = [(1, doc1), (2, doc2), (3, doc3)]
+    # boilerplate family: 70 docs sharing one 8-token prefix (over the
+    # 64-occurrence cap), each with a unique tail
+    boiler = " ".join(f"boiler{c}" for c in "abcdefgh")
+    rows += [  # letter-only tails: the tokenizer strips digits
+        (100 + i, f"{boiler} tail{chr(97 + i // 26)}{chr(97 + i % 26)}")
+        for i in range(70)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared_grams"], r["max_span_tokens"])
+        for r in substring_overlap_pairs(
+            docs, "doc_id", "text", k=8, max_gram_rows=64
+        ).collect()
+    }
+    # exactly one pair: the planted span, at its exact length
+    assert set(got) == {(1, 2)}, got
+    n_grams, span_len = got[(1, 2)]
+    assert span_len == 50
+    assert n_grams == 50 - 8 + 1  # every gram inside the span, no more
+
+    # sanity: without the cap the boilerplate family would have matched
+    uncapped = substring_overlap_pairs(
+        docs, "doc_id", "text", k=8, max_gram_rows=None
+    )
+    assert uncapped.filter(F.col("id_a") >= 100).count() > 0
