@@ -21,47 +21,37 @@ carry parity-to-exact pytest coverage instead of a DuckDB oracle.
 from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
-# oracled. Round-7 rotation (VERDICT r6 next-round #2): the 6 oracled
-# round-6 additions (q45/q46/t74-t77) plus 4 never-driver-graded r5
-# residents (q39/t58/t69/t70) in; q04/q13/q15/q24/q32/q33/t18/t27/t30/
-# t34 out. In-round promotions: t79 (GROUPED_AGG — VERDICT r6 ask #4)
-# and t80 (leakage-safe split) in; q21/q07 out (idiom-superset
-# rationales in DEMOTED).
+# oracled. Round-8 rotation (VERDICT r7 next-round #1): the nine
+# oracled r7 additions the driver was blind to (t81-t86, t89, t90,
+# q47) plus the new t92 substring-overlap capability (VERDICT r7 #2)
+# in; q01/q03/q11/q19/q30/t04/t17/t57/t59/t68 out, each with an
+# idiom-superset rationale in DEMOTED and every anchor that pointed at
+# an outgoing entry re-pointed at an in-window superset.
 WINDOW: tuple[str, ...] = (
-    "q01_scan_filter",
-    "q03_regex_extract_cast",
     "q06_positional_join",
-    "q11_tpch_q1",
     "q14_dynamic_pivot",
     "q16_topk_per_group",
     "q18_sessionize",
-    "q19_percentiles",
     "q25_array_ops",
     "q26_json_roundtrip",
     "q28_severity_ladder",
     "q29_confidence_agg",
-    "q30_idempotent_rerun",
     "t13_streaming_tumbling",
     "t41_streaming_interval_join",
     "t55_streaming_kmv_distinct",
     "t01_dedup_exact",
-    "t04_dedup_ngram_jaccard",
     "t06_ann_bruteforce",
     "t07_ann_ivf",
     "t19_corpus_curation",
     "t16_dedup_clusters",
-    "t17_graph_copurchase",
     "t33_corpus_prep_e2e",
     "t32_decontaminate",
     # --- rotated IN for round 6 (r5 additions, previously past the window) ---
     "q35_cube",
     "q38_variant_extract",
-    "t57_funnel",
-    "t59_correlation_matrix",
     "t64_fuzzy_join",
     "t65_unigram_log_ppl",
     "t67_zorder_key",
-    "t68_cdc_apply",
     # --- r6 additions promoted in-round (q43/q44 were VERDICT r5 asks #2/#3) ---
     "q43_star_join_revenue",
     "q44_correlated_subqueries",
@@ -78,16 +68,26 @@ WINDOW: tuple[str, ...] = (
     "t58_cohort_retention",
     "t69_rolling_anomaly",
     "t70_dedup_rate_report",
-    # --- r7 in-round promotions: the GROUPED_AGG seam entry (VERDICT r6
-    # ask #4) and the leakage-safe split are driver-graded immediately
-    # rather than waiting a round ---
+    # --- r7 in-round promotions (GROUPED_AGG seam; leakage-safe split;
+    # mergeable-histogram quantiles; A-ES exact-k weighted sampling) ---
     "t79_weighted_median_udaf",
     "t80_leakage_safe_split",
-    # --- r7 continuation promotions: the two strongest new-machinery
-    # entries are driver-graded immediately (mergeable-histogram
-    # quantiles; A-ES exact-k weighted sampling) ---
     "t88_mergeable_quantile_hist",
     "t91_weighted_sample",
+    # --- rotated IN for round 8 (VERDICT r7 #1): the nine oracled r7
+    # additions the driver window was blind to ---
+    "t81_streaming_dedup_watermark",
+    "t82_mixture_waterfill",
+    "t83_ngram_novelty",
+    "t84_curation_audit",
+    "t85_contamination_report",
+    "t86_csv_lenient_ingest",
+    "t89_schema_evolution_at_rest",
+    "t90_feature_scale",
+    "q47_distribution_windows",
+    # --- r8 in-round promotion: the new exact substring-overlap dedup
+    # capability (VERDICT r7 #2) is driver-graded immediately ---
+    "t92_substring_overlap",
 )
 
 
@@ -107,11 +107,11 @@ DEMOTED: tuple[str, ...] = (
     "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside q16 top-k (r6: t26 reference dropped, itself demoted)
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
-    "q08_anti_join",  # left-anti idiom graded inside q30_idempotent_rerun
+    "q08_anti_join",  # left-anti idiom graded inside t32_decontaminate (corpus-scale left-anti; r8: q30, the old anchor, demoted into t32 on the same basis)
     "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside q29_confidence_agg (CASE-weighted sum, same idiom; was t29 before its own r7 demotion)
     # r5: swapped out for t34/t35 — again idiom-superset demotions:
     # (q12's anchor re-pointed r7-continuation: t29 itself demoted into t33/q29/t91)
-    "q02_normalize",  # regex normalize idiom graded inside q03's regexp strip + try_cast (r7: t30, the old anchor, demoted on the same basis)
+    "q02_normalize",  # regex normalize idiom graded inside q28's severity-ladder parse + t86's lenient-CSV regexp/cast family (r8: q03, the old anchor, demoted on the same basis)
     "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact (r7: q24, the old co-anchor, demoted into t70)
     # r5: swapped out for t41_streaming_interval_join — t13 grades the
     # IDENTICAL tumbling-window contract (same oracle result) through the
@@ -125,7 +125,7 @@ DEMOTED: tuple[str, ...] = (
     "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + t65 (unigram counts; was q34 before its own r7 demotion)
     "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
     "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
-    "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16/t17 graph entries + q26 parse
+    "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16 (edge/component machinery; r8: t17, the old co-anchor, demoted into t16) + q26 parse
     "t26_sample_uniform",  # hash-rank sample graded inside t91's A-ES top-k (same md5-hash-order selection family) + q16's rank top-k (r7: t27/t29, the old anchors, themselves demoted)
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
@@ -139,11 +139,11 @@ DEMOTED: tuple[str, ...] = (
     "q13_rollup",  # ROLLUP grouping sets graded inside q35_cube (CUBE is the strict grouping-sets superset, same join+multi-grain agg shape)
     "q15_unpivot",  # stack() long-form projection OVER the in-window q14 pivot (q15 is literally q14's result + unpivot(), a pure projection)
     "q24_distinct_exact",  # countDistinct idiom graded inside t70_dedup_rate_report (count_distinct per group) + t01's distinct-key dedup
-    "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t68_cdc_apply (same max_by-per-key resolution, superset incl. deletes) + q16 (top_k_per_group, the shared helper)
-    "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine) + t04 (same Jaccard expression)
+    "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t77_streaming_cdc_apply (same apply_changes max_by-per-key resolution, streaming+bucketed superset; r8: t68, the old anchor, demoted into t77) + q16 (top_k_per_group, the shared helper)
+    "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine; r8: t04, the old co-anchor, demoted into t92/t83)
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
     "t27_stratified_sample",  # per-stratum hash-rank sample graded inside q16 (row_number top-k per group) + t91 (md5-derived deterministic sampling family, per-stratum exact-k)
-    "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q03's regexp strip + try_cast — same per-row regexp family
+    "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q28's ladder regexp parse + t86's lenient-CSV casts — same per-row regexp family (r8: q03, the old anchor, demoted)
     "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t65_unigram_log_ppl (identical two-level agg shape)
     # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
     "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside q16's row_number top-k (same partition/order machinery)
@@ -151,6 +151,19 @@ DEMOTED: tuple[str, ...] = (
     # r7 continuation: swapped for t88/t91 — same-machinery supersets stay in-window:
     "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t65_unigram_log_ppl (identical tokenize→explode→agg shape, richer two-level rollup)
     "t29_mixture_weighted",  # hash-prefix Bernoulli sampling graded inside t33's weighted_sample 50% gate (same operator/idiom); the per-source CASE-weighted agg side graded inside q29's CASE-weighted severity sum; the exact-k weighted form is now graded directly by t91
+    # r8: swapped out for t81-t86/t89/t90/q47/t92 (VERDICT r7 next-round
+    # #1 + #2) — every outgoing idiom stays graded inside an in-window
+    # superset (and every demotee stays in the pytest oracle sweep):
+    "q01_scan_filter",  # pushdown scan+filter is the substrate of every in-window entry; graded directly inside t19's gate filter chain and q43's plan-pinned pushdown star join
+    "q03_regex_extract_cast",  # regexp extract + try_cast graded inside q28's severity-ladder parse (same stringly-cell regexp family) + t86's lenient-CSV typed casts
+    "q11_tpch_q1",  # multi-aggregate groupBy over lineitem graded inside t73_incremental_rollup (same sum/count/avg shape PLUS partial-merge maintenance) + q35's grouping-sets superset
+    "q19_percentiles",  # exact percentile contract graded inside t88_mergeable_quantile_hist (same quantiles re-derived from mergeable bin counts — the strictly-stronger maintenance path)
+    "q30_idempotent_rerun",  # left-anti incremental-skip idiom graded inside t32_decontaminate (same left-anti at corpus scale, Bloom + shuffle-hash variants)
+    "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t92_substring_overlap (same postings shape, exact-span verify) + t83_ngram_novelty (same gram aggregation); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
+    "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t16_dedup_clusters (same edge→component machinery over the shared graph helpers)
+    "t57_funnel",  # ordered-event window sequencing graded inside q18_sessionize (same event-time window machinery) + t58_cohort_retention (same event bucketing)
+    "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t90_feature_scale's stats pass (same decimal mean/variance machinery); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
+    "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
 )
 
 

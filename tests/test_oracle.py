@@ -33,37 +33,36 @@ def test_query_matches_oracle(spark, name):
 def test_graded_window_contract():
     """The driver grades the first 50 registry entries. Pin that the
     window is exactly the explicit WINDOW list, every entry oracled,
-    and that the r6 rotation actually covers round-5 work (>= 8 r5
-    entries driver-graded, per VERDICT r5 next-round #1)."""
-    from datasheet_etl_spark.plans import WINDOW, oracles, registry
+    that the r8 rotation actually covers round-7 work (VERDICT r7
+    next-round #1: >= 8 r7 entries driver-graded, plus the new t92
+    capability), and that demotion never drops oracle coverage."""
+    from datasheet_etl_spark.plans import WINDOW, DEMOTED, oracles, registry
 
     first50 = list(registry())[:50]
     assert first50 == list(WINDOW)
     ora = oracles()
     assert all(k in ora for k in first50)
-    r5_entries = {
-        "q35_cube", "q38_variant_extract", "t57_funnel",
-        "t59_correlation_matrix", "t64_fuzzy_join", "t65_unigram_log_ppl",
-        "t67_zorder_key", "t68_cdc_apply",
+    # r8 rotation (VERDICT r7 next-round #1 + #2): the nine oracled r7
+    # additions plus the new substring-overlap capability are graded
+    r8_entries = {
+        "t81_streaming_dedup_watermark", "t82_mixture_waterfill",
+        "t83_ngram_novelty", "t84_curation_audit",
+        "t85_contamination_report", "t86_csv_lenient_ingest",
+        "t89_schema_evolution_at_rest", "t90_feature_scale",
+        "q47_distribution_windows", "t92_substring_overlap",
     }
-    assert r5_entries <= set(first50)
-    # and the r6 additions the verdict asked for are themselves graded
-    r6_entries = {
-        "q43_star_join_revenue", "q44_correlated_subqueries",
-        "t73_incremental_rollup",
-    }
-    assert r6_entries <= set(first50)
-    # r7 rotation (VERDICT r6 next-round #2): the six oracled r6
-    # additions plus four never-driver-graded r5 residents are graded
-    r7_entries = {
-        "q45_union_by_name", "q46_nullsafe_join", "t74_resample_interp",
-        "t75_stream_static_join", "t76_udtf_sentence_split",
-        "t77_streaming_cdc_apply", "q39_recursive_cte",
-        "t58_cohort_retention", "t69_rolling_anomaly",
-        "t70_dedup_rate_report",
-        # in-round promotions (VERDICT r6 ask #4 + the new split op)
+    assert r8_entries <= set(first50)
+    # entries CREATED in round 7: >= 8 must be driver-graded
+    r7_created = {
         "t79_weighted_median_udaf", "t80_leakage_safe_split",
-        # r7 continuation promotions (new-machinery entries)
-        "t88_mergeable_quantile_hist", "t91_weighted_sample",
+        "t81_streaming_dedup_watermark", "t82_mixture_waterfill",
+        "t83_ngram_novelty", "t84_curation_audit",
+        "t85_contamination_report", "t86_csv_lenient_ingest",
+        "t88_mergeable_quantile_hist", "t89_schema_evolution_at_rest",
+        "t90_feature_scale", "t91_weighted_sample",
+        "q47_distribution_windows",
     }
-    assert r7_entries <= set(first50)
+    assert len(r7_created & set(first50)) >= 8
+    # demotion is a WINDOW decision, never an oracle decision: every
+    # demoted entry keeps its DuckDB oracle and stays in this sweep
+    assert all(k in ora for k in DEMOTED)
