@@ -1718,3 +1718,111 @@ def gc_cdc_target(
             rm(f"{target_dir}/{d}", True)
             deleted += 1
     return deleted
+
+
+def gc_cdc_checkpoint(
+    spark: SparkSession, checkpoint_dir: str, keep_batches: int = 2
+) -> int:
+    """Bound the streaming CHECKPOINT alongside the target GC — the
+    other half of the lifecycle :func:`gc_cdc_target` closes. A
+    long-lived sink accretes one ``offsets/<n>`` + ``commits/<n>`` pair
+    per micro-batch (Spark's own retention keeps the last
+    ``minBatchesToRetain`` = 100 — a bound, but two orders looser than
+    a trickle-fed CDC target wants) and a file-source metadata log
+    under ``sources/<i>/`` whose periodic ``<n>.compact`` files fold
+    the full history of every prior entry.
+
+    Deletes, conservatively:
+    - batch-log pairs strictly below ``latest_offset - keep_batches + 1``
+      — restart reads the newest offset file AND its predecessor (to
+      recover the replay batch's start offsets), hence the
+      ``keep_batches >= 2`` floor;
+    - file-source log entries strictly below that source's newest
+      ``.compact`` — their content is BY CONSTRUCTION folded into the
+      compact, so the restart's seen-files reconstruction (newest
+      compact + later increments) never misses them. With no compact
+      yet, nothing is deleted for that source.
+
+    Never touches ``metadata`` (the query id) or ``state/``. Returns
+    the number of files deleted. Idempotent; safe between runs of an
+    availableNow sink — NOT while the query is live."""
+    if keep_batches < 2:
+        raise ValueError(
+            "keep_batches must be >= 2: restart reads the latest offset "
+            "file and its predecessor"
+        )
+    fs, _, jvm = _hadoop_fs(spark, checkpoint_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+
+    def batch_files(sub: str) -> dict:
+        statuses = fs.globStatus(P(f"{checkpoint_dir}/{sub}/*"))
+        return {
+            int(st.getPath().getName()): st.getPath()
+            for st in (statuses or [])
+            if st.getPath().getName().isdigit()
+        }
+
+    offsets = batch_files("offsets")
+    if not offsets:
+        return 0
+    floor = max(offsets) - keep_batches + 1
+    deleted = 0
+    for sub in ("offsets", "commits"):
+        for n, path in batch_files(sub).items():
+            if n < floor:
+                fs.delete(path, False)
+                deleted += 1
+    src_dirs = fs.globStatus(P(f"{checkpoint_dir}/sources/*"))
+    for src in (src_dirs or []):
+        entries = []  # (batch_id, path)
+        newest_compact = None
+        for st in fs.listStatus(src.getPath()) or []:
+            name = st.getPath().getName()
+            base = name[: -len(".compact")] if name.endswith(".compact") else name
+            if not base.isdigit():
+                continue
+            if name.endswith(".compact"):
+                newest_compact = max(newest_compact or -1, int(base))
+            entries.append((int(base), st.getPath()))
+        if newest_compact is None:
+            continue
+        for n, path in entries:
+            if n < newest_compact:
+                fs.delete(path, False)
+                deleted += 1
+    return deleted
+
+
+def gc_cdc(
+    spark: SparkSession,
+    target_dir: str,
+    checkpoint_dir: str,
+    keep_versions: int = 2,
+    keep_batches: int = 2,
+) -> dict:
+    """Checkpoint+target co-GC: ONE retention decision for the pair
+    that lives and dies together (:func:`_bind_checkpoint_target`).
+    Runs :func:`gc_cdc_target` and :func:`gc_cdc_checkpoint` in that
+    order, refusing to touch the checkpoint of a target with no
+    committed state — GC'ing a live checkpoint against a dead target
+    is exactly the orphan the ``_SINK_INIT`` guard refuses at the next
+    start, and a co-GC must never manufacture that state. Returns
+    ``{"target_paths_deleted": n, "checkpoint_files_deleted": m}``."""
+    alive = (
+        _resolve_version(spark, target_dir) is not None
+        or _resolve_manifest(spark, target_dir) is not None
+    )
+    if not alive:
+        raise ValueError(
+            f"{target_dir} has no committed state; refusing to GC its "
+            f"checkpoint {checkpoint_dir} — rebuild the pair together "
+            "(delete both) instead"
+        )
+    return {
+        "target_paths_deleted": gc_cdc_target(
+            spark, target_dir, keep_versions
+        ),
+        "checkpoint_files_deleted": gc_cdc_checkpoint(
+            spark, checkpoint_dir, keep_batches
+        ),
+    }

@@ -1504,3 +1504,89 @@ def test_cdc_bucketed_first_batch_crash_recovers(spark, tmp_path):
     drain(ckpt, 4)
     got = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
     assert got[1] == "v1-new" and len(got) == 8
+
+
+def test_cdc_checkpoint_target_co_gc(spark, tmp_path):
+    """VERDICT r7 #3: the checkpoint must be boundable ALONGSIDE the
+    target. Pinned: (a) after N batches, co-GC shrinks the batch logs
+    to keep_batches pairs and prunes file-source log entries folded
+    into the newest .compact; (b) the sink keeps working incrementally
+    after co-GC (replay state intact); (c) co-GC refuses a dead target
+    (it must never manufacture the orphan _SINK_INIT refuses); (d) the
+    orphan-refusal itself still holds after co-GC."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import (
+        cdc_upsert_sink,
+        gc_cdc,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    target, ckpt = str(tmp_path / "target"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        cdc_upsert_sink(stream, target, ckpt, keys=["k"], seq_col="seq")
+
+    spark.conf.set("spark.sql.streaming.fileSource.log.compactInterval", "2")
+    try:
+        for seq in range(1, 6):  # five micro-batches across five runs
+            spark.createDataFrame(
+                [(k, seq, "I" if seq == 1 else "U", f"v{k}s{seq}")
+                 for k in range(4)],
+                schema,
+            ).coalesce(1).write.parquet(src, mode="append")
+            drain()
+
+        def nfiles(sub):
+            d = os.path.join(ckpt, sub)
+            return sorted(
+                f for f in os.listdir(d) if not f.startswith(".")
+            ) if os.path.isdir(d) else []
+
+        assert len(nfiles("offsets")) == 5 and len(nfiles("commits")) == 5
+        src_log = os.path.join("sources", "0")
+        assert any(f.endswith(".compact") for f in nfiles(src_log))
+
+        res = gc_cdc(spark, target, ckpt, keep_versions=2, keep_batches=2)
+        assert res["target_paths_deleted"] > 0
+        assert res["checkpoint_files_deleted"] > 0
+        assert nfiles("offsets") == ["3", "4"]
+        assert nfiles("commits") == ["3", "4"]
+        # everything below the newest compact is folded into it
+        kept = nfiles(src_log)
+        compacts = [int(f.split(".")[0]) for f in kept if f.endswith(".compact")]
+        assert compacts and all(
+            int(f.split(".")[0]) >= max(compacts) for f in kept
+        )
+        # idempotent
+        again = gc_cdc(spark, target, ckpt, keep_versions=2, keep_batches=2)
+        assert again == {
+            "target_paths_deleted": 0, "checkpoint_files_deleted": 0,
+        }
+
+        # (b) the sink keeps working incrementally after co-GC
+        spark.createDataFrame(
+            [(1, 6, "U", "v1s6")], schema
+        ).coalesce(1).write.parquet(src, mode="append")
+        drain()
+        got = {r["k"]: r["v"]
+               for r in read_cdc_snapshot(spark, target).collect()}
+        assert got[1] == "v1s6" and got[2] == "v2s5"
+
+        # (c) co-GC refuses a dead target
+        dead_t = str(tmp_path / "dead_target")
+        with _pytest.raises(Exception, match="no committed state"):
+            gc_cdc(spark, dead_t, ckpt)
+
+        # (d) the _SINK_INIT orphan-refusal still holds after co-GC
+        shutil.rmtree(target)
+        with _pytest.raises(Exception, match="records committed batches"):
+            drain()
+    finally:
+        spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
