@@ -7,9 +7,11 @@ oracle compare exercises the *streaming* execution path end to end.
 
 t13 is DuckDB-oracle-checked (same contract as batch q31: streaming a
 bounded input must produce exactly the batch answer). t14 is the custom
-stateful operator (applyInPandasWithState) — genuinely non-SQL-
-expressible aggregation order, registered rows-only; its parity with
-batch Q18 is asserted in tests/test_streaming.py instead.
+stateful operator (applyInPandasWithState); since r8 it is oracled the
+same way — with batch Q18's own sessionize SQL, because a bounded drain
+of the stateful operator must reproduce the window-function answer
+exactly (its batch-parity is additionally asserted in
+tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datasheet_etl_spark.plans.queries import register, sql_dsum
+from datasheet_etl_spark.plans.queries import ORACLES, register, sql_dsum
 from datasheet_etl_spark.streaming import (
     events_stream,
     run_available_now,
@@ -137,10 +139,15 @@ def t13_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start_sec", "event_type")
 
 
-@register("t14_streaming_stateful_sessions")  # custom stateful op → rows-only
+@register("t14_streaming_stateful_sessions", ORACLES["q18_sessionize"])
 def t14_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via applyInPandasWithState under
-    Structured Streaming; batch-parity vs Q18 is pinned in
+    Structured Streaming. Rows-only until r8 — but the drained
+    availableNow result is deterministic and schema-identical to the
+    batch sessionize, so it is oracled with Q18's OWN DuckDB SQL (the
+    batch-parity path VERDICT r7 #5 asked for): the custom stateful
+    operator must reproduce the window-function answer EXACTLY,
+    per-session sums included. Batch-parity is additionally pinned in
     tests/test_streaming.py."""
     src = _stage_events(sf_dir)
     with _few_state_partitions(spark):
