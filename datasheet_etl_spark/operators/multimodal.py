@@ -3,11 +3,13 @@
 Media travel as opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. The Spark-side plumbing — schemas, batch
-iteration, partitioning, binary hygiene — is real and tested; the codec
-step itself is STUBBED (this environment has no image/audio libraries):
-``decode_media`` raises ``NotImplementedError`` unless PIL is importable,
-and ``fake_decode_meta`` provides the deterministic stand-in the tests
-and rows-only driver checks run against.
+iteration, partitioning, binary hygiene — is real and tested. The codec
+step is import-gated: with PIL present, ``decode_media`` is a REAL
+image decode (header-only sizing) and the feature stage reports ``ok``
+/ ``decode_error`` per row; without it (this environment),
+``decode_media`` raises ``NotImplementedError`` and
+``fake_decode_meta`` provides the deterministic stand-in, labeled
+``stubbed``, that the tests and rows-only driver checks run against.
 
 Binary hygiene at scale (survey §4.2): the ``content`` column is dropped
 immediately after the consuming stage — an explicit select keeps 100 TB
@@ -47,13 +49,40 @@ def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_media(content: bytes) -> tuple[int, int]:
-    """Real decode — STUB. Wire PIL/ffmpeg here on a cluster image."""
+    """Real image decode: (width, height) via PIL when it is importable
+    (a cluster image with pillow gets the real path with no code
+    change); raises ``NotImplementedError`` when no imaging library is
+    present — use :func:`fake_decode_meta` for plumbing tests there.
+    ``Image.open`` reads only the header to size the image, so this
+    never materializes pixel data for metadata extraction."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "media decode requires an image/audio library not present in "
             "this environment; use fake_decode_meta for plumbing tests"
         )
-    raise NotImplementedError("real decoder not wired in v1")
+    import io
+
+    with Image.open(io.BytesIO(content)) as im:
+        return im.width, im.height
+
+
+def _decode_meta(content: bytes) -> tuple[int, int, int, str]:
+    """Per-row decode dispatch for the mapInPandas stage: the REAL
+    decoder iff PIL imports (undecodable payloads fall back to the
+    deterministic fake geometry with an explicit ``decode_error``
+    status, never a poisoned batch); the fake path, labeled
+    ``stubbed``, otherwise."""
+    if _HAS_PIL:
+        try:
+            w, h = decode_media(content)
+            return w, h, 1, "ok"
+        except NotImplementedError:  # pragma: no cover - gate above
+            raise
+        except Exception:
+            w, h, f = fake_decode_meta(content)
+            return w, h, f, "decode_error"
+    w, h, f = fake_decode_meta(content)
+    return w, h, f, "stubbed"
 
 
 def fake_decode_meta(content: bytes) -> tuple[int, int, int]:
@@ -73,7 +102,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_decode_meta(bytes(c)) for c in pdf["content"]]
+            metas = [_decode_meta(bytes(c)) for c in pdf["content"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -83,7 +112,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                     "width": [m[0] for m in metas],
                     "height": [m[1] for m in metas],
                     "n_frames": [m[2] for m in metas],
-                    "decode_status": "stubbed" if not _HAS_PIL else "ok",
+                    "decode_status": [m[3] for m in metas],
                 }
             )
             yield out

@@ -216,17 +216,31 @@ def test_multimodal_plumbing(spark, docs):
         synth_media,
     )
 
+    from datasheet_etl_spark.operators.multimodal import _HAS_PIL
+
     media = synth_media(docs.limit(50))
     feats = extract_features(media)
     assert "content" not in feats.columns  # binary dropped after the stage
     rows = feats.collect()
     assert len(rows) == 50
     r0 = sorted(rows, key=lambda r: r["media_id"])[0]
-    assert r0["decode_status"] == "stubbed"
+    # the real path is taken IFF PIL imports: synth payloads are text
+    # bytes, so with PIL they FAIL the real decode (explicit error
+    # status, fake geometry fallback); without it they are 'stubbed'
+    assert r0["decode_status"] == ("decode_error" if _HAS_PIL else "stubbed")
     assert r0["n_bytes"] > 0 and r0["width"] >= 64 and r0["height"] >= 64
 
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG")
+    if _HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (12, 7)).save(buf, format="PNG")
+        assert decode_media(buf.getvalue()) == (12, 7)  # real decode
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG")
 
     samples = frame_sample(media.limit(5))
     assert samples.count() >= 5
