@@ -1366,10 +1366,30 @@ def cdc_upsert_sink(
                 orphans = _orphaned_bucketed_versions(spark, target_dir)
                 if set(orphans) == set(committed):
                     # every committed-looking version is bucketed-shaped
-                    # with no manifest: a previous bucketed run crashed
-                    # between its parquet write (which drops _SUCCESS)
-                    # and its manifest commit. The batch never reached
-                    # the checkpoint's commits either, so it WILL be
+                    # with no manifest. Two very different states look
+                    # like this, and only the checkpoint tells them
+                    # apart:
+                    if _checkpoint_has_commits(spark, checkpoint_dir):
+                        # the checkpoint has committed batches, so these
+                        # versions WERE manifest-committed once and the
+                        # manifests dir was lost separately (partial
+                        # restore, fs mishap). Discarding the data dirs
+                        # here would be silent data loss — the committed
+                        # batches will never be replayed.
+                        raise ValueError(
+                            f"{target_dir} holds bucketed CDC data but "
+                            "its manifests/ dir is missing while the "
+                            "checkpoint records committed batches — the "
+                            "manifest history was lost after commit. "
+                            "Restore manifests/ and _LATEST from backup "
+                            "(or recreate checkpoint AND target together "
+                            "and replay the changelog); refusing to "
+                            "discard committed data"
+                        )
+                    # checkpoint has no commits: a previous bucketed run
+                    # crashed between its parquet write (which drops
+                    # _SUCCESS) and its manifest commit. The batch never
+                    # reached the checkpoint's commits, so it WILL be
                     # replayed — discard the uncommitted dirs and
                     # proceed as a new bucketed target.
                     fs, _, jvm = _hadoop_fs(spark, target_dir)
