@@ -148,13 +148,38 @@ def t14_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     batch-parity path VERDICT r7 #5 asked for): the custom stateful
     operator must reproduce the window-function answer EXACTLY,
     per-session sums included. Batch-parity is additionally pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    The memory sink in 'update' mode APPENDS every emission: a session
+    extended by a later micro-batch is re-emitted with refreshed
+    aggregates, so a multi-batch drain (file sources split batches
+    whenever maxFilesPerTrigger is set, as t24's harness does) would
+    surface duplicate (user_id, session_id) rows with stale partials.
+    The max_by on n_events keeps exactly the LAST emission per session
+    (n_events grows strictly monotonically as a session extends), so
+    duplicate emissions can never reach the oracle compare however the
+    drain batches. The remaining single-batch assumption is the
+    ordering one: _session_fn folds events in event_id order WITHIN a
+    batch, so Q18's global-order parity additionally needs events not
+    split out-of-order across batches — true here because no
+    maxFilesPerTrigger is set (availableNow drains the staged dir in
+    one batch)."""
     src = _stage_events(sf_dir)
     with _few_state_partitions(spark):
         stream = sessionize_stateful(events_stream(spark, src))
         name = f"t14_{uuid.uuid4().hex[:8]}"
         out = run_available_now(stream, name, "update")
-    return out.orderBy("user_id", "session_id")
+    final = (
+        out.groupBy("user_id", "session_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "first_event", "last_event", "session_value"),
+                "n_events",
+            ).alias("_s")
+        )
+        .select("user_id", "session_id", "_s.*")
+    )
+    return final.orderBy("user_id", "session_id")
 
 
 @register(

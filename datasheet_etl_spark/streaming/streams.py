@@ -1048,6 +1048,25 @@ def _is_bucketed_target(spark: SparkSession, target_dir: str) -> bool:
     return fs.exists(hpath)
 
 
+def _version_has_bucket_dirs(
+    spark: SparkSession, target_dir: str, version: str
+) -> bool:
+    """One listStatus: does this single committed version dir hold
+    ``_bucket=*`` partition subdirs? The per-read guard in
+    :func:`read_cdc_snapshot` needs only the RESOLVED version's shape —
+    enumerating every committed version there (as the full orphan scan
+    does) is O(versions) remote RPCs per read, a real per-batch latency
+    tax on object stores."""
+    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    statuses = fs.listStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{version}")
+    )
+    return any(
+        st.isDirectory() and st.getPath().getName().startswith("_bucket=")
+        for st in (statuses or [])
+    )
+
+
 def _orphaned_bucketed_versions(
     spark: SparkSession, target_dir: str
 ) -> list[str]:
@@ -1060,18 +1079,14 @@ def _orphaned_bucketed_versions(
     returns) ever acknowledged. Such a dir is an uncommitted write: the
     sink discards it and lets the checkpoint replay the batch. Callers
     gate on ``not _is_bucketed_target`` themselves — once a manifest
-    exists, unreferenced version dirs are ``gc_cdc_target``'s job."""
-    fs, _, jvm = _hadoop_fs(spark, target_dir)
+    exists, unreferenced version dirs are ``gc_cdc_target``'s job.
+
+    O(versions) listStatus RPCs by construction — callers on a per-read
+    or per-batch path use :func:`_version_has_bucket_dirs` on the one
+    resolved version, or run this scan once at sink init, instead."""
     orphans = []
     for v in _committed_versions(spark, target_dir):
-        statuses = fs.listStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{v}")
-        )
-        if any(
-            st.isDirectory()
-            and st.getPath().getName().startswith("_bucket=")
-            for st in (statuses or [])
-        ):
+        if _version_has_bucket_dirs(spark, target_dir, v):
             orphans.append(v)
     return orphans
 
@@ -1217,10 +1232,12 @@ def read_cdc_snapshot(
             version = _resolve_version(spark, target_dir)
         if version is None:
             return None
-        if version in _orphaned_bucketed_versions(spark, target_dir):
+        if _version_has_bucket_dirs(spark, target_dir, version):
             # bucketed-sink crash window (data write committed, manifest
             # not): reading it flat would surface a _bucket partition
-            # column over PARTIAL merge state — refuse instead
+            # column over PARTIAL merge state — refuse instead.
+            # Single-dir check, not the O(versions) orphan scan: only
+            # the version being READ can poison this read
             raise ValueError(
                 f"{target_dir} holds an uncommitted bucketed CDC write "
                 "(crash between the bucket data write and its manifest "
@@ -1316,6 +1333,14 @@ def cdc_upsert_sink(
             batch_df.drop(op_col).limit(0).withColumn("_deleted", F.lit(False))
         )
 
+    # full orphan scan once per sink START, not per micro-batch: an
+    # orphaned bucketed write can only predate this flat sink (only a
+    # bucketed sink creates them, and running both against one target
+    # is already refused), so scanning every batch is pure O(versions)
+    # RPC overhead — exactly the object-store latency tax the
+    # single-version check in read_cdc_snapshot avoids on the read path
+    _orphan_scan_done: list[bool] = []
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1329,7 +1354,9 @@ def cdc_upsert_sink(
                 f"{target_dir} is a bucketed CDC target; run the sink "
                 "with its original num_buckets"
             )
-        if _orphaned_bucketed_versions(spark, target_dir):
+        if not _orphan_scan_done and _orphaned_bucketed_versions(
+            spark, target_dir
+        ):
             # a bucketed sink crashed between its parquet write and its
             # manifest commit: the v* dirs LOOK committed (_SUCCESS) but
             # hold _bucket=* partial merge state. Resolving them here
@@ -1342,6 +1369,7 @@ def cdc_upsert_sink(
                 "to recover, or delete the orphaned v* dirs to start a "
                 "flat target"
             )
+        _orphan_scan_done.append(True)
         base = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
         if base is None:
             base = _empty_base(batch_df)
@@ -1765,7 +1793,19 @@ def gc_cdc_checkpoint(
 
     Never touches ``metadata`` (the query id) or ``state/``. Returns
     the number of files deleted. Idempotent; safe between runs of an
-    availableNow sink — NOT while the query is live."""
+    availableNow sink.
+
+    In-flight guard (not just a docstring caveat): a checkpoint whose
+    newest ``offsets/<n>`` has no matching ``commits/<n>`` is
+    mid-batch — either the query is LIVE right now (offsets are
+    written at batch start, commits at batch end) or it crashed
+    between the two and the next start will replay from exactly that
+    state. GC'ing around an uncommitted batch would compute the
+    deletion floor from an offset whose batch may still be rolled
+    back, and deleting while a query is live races its own log
+    maintenance — refuse both, with zero false refusals for the
+    availableNow drain-then-stop lifecycle this sink uses (a drained
+    query always leaves offsets and commits level)."""
     if keep_batches < 2:
         raise ValueError(
             "keep_batches must be >= 2: restart reads the latest offset "
@@ -1785,6 +1825,14 @@ def gc_cdc_checkpoint(
     offsets = batch_files("offsets")
     if not offsets:
         return 0
+    if max(offsets) not in batch_files("commits"):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} has an in-flight batch "
+            f"{max(offsets)} (offsets written, no commit): the query is "
+            "either live or crashed mid-batch. Let it finish — or "
+            "restart the sink so the batch replays and commits — then "
+            "GC."
+        )
     floor = max(offsets) - keep_batches + 1
     deleted = 0
     for sub in ("offsets", "commits"):

