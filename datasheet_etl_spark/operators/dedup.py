@@ -430,6 +430,61 @@ def substring_overlap_pairs(
     )
 
 
+def substring_dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_rows: int | None = 64,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """The shippable artifact :func:`substring_overlap_pairs` feeds —
+    per-document keep/drop decisions for the whole corpus (completing
+    the Lee et al. modality: pair DETECTION alone is not a deduped
+    training set). Pairs whose longest verbatim span reaches
+    ``min_span_tokens`` (default: any overlap, i.e. ≥ k) are treated
+    as duplicate edges; transitively-connected docs form one overlap
+    cluster (``graph.connected_components`` min-label machinery, the
+    same path t16/t49 grade); each cluster keeps exactly its min-id
+    representative.
+
+    Returns one row PER INPUT DOC: (id, cluster_rep, cluster_size,
+    kept) — unpaired docs are their own singleton (rep = self, size 1,
+    kept); ``filter(kept)`` is the deduped corpus, and the dropped
+    rows carry which cluster absorbed them (the audit t84 provides for
+    the exact-dup gate, here for the substring gate).
+
+    Scale shape: the expensive part is the pair detection (see
+    substring_overlap_pairs — capped gram self-join); components then
+    iterate over the PAIR graph, which is the small derived artifact
+    (overlap pairs), never the corpus, with localCheckpoint bounding
+    lineage per round. The final join back to ``docs`` is a broadcast
+    in practice (cluster membership ≪ corpus)."""
+    from datasheet_etl_spark.operators.graph import dedup_clusters
+
+    pairs = substring_overlap_pairs(
+        docs, id_col, text_col, k=k, max_gram_rows=max_gram_rows
+    )
+    if min_span_tokens is not None and min_span_tokens > k:
+        pairs = pairs.filter(F.col("max_span_tokens") >= min_span_tokens)
+    clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    return (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            (
+                F.col("cluster_rep").isNull()
+                | (F.col("cluster_rep") == F.col(id_col))
+            ).alias("kept"),
+        )
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

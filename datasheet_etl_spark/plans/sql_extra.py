@@ -2616,6 +2616,85 @@ def t93_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t94_substring_dedup_corpus",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos, toks
+      FROM t WHERE len(toks) >= 8
+    ), g0 AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM p
+    ), g AS (
+      SELECT * FROM g0 QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b ON a.gkey = b.gkey AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM pr
+    ), spans AS (
+      SELECT id_a, id_b, count(*) + 7 AS span
+      FROM runs GROUP BY id_a, id_b, diag, island
+    ), pairs AS (
+      SELECT DISTINCT id_a, id_b FROM spans WHERE span >= 20
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, peer) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.id, s.dst FROM reach r JOIN sym s ON r.peer = s.src
+    ), comp AS (
+      SELECT id, least(id, min(peer)) AS component
+      FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_rep,
+           CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           (c.id IS NULL OR c.component = d.doc_id) AS kept
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.id
+    LEFT JOIN sizes s ON c.component = s.component
+    ORDER BY d.doc_id
+    """,
+)
+def t94_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shippable deduped corpus t92's pair detection feeds
+    (``dedup.substring_dedup_corpus``; VERDICT r8 #3): pairs whose
+    longest verbatim span reaches 20 tokens become duplicate edges,
+    transitively-connected docs form one overlap cluster
+    (``graph.connected_components`` — the t16/t49 min-label machinery),
+    and each cluster keeps exactly its min-id representative. One row
+    per corpus doc: (doc_id, cluster_rep, cluster_size, kept);
+    ``filter(kept)`` IS the training set, dropped rows carry which
+    cluster absorbed them. The DuckDB oracle re-derives everything —
+    t92's capped gram self-join and span arithmetic, then the
+    transitive closure as a recursive CTE (component = min reachable
+    id, exactly the min-label fixpoint) — so cluster membership,
+    representative choice, and every keep/drop bit are hash-graded.
+    Scale shape: components iterate over the PAIR graph (the small
+    derived artifact), never the corpus; the decision join back to
+    docs broadcasts."""
+    from datasheet_etl_spark.operators.dedup import substring_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_corpus(
+        docs, "doc_id", "text", k=8, max_gram_rows=64, min_span_tokens=20
+    ).orderBy("doc_id")
+
+
+@register(
     "q47_distribution_windows",
     """
     SELECT c_nationkey, c_custkey,

@@ -1039,3 +1039,52 @@ def test_substring_overlap_planted_span(spark):
         docs, "doc_id", "text", k=8, max_gram_rows=None
     )
     assert uncapped.filter(F.col("id_a") >= 100).count() > 0
+
+
+def test_substring_dedup_corpus_planted_clusters(spark):
+    """t94's operator contract on planted data (VERDICT r8 #3: the
+    dedup must remove the planted duplicates and NOTHING else). Docs
+    1-2-3 chain through shared 30-token spans (1~2 and 2~3 share
+    different spans, 1 and 3 share none) — transitivity must put all
+    three in ONE cluster keeping only doc 1; doc 4 shares a span
+    shorter than min_span_tokens (kept — below the gate); doc 5 is
+    unrelated (kept, singleton)."""
+    from datasheet_etl_spark.operators.dedup import substring_dedup_corpus
+
+    span_ab = [f"alpha{c}{d}" for c in "abcdef" for d in "abcde"]  # 30
+    span_bc = [f"bravo{c}{d}" for c in "abcdef" for d in "abcde"]  # 30
+    short = [f"tiny{c}" for c in "abcdefghij"]  # 10 tokens: >= k, < 20
+    fill = lambda tag, n: [f"{tag}{c}{d}" for c in "abcdefghij" for d in "abcde"][:n]
+    rows = [
+        (1, " ".join(fill("one", 20) + span_ab)),
+        (2, " ".join(span_ab + fill("two", 20) + span_bc)),
+        (3, " ".join(span_bc + fill("three", 20))),
+        (4, " ".join(fill("four", 20) + short)),
+        (5, " ".join(short + fill("five", 20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"], r["kept"])
+        for r in substring_dedup_corpus(
+            docs, "doc_id", "text", k=8, max_gram_rows=64, min_span_tokens=20
+        ).collect()
+    }
+    assert len(got) == 5
+    # the transitive chain collapses to one cluster, rep = min id
+    assert got[1] == (1, 3, True)
+    assert got[2] == (1, 3, False)
+    assert got[3] == (1, 3, False)
+    # the 10-token overlap (4~5) is below the 20-token gate: both kept,
+    # singleton clusters — dedup removed the planted chain and NOTHING else
+    assert got[4] == (4, 1, True)
+    assert got[5] == (5, 1, True)
+
+    # with the gate at the k floor the 4~5 pair becomes an edge too
+    loose = {
+        r["doc_id"]: r["kept"]
+        for r in substring_dedup_corpus(
+            docs, "doc_id", "text", k=8, max_gram_rows=64, min_span_tokens=None
+        ).collect()
+    }
+    assert loose == {1: True, 2: False, 3: False, 4: True, 5: False}
