@@ -21,12 +21,13 @@ carry parity-to-exact pytest coverage instead of a DuckDB oracle.
 from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
-# oracled. Round-8 rotation (VERDICT r7 next-round #1): the nine
-# oracled r7 additions the driver was blind to (t81-t86, t89, t90,
-# q47) plus the new t92 substring-overlap capability (VERDICT r7 #2)
-# in; q01/q03/q11/q19/q30/t04/t17/t57/t59/t68 out, each with an
-# idiom-superset rationale in DEMOTED and every anchor that pointed at
-# an outgoing entry re-pointed at an in-window superset.
+# oracled. Round-9 rotation (VERDICT r8 next-round #1): the two oracled
+# entries the driver had never checked — t93 epoch-shuffle (new r8) and
+# t14 stateful sessions (oracle gained r8 via the batch-parity path) —
+# plus the new t94 substring-dedup-corpus capability (VERDICT r8 #3)
+# in; q29/t13/t70 out, each with an idiom-superset rationale in
+# DEMOTED and every anchor that pointed at an outgoing entry
+# re-pointed at an in-window superset.
 WINDOW: tuple[str, ...] = (
     "q06_positional_join",
     "q14_dynamic_pivot",
@@ -35,8 +36,6 @@ WINDOW: tuple[str, ...] = (
     "q25_array_ops",
     "q26_json_roundtrip",
     "q28_severity_ladder",
-    "q29_confidence_agg",
-    "t13_streaming_tumbling",
     "t41_streaming_interval_join",
     "t55_streaming_kmv_distinct",
     "t01_dedup_exact",
@@ -67,7 +66,6 @@ WINDOW: tuple[str, ...] = (
     "q39_recursive_cte",
     "t58_cohort_retention",
     "t69_rolling_anomaly",
-    "t70_dedup_rate_report",
     # --- r7 in-round promotions (GROUPED_AGG seam; leakage-safe split;
     # mergeable-histogram quantiles; A-ES exact-k weighted sampling) ---
     "t79_weighted_median_udaf",
@@ -88,6 +86,13 @@ WINDOW: tuple[str, ...] = (
     # --- r8 in-round promotion: the new exact substring-overlap dedup
     # capability (VERDICT r7 #2) is driver-graded immediately ---
     "t92_substring_overlap",
+    # --- rotated IN for round 9 (VERDICT r8 #1): the two oracled
+    # entries the driver had never checked ---
+    "t93_epoch_shuffle",
+    "t14_streaming_stateful_sessions",
+    # --- r9 in-round promotion: the substring-dedup corpus assembly
+    # completing t92 (VERDICT r8 #3) is driver-graded immediately ---
+    "t94_substring_dedup_corpus",
 )
 
 
@@ -108,14 +113,16 @@ DEMOTED: tuple[str, ...] = (
     "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside t32_decontaminate (corpus-scale left-anti; r8: q30, the old anchor, demoted into t32 on the same basis)
-    "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside q29_confidence_agg (CASE-weighted sum, same idiom; was t29 before its own r7 demotion)
+    "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside q28's CASE-ladder + groupBy-count composition (r9: q29, the old anchor, demoted into q28/q35 on the same basis; was t29 before its own r7 demotion)
     # r5: swapped out for t34/t35 — again idiom-superset demotions:
     # (q12's anchor re-pointed r7-continuation: t29 itself demoted into t33/q29/t91)
     "q02_normalize",  # regex normalize idiom graded inside q28's severity-ladder parse + t86's lenient-CSV regexp/cast family (r8: q03, the old anchor, demoted on the same basis)
     "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact (r7: q24, the old co-anchor, demoted into t70)
-    # r5: swapped out for t41_streaming_interval_join — t13 grades the
-    # IDENTICAL tumbling-window contract (same oracle result) through the
-    # strictly-stronger streaming path:
+    # r5: swapped out for t41_streaming_interval_join; the tumbling
+    # epoch-bucket agg is graded inside t58's event time-bucketing +
+    # q35's multi-grain aggregates, the streaming drain path inside
+    # t14/t41 (r9: t13, which graded the identical contract through
+    # the streaming path, demoted on the same basis):
     "q31_tumbling_window",
     # r6: swapped out for t57/t59/t64/t65/t67/t68/q35/q38 (VERDICT r5
     # next-round #1) — every outgoing idiom stays graded inside an
@@ -130,7 +137,7 @@ DEMOTED: tuple[str, ...] = (
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
     "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
-    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q35 (CUBE ⊃ ROLLUP grouping sets) + t13 (hour buckets) (r7: q13, the old co-anchor, demoted into q35)
+    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q35 (CUBE ⊃ ROLLUP grouping sets) + t58 (event time-bucketing; r9: t13, the old co-anchor, demoted into t14/t41/t58) (r7: q13, the old co-anchor, demoted into q35)
     "t28_sequence_pack",  # pack_sequences budget packing graded inside t33's e2e composition (same operator)
     # r7: swapped out for q45/q46/t74-t77 + q39/t58/t69/t70 (VERDICT r6
     # next-round #2) — every outgoing idiom stays graded inside an
@@ -138,7 +145,7 @@ DEMOTED: tuple[str, ...] = (
     "q04_case_classify",  # when/otherwise ladder graded inside q28_severity_ladder (same chain idiom, more branches + tolerance logic)
     "q13_rollup",  # ROLLUP grouping sets graded inside q35_cube (CUBE is the strict grouping-sets superset, same join+multi-grain agg shape)
     "q15_unpivot",  # stack() long-form projection OVER the in-window q14 pivot (q15 is literally q14's result + unpivot(), a pure projection)
-    "q24_distinct_exact",  # countDistinct idiom graded inside t70_dedup_rate_report (count_distinct per group) + t01's distinct-key dedup
+    "q24_distinct_exact",  # countDistinct idiom graded inside t01's distinct-key dedup + t84's fingerprint-representative counting (r9: t70, the old anchor, demoted into t84/t94 on the same basis)
     "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t77_streaming_cdc_apply (same apply_changes max_by-per-key resolution, streaming+bucketed superset; r8: t68, the old anchor, demoted into t77) + q16 (top_k_per_group, the shared helper)
     "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine; r8: t04, the old co-anchor, demoted into t92/t83)
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
@@ -150,7 +157,7 @@ DEMOTED: tuple[str, ...] = (
     "q07_range_join",  # range-containment predicate join graded inside t41's stream-stream interval join (same range predicate through the strictly-stronger watermarked streaming path) + t74's as-of alignment
     # r7 continuation: swapped for t88/t91 — same-machinery supersets stay in-window:
     "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t65_unigram_log_ppl (identical tokenize→explode→agg shape, richer two-level rollup)
-    "t29_mixture_weighted",  # hash-prefix Bernoulli sampling graded inside t33's weighted_sample 50% gate (same operator/idiom); the per-source CASE-weighted agg side graded inside q29's CASE-weighted severity sum; the exact-k weighted form is now graded directly by t91
+    "t29_mixture_weighted",  # hash-prefix Bernoulli sampling graded inside t33's weighted_sample 50% gate (same operator/idiom); the per-source CASE-weighted agg side graded inside q28's CASE machinery (r9: q29, the old anchor, demoted); the exact-k weighted form is now graded directly by t91
     # r8: swapped out for t81-t86/t89/t90/q47/t92 (VERDICT r7 next-round
     # #1 + #2) — every outgoing idiom stays graded inside an in-window
     # superset (and every demotee stays in the pytest oracle sweep):
@@ -164,6 +171,11 @@ DEMOTED: tuple[str, ...] = (
     "t57_funnel",  # ordered-event window sequencing graded inside q18_sessionize (same event-time window machinery) + t58_cohort_retention (same event bucketing)
     "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t90_feature_scale's stats pass (same decimal mean/variance machinery); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
     "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
+    # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
+    # — every outgoing idiom stays graded inside an in-window superset:
+    "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q35/t73's multi-aggregate rollups; the clamp/round tail is map-only scalar work
+    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t14 (identical staging + drain through the strictly-harder stateful operator) and t41 (stream-stream); the tumbling epoch-bucket agg graded inside t58_cohort_retention's event time-bucketing + q35's multi-grain aggregates
+    "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate of exactly the per-doc kept/is-dup decisions t84_curation_audit grades row-by-row (same fingerprint/min-rep machinery), now joined by t94's substring-gate keep/drop decisions; the count_distinct idiom stays graded inside t01's distinct-key dedup
 )
 
 

