@@ -48,17 +48,96 @@ def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def synth_png_media(docs: DataFrame, malformed_every: int = 7) -> DataFrame:
+    """Deterministic REAL-format media: a PNG header payload per doc —
+    magic + IHDR with doc-derived geometry (width 16 + id % 320,
+    height 16 + 7·id % 200) — built entirely JVM-side (binary concat +
+    hex/unhex big-endian packing, no UDF). Every ``malformed_every``-th
+    doc instead gets a payload whose PNG magic matches but whose IHDR
+    is truncated, so the decode stage's ``decode_error`` arm (with its
+    deterministic fake-geometry fallback) is exercised in-pipeline, in
+    every environment — both arms of the real decode path are
+    therefore driver-checkable with an exact oracle (t12)."""
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+    w = (F.lit(16) + F.col("doc_id") % 320).cast("bigint")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 200).cast("bigint")
+    valid = F.concat(
+        F.lit(_PNG_MAGIC + b"\x00\x00\x00\x0dIHDR"),
+        be32(w),
+        be32(h),
+        F.lit(b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"),
+    )
+    malformed = F.lit(_PNG_MAGIC + b"TRUNC")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % malformed_every == 0, malformed)
+        .otherwise(valid)
+        .alias("content"),
+    )
+
+
+def sniff_format(content: bytes) -> str | None:
+    """Container sniff by magic bytes: 'png' / 'gif' when the payload
+    claims to be one, None for everything else (which then routes to
+    PIL if present). A recognized magic commits the payload to the
+    stdlib parser — a corrupt PNG is a ``decode_error``, never silently
+    re-tried elsewhere."""
+    if content[:8] == _PNG_MAGIC:
+        return "png"
+    if content[:6] in _GIF_MAGICS:
+        return "gif"
+    return None
+
+
+def _stdlib_header_size(content: bytes, fmt: str) -> tuple[int, int]:
+    """Header-only (width, height) from stdlib struct parsing — no
+    imaging library needed. PNG: the IHDR chunk is REQUIRED to be
+    first (PNG spec §11.2.2), so width/height are the two big-endian
+    u32s at bytes 16..24. GIF: the logical screen descriptor's two
+    little-endian u16s at bytes 6..10. Raises ``ValueError`` on a
+    payload whose magic matched but whose header is truncated or
+    zero-sized — the caller maps that to ``decode_error``."""
+    import struct
+
+    if fmt == "png":
+        if len(content) >= 24 and content[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", content[16:24])
+            if w > 0 and h > 0:
+                return w, h
+        raise ValueError("malformed PNG: bad or truncated IHDR")
+    if fmt == "gif":
+        if len(content) >= 10:
+            w, h = struct.unpack("<HH", content[6:10])
+            if w > 0 and h > 0:
+                return w, h
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
 def decode_media(content: bytes) -> tuple[int, int]:
-    """Real image decode: (width, height) via PIL when it is importable
-    (a cluster image with pillow gets the real path with no code
-    change); raises ``NotImplementedError`` when no imaging library is
-    present — use :func:`fake_decode_meta` for plumbing tests there.
-    ``Image.open`` reads only the header to size the image, so this
-    never materializes pixel data for metadata extraction."""
+    """Real image decode: (width, height). PNG and GIF are sized by
+    header struct parse with the stdlib alone — the real path runs in
+    THIS environment, not just on a cluster image with pillow. Other
+    formats go through PIL when it is importable (header-only
+    ``Image.open`` sizing, no pixel materialization); with neither a
+    recognized magic nor PIL, raises ``NotImplementedError`` — use
+    :func:`fake_decode_meta` for plumbing tests there."""
+    fmt = sniff_format(content)
+    if fmt is not None:
+        return _stdlib_header_size(content, fmt)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this environment; use fake_decode_meta for plumbing tests"
+            "media decode beyond PNG/GIF requires an image/audio library "
+            "not present in this environment; use fake_decode_meta for "
+            "plumbing tests"
         )
     import io
 
@@ -67,12 +146,13 @@ def decode_media(content: bytes) -> tuple[int, int]:
 
 
 def _decode_meta(content: bytes) -> tuple[int, int, int, str]:
-    """Per-row decode dispatch for the mapInPandas stage: the REAL
-    decoder iff PIL imports (undecodable payloads fall back to the
-    deterministic fake geometry with an explicit ``decode_error``
-    status, never a poisoned batch); the fake path, labeled
-    ``stubbed``, otherwise."""
-    if _HAS_PIL:
+    """Per-row decode dispatch for the mapInPandas stage. PNG/GIF
+    payloads take the stdlib real path in EVERY environment
+    (``ok``, or ``decode_error`` with the deterministic fake geometry
+    when the header is corrupt — never a poisoned batch); other
+    payloads take the PIL real path iff PIL imports, else the fake
+    path labeled ``stubbed``."""
+    if sniff_format(content) is not None or _HAS_PIL:
         try:
             w, h = decode_media(content)
             return w, h, 1, "ok"

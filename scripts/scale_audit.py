@@ -59,6 +59,19 @@ ENTRIES = [
     # and min-max feature scaling (dim-stats pass + map-only rescale)
     "t88_mergeable_quantile_hist",
     "t90_feature_scale",
+    # r9 (VERDICT r8 #2): substring-overlap dedup + its corpus
+    # assembly. The x10 replica is the WORST-case gram-frequency shift
+    # for a capped self-join: the per-copy text suffix changes only the
+    # final grams, so ~every interior gram's occurrence count rises
+    # 10x (w=10 → 45 cross-copy meets per gram) while staying under
+    # the 64-occurrence boilerplate cap — the gram-meet volume grows
+    # ~45x against 10x data, and every original doc gains 9 full-span
+    # cross-copy overlap partners. Sub-linearity here is the cap +
+    # islands machinery absorbing a 10x-denser duplicate structure,
+    # not a vacuous pass. t94 additionally runs components over the
+    # resulting ~45x-denser pair graph.
+    "t92_substring_overlap",
+    "t94_substring_dedup_corpus",
 ]
 
 # per-table key columns to offset so copies don't collide

@@ -1088,3 +1088,56 @@ def test_substring_dedup_corpus_planted_clusters(spark):
         ).collect()
     }
     assert loose == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_stdlib_png_gif_decode_runs_here(spark, docs):
+    """VERDICT r8 #4: the ok/decode_error arms of the real decode path
+    must execute in THIS environment (no PIL). PNG and GIF size via
+    stdlib struct parse; a matching magic with a corrupt header is a
+    deterministic decode_error (fake-geometry fallback), and the
+    extract_features stage grades the same arms in-pipeline over
+    synth_png_media's payloads."""
+    import struct
+
+    from datasheet_etl_spark.operators.multimodal import (
+        _decode_meta,
+        decode_media,
+        extract_features,
+        fake_decode_meta,
+        synth_png_media,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\0" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0"
+    assert decode_media(png) == (640, 480)
+    assert decode_media(gif) == (320, 200)
+    assert _decode_meta(png) == (640, 480, 1, "ok")
+    assert _decode_meta(gif) == (320, 200, 1, "ok")
+
+    # magic matches, header truncated → decode_error with the
+    # deterministic fake geometry, never an exception out of the batch
+    bad = b"\x89PNG\r\n\x1a\n" + b"TRUNC"
+    w, h, f = fake_decode_meta(bad)
+    assert _decode_meta(bad) == (w, h, f, "decode_error")
+    # zero-dimension PNG is malformed too
+    zero = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 0, 480) + b"\x08\x02\x00\x00\x00" + b"\0" * 4
+    )
+    assert _decode_meta(zero)[3] == "decode_error"
+
+    # in-pipeline: synth_png_media → extract_features grades both arms
+    feats = extract_features(synth_png_media(docs.limit(30))).collect()
+    by_status = {}
+    for r in feats:
+        by_status.setdefault(r["decode_status"], []).append(r)
+    assert set(by_status) == {"ok", "decode_error"}
+    for r in by_status["ok"]:
+        assert r["width"] == 16 + r["media_id"] % 320
+        assert r["height"] == 16 + (r["media_id"] * 7) % 200
+        assert r["n_bytes"] == 33
+    for r in by_status["decode_error"]:
+        assert r["media_id"] % 7 == 0 and r["n_bytes"] == 13
