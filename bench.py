@@ -62,16 +62,31 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    entry_steal: dict[str, float] = {}
     ticks0 = cpu_ticks()
     t_all = time.perf_counter()
     for name in sorted(reg):
         # one broken entry must not destroy the whole run's perf signal:
         # record the error, keep timing the rest, always emit the JSON line
+        e0 = cpu_ticks()
         t0 = time.perf_counter()
         try:
             df = reg[name](spark, sf_dir)
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # per-entry steal attribution (VERDICT r8 #7): a run-level
+            # steal number can't say WHICH entry's timing it polluted —
+            # e.g. r8's 6.1% made every sub-second diff ambiguous.
+            # One /proc/stat read per entry pins the contention to the
+            # entries that ran under it, so a cross-round per-entry
+            # diff can discard exactly the polluted measurements.
+            e1 = cpu_ticks()
+            if e0 and e1:
+                busy = sum(e1[k] - e0[k] for k in ("user", "system", "steal"))
+                if busy > 0:
+                    frac = (e1["steal"] - e0["steal"]) / busy
+                    if frac > 0.005:  # keep the artifact sparse
+                        entry_steal[name] = round(frac, 3)
             print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -95,6 +110,10 @@ def main() -> int:
         if busy > 0:
             # fraction of the run's CPU demand the hypervisor withheld
             env["steal_frac"] = round(env["steal_sec"] / busy, 3)
+    if entry_steal:
+        # entries whose individual window saw >0.5% steal — diff these
+        # with suspicion (or not at all) across rounds
+        env["steal_frac_per_entry"] = entry_steal
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Durable per-entry artifact (VERDICT r7 #7): the stdout detail line
@@ -158,6 +177,7 @@ def main() -> int:
                 "n_errors": len(errors),
                 "steal_sec": env.get("steal_sec"),
                 "steal_frac": env.get("steal_frac"),
+                "n_entries_steal_polluted": len(entry_steal),
                 "slowest10": slowest10,
             }
         )

@@ -370,6 +370,33 @@ def substring_overlap_pairs(
     are dropped before the join, so a pair whose EVERY shared gram is
     capped boilerplate is missed (audit the loss with
     ``relational.dropped_buckets``); any rarer span still meets."""
+    _, g = _positioned_gram_postings(docs, id_col, text_col, k, max_gram_rows)
+    pairs, runs = _gram_match_runs(g, id_col)
+    spans = (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("_span"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_span").alias("max_span_tokens"))
+    )
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count_distinct("gkey").alias("n_shared_grams")
+    )
+    return shared.join(spans, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_shared_grams", "max_span_tokens"
+    )
+
+
+def _positioned_gram_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_gram_rows: int | None,
+):
+    """Shared stage-1 of the substring family: (id, tokens) base frame
+    plus the capped positioned-gram postings (id, pos, 16-byte md5
+    gkey), persisted so the corpus tokenize/gram pass executes ONCE
+    across the self-join's two sides and every downstream aggregate."""
     from datasheet_etl_spark.functions import tokens
 
     if k < 2:
@@ -388,11 +415,17 @@ def substring_overlap_pairs(
         .select(F.col(id_col), F.posexplode(grams).alias("pos", "_gram"))
         .select(id_col, "pos", F.unhex(F.md5("_gram")).alias("gkey"))
     )
-    # both sides of the self-join (and both downstream aggregates) read
-    # the capped postings — persist so the corpus tokenize/gram pass
-    # executes ONCE; the persisted frame is (id, pos, 16B key), a small
-    # multiple of the corpus token count, not of the text bytes
-    g = scoped_persist(cap_buckets(g, ["gkey"], max_gram_rows))
+    return base, scoped_persist(cap_buckets(g, ["gkey"], max_gram_rows))
+
+
+def _gram_match_runs(g: DataFrame, id_col: str):
+    """Shared stage-2: gram meets (id_a < id_b) and their
+    gaps-and-islands runs — within one alignment diagonal pa − pb,
+    consecutive pa values are one run; (id_a, id_b, diag, pa) is unique
+    (pa fixes the gram, diag fixes pb), so the row_number order is
+    total and the result deterministic. Returns (pairs, runs); runs
+    carries pb so callers can recover each island's span interval on
+    the id_b side (the excision path needs it)."""
     pairs = (
         g.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "gkey")
         .join(
@@ -403,9 +436,6 @@ def substring_overlap_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    # islands: within one diagonal, consecutive pa values are one run —
-    # (id_a, id_b, diag, pa) is unique (pa fixes the gram, diag fixes
-    # pb), so the row_number order is total and the result deterministic
     diag = F.col("pa") - F.col("pb")
     w = Window.partitionBy("id_a", "id_b", diag).orderBy("pa")
     runs = pairs.select(
@@ -413,20 +443,88 @@ def substring_overlap_pairs(
         "id_b",
         "gkey",
         "pa",
+        "pb",
         diag.alias("diag"),
         (F.col("pa") - F.row_number().over(w)).alias("island"),
     )
-    spans = (
-        runs.groupBy("id_a", "id_b", "diag", "island")
-        .agg((F.count(F.lit(1)) + (k - 1)).alias("_span"))
-        .groupBy("id_a", "id_b")
-        .agg(F.max("_span").alias("max_span_tokens"))
+    return pairs, runs
+
+
+def excise_overlap_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_rows: int | None = 64,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Span EXCISION — the other half of the Lee et al. 2022 dedup
+    (their primary mode: cut the duplicated span out of one copy,
+    keep both documents). Where :func:`substring_dedup_corpus` drops
+    whole documents, this removes, from the HIGHER-id doc of every
+    overlapping pair, exactly the token interval(s) it shares with a
+    lower-id doc as a run of ≥ ``min_span_tokens`` verbatim tokens
+    (default: ≥ k, every detected run) — the earlier doc keeps the
+    canonical copy, so no span survives twice but its content always
+    survives once.
+
+    Returns one row per input doc: (id, n_tokens, n_removed,
+    text_excised) where text_excised is the doc's kept tokens in
+    order (token-normalized text — this pipeline's dedup domain).
+    Intervals from different pairs may overlap; removal is by
+    distinct token position (an anti-join against the interval set),
+    so double-covered tokens are removed once.
+
+    Scale shape: stages 1-2 are t92's (capped 16-byte gram shuffle,
+    bounded self-join); the interval set is per-island aggregates of
+    the runs frame (tiny); the anti-join is an equi-join on the doc id
+    with a range residual, so tokens shuffle once, keyed by doc."""
+    floor = min_span_tokens if min_span_tokens is not None else k
+    base, g = _positioned_gram_postings(docs, id_col, text_col, k, max_gram_rows)
+    _pairs, runs = _gram_match_runs(g, id_col)
+    # per-island interval on the id_b side: first gram starts at
+    # min(pb), the island's count C grams cover tokens
+    # [min(pb), min(pb) + C + k - 2]
+    iv = (
+        runs.groupBy("id_b", "id_a", "diag", "island")
+        .agg(
+            F.min("pb").alias("s"),
+            (F.min("pb") + F.count(F.lit(1)) + (k - 2)).alias("e"),
+            (F.count(F.lit(1)) + (k - 1)).alias("_span"),
+        )
+        .filter(F.col("_span") >= F.lit(floor))
+        .select(F.col("id_b").alias("_doc"), "s", "e")
     )
-    shared = pairs.groupBy("id_a", "id_b").agg(
-        F.count_distinct("gkey").alias("n_shared_grams")
+    toks = base.select(
+        F.col(id_col), F.posexplode("_t").alias("tpos", "tok")
     )
-    return shared.join(spans, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "n_shared_grams", "max_span_tokens"
+    kept = toks.join(
+        iv,
+        (toks[id_col] == iv["_doc"])
+        & (F.col("tpos") >= F.col("s"))
+        & (F.col("tpos") <= F.col("e")),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_excised"),
+    )
+    return (
+        base.join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.size("_t").cast("long").alias("n_tokens"),
+            (F.size("_t") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("text_excised", F.lit("")).alias("text_excised"),
+        )
     )
 
 

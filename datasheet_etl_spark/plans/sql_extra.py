@@ -2695,6 +2695,80 @@ def t94_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t95_substring_span_excision",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos, toks
+      FROM t WHERE len(toks) >= 8
+    ), g0 AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM p
+    ), g AS (
+      SELECT * FROM g0 QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b ON a.gkey = b.gkey AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM pr
+    ), iv AS (
+      SELECT id_b AS doc, min(pb) AS s, min(pb) + count(*) + 6 AS e
+      FROM runs GROUP BY id_b, id_a, diag, island
+      HAVING count(*) + 7 >= 20
+    ), tok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tpos, toks
+      FROM t
+    ), kept AS (
+      SELECT k.doc_id, k.tpos, k.toks[k.tpos] AS tok
+      FROM tok k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc = k.doc_id AND k.tpos BETWEEN iv.s AND iv.e
+      )
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS text_excised
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.text_excised, '') AS text_excised
+    FROM t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def t95_substring_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span EXCISION (``dedup.excise_overlap_spans``) — Lee et al.'s
+    primary dedup mode, completing the substring family alongside
+    t94's whole-doc clustering: every ≥ 20-token verbatim run a doc
+    shares with a LOWER-id doc is cut out of the higher-id copy
+    (content survives exactly once, both documents survive). One row
+    per corpus doc: (n_tokens, n_removed, text_excised) with the kept
+    tokens in order. The DuckDB oracle re-derives t92's capped gram
+    self-join and islands, each island's token interval, and the
+    position-anti-join text reconstruction verbatim — the excised
+    TEXT itself is hash-graded, not just counts. Scale shape:
+    intervals are per-island aggregates of the runs frame; the
+    removal anti-join is doc-keyed with a range residual, so corpus
+    tokens shuffle once."""
+    from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return excise_overlap_spans(
+        docs, "doc_id", "text", k=8, max_gram_rows=64, min_span_tokens=20
+    ).orderBy("doc_id")
+
+
+@register(
     "q47_distribution_windows",
     """
     SELECT c_nationkey, c_custkey,

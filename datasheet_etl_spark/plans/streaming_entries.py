@@ -231,7 +231,18 @@ def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted cross-batch duplicates (first 25 docs re-arrive with
     offset ids), so matches must cross micro-batch state. Cross-batch
     recall and signature parity with the batch pipeline are pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    Oracle impossibility note (r9, the t02/t03 pattern): the t14 route
+    — grading the drained result with a batch entry's own SQL — needs
+    the batch result to be DuckDB-derivable, and MinHash signatures
+    are min() over affine permutations of ``xxhash64`` (dedup.
+    minhash_signatures), a Spark-engine hash DuckDB cannot reproduce;
+    est_jaccard (signature agreement) inherits that. What IS
+    cross-engine-checkable is already pinned where it belongs:
+    streaming-vs-batch signature parity and cross-batch recall against
+    the EXACT-Jaccard truth in tests/test_streaming.py (the same
+    exact-verify contract t02 carries). Rows-only deliberately."""
     import os
 
     from datasheet_etl_spark.io import load_table

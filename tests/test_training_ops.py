@@ -1141,3 +1141,44 @@ def test_stdlib_png_gif_decode_runs_here(spark, docs):
         assert r["n_bytes"] == 33
     for r in by_status["decode_error"]:
         assert r["media_id"] % 7 == 0 and r["n_bytes"] == 13
+
+
+def test_excise_overlap_spans_planted(spark):
+    """t95's operator contract: the planted shared span is cut from the
+    HIGHER-id doc only — exactly those tokens, nothing else — the
+    lower-id doc keeps its copy verbatim, unrelated docs pass through
+    untouched, and overlapping intervals from two different partners
+    remove each double-covered token once."""
+    from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+
+    span = [f"shared{c}{d}" for c in "abcde" for d in "abcde"]  # 25 tokens
+    fill_a = [f"afill{c}" for c in "abcdefghij"]
+    fill_b = [f"bfill{c}" for c in "abcdefghij"]
+    # doc 3 shares span[:20] with doc 1/2 AND span[5:] with them too —
+    # via docs 1 and 2 both carrying the full span, doc 3's intervals
+    # from the two partners coincide; tokens must be removed once
+    rows = [
+        (1, " ".join(fill_a + span)),
+        (2, " ".join(span + fill_b)),
+        (3, " ".join(list(span) + [f"cfill{c}" for c in "abcdefghij"])),
+        (9, " ".join(f"lonely{c}{d}" for c in "abcd" for d in "abcdefgh")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in excise_overlap_spans(
+            docs, "doc_id", "text", k=8, max_gram_rows=64, min_span_tokens=20
+        ).collect()
+    }
+    assert len(got) == 4
+    # doc 1 (lowest id in every pair) keeps everything
+    assert got[1]["n_removed"] == 0
+    assert got[1]["text_excised"] == " ".join(fill_a + span)
+    # doc 2: the 25 shared tokens cut, fillers intact in order
+    assert got[2]["n_removed"] == 25
+    assert got[2]["text_excised"] == " ".join(fill_b)
+    # doc 3: span covered by BOTH partners (1 and 2) — removed once
+    assert got[3]["n_removed"] == 25
+    assert got[3]["text_excised"] == " ".join(f"cfill{c}" for c in "abcdefghij")
+    # unrelated doc untouched
+    assert got[9]["n_removed"] == 0 and got[9]["n_tokens"] == 32
