@@ -532,3 +532,23 @@ def test_distribution_windows_share_one_window_exec(spark):
     )
     assert plan.count("Window ") == 1, plan[:900]
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_t95_excision_anti_join_is_doc_keyed_not_nested_loop(spark):
+    """t95's removal anti-join carries an equi-key (the doc id) with
+    the interval bounds as a range RESIDUAL: the plan must be a hash or
+    sort-merge LeftAnti on that key — never a BroadcastNestedLoopJoin /
+    CartesianProduct, which is what the join degrades to if the
+    equi-key is ever dropped from the condition (at corpus scale that
+    is tokens x intervals, a non-starter)."""
+    from datasheet_etl_spark.plans.sql_extra import t95_substring_span_excision
+
+    plan = (
+        t95_substring_span_excision(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+    assert "CartesianProduct" not in plan, plan[:900]
+    assert "LeftAnti" in plan
