@@ -72,6 +72,10 @@ ENTRIES = [
     # resulting ~45x-denser pair graph.
     "t92_substring_overlap",
     "t94_substring_dedup_corpus",
+    # t95 additionally anti-joins the FULL corpus token stream against
+    # the ~45x-denser interval set — the only entry in the family whose
+    # final stage is corpus-sized, so its ratio bounds the whole path
+    "t95_substring_span_excision",
 ]
 
 # per-table key columns to offset so copies don't collide
