@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datasheet_etl_spark.functions import tokens
@@ -343,4 +343,87 @@ def unigram_log_ppl(
         F.round(
             (F.sum("_nll") / F.count("*")).cast("double"), 6
         ).alias("log_ppl"),
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, arXiv:2302.03169)
+    reduced to its distributable unigram core: two Laplace-smoothed
+    unigram LMs — one over the TARGET (the distribution you want more
+    of) and one over the RAW candidate pool itself — and each raw doc
+    scored by its mean per-token log importance weight
+    ``ln p_target(t) − ln p_raw(t)``. High = looks like the target,
+    low = looks like generic pool text; the top-``k`` by total weight
+    are the selected continuation-pretraining slice (the paper's top-k
+    heuristic; hashed-n-gram features reduce to unigrams here, the
+    same reduction t65 makes for the CCNet perplexity filter).
+
+    Returns one row per raw doc with ≥1 token: (id, n_tokens,
+    avg_log_w, rank, selected) — rank only on the k selected rows.
+
+    Scale shape: both vocabularies are broadcast dims (distinct
+    tokens + counts); raw tokens explode map-side, join the two
+    broadcast vocabs, and ONE per-doc aggregate produces the score.
+    Per-token log-ratios are cast to DECIMAL(18,9) before summing, so
+    scores — and therefore the top-k MEMBERSHIP itself — are exact
+    and partitioning/engine-independent (ties break on id). Selection
+    is TakeOrdered top-k (never a global sort); ranks are assigned on
+    the k collected-size rows and joined back."""
+    tgt_toks = target.select(F.explode(tokens(F.col(text_col))).alias("_t"))
+    tv = tgt_toks.groupBy("_t").agg(F.count("*").alias("_tc"))
+    tt = tv.agg(F.sum("_tc").alias("_ttotal"), F.count("*").alias("_tv"))
+    raw_toks = raw.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    rv = raw_toks.groupBy("_t").agg(F.count("*").alias("_rc"))
+    rt = rv.agg(F.sum("_rc").alias("_rtotal"), F.count("*").alias("_rv"))
+    lw = (
+        F.log(
+            (F.coalesce(F.col("_tc"), F.lit(0)) + 1.0)
+            / (F.col("_ttotal") + F.col("_tv") + 1.0)
+        )
+        - F.log(
+            (F.coalesce(F.col("_rc"), F.lit(0)) + 1.0)
+            / (F.col("_rtotal") + F.col("_rv") + 1.0)
+        )
+    ).cast("decimal(18,9)")
+    scored = (
+        raw_toks.join(F.broadcast(tv), "_t", "left")
+        .join(F.broadcast(rv), "_t", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .withColumn("_lw", lw)
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum("_lw").alias("_s")
+    )
+    topk = (
+        agg.orderBy(F.col("_s").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("_s").desc(), F.col(id_col))
+            )
+            .alias("rank"),
+        )
+    )
+    return (
+        agg.join(topk, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round((F.col("_s") / F.col("n_tokens")).cast("double"), 6).alias(
+                "avg_log_w"
+            ),
+            "rank",
+            F.col("rank").isNotNull().alias("selected"),
+        )
     )

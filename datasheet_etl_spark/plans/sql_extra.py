@@ -2769,6 +2769,70 @@ def t95_substring_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t96_dsir_importance_select",
+    """
+    WITH tgt AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS t
+      FROM documents WHERE source IN ('src1', 'src2')
+    ), tv AS (
+      SELECT t, count(*) AS tc FROM tgt GROUP BY t
+    ), tt AS (
+      SELECT sum(tc) AS ttotal, count(*) AS tvsz FROM tv
+    ), rawt AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS t
+      FROM documents WHERE source NOT IN ('src1', 'src2')
+    ), rv AS (
+      SELECT t, count(*) AS rc FROM rawt GROUP BY t
+    ), rt AS (
+      SELECT sum(rc) AS rtotal, count(*) AS rvsz FROM rv
+    ), scored AS (
+      SELECT rawt.doc_id,
+             CAST(ln((coalesce(tv.tc, 0) + 1.0) / (tt.ttotal + tt.tvsz + 1.0))
+                  - ln((coalesce(rv.rc, 0) + 1.0) / (rt.rtotal + rt.rvsz + 1.0))
+                  AS DECIMAL(18,9)) AS lw
+      FROM rawt LEFT JOIN tv USING (t) LEFT JOIN rv USING (t), tt, rt
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(lw) AS s
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, n_tokens, s,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM agg
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(s / n_tokens AS DOUBLE), 6) AS avg_log_w,
+           CASE WHEN rk <= 100 THEN CAST(rk AS INT) END AS rank,
+           rk <= 100 AS selected
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def t96_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (``text.dsir_select``; arXiv:
+    2302.03169 reduced to unigram features, the t65 reduction): docs
+    from the src1/src2 'target domain' train the target LM, the
+    remaining pool trains the raw LM, and every pool doc is scored by
+    its mean per-token log importance weight ln p_t − ln p_r; the
+    top-100 by exact decimal total weight are the selected
+    continuation-pretraining slice. Both vocabularies broadcast; one
+    per-doc aggregate; selection is TakeOrdered top-k, never a global
+    sort. DECIMAL(18,9) per-token ratios make score AND top-k
+    membership engine-exact, so the oracle re-derives the entire
+    selection — weights, ranks, and every selected bit."""
+    from datasheet_etl_spark.operators.text import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_target = F.col("source").isin("src1", "src2")
+    out = dsir_select(
+        docs.filter(in_target), docs.filter(~in_target), k=100
+    )
+    return out.orderBy("doc_id")
+
+
+@register(
     "q47_distribution_windows",
     """
     SELECT c_nationkey, c_custkey,

@@ -1182,3 +1182,32 @@ def test_excise_overlap_spans_planted(spark):
     assert got[3]["text_excised"] == " ".join(f"cfill{c}" for c in "abcdefghij")
     # unrelated doc untouched
     assert got[9]["n_removed"] == 0 and got[9]["n_tokens"] == 32
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """t96's operator contract: pool docs built from target-domain
+    vocabulary must outrank pool docs built from pool-generic
+    vocabulary — and the selection is exactly the k requested, ranks
+    dense 1..k on distinct ids."""
+    from datasheet_etl_spark.operators.text import dsir_select
+
+    tgt_words = [f"medical{c}" for c in "abcdefghij"]
+    gen_words = [f"chatter{c}" for c in "abcdefghij"]
+    target = spark.createDataFrame(
+        [(100 + i, " ".join(tgt_words)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw_rows = [(i, " ".join(tgt_words * 3)) for i in range(3)]  # target-like
+    raw_rows += [(10 + i, " ".join(gen_words * 3)) for i in range(6)]  # generic
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+
+    got = {r["doc_id"]: r for r in dsir_select(target, raw, k=3).collect()}
+    assert len(got) == 9
+    selected = {d for d, r in got.items() if r["selected"]}
+    assert selected == {0, 1, 2}, selected
+    assert sorted(got[d]["rank"] for d in selected) == [1, 2, 3]
+    assert all(got[d]["rank"] is None for d in got if d not in selected)
+    # target-like docs carry strictly higher importance than generic
+    assert min(got[d]["avg_log_w"] for d in selected) > max(
+        got[d]["avg_log_w"] for d in got if d not in selected
+    )
