@@ -327,6 +327,29 @@ def pack_sequences(
     )
 
 
+def pack_in_order(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    shard_col: str = "shard",
+    order_cols: Sequence[str] = ("pos",),
+    bin_col: str = "bin_id",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """:func:`pack_sequences`' packing arithmetic over an EXISTING
+    shard/order — the form a training-order pipeline needs, where the
+    read order is already fixed (e.g. :func:`epoch_shuffle`'s
+    (shard, pos)) and bins must chunk THAT stream, not this module's
+    own hash order. Same concatenate-then-chunk semantics, same
+    integer ``div`` (never float floor — exactness past 2^53), one
+    window over the existing shard partitioning."""
+    w = Window.partitionBy(shard_col).orderBy(*[F.col(c) for c in order_cols])
+    running = F.sum(F.col(cost_col).cast("long")).over(w) - F.col(cost_col)
+    return df.withColumn(offset_col, running.cast("long")).withColumn(
+        bin_col, F.expr(f"{offset_col} div {int(budget)}")
+    )
+
+
 def pack_sequences_nosplit(
     df: DataFrame,
     key_col: str,

@@ -2833,6 +2833,81 @@ def t96_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t97_training_shard_plan",
+    """
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), cnt AS (
+      SELECT source, count(*) AS n_s FROM d GROUP BY source
+    ), take AS (
+      SELECT source,
+             least(n_s, CAST(ceil(2.0 * sqrt(n_s)) AS BIGINT)) AS k_s
+      FROM cnt
+    ), sel AS (
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM d JOIN take USING (source)
+      QUALIFY row_number() OVER (
+        PARTITION BY d.source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= k_s
+    ), sh AS (
+      SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || ':1') AS eh,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 1) AS shard
+      FROM sel
+    ), ordd AS (
+      SELECT doc_id, source, n_chars, shard,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY eh, doc_id) AS pos
+      FROM sh
+    ), packed AS (
+      SELECT *,
+             sum(n_chars) OVER (PARTITION BY shard ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS off
+      FROM ordd
+    )
+    SELECT doc_id, source, shard, pos,
+           CAST(off // 4096 AS BIGINT) AS bin_id,
+           CAST(off AS BIGINT) AS bin_offset
+    FROM packed ORDER BY shard, pos
+    """,
+)
+def t97_training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINING-ORDER plan — the composition a 100 TB run
+    executes nightly, every stage an already-graded primitive:
+    temperature mixture counts (t38's ceil(2·√n) per source, capped)
+    → per-source smallest-md5 selection (t27/t91's hash-order family,
+    skew-proof two-phase) → epoch shuffle into 16 shards (t93's
+    md5(key:epoch) order) → fixed-budget sequence packing of THAT
+    stream (t28's concatenate-then-chunk arithmetic via
+    ``sampling.pack_in_order``, integer div). One row per selected doc:
+    (doc_id, source, shard, pos, bin_id, bin_offset) — the exact
+    shard/bin/offset a trainer reads. Everything is md5-derived and
+    integer-arithmetic, so the oracle re-derives the ENTIRE plan —
+    membership, order, and every bin boundary. Scale shape: two
+    bounded window passes (per-source two-phase rank, per-shard
+    order), zero global sorts, zero rand()."""
+    from datasheet_etl_spark.operators.sampling import (
+        epoch_shuffle,
+        pack_in_order,
+        stratified_sample_by_counts,
+        temperature_mixture_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    counts = temperature_mixture_counts(docs, ["source"], scale=2.0)
+    sel = stratified_sample_by_counts(
+        docs, "doc_id", ["source"], counts, rank_col=None
+    ).select("doc_id", "source", "n_chars")
+    shuf = epoch_shuffle(sel, "doc_id", epoch=1, shard_hex_chars=1)
+    plan = pack_in_order(shuf, "n_chars", 4096)
+    return plan.select(
+        "doc_id", "source", "shard", "pos", "bin_id", "bin_offset"
+    ).orderBy("shard", "pos")
+
+
+@register(
     "q47_distribution_windows",
     """
     SELECT c_nationkey, c_custkey,

@@ -1211,3 +1211,42 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert min(got[d]["avg_log_w"] for d in selected) > max(
         got[d]["avg_log_w"] for d in got if d not in selected
     )
+
+
+def test_training_shard_plan_properties(spark):
+    """t97's composition contract: per-source selection counts equal
+    the temperature formula; (shard, pos) is dense per shard; bins
+    chunk the epoch stream contiguously (offsets cumulative in pos,
+    bin = offset div budget); and the whole plan is partitioning-
+    independent (same result after a repartition)."""
+    import math
+
+    from datasheet_etl_spark.plans.sql_extra import t97_training_shard_plan
+    from tests.conftest import SF_ORACLE
+
+    rows = t97_training_shard_plan(spark, SF_ORACLE).collect()
+    from datasheet_etl_spark.io import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_by_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got_by_source: dict = {}
+    for r in rows:
+        got_by_source[r["source"]] = got_by_source.get(r["source"], 0) + 1
+    for s, n in n_by_source.items():
+        assert got_by_source.get(s, 0) == min(n, math.ceil(2.0 * math.sqrt(n)))
+    # dense pos per shard; offsets cumulative; bin arithmetic exact
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, items in by_shard.items():
+        items.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in items] == list(range(1, len(items) + 1))
+        off = 0
+        for r in items:
+            assert r["bin_offset"] == off
+            assert r["bin_id"] == off // 4096
+            off += chars[r["doc_id"]]
