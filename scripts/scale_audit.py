@@ -76,6 +76,11 @@ ENTRIES = [
     # the ~45x-denser interval set — the only entry in the family whose
     # final stage is corpus-sized, so its ratio bounds the whole path
     "t95_substring_span_excision",
+    # r9: DSIR importance selection (two broadcast-vocab joins + one
+    # per-doc agg — the t65 shape) and the e2e training-shard plan
+    # (two bounded window passes, no global sort)
+    "t96_dsir_importance_select",
+    "t97_training_shard_plan",
 ]
 
 # per-table key columns to offset so copies don't collide
