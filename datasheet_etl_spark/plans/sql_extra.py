@@ -2885,7 +2885,9 @@ def t97_training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-arithmetic, so the oracle re-derives the ENTIRE plan —
     membership, order, and every bin boundary. Scale shape: two
     bounded window passes (per-source two-phase rank, per-shard
-    order), zero global sorts, zero rand()."""
+    order), zero rand(), and no global sort in the derivation itself
+    (the trailing orderBy is the compare-presentation sort every
+    oracled entry carries)."""
     from datasheet_etl_spark.operators.sampling import (
         epoch_shuffle,
         pack_in_order,
