@@ -418,27 +418,29 @@ def _positioned_gram_postings(
     return base, scoped_persist(cap_buckets(g, ["gkey"], max_gram_rows))
 
 
-def _gram_match_runs(g: DataFrame, id_col: str):
-    """Shared stage-2: gram meets (id_a < id_b) and their
-    gaps-and-islands runs — within one alignment diagonal pa − pb,
-    consecutive pa values are one run; (id_a, id_b, diag, pa) is unique
-    (pa fixes the gram, diag fixes pb), so the row_number order is
-    total and the result deterministic. Returns (pairs, runs); runs
-    carries pb so callers can recover each island's span interval on
-    the id_b side (the excision path needs it)."""
-    pairs = (
-        g.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "gkey")
-        .join(
-            g.select(
-                F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "gkey"
-            ),
-            "gkey",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
+def _gram_meets(ga: DataFrame, gb: DataFrame, id_col: str) -> DataFrame:
+    """Gram meets between two posting sets: (id_a, pa) from ``ga``
+    joins (id_b, pb) from ``gb`` on the 16-byte gram key. The self-join
+    caller filters ``id_a < id_b``; the index-probe caller passes two
+    DISJOINT sets and keeps everything."""
+    return ga.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "gkey"
+    ).join(
+        gb.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "gkey"),
+        "gkey",
     )
+
+
+def _island_runs(pairs: DataFrame) -> DataFrame:
+    """Gaps-and-islands over gram meets: within one alignment diagonal
+    pa − pb, consecutive pa values are one run; (id_a, id_b, diag, pa)
+    is unique (pa fixes the gram, diag fixes pb), so the row_number
+    order is total and the result deterministic. Keeps pb so callers
+    can recover each island's span interval on the id_b side (the
+    excision path needs it)."""
     diag = F.col("pa") - F.col("pb")
     w = Window.partitionBy("id_a", "id_b", diag).orderBy("pa")
-    runs = pairs.select(
+    return pairs.select(
         "id_a",
         "id_b",
         "gkey",
@@ -447,7 +449,76 @@ def _gram_match_runs(g: DataFrame, id_col: str):
         diag.alias("diag"),
         (F.col("pa") - F.row_number().over(w)).alias("island"),
     )
-    return pairs, runs
+
+
+def _gram_match_runs(g: DataFrame, id_col: str):
+    """Shared stage-2 of the self-join path: meets with id_a < id_b,
+    plus their island runs. Returns (pairs, runs)."""
+    pairs = _gram_meets(g, g, id_col).filter(F.col("id_a") < F.col("id_b"))
+    return pairs, _island_runs(pairs)
+
+
+def write_gram_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_rows: int | None = 64,
+) -> None:
+    """Persist the capped positioned-gram postings (id, pos, 16-byte
+    gkey) as the substring family's index AT REST — the t40/t71 shape
+    for the substring modality: nightly increments probe this instead
+    of re-tokenizing the historical corpus. The boilerplate cap is
+    applied at WRITE time over the indexed corpus, so a probe pays it
+    only over its own batch (the cross-set frequency interaction is
+    the same documented recall caveat as the in-batch cap)."""
+    _, g = _positioned_gram_postings(docs, id_col, text_col, k, max_gram_rows)
+    g.write.mode("overwrite").parquet(path)
+
+
+def probe_gram_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_rows: int | None = 64,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Incremental substring-overlap dedup: which at-rest indexed docs
+    does tonight's batch duplicate? New docs' capped postings meet the
+    stored postings on the gram key; islands/spans run exactly as in
+    :func:`substring_overlap_pairs`. Returns (id_a indexed, id_b new,
+    n_shared_grams, max_span_tokens) — no id ordering filter, the two
+    sides are disjoint by construction (new-vs-new pairs are the
+    in-batch :func:`substring_overlap_pairs` run the caller already
+    does). Unlike the MinHash index (t71), everything here is
+    md5-derived, so the whole incremental path is SQL-oracle-checkable.
+
+    Scale shape: the index is read as stored postings — no historical
+    re-tokenize; the meet shuffles the (small) probe batch's grams
+    against the index keyed by the 16-byte gkey; islands and the two
+    aggregates are keyed by the (indexed, new) pair."""
+    ga = spark.read.parquet(path)
+    _, gb = _positioned_gram_postings(new_docs, id_col, text_col, k, max_gram_rows)
+    pairs = _gram_meets(ga, gb, id_col)
+    runs = _island_runs(pairs)
+    floor = min_span_tokens if min_span_tokens is not None else k
+    spans = (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("_span"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_span").alias("max_span_tokens"))
+        .filter(F.col("max_span_tokens") >= F.lit(floor))
+    )
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count_distinct("gkey").alias("n_shared_grams")
+    )
+    return spans.join(shared, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_shared_grams", "max_span_tokens"
+    )
 
 
 def excise_overlap_spans(

@@ -2910,6 +2910,87 @@ def t97_training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t98_incremental_substring_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), pa_ AS (
+      SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos, toks
+      FROM t WHERE len(toks) >= 8 AND doc_id % 2 = 0
+    ), ga0 AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM pa_
+    ), ga AS (
+      SELECT * FROM ga0 QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), pb_ AS (
+      SELECT doc_id, unnest(range(1, len(toks) - 6)) AS pos, toks
+      FROM t WHERE len(toks) >= 8 AND doc_id % 2 = 1
+    ), gb0 AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM pb_
+    ), gb AS (
+      SELECT * FROM gb0 QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, b.pos AS pb, a.gkey AS gkey
+      FROM ga a JOIN gb b ON a.gkey = b.gkey
+    ), runs AS (
+      SELECT id_a, id_b, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM pr
+    ), spans AS (
+      SELECT id_a, id_b, count(*) + 7 AS span
+      FROM runs GROUP BY id_a, id_b, diag, island
+    ), best AS (
+      SELECT id_a, id_b, max(span) AS max_span_tokens
+      FROM spans GROUP BY 1, 2
+    ), agg AS (
+      SELECT id_a, id_b, count(DISTINCT gkey) AS n_shared_grams
+      FROM pr GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+           CAST(max_span_tokens AS BIGINT) AS max_span_tokens
+    FROM agg JOIN best USING (id_a, id_b)
+    ORDER BY id_a, id_b
+    """,
+)
+def t98_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup against the gram index AT REST
+    (``dedup.write_gram_index`` / ``probe_gram_index``) — the t40/t71
+    nightly-increment shape for the substring modality: the even-id
+    half of the corpus is indexed (capped positioned postings persisted
+    as parquet), the odd-id half arrives as tonight's batch and is
+    probed against the STORED postings — the historical corpus is
+    never re-tokenized. Returns (indexed id_a, new id_b,
+    n_shared_grams, max_span_tokens). Unlike the MinHash index (t71,
+    rows-only by xxhash impossibility), every step here is md5- and
+    integer-derived, so the DuckDB oracle re-derives the full
+    incremental path — both capped posting sets, the cross-set meet,
+    and the exact spans."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datasheet_etl_spark.operators.dedup import (
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(f"gramidx:{sf_dir}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"gram_index_{tag}")
+    write_gram_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return probe_gram_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1)
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "q47_distribution_windows",
     """
     SELECT c_nationkey, c_custkey,

@@ -1250,3 +1250,44 @@ def test_training_shard_plan_properties(spark):
             assert r["bin_offset"] == off
             assert r["bin_id"] == off // 4096
             off += chars[r["doc_id"]]
+
+
+def test_gram_index_probe_finds_cross_set_spans(spark, tmp_path):
+    """t98's operator contract: a span shared between an INDEXED doc
+    and a probe-batch doc is found from the stored postings with its
+    exact length; probe docs with no indexed overlap are absent; and
+    the probe result equals what a from-scratch cross-set run of the
+    batch operator would say (index at rest loses nothing)."""
+    from datasheet_etl_spark.operators.dedup import (
+        probe_gram_index,
+        substring_overlap_pairs,
+        write_gram_index,
+    )
+
+    span = [f"common{c}{d}" for c in "abcd" for d in "abcde"]  # 20 tokens
+    old = spark.createDataFrame(
+        [(1, " ".join([f"oldfill{c}" for c in "abcdefghij"] + span)),
+         (2, " ".join(f"oldsolo{c}{d}" for c in "abc" for d in "abcdefgh"))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(11, " ".join(span + [f"newfill{c}" for c in "abcdefghij"])),
+         (12, " ".join(f"newsolo{c}{d}" for c in "abc" for d in "abcdefgh"))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "gram_index")
+    write_gram_index(old, path)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared_grams"], r["max_span_tokens"])
+        for r in probe_gram_index(spark, path, new).collect()
+    }
+    assert got == {(1, 11): (20 - 8 + 1, 20)}
+
+    # parity with the from-scratch batch run restricted to cross-set
+    # pairs (ids were chosen so indexed < new)
+    scratch = {
+        (r["id_a"], r["id_b"]): (r["n_shared_grams"], r["max_span_tokens"])
+        for r in substring_overlap_pairs(old.unionByName(new)).collect()
+        if r["id_a"] <= 2 and r["id_b"] >= 11
+    }
+    assert got == scratch
