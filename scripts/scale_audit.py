@@ -81,6 +81,9 @@ ENTRIES = [
     # (two bounded window passes, no global sort)
     "t96_dsir_importance_select",
     "t97_training_shard_plan",
+    # r9: index write + cross-set probe (the entry rebuilds the index
+    # each call, so the measured cost is write AND probe)
+    "t98_incremental_substring_dedup",
 ]
 
 # per-table key columns to offset so copies don't collide
