@@ -392,16 +392,22 @@ def _positioned_gram_postings(
     text_col: str,
     k: int,
     max_gram_rows: int | None,
+    persist_base: bool = False,
 ):
     """Shared stage-1 of the substring family: (id, tokens) base frame
     plus the capped positioned-gram postings (id, pos, 16-byte md5
     gkey), persisted so the corpus tokenize/gram pass executes ONCE
-    across the self-join's two sides and every downstream aggregate."""
+    across the self-join's two sides and every downstream aggregate.
+    ``persist_base`` additionally persists the tokens frame itself —
+    for callers (excision) that re-read the tokens beyond the gram
+    build; pair-only callers skip it (they never touch base again)."""
     from datasheet_etl_spark.functions import tokens
 
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 is plain token overlap)")
     base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    if persist_base:
+        base = scoped_persist(base)
     n = F.greatest(F.size("_t") - (k - 1), F.lit(0))
     grams = F.slice("_t", 1, n)
     for j in range(1, k):
@@ -551,7 +557,12 @@ def excise_overlap_spans(
     the runs frame (tiny); the anti-join is an equi-join on the doc id
     with a range residual, so tokens shuffle once, keyed by doc."""
     floor = min_span_tokens if min_span_tokens is not None else k
-    base, g = _positioned_gram_postings(docs, id_col, text_col, k, max_gram_rows)
+    # base feeds three consumers here (the gram postings, the token
+    # posexplode, and the final size()/join) — persist_base makes the
+    # corpus tokenize pass execute once across all of them
+    base, g = _positioned_gram_postings(
+        docs, id_col, text_col, k, max_gram_rows, persist_base=True
+    )
     _pairs, runs = _gram_match_runs(g, id_col)
     # per-island interval on the id_b side: first gram starts at
     # min(pb), the island's count C grams cover tokens

@@ -110,7 +110,10 @@ def _stdlib_header_size(content: bytes, fmt: str) -> tuple[int, int]:
     if fmt == "png":
         if len(content) >= 24 and content[12:16] == b"IHDR":
             w, h = struct.unpack(">II", content[16:24])
-            if w > 0 and h > 0:
+            # PNG spec caps dimensions at 2^31-1; an unsigned read
+            # above that is corrupt/adversarial and would overflow the
+            # int32 feature columns downstream — decode_error, not 'ok'
+            if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
                 return w, h
         raise ValueError("malformed PNG: bad or truncated IHDR")
     if fmt == "gif":

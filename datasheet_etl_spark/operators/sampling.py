@@ -342,8 +342,17 @@ def pack_in_order(
     (shard, pos)) and bins must chunk THAT stream, not this module's
     own hash order. Same concatenate-then-chunk semantics, same
     integer ``div`` (never float floor — exactness past 2^53), one
-    window over the existing shard partitioning."""
-    w = Window.partitionBy(shard_col).orderBy(*[F.col(c) for c in order_cols])
+    window over the existing shard partitioning. The frame is pinned
+    to ROWS: the default RANGE frame includes all ORDER BY peers, so
+    tied order keys (e.g. same-second timestamps) would double-count
+    each other's cost and corrupt every downstream offset —
+    pack_sequences only dodges this because its md5 order key is
+    unique."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     running = F.sum(F.col(cost_col).cast("long")).over(w) - F.col(cost_col)
     return df.withColumn(offset_col, running.cast("long")).withColumn(
         bin_col, F.expr(f"{offset_col} div {int(budget)}")

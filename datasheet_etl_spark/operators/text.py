@@ -375,13 +375,21 @@ def dsir_select(
     and partitioning/engine-independent (ties break on id). Selection
     is TakeOrdered top-k (never a global sort); ranks are assigned on
     the k collected-size rows and joined back."""
+    from datasheet_etl_spark.caching import scoped_persist
+
+    # both vocab frames feed TWO consumers each (the broadcast join and
+    # their totals aggregate), and raw tokens feed rv AND the scoring
+    # join — persist all three so the corpus tokenize/explode passes
+    # execute ONCE (the _positioned_gram_postings discipline; tv/rv are
+    # vocab-sized, raw_toks is (id, token) — a bounded multiple of the
+    # corpus token count, never of the text bytes)
     tgt_toks = target.select(F.explode(tokens(F.col(text_col))).alias("_t"))
-    tv = tgt_toks.groupBy("_t").agg(F.count("*").alias("_tc"))
+    tv = scoped_persist(tgt_toks.groupBy("_t").agg(F.count("*").alias("_tc")))
     tt = tv.agg(F.sum("_tc").alias("_ttotal"), F.count("*").alias("_tv"))
-    raw_toks = raw.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    raw_toks = scoped_persist(
+        raw.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
     )
-    rv = raw_toks.groupBy("_t").agg(F.count("*").alias("_rc"))
+    rv = scoped_persist(raw_toks.groupBy("_t").agg(F.count("*").alias("_rc")))
     rt = rv.agg(F.sum("_rc").alias("_rtotal"), F.count("*").alias("_rv"))
     lw = (
         F.log(

@@ -2975,6 +2975,7 @@ def t98_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     import hashlib
     import os
     import tempfile
+    import uuid
 
     from datasheet_etl_spark.operators.dedup import (
         probe_gram_index,
@@ -2982,8 +2983,15 @@ def t98_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # per-invocation unique dir: a fixed path would race a concurrent
+    # run of this entry (overwrite deletes the directory under the
+    # other process's lazily-evaluated probe scan); the probe result
+    # stays lazily readable for this invocation's lifetime, so the dir
+    # cannot be removed here — it is small (16B keys) and per-run
     tag = hashlib.md5(f"gramidx:{sf_dir}".encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"gram_index_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"gram_index_{tag}_{uuid.uuid4().hex[:8]}"
+    )
     write_gram_index(docs.filter(F.col("doc_id") % 2 == 0), path)
     return probe_gram_index(
         spark, path, docs.filter(F.col("doc_id") % 2 == 1)

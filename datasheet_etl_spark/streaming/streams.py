@@ -1369,7 +1369,8 @@ def cdc_upsert_sink(
                 "to recover, or delete the orphaned v* dirs to start a "
                 "flat target"
             )
-        _orphan_scan_done.append(True)
+        if not _orphan_scan_done:  # set-once flag, not a per-batch log
+            _orphan_scan_done.append(True)
         base = read_cdc_snapshot(spark, target_dir, include_tombstones=True)
         if base is None:
             base = _empty_base(batch_df)

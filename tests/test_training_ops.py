@@ -1291,3 +1291,43 @@ def test_gram_index_probe_finds_cross_set_spans(spark, tmp_path):
         if r["id_a"] <= 2 and r["id_b"] >= 11
     }
     assert got == scratch
+
+
+def test_pack_in_order_handles_tied_order_keys(spark):
+    """Review-found (r9): the packing window must use a ROWS frame —
+    the default RANGE frame includes ORDER BY peers, so tied order
+    keys would double-count each other's cost and corrupt offsets."""
+    from datasheet_etl_spark.operators.sampling import pack_in_order
+
+    rows = [("s", 1, 10, 60), ("s", 2, 20, 60), ("s", 2, 30, 60), ("s", 3, 40, 60)]
+    df = spark.createDataFrame(rows, "shard string, pos int, doc int, cost long")
+    got = sorted(
+        (r["doc"], r["bin_offset"], r["bin_id"])
+        for r in pack_in_order(
+            df, "cost", 100, order_cols=("pos", "doc")
+        ).collect()
+    )
+    # offsets strictly cumulative: 0, 60, 120, 180 — bins 0,0,1,1
+    assert got == [(10, 0, 0), (20, 60, 0), (30, 120, 1), (40, 180, 1)]
+
+
+def test_png_oversized_dimensions_are_decode_error(spark):
+    """Review-found (r9): an unsigned IHDR width/height above the PNG
+    spec's 2^31-1 cap must be decode_error, never 'ok' with geometry
+    that overflows the int32 feature columns."""
+    import struct
+
+    from datasheet_etl_spark.operators.multimodal import _decode_meta
+
+    huge = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 0xFFFFFFFF, 480)
+        + b"\x08\x02\x00\x00\x00" + b"\0" * 4
+    )
+    assert _decode_meta(huge)[3] == "decode_error"
+    ok = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", 0x7FFFFFFF, 480)
+        + b"\x08\x02\x00\x00\x00" + b"\0" * 4
+    )
+    assert _decode_meta(ok) == (0x7FFFFFFF, 480, 1, "ok")
