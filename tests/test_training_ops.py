@@ -1331,3 +1331,68 @@ def test_png_oversized_dimensions_are_decode_error(spark):
         + b"\x08\x02\x00\x00\x00" + b"\0" * 4
     )
     assert _decode_meta(ok) == (0x7FFFFFFF, 480, 1, "ok")
+
+
+def test_substring_overlap_matches_bruteforce_lcs(spark):
+    """Exactness of the whole islands pipeline against an independent
+    reference: on seeded random docs over a tiny vocabulary (so shared
+    grams are dense), every pair's max_span_tokens must equal the
+    token-level longest-common-substring computed by O(n·m) dynamic
+    programming, and pairs below k must be absent — uncapped, so the
+    comparison is exact."""
+    import random
+
+    from datasheet_etl_spark.operators.dedup import substring_overlap_pairs
+
+    rng = random.Random(42)
+    # letter-only vocabulary: the tokenizer splits on [^a-z]+, so a
+    # digit-bearing word like "w10" would collapse to "w" and alias
+    # every word together
+    vocab = [f"w{chr(97 + i)}{chr(97 + i)}" for i in range(12)]
+    docs_py = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(10, 40))]
+        for i in range(24)
+    }
+    # plant a couple of long verbatim spans so the >= k band is hit too
+    span = [rng.choice(vocab) for _ in range(15)]
+    docs_py[100] = docs_py[0][:5] + span
+    docs_py[101] = span + docs_py[1][:5]
+
+    def lcs_tokens(a, b):
+        best, prev = 0, [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    expected = {}
+    ids = sorted(docs_py)
+    for i_pos, i in enumerate(ids):
+        for j in ids[i_pos + 1:]:
+            L = lcs_tokens(docs_py[i], docs_py[j])
+            if L >= 8:
+                expected[(i, j)] = L
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["max_span_tokens"]
+        for r in substring_overlap_pairs(
+            df, "doc_id", "text", k=8, max_gram_rows=None
+        ).collect()
+    }
+    assert got == expected, {
+        "missing": {k: v for k, v in expected.items() if k not in got},
+        "extra": {k: v for k, v in got.items() if k not in expected},
+        "wrong": {
+            k: (got[k], expected[k])
+            for k in got.keys() & expected.keys()
+            if got[k] != expected[k]
+        },
+    }
