@@ -408,8 +408,13 @@ def dsir_select(
         .crossJoin(F.broadcast(rt))
         .withColumn("_lw", lw)
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"), F.sum("_lw").alias("_s")
+    # agg feeds BOTH the top-k selection and the final join — persist
+    # it (one row per pool doc) or the entire scoring pipeline,
+    # vocab joins included, executes twice
+    agg = scoped_persist(
+        scored.groupBy(id_col).agg(
+            F.count("*").alias("n_tokens"), F.sum("_lw").alias("_s")
+        )
     )
     topk = (
         agg.orderBy(F.col("_s").desc(), F.col(id_col))

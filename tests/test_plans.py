@@ -552,3 +552,47 @@ def test_t95_excision_anti_join_is_doc_keyed_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
     assert "CartesianProduct" not in plan, plan[:900]
     assert "LeftAnti" in plan
+
+
+def test_t96_dsir_vocab_joins_broadcast(spark):
+    """t96's two vocabulary joins and two totals cross-joins must all
+    be broadcasts — the corpus-token side never shuffles for them (the
+    only hash exchange is the per-doc aggregate), and nothing degrades
+    to a shuffled join of tokens against vocab."""
+    from datasheet_etl_spark.plans.sql_extra import t96_dsir_importance_select
+
+    plan = (
+        t96_dsir_importance_select(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the scored per-doc aggregate is persisted, so the scoring
+    # subtree (vocab joins + the two 1-row totals cross-joins) runs
+    # ONCE and both consumers (top-k and the final join) read the
+    # cache — the plan string still PRINTS the cached subtree under
+    # each InMemoryTableScan, so assert the reuse, not string counts
+    assert plan.count("InMemoryTableScan") >= 2
+    # vocab equi-joins are broadcast-hash, and selection is TakeOrdered
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_t97_shard_plan_no_global_sort_in_derivation(spark):
+    """t97's derivation must contain only the presentation sort: the
+    selection is two bounded windows, the epoch order one per-shard
+    window, the packing one more — no TakeOrdered-free global Sort
+    other than the final orderBy's range exchange."""
+    from datasheet_etl_spark.plans.sql_extra import t97_training_shard_plan
+
+    plan = (
+        t97_training_shard_plan(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one range exchange: the trailing presentation orderBy
+    assert plan.count("Exchange rangepartitioning") == 1
