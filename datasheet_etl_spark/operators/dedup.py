@@ -393,6 +393,7 @@ def _positioned_gram_postings(
     k: int,
     max_gram_rows: int | None,
     persist_base: bool = False,
+    persist_postings: bool = True,
 ):
     """Shared stage-1 of the substring family: (id, tokens) base frame
     plus the capped positioned-gram postings (id, pos, 16-byte md5
@@ -400,7 +401,10 @@ def _positioned_gram_postings(
     across the self-join's two sides and every downstream aggregate.
     ``persist_base`` additionally persists the tokens frame itself —
     for callers (excision) that re-read the tokens beyond the gram
-    build; pair-only callers skip it (they never touch base again)."""
+    build; pair-only callers skip it (they never touch base again).
+    ``persist_postings=False`` skips the postings cache for callers
+    with exactly ONE consumer (the index write) — caching there would
+    pin index-sized memory that is never read again."""
     from datasheet_etl_spark.functions import tokens
 
     if k < 2:
@@ -421,7 +425,8 @@ def _positioned_gram_postings(
         .select(F.col(id_col), F.posexplode(grams).alias("pos", "_gram"))
         .select(id_col, "pos", F.unhex(F.md5("_gram")).alias("gkey"))
     )
-    return base, scoped_persist(cap_buckets(g, ["gkey"], max_gram_rows))
+    g = cap_buckets(g, ["gkey"], max_gram_rows)
+    return base, (scoped_persist(g) if persist_postings else g)
 
 
 def _gram_meets(ga: DataFrame, gb: DataFrame, id_col: str) -> DataFrame:
@@ -478,9 +483,22 @@ def write_gram_index(
     of re-tokenizing the historical corpus. The boilerplate cap is
     applied at WRITE time over the indexed corpus, so a probe pays it
     only over its own batch (the cross-set frequency interaction is
-    the same documented recall caveat as the in-batch cap)."""
-    _, g = _positioned_gram_postings(docs, id_col, text_col, k, max_gram_rows)
+    the same documented recall caveat as the in-batch cap).
+
+    The gram recipe (k, cap) is persisted as an underscore-hidden
+    ``_meta`` table inside the index (invisible to the postings scan):
+    a probe with a different recipe would build keys that can never
+    match the stored ones and silently report "no duplicates" —
+    :func:`probe_gram_index` refuses a recipe mismatch instead."""
+    spark = docs.sparkSession
+    _, g = _positioned_gram_postings(
+        docs, id_col, text_col, k, max_gram_rows, persist_postings=False
+    )
     g.write.mode("overwrite").parquet(path)
+    spark.createDataFrame(
+        [(int(k), -1 if max_gram_rows is None else int(max_gram_rows))],
+        "k int, max_gram_rows int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def probe_gram_index(
@@ -507,6 +525,18 @@ def probe_gram_index(
     re-tokenize; the meet shuffles the (small) probe batch's grams
     against the index keyed by the 16-byte gkey; islands and the two
     aggregates are keyed by the (indexed, new) pair."""
+    meta = spark.read.parquet(f"{path}/_meta").collect()
+    stored_k, stored_cap = int(meta[0]["k"]), int(meta[0]["max_gram_rows"])
+    stored_cap = None if stored_cap == -1 else stored_cap
+    if (stored_k, stored_cap) != (k, max_gram_rows):
+        # a mismatched recipe would silently return zero matches —
+        # keys from different (k, cap) can never meet
+        raise ValueError(
+            f"gram index at {path} was written with k={stored_k}, "
+            f"max_gram_rows={stored_cap}; probe called with k={k}, "
+            f"max_gram_rows={max_gram_rows} — re-probe with the stored "
+            "recipe or rebuild the index"
+        )
     ga = spark.read.parquet(path)
     _, gb = _positioned_gram_postings(new_docs, id_col, text_col, k, max_gram_rows)
     pairs = _gram_meets(ga, gb, id_col)

@@ -2992,6 +2992,12 @@ def t98_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     path = os.path.join(
         tempfile.gettempdir(), f"gram_index_{tag}_{uuid.uuid4().hex[:8]}"
     )
+    # bound the per-invocation dirs to this process's lifetime — the
+    # probe result is lazy, so deletion can only happen at exit
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     write_gram_index(docs.filter(F.col("doc_id") % 2 == 0), path)
     return probe_gram_index(
         spark, path, docs.filter(F.col("doc_id") % 2 == 1)

@@ -153,11 +153,27 @@ def main():
     assert not unknown, f"unknown entries: {unknown}"
     print(f"{'entry':34s} {'sf0.1':>8s} {'x10':>8s} {'ratio':>6s}")
     ratios = []
+    from datasheet_etl_spark.caching import release_caches
+
+    def timed(fn, src):
+        # release AFTER each invocation (outside the timed span): a
+        # scoped_persist left live from a previous entry — t96's
+        # exploded token frame, t9x gram postings, at the x10 corpus —
+        # would otherwise pin memory across every later measurement
+        # and distort exactly the ratios this audit exists to measure
+        t0 = time.time()
+        fn(spark, src).count()
+        dt = time.time() - t0
+        release_caches()
+        spark.catalog.clearCache()
+        return dt
+
     for name in selected:
         fn = q[name]
         fn(spark, SRC).count()  # warm (cache/codegen)
-        t0 = time.time(); fn(spark, SRC).count(); base = time.time() - t0
-        t0 = time.time(); fn(spark, DST).count(); big = time.time() - t0
+        release_caches(); spark.catalog.clearCache()
+        base = timed(fn, SRC)
+        big = timed(fn, DST)
         r = big / base if base > 0 else float("inf")
         ratios.append((name, base, big, r))
         print(f"{name:34s} {base:8.2f} {big:8.2f} {r:6.2f}", flush=True)

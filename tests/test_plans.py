@@ -574,8 +574,12 @@ def test_t96_dsir_vocab_joins_broadcast(spark):
     # cache — the plan string still PRINTS the cached subtree under
     # each InMemoryTableScan, so assert the reuse, not string counts
     assert plan.count("InMemoryTableScan") >= 2
-    # vocab equi-joins are broadcast-hash, and selection is TakeOrdered
+    # vocab equi-joins are broadcast-hash — a stats regression turning
+    # one into a shuffled join of the corpus-token side must FAIL here,
+    # not hide behind the other join staying broadcast
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "TakeOrderedAndProject" in plan
 
 

@@ -1292,6 +1292,14 @@ def test_gram_index_probe_finds_cross_set_spans(spark, tmp_path):
     }
     assert got == scratch
 
+    # review-found (r9): a probe with a different gram recipe builds
+    # keys that can never match the stored ones — it must REFUSE via
+    # the persisted _meta, not silently report 'no duplicates'
+    with pytest.raises(ValueError, match="written with k=8"):
+        probe_gram_index(spark, path, new, k=10)
+    with pytest.raises(ValueError, match="max_gram_rows"):
+        probe_gram_index(spark, path, new, max_gram_rows=None)
+
 
 def test_pack_in_order_handles_tied_order_keys(spark):
     """Review-found (r9): the packing window must use a ROWS frame —
@@ -1299,16 +1307,17 @@ def test_pack_in_order_handles_tied_order_keys(spark):
     keys would double-count each other's cost and corrupt offsets."""
     from datasheet_etl_spark.operators.sampling import pack_in_order
 
+    # order by pos ALONE with a genuine tie (the two pos=2 rows are
+    # RANGE-frame peers; equal costs make the offsets independent of
+    # which peer the engine enumerates first)
     rows = [("s", 1, 10, 60), ("s", 2, 20, 60), ("s", 2, 30, 60), ("s", 3, 40, 60)]
     df = spark.createDataFrame(rows, "shard string, pos int, doc int, cost long")
-    got = sorted(
-        (r["doc"], r["bin_offset"], r["bin_id"])
-        for r in pack_in_order(
-            df, "cost", 100, order_cols=("pos", "doc")
-        ).collect()
-    )
-    # offsets strictly cumulative: 0, 60, 120, 180 — bins 0,0,1,1
-    assert got == [(10, 0, 0), (20, 60, 0), (30, 120, 1), (40, 180, 1)]
+    out = pack_in_order(df, "cost", 100, order_cols=("pos",)).collect()
+    # ROWS frame: offsets strictly cumulative 0,60,120,180 (bins
+    # 0,0,1,1); the default RANGE frame would give BOTH tied rows
+    # offset 120 → [0,120,120,180] and a lost bin boundary
+    assert sorted(r["bin_offset"] for r in out) == [0, 60, 120, 180]
+    assert sorted(r["bin_id"] for r in out) == [0, 0, 1, 1]
 
 
 def test_png_oversized_dimensions_are_decode_error(spark):
