@@ -275,6 +275,17 @@ def cmd_curate(args, spark=None) -> int:
 
     docs = spark.read.parquet(args.input)
     filtered = docs.filter(F.length("text") >= args.min_chars)
+    n_substring_dropped = 0
+    if getattr(args, "substring_span", 0):
+        from datasheet_etl_spark.operators.dedup import substring_dedup_corpus
+
+        decided = substring_dedup_corpus(
+            filtered, min_span_tokens=args.substring_span
+        )
+        keep = decided.filter(F.col("kept")).select("doc_id")
+        n_before = filtered.count()
+        filtered = filtered.join(keep, "doc_id", "semi")
+        n_substring_dropped = n_before - filtered.count()
     with_fp = filtered.select(
         "doc_id", F.length("text").alias("n_chars"), fingerprint(F.col("text")).alias("fp")
     )
@@ -292,6 +303,11 @@ def cmd_curate(args, spark=None) -> int:
     print("Corpus curation")
     print(f"  Input docs:     {docs.count()}")
     print(f"  After filter:   {filtered.count()} (min_chars={args.min_chars})")
+    if getattr(args, "substring_span", 0):
+        print(
+            f"  Substring dedup dropped: {n_substring_dropped} "
+            f"(span >= {args.substring_span} tokens)"
+        )
     print(f"  After dedup:    {deduped.count()}")
     print(f"  After sample:   {out.count()} (rate={args.sample_rate})")
     print(f"  Packed bins:    {n_bins} (budget={args.budget} chars)")
@@ -457,6 +473,15 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     p.add_argument("--min-chars", type=int, default=100)
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--budget", type=int, default=4096)
+    p.add_argument(
+        "--substring-span",
+        type=int,
+        default=0,
+        help="also drop docs whose only content duplicates a lower-id "
+        "doc's verbatim span of >= N tokens (0 = off; the Lee et al. "
+        "substring modality, one representative kept per overlap "
+        "cluster)",
+    )
 
     p = sub.add_parser(
         "diff", help="Diff two corpus snapshots (added/removed/changed)"

@@ -170,3 +170,34 @@ def test_cli_explain(spark, capsys):
     out = capsys.readouterr().out
     assert "FileScan" in out or "AdaptiveSparkPlan" in out
     assert main(["explain", "nope_not_an_entry"], spark=spark) == 1
+
+
+def test_cli_curate_substring_gate(spark, tmp_path, capsys):
+    """--substring-span adds the Lee et al. gate to the curate
+    pipeline: docs whose content duplicates a lower-id doc's verbatim
+    span are dropped before fingerprint dedup, and the stage count is
+    reported."""
+    from datasheet_etl_spark.cli import main
+
+    span = " ".join(f"dupword{c}{d}" for c in "abcde" for d in "abcde")
+    filler = lambda tag: " ".join(f"{tag}{c}{d}" for c in "abcdefghij" for d in "abcdefghij")
+    docs = spark.createDataFrame(
+        [
+            (1, filler("one") + " " + span, "src1", 0),
+            (2, span + " " + filler("two"), "src1", 0),
+            (3, filler("three"), "src2", 0),
+        ],
+        "doc_id long, text string, source string, lang int",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = main(
+        ["curate", src, out, "--min-chars", "10", "--substring-span", "20"],
+        spark=spark,
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Substring dedup dropped: 1" in captured
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}  # doc 2 lost the overlap-cluster representative race
