@@ -1405,3 +1405,44 @@ def test_substring_overlap_matches_bruteforce_lcs(spark):
             if got[k] != expected[k]
         },
     }
+
+
+def test_r9_ops_partitioning_invariant(spark):
+    """The r9 operators' determinism claims, actually exercised: the
+    same input under a different physical layout (repartition) must
+    produce IDENTICAL selections, orders, and offsets — every decision
+    is md5/decimal-derived, never layout-dependent."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.sampling import epoch_shuffle, pack_in_order
+    from datasheet_etl_spark.operators.text import dsir_select
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    tgt = F.col("source").isin("src1", "src2")
+
+    def dsir(df):
+        return sorted(
+            map(
+                tuple,
+                dsir_select(df.filter(tgt), df.filter(~tgt), k=20).collect(),
+            )
+        )
+
+    assert dsir(docs) == dsir(docs.repartition(13))
+
+    def plan(df):
+        shuf = epoch_shuffle(
+            df.select("doc_id", "n_chars"), "doc_id", epoch=2, shard_hex_chars=1
+        )
+        return sorted(
+            map(
+                tuple,
+                pack_in_order(shuf, "n_chars", 2048).select(
+                    "doc_id", "shard", "pos", "bin_id", "bin_offset"
+                ).collect(),
+            )
+        )
+
+    assert plan(docs) == plan(docs.repartition(7))
