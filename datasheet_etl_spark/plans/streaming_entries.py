@@ -470,3 +470,127 @@ def _stage_events_doubled(sf_dir: str) -> str:
             os.utime(dst, (now + 60, now + 60))
 
     return _stage_synced(dd, _source_signature(d) + ":x2", build)
+
+
+@register(
+    "t99_streaming_gram_index",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id, doc_id % 3 AS third,
+             unnest(range(1, len(toks) - 6)) AS pos, toks
+      FROM t WHERE len(toks) >= 8
+    ), g0raw AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM p WHERE third = 0
+    ), g0 AS (
+      SELECT * FROM g0raw QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), g1raw AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM p WHERE third = 1
+    ), g1 AS (
+      SELECT * FROM g1raw QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), g2raw AS (
+      SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS gkey
+      FROM p WHERE third = 2
+    ), g2 AS (
+      SELECT * FROM g2raw QUALIFY count(*) OVER (PARTITION BY gkey) <= 64
+    ), pr AS (
+      SELECT a.doc_id AS sa, b.doc_id AS sb, a.pos AS pa, b.pos AS pb,
+             a.gkey AS gkey
+      FROM g0 a JOIN g1 b ON a.gkey = b.gkey
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, a.pos, b.pos, a.gkey
+      FROM g0 a JOIN g2 b ON a.gkey = b.gkey
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, a.pos, b.pos, a.gkey
+      FROM g1 a JOIN g2 b ON a.gkey = b.gkey
+    ), runs AS (
+      SELECT sa, sb, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY sa, sb, pa - pb
+                                     ORDER BY pa) AS island
+      FROM pr
+    ), spans AS (
+      SELECT sa, sb, count(*) + 7 AS span
+      FROM runs GROUP BY sa, sb, diag, island
+    ), best AS (
+      SELECT sa, sb, max(span) AS max_span_tokens FROM spans GROUP BY 1, 2
+    ), agg AS (
+      SELECT sa, sb, count(DISTINCT gkey) AS n_shared_grams
+      FROM pr GROUP BY 1, 2
+    )
+    SELECT least(sa, sb) AS id_lo, greatest(sa, sb) AS id_hi,
+           CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+           CAST(max_span_tokens AS BIGINT) AS max_span_tokens
+    FROM agg JOIN best USING (sa, sb)
+    ORDER BY id_lo, id_hi
+    """,
+)
+def t99_streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE substring-index maintenance under Structured Streaming
+    (``streams.streaming_gram_index_maintain``): the doc_id%3==0 third
+    is the initial at-rest index; the other two thirds arrive as two
+    separate micro-batches (maxFilesPerTrigger=1). Each batch probes
+    the stored postings for verbatim-span overlaps, then appends its
+    own postings — so the SECOND batch must match against the FIRST
+    batch's documents through the index, proving the maintenance loop,
+    not just the probe. Output pairs are normalized to (least,
+    greatest), which makes the result invariant to the two files'
+    arrival order (either order finds the same unordered pair set —
+    the later batch always meets the earlier one's postings). The
+    DuckDB oracle re-derives all three capped posting sets and their
+    three pairwise meets, islands and spans included — a fully
+    hash-graded STREAMING entry, like t13/t14/t41/t77."""
+    import atexit
+    import hashlib
+    import os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.dedup import write_gram_index
+    from datasheet_etl_spark.streaming.streams import (
+        streaming_gram_index_maintain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(f"gramstream:{sf_dir}".encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"gram_stream_{tag}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS2")):
+        docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+            d, mode="overwrite"
+        )
+        docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
+            d, mode="append"
+        )
+        open(os.path.join(d, "_SUCCESS2"), "w").close()
+
+    run = _uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"gram_live_{tag}_{run}")
+    atexit.register(_shutil.rmtree, base, ignore_errors=True)
+    index_path = os.path.join(base, "index")
+    matches_path = os.path.join(base, "matches")
+    ckpt = os.path.join(base, "ckpt")
+    write_gram_index(docs.filter(F.col("doc_id") % 3 == 0), index_path)
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        streaming_gram_index_maintain(
+            spark, stream, index_path, matches_path, ckpt
+        )
+    out = spark.read.parquet(matches_path).distinct()
+    return out.select(
+        F.least("id_a", "id_b").alias("id_lo"),
+        F.greatest("id_a", "id_b").alias("id_hi"),
+        "n_shared_grams",
+        "max_span_tokens",
+    ).orderBy("id_lo", "id_hi")

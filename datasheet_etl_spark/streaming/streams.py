@@ -636,6 +636,91 @@ class rocksdb_state_store:
             self.spark.conf.set(self.KEY, self.prev)
 
 
+def streaming_gram_index_maintain(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_rows: int | None = 64,
+    min_span_tokens: int | None = None,
+):
+    """Streaming maintenance of the substring gram index — the LIVE
+    form of the t98 nightly increment: every micro-batch of documents
+    (a) probes the index AT REST for verbatim-span overlaps with
+    everything already indexed (``dedup.probe_gram_index``, matches
+    appended to ``matches_path``), then (b) appends its own capped
+    postings to the index, so later batches match against it. An
+    initial index must exist (``dedup.write_gram_index`` — its
+    ``_meta`` recipe gates every probe, so a drifted k/cap fails loudly
+    mid-stream instead of silently matching nothing).
+
+    Exactly-once-ness, from primitives (the idempotent_keyed_sink
+    argument): parquet appends are not transactional with the
+    checkpoint commit, so a crash between them replays the batch on
+    restart. Replayed DOCS are dropped by the anti-join against the
+    index's stored doc ids before anything is written; the remaining
+    window (matches written, postings append crashed) re-emits the
+    same MATCH rows on replay, which is why readers take
+    ``distinct()`` over ``matches_path`` — match rows are pure
+    functions of (index, doc), so duplicates are identical.
+
+    Scale shape: per batch, one stored-ids scan (the idempotency
+    anti-join — keep the index compacted so this reads footers+ids,
+    not gram bodies), one probe (batch grams vs index keyed by the
+    16-byte gkey), one postings append. State lives in the INDEX, not
+    in streaming state stores — restarting the query carries nothing
+    but the file-source log."""
+    from datasheet_etl_spark.operators.dedup import (
+        _positioned_gram_postings,
+        probe_gram_index,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            existing = (
+                spark.read.parquet(index_path).select(F.col(id_col)).distinct()
+            )
+            fresh = batch_df.join(existing, id_col, "left_anti").persist()
+            try:
+                if fresh.isEmpty():
+                    return  # pure replay: everything already indexed
+                probe_gram_index(
+                    spark,
+                    index_path,
+                    fresh,
+                    id_col,
+                    text_col,
+                    k,
+                    max_gram_rows,
+                    min_span_tokens,
+                ).write.mode("append").parquet(matches_path)
+                _, g = _positioned_gram_postings(
+                    fresh, id_col, text_col, k, max_gram_rows,
+                    persist_postings=False,
+                )
+                g.write.mode("append").parquet(index_path)
+            finally:
+                fresh.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    query = (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def incremental_curation_pipeline(
     spark: SparkSession,
     input_dir: str,

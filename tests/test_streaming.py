@@ -1624,3 +1624,69 @@ def test_gc_cdc_checkpoint_refuses_in_flight_batch(spark, tmp_path):
     assert deleted == 2  # offsets/0 + commits/0
     assert sorted(os.listdir(ckpt / "offsets")) == ["1", "2"]
     assert sorted(os.listdir(ckpt / "commits")) == ["1", "2"]
+
+
+def test_streaming_gram_index_maintenance(spark, tmp_path):
+    """t99's lifecycle: batch 2's doc must match batch 1's doc THROUGH
+    the index (the maintenance loop, not just the probe); a re-drain
+    with the same checkpoint processes nothing new (no extra matches,
+    no duplicate postings); and new files after the re-drain are
+    picked up incrementally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.dedup import write_gram_index
+    from datasheet_etl_spark.streaming.streams import (
+        streaming_gram_index_maintain,
+    )
+
+    span = " ".join(f"live{c}{d}" for c in "abcde" for d in "abcde")  # 25
+    fill = lambda tag: " ".join(f"{tag}{c}" for c in "abcdefghij")
+    schema = "doc_id long, text string"
+    idx_docs = spark.createDataFrame([(1, fill("seed") + " " + span)], schema)
+    b1 = spark.createDataFrame([(11, span + " " + fill("one"))], schema)
+    b2 = spark.createDataFrame(
+        [(21, fill("two") + " " + span), (22, fill("solo"))], schema
+    )
+
+    src = str(tmp_path / "stream")
+    b1.coalesce(1).write.parquet(src, mode="overwrite")
+    b2.coalesce(1).write.parquet(src, mode="append")
+    index, matches = str(tmp_path / "idx"), str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    write_gram_index(idx_docs, index)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming_gram_index_maintain(spark, stream, index, matches, ckpt)
+
+    drain()
+    got = {
+        (r["id_a"], r["id_b"]): r["max_span_tokens"]
+        for r in spark.read.parquet(matches).distinct().collect()
+    }
+    # batch1 vs index; batch2 vs index AND vs batch1 (through the
+    # index the stream itself maintained); solo doc matches nothing
+    assert got == {(1, 11): 25, (1, 21): 25, (11, 21): 25}, got
+
+    # exactly-once: re-draining the same checkpoint changes nothing
+    n_match_rows = spark.read.parquet(matches).count()
+    n_postings = spark.read.parquet(index).count()
+    drain()
+    assert spark.read.parquet(matches).count() == n_match_rows
+    assert spark.read.parquet(index).count() == n_postings
+
+    # incremental: a NEW file after the re-drain is processed alone
+    b3 = spark.createDataFrame([(31, span + " " + fill("three"))], schema)
+    b3.coalesce(1).write.parquet(src, mode="append")
+    drain()
+    got3 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(matches).distinct().collect()
+    }
+    assert got3 == {(1, 11), (1, 21), (11, 21), (1, 31), (11, 31), (21, 31)}
