@@ -84,6 +84,9 @@ ENTRIES = [
     # r9: index write + cross-set probe (the entry rebuilds the index
     # each call, so the measured cost is write AND probe)
     "t98_incremental_substring_dedup",
+    # r9: the live streaming form — initial index build + a 2-batch
+    # availableNow drain with per-batch probe + postings append
+    "t99_streaming_gram_index",
 ]
 
 # per-table key columns to offset so copies don't collide
