@@ -576,7 +576,21 @@ def t99_streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = os.path.join(base, "index")
     matches_path = os.path.join(base, "matches")
     ckpt = os.path.join(base, "ckpt")
-    write_gram_index(docs.filter(F.col("doc_id") % 3 == 0), index_path)
+    # the PRISTINE initial index is a pure function of (sf_dir,
+    # recipe): stage it once per sf (signature-synced like the staged
+    # streams) and file-copy it into this invocation's path — the
+    # drain APPENDS the arriving batches' postings into its copy, so
+    # the pristine staging must never be the live index
+    pristine = os.path.join(tempfile.gettempdir(), f"gram_idx0_{tag}")
+    _stage_synced(
+        pristine,
+        _source_signature(f"{sf_dir.rstrip('/')}/documents.parquet"),
+        lambda dst: write_gram_index(
+            docs.filter(F.col("doc_id") % 3 == 0), dst
+        ),
+    )
+    os.makedirs(base, exist_ok=True)
+    _shutil.copytree(pristine, index_path)
 
     with _few_state_partitions(spark):
         stream = (
