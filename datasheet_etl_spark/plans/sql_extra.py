@@ -2975,30 +2975,30 @@ def t98_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     import hashlib
     import os
     import tempfile
-    import uuid
 
     from datasheet_etl_spark.operators.dedup import (
         probe_gram_index,
         write_gram_index,
     )
+    from datasheet_etl_spark.plans.streaming_entries import (
+        _source_signature,
+        _stage_synced,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # per-invocation unique dir: a fixed path would race a concurrent
-    # run of this entry (overwrite deletes the directory under the
-    # other process's lazily-evaluated probe scan); the probe result
-    # stays lazily readable for this invocation's lifetime, so the dir
-    # cannot be removed here — it is small (16B keys) and per-run
+    # the index is a pure function of (sf_dir, recipe) and the probe
+    # never mutates it, so it is STAGED like the streamed sources —
+    # built once per sf, wiped and rebuilt only when the source
+    # parquet changes, shared by every later invocation (no per-call
+    # Spark rebuild, no per-run /tmp growth)
     tag = hashlib.md5(f"gramidx:{sf_dir}".encode()).hexdigest()[:10]
-    path = os.path.join(
-        tempfile.gettempdir(), f"gram_index_{tag}_{uuid.uuid4().hex[:8]}"
+    path = _stage_synced(
+        os.path.join(tempfile.gettempdir(), f"gram_index_{tag}"),
+        _source_signature(f"{sf_dir.rstrip('/')}/documents.parquet"),
+        lambda dst: write_gram_index(
+            docs.filter(F.col("doc_id") % 2 == 0), dst
+        ),
     )
-    # bound the per-invocation dirs to this process's lifetime — the
-    # probe result is lazy, so deletion can only happen at exit
-    import atexit
-    import shutil
-
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    write_gram_index(docs.filter(F.col("doc_id") % 2 == 0), path)
     return probe_gram_index(
         spark, path, docs.filter(F.col("doc_id") % 2 == 1)
     ).orderBy("id_a", "id_b")
