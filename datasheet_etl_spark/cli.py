@@ -275,6 +275,7 @@ def cmd_curate(args, spark=None) -> int:
 
     docs = spark.read.parquet(args.input)
     filtered = docs.filter(F.length("text") >= args.min_chars)
+    n_after_min_chars = None
     n_substring_dropped = 0
     if getattr(args, "substring_span", 0):
         from datasheet_etl_spark.operators.dedup import substring_dedup_corpus
@@ -283,9 +284,9 @@ def cmd_curate(args, spark=None) -> int:
             filtered, min_span_tokens=args.substring_span
         )
         keep = decided.filter(F.col("kept")).select("doc_id")
-        n_before = filtered.count()
+        n_after_min_chars = filtered.count()
         filtered = filtered.join(keep, "doc_id", "semi")
-        n_substring_dropped = n_before - filtered.count()
+        n_substring_dropped = n_after_min_chars - filtered.count()
     with_fp = filtered.select(
         "doc_id", F.length("text").alias("n_chars"), fingerprint(F.col("text")).alias("fp")
     )
@@ -302,7 +303,10 @@ def cmd_curate(args, spark=None) -> int:
     n_bins = out.select("shard", "bin_id").distinct().count()
     print("Corpus curation")
     print(f"  Input docs:     {docs.count()}")
-    print(f"  After filter:   {filtered.count()} (min_chars={args.min_chars})")
+    n_filter = (
+        n_after_min_chars if n_after_min_chars is not None else filtered.count()
+    )
+    print(f"  After filter:   {n_filter} (min_chars={args.min_chars})")
     if getattr(args, "substring_span", 0):
         print(
             f"  Substring dedup dropped: {n_substring_dropped} "

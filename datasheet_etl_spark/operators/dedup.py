@@ -429,6 +429,22 @@ def _positioned_gram_postings(
     return base, (scoped_persist(g) if persist_postings else g)
 
 
+def _span_floor(min_span_tokens: int | None, k: int) -> int:
+    """The effective span gate. A floor below k is UNHONORABLE — k-gram
+    detection cannot see spans shorter than k, so honoring the
+    parameter silently is impossible; refuse loudly instead (the same
+    philosophy as probe_gram_index's recipe gate)."""
+    if min_span_tokens is None:
+        return k
+    if min_span_tokens < k:
+        raise ValueError(
+            f"min_span_tokens={min_span_tokens} is below k={k}: k-gram "
+            "detection cannot see spans shorter than k — lower k or "
+            "raise the span gate"
+        )
+    return int(min_span_tokens)
+
+
 def _gram_meets(ga: DataFrame, gb: DataFrame, id_col: str) -> DataFrame:
     """Gram meets between two posting sets: (id_a, pa) from ``ga``
     joins (id_b, pb) from ``gb`` on the 16-byte gram key. The self-join
@@ -489,12 +505,19 @@ def write_gram_index(
     ``_meta`` table inside the index (invisible to the postings scan):
     a probe with a different recipe would build keys that can never
     match the stored ones and silently report "no duplicates" —
-    :func:`probe_gram_index` refuses a recipe mismatch instead."""
+    :func:`probe_gram_index` refuses a recipe mismatch instead.
+    A ``_docs`` ledger (the distinct indexed ids, also hidden) is
+    written alongside — the cheap membership set incremental callers
+    (``streams.streaming_gram_index_maintain``) anti-join against,
+    instead of scanning the full postings for ids."""
     spark = docs.sparkSession
     _, g = _positioned_gram_postings(
         docs, id_col, text_col, k, max_gram_rows, persist_postings=False
     )
     g.write.mode("overwrite").parquet(path)
+    docs.select(id_col).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_docs")
     spark.createDataFrame(
         [(int(k), -1 if max_gram_rows is None else int(max_gram_rows))],
         "k int, max_gram_rows int",
@@ -510,6 +533,7 @@ def probe_gram_index(
     k: int = 8,
     max_gram_rows: int | None = 64,
     min_span_tokens: int | None = None,
+    dedupe_postings: bool = False,
 ) -> DataFrame:
     """Incremental substring-overlap dedup: which at-rest indexed docs
     does tonight's batch duplicate? New docs' capped postings meet the
@@ -524,7 +548,14 @@ def probe_gram_index(
     Scale shape: the index is read as stored postings — no historical
     re-tokenize; the meet shuffles the (small) probe batch's grams
     against the index keyed by the 16-byte gkey; islands and the two
-    aggregates are keyed by the (indexed, new) pair."""
+    aggregates are keyed by the (indexed, new) pair.
+
+    ``dedupe_postings=True`` drops duplicate stored postings rows
+    (same id, pos) before the meet — the streaming maintainer needs it
+    because a crash-replayed batch can append its postings twice, and
+    duplicated rows would split the island row_numbers and corrupt
+    span lengths. Costs one extra shuffle of the stored postings, so
+    it is OFF for append-free indexes (t98's staged index)."""
     meta = spark.read.parquet(f"{path}/_meta").collect()
     stored_k, stored_cap = int(meta[0]["k"]), int(meta[0]["max_gram_rows"])
     stored_cap = None if stored_cap == -1 else stored_cap
@@ -538,10 +569,12 @@ def probe_gram_index(
             "recipe or rebuild the index"
         )
     ga = spark.read.parquet(path)
+    if dedupe_postings:
+        ga = ga.dropDuplicates([id_col, "pos"])
     _, gb = _positioned_gram_postings(new_docs, id_col, text_col, k, max_gram_rows)
     pairs = _gram_meets(ga, gb, id_col)
     runs = _island_runs(pairs)
-    floor = min_span_tokens if min_span_tokens is not None else k
+    floor = _span_floor(min_span_tokens, k)
     spans = (
         runs.groupBy("id_a", "id_b", "diag", "island")
         .agg((F.count(F.lit(1)) + (k - 1)).alias("_span"))
@@ -586,7 +619,7 @@ def excise_overlap_spans(
     bounded self-join); the interval set is per-island aggregates of
     the runs frame (tiny); the anti-join is an equi-join on the doc id
     with a range residual, so tokens shuffle once, keyed by doc."""
-    floor = min_span_tokens if min_span_tokens is not None else k
+    floor = _span_floor(min_span_tokens, k)
     # base feeds three consumers here (the gram postings, the token
     # posexplode, and the final size()/join) — persist_base makes the
     # corpus tokenize pass execute once across all of them
@@ -677,7 +710,7 @@ def substring_dedup_corpus(
     bench sf0.1)."""
     from datasheet_etl_spark.operators.graph import dedup_clusters
 
-    floor = max(min_span_tokens or k, k)
+    floor = _span_floor(min_span_tokens, k)
     _base, g = _positioned_gram_postings(docs, id_col, text_col, k, max_gram_rows)
     _pairs, runs = _gram_match_runs(g, id_col)
     edges = (

@@ -2992,9 +2992,13 @@ def t98_incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     # parquet changes, shared by every later invocation (no per-call
     # Spark rebuild, no per-run /tmp growth)
     tag = hashlib.md5(f"gramidx:{sf_dir}".encode()).hexdigest()[:10]
+    # the staging signature carries the index FORMAT version too: a
+    # layout change (e.g. the _docs ledger added in r9) must rebuild a
+    # staged index even when the source parquet is unchanged
     path = _stage_synced(
         os.path.join(tempfile.gettempdir(), f"gram_index_{tag}"),
-        _source_signature(f"{sf_dir.rstrip('/')}/documents.parquet"),
+        _source_signature(f"{sf_dir.rstrip('/')}/documents.parquet")
+        + "|gidx2",
         lambda dst: write_gram_index(
             docs.filter(F.col("doc_id") % 2 == 0), dst
         ),

@@ -560,15 +560,25 @@ def t99_streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tag = hashlib.md5(f"gramstream:{sf_dir}".encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"gram_stream_{tag}")
-    if not os.path.exists(os.path.join(d, "_SUCCESS2")):
+    src_sig = _source_signature(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+    def _build_stream(dst: str) -> None:
         docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
-            d, mode="overwrite"
+            dst, mode="overwrite"
         )
         docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
-            d, mode="append"
+            dst, mode="append"
         )
-        open(os.path.join(d, "_SUCCESS2"), "w").close()
+
+    # signature-synced like every other staged source here: a sentinel
+    # alone would keep serving STALE batches after the source parquet
+    # is regenerated, while the pristine index below (and the oracle)
+    # read the new data
+    d = _stage_synced(
+        os.path.join(tempfile.gettempdir(), f"gram_stream_{tag}"),
+        src_sig,
+        _build_stream,
+    )
 
     run = _uuid.uuid4().hex[:8]
     base = os.path.join(tempfile.gettempdir(), f"gram_live_{tag}_{run}")
@@ -582,9 +592,11 @@ def t99_streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain APPENDS the arriving batches' postings into its copy, so
     # the pristine staging must never be the live index
     pristine = os.path.join(tempfile.gettempdir(), f"gram_idx0_{tag}")
+    # "|gidx2": the signature carries the index format version — a
+    # layout change (the _docs ledger) must rebuild staged indexes
     _stage_synced(
         pristine,
-        _source_signature(f"{sf_dir.rstrip('/')}/documents.parquet"),
+        src_sig + "|gidx2",
         lambda dst: write_gram_index(
             docs.filter(F.col("doc_id") % 3 == 0), dst
         ),

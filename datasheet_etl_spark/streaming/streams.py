@@ -660,18 +660,26 @@ def streaming_gram_index_maintain(
 
     Exactly-once-ness, from primitives (the idempotent_keyed_sink
     argument): parquet appends are not transactional with the
-    checkpoint commit, so a crash between them replays the batch on
-    restart. Replayed DOCS are dropped by the anti-join against the
-    index's stored doc ids before anything is written; the remaining
-    window (matches written, postings append crashed) re-emits the
-    same MATCH rows on replay, which is why readers take
-    ``distinct()`` over ``matches_path`` — match rows are pure
-    functions of (index, doc), so duplicates are identical.
+    checkpoint commit, so a crash anywhere in the batch replays it on
+    restart. The commit marker is the ``_docs`` LEDGER inside the
+    index (seeded by ``write_gram_index``, appended LAST here): docs
+    already in the ledger are dropped before anything is written, so
+    a fully-committed batch replays as a no-op. A crash before the
+    ledger append replays the WHOLE batch — including re-appending
+    postings that may have partially (or fully) landed — which is
+    exactly why the probe runs with ``dedupe_postings=True``:
+    duplicate (id, pos) postings rows collapse before the meet, so a
+    re-append can never split island runs or corrupt span lengths,
+    and a PARTIAL append (some part files committed, some not) is
+    completed by the replay rather than mistaken for done. Match rows
+    re-emitted by a replay are identical (pure functions of
+    (index, doc)), which is why readers take ``distinct()`` over
+    ``matches_path``.
 
-    Scale shape: per batch, one stored-ids scan (the idempotency
-    anti-join — keep the index compacted so this reads footers+ids,
-    not gram bodies), one probe (batch grams vs index keyed by the
-    16-byte gkey), one postings append. State lives in the INDEX, not
+    Scale shape: per batch, one ledger scan (ids only, never gram
+    bodies), one probe (batch grams vs index keyed by the 16-byte
+    gkey, plus the dedupe shuffle the replay-safety costs), one
+    postings append, one ledger append. State lives in the INDEX, not
     in streaming state stores — restarting the query carries nothing
     but the file-source log."""
     from datasheet_etl_spark.operators.dedup import (
@@ -679,18 +687,25 @@ def streaming_gram_index_maintain(
         probe_gram_index,
     )
 
+    ledger_path = f"{index_path}/_docs"
+    fs, hledger, _ = _hadoop_fs(spark, ledger_path)
+    if not fs.exists(hledger):
+        raise ValueError(
+            f"{index_path} has no _docs ledger — it predates the ledger "
+            "format (or is not a write_gram_index index). Rebuild it "
+            "with dedup.write_gram_index before streaming maintenance."
+        )
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df = batch_df.persist()
         try:
-            existing = (
-                spark.read.parquet(index_path).select(F.col(id_col)).distinct()
-            )
-            fresh = batch_df.join(existing, id_col, "left_anti").persist()
+            committed = spark.read.parquet(ledger_path).distinct()
+            fresh = batch_df.join(committed, id_col, "left_anti").persist()
             try:
                 if fresh.isEmpty():
-                    return  # pure replay: everything already indexed
+                    return  # pure replay: batch fully committed already
                 probe_gram_index(
                     spark,
                     index_path,
@@ -700,12 +715,18 @@ def streaming_gram_index_maintain(
                     k,
                     max_gram_rows,
                     min_span_tokens,
+                    dedupe_postings=True,
                 ).write.mode("append").parquet(matches_path)
                 _, g = _positioned_gram_postings(
                     fresh, id_col, text_col, k, max_gram_rows,
                     persist_postings=False,
                 )
                 g.write.mode("append").parquet(index_path)
+                # the ledger append is LAST: it is the batch's commit
+                # marker, so everything above is inside the replay
+                fresh.select(id_col).distinct().coalesce(1).write.mode(
+                    "append"
+                ).parquet(ledger_path)
             finally:
                 fresh.unpersist()
         finally:

@@ -81,11 +81,13 @@ ENTRIES = [
     # (two bounded window passes, no global sort)
     "t96_dsir_importance_select",
     "t97_training_shard_plan",
-    # r9: index write + cross-set probe (the entry rebuilds the index
-    # each call, so the measured cost is write AND probe)
+    # r9: cross-set probe against the staged per-sf index (the index
+    # build happens once in the warm pass; steady state measures the
+    # probe, which is what a production increment pays)
     "t98_incremental_substring_dedup",
-    # r9: the live streaming form — initial index build + a 2-batch
-    # availableNow drain with per-batch probe + postings append
+    # r9: the live streaming form — a 2-batch availableNow drain with
+    # per-batch probe + postings append (pristine index staged in the
+    # warm pass; each timed run still pays its copy + full drain)
     "t99_streaming_gram_index",
 ]
 
@@ -173,7 +175,13 @@ def main():
 
     for name in selected:
         fn = q[name]
-        fn(spark, SRC).count()  # warm (cache/codegen)
+        # warm BOTH scale points (cache/codegen AND any per-sf staging
+        # an entry does — t98/t99 stage indexes/streams on first touch;
+        # warming only SRC would put the x10 staging inside the timed
+        # window and make the ratio compare different work)
+        fn(spark, SRC).count()
+        release_caches(); spark.catalog.clearCache()
+        fn(spark, DST).count()
         release_caches(); spark.catalog.clearCache()
         base = timed(fn, SRC)
         big = timed(fn, DST)

@@ -1666,8 +1666,14 @@ def test_streaming_gram_index_maintenance(spark, tmp_path):
         streaming_gram_index_maintain(spark, stream, index, matches, ckpt)
 
     drain()
+    # order-normalized pairs: the file source breaks mtime ties by
+    # path, so b2 CAN drain first — the unordered pair set and the
+    # span values are arrival-order-invariant (the t99 entry
+    # normalizes the same way)
     got = {
-        (r["id_a"], r["id_b"]): r["max_span_tokens"]
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r[
+            "max_span_tokens"
+        ]
         for r in spark.read.parquet(matches).distinct().collect()
     }
     # batch1 vs index; batch2 vs index AND vs batch1 (through the
@@ -1686,7 +1692,7 @@ def test_streaming_gram_index_maintenance(spark, tmp_path):
     b3.coalesce(1).write.parquet(src, mode="append")
     drain()
     got3 = {
-        (r["id_a"], r["id_b"])
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
         for r in spark.read.parquet(matches).distinct().collect()
     }
     assert got3 == {(1, 11), (1, 21), (11, 21), (1, 31), (11, 31), (21, 31)}
