@@ -266,6 +266,23 @@ def cmd_curate(args, spark=None) -> int:
     and prints per-stage counts (each stage's count is an action on the
     same lazily-composed plan — Spark reuses nothing across them unless
     asked, so the counts are for audit, not the hot path)."""
+    span = getattr(args, "substring_span", 0)
+    if span and span < 8:
+        # detection uses word 8-grams (dedup._span_floor): spans
+        # shorter than k are invisible, so honoring 1..7 is impossible
+        print(
+            f"error: --substring-span must be 0 (off) or >= 8, got {span} "
+            "— substring detection uses word 8-grams and cannot see "
+            "shorter spans",
+            file=sys.stderr,
+        )
+        return 2
+    if getattr(args, "budget", 1) <= 0:
+        print(
+            f"error: --budget must be > 0, got {args.budget}",
+            file=sys.stderr,
+        )
+        return 2
     spark = _get_spark(spark)
     from pyspark.sql import functions as F
 
@@ -482,9 +499,10 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         type=int,
         default=0,
         help="also drop docs whose only content duplicates a lower-id "
-        "doc's verbatim span of >= N tokens (0 = off; the Lee et al. "
-        "substring modality, one representative kept per overlap "
-        "cluster)",
+        "doc's verbatim span of >= N tokens (0 = off, else N >= 8 — "
+        "detection uses word 8-grams and cannot see shorter spans; "
+        "the Lee et al. substring modality, one representative kept "
+        "per overlap cluster)",
     )
 
     p = sub.add_parser(

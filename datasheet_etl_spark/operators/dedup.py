@@ -534,6 +534,7 @@ def probe_gram_index(
     max_gram_rows: int | None = 64,
     min_span_tokens: int | None = None,
     dedupe_postings: bool = False,
+    persist_postings: bool = True,
 ) -> DataFrame:
     """Incremental substring-overlap dedup: which at-rest indexed docs
     does tonight's batch duplicate? New docs' capped postings meet the
@@ -555,7 +556,13 @@ def probe_gram_index(
     because a crash-replayed batch can append its postings twice, and
     duplicated rows would split the island row_numbers and corrupt
     span lengths. Costs one extra shuffle of the stored postings, so
-    it is OFF for append-free indexes (t98's staged index)."""
+    it is OFF for append-free indexes (t98's staged index).
+
+    ``persist_postings=False`` skips the scoped cache of the probe
+    batch's postings (they recompute once, for the shared-gram agg) —
+    the streaming maintainer needs it because nothing releases scoped
+    caches inside a long-lived stream, so a per-micro-batch persist
+    would pin one more cache entry forever per batch."""
     meta = spark.read.parquet(f"{path}/_meta").collect()
     stored_k, stored_cap = int(meta[0]["k"]), int(meta[0]["max_gram_rows"])
     stored_cap = None if stored_cap == -1 else stored_cap
@@ -571,7 +578,10 @@ def probe_gram_index(
     ga = spark.read.parquet(path)
     if dedupe_postings:
         ga = ga.dropDuplicates([id_col, "pos"])
-    _, gb = _positioned_gram_postings(new_docs, id_col, text_col, k, max_gram_rows)
+    _, gb = _positioned_gram_postings(
+        new_docs, id_col, text_col, k, max_gram_rows,
+        persist_postings=persist_postings,
+    )
     pairs = _gram_meets(ga, gb, id_col)
     runs = _island_runs(pairs)
     floor = _span_floor(min_span_tokens, k)

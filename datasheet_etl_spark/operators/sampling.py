@@ -313,6 +313,8 @@ def pack_sequences(
     token streams. Deterministic, one shuffle (on the shard key), and
     shards pack independently so parallelism = 16^shard_hex_chars.
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
     h = df.withColumn("_h", doc_hash(F.col(key_col)))
     out = h.withColumn(shard_col, F.substring("_h", 1, shard_hex_chars))
     w = Window.partitionBy(shard_col).orderBy("_h")
@@ -347,7 +349,20 @@ def pack_in_order(
     tied order keys (e.g. same-second timestamps) would double-count
     each other's cost and corrupt every downstream offset —
     pack_sequences only dodges this because its md5 order key is
-    unique."""
+    unique.
+
+    REQUIREMENT: ``order_cols`` must uniquely order rows within a
+    shard. The ROWS frame makes tied keys non-corrupting for the
+    running SUM, but their relative order — and therefore which row
+    gets which offset — is then partitioning-dependent, so replays
+    and retries would disagree. Tie detection costs a full extra
+    window pass, so it is a documented contract, not a runtime check;
+    append a tiebreak column (epoch_shuffle's ``pos`` is unique by
+    construction) when keys can collide."""
+    if budget <= 0:
+        # `off div 0` is NULL in Spark SQL, not an error — every bin_id
+        # would be silently NULL
+        raise ValueError(f"budget must be > 0, got {budget}")
     w = (
         Window.partitionBy(shard_col)
         .orderBy(*[F.col(c) for c in order_cols])
@@ -389,6 +404,8 @@ def pack_sequences_nosplit(
     """
     import pandas as pd
 
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
     h = df.withColumn("_h", doc_hash(F.col(key_col)))
     sharded = h.withColumn(shard_col, F.substring("_h", 1, shard_hex_chars))
     out_fields = sharded.schema.fields

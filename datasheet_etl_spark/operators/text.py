@@ -371,8 +371,15 @@ def dsir_select(
     tokens + counts); raw tokens explode map-side, join the two
     broadcast vocabs, and ONE per-doc aggregate produces the score.
     Per-token log-ratios are cast to DECIMAL(18,9) before summing, so
-    scores — and therefore the top-k MEMBERSHIP itself — are exact
-    and partitioning/engine-independent (ties break on id). Selection
+    scores are exact and PARTITIONING-independent — the sum order can
+    never change them (ties break on id). Across ENGINES the claim is
+    one notch weaker: the cast rounds ``ln`` output, and libm ``ln``
+    is not IEEE exactly-rounded, so a last-ulp JVM-vs-DuckDB
+    difference landing exactly on a 9th-decimal rounding boundary
+    could flip that digit — and, if the corpus happens to tie there,
+    a top-k membership bit. No such boundary case exists in the test
+    corpora; treat the oracle as exact-in-practice, not proven-exact.
+    Selection
     is TakeOrdered top-k (never a global sort); ranks are assigned on
     the k collected-size rows and joined back."""
     from datasheet_etl_spark.caching import scoped_persist

@@ -671,10 +671,14 @@ def streaming_gram_index_maintain(
     duplicate (id, pos) postings rows collapse before the meet, so a
     re-append can never split island runs or corrupt span lengths,
     and a PARTIAL append (some part files committed, some not) is
-    completed by the replay rather than mistaken for done. Match rows
-    re-emitted by a replay are identical (pure functions of
-    (index, doc)), which is why readers take ``distinct()`` over
-    ``matches_path``.
+    completed by the replay rather than mistaken for done. The same
+    crash window also puts the batch's OWN (possibly partial)
+    postings in front of its replayed probe — those meets would be
+    self/intra-batch pairs the original run never emitted, so the
+    probe result drops id_a ∈ batch before appending. With both
+    guards, match rows re-emitted by a replay are identical (pure
+    functions of the pre-batch index and the doc), which is why
+    readers take ``distinct()`` over ``matches_path``.
 
     Scale shape: per batch, one ledger scan (ids only, never gram
     bodies), one probe (batch grams vs index keyed by the 16-byte
@@ -706,7 +710,7 @@ def streaming_gram_index_maintain(
             try:
                 if fresh.isEmpty():
                     return  # pure replay: batch fully committed already
-                probe_gram_index(
+                matches = probe_gram_index(
                     spark,
                     index_path,
                     fresh,
@@ -716,7 +720,22 @@ def streaming_gram_index_maintain(
                     max_gram_rows,
                     min_span_tokens,
                     dedupe_postings=True,
-                ).write.mode("append").parquet(matches_path)
+                    persist_postings=False,
+                )
+                # a crash BETWEEN the postings append and the ledger
+                # append replays the batch with its own (possibly
+                # partial) postings already in the index — those meets
+                # surface as id_a ∈ this batch (self-pairs included),
+                # with spans that depend on how much of the append
+                # landed. Dropping id_a ∈ fresh makes every replay's
+                # match rows a pure function of (index-before-batch,
+                # doc), so readers' distinct() really collapses replays.
+                fresh_ids = fresh.select(
+                    F.col(id_col).alias("id_a")
+                ).distinct()
+                matches.join(fresh_ids, "id_a", "left_anti").write.mode(
+                    "append"
+                ).parquet(matches_path)
                 _, g = _positioned_gram_postings(
                     fresh, id_col, text_col, k, max_gram_rows,
                     persist_postings=False,

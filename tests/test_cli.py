@@ -201,3 +201,26 @@ def test_cli_curate_substring_gate(spark, tmp_path, capsys):
     assert "Substring dedup dropped: 1" in captured
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}  # doc 2 lost the overlap-cluster representative race
+
+
+def test_cli_curate_flag_validation(spark, tmp_path, capsys):
+    """ADVICE-found (r9): --substring-span 1..7 used to crash with
+    _span_floor's internal ValueError; the CLI must refuse with its
+    own wording before any Spark work. Same for --budget <= 0 (whose
+    `div 0` would otherwise yield silently-NULL bin ids)."""
+    from datasheet_etl_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "some text")], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated")
+
+    rc = main(["curate", src, out, "--substring-span", "3"], spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--substring-span" in err and ">= 8" in err
+
+    rc = main(["curate", src, out, "--budget", "0"], spark=spark)
+    assert rc == 2
+    assert "--budget" in capsys.readouterr().err

@@ -1696,3 +1696,67 @@ def test_streaming_gram_index_maintenance(spark, tmp_path):
         for r in spark.read.parquet(matches).distinct().collect()
     }
     assert got3 == {(1, 11), (1, 21), (11, 21), (1, 31), (11, 31), (21, 31)}
+
+
+def test_streaming_gram_index_crash_replay_no_self_pairs(spark, tmp_path):
+    """ADVICE-found (r9, high): a crash BETWEEN the postings append and
+    the _docs ledger append replays the batch with its own postings
+    already in the index — without the id_a anti-join the probe would
+    emit self-pairs (id_a == id_b) and intra-batch pairs the original
+    run never wrote, permanently corrupting matches_path (distinct()
+    cannot collapse rows that differ). Plant exactly that window and
+    assert the replay writes only the pre-crash-index pairs."""
+    from datasheet_etl_spark.operators.dedup import (
+        _positioned_gram_postings,
+        write_gram_index,
+    )
+    from datasheet_etl_spark.streaming.streams import (
+        streaming_gram_index_maintain,
+    )
+
+    span = " ".join(f"crash{c}{d}" for c in "abcde" for d in "abcde")  # 25
+    fill = lambda tag: " ".join(f"{tag}{c}" for c in "abcdefghij")
+    schema = "doc_id long, text string"
+    idx_docs = spark.createDataFrame([(1, fill("seed") + " " + span)], schema)
+    # two batch docs sharing the span with the index AND each other —
+    # the worst case: the planted crash exposes both self-pairs and
+    # intra-batch pairs
+    batch = spark.createDataFrame(
+        [(11, span + " " + fill("one")), (12, fill("two") + " " + span)],
+        schema,
+    )
+    index, matches = str(tmp_path / "idx"), str(tmp_path / "matches")
+    write_gram_index(idx_docs, index)
+    # plant the crash: postings fully appended, ledger NOT yet written
+    _, g = _positioned_gram_postings(
+        batch, "doc_id", "text", 8, 64, persist_postings=False
+    )
+    g.write.mode("append").parquet(index)
+
+    src = str(tmp_path / "stream")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    streaming_gram_index_maintain(
+        spark, stream, index, matches, str(tmp_path / "ckpt")
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["max_span_tokens"]
+        for r in spark.read.parquet(matches).distinct().collect()
+    }
+    # ONLY pre-batch-index → batch pairs; never id_a ∈ {11, 12}
+    assert got == {(1, 11): 25, (1, 12): 25}, got
+
+    # and the replayed (double-appended) postings don't corrupt later
+    # probes: a new batch still matches everything at exact span 25
+    b2 = spark.createDataFrame([(21, fill("next") + " " + span)], schema)
+    b2.coalesce(1).write.parquet(src, mode="append")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    streaming_gram_index_maintain(
+        spark, stream, index, matches, str(tmp_path / "ckpt")
+    )
+    got2 = {
+        (r["id_a"], r["id_b"]): r["max_span_tokens"]
+        for r in spark.read.parquet(matches).distinct().collect()
+    }
+    assert got2 == {(1, 11): 25, (1, 12): 25, (1, 21): 25, (11, 21): 25, (12, 21): 25}, got2

@@ -1446,3 +1446,26 @@ def test_r9_ops_partitioning_invariant(spark):
         )
 
     assert plan(docs) == plan(docs.repartition(7))
+
+
+def test_packers_reject_nonpositive_budget(spark):
+    """ADVICE-found (r9): budget=0 made `off div 0` yield NULL bin ids
+    silently; all three packers must refuse loudly instead."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.operators.sampling import (
+        pack_in_order,
+        pack_sequences,
+        pack_sequences_nosplit,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, "a", 10)], "shard string, pos int, k string, cost long"
+    )
+    for bad in (0, -5):
+        with _pytest.raises(ValueError, match="budget must be > 0"):
+            pack_in_order(df, "cost", bad)
+        with _pytest.raises(ValueError, match="budget must be > 0"):
+            pack_sequences(df, "k", "cost", bad)
+        with _pytest.raises(ValueError, match="budget must be > 0"):
+            pack_sequences_nosplit(df, "k", "cost", bad)
