@@ -21,19 +21,17 @@ carry parity-to-exact pytest coverage instead of a DuckDB oracle.
 from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
-# oracled. Round-9 rotation (VERDICT r8 next-round #1): the two oracled
-# entries the driver had never checked — t93 epoch-shuffle (new r8) and
-# t14 stateful sessions (oracle gained r8 via the batch-parity path) —
-# plus the new t94 substring-dedup-corpus capability (VERDICT r8 #3)
-# in; q29/t13/t70 out, each with an idiom-superset rationale in
-# DEMOTED and every anchor that pointed at an outgoing entry
-# re-pointed at an in-window superset.
+# oracled. Round-10 rotation (standing rule: newest work is
+# driver-graded, not only pytest-oracled): the six oracled entries the
+# driver has never checked — the r9 substring-family completions
+# (t95 excision, t98 at-rest index, t99 streaming maintenance), t96
+# DSIR, t97 shard-plan e2e, and t12 (oracle gained r9 via the stdlib
+# PNG/GIF header decode) — in; t65/t92/t93/q18/q06/q25 out, each with
+# an idiom-superset rationale in DEMOTED and every anchor that pointed
+# at an outgoing entry re-pointed at an in-window superset.
 WINDOW: tuple[str, ...] = (
-    "q06_positional_join",
     "q14_dynamic_pivot",
     "q16_topk_per_group",
-    "q18_sessionize",
-    "q25_array_ops",
     "q26_json_roundtrip",
     "q28_severity_ladder",
     "t41_streaming_interval_join",
@@ -49,7 +47,6 @@ WINDOW: tuple[str, ...] = (
     "q35_cube",
     "q38_variant_extract",
     "t64_fuzzy_join",
-    "t65_unigram_log_ppl",
     "t67_zorder_key",
     # --- r6 additions promoted in-round (q43/q44 were VERDICT r5 asks #2/#3) ---
     "q43_star_join_revenue",
@@ -83,16 +80,20 @@ WINDOW: tuple[str, ...] = (
     "t89_schema_evolution_at_rest",
     "t90_feature_scale",
     "q47_distribution_windows",
-    # --- r8 in-round promotion: the new exact substring-overlap dedup
-    # capability (VERDICT r7 #2) is driver-graded immediately ---
-    "t92_substring_overlap",
-    # --- rotated IN for round 9 (VERDICT r8 #1): the two oracled
-    # entries the driver had never checked ---
-    "t93_epoch_shuffle",
+    # --- rotated IN for round 9 (VERDICT r8 #1): stateful sessions,
+    # oracle gained r8 via the batch-parity path ---
     "t14_streaming_stateful_sessions",
     # --- r9 in-round promotion: the substring-dedup corpus assembly
     # completing t92 (VERDICT r8 #3) is driver-graded immediately ---
     "t94_substring_dedup_corpus",
+    # --- rotated IN for round 10: the six oracled entries the driver
+    # has never checked (r9 additions + t12's r9 oracle upgrade) ---
+    "t95_substring_span_excision",
+    "t96_dsir_importance_select",
+    "t97_training_shard_plan",
+    "t98_incremental_substring_dedup",
+    "t99_streaming_gram_index",
+    "t12_multimodal_features",
 )
 
 
@@ -129,12 +130,12 @@ DEMOTED: tuple[str, ...] = (
     # in-window superset:
     "t08_text_langid",  # detect_language scoring graded inside t19's lang-ID + per-lang agg
     "t09_text_quality",  # quality_score ratios graded inside t19's quality gate
-    "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + t65 (unigram counts; was q34 before its own r7 demotion)
+    "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + t96 (unigram counts; r10: t65, the old co-anchor, demoted into t96)
     "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
     "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
     "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16 (edge/component machinery; r8: t17, the old co-anchor, demoted into t16) + q26 parse
     "t26_sample_uniform",  # hash-rank sample graded inside t91's A-ES top-k (same md5-hash-order selection family) + q16's rank top-k (r7: t27/t29, the old anchors, themselves demoted)
-    "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside q25_array_ops + t33's budget packing
+    "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside t95's token posexplode + ordered rebuild (r10: q25, the old anchor, demoted into t95) + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
     "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
     "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q35 (CUBE ⊃ ROLLUP grouping sets) + t58 (event time-bucketing; r9: t13, the old co-anchor, demoted into t14/t41/t58) (r7: q13, the old co-anchor, demoted into q35)
@@ -151,12 +152,12 @@ DEMOTED: tuple[str, ...] = (
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
     "t27_stratified_sample",  # per-stratum hash-rank sample graded inside q16 (row_number top-k per group) + t91 (md5-derived deterministic sampling family, per-stratum exact-k)
     "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q28's ladder regexp parse + t86's lenient-CSV casts — same per-row regexp family (r8: q03, the old anchor, demoted)
-    "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t65_unigram_log_ppl (identical two-level agg shape)
+    "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t96_dsir_importance_select (identical two-level agg shape; r10: t65, the old anchor, demoted into t96)
     # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
     "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside q16's row_number top-k (same partition/order machinery)
     "q07_range_join",  # range-containment predicate join graded inside t41's stream-stream interval join (same range predicate through the strictly-stronger watermarked streaming path) + t74's as-of alignment
     # r7 continuation: swapped for t88/t91 — same-machinery supersets stay in-window:
-    "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t65_unigram_log_ppl (identical tokenize→explode→agg shape, richer two-level rollup)
+    "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t96_dsir_importance_select (identical tokenize→explode→agg shape, richer two-level rollup; r10: t65, the old anchor, demoted into t96)
     "t29_mixture_weighted",  # hash-prefix Bernoulli sampling graded inside t33's weighted_sample 50% gate (same operator/idiom); the per-source CASE-weighted agg side graded inside q28's CASE machinery (r9: q29, the old anchor, demoted); the exact-k weighted form is now graded directly by t91
     # r8: swapped out for t81-t86/t89/t90/q47/t92 (VERDICT r7 next-round
     # #1 + #2) — every outgoing idiom stays graded inside an in-window
@@ -166,9 +167,9 @@ DEMOTED: tuple[str, ...] = (
     "q11_tpch_q1",  # multi-aggregate groupBy over lineitem graded inside t73_incremental_rollup (same sum/count/avg shape PLUS partial-merge maintenance) + q35's grouping-sets superset
     "q19_percentiles",  # exact percentile contract graded inside t88_mergeable_quantile_hist (same quantiles re-derived from mergeable bin counts — the strictly-stronger maintenance path)
     "q30_idempotent_rerun",  # left-anti incremental-skip idiom graded inside t32_decontaminate (same left-anti at corpus scale, Bloom + shuffle-hash variants)
-    "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t92_substring_overlap (same postings shape, exact-span verify) + t83_ngram_novelty (same gram aggregation); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
+    "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t94/t98 (same postings shape, exact-span verify; r10: t92, the old anchor, demoted into t94/t95/t98) + t83_ngram_novelty (same gram aggregation); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
     "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t16_dedup_clusters (same edge→component machinery over the shared graph helpers)
-    "t57_funnel",  # ordered-event window sequencing graded inside q18_sessionize (same event-time window machinery) + t58_cohort_retention (same event bucketing)
+    "t57_funnel",  # ordered-event window sequencing graded inside t14_streaming_stateful_sessions (q18's sessionize contract through the stateful path; r10: q18, the old anchor, demoted into t14) + t58_cohort_retention (same event bucketing)
     "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t90_feature_scale's stats pass (same decimal mean/variance machinery); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
     "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
     # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
@@ -176,6 +177,15 @@ DEMOTED: tuple[str, ...] = (
     "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q35/t73's multi-aggregate rollups; the clamp/round tail is map-only scalar work
     "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t14 (identical staging + drain through the strictly-harder stateful operator) and t41 (stream-stream); the tumbling epoch-bucket agg graded inside t58_cohort_retention's event time-bucketing + q35's multi-grain aggregates
     "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate of exactly the per-doc kept/is-dup decisions t84_curation_audit grades row-by-row (same fingerprint/min-rep machinery), now joined by t94's substring-gate keep/drop decisions; the count_distinct idiom stays graded inside t01's distinct-key dedup
+    # r10: swapped out for t95/t96/t97/t98/t99/t12 (standing rule:
+    # newest work is driver-graded) — every outgoing idiom stays graded
+    # inside an in-window superset:
+    "t65_unigram_log_ppl",  # tokenize→explode→broadcast-vocab→per-doc DECIMAL agg graded inside t96_dsir_importance_select — the strict machinery superset: the SAME Laplace-smoothed unigram-LM scoring run TWICE (target + pool LMs) with a log-ratio and a top-k tail
+    "t92_substring_overlap",  # positioned-gram postings + capped gkey self-join + island/span machinery graded THREE ways in-window: t94 re-derives the same pairs for corpus keep/drop, t95 excises over the same pair set, t98 runs the identical postings/meet/span path through the at-rest index probe
+    "t93_epoch_shuffle",  # md5-keyed epoch shuffle graded inside t97_training_shard_plan, which invokes epoch_shuffle directly and composes it with temperature counts, hash-order selection, and pack_in_order — the e2e a training loop actually runs
+    "q18_sessionize",  # gap-based sessionization graded inside t14_streaming_stateful_sessions with q18's OWN oracle SQL through the strictly-stronger applyInPandasWithState streaming path (batch-parity drain)
+    "q06_positional_join",  # synthetic-position-key alignment (zip_frames' row_number join) graded inside t95's token-position-keyed excision + ordered rebuild and t97's packing over an existing (shard, pos) order
+    "q25_array_ops",  # higher-order array functions (transform/slice/zip_with/posexplode/array_sort) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale
 )
 
 

@@ -33,32 +33,40 @@ def test_query_matches_oracle(spark, name):
 def test_graded_window_contract():
     """The driver grades the first 50 registry entries. Pin that the
     window is exactly the explicit WINDOW list, every entry oracled,
-    that the r9 rotation landed (VERDICT r8 next-round #1: t93 + t14
-    driver-graded, plus the new t94 corpus-assembly capability), that
-    the r8 rotation stays covered, and that demotion never drops
-    oracle coverage."""
+    that the r10 rotation landed (the six oracled entries the driver
+    had never checked are graded), that recent rotations stay covered,
+    and that demotion never drops oracle coverage."""
     from datasheet_etl_spark.plans import WINDOW, DEMOTED, oracles, registry
 
     first50 = list(registry())[:50]
     assert first50 == list(WINDOW)
     ora = oracles()
     assert all(k in ora for k in first50)
-    # r9 rotation (VERDICT r8 next-round #1 + #3): the two entries the
-    # driver had never checked, plus the corpus-assembly promotion
+    # r10 rotation: the six never-driver-graded oracled entries
+    r10_entries = {
+        "t95_substring_span_excision",
+        "t96_dsir_importance_select",
+        "t97_training_shard_plan",
+        "t98_incremental_substring_dedup",
+        "t99_streaming_gram_index",
+        "t12_multimodal_features",
+    }
+    assert r10_entries <= set(first50)
+    # r9 rotation survivors (t93 demoted r10 into t97, which grades
+    # the same epoch_shuffle through the e2e composition)
     r9_entries = {
-        "t93_epoch_shuffle",
         "t14_streaming_stateful_sessions",
         "t94_substring_dedup_corpus",
     }
     assert r9_entries <= set(first50)
-    # r8 rotation (VERDICT r7 next-round #1 + #2): the nine oracled r7
-    # additions plus the new substring-overlap capability are graded
+    # r8 rotation survivors (t92 demoted r10 into t94/t95/t98 — its
+    # postings/island/span machinery is graded three ways in-window)
     r8_entries = {
         "t81_streaming_dedup_watermark", "t82_mixture_waterfill",
         "t83_ngram_novelty", "t84_curation_audit",
         "t85_contamination_report", "t86_csv_lenient_ingest",
         "t89_schema_evolution_at_rest", "t90_feature_scale",
-        "q47_distribution_windows", "t92_substring_overlap",
+        "q47_distribution_windows",
     }
     assert r8_entries <= set(first50)
     # entries CREATED in round 7: >= 8 must be driver-graded
