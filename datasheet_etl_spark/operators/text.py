@@ -447,3 +447,126 @@ def dsir_select(
             F.col("rank").isNotNull().alias("selected"),
         )
     )
+
+
+def frequent_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    top_k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Memorization/boilerplate audit — the Lee et al. 2022 §5 "most
+    duplicated n-grams" table: the corpus' most-repeated verbatim word
+    n-grams with total occurrences and document frequency. Returns at
+    most ``top_k`` rows (rank, gram, n_occurrences, n_docs) for grams
+    with ``n_occurrences >= min_count``, ranked by occurrences desc
+    then gram asc — a total order, so the cut is deterministic.
+
+    Scale shape: grams explode map-side from ONE tokenize pass; counts
+    are a two-level aggregate — (gram, doc) partials then gram — so
+    both levels map-side combine and raw document text never shuffles.
+    Readable gram STRINGS do shuffle (bounded: positions per doc ×
+    n·avg-token bytes) — the price of an audit artifact humans read;
+    hash the grams and this collapses to t92's postings shape.
+    Selection is TakeOrdered top-k, never a global sort; ranks are
+    assigned on the k collected-size rows."""
+    if n < 1 or top_k < 1:
+        raise ValueError(f"n and top_k must be >= 1, got n={n}, top_k={top_k}")
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {n - 1}),"
+                f" i -> array_join(slice(_toks, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c"))
+    agg = (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("_c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    top = agg.orderBy(F.col("n_occurrences").desc(), "gram").limit(top_k)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n_occurrences").desc(), "gram"))
+        .alias("rank"),
+        "gram",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def compression_signal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    max_ratio: float = 0.4,
+) -> DataFrame:
+    """Compressibility quality signal (the Gopher/MassiveText filter
+    family): zlib-compressed length of the doc's UTF-8 text over its
+    raw length. Template/machine-generated text compresses far below
+    natural prose, so a LOW ratio flags repetitive docs the explicit
+    repetition heuristics (t34) can miss; a ratio near 1 flags
+    high-entropy garbage (binary soup, encrypted blobs). Returns one
+    row per doc: (id, raw_len, comp_len, ratio, too_repetitive) with
+    ratio rounded to 6 dp (the flag thresholds the ROUNDED value, so
+    the boundary is reproducible).
+
+    Engine note: the ratio is a deterministic pure function of the
+    bytes for a fixed zlib build + level, but no SQL engine exposes
+    zlib — this is a rows-only entry with an in-process parity pytest
+    (direct python zlib on the collected sample), not a DuckDB oracle.
+    Lengths can drift across zlib BUILDS (not runs), which is exactly
+    why the threshold is a reported column, not baked into a hash.
+
+    Scale shape: one Arrow-batched pandas_udf projection — map-only,
+    zero shuffle; zlib level 6 sustains tens of MB/s/core, far above
+    the per-core scan rate of a 100 TB pass, so the stage is
+    IO-bound, not CPU-bound."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _lens_fn(texts):
+        raw, comp = [], []
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"raw_len": raw, "comp_len": comp})
+
+    # built with the explicit (fn, ddl) form, not type hints: the
+    # module's `from __future__ import annotations` turns hints into
+    # strings that reference the function-local `pd`, which pyspark's
+    # hint inference cannot resolve (the aggregates.py discipline)
+    _lens = pandas_udf(_lens_fn, "struct<raw_len: long, comp_len: long>")
+
+    out = docs.select(F.col(id_col), _lens(F.col(text_col)).alias("_l"))
+    ratio = F.when(
+        F.col("_l.raw_len") > 0,
+        F.round(F.col("_l.comp_len") / F.col("_l.raw_len"), 6),
+    )
+    return (
+        out.select(
+            id_col,
+            F.col("_l.raw_len").alias("raw_len"),
+            F.col("_l.comp_len").alias("comp_len"),
+            ratio.alias("ratio"),
+        )
+        .withColumn(
+            "too_repetitive",
+            F.coalesce(F.col("ratio") < max_ratio, F.lit(False)),
+        )
+    )

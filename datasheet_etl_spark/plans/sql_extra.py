@@ -2694,9 +2694,13 @@ def t94_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "t95_substring_span_excision",
-    """
+# Shared oracle body for the excision family — t95 (per-doc excision)
+# and t101 (per-source impact rollup) re-derive the same machinery:
+# tokenize → capped positioned 8-grams → pair meets → islands →
+# ≥ 20-token intervals → per-doc kept tokens. One definition keeps the
+# two oracles in lockstep with each other (and with dedup.
+# excise_overlap_spans' semantics).
+_EXCISION_ORACLE_CTES = """
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -2737,7 +2741,13 @@ def t94_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, count(*) AS n_kept,
              string_agg(tok, ' ' ORDER BY tpos) AS text_excised
       FROM kept GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "t95_substring_span_excision",
+    _EXCISION_ORACLE_CTES
+    + """
     SELECT t.doc_id,
            CAST(len(t.toks) AS BIGINT) AS n_tokens,
            CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
@@ -3039,3 +3049,172 @@ def q47_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     ).orderBy("c_nationkey", "c_custkey")
+
+
+@register(
+    "t100_frequent_ngrams",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[pos:pos+4], ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+            FROM t WHERE len(toks) >= 5)
+    ), pd_ AS (
+      SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id
+    ), a AS (
+      SELECT gram, sum(c) AS n_occurrences, count(*) AS n_docs
+      FROM pd_ GROUP BY gram HAVING sum(c) >= 2
+    ), r AS (
+      SELECT gram, n_occurrences, n_docs,
+             row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rk
+      FROM a
+    )
+    SELECT CAST(rk AS INT) AS rank, gram,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM r WHERE rk <= 50 ORDER BY rank
+    """,
+)
+def t100_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization/boilerplate audit (``text.frequent_ngrams``) — the
+    Lee et al. 2022 §5 "most duplicated n-grams" table: the corpus'
+    top-50 most-repeated verbatim word 5-grams, with total occurrences
+    and document frequency. The artifact a pretraining build publishes
+    to catch template chrome and memorization risks BEFORE training;
+    occurrences-desc + gram-asc is a total order, so the top-50 cut is
+    engine-exact and the oracle re-derives every row including rank.
+    Scale shape: one tokenize pass, map-side gram explode, two-level
+    partial aggregate ((gram, doc) then gram), TakeOrdered top-50 —
+    no self-join, no global sort."""
+    from datasheet_etl_spark.operators.text import frequent_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_ngrams(docs, "doc_id", "text", n=5, top_k=50, min_count=2)
+
+
+@register(
+    "t101_excision_impact_report",
+    _EXCISION_ORACLE_CTES
+    + """, perdoc AS (
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             len(t.toks) - coalesce(a.n_kept, 0) AS n_removed
+      FROM t LEFT JOIN agg a USING (doc_id)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_excised,
+           CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(p.n_removed) AS BIGINT) AS tokens_removed,
+           round(CAST(sum(p.n_removed) AS DOUBLE) / nullif(sum(p.n_tokens), 0),
+                 6) AS pct_removed
+    FROM perdoc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def t101_excision_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "what did dedup cost me" audit every production corpus build
+    ships next to its t95 excision run: per source — docs touched,
+    tokens removed, and the removal fraction. Closes the loop the
+    curation-governance family (t84/t85) opened for the exact and
+    contamination modalities: a corpus owner reads THIS table to decide
+    whether a source is template-heavy enough to drop outright. The
+    oracle re-derives the full excision machinery (shared CTE body with
+    t95 — one definition, two oracles) plus the rollup, so every count
+    and the 6-dp fraction are hash-graded. Scale shape: the rollup is
+    ONE aggregate over t95's per-doc artifact joined to the (doc_id,
+    source) projection — the corpus text itself is touched only by the
+    excision pass it audits."""
+    from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    exc = excise_overlap_spans(
+        docs, "doc_id", "text", k=8, max_gram_rows=64, min_span_tokens=20
+    )
+    per = exc.select("doc_id", "n_tokens", "n_removed").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias(
+                "n_docs_excised"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("tokens_removed"),
+        )
+        .withColumn(
+            "pct_removed",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(F.col("tokens_removed") / F.col("total_tokens"), 6),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q48_map_roundtrip",
+    """
+    SELECT source, lang, CAST(count(*) * 100 AS BIGINT) AS scaled
+    FROM documents GROUP BY source, lang HAVING count(*) >= 2
+    ORDER BY source, lang
+    """,
+)
+def q48_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType SQL surface the inventory lacked, graded end-to-end
+    against a plain relational oracle: per-source language histograms
+    built as MAPS (sort_array(collect_list(struct)) → map_from_entries
+    — the sort makes map KEY ORDER deterministic before any map op),
+    pruned with map_filter (count >= 2), rescaled with
+    transform_values (×100), and exploded back to rows. The oracle is
+    deliberately map-free — it grades that the whole map roundtrip is
+    semantically transparent. Scale shape: counts partial-aggregate
+    map-side; the per-source collect_list is bounded by the language
+    domain (a dim, not the corpus); maps never shuffle as keys (Spark
+    cannot hash-partition a MapType — the groupBy keys stay scalar,
+    which is the pattern's POINT at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    m = counts.groupBy("source").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("lang", "c")))
+        ).alias("m")
+    )
+    m = m.withColumn("m", F.map_filter("m", lambda k, v: v >= 2)).withColumn(
+        "m", F.transform_values("m", lambda k, v: v * 100)
+    )
+    return (
+        m.select("source", F.explode("m"))
+        .select(
+            "source",
+            F.col("key").alias("lang"),
+            F.col("value").cast("long").alias("scaled"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register("t102_compression_quality")  # rows-only: no SQL engine exposes
+# zlib, so the compressed length cannot be re-derived by DuckDB; the
+# in-process parity pytest (tests/test_training_ops.py) recomputes the
+# exact lengths with python zlib on the full sf0.001 corpus instead
+def t102_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal (``text.compression_signal``; the
+    Gopher/MassiveText filter family): zlib ratio of each doc's UTF-8
+    bytes — low = template/repetitive (flagged too_repetitive on the
+    6-dp-rounded ratio), near-1 = high-entropy garbage. Complements the
+    explicit repetition heuristics (t34) with a model-free signal.
+    Rows-only by genuine impossibility (see the register note); the
+    flag and both lengths are pinned by the parity pytest. Scale shape:
+    one Arrow-batched pandas_udf projection, map-only, zero shuffle."""
+    from datasheet_etl_spark.operators.text import compression_signal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_signal(docs).orderBy("doc_id")

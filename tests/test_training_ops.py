@@ -1469,3 +1469,119 @@ def test_packers_reject_nonpositive_budget(spark):
             pack_sequences(df, "k", "cost", bad)
         with _pytest.raises(ValueError, match="budget must be > 0"):
             pack_sequences_nosplit(df, "k", "cost", bad)
+
+
+def test_frequent_ngrams_planted(spark):
+    """t100's audit table: a 5-gram planted in three docs (twice in one)
+    must rank first with exact occurrence and doc-frequency counts;
+    grams below min_count never appear; ranks follow the total order
+    (occurrences desc, gram asc)."""
+    from datasheet_etl_spark.operators.text import frequent_ngrams
+
+    boiler = "alpha beta gamma delta epsilon"  # the planted 5-gram
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " one filler words here " + boiler),  # twice
+            (2, "lead in tokens " + boiler + " tail"),
+            (3, boiler),
+            (4, "completely different unshared text tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = frequent_ngrams(docs, n=5, top_k=10, min_count=2).collect()
+    assert out, "planted gram not found"
+    top = out[0]
+    assert top["rank"] == 1
+    assert top["gram"] == boiler
+    assert top["n_occurrences"] == 4  # 2 + 1 + 1
+    assert top["n_docs"] == 3
+    # every returned gram meets min_count; ranks are dense from 1 in
+    # the (occurrences desc, gram asc) total order
+    assert all(r["n_occurrences"] >= 2 for r in out)
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    ordered = sorted(out, key=lambda r: (-r["n_occurrences"], r["gram"]))
+    assert [r["gram"] for r in out] == [r["gram"] for r in ordered]
+    # doc 4's unshared grams (count 1) are below min_count
+    assert not any("unshared" in r["gram"] for r in out)
+
+
+def test_compression_signal_parity(spark):
+    """t102's rows-only pin: raw/comp lengths and the flag must equal a
+    direct python-zlib recomputation EXACTLY (same interpreter, same
+    zlib build — the strongest check available given no SQL engine can
+    re-derive compressed lengths; that impossibility is the entry's
+    documented reason for having no DuckDB oracle)."""
+    import zlib
+
+    from datasheet_etl_spark.operators.text import compression_signal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "spam " * 400),  # template soup → too_repetitive
+            (3, ""),  # empty → null ratio, flag False
+            (4, None),  # null text behaves as empty
+            (5, "entropy zq xv jk wm pb fd gh rt yu io"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_signal(docs).collect()}
+    for doc_id, text in [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "spam " * 400),
+        (3, ""),
+        (4, ""),
+        (5, "entropy zq xv jk wm pb fd gh rt yu io"),
+    ]:
+        b = text.encode("utf-8")
+        r = got[doc_id]
+        assert r["raw_len"] == len(b)
+        assert r["comp_len"] == len(zlib.compress(b, 6))
+        if len(b) == 0:
+            assert r["ratio"] is None and r["too_repetitive"] is False
+        else:
+            expect = round(len(zlib.compress(b, 6)) / len(b), 6)
+            assert abs(r["ratio"] - expect) < 1e-12
+            assert r["too_repetitive"] == (r["ratio"] < 0.4)
+    assert got[2]["too_repetitive"] is True
+    assert got[1]["too_repetitive"] is False
+
+
+def test_excision_impact_report_arithmetic(spark):
+    """t101's rollup over a planted overlap: the higher-id doc of the
+    pair loses exactly the shared span's tokens; untouched sources
+    report zero removal and a 0.0 fraction."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+
+    span = " ".join(f"sh{c}{d}" for c in "abcde" for d in "abcde")  # 25
+    fill = lambda tag: " ".join(f"{tag}{c}" for c in "abcdefghij")  # 10
+    docs = spark.createDataFrame(
+        [
+            (1, fill("one") + " " + span, "srcA"),
+            (2, span + " " + fill("two"), "srcA"),
+            (3, fill("solo"), "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    exc = excise_overlap_spans(docs, min_span_tokens=20)
+    per = exc.select("doc_id", "n_tokens", "n_removed").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    rep = {
+        r["source"]: r
+        for r in per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("n_docs_excised"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("tokens_removed"),
+        )
+        .collect()
+    }
+    a, b = rep["srcA"], rep["srcB"]
+    assert (a["n_docs"], a["n_docs_excised"]) == (2, 1)
+    assert a["total_tokens"] == 70 and a["tokens_removed"] == 25
+    assert (b["n_docs"], b["n_docs_excised"]) == (1, 0)
+    assert b["tokens_removed"] == 0
