@@ -367,6 +367,100 @@ def cmd_diff(args, spark=None) -> int:
     return 0
 
 
+def cmd_audit(args, spark=None) -> int:
+    """Corpus hygiene audit over a documents parquet — the pre-training
+    report a corpus owner reads before committing a build: most-
+    duplicated verbatim n-grams (memorization/template risk, t100),
+    zlib compressibility distribution (template soup vs entropy
+    garbage, t102), and optionally the substring-excision impact
+    (t101). Each section runs one of the registry's graded operators;
+    ``--output`` persists the full artifacts as parquet."""
+    span = getattr(args, "excision_span", 0)
+    if span and span < 8:
+        print(
+            f"error: --excision-span must be 0 (off) or >= 8, got {span} "
+            "— substring detection uses word 8-grams and cannot see "
+            "shorter spans",
+            file=sys.stderr,
+        )
+        return 2
+    if args.ngram_n < 1 or args.top_ngrams < 1:
+        print(
+            "error: --ngram-n and --top-ngrams must be >= 1",
+            file=sys.stderr,
+        )
+        return 2
+    spark = _get_spark(spark)
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.text import (
+        compression_signal,
+        frequent_ngrams,
+    )
+
+    docs = spark.read.parquet(args.input)
+    print("Corpus audit")
+    print(f"  Docs:        {docs.count()}")
+    top = frequent_ngrams(
+        docs, n=args.ngram_n, top_k=args.top_ngrams
+    ).collect()
+    print(f"  Top duplicated {args.ngram_n}-grams (min_count=2):")
+    for r in top:
+        print(
+            f"    #{r['rank']:<3d} x{r['n_occurrences']:<6d} "
+            f"in {r['n_docs']:<5d} docs  {r['gram'][:60]}"
+        )
+    if not top:
+        print("    (none above min_count)")
+    comp = compression_signal(docs)
+    stats = comp.agg(
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        F.sum(F.col("too_repetitive").cast("long")).alias("flagged"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    print(
+        f"  Compression: avg ratio={stats['avg_ratio']} "
+        f"flagged-repetitive={stats['flagged']}/{stats['n']}"
+    )
+    if span:
+        from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+
+        exc = excise_overlap_spans(docs, min_span_tokens=span)
+        per = exc.select("doc_id", "n_tokens", "n_removed")
+        src = (
+            docs.select("doc_id", "source")
+            if "source" in docs.columns
+            else docs.select("doc_id", F.lit("all").alias("source"))
+        )
+        rows = (
+            per.join(src, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("n_removed") > 0).cast("long")).alias("touched"),
+                F.sum("n_tokens").alias("toks"),
+                F.sum("n_removed").alias("removed"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+        print(f"  Excision impact (span >= {span} tokens):")
+        for r in rows:
+            pct = (100.0 * r["removed"] / r["toks"]) if r["toks"] else 0.0
+            print(
+                f"    {r['source']:<12s} docs={r['n_docs']:<6d} "
+                f"touched={r['touched']:<6d} tokens_removed={r['removed']} "
+                f"({pct:.2f}%)"
+            )
+    if args.output:
+        frequent_ngrams(docs, n=args.ngram_n, top_k=args.top_ngrams).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/ngrams")
+        comp.write.mode("overwrite").parquet(f"{args.output}/compression")
+        print(f"  Output:      {args.output}")
+    return 0
+
+
 def cmd_index(args, spark=None) -> int:
     """ANN index lifecycle over an embeddings parquet: ``build`` trains
     the spherical-kmeans quantizer and writes the cell-partitioned
@@ -534,6 +628,27 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--mode", choices=["plan", "formatted"], default="plan")
 
+    p = sub.add_parser(
+        "audit",
+        help="Corpus hygiene audit (duplicated n-grams / compressibility "
+        "/ excision impact)",
+    )
+    p.add_argument("input", help="documents parquet path")
+    p.add_argument("--ngram-n", type=int, default=5)
+    p.add_argument("--top-ngrams", type=int, default=20)
+    p.add_argument(
+        "--excision-span",
+        type=int,
+        default=0,
+        help="also report per-source substring-excision impact for "
+        "verbatim spans of >= N tokens (0 = off, else N >= 8 — detection "
+        "uses word 8-grams and cannot see shorter spans)",
+    )
+    p.add_argument(
+        "--output", default=None, help="write the full audit artifacts "
+        "(ngrams/ + compression/ parquet) under this directory"
+    )
+
     args = parser.parse_args(argv)
     if not args.command:
         parser.print_help()
@@ -548,6 +663,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "diff": cmd_diff,
         "index": cmd_index,
         "explain": cmd_explain,
+        "audit": cmd_audit,
     }
     return handlers[args.command](args, spark=spark)
 

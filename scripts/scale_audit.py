@@ -89,6 +89,14 @@ ENTRIES = [
     # per-batch probe + postings append (pristine index staged in the
     # warm pass; each timed run still pays its copy + full drain)
     "t99_streaming_gram_index",
+    # r10: frequent-ngram audit — the x10 replica multiplies every
+    # interior gram's occurrence count ~10x, so the (gram, doc) and
+    # gram aggregates carry 10x rows while the top-50 output is fixed;
+    # linear-in-data is the expected shape (no join, no global sort)
+    "t100_frequent_ngrams",
+    # r10: excision impact report = t95's full excision pass + one
+    # rollup — its ratio should track t95's (the rollup is output-sized)
+    "t101_excision_impact_report",
 ]
 
 # per-table key columns to offset so copies don't collide

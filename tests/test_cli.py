@@ -224,3 +224,51 @@ def test_cli_curate_flag_validation(spark, tmp_path, capsys):
     rc = main(["curate", src, out, "--budget", "0"], spark=spark)
     assert rc == 2
     assert "--budget" in capsys.readouterr().err
+
+
+def test_cli_audit(spark, tmp_path, capsys):
+    """The corpus hygiene audit command: top duplicated n-grams,
+    compression summary, and (opted-in) per-source excision impact —
+    each section one of the graded operators run as a command."""
+    from datasheet_etl_spark.cli import main
+
+    span = " ".join(f"tmpl{c}{d}" for c in "abcde" for d in "abcde")  # 25
+    fill = lambda tag: " ".join(f"{tag}{c}" for c in "abcdefghij")
+    docs = spark.createDataFrame(
+        [
+            (1, fill("one") + " " + span, "srcA"),
+            (2, span + " " + fill("two"), "srcA"),
+            (3, "spam " * 300, "srcB"),  # flagged too_repetitive
+            # natural diverse prose stays ABOVE the 0.4 ratio floor
+            # (the synthetic tmpl/fill tokens above are themselves
+            # compressible enough to flag — which is fine: the audit
+            # section assertion below counts, it doesn't assume)
+            (4, "the quick brown fox jumps over a lazy dog while many "
+                "distinct unrelated words follow here without repeats",
+             "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "audit")
+
+    rc = main(
+        ["audit", src, "--top-ngrams", "5", "--excision-span", "20",
+         "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "Top duplicated 5-grams" in printed
+    assert "tmplaa tmplab tmplac tmplad tmplae" in printed  # the planted gram
+    assert "flagged-repetitive=3/4" in printed
+    assert "srcA" in printed and "tokens_removed=25" in printed
+    got = spark.read.parquet(f"{out}/ngrams")
+    assert {"rank", "gram", "n_occurrences", "n_docs"} <= set(got.columns)
+    assert spark.read.parquet(f"{out}/compression").count() == 4
+
+    # flag validation mirrors curate's 8-gram floor
+    rc = main(["audit", src, "--excision-span", "5"], spark=spark)
+    assert rc == 2
+    assert ">= 8" in capsys.readouterr().err
