@@ -3218,3 +3218,59 @@ def t102_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_signal(docs).orderBy("doc_id")
+
+
+@register(
+    "q49_calendar_arithmetic",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+    ), m AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS month_start,
+             count(*) AS n_orders
+      FROM o GROUP BY 1
+    )
+    SELECT month_start,
+           last_day(month_start) AS month_end,
+           CAST(date_diff('day', month_start, last_day(month_start)) + 1
+                AS INT) AS days_in_month,
+           CAST(date_trunc('quarter', month_start) AS DATE) AS quarter_start,
+           CAST(month_start + INTERVAL 1 MONTH AS DATE) AS next_month_start,
+           CAST(date_diff('day', DATE '1995-01-01', month_start) AS BIGINT)
+             AS days_since_anchor,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM m ORDER BY month_start
+    """,
+)
+def q49_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date SQL surface the inventory lacked, graded
+    cross-engine: month bucketing (trunc), month-end (last_day),
+    calendar month lengths (datediff — leap Februaries come out of the
+    arithmetic, not a lookup), quarter alignment, add_months, and a
+    fixed-anchor day offset — the date functions every partition-by-
+    month retention layout leans on. Chosen deliberately from the
+    subset with IDENTICAL Spark/DuckDB semantics (DATE-typed outputs,
+    integer day diffs); week-of-year and day-of-week are excluded —
+    their ISO-vs-locale conventions genuinely differ across engines
+    and a hash-graded entry must not depend on convention. Scale
+    shape: one partial-agged groupBy on the month key; everything
+    after is map-only arithmetic on ~tens of month rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    m = o.groupBy(F.trunc("d", "month").alias("month_start")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return m.select(
+        "month_start",
+        F.last_day("month_start").alias("month_end"),
+        (F.datediff(F.last_day("month_start"), F.col("month_start")) + 1)
+        .cast("int")
+        .alias("days_in_month"),
+        F.trunc("month_start", "quarter").alias("quarter_start"),
+        F.add_months("month_start", 1).alias("next_month_start"),
+        F.datediff("month_start", F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_anchor"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    ).orderBy("month_start")
