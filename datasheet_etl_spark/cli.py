@@ -267,15 +267,9 @@ def cmd_curate(args, spark=None) -> int:
     same lazily-composed plan — Spark reuses nothing across them unless
     asked, so the counts are for audit, not the hot path)."""
     span = getattr(args, "substring_span", 0)
-    if span and span < 8:
-        # detection uses word 8-grams (dedup._span_floor): spans
-        # shorter than k are invisible, so honoring 1..7 is impossible
-        print(
-            f"error: --substring-span must be 0 (off) or >= 8, got {span} "
-            "— substring detection uses word 8-grams and cannot see "
-            "shorter spans",
-            file=sys.stderr,
-        )
+    err = _span_flag_error("--substring-span", span)
+    if err:
+        print(err, file=sys.stderr)
         return 2
     if getattr(args, "budget", 1) <= 0:
         print(
@@ -367,6 +361,19 @@ def cmd_diff(args, spark=None) -> int:
     return 0
 
 
+def _span_flag_error(flag: str, span: int) -> str | None:
+    """CLI-worded guard for ``dedup._span_floor``'s k=8 floor, shared
+    by every command that takes a span flag (the message lives here
+    ONCE; the invariant lives in dedup)."""
+    if span and span < 8:
+        return (
+            f"error: {flag} must be 0 (off) or >= 8, got {span} — "
+            "substring detection uses word 8-grams and cannot see "
+            "shorter spans"
+        )
+    return None
+
+
 def cmd_audit(args, spark=None) -> int:
     """Corpus hygiene audit over a documents parquet — the pre-training
     report a corpus owner reads before committing a build: most-
@@ -374,15 +381,12 @@ def cmd_audit(args, spark=None) -> int:
     zlib compressibility distribution (template soup vs entropy
     garbage, t102), and optionally the substring-excision impact
     (t101). Each section runs one of the registry's graded operators;
-    ``--output`` persists the full artifacts as parquet."""
+    ``--output`` persists the full artifacts as parquet (written FIRST
+    and read back, so nothing expensive computes twice)."""
     span = getattr(args, "excision_span", 0)
-    if span and span < 8:
-        print(
-            f"error: --excision-span must be 0 (off) or >= 8, got {span} "
-            "— substring detection uses word 8-grams and cannot see "
-            "shorter spans",
-            file=sys.stderr,
-        )
+    err = _span_flag_error("--excision-span", span)
+    if err:
+        print(err, file=sys.stderr)
         return 2
     if args.ngram_n < 1 or args.top_ngrams < 1:
         print(
@@ -401,9 +405,14 @@ def cmd_audit(args, spark=None) -> int:
     docs = spark.read.parquet(args.input)
     print("Corpus audit")
     print(f"  Docs:        {docs.count()}")
-    top = frequent_ngrams(
-        docs, n=args.ngram_n, top_k=args.top_ngrams
-    ).collect()
+    ng = frequent_ngrams(docs, n=args.ngram_n, top_k=args.top_ngrams)
+    if args.output:
+        # write-then-read-back (the cmd_diff discipline): the printed
+        # summary reuses the materialized parquet instead of running
+        # the two-level gram aggregate a second time
+        ng.write.mode("overwrite").parquet(f"{args.output}/ngrams")
+        ng = spark.read.parquet(f"{args.output}/ngrams")
+    top = sorted(ng.collect(), key=lambda r: r["rank"])
     print(f"  Top duplicated {args.ngram_n}-grams (min_count=2):")
     for r in top:
         print(
@@ -413,6 +422,9 @@ def cmd_audit(args, spark=None) -> int:
     if not top:
         print("    (none above min_count)")
     comp = compression_signal(docs)
+    if args.output:
+        comp.write.mode("overwrite").parquet(f"{args.output}/compression")
+        comp = spark.read.parquet(f"{args.output}/compression")
     stats = comp.agg(
         F.round(F.avg("ratio"), 4).alias("avg_ratio"),
         F.sum(F.col("too_repetitive").cast("long")).alias("flagged"),
@@ -423,40 +435,24 @@ def cmd_audit(args, spark=None) -> int:
         f"flagged-repetitive={stats['flagged']}/{stats['n']}"
     )
     if span:
-        from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+        # the SAME rollup the hash-graded t101 entry runs — one
+        # definition, so the CLI report can never drift from it
+        from datasheet_etl_spark.operators.dedup import excision_impact
 
-        exc = excise_overlap_spans(docs, min_span_tokens=span)
-        per = exc.select("doc_id", "n_tokens", "n_removed")
-        src = (
-            docs.select("doc_id", "source")
-            if "source" in docs.columns
-            else docs.select("doc_id", F.lit("all").alias("source"))
-        )
         rows = (
-            per.join(src, "doc_id")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum((F.col("n_removed") > 0).cast("long")).alias("touched"),
-                F.sum("n_tokens").alias("toks"),
-                F.sum("n_removed").alias("removed"),
-            )
+            excision_impact(docs, min_span_tokens=span)
             .orderBy("source")
             .collect()
         )
         print(f"  Excision impact (span >= {span} tokens):")
         for r in rows:
-            pct = (100.0 * r["removed"] / r["toks"]) if r["toks"] else 0.0
+            pct = 100.0 * (r["pct_removed"] or 0.0)
             print(
                 f"    {r['source']:<12s} docs={r['n_docs']:<6d} "
-                f"touched={r['touched']:<6d} tokens_removed={r['removed']} "
-                f"({pct:.2f}%)"
+                f"touched={r['n_docs_excised']:<6d} "
+                f"tokens_removed={r['tokens_removed']} ({pct:.2f}%)"
             )
     if args.output:
-        frequent_ngrams(docs, n=args.ngram_n, top_k=args.top_ngrams).write.mode(
-            "overwrite"
-        ).parquet(f"{args.output}/ngrams")
-        comp.write.mode("overwrite").parquet(f"{args.output}/compression")
         print(f"  Output:      {args.output}")
     return 0
 

@@ -683,6 +683,56 @@ def excise_overlap_spans(
     )
 
 
+def excision_impact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 8,
+    max_gram_rows: int | None = 64,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Per-source rollup of :func:`excise_overlap_spans` — the "what
+    did dedup cost me" audit a corpus build ships next to its excision
+    run. One row per source: (source, n_docs, n_docs_excised,
+    total_tokens, tokens_removed, pct_removed) with the fraction
+    rounded to 6 dp (NULL when a source has zero tokens). Corpora
+    without a ``source_col`` report one "all" bucket. The SINGLE
+    definition behind both the t101 oracle entry and the audit CLI —
+    one rollup, one set of column semantics.
+
+    Scale shape: one aggregate over the excision pass' per-doc
+    artifact joined to the (id, source) projection — the corpus text
+    itself is touched only by the excision it audits."""
+    exc = excise_overlap_spans(
+        docs, id_col, text_col, k, max_gram_rows, min_span_tokens
+    )
+    src = (
+        docs.select(id_col, source_col)
+        if source_col in docs.columns
+        else docs.select(id_col, F.lit("all").alias(source_col))
+    )
+    per = exc.select(id_col, "n_tokens", "n_removed").join(src, id_col)
+    return (
+        per.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias(
+                "n_docs_excised"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("tokens_removed"),
+        )
+        .withColumn(
+            "pct_removed",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(F.col("tokens_removed") / F.col("total_tokens"), 6),
+            ),
+        )
+    )
+
+
 def substring_dedup_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3128,35 +3128,16 @@ def t101_excision_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 6-dp fraction are hash-graded. Scale shape: the rollup is
     ONE aggregate over t95's per-doc artifact joined to the (doc_id,
     source) projection — the corpus text itself is touched only by the
-    excision pass it audits."""
-    from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+    excision pass it audits. The rollup itself is
+    ``dedup.excision_impact`` — the same single definition the audit
+    CLI prints."""
+    from datasheet_etl_spark.operators.dedup import excision_impact
 
     docs = load_table(spark, sf_dir, "documents")
-    exc = excise_overlap_spans(
-        docs, "doc_id", "text", k=8, max_gram_rows=64, min_span_tokens=20
-    )
-    per = exc.select("doc_id", "n_tokens", "n_removed").join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
-    return (
-        per.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum((F.col("n_removed") > 0).cast("long")).alias(
-                "n_docs_excised"
-            ),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("n_removed").alias("tokens_removed"),
-        )
-        .withColumn(
-            "pct_removed",
-            F.when(
-                F.col("total_tokens") > 0,
-                F.round(F.col("tokens_removed") / F.col("total_tokens"), 6),
-            ),
-        )
-        .orderBy("source")
-    )
+    return excision_impact(
+        docs, "doc_id", "text", "source",
+        k=8, max_gram_rows=64, min_span_tokens=20,
+    ).orderBy("source")
 
 
 @register(

@@ -1548,12 +1548,12 @@ def test_compression_signal_parity(spark):
 
 
 def test_excision_impact_report_arithmetic(spark):
-    """t101's rollup over a planted overlap: the higher-id doc of the
-    pair loses exactly the shared span's tokens; untouched sources
-    report zero removal and a 0.0 fraction."""
-    from pyspark.sql import functions as F
-
-    from datasheet_etl_spark.operators.dedup import excise_overlap_spans
+    """t101's rollup (``dedup.excision_impact`` — the one definition
+    behind the oracle entry AND the audit CLI) over a planted overlap:
+    the higher-id doc of the pair loses exactly the shared span's
+    tokens; untouched sources report zero removal and a NULL-safe
+    fraction; a sourceless corpus rolls into one 'all' bucket."""
+    from datasheet_etl_spark.operators.dedup import excision_impact
 
     span = " ".join(f"sh{c}{d}" for c in "abcde" for d in "abcde")  # 25
     fill = lambda tag: " ".join(f"{tag}{c}" for c in "abcdefghij")  # 10
@@ -1565,23 +1565,19 @@ def test_excision_impact_report_arithmetic(spark):
         ],
         "doc_id long, text string, source string",
     )
-    exc = excise_overlap_spans(docs, min_span_tokens=20)
-    per = exc.select("doc_id", "n_tokens", "n_removed").join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
     rep = {
         r["source"]: r
-        for r in per.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum((F.col("n_removed") > 0).cast("long")).alias("n_docs_excised"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("n_removed").alias("tokens_removed"),
-        )
-        .collect()
+        for r in excision_impact(docs, min_span_tokens=20).collect()
     }
     a, b = rep["srcA"], rep["srcB"]
     assert (a["n_docs"], a["n_docs_excised"]) == (2, 1)
     assert a["total_tokens"] == 70 and a["tokens_removed"] == 25
+    assert abs(a["pct_removed"] - round(25 / 70, 6)) < 1e-12
     assert (b["n_docs"], b["n_docs_excised"]) == (1, 0)
-    assert b["tokens_removed"] == 0
+    assert b["tokens_removed"] == 0 and b["pct_removed"] == 0.0
+    # sourceless corpus → one "all" bucket
+    allrep = excision_impact(
+        docs.select("doc_id", "text"), min_span_tokens=20
+    ).collect()
+    assert len(allrep) == 1 and allrep[0]["source"] == "all"
+    assert allrep[0]["tokens_removed"] == 25
