@@ -3255,3 +3255,114 @@ def q49_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_anchor"),
         F.col("n_orders").cast("long").alias("n_orders"),
     ).orderBy("month_start")
+
+
+@register(
+    "t103_jsonl_lenient_ingest",
+    """
+    SELECT * FROM (
+      SELECT source AS kind, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents WHERE doc_id % 41 <> 0 GROUP BY source
+      UNION ALL
+      SELECT '_corrupt' AS kind, CAST(count(*) AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS chars
+      FROM documents WHERE doc_id % 41 = 0
+    ) ORDER BY kind
+    """,
+)
+def t103_jsonl_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t86's JSON sibling — raw crawl JSONL into the engine: the
+    documents table's metadata is staged as JSON lines with a
+    deterministic 1-in-41 slice truncated mid-object (the closing
+    brace cut — the classic interrupted-writer breakage), then read
+    back through ``io.read_json_lenient`` (PERMISSIVE text+from_json —
+    see that docstring for why the NATIVE json source can't do this
+    job), malformed lines quarantined verbatim. The oracle recomputes
+    both populations from the clean documents view, so the graded
+    claim is exactly 'every intact line parsed with its values, every
+    truncated line quarantined, nothing lost'. Scale shape: one text
+    scan, map-side parse, one aggregate."""
+    import os
+
+    from datasheet_etl_spark.io import read_json_lenient, split_corrupt
+    from datasheet_etl_spark.plans.training import _staged_path
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    line = F.to_json(F.struct("doc_id", "source", "n_chars"))
+
+    def build(path):
+        d.select(
+            F.when(
+                F.col("doc_id") % 41 == 0,
+                # cut the closing brace: an interrupted writer's tail
+                F.expr("substring(to_json(struct(doc_id, source, n_chars)), "
+                       "1, length(to_json(struct(doc_id, source, n_chars))) - 1)"),
+            )
+            .otherwise(line)
+            .alias("value")
+        ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "jsonl"))
+
+    work = _staged_path(sf_dir, "documents.parquet", "jsonl_lenient", build)
+    df = read_json_lenient(
+        spark,
+        os.path.join(work, "jsonl"),
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    clean, bad = split_corrupt(df)
+    per_source = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    quarantined = bad.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("_corrupt").alias("kind"), "n", F.lit(None).cast("long").alias("chars")
+    )
+    return (
+        per_source.select(F.col("source").alias("kind"), "n", "chars")
+        .unionByName(quarantined)
+        .orderBy("kind")
+    )
+
+
+@register(
+    "t104_orc_at_rest",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE n_chars >= 200
+    GROUP BY source ORDER BY source
+    """,
+)
+def t104_orc_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format at rest: the documents table staged as
+    ORC (Spark-native, zero extra packages) and read back through a
+    filtered aggregate — format parity graded against the
+    parquet-derived truth. The point at 100 TB: the engine's operators
+    are FORMAT-INDIFFERENT above the scan (same plan shape, and ORC
+    carries the same pushdown/pruning levers — the n_chars predicate
+    reaches the ORC scan as PushedFilters exactly like parquet,
+    plan-pinned in tests/test_plans.py). Scale shape: one pushdown
+    scan, one partial-agged groupBy."""
+    import os
+
+    from datasheet_etl_spark.plans.training import _staged_path
+
+    def build(path):
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).orc(os.path.join(path, "orc"))
+
+    work = _staged_path(sf_dir, "documents.parquet", "orc_at_rest", build)
+    d = spark.read.orc(os.path.join(work, "orc"))
+    return (
+        d.filter(F.col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

@@ -600,3 +600,24 @@ def test_t97_shard_plan_no_global_sort_in_derivation(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # exactly one range exchange: the trailing presentation orderBy
     assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_t104_orc_scan_pushdown(spark):
+    """t104's point: ORC carries the same pushdown lever as parquet —
+    the n_chars predicate must reach the ORC scan as PushedFilters,
+    and the scan must prune to the three referenced columns."""
+    import re
+
+    from datasheet_etl_spark.plans.sql_extra import t104_orc_at_rest
+
+    plan = (
+        t104_orc_at_rest(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan orc" in plan, plan[:400]
+    assert re.search(r"PushedFilters: \[[^\]]*n_chars", plan), plan[:800]
+    # column pruning: the wide text column never leaves the scan
+    m = re.search(r"FileScan orc [^\n]*ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), m.group(1) if m else plan[:400]
