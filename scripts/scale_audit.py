@@ -97,6 +97,12 @@ ENTRIES = [
     # r10: excision impact report = t95's full excision pass + one
     # rollup — its ratio should track t95's (the rollup is output-sized)
     "t101_excision_impact_report",
+    # r10 format breadth: one text-scan parse + one aggregate (t103)
+    # and one pushdown ORC scan + one aggregate (t104) — both linear
+    # by construction; staging (JSONL/ORC write) happens in the warm
+    # pass per the warm-both-scale-points methodology
+    "t103_jsonl_lenient_ingest",
+    "t104_orc_at_rest",
 ]
 
 # per-table key columns to offset so copies don't collide
