@@ -3257,9 +3257,11 @@ def q49_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month_start")
 
 
-@register(
-    "t103_jsonl_lenient_ingest",
-    """
+# one oracle for the batch (t103) and streaming (t105) lenient-JSONL
+# ingests: both must produce exactly these populations from the same
+# staged corrupted JSONL — every intact line parsed, every truncated
+# line quarantined, nothing lost, nothing duplicated
+_JSONL_INGEST_ORACLE = """
     SELECT * FROM (
       SELECT source AS kind, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(n_chars) AS BIGINT) AS chars
@@ -3269,23 +3271,15 @@ def q49_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(NULL AS BIGINT) AS chars
       FROM documents WHERE doc_id % 41 = 0
     ) ORDER BY kind
-    """,
-)
-def t103_jsonl_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t86's JSON sibling — raw crawl JSONL into the engine: the
-    documents table's metadata is staged as JSON lines with a
-    deterministic 1-in-41 slice truncated mid-object (the closing
-    brace cut — the classic interrupted-writer breakage), then read
-    back through ``io.read_json_lenient`` (PERMISSIVE text+from_json —
-    see that docstring for why the NATIVE json source can't do this
-    job), malformed lines quarantined verbatim. The oracle recomputes
-    both populations from the clean documents view, so the graded
-    claim is exactly 'every intact line parsed with its values, every
-    truncated line quarantined, nothing lost'. Scale shape: one text
-    scan, map-side parse, one aggregate."""
+    """
+
+
+def _stage_corrupted_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """The shared t103/t105 fixture: documents metadata as JSON lines
+    with the deterministic 1-in-41 slice truncated mid-object (closing
+    brace cut). Staged once per sf via ``_staged_path``."""
     import os
 
-    from datasheet_etl_spark.io import read_json_lenient, split_corrupt
     from datasheet_etl_spark.plans.training import _staged_path
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -3298,17 +3292,37 @@ def t103_jsonl_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("doc_id") % 41 == 0,
                 # cut the closing brace: an interrupted writer's tail
-                F.expr("substring(to_json(struct(doc_id, source, n_chars)), "
-                       "1, length(to_json(struct(doc_id, source, n_chars))) - 1)"),
+                F.expr(
+                    "substring(to_json(struct(doc_id, source, n_chars)), "
+                    "1, length(to_json(struct(doc_id, source, n_chars))) - 1)"
+                ),
             )
             .otherwise(line)
             .alias("value")
         ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "jsonl"))
 
     work = _staged_path(sf_dir, "documents.parquet", "jsonl_lenient", build)
+    return os.path.join(work, "jsonl")
+
+
+@register("t103_jsonl_lenient_ingest", _JSONL_INGEST_ORACLE)
+def t103_jsonl_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t86's JSON sibling — raw crawl JSONL into the engine: the
+    documents table's metadata is staged as JSON lines with a
+    deterministic 1-in-41 slice truncated mid-object (the closing
+    brace cut — the classic interrupted-writer breakage), then read
+    back through ``io.read_json_lenient`` (PERMISSIVE text+from_json —
+    see that docstring for why the NATIVE json source can't do this
+    job), malformed lines quarantined verbatim. The oracle recomputes
+    both populations from the clean documents view, so the graded
+    claim is exactly 'every intact line parsed with its values, every
+    truncated line quarantined, nothing lost'. Scale shape: one text
+    scan, map-side parse, one aggregate."""
+    from datasheet_etl_spark.io import read_json_lenient, split_corrupt
+
     df = read_json_lenient(
         spark,
-        os.path.join(work, "jsonl"),
+        _stage_corrupted_jsonl(spark, sf_dir),
         "doc_id bigint, source string, n_chars bigint",
     )
     clean, bad = split_corrupt(df)
@@ -3366,3 +3380,64 @@ def t104_orc_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("t105_streaming_quarantine_ingest", _JSONL_INGEST_ORACLE)
+def t105_streaming_quarantine_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE t103 — the same staged corrupted JSONL drained through
+    ``streams.quarantine_ingest`` (availableNow) into clean/quarantine
+    parquet sinks, then the t103 rollup computed over the CLEAN SINK
+    AT REST plus the quarantine count — graded with t103's own oracle
+    (shared ``_JSONL_INGEST_ORACLE``), so the streaming path must
+    lose, duplicate, and mis-route exactly nothing relative to the
+    batch parse. Exactly-once is structural: each micro-batch
+    OVERWRITES its own ``batch=<id>`` partition in both sinks, so a
+    crash-replay rewrites the same directories bit-identically (the
+    pytest pins a re-drain changing nothing). Scale shape per batch:
+    one text scan, map-side parse + split, two partition-scoped
+    writes; no state store, no shuffle."""
+    import os
+    import shutil
+    import tempfile
+
+    from datasheet_etl_spark.streaming.streams import quarantine_ingest
+
+    src = _stage_corrupted_jsonl(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="t105_")
+    try:
+        clean_p = os.path.join(work, "clean")
+        quar_p = os.path.join(work, "quarantine")
+        quarantine_ingest(
+            spark,
+            src,
+            clean_p,
+            quar_p,
+            os.path.join(work, "ckpt"),
+            "doc_id bigint, source string, n_chars bigint",
+        )
+        clean = spark.read.parquet(clean_p)
+        bad = spark.read.parquet(quar_p)
+        per_source = clean.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        quarantined = bad.agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(
+            F.lit("_corrupt").alias("kind"),
+            "n",
+            F.lit(None).cast("long").alias("chars"),
+        )
+        out = (
+            per_source.select(F.col("source").alias("kind"), "n", "chars")
+            .unionByName(quarantined)
+            .orderBy("kind")
+        )
+        # the sinks are per-invocation temp dirs: materialize before
+        # the cleanup below tears the files out from under the plan
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

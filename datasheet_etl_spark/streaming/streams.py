@@ -2020,3 +2020,70 @@ def gc_cdc(
             spark, checkpoint_dir, keep_batches
         ),
     }
+
+
+def quarantine_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Streaming lenient ingest with a quarantine SIDE OUTPUT — the
+    LIVE form of ``io.read_json_lenient``: raw JSON-lines files land in
+    ``input_dir``; every micro-batch parses leniently and routes clean
+    rows to ``clean_path`` and malformed lines (verbatim, with their
+    batch id) to ``quarantine_path``, so one bad shard never kills —
+    or silently shrinks — a continuous 100 TB ingest.
+
+    Exactly-once from primitives: parquet appends are not transactional
+    with the checkpoint, so each batch instead OVERWRITES its own
+    ``batch=<id>`` subdirectory in both sinks — a crash-replayed batch
+    rewrites the same two directories and the result is bit-identical
+    (the parse is a pure per-line function; no cross-batch state).
+    Readers scan the sink root; the batch id surfaces as a partition
+    column, which doubles as ingest provenance (WHICH batch quarantined
+    a line — the first question an ingest operator asks).
+
+    Scale shape: one text scan per batch, map-side parse + split, two
+    partition-scoped writes; no state store, no shuffle. The parse is
+    ``io._read_lenient``'s construction over the already-streaming
+    text frame (the path-based ``read_json_lenient`` can't wrap a
+    stream); ``split_corrupt`` is shared verbatim."""
+    from datasheet_etl_spark.io import split_corrupt
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        full = f"{schema}, {corrupt_col} string"
+        parsed = (
+            batch_df.filter(F.trim("value") != "")
+            .select(
+                F.from_json(
+                    F.col("value"),
+                    full,
+                    {
+                        "mode": "PERMISSIVE",
+                        "columnNameOfCorruptRecord": corrupt_col,
+                    },
+                ).alias("_p")
+            )
+            .select("_p.*")
+        )
+        clean, bad = split_corrupt(parsed, corrupt_col)
+        clean.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
+        bad.write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch={batch_id}"
+        )
+
+    query = (
+        spark.readStream.text(input_dir)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1760,3 +1760,54 @@ def test_streaming_gram_index_crash_replay_no_self_pairs(spark, tmp_path):
         for r in spark.read.parquet(matches).distinct().collect()
     }
     assert got2 == {(1, 11): 25, (1, 12): 25, (1, 21): 25, (11, 21): 25, (12, 21): 25}, got2
+
+
+def test_streaming_quarantine_ingest_exactly_once(spark, tmp_path):
+    """t105's operator contract: clean rows and verbatim-quarantined
+    lines route to their sinks; re-draining the same checkpoint adds
+    nothing; a REPLAY (fresh checkpoint over the same files) rewrites
+    the same batch=<id> partitions bit-identically instead of
+    doubling; new files process incrementally."""
+    from datasheet_etl_spark.streaming.streams import quarantine_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f0.json").write_text(
+        '{"doc_id":1,"source":"a","n_chars":10}\n'
+        '{"doc_id":2,"source":"b","n_chars":20}\n'
+        '{"doc_id":3,"source":"a","n_chars":30\n'  # truncated object
+    )
+    clean_p, quar_p = str(tmp_path / "clean"), str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, source string, n_chars bigint"
+
+    quarantine_ingest(spark, str(src), clean_p, quar_p, ckpt, schema)
+    clean = spark.read.parquet(clean_p)
+    assert {(r["doc_id"], r["source"]) for r in clean.collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    quar = spark.read.parquet(quar_p).collect()
+    assert len(quar) == 1
+    assert quar[0]["_corrupt_record"].startswith('{"doc_id":3')
+    # the batch id surfaces as a partition column — ingest provenance
+    assert "batch" in clean.columns
+
+    # same checkpoint: pure no-op
+    quarantine_ingest(spark, str(src), clean_p, quar_p, ckpt, schema)
+    assert spark.read.parquet(clean_p).count() == 2
+
+    # replay: a fresh checkpoint re-drains the same file into the SAME
+    # batch=0 partitions — overwritten, never doubled
+    quarantine_ingest(
+        spark, str(src), clean_p, quar_p, str(tmp_path / "ckpt2"), schema
+    )
+    assert spark.read.parquet(clean_p).count() == 2
+    assert spark.read.parquet(quar_p).count() == 1
+
+    # incremental: a new file lands alone in the next batch
+    (src / "f1.json").write_text('{"doc_id":4,"source":"b","n_chars":40}\n')
+    quarantine_ingest(spark, str(src), clean_p, quar_p, ckpt, schema)
+    got = spark.read.parquet(clean_p)
+    assert got.count() == 3
+    assert {r["doc_id"] for r in got.collect()} == {1, 2, 4}
