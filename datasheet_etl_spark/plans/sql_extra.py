@@ -3441,3 +3441,40 @@ def t105_streaming_quarantine_ingest(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q50_string_functions",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 2) AS second_word,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           translate(p_name, 'aeiou', 'AEIOU') AS devoweled,
+           reverse(p_name) AS rev,
+           repeat(left(p_name, 3), 2) AS stutter,
+           right(p_name, 4) AS tail
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q50_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function SQL surface, graded cross-engine on the
+    convention-stable subset: split_part (1-based, empty on a missing
+    field in BOTH engines), lpad, translate, reverse, repeat, and
+    left/right slicing. Locale-sensitive functions (initcap, soundex,
+    upper/lower beyond ASCII) are deliberately excluded — their
+    Unicode/locale conventions differ between engines and a
+    hash-graded entry must not depend on convention (the q49 rule).
+    All map-only codegen expressions — one projection, zero
+    shuffles beyond the presentation sort."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("devoweled"),
+        F.reverse("p_name").alias("rev"),
+        F.repeat(F.expr("left(p_name, 3)"), 2).alias("stutter"),
+        F.expr("right(p_name, 4)").alias("tail"),
+    ).orderBy("p_partkey")
