@@ -31,8 +31,6 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 # at an outgoing entry re-pointed at an in-window superset.
 WINDOW: tuple[str, ...] = (
     "q14_dynamic_pivot",
-    "q16_topk_per_group",
-    "q26_json_roundtrip",
     "q28_severity_ladder",
     "t41_streaming_interval_join",
     "t55_streaming_kmv_distinct",
@@ -76,7 +74,6 @@ WINDOW: tuple[str, ...] = (
     "t83_ngram_novelty",
     "t84_curation_audit",
     "t85_contamination_report",
-    "t86_csv_lenient_ingest",
     "t89_schema_evolution_at_rest",
     "t90_feature_scale",
     "q47_distribution_windows",
@@ -94,6 +91,13 @@ WINDOW: tuple[str, ...] = (
     "t98_incremental_substring_dedup",
     "t99_streaming_gram_index",
     "t12_multimodal_features",
+    # --- r10 in-round promotions (the r8/r9 precedent: flagship new
+    # capabilities are driver-graded immediately): the memorization
+    # audit, the excision impact report, and the streaming quarantine
+    # ingest; q16/q26/t86 demoted with idiom-superset rationales ---
+    "t100_frequent_ngrams",
+    "t101_excision_impact_report",
+    "t105_streaming_quarantine_ingest",
 )
 
 
@@ -110,8 +114,8 @@ DEMOTED: tuple[str, ...] = (
     "q09_semi_join",  # semi-join idiom graded inside t07's probed-cell semi-join
     "q17_forward_fill",  # last(ignorenulls) carry graded inside t74_resample_interp's double-ASOF (r7: t18, the old anchor, demoted into t74)
     "q20_running_total",  # window cumsum graded inside t33 (pack_sequences' bin cumsum; r6: was t28, itself now demoted into t33)
-    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside q16 top-k (r6: t26 reference dropped, itself demoted)
-    "q27_scalar_pack",  # struct-pack idiom graded inside q26_json_roundtrip
+    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t96/t100's TakeOrdered top-k (r10: q16, the old anchor, demoted into t97/t96/t100; r6: t26 reference dropped, itself demoted)
+    "q27_scalar_pack",  # struct-pack idiom graded inside q48's map_from_entries(collect_list(struct)) construction + t103/t105's to_json(struct) fixture (r10: q26, the old anchor, demoted into q38/t105)
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside t32_decontaminate (corpus-scale left-anti; r8: q30, the old anchor, demoted into t32 on the same basis)
     "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside q28's CASE-ladder + groupBy-count composition (r9: q29, the old anchor, demoted into q28/q35 on the same basis; was t29 before its own r7 demotion)
@@ -132,9 +136,9 @@ DEMOTED: tuple[str, ...] = (
     "t09_text_quality",  # quality_score ratios graded inside t19's quality gate
     "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + t96 (unigram counts; r10: t65, the old co-anchor, demoted into t96)
     "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
-    "t22_pinout",  # from_json schema parse + lift graded inside q26 + t23's sibling... see t23
-    "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16 (edge/component machinery; r8: t17, the old co-anchor, demoted into t16) + q26 parse
-    "t26_sample_uniform",  # hash-rank sample graded inside t91's A-ES top-k (same md5-hash-order selection family) + q16's rank top-k (r7: t27/t29, the old anchors, themselves demoted)
+    "t22_pinout",  # from_json schema parse + lift graded inside t105's lenient from_json + q38's variant extraction (r10: q26, the old anchor, demoted) + t23's sibling... see t23
+    "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16 (edge/component machinery; r8: t17, the old co-anchor, demoted into t16) + t105/q38 parse (r10: q26, the old co-anchor, demoted)
+    "t26_sample_uniform",  # hash-rank sample graded inside t91's A-ES top-k (same md5-hash-order selection family) + t97's QUALIFY rank selection (r10: q16, the old co-anchor, demoted; r7: t27/t29, the old anchors, themselves demoted)
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside t95's token posexplode + ordered rebuild (r10: q25, the old anchor, demoted into t95) + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
     "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
@@ -147,14 +151,14 @@ DEMOTED: tuple[str, ...] = (
     "q13_rollup",  # ROLLUP grouping sets graded inside q35_cube (CUBE is the strict grouping-sets superset, same join+multi-grain agg shape)
     "q15_unpivot",  # stack() long-form projection OVER the in-window q14 pivot (q15 is literally q14's result + unpivot(), a pure projection)
     "q24_distinct_exact",  # countDistinct idiom graded inside t01's distinct-key dedup + t84's fingerprint-representative counting (r9: t70, the old anchor, demoted into t84/t94 on the same basis)
-    "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t77_streaming_cdc_apply (same apply_changes max_by-per-key resolution, streaming+bucketed superset; r8: t68, the old anchor, demoted into t77) + q16 (top_k_per_group, the shared helper)
+    "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t77_streaming_cdc_apply (same apply_changes max_by-per-key resolution, streaming+bucketed superset; r8: t68, the old anchor, demoted into t77) + t97 (partitioned row_number selection; r10: q16, the old co-anchor, demoted)
     "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine; r8: t04, the old co-anchor, demoted into t92/t83)
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
-    "t27_stratified_sample",  # per-stratum hash-rank sample graded inside q16 (row_number top-k per group) + t91 (md5-derived deterministic sampling family, per-stratum exact-k)
+    "t27_stratified_sample",  # per-stratum hash-rank sample graded inside t97 (per-source QUALIFY row_number selection; r10: q16, the old anchor, demoted) + t91 (md5-derived deterministic sampling family, per-stratum exact-k)
     "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q28's ladder regexp parse + t86's lenient-CSV casts — same per-row regexp family (r8: q03, the old anchor, demoted)
     "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t96_dsir_importance_select (identical two-level agg shape; r10: t65, the old anchor, demoted into t96)
     # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
-    "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside q16's row_number top-k (same partition/order machinery)
+    "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside t97's per-source row_number selection and q47's shared-WindowExec trio (r10: q16, the old anchor, demoted)
     "q07_range_join",  # range-containment predicate join graded inside t41's stream-stream interval join (same range predicate through the strictly-stronger watermarked streaming path) + t74's as-of alignment
     # r7 continuation: swapped for t88/t91 — same-machinery supersets stay in-window:
     "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t96_dsir_importance_select (identical tokenize→explode→agg shape, richer two-level rollup; r10: t65, the old anchor, demoted into t96)
@@ -186,6 +190,11 @@ DEMOTED: tuple[str, ...] = (
     "q18_sessionize",  # gap-based sessionization graded inside t14_streaming_stateful_sessions with q18's OWN oracle SQL through the strictly-stronger applyInPandasWithState streaming path (batch-parity drain)
     "q06_positional_join",  # synthetic-position-key alignment (zip_frames' row_number join) graded inside t95's token-position-keyed excision + ordered rebuild and t97's packing over an existing (shard, pos) order
     "q25_array_ops",  # higher-order array functions (transform/slice/zip_with/posexplode/array_sort) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale
+    # r10 in-round: swapped for t100/t101/t105 — same-machinery
+    # supersets stay in-window:
+    "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection (same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96 and t100 (identical orderBy/limit → row_number-on-k-rows shape)
+    "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q38's VARIANT extraction; the to_json side inside t103/t105's staged fixture construction
+    "t86_csv_lenient_ingest",  # the lenient-ingest machinery (_read_lenient scaffold + split_corrupt + quarantine populations) graded inside t105 through the strictly-stronger STREAMING path with exactly-once sinks; the from_csv-specific arm stays swept and pytest-covered (test_io_layout)
 )
 
 

@@ -42,7 +42,8 @@ def test_graded_window_contract():
     assert first50 == list(WINDOW)
     ora = oracles()
     assert all(k in ora for k in first50)
-    # r10 rotation: the six never-driver-graded oracled entries
+    # r10 rotation: the six never-driver-graded oracled entries, plus
+    # the in-round promotions of the flagship r10 capabilities
     r10_entries = {
         "t95_substring_span_excision",
         "t96_dsir_importance_select",
@@ -50,6 +51,9 @@ def test_graded_window_contract():
         "t98_incremental_substring_dedup",
         "t99_streaming_gram_index",
         "t12_multimodal_features",
+        "t100_frequent_ngrams",
+        "t101_excision_impact_report",
+        "t105_streaming_quarantine_ingest",
     }
     assert r10_entries <= set(first50)
     # r9 rotation survivors (t93 demoted r10 into t97, which grades
@@ -60,11 +64,13 @@ def test_graded_window_contract():
     }
     assert r9_entries <= set(first50)
     # r8 rotation survivors (t92 demoted r10 into t94/t95/t98 — its
-    # postings/island/span machinery is graded three ways in-window)
+    # postings/island/span machinery is graded three ways in-window;
+    # t86 demoted r10 into t105 — the lenient-ingest machinery graded
+    # through the strictly-stronger streaming path)
     r8_entries = {
         "t81_streaming_dedup_watermark", "t82_mixture_waterfill",
         "t83_ngram_novelty", "t84_curation_audit",
-        "t85_contamination_report", "t86_csv_lenient_ingest",
+        "t85_contamination_report",
         "t89_schema_evolution_at_rest", "t90_feature_scale",
         "q47_distribution_windows",
     }
