@@ -326,14 +326,22 @@ def read_csv_lenient(
 
 
 def _read_lenient(spark, path, parse, schema: str, corrupt_col: str):
-    # one scaffold for every lenient text-format reader: augment the
-    # schema with the corrupt column, scan as text, drop blank lines,
-    # parse, star-expand — so a fix here (e.g. multiline support)
-    # reaches json and csv alike
+    # one scaffold for every lenient text-format reader: scan as text,
+    # then hand the frame to _parse_lenient — so a fix there (e.g.
+    # multiline support) reaches json, csv, AND the streaming ingest
+    # (streams.quarantine_ingest parses an already-streaming text
+    # frame through the same helper)
+    return _parse_lenient(spark.read.text(path), parse, schema, corrupt_col)
+
+
+def _parse_lenient(text_df, parse, schema: str, corrupt_col: str):
+    """Frame-based half of the lenient scaffold: augment the schema
+    with the corrupt column, drop blank lines, parse, star-expand.
+    Takes any DataFrame with a ``value`` string column — a batch text
+    scan or a streaming text source alike."""
     full = f"{schema}, {corrupt_col} string"
     return (
-        spark.read.text(path)
-        .filter(F.trim("value") != "")
+        text_df.filter(F.trim("value") != "")
         .select(parse(F.col("value"), full).alias("_p"))
         .select("_p.*")
     )

@@ -3274,6 +3274,26 @@ _JSONL_INGEST_ORACLE = """
     """
 
 
+def _jsonl_ingest_rollup(clean: DataFrame, bad: DataFrame) -> DataFrame:
+    """The (kind, n, chars) populations both JSONL-ingest entries are
+    graded on — ONE definition next to the shared oracle, so t103 and
+    t105 can never drift apart from each other (or from it)."""
+    per_source = clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    quarantined = bad.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("_corrupt").alias("kind"),
+        "n",
+        F.lit(None).cast("long").alias("chars"),
+    )
+    return (
+        per_source.select(F.col("source").alias("kind"), "n", "chars")
+        .unionByName(quarantined)
+        .orderBy("kind")
+    )
+
+
 def _stage_corrupted_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """The shared t103/t105 fixture: documents metadata as JSON lines
     with the deterministic 1-in-41 slice truncated mid-object (closing
@@ -3326,18 +3346,7 @@ def t103_jsonl_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, source string, n_chars bigint",
     )
     clean, bad = split_corrupt(df)
-    per_source = clean.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("n_chars").cast("long").alias("chars"),
-    )
-    quarantined = bad.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
-        F.lit("_corrupt").alias("kind"), "n", F.lit(None).cast("long").alias("chars")
-    )
-    return (
-        per_source.select(F.col("source").alias("kind"), "n", "chars")
-        .unionByName(quarantined)
-        .orderBy("kind")
-    )
+    return _jsonl_ingest_rollup(clean, bad)
 
 
 @register(
@@ -3394,10 +3403,14 @@ def t105_streaming_quarantine_ingest(
     lose, duplicate, and mis-route exactly nothing relative to the
     batch parse. Exactly-once is structural: each micro-batch
     OVERWRITES its own ``batch=<id>`` partition in both sinks, so a
-    crash-replay rewrites the same directories bit-identically (the
-    pytest pins a re-drain changing nothing). Scale shape per batch:
-    one text scan, map-side parse + split, two partition-scoped
-    writes; no state store, no shuffle."""
+    crash-replay (same checkpoint, same batch ids) rewrites the same
+    directories bit-identically; a FRESH checkpoint over a non-empty
+    sink is refused outright, because an availableNow restart
+    renumbers batches (the pytest pins no-op re-drain, the refusal,
+    and incremental files). Scale shape per batch: one text scan (the
+    parsed frame persists across the two sink writes), map-side parse
+    + split, two partition-scoped writes; no state store, no
+    shuffle."""
     import os
     import shutil
     import tempfile
@@ -3417,23 +3430,8 @@ def t105_streaming_quarantine_ingest(
             os.path.join(work, "ckpt"),
             "doc_id bigint, source string, n_chars bigint",
         )
-        clean = spark.read.parquet(clean_p)
-        bad = spark.read.parquet(quar_p)
-        per_source = clean.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("n_chars").cast("long").alias("chars"),
-        )
-        quarantined = bad.agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        ).select(
-            F.lit("_corrupt").alias("kind"),
-            "n",
-            F.lit(None).cast("long").alias("chars"),
-        )
-        out = (
-            per_source.select(F.col("source").alias("kind"), "n", "chars")
-            .unionByName(quarantined)
-            .orderBy("kind")
+        out = _jsonl_ingest_rollup(
+            spark.read.parquet(clean_p), spark.read.parquet(quar_p)
         )
         # the sinks are per-invocation temp dirs: materialize before
         # the cleanup below tears the files out from under the plan

@@ -2041,42 +2041,66 @@ def quarantine_ingest(
     Exactly-once from primitives: parquet appends are not transactional
     with the checkpoint, so each batch instead OVERWRITES its own
     ``batch=<id>`` subdirectory in both sinks — a crash-replayed batch
-    rewrites the same two directories and the result is bit-identical
-    (the parse is a pure per-line function; no cross-batch state).
-    Readers scan the sink root; the batch id surfaces as a partition
-    column, which doubles as ingest provenance (WHICH batch quarantined
-    a line — the first question an ingest operator asks).
+    (SAME checkpoint, so same batch ids) rewrites the same two
+    directories and the result is bit-identical (the parse is a pure
+    per-line function; no cross-batch state). The guarantee is keyed
+    to the CHECKPOINT: a FRESH checkpoint renumbers batches (an
+    availableNow restart coalesces all pending files into batch 0), so
+    stale higher-numbered partitions from a previous life would
+    survive next to re-routed rows and duplicate them — which is why a
+    fresh checkpoint over a NON-EMPTY sink is refused outright (the
+    gc_cdc philosophy: a sink that outlives its checkpoint is rebuilt
+    by deleting both, never silently re-ingested). Readers scan the
+    sink root; the batch id surfaces as a partition column, which
+    doubles as ingest provenance (WHICH batch quarantined a line — the
+    first question an ingest operator asks).
 
-    Scale shape: one text scan per batch, map-side parse + split, two
+    Scale shape: one text scan per batch (the parsed frame is
+    persisted across the two sink writes), map-side parse + split, two
     partition-scoped writes; no state store, no shuffle. The parse is
-    ``io._read_lenient``'s construction over the already-streaming
-    text frame (the path-based ``read_json_lenient`` can't wrap a
-    stream); ``split_corrupt`` is shared verbatim."""
-    from datasheet_etl_spark.io import split_corrupt
+    ``io._parse_lenient`` over the streaming text frame — the same
+    definition behind ``read_json_lenient``/``read_csv_lenient``;
+    ``split_corrupt`` is shared verbatim."""
+    from datasheet_etl_spark.io import _parse_lenient, split_corrupt
+
+    if not _checkpoint_has_commits(spark, checkpoint_dir):
+        fs, hclean, _ = _hadoop_fs(spark, clean_path)
+        _, hquar, _ = _hadoop_fs(spark, quarantine_path)
+        for h, p in ((hclean, clean_path), (hquar, quarantine_path)):
+            if fs.exists(h) and fs.listStatus(h):
+                raise ValueError(
+                    f"fresh checkpoint {checkpoint_dir} but sink {p} is "
+                    "not empty — a restarted ingest would renumber "
+                    "batches and duplicate rows next to the stale "
+                    "batch=* partitions. Delete BOTH sinks and the "
+                    "checkpoint to re-ingest from scratch, or restore "
+                    "the original checkpoint to resume."
+                )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        full = f"{schema}, {corrupt_col} string"
-        parsed = (
-            batch_df.filter(F.trim("value") != "")
-            .select(
-                F.from_json(
-                    F.col("value"),
-                    full,
-                    {
-                        "mode": "PERMISSIVE",
-                        "columnNameOfCorruptRecord": corrupt_col,
-                    },
-                ).alias("_p")
+        parsed = _parse_lenient(
+            batch_df,
+            lambda value, full: F.from_json(
+                value,
+                full,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": corrupt_col,
+                },
+            ),
+            schema,
+            corrupt_col,
+        ).persist()
+        try:
+            clean, bad = split_corrupt(parsed, corrupt_col)
+            clean.write.mode("overwrite").parquet(
+                f"{clean_path}/batch={batch_id}"
             )
-            .select("_p.*")
-        )
-        clean, bad = split_corrupt(parsed, corrupt_col)
-        clean.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
-        bad.write.mode("overwrite").parquet(
-            f"{quarantine_path}/batch={batch_id}"
-        )
+            bad.write.mode("overwrite").parquet(
+                f"{quarantine_path}/batch={batch_id}"
+            )
+        finally:
+            parsed.unpersist()
 
     query = (
         spark.readStream.text(input_dir)

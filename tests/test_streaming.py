@@ -1765,9 +1765,13 @@ def test_streaming_gram_index_crash_replay_no_self_pairs(spark, tmp_path):
 def test_streaming_quarantine_ingest_exactly_once(spark, tmp_path):
     """t105's operator contract: clean rows and verbatim-quarantined
     lines route to their sinks; re-draining the same checkpoint adds
-    nothing; a REPLAY (fresh checkpoint over the same files) rewrites
-    the same batch=<id> partitions bit-identically instead of
-    doubling; new files process incrementally."""
+    nothing (crash replays rewrite the same batch=<id> partitions);
+    a FRESH checkpoint over a non-empty sink is REFUSED — an
+    availableNow restart renumbers batches, so silent re-ingest would
+    duplicate rows next to stale partitions (review-found r10); new
+    files process incrementally."""
+    import pytest as _pytest
+
     from datasheet_etl_spark.streaming.streams import quarantine_ingest
 
     src = tmp_path / "in"
@@ -1797,11 +1801,14 @@ def test_streaming_quarantine_ingest_exactly_once(spark, tmp_path):
     quarantine_ingest(spark, str(src), clean_p, quar_p, ckpt, schema)
     assert spark.read.parquet(clean_p).count() == 2
 
-    # replay: a fresh checkpoint re-drains the same file into the SAME
-    # batch=0 partitions — overwritten, never doubled
-    quarantine_ingest(
-        spark, str(src), clean_p, quar_p, str(tmp_path / "ckpt2"), schema
-    )
+    # a FRESH checkpoint against the populated sinks is refused — with
+    # more than one batch at rest, renumbering would leave stale
+    # batch=N partitions duplicating the re-routed rows
+    with _pytest.raises(ValueError, match="not empty"):
+        quarantine_ingest(
+            spark, str(src), clean_p, quar_p, str(tmp_path / "ckpt2"), schema
+        )
+    # the refused call wrote nothing
     assert spark.read.parquet(clean_p).count() == 2
     assert spark.read.parquet(quar_p).count() == 1
 
