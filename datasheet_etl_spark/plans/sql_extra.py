@@ -3476,3 +3476,68 @@ def q50_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.expr("left(p_name, 3)"), 2).alias("stutter"),
         F.expr("right(p_name, 4)").alias("tail"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "q51_null_semantics",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+             NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(bal) AS BIGINT) AS n_bal,
+           round(avg(bal), 6) AS avg_bal,
+           CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_bal,
+           CAST((SELECT count(*) FROM c c2
+                 WHERE c2.c_custkey NOT IN (
+                   SELECT CASE WHEN o_orderkey % 99 = 0 THEN NULL
+                               ELSE o_custkey END
+                   FROM orders)) AS BIGINT) AS not_in_with_null
+    FROM c GROUP BY seg ORDER BY seg
+    """,
+)
+def q51_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity — the SQL corner every cross-engine
+    migration trips on, graded directly: count(*) vs count(col)
+    (NULL-skipping), NULL-skipping avg, NULLIF-derived NULL GROUPS
+    (GROUP BY collects all NULLs into ONE group in both engines), and
+    the classic three-valued-logic trap — ``NOT IN`` against a
+    subquery that contains a NULL is empty (x <> NULL is UNKNOWN, so
+    the conjunction never becomes TRUE), graded as a hard 0 rather
+    than avoided. NULL ORDERING is the one convention that genuinely
+    differs (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST), which
+    the order-insensitive compare makes irrelevant — the q49 rule
+    applied to sorts. Scale shape: one projection, one partial-agged
+    groupBy, one broadcastable uncorrelated scalar subquery."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q51_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q51_orders")
+    return spark.sql(
+        """
+        WITH c AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL
+                      ELSE c_acctbal END AS bal,
+                 NULLIF(c_mktsegment, 'BUILDING') AS seg
+          FROM q51_customer
+        )
+        SELECT seg,
+               count(*) AS n_rows,
+               count(bal) AS n_bal,
+               round(avg(bal), 6) AS avg_bal,
+               CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_bal,
+               (SELECT count(*) FROM c c2
+                WHERE c2.c_custkey NOT IN (
+                  SELECT CASE WHEN o_orderkey % 99 = 0 THEN NULL
+                              ELSE o_custkey END
+                  FROM q51_orders)) AS not_in_with_null
+        FROM c GROUP BY seg ORDER BY seg
+        """
+    )

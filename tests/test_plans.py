@@ -621,3 +621,48 @@ def test_t104_orc_scan_pushdown(spark):
     # column pruning: the wide text column never leaves the scan
     m = re.search(r"FileScan orc [^\n]*ReadSchema: ([^\n]*)", plan)
     assert m and "text" not in m.group(1), m.group(1) if m else plan[:400]
+
+
+def test_runtime_bloom_filter_join_lever(spark):
+    """The 100 TB selective-join lever, pinned executable: with runtime
+    Bloom filters on (and the size thresholds lowered to test scale —
+    in production the 10 GB application-side default engages on its
+    own), a selective dim-side filter injects bloom_filter_agg on the
+    build side and a might_contain pre-filter on the FACT SCAN side of
+    the shuffle join — rows that cannot match are dropped before they
+    shuffle. Broadcast is disabled to force the shuffle-join shape this
+    lever exists for."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.001"
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:800]
+        assert "might_contain" in plan, plan[:800]
+        # and the filtered join still answers correctly
+        assert j.count() == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
