@@ -3308,15 +3308,11 @@ def _stage_corrupted_jsonl(spark: SparkSession, sf_dir: str) -> str:
     line = F.to_json(F.struct("doc_id", "source", "n_chars"))
 
     def build(path):
+        # the corrupt branch cuts the closing brace off the SAME
+        # `line` expression — an interrupted writer's tail
+        truncated = line.substr(F.lit(1), F.length(line) - 1)
         d.select(
-            F.when(
-                F.col("doc_id") % 41 == 0,
-                # cut the closing brace: an interrupted writer's tail
-                F.expr(
-                    "substring(to_json(struct(doc_id, source, n_chars)), "
-                    "1, length(to_json(struct(doc_id, source, n_chars))) - 1)"
-                ),
-            )
+            F.when(F.col("doc_id") % 41 == 0, truncated)
             .otherwise(line)
             .alias("value")
         ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "jsonl"))

@@ -1216,6 +1216,24 @@ def _orphaned_bucketed_versions(
     return orphans
 
 
+def _checkpoint_has_offsets(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True when a streaming checkpoint has RECORDED at least one
+    micro-batch's offsets. Batch ids are pinned from the first offsets
+    file — Spark writes ``offsets/<n>`` BEFORE running the batch and
+    ``commits/<n>`` after — so a checkpoint with offsets is RESUMABLE
+    (replay reuses the recorded batch ids), not fresh, even when the
+    first batch crashed before its commit. The freshness test for
+    batch-id-keyed sinks, where `_checkpoint_has_commits` would
+    misdiagnose a first-batch crash as a brand-new checkpoint."""
+    fs, _, jvm = _hadoop_fs(spark, checkpoint_dir)
+    statuses = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/offsets/*")
+    )
+    return any(
+        st.getPath().getName().isdigit() for st in (statuses or [])
+    )
+
+
 def _checkpoint_has_commits(spark: SparkSession, checkpoint_dir: str) -> bool:
     """True when a streaming checkpoint records at least one COMMITTED
     micro-batch (a ``commits/<n>`` file) — i.e. Spark will treat that
@@ -2022,6 +2040,47 @@ def gc_cdc(
     }
 
 
+def _quarantine_ingest_guard(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    clean_path: str,
+    quarantine_path: str,
+) -> None:
+    """Both lifecycle refusals for the batch-id-keyed quarantine sinks,
+    factored for direct testing:
+
+    - FRESH checkpoint (no ``offsets/`` recorded — offsets, not
+      commits: a first-batch crash leaves offsets without a commit and
+      is RESUMABLE because the recorded offsets pin the batch ids)
+      over a POPULATED sink is refused — an availableNow restart
+      renumbers batches, so stale batch=* partitions would survive
+      next to re-routed rows and duplicate them.
+    - A checkpoint that OUTLIVES a deleted sink is refused via
+      ``_bind_checkpoint_target`` (per-sink ``_SINK_INIT`` markers) —
+      a restarted stream would otherwise skip every committed batch
+      and leave the rebuilt sinks empty forever with no error.
+
+    Underscore-prefixed entries (the markers) don't count as
+    population; each path is checked on ITS OWN FileSystem."""
+    fresh = not _checkpoint_has_offsets(spark, checkpoint_dir)
+    for p in (clean_path, quarantine_path):
+        fs, h, _ = _hadoop_fs(spark, p)
+        populated = fs.exists(h) and any(
+            not st.getPath().getName().startswith("_")
+            for st in fs.listStatus(h)
+        )
+        if fresh and populated:
+            raise ValueError(
+                f"fresh checkpoint {checkpoint_dir} but sink {p} is "
+                "not empty — a restarted ingest would renumber "
+                "batches and duplicate rows next to the stale "
+                "batch=* partitions. Delete BOTH sinks and the "
+                "checkpoint to re-ingest from scratch, or restore "
+                "the original checkpoint to resume."
+            )
+        _bind_checkpoint_target(spark, p, checkpoint_dir, populated)
+
+
 def quarantine_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -2048,9 +2107,15 @@ def quarantine_ingest(
     availableNow restart coalesces all pending files into batch 0), so
     stale higher-numbered partitions from a previous life would
     survive next to re-routed rows and duplicate them — which is why a
-    fresh checkpoint over a NON-EMPTY sink is refused outright (the
-    gc_cdc philosophy: a sink that outlives its checkpoint is rebuilt
-    by deleting both, never silently re-ingested). Readers scan the
+    fresh checkpoint over a NON-EMPTY sink is refused outright.
+    Freshness is keyed on recorded OFFSETS, not commits: a crash
+    during the very first batch leaves offsets without a commit, and
+    that checkpoint is RESUMABLE (its offsets pin the batch ids), not
+    fresh. The INVERSE is refused too (``_bind_checkpoint_target``,
+    the gc_cdc philosophy): a checkpoint outliving deleted sinks would
+    make the restarted stream skip every committed batch and leave the
+    rebuilt sinks empty forever — delete BOTH to rebuild, never one
+    side. Readers scan the
     sink root; the batch id surfaces as a partition column, which
     doubles as ingest provenance (WHICH batch quarantined a line — the
     first question an ingest operator asks).
@@ -2063,19 +2128,7 @@ def quarantine_ingest(
     ``split_corrupt`` is shared verbatim."""
     from datasheet_etl_spark.io import _parse_lenient, split_corrupt
 
-    if not _checkpoint_has_commits(spark, checkpoint_dir):
-        fs, hclean, _ = _hadoop_fs(spark, clean_path)
-        _, hquar, _ = _hadoop_fs(spark, quarantine_path)
-        for h, p in ((hclean, clean_path), (hquar, quarantine_path)):
-            if fs.exists(h) and fs.listStatus(h):
-                raise ValueError(
-                    f"fresh checkpoint {checkpoint_dir} but sink {p} is "
-                    "not empty — a restarted ingest would renumber "
-                    "batches and duplicate rows next to the stale "
-                    "batch=* partitions. Delete BOTH sinks and the "
-                    "checkpoint to re-ingest from scratch, or restore "
-                    "the original checkpoint to resume."
-                )
+    _quarantine_ingest_guard(spark, checkpoint_dir, clean_path, quarantine_path)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         parsed = _parse_lenient(

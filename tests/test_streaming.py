@@ -1818,3 +1818,60 @@ def test_streaming_quarantine_ingest_exactly_once(spark, tmp_path):
     got = spark.read.parquet(clean_p)
     assert got.count() == 3
     assert {r["doc_id"] for r in got.collect()} == {1, 2, 4}
+
+
+def test_quarantine_ingest_guard_lifecycle(spark, tmp_path):
+    """Review-found (r10, pass 3): the two lifecycle refusals of the
+    batch-id-keyed quarantine sinks, on hand-planted states. (a) fresh
+    checkpoint (no offsets) + populated sink → refused; (b) offsets
+    WITHOUT a commit — a first-batch crash — is resumable, NOT fresh:
+    no refusal; (c) a checkpoint with commits facing a deleted sink
+    (marker gone) → refused, the _bind_checkpoint_target contract;
+    (d) marker-only sinks don't count as populated."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import (
+        _quarantine_ingest_guard,
+    )
+
+    def mk(tag, offsets=(), commits=(), plant_batch=False):
+        root = tmp_path / tag
+        ckpt, clean, quar = root / "ckpt", root / "clean", root / "quar"
+        (ckpt / "offsets").mkdir(parents=True)
+        (ckpt / "commits").mkdir(parents=True)
+        for n in offsets:
+            (ckpt / "offsets" / str(n)).write_text("{}")
+        for n in commits:
+            (ckpt / "commits" / str(n)).write_text("{}")
+        if plant_batch:
+            (clean / "batch=0").mkdir(parents=True)
+            (clean / "batch=0" / "part-0.parquet").write_text("x")
+            (quar / "batch=0").mkdir(parents=True)
+        return str(ckpt), str(clean), str(quar)
+
+    # (a) fresh checkpoint over a populated sink: refused
+    ckpt, clean, quar = mk("a", plant_batch=True)
+    with _pytest.raises(ValueError, match="not empty"):
+        _quarantine_ingest_guard(spark, ckpt, clean, quar)
+
+    # (b) first-batch crash (offsets/0, no commit) + populated sink:
+    # resumable — no refusal, markers dropped
+    ckpt, clean, quar = mk("b", offsets=(0,), plant_batch=True)
+    _quarantine_ingest_guard(spark, ckpt, clean, quar)
+    import os
+
+    assert os.path.exists(f"{clean}/_SINK_INIT")
+
+    # (c) checkpoint with commits, sink deleted out from under it
+    # (no data, no marker): refused with the rebuild directions
+    ckpt, clean, quar = mk("c", offsets=(0,), commits=(0,))
+    with _pytest.raises(ValueError, match="no committed state"):
+        _quarantine_ingest_guard(spark, ckpt, clean, quar)
+
+    # (d) fresh checkpoint + marker-only sinks (no visible data):
+    # not populated — proceeds
+    ckpt, clean, quar = mk("d")
+    for p in (clean, quar):
+        os.makedirs(p)
+        open(f"{p}/_SINK_INIT", "w").write("bound\n")
+    _quarantine_ingest_guard(spark, ckpt, clean, quar)
