@@ -457,6 +457,29 @@ def cmd_audit(args, spark=None) -> int:
     return 0
 
 
+def cmd_stream_status(args, spark=None) -> int:
+    """Inspect a streaming checkpoint at rest: recorded vs committed
+    batches and the in-flight window — the numbers an operator checks
+    before GC'ing a checkpoint (``gc_cdc``) or diagnosing a stuck
+    drain. Reads only directory listings; safe against a live query."""
+    spark = _get_spark(spark)
+    from datasheet_etl_spark.streaming.monitor import checkpoint_progress
+
+    cp = checkpoint_progress(spark, args.checkpoint)
+    print(f"Checkpoint {args.checkpoint}")
+    print(f"  Batches recorded:  {cp['n_offsets']} (latest {cp['latest_offset']})")
+    print(f"  Batches committed: {cp['n_commits']} (latest {cp['latest_commit']})")
+    if cp["in_flight"]:
+        print(
+            f"  IN-FLIGHT: batch {cp['latest_offset']} has no commit — "
+            "a live mid-batch query, or the crash window a restart "
+            "will replay"
+        )
+    else:
+        print("  In-flight:         none (restart replays nothing)")
+    return 0
+
+
 def cmd_index(args, spark=None) -> int:
     """ANN index lifecycle over an embeddings parquet: ``build`` trains
     the spherical-kmeans quantizer and writes the cell-partitioned
@@ -645,6 +668,13 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "(ngrams/ + compression/ parquet) under this directory"
     )
 
+    p = sub.add_parser(
+        "stream-status",
+        help="Inspect a streaming checkpoint (recorded/committed "
+        "batches, in-flight window)",
+    )
+    p.add_argument("checkpoint", help="checkpoint directory")
+
     args = parser.parse_args(argv)
     if not args.command:
         parser.print_help()
@@ -660,6 +690,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "index": cmd_index,
         "explain": cmd_explain,
         "audit": cmd_audit,
+        "stream-status": cmd_stream_status,
     }
     return handlers[args.command](args, spark=spark)
 

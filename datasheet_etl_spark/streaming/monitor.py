@@ -1,0 +1,97 @@
+"""Streaming operations surface: what an operator WATCHES.
+
+Two complementary views, both read-only:
+
+- :func:`checkpoint_progress` inspects a checkpoint AT REST — works on
+  a stopped (or crashed, or live) query from nothing but its
+  checkpoint directory, using the same offsets-vs-commits distinction
+  every lifecycle guard in this package keys on (``gc_cdc_checkpoint``
+  refuses an in-flight batch; ``quarantine_ingest`` treats
+  offsets-without-commit as resumable, not fresh).
+- :func:`progress_summary` folds a query's ``recentProgress`` into the
+  few numbers a dashboard row carries — rows, batches, durations —
+  without the caller touching the JSON blobs Spark emits.
+
+Design rule: NO listener machinery. ``StreamingQueryListener`` events
+arrive asynchronously, which makes every consumer a race; both
+functions here read settled state (files on disk / the driver-side
+progress ring buffer), so they are deterministic under availableNow
+drains and safe to call from tests, cron audits, and CLIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from datasheet_etl_spark.streaming.streams import _hadoop_fs
+
+
+def checkpoint_progress(spark: SparkSession, checkpoint_dir: str) -> dict:
+    """Operational view of a streaming checkpoint at rest.
+
+    Returns ``{n_offsets, n_commits, latest_offset, latest_commit,
+    in_flight}`` where ``in_flight`` means the newest recorded batch
+    has no matching commit — a batch mid-run on a live query, or the
+    crash window a restart will replay (latest_* are -1 when nothing
+    is recorded). Spark writes ``offsets/<n>`` BEFORE a batch runs and
+    ``commits/<n>`` after, so these files are the ground truth the
+    engine itself restarts from — no query handle required.
+
+    Scale shape: two directory listings; never reads file contents,
+    so it is O(retained log files) regardless of corpus size (pair
+    with ``gc_cdc_checkpoint`` to bound that)."""
+    fs, _, jvm = _hadoop_fs(spark, checkpoint_dir)
+
+    def batch_ids(sub: str) -> list[int]:
+        statuses = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/{sub}/*")
+        )
+        return sorted(
+            int(st.getPath().getName())
+            for st in (statuses or [])
+            if st.getPath().getName().isdigit()
+        )
+
+    offsets, commits = batch_ids("offsets"), batch_ids("commits")
+    latest_offset = offsets[-1] if offsets else -1
+    latest_commit = commits[-1] if commits else -1
+    return {
+        "n_offsets": len(offsets),
+        "n_commits": len(commits),
+        "latest_offset": latest_offset,
+        "latest_commit": latest_commit,
+        "in_flight": latest_offset > latest_commit,
+    }
+
+
+def progress_summary(query) -> dict:
+    """Fold a (finished or live) query's ``recentProgress`` into
+    dashboard numbers: ``{n_batches, input_rows, processed_rows_per_sec,
+    max_batch_duration_ms, state_rows}``. Empty-progress queries (never
+    triggered) return zeros. ``recentProgress`` is the driver-side ring
+    buffer Spark maintains per query — reading it costs nothing and
+    races nothing, unlike listener callbacks."""
+    progress = list(query.recentProgress or [])
+    n_rows = 0
+    rates = []
+    max_dur = 0
+    state_rows = 0
+    for p in progress:
+        n_rows += int(p.get("numInputRows") or 0)
+        rate = p.get("processedRowsPerSecond")
+        if rate:
+            rates.append(float(rate))
+        dur = (p.get("durationMs") or {}).get("triggerExecution")
+        if dur is not None:
+            max_dur = max(max_dur, int(dur))
+        for op in p.get("stateOperators") or []:
+            state_rows = max(state_rows, int(op.get("numRowsTotal") or 0))
+    return {
+        "n_batches": len(progress),
+        "input_rows": n_rows,
+        "processed_rows_per_sec": round(sum(rates) / len(rates), 2)
+        if rates
+        else 0.0,
+        "max_batch_duration_ms": max_dur,
+        "state_rows": state_rows,
+    }

@@ -272,3 +272,26 @@ def test_cli_audit(spark, tmp_path, capsys):
     rc = main(["audit", src, "--excision-span", "5"], spark=spark)
     assert rc == 2
     assert ">= 8" in capsys.readouterr().err
+
+
+def test_cli_stream_status(spark, tmp_path, capsys):
+    """stream-status reads a checkpoint's offsets/commits listings and
+    flags the in-flight window."""
+    from datasheet_etl_spark.cli import main
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "commits").mkdir(parents=True)
+    for n in (0, 1):
+        (ckpt / "offsets" / str(n)).write_text("{}")
+    (ckpt / "commits" / "0").write_text("{}")
+
+    assert main(["stream-status", str(ckpt)], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "Batches recorded:  2 (latest 1)" in out
+    assert "Batches committed: 1 (latest 0)" in out
+    assert "IN-FLIGHT: batch 1" in out
+
+    (ckpt / "commits" / "1").write_text("{}")
+    assert main(["stream-status", str(ckpt)], spark=spark) == 0
+    assert "In-flight:         none" in capsys.readouterr().out

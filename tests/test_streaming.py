@@ -1875,3 +1875,58 @@ def test_quarantine_ingest_guard_lifecycle(spark, tmp_path):
         os.makedirs(p)
         open(f"{p}/_SINK_INIT", "w").write("bound\n")
     _quarantine_ingest_guard(spark, ckpt, clean, quar)
+
+
+def test_monitor_checkpoint_and_progress(spark, tmp_path):
+    """The streaming ops surface: checkpoint_progress reads settled
+    offsets/commits state from disk (latest ids, in-flight detection —
+    the same distinction the lifecycle guards key on), and
+    progress_summary folds recentProgress into dashboard numbers."""
+    from datasheet_etl_spark.streaming.monitor import (
+        checkpoint_progress,
+        progress_summary,
+    )
+    from datasheet_etl_spark.streaming.streams import quarantine_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f0.json").write_text(
+        '{"doc_id":1,"source":"a","n_chars":10}\n'
+        '{"doc_id":2,"source":"b","n_chars":20}\n'
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = quarantine_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "clean"),
+        str(tmp_path / "quar"),
+        ckpt,
+        "doc_id bigint, source string, n_chars bigint",
+    )
+
+    cp = checkpoint_progress(spark, ckpt)
+    assert cp["n_offsets"] == cp["n_commits"] == 1
+    assert cp["latest_offset"] == cp["latest_commit"] == 0
+    assert cp["in_flight"] is False
+
+    ps = progress_summary(q)
+    assert ps["n_batches"] >= 1
+    assert ps["input_rows"] == 2
+    assert ps["max_batch_duration_ms"] > 0
+
+    # hand-plant the in-flight window: offsets/1 with no commits/1 —
+    # a live mid-batch query or the crash a restart replays
+    (tmp_path / "ckpt" / "offsets" / "1").write_text("{}")
+    cp = checkpoint_progress(spark, ckpt)
+    assert cp["latest_offset"] == 1 and cp["latest_commit"] == 0
+    assert cp["in_flight"] is True
+
+    # an empty/fresh checkpoint reports zeros, not an error
+    empty = checkpoint_progress(spark, str(tmp_path / "nope"))
+    assert empty == {
+        "n_offsets": 0,
+        "n_commits": 0,
+        "latest_offset": -1,
+        "latest_commit": -1,
+        "in_flight": False,
+    }
