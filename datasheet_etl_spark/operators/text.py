@@ -474,6 +474,31 @@ def frequent_ngrams(
     assigned on the k collected-size rows."""
     if n < 1 or top_k < 1:
         raise ValueError(f"n and top_k must be >= 1, got n={n}, top_k={top_k}")
+    return _ngram_top(
+        frequent_ngram_partials(docs, id_col, text_col, n), top_k, min_count
+    )
+
+
+def frequent_ngram_partials(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """The MERGEABLE partial behind :func:`frequent_ngrams`: one shard's
+    exact (gram, n_occurrences, n_docs) table. Occurrences are additive
+    always; doc frequencies are additive when shards partition DOCS
+    disjointly (the nightly-increment shape: yesterday's partial at
+    rest + tonight's shard — never re-tokenize history). Merge with
+    :func:`merge_ngram_partials`, which re-derives exactly the
+    from-scratch audit (the t73/t87/t88 partials discipline applied to
+    the memorization audit).
+
+    The partial is exact and UNPRUNED — a min_count floor cannot apply
+    per-shard without losing cross-shard sums (a gram appearing once
+    in each of 3 shards has merged count 3). Its size is O(distinct
+    grams in the shard) — far below the shard's text bytes but not
+    kilobytes; prune AFTER the merge, as merge_ngram_partials does."""
     toked = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= n)
@@ -487,15 +512,38 @@ def frequent_ngrams(
         ).alias("gram"),
     )
     per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c"))
-    agg = (
-        per_doc.groupBy("gram")
-        .agg(
-            F.sum("_c").alias("n_occurrences"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-        .filter(F.col("n_occurrences") >= min_count)
+    return per_doc.groupBy("gram").agg(
+        F.sum("_c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
-    top = agg.orderBy(F.col("n_occurrences").desc(), "gram").limit(top_k)
+
+
+def merge_ngram_partials(
+    parts: Sequence[DataFrame], top_k: int = 50, min_count: int = 2
+) -> DataFrame:
+    """Merge doc-disjoint :func:`frequent_ngram_partials` into the same
+    (rank, gram, n_occurrences, n_docs) table :func:`frequent_ngrams`
+    computes from scratch — both counts sum across shards, then the
+    floor/top-k/rank tail is shared verbatim (``_ngram_top``)."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy("gram").agg(
+        F.sum("n_occurrences").alias("n_occurrences"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+    return _ngram_top(merged, top_k, min_count)
+
+
+def _ngram_top(agg: DataFrame, top_k: int, min_count: int) -> DataFrame:
+    """Shared tail of the audit: min_count floor, TakeOrdered top-k on
+    the (occurrences desc, gram asc) total order, ranks assigned on
+    the k collected-size rows."""
+    top = (
+        agg.filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(top_k)
+    )
     return top.select(
         F.row_number()
         .over(Window.orderBy(F.col("n_occurrences").desc(), "gram"))

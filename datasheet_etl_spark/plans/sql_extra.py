@@ -3051,9 +3051,10 @@ def q47_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_nationkey", "c_custkey")
 
 
-@register(
-    "t100_frequent_ngrams",
-    """
+# one oracle for the from-scratch (t100) and incrementally-merged
+# (t106) memorization audits: the merged partials must re-derive
+# exactly the from-scratch table
+_FREQ_NGRAM_ORACLE = """
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -3077,8 +3078,10 @@ def q47_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_occurrences AS BIGINT) AS n_occurrences,
            CAST(n_docs AS BIGINT) AS n_docs
     FROM r WHERE rk <= 50 ORDER BY rank
-    """,
-)
+    """
+
+
+@register("t100_frequent_ngrams", _FREQ_NGRAM_ORACLE)
 def t100_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization/boilerplate audit (``text.frequent_ngrams``) — the
     Lee et al. 2022 §5 "most duplicated n-grams" table: the corpus'
@@ -3537,3 +3540,41 @@ def q51_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c GROUP BY seg ORDER BY seg
         """
     )
+
+
+@register("t106_incremental_ngram_audit", _FREQ_NGRAM_ORACLE)
+def t106_incremental_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t100's nightly-increment form (the t73/t87/t88 mergeable-
+    partials discipline applied to the memorization audit): the even-id
+    half of the corpus is "yesterday" — its exact (gram, n_occurrences,
+    n_docs) partial sits AT REST as parquet (staged once per sf) — and
+    the odd-id half arrives as tonight's shard, whose partial is
+    computed live and MERGED with the stored one
+    (``text.frequent_ngram_partials`` / ``merge_ngram_partials``).
+    History is never re-tokenized; counts sum across the doc-disjoint
+    shards; the merged table is graded with t100's OWN oracle, so the
+    incremental path must equal the from-scratch audit bit-for-bit.
+    Scale shape: tonight's pass is one shard, the merge shuffles two
+    gram tables (each far below text bytes), the tail is the shared
+    TakeOrdered top-k."""
+    import os
+
+    from datasheet_etl_spark.operators.text import (
+        frequent_ngram_partials,
+        merge_ngram_partials,
+    )
+    from datasheet_etl_spark.plans.training import _staged_path
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(path):
+        frequent_ngram_partials(
+            docs.filter(F.col("doc_id") % 2 == 0), n=5
+        ).write.mode("overwrite").parquet(os.path.join(path, "partial"))
+
+    work = _staged_path(sf_dir, "documents.parquet", "ngram_partial", build)
+    yesterday = spark.read.parquet(os.path.join(work, "partial"))
+    tonight = frequent_ngram_partials(
+        docs.filter(F.col("doc_id") % 2 == 1), n=5
+    )
+    return merge_ngram_partials([yesterday, tonight], top_k=50, min_count=2)

@@ -1581,3 +1581,42 @@ def test_excision_impact_report_arithmetic(spark):
     ).collect()
     assert len(allrep) == 1 and allrep[0]["source"] == "all"
     assert allrep[0]["tokens_removed"] == 25
+
+
+def test_ngram_partials_merge_equals_from_scratch(spark):
+    """t106's contract pinned distribution-independently: doc-disjoint
+    partials merged in ANY order equal the from-scratch audit exactly
+    (both counts additive), and a gram below min_count in every shard
+    but above it merged is KEPT — the reason partials must stay
+    unpruned."""
+    from datasheet_etl_spark.operators.text import (
+        frequent_ngram_partials,
+        frequent_ngrams,
+        merge_ngram_partials,
+    )
+
+    boiler = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " one filler words here"),
+            (2, "lead in tokens " + boiler),
+            (3, boiler + " tail words trail off"),
+            (4, "completely different unshared text tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    scratch = [tuple(r) for r in frequent_ngrams(docs, top_k=20).collect()]
+    shards = [
+        frequent_ngram_partials(docs.filter(f"doc_id % 3 = {i}"))
+        for i in range(3)
+    ]
+    for order in (shards, shards[::-1]):
+        merged = [
+            tuple(r)
+            for r in merge_ngram_partials(order, top_k=20).collect()
+        ]
+        assert merged == scratch
+    # the planted gram appears ONCE per shard (docs 1/2/3 land in
+    # different doc_id%3 shards) — below min_count=2 everywhere, kept
+    # only because partials are unpruned
+    assert any(r[1] == boiler and r[2] == 3 for r in scratch)
