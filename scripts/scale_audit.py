@@ -103,6 +103,9 @@ ENTRIES = [
     # pass per the warm-both-scale-points methodology
     "t103_jsonl_lenient_ingest",
     "t104_orc_at_rest",
+    # r10: incremental audit — tonight's shard pass + a merge of two
+    # gram tables; the at-rest partial builds in the warm pass
+    "t106_incremental_ngram_audit",
 ]
 
 # per-table key columns to offset so copies don't collide
