@@ -585,7 +585,8 @@ def compression_signal(
     import zlib
 
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+
+    from datasheet_etl_spark.functions.udf_hints import series_to_struct_udf
 
     def _lens_fn(texts):
         raw, comp = [], []
@@ -595,11 +596,12 @@ def compression_signal(
             comp.append(len(zlib.compress(b, level)))
         return pd.DataFrame({"raw_len": raw, "comp_len": comp})
 
-    # built with the explicit (fn, ddl) form, not type hints: the
-    # module's `from __future__ import annotations` turns hints into
-    # strings that reference the function-local `pd`, which pyspark's
-    # hint inference cannot resolve (the aggregates.py discipline)
-    _lens = pandas_udf(_lens_fn, "struct<raw_len: long, comp_len: long>")
+    # hints live in udf_hints (a module WITHOUT postponed annotations):
+    # this module's `from __future__ import annotations` would turn
+    # local hints into strings pyspark's inference cannot resolve
+    _lens = series_to_struct_udf(
+        _lens_fn, "struct<raw_len: long, comp_len: long>"
+    )
 
     out = docs.select(F.col(id_col), _lens(F.col(text_col)).alias("_l"))
     ratio = F.when(
