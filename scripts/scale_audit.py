@@ -106,6 +106,11 @@ ENTRIES = [
     # r10: incremental audit — tonight's shard pass + a merge of two
     # gram tables; the at-rest partial builds in the warm pass
     "t106_incremental_ngram_audit",
+    # r10: the streaming ingest — each timed run pays a full
+    # availableNow drain (text scan + parse + two partition-scoped
+    # writes) into fresh per-invocation sinks plus the rollup read;
+    # the staged corrupted JSONL builds in the warm pass
+    "t105_streaming_quarantine_ingest",
 ]
 
 # per-table key columns to offset so copies don't collide
