@@ -405,7 +405,42 @@ def cmd_audit(args, spark=None) -> int:
     docs = spark.read.parquet(args.input)
     print("Corpus audit")
     print(f"  Docs:        {docs.count()}")
-    ng = frequent_ngrams(docs, n=args.ngram_n, top_k=args.top_ngrams)
+    if getattr(args, "ngram_partials", None):
+        # Incremental nightly path (t106 machinery): tonight's input is
+        # tokenized ONCE into an unpruned partial, summed with the
+        # stored partial from prior runs, and the merged UNPRUNED
+        # partial is persisted for run N+1 — history is never
+        # re-tokenized. Write partial.next then rename: the merged
+        # plan reads the stored partial lazily, so overwriting it in
+        # place would corrupt the plan's own input.
+        from datasheet_etl_spark.operators.text import (
+            frequent_ngram_partials,
+            merge_ngram_partials,
+            merge_partial_counts,
+        )
+        from datasheet_etl_spark.streaming.streams import _hadoop_fs
+
+        stored = f"{args.ngram_partials}/partial"
+        fs, stored_hpath, jvm = _hadoop_fs(spark, stored)
+        fresh = frequent_ngram_partials(docs, n=args.ngram_n)
+        if fs.exists(stored_hpath):
+            merged = merge_partial_counts(
+                [spark.read.parquet(stored), fresh]
+            )
+        else:
+            merged = fresh
+        nxt = f"{args.ngram_partials}/partial.next"
+        merged.write.mode("overwrite").parquet(nxt)
+        if fs.exists(stored_hpath):
+            fs.delete(stored_hpath, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(nxt), stored_hpath)
+        # top-k from the materialized partial (single-element merge is
+        # the public floor/top-k/rank tail over already-summed counts)
+        ng = merge_ngram_partials(
+            [spark.read.parquet(stored)], top_k=args.top_ngrams
+        )
+    else:
+        ng = frequent_ngrams(docs, n=args.ngram_n, top_k=args.top_ngrams)
     if args.output:
         # write-then-read-back (the cmd_diff discipline): the printed
         # summary reuses the materialized parquet instead of running
@@ -439,11 +474,14 @@ def cmd_audit(args, spark=None) -> int:
         # definition, so the CLI report can never drift from it
         from datasheet_etl_spark.operators.dedup import excision_impact
 
-        rows = (
-            excision_impact(docs, min_span_tokens=span)
-            .orderBy("source")
-            .collect()
-        )
+        imp = excision_impact(docs, min_span_tokens=span)
+        if args.output:
+            # same write-then-read-back discipline as ngrams/compression
+            # — this is the most expensive section (full tokenize + gram
+            # self-join), so the artifact MUST persist, not just print
+            imp.write.mode("overwrite").parquet(f"{args.output}/excision")
+            imp = spark.read.parquet(f"{args.output}/excision")
+        rows = imp.orderBy("source").collect()
         print(f"  Excision impact (span >= {span} tokens):")
         for r in rows:
             pct = 100.0 * (r["pct_removed"] or 0.0)
@@ -665,7 +703,16 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     )
     p.add_argument(
         "--output", default=None, help="write the full audit artifacts "
-        "(ngrams/ + compression/ parquet) under this directory"
+        "(ngrams/ + compression/ + excision/ parquet) under this "
+        "directory"
+    )
+    p.add_argument(
+        "--ngram-partials",
+        default=None,
+        help="incremental n-gram audit state dir: tonight's input is "
+        "tokenized once into an unpruned partial, merged with the "
+        "stored partial under this dir, and persisted back — history "
+        "is never re-tokenized (t106 machinery)",
     )
 
     p = sub.add_parser(

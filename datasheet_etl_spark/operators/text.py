@@ -525,14 +525,22 @@ def merge_ngram_partials(
     (rank, gram, n_occurrences, n_docs) table :func:`frequent_ngrams`
     computes from scratch — both counts sum across shards, then the
     floor/top-k/rank tail is shared verbatim (``_ngram_top``)."""
+    return _ngram_top(merge_partial_counts(parts), top_k, min_count)
+
+
+def merge_partial_counts(parts: Sequence[DataFrame]) -> DataFrame:
+    """Sum doc-disjoint UNPRUNED partials into one unpruned partial —
+    the artifact a nightly audit persists between runs (pruning here
+    would lose cross-shard sums; the floor belongs in ``_ngram_top``)."""
+    if not parts:
+        raise ValueError("merge_partial_counts: parts must be non-empty")
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    merged = u.groupBy("gram").agg(
+    return u.groupBy("gram").agg(
         F.sum("n_occurrences").alias("n_occurrences"),
         F.sum("n_docs").alias("n_docs"),
     )
-    return _ngram_top(merged, top_k, min_count)
 
 
 def _ngram_top(agg: DataFrame, top_k: int, min_count: int) -> DataFrame:

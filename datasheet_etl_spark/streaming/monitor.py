@@ -79,7 +79,9 @@ def progress_summary(query) -> dict:
     for p in progress:
         n_rows += int(p.get("numInputRows") or 0)
         rate = p.get("processedRowsPerSecond")
-        if rate:
+        # 0.0 is a legitimate rate (empty micro-batch) and must count
+        # toward the average; only a missing field is skipped.
+        if rate is not None:
             rates.append(float(rate))
         dur = (p.get("durationMs") or {}).get("triggerExecution")
         if dur is not None:

@@ -267,11 +267,56 @@ def test_cli_audit(spark, tmp_path, capsys):
     got = spark.read.parquet(f"{out}/ngrams")
     assert {"rank", "gram", "n_occurrences", "n_docs"} <= set(got.columns)
     assert spark.read.parquet(f"{out}/compression").count() == 4
+    # the excision rollup — the most expensive section — persists too,
+    # and the printed figures are the read-back parquet's, not a rerun
+    exc = spark.read.parquet(f"{out}/excision").orderBy("source").collect()
+    assert [r["source"] for r in exc] == ["srcA", "srcB"]
+    assert exc[0]["tokens_removed"] == 25
 
     # flag validation mirrors curate's 8-gram floor
     rc = main(["audit", src, "--excision-span", "5"], spark=spark)
     assert rc == 2
     assert ">= 8" in capsys.readouterr().err
+
+
+def test_cli_audit_incremental_partials(spark, tmp_path, capsys):
+    """--ngram-partials nightly e2e: run N persists an unpruned partial;
+    run N+1 tokenizes ONLY its own input, merges with the stored
+    partial, and the reported top-k equals the from-scratch table over
+    the union corpus (t106's merge = scratch contract, CLI-shaped)."""
+    from datasheet_etl_spark.cli import main
+    from datasheet_etl_spark.operators.text import frequent_ngrams
+
+    span = " ".join(f"ngp{c}" for c in "abcdefgh")  # shared 8 tokens
+    night1 = spark.createDataFrame(
+        [(1, span + " alpha beta gamma"), (2, "delta " + span)],
+        "doc_id long, text string",
+    )
+    night2 = spark.createDataFrame(
+        [(3, span + " epsilon zeta"), (4, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    p1, p2 = str(tmp_path / "n1.parquet"), str(tmp_path / "n2.parquet")
+    night1.write.parquet(p1)
+    night2.write.parquet(p2)
+    state = str(tmp_path / "ngram_state")
+
+    assert main(["audit", p1, "--ngram-partials", state], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["audit", p2, "--ngram-partials", state], spark=spark) == 0
+    printed = capsys.readouterr().out
+
+    scratch = frequent_ngrams(
+        night1.unionByName(night2), n=5, top_k=20
+    ).collect()
+    want = {(r["gram"], r["n_occurrences"], r["n_docs"]) for r in scratch}
+    assert want, "fixture must plant at least one repeated 5-gram"
+    for gram, occ, ndocs in want:
+        assert f"x{occ:<6d} in {ndocs:<5d} docs  {gram[:60]}" in printed
+    # the persisted partial is UNPRUNED (singleton grams survive for
+    # future merges) and covers both nights
+    part = spark.read.parquet(f"{state}/partial")
+    assert part.count() > len(want)
 
 
 def test_cli_stream_status(spark, tmp_path, capsys):
