@@ -21,14 +21,14 @@ carry parity-to-exact pytest coverage instead of a DuckDB oracle.
 from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
-# oracled. Round-10 rotation (standing rule: newest work is
-# driver-graded, not only pytest-oracled): the six oracled entries the
-# driver has never checked — the r9 substring-family completions
-# (t95 excision, t98 at-rest index, t99 streaming maintenance), t96
-# DSIR, t97 shard-plan e2e, and t12 (oracle gained r9 via the stdlib
-# PNG/GIF header decode) — in; t65/t92/t93/q18/q06/q25 out, each with
-# an idiom-superset rationale in DEMOTED and every anchor that pointed
-# at an outgoing entry re-pointed at an in-window superset.
+# oracled except the WINDOW_ROWS_ONLY exceptions below. Round-11
+# rotation (standing rule: newest work is driver-graded, not only
+# pytest-oracled): the eight r10 entries the driver never checked —
+# t103/t104/t106/q48-q51 (oracled) and t102 (rows-only by written
+# impossibility: zlib internals) — in; q45/q44/q39/t69/t75/t82/t85/t64
+# out, each with an idiom-superset rationale in DEMOTED. No existing
+# DEMOTED anchor pointed at any outgoing entry (verified by grep), so
+# no re-pointing was needed this round.
 WINDOW: tuple[str, ...] = (
     "q14_dynamic_pivot",
     "q28_severity_ladder",
@@ -44,23 +44,17 @@ WINDOW: tuple[str, ...] = (
     # --- rotated IN for round 6 (r5 additions, previously past the window) ---
     "q35_cube",
     "q38_variant_extract",
-    "t64_fuzzy_join",
     "t67_zorder_key",
     # --- r6 additions promoted in-round (q43/q44 were VERDICT r5 asks #2/#3) ---
     "q43_star_join_revenue",
-    "q44_correlated_subqueries",
     "t73_incremental_rollup",
     # --- rotated IN for round 7 (VERDICT r6 #2): oracled r6 additions ---
-    "q45_union_by_name",
     "q46_nullsafe_join",
     "t74_resample_interp",
-    "t75_stream_static_join",
     "t76_udtf_sentence_split",
     "t77_streaming_cdc_apply",
     # --- r7: strong r5 residents never yet driver-graded ---
-    "q39_recursive_cte",
     "t58_cohort_retention",
-    "t69_rolling_anomaly",
     # --- r7 in-round promotions (GROUPED_AGG seam; leakage-safe split;
     # mergeable-histogram quantiles; A-ES exact-k weighted sampling) ---
     "t79_weighted_median_udaf",
@@ -70,10 +64,8 @@ WINDOW: tuple[str, ...] = (
     # --- rotated IN for round 8 (VERDICT r7 #1): the nine oracled r7
     # additions the driver window was blind to ---
     "t81_streaming_dedup_watermark",
-    "t82_mixture_waterfill",
     "t83_ngram_novelty",
     "t84_curation_audit",
-    "t85_contamination_report",
     "t89_schema_evolution_at_rest",
     "t90_feature_scale",
     "q47_distribution_windows",
@@ -98,7 +90,28 @@ WINDOW: tuple[str, ...] = (
     "t100_frequent_ngrams",
     "t101_excision_impact_report",
     "t105_streaming_quarantine_ingest",
+    # --- rotated IN for round 11 (VERDICT r10 #1): the eight r10
+    # entries the driver never graded — format/ingest breadth (t103
+    # JSONL lenient, t104 ORC at rest), the incremental n-gram audit
+    # (t106), the SQL-parity breadth batch (q48-q51), and t102 (the
+    # one deliberate rows-only window resident: zlib internals have no
+    # SQL oracle; the driver's rows-only check + the exact-zlib parity
+    # pytest are its grade) ---
+    "t102_compression_quality",
+    "t103_jsonl_lenient_ingest",
+    "t104_orc_at_rest",
+    "t106_incremental_ngram_audit",
+    "q48_map_roundtrip",
+    "q49_calendar_arithmetic",
+    "q50_string_functions",
+    "q51_null_semantics",
 )
+
+# Rows-only entries deliberately inside the graded window: no DuckDB
+# oracle is POSSIBLE (written impossibility note on the entry), so the
+# driver records its weaker rows-only check — strictly more driver
+# coverage than leaving the entry past the window entirely.
+WINDOW_ROWS_ONLY: frozenset[str] = frozenset({"t102_compression_quality"})
 
 
 # Oracled entries deliberately placed after the graded window (all still
@@ -195,6 +208,18 @@ DEMOTED: tuple[str, ...] = (
     "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection (same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96 and t100 (identical orderBy/limit → row_number-on-k-rows shape)
     "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q38's VARIANT extraction; the to_json side inside t103/t105's staged fixture construction
     "t86_csv_lenient_ingest",  # the lenient-ingest machinery (_read_lenient scaffold + split_corrupt + quarantine populations) graded inside t105 through the strictly-stronger STREAMING path with exactly-once sinks; the from_csv-specific arm stays swept and pytest-covered (test_io_layout)
+    # r11: swapped out for t102/t103/t104/t106/q48-q51 (VERDICT r10
+    # next-round #1) — every outgoing idiom stays graded inside an
+    # in-window superset (and every demotee stays in the pytest oracle
+    # sweep + bench):
+    "q45_union_by_name",  # unionByName(allowMissingColumns) schema-union graded inside t89_schema_evolution_at_rest — the strictly-stronger at-rest form of the same contract (mergeSchema reconciles drifted parquet generations, missing columns NULL-filled, the identical column-resolution semantics through the scan path)
+    "q44_correlated_subqueries",  # Catalyst decorrelates all three arms into join+aggregate shapes each graded in-window: correlated scalar agg → grouped-aggregate-joined-back (t73's partial-merge rollup + q43's broadcast star), EXISTS → left-semi (t07's probed-cell semi-join), the NULL-edge of IN/NOT IN now graded DIRECTLY by q51's NOT-IN-with-NULL hard-0 arm; the spark.sql correlated-syntax acceptance stays swept + pytest-covered
+    "q39_recursive_cte",  # loop-until-fixpoint frontier iteration graded inside t16_dedup_clusters' connected-components loop (same iterative self-join/convergence machinery at corpus scale, with the explicit lineage-truncation discipline q39's own docstring defers to); the WITH RECURSIVE syntax acceptance stays swept
+    "t69_rolling_anomaly",  # trailing-frame moment windows graded inside q47_distribution_windows (same RANGE/ROWS WindowExec machinery, three frames sharing one sort) + t90_feature_scale (the same exact-decimal (n, Σx, Σx²) moment discipline feeding z-scores); the |z|>3 flag tail is map-only scalar work
+    "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t41 (stream-stream, the strictly-stateful superset) + t77 (streaming join-and-resolve against bucketed state)
+    "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames + t88's cumulative mergeable bins
+    "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is the exact shape t84_curation_audit grades row-by-row plus t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline)
+    "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t94/t98's gram-postings candidate generation + exact-span verification — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
 )
 
 
@@ -206,7 +231,9 @@ def _ordered():
     from datasheet_etl_spark.plans import sql_extra  # noqa: F401  isort:skip
 
     missing = [k for k in WINDOW if k not in QUERIES]
-    unoracled = [k for k in WINDOW if k not in ORACLES]
+    unoracled = [
+        k for k in WINDOW if k not in ORACLES and k not in WINDOW_ROWS_ONLY
+    ]
     overlap = set(WINDOW) & set(DEMOTED)
     assert len(WINDOW) == 50, f"window must be exactly 50, got {len(WINDOW)}"
     assert not missing, f"window entries not registered: {missing}"
@@ -220,7 +247,11 @@ def _ordered():
         if k in ORACLES and k not in window and k not in DEMOTED
     }
     demoted = {k: QUERIES[k] for k in DEMOTED if k in QUERIES}
-    rows_only = {k: v for k, v in QUERIES.items() if k not in ORACLES}
+    rows_only = {
+        k: v
+        for k, v in QUERIES.items()
+        if k not in ORACLES and k not in window
+    }
     return {**window, **oracled, **demoted, **rows_only}
 
 
