@@ -499,10 +499,24 @@ def frequent_ngram_partials(
     in each of 3 shards has merged count 3). Its size is O(distinct
     grams in the shard) — far below the shard's text bytes but not
     kilobytes; prune AFTER the merge, as merge_ngram_partials does."""
+    grams = _doc_grams(docs, id_col, text_col, n)
+    per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c"))
+    return per_doc.groupBy("gram").agg(
+        F.sum("_c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _doc_grams(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One (id, gram) row per word-n-gram occurrence — the shared
+    map-side explode behind the string and hashed audit paths: one
+    tokenize pass, sequence/slice gram construction, no shuffle."""
     toked = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= n)
-    grams = toked.select(
+    return toked.select(
         F.col(id_col),
         F.explode(
             F.expr(
@@ -511,11 +525,73 @@ def frequent_ngram_partials(
             )
         ).alias("gram"),
     )
-    per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("_c"))
-    return per_doc.groupBy("gram").agg(
-        F.sum("_c").alias("n_occurrences"),
-        F.count(F.lit(1)).alias("n_docs"),
+
+
+def frequent_ngrams_hashed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    top_k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """The 100 TB shape of :func:`frequent_ngrams`, row-identical
+    output: counts aggregate on 16-byte md5 gram KEYS (t92's postings
+    discipline — readable gram strings never shuffle), then only the
+    candidate top-k keys join back to one exemplar string.
+
+    Three stages: (1) two-level count aggregate on ``gkey`` — both
+    levels map-side combine, shuffle rows are (16B key, id)/(16B key,
+    counts); (2) a value-derived cut: the k-th largest occurrence
+    count is the threshold, and every key REACHING it survives, so
+    boundary ties are not lost before the string tie-break; (3) a
+    second map-side gram pass broadcast-semi-filtered to the candidate
+    keys (≤ top_k + boundary ties rows) resolves each key to its gram,
+    and the shared ``_ngram_top`` tail applies the same
+    (occurrences desc, gram asc) total order — hence the same rows and
+    ranks as the string path. An md5 collision would merge two grams'
+    counts; at ~2^-64 per-pair odds this is the accepted risk every
+    hashed postings pipeline here shares (t92/t98).
+    """
+    if n < 1 or top_k < 1:
+        raise ValueError(f"n and top_k must be >= 1, got n={n}, top_k={top_k}")
+    grams = _doc_grams(docs, id_col, text_col, n)
+    keyed = grams.select(F.unhex(F.md5("gram")).alias("gkey"), F.col(id_col))
+    per_doc = keyed.groupBy("gkey", id_col).agg(F.count(F.lit(1)).alias("_c"))
+    agg = (
+        per_doc.groupBy("gkey")
+        .agg(
+            F.sum("_c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
     )
+    # k-th largest count as a 1-row frame (broadcast, never collected):
+    # TakeOrdered top_k then min. Empty corpus ⇒ NULL ⇒ empty result.
+    kth = (
+        agg.orderBy(F.col("n_occurrences").desc())
+        .limit(top_k)
+        .agg(F.min("n_occurrences").alias("_kth"))
+    )
+    cands = (
+        agg.crossJoin(F.broadcast(kth))
+        .filter(F.col("n_occurrences") >= F.col("_kth"))
+        .drop("_kth")
+    )
+    # join-back: re-derive grams map-side, keep only candidate keys
+    # (broadcast), one exemplar per key (identical strings share a key,
+    # so min() IS the gram)
+    exemplar = (
+        _doc_grams(docs, id_col, text_col, n)
+        .select(F.unhex(F.md5("gram")).alias("gkey"), "gram")
+        .join(F.broadcast(cands.select("gkey")), "gkey")
+        .groupBy("gkey")
+        .agg(F.min("gram").alias("gram"))
+    )
+    resolved = cands.join(F.broadcast(exemplar), "gkey").select(
+        "gram", "n_occurrences", "n_docs"
+    )
+    return _ngram_top(resolved, top_k, min_count)
 
 
 def merge_ngram_partials(

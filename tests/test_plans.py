@@ -666,3 +666,29 @@ def test_runtime_bloom_filter_join_lever(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_t107_hashed_ngrams_shuffle_keys_not_strings(spark):
+    """The hashed audit's scale claim, pinned in the plan: every count
+    aggregation Exchange partitions on the 16-byte gkey, never on the
+    readable gram string (the string path's first Exchange is
+    hashpartitioning(gram...) — that is exactly what must NOT appear),
+    and the exemplar join-back + candidate filter stay broadcast."""
+    from datasheet_etl_spark.operators.text import (
+        frequent_ngrams,
+        frequent_ngrams_hashed,
+    )
+    from datasheet_etl_spark.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hdf = frequent_ngrams_hashed(docs, n=5, top_k=20)
+    plan = hdf._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(gkey" in plan, plan[:1200]
+    assert "hashpartitioning(gram" not in plan, plan[:1200]
+    # candidate cut + exemplar resolution never shuffle-join
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastHashJoin" in plan
+    # the string path DOES shuffle grams — the discriminating contrast
+    # that proves the assertion above can fail
+    sdf = frequent_ngrams(docs, n=5, top_k=20)
+    splan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(gram" in splan, splan[:1200]

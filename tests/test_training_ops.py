@@ -1583,6 +1583,49 @@ def test_excision_impact_report_arithmetic(spark):
     assert allrep[0]["tokens_removed"] == 25
 
 
+def test_frequent_ngrams_hashed_equals_string_path(spark):
+    """The hashed (100 TB-shape) audit must be row-identical to the
+    string path — including ranks through a planted TIE at the top-k
+    boundary, which the value-derived threshold must keep alive for
+    the gram-asc tie-break rather than cutting arbitrarily on keys."""
+    from datasheet_etl_spark.operators.text import (
+        frequent_ngrams,
+        frequent_ngrams_hashed,
+    )
+
+    a = "alpha beta gamma delta epsilon"
+    b = "zulu yankee xray whiskey victor"
+    c = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, a + " filler " + a),  # a: 2 occurrences
+            (2, b + " pad tokens here then " + c),  # b:1, c:1
+            (3, b),  # b: 2 total — TIES a at the k=2 boundary
+            (4, c),  # c: 2 total — three grams tied at 2
+            (5, "unique singleton words only appearing here once"),
+        ],
+        "doc_id long, text string",
+    )
+    # k=2 with three grams at n_occurrences=2: the boundary tie must
+    # resolve by gram asc in BOTH paths
+    for k in (2, 10):
+        want = [
+            tuple(r)
+            for r in frequent_ngrams(docs, n=5, top_k=k, min_count=2).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in frequent_ngrams_hashed(
+                docs, n=5, top_k=k, min_count=2
+            ).collect()
+        ]
+        assert got == want, f"top_k={k}: {got} != {want}"
+        assert len(want) == min(k, 3)
+    # empty-above-floor corpus: both paths return nothing
+    empty = docs.filter("doc_id = 5")
+    assert frequent_ngrams_hashed(empty, n=5, top_k=5).count() == 0
+
+
 def test_ngram_partials_merge_equals_from_scratch(spark):
     """t106's contract pinned distribution-independently: doc-disjoint
     partials merged in ANY order equal the from-scratch audit exactly
