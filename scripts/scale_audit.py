@@ -160,6 +160,61 @@ def stage(spark):
         print(f"staged {table}", flush=True)
 
 
+def t105_steady_state(spark):
+    """VERDICT r10 #5: t105's PRODUCTION marginal cost — an at-rest
+    sink + long-lived checkpoint, one new fixed-size batch arriving —
+    measured at two backlog sizes (the sf0.1 staging and its x10
+    copy). The ENTRY's audit row pays a full fresh-sink drain each run
+    (availableNow over the whole staging); a production stream pays
+    only batch N+1, which this measures: the backlog drains UNTIMED
+    into the sink, then two identical 1000-line marginal batches
+    arrive one at a time (the second timed run shakes residual JIT).
+    The claim under test: marginal cost is flat in backlog size —
+    batch-id-keyed partition writes never touch, list, or rewrite the
+    at-rest partitions."""
+    import shutil
+    import tempfile
+
+    from datasheet_etl_spark.plans.sql_extra import _stage_corrupted_jsonl
+    from datasheet_etl_spark.streaming.streams import quarantine_ingest
+
+    schema = "doc_id bigint, source string, n_chars bigint"
+    print(f"{'backlog':10s} {'lines':>9s} {'batch1_s':>9s} {'batch2_s':>9s}")
+    for label, sf in (("sf0.1", SRC), ("x10", DST)):
+        staged = _stage_corrupted_jsonl(spark, sf)
+        work = tempfile.mkdtemp(prefix="t105steady_")
+        indir = os.path.join(work, "in")
+        os.makedirs(indir)
+        n_lines = 0
+        for i, f in enumerate(sorted(os.listdir(staged))):
+            if f.startswith("part-"):
+                dst = os.path.join(indir, f"backlog{i}.txt")
+                shutil.copyfile(os.path.join(staged, f), dst)
+                with open(dst) as fh:
+                    n_lines += sum(1 for _ in fh)
+        clean_p = os.path.join(work, "clean")
+        quar_p = os.path.join(work, "quar")
+        ckpt = os.path.join(work, "ckpt")
+        # backlog drain: builds the at-rest sink + checkpoint (untimed)
+        quarantine_ingest(spark, indir, clean_p, quar_p, ckpt, schema)
+        times = []
+        for b in (1, 2):
+            with open(os.path.join(indir, f"marginal{b}.json"), "w") as fh:
+                for i in range(1000):
+                    fh.write(
+                        f'{{"doc_id":{10**12 + b * 10**6 + i},'
+                        f'"source":"marginal","n_chars":7}}\n'
+                    )
+            t0 = time.time()
+            quarantine_ingest(spark, indir, clean_p, quar_p, ckpt, schema)
+            times.append(time.time() - t0)
+        print(
+            f"{label:10s} {n_lines:>9d} {times[0]:>9.2f} {times[1]:>9.2f}",
+            flush=True,
+        )
+        shutil.rmtree(work)
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -172,6 +227,9 @@ def main():
     import __spark_entry__ as ep
 
     stage(spark)
+    if sys.argv[1:] == ["--t105-steady"]:
+        t105_steady_state(spark)
+        return
     q = ep.queries()
     # optional argv subset: audit only the named entries (new-entry
     # incremental runs); no args = the full representative list

@@ -219,3 +219,28 @@ def test_hist_degenerate_frame_single_bin(spark):
     assert [(r["bin"], r["n"]) for r in rows] == [(0, 5)]
     qs = hist_quantiles(hist, ["k"], [0.5, 0.99], 7.0, 7.0).collect()
     assert all(r["est"] == 7.0 for r in qs)
+
+
+def test_kmv_grouped_exact_below_k_and_estimator_beyond(spark):
+    """The grouped KMV behind t25: a group whose distinct count is
+    below k reports it EXACTLY (the regime t25's oracle grades); a
+    group beyond k falls to the (k-1)/max(h) estimator and must land
+    within the family's relative error bound; NULLs are excluded like
+    count(DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.sketches import kmv_grouped_estimate
+
+    small = [("small", f"v{i}") for i in range(40)] * 3  # 40 distinct
+    big = [("big", f"w{i}") for i in range(5000)]  # 5000 >> k=64
+    nulls = [("small", None)] * 5
+    df = spark.createDataFrame(small + big + nulls, "k string, v string")
+    est = {
+        r["k"]: r["distinct_est"]
+        for r in kmv_grouped_estimate(df, ["k"], "v", k=64).collect()
+    }
+    assert est["small"] == 40.0
+    assert abs(est["big"] - 5000) / 5000 < 3 / (64**0.5)  # ~0.375
+    # all-NULL group contributes no pool at all
+    only_null = spark.createDataFrame([("x", None)], "k string, v string")
+    assert kmv_grouped_estimate(only_null, ["k"], "v", k=64).count() == 0

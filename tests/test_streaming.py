@@ -1820,6 +1820,79 @@ def test_streaming_quarantine_ingest_exactly_once(spark, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == {1, 2, 4}
 
 
+def test_quarantine_ingest_processing_time_trigger(spark, tmp_path):
+    """t105 under a LIVE processingTime trigger (VERDICT r10 #7): two
+    micro-batches arrive while one long-lived query runs; batch-id
+    keying holds (distinct batch=<id> partitions, no duplicates), the
+    same checkpoint then resumes under availableNow with the NEXT ids
+    (the guard sees offsets → resumable, not fresh), and a fresh
+    checkpoint over the now-populated sinks is still refused."""
+    import time
+
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.monitor import checkpoint_progress
+    from datasheet_etl_spark.streaming.streams import quarantine_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    clean_p, quar_p = str(tmp_path / "clean"), str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, source string, n_chars bigint"
+
+    def wait_commits(n, timeout=60.0):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if checkpoint_progress(spark, ckpt)["n_commits"] >= n:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"never reached {n} commits")
+
+    (src / "f0.json").write_text(
+        '{"doc_id":1,"source":"a","n_chars":10}\n'
+        'not json at all\n'
+    )
+    q = quarantine_ingest(
+        spark, str(src), clean_p, quar_p, ckpt, schema,
+        processing_time="1 seconds",
+    )
+    try:
+        wait_commits(1)
+        (src / "f1.json").write_text(
+            '{"doc_id":2,"source":"b","n_chars":20}\n'
+        )
+        wait_commits(2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    clean = spark.read.parquet(clean_p)
+    # each file landed in its own micro-batch partition, no duplicates
+    assert {(r["doc_id"], r["batch"]) for r in clean.collect()} == {
+        (1, 0),
+        (2, 1),
+    }
+    assert spark.read.parquet(quar_p).count() == 1
+
+    # the long-lived checkpoint resumes under availableNow: new file
+    # gets the NEXT batch id — keying is checkpoint-owned, not
+    # trigger-owned
+    (src / "f2.json").write_text('{"doc_id":3,"source":"a","n_chars":30}\n')
+    quarantine_ingest(spark, str(src), clean_p, quar_p, ckpt, schema)
+    got = spark.read.parquet(clean_p)
+    assert {(r["doc_id"], r["batch"]) for r in got.collect()} == {
+        (1, 0),
+        (2, 1),
+        (3, 2),
+    }
+    # fresh checkpoint over populated sinks: refused for processingTime
+    # exactly as for availableNow
+    with _pytest.raises(ValueError, match="not empty"):
+        quarantine_ingest(
+            spark, str(src), clean_p, quar_p, str(tmp_path / "ckpt2"),
+            schema, processing_time="1 seconds",
+        )
+
+
 def test_quarantine_ingest_guard_lifecycle(spark, tmp_path):
     """Review-found (r10, pass 3): the two lifecycle refusals of the
     batch-id-keyed quarantine sinks, on hand-planted states. (a) fresh
