@@ -594,6 +594,53 @@ def frequent_ngrams_hashed(
     return _ngram_top(resolved, top_k, min_count)
 
 
+def keyword_extract(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document salient terms — the tf-idf shape with a RATIONAL
+    score, ``tf / df`` (term count in the doc over document
+    frequency), so cross-engine ranking is exact: both factors are
+    integers and the score is one IEEE division, hence bit-identical
+    in any engine, and any two terms whose rationals collapse to the
+    same double tie identically everywhere and fall to the term-asc
+    tie-break. (A log-idf weight ranks the same *within* a doc iff df
+    ordering agrees, but its libm values are not exactly rounded —
+    the t63/dsir lesson — so the published score is the rational.)
+
+    Scale shape: one tokenize pass; (doc, term) tf partials map-side
+    combine; the df table is one aggregate OVER tf (vocab-sized, far
+    smaller than the corpus) joined back on term — a shuffle join on
+    term at corpus scale (vocab can exceed broadcast size at 100 TB);
+    the top-k window shuffles on the doc id. Returns
+    (id, rank, term, tf, df, score) with rank <= top_k."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 def merge_ngram_partials(
     parts: Sequence[DataFrame], top_k: int = 50, min_count: int = 2
 ) -> DataFrame:

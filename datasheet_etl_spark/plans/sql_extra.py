@@ -3597,3 +3597,143 @@ def t107_frequent_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_ngrams_hashed(
         docs, "doc_id", "text", n=5, top_k=50, min_count=2
     )
+
+
+@register(
+    "t109_keyword_extract",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term)
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM s
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(score, 6) AS score
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def t109_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient-term extraction (``text.keyword_extract``)
+    — the tf-idf family with a RATIONAL tf/df score so the per-doc
+    top-3 ranking is engine-exact (integer tf and df, one IEEE
+    division; libm log-idf would not be — the t63 lesson). The
+    keyword table a curation pipeline publishes for topic routing and
+    near-template detection. Scale shape: tokenize once, map-side tf
+    partials, a vocab-sized df aggregate joined back on term, one
+    per-doc ranking window — no self-join, no global sort (the
+    trailing orderBy is compare presentation)."""
+    from datasheet_etl_spark.operators.text import keyword_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_extract(docs, "doc_id", "text", top_k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+@register(
+    "t110_url_parse_rollup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             source || '.example.com' AS host,
+             '/' || lang || '/doc' || doc_id AS path,
+             doc_id % 7 AS page,
+             'r' || (doc_id % 3) AS ref
+      FROM documents
+    )
+    SELECT host, ref,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(sum(page) AS BIGINT) AS page_sum
+    FROM u GROUP BY host, ref ORDER BY host, ref
+    """,
+)
+def t110_url_parse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL decomposition + per-host rollup, grading
+    Spark's ``parse_url`` (HOST / PATH / QUERY-parameter extraction)
+    against a KNOWN decomposition: each doc gets a deterministic URL
+    synthesized from its own columns, Spark must take it apart with
+    parse_url, and the oracle rebuilds the parts directly from the
+    generator — any parse drift (delimiter handling, query-param
+    lookup) breaks the hash. The per-host/ref rollup is the shape a
+    crawl-frequency or robots-policy audit runs over 100 TB of fetch
+    records: one map-side parse, one partial-agged groupBy; distinct
+    paths count via the same two-level shuffle every count-distinct
+    plans as."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=r"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    u = d.select(F.col("doc_id"), url.alias("url")).select(
+        "doc_id",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'page')").cast("bigint").alias("page"),
+        F.expr("parse_url(url, 'QUERY', 'ref')").alias("ref"),
+    )
+    return (
+        u.groupBy("host", "ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("path").alias("n_paths"),
+            F.sum("page").alias("page_sum"),
+        )
+        .orderBy("host", "ref")
+    )
+
+
+_Q52_BODY = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+           CAST(grouping(o_orderstatus) AS INT) AS g_sta,
+           count(*) AS n,
+           {dsum} AS total_price
+    FROM {table}
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_pri, g_sta, o_orderpriority, o_orderstatus
+"""
+
+
+@register(
+    "q52_grouping_sets",
+    _Q52_BODY.format(dsum=sql_dsum("o_totalprice"), table="orders"),
+)
+def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ASYMMETRIC GROUPING SETS with grouping() markers — the
+    grouping-sets surface q35's CUBE and q13's ROLLUP cannot reach:
+    an arbitrary set list (here both single-column grains, the pair,
+    and the grand total) plus the ``grouping(col)`` indicator that
+    disambiguates a data NULL from a rollup NULL — the only correct
+    way to read a grouping-sets result, and identical bit-semantics
+    in both engines (0 = grouped, 1 = aggregated away). One scan,
+    one Expand + aggregate — Spark plans N sets as a single pass,
+    not N unions; count and the decimal-exact dsum ride the same
+    aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q52_orders")
+    return spark.sql(
+        _Q52_BODY.format(dsum=sql_dsum("o_totalprice"), table="q52_orders")
+    )

@@ -620,3 +620,77 @@ def t99_streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_grams",
         "max_span_tokens",
     ).orderBy("id_lo", "id_hi")
+
+
+@register(
+    "t108_session_window_native",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts)) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, value, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, value, us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+)
+def t108_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation under Structured
+    Streaming — the built-in counterpart to t14's hand-built
+    applyInPandasWithState sessionizer, graded against the same
+    gap-sessionization SQL family (q18's idiom on event TIME): the
+    engine merges an event into a session iff its gap to the previous
+    event is STRICTLY below 30 minutes (windows [t, t+gap) merge on
+    overlap, so a gap of exactly 30min starts a NEW session — the >=
+    in the oracle's is_start), and a session's end is its last event
+    time + gap. Bounded drain ⇒ must equal the batch window answer
+    bit-for-bit; value sums via the dsum decimal discipline.
+
+    Scale shape: session_window is a streaming-native stateful
+    aggregate — one shuffle on user_id, per-key ordered state merge,
+    O(open sessions) state; in production the same query runs
+    unbounded with a watermark to expire closed sessions (the
+    complete-mode drain here keeps all state, which is exactly right
+    for a bounded grading drain)."""
+    from datasheet_etl_spark.plans.queries import dsum
+
+    src = _stage_events(sf_dir)
+    with _few_state_partitions(spark):
+        stream = events_stream(spark, src)
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes"), F.col("user_id")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value")).alias("session_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias(
+                    "start_us"
+                ),
+                F.unix_micros(F.col("session_window.end")).alias("end_us"),
+                "n_events",
+                "session_value",
+            )
+        )
+        name = f"t108_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(agg, name, "complete")
+    return out.orderBy("user_id", "start_us")

@@ -111,6 +111,15 @@ ENTRIES = [
     # writes) into fresh per-invocation sinks plus the rollup read;
     # the staged corrupted JSONL builds in the warm pass
     "t105_streaming_quarantine_ingest",
+    # r11: the hashed audit (same 10x gram-count shift as t100, but
+    # shuffling 16-byte keys + a second broadcast-filtered gram pass),
+    # native session-window streaming state (state rows scale with
+    # open sessions), keyword extraction (tokenize + vocab-join +
+    # per-doc window), and the map-side URL parse rollup
+    "t107_frequent_ngrams_hashed",
+    "t108_session_window_native",
+    "t109_keyword_extract",
+    "t110_url_parse_rollup",
 ]
 
 # per-table key columns to offset so copies don't collide

@@ -692,3 +692,69 @@ def test_t107_hashed_ngrams_shuffle_keys_not_strings(spark):
     sdf = frequent_ngrams(docs, n=5, top_k=20)
     splan = sdf._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(gram" in splan, splan[:1200]
+
+
+def test_q52_grouping_sets_one_expand_one_aggregate(spark):
+    """q52's scale claim: N grouping sets plan as ONE scan + one
+    Expand feeding one aggregate — never a union of N aggregates."""
+    from datasheet_etl_spark.plans.sql_extra import q52_grouping_sets
+
+    plan = _plan(q52_grouping_sets(spark, SF_SMOKE))
+    assert plan.count("Expand") == 1, plan[:800]
+    assert "Union" not in plan, plan[:800]
+    assert plan.count("FileScan") == 1, plan[:800]
+
+
+def test_aqe_skew_join_lever(spark):
+    """The other 100 TB runtime join lever, pinned executable next to
+    the Bloom test: with AQE skew handling on (thresholds lowered to
+    test scale — in production the 256 MB defaults engage on their
+    own), a join against a planted hot key splits the oversized
+    shuffle partition at runtime: the executed SortMergeJoin is marked
+    skew=true. Broadcast is disabled to force the shuffle-join shape
+    the optimization exists for; results must be identical either way."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying ~95% of the fact side; max(payload)
+        # forces the wide column THROUGH the join shuffle (a bare
+        # count would let column pruning deflate the hot partition
+        # below any byte threshold)
+        fact = spark.range(0, 40_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(
+                F.lit("pad" * 40), F.md5(F.col("id").cast("string"))
+            ).alias("payload"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("d").alias("tag")
+        )
+        j = (
+            fact.join(dim, "k")
+            .groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("count"), F.max("payload"))
+        )
+        rows = j.collect()
+        assert rows[0]["count"] == 40_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1663,3 +1663,39 @@ def test_ngram_partials_merge_equals_from_scratch(spark):
     # different doc_id%3 shards) — below min_count=2 everywhere, kept
     # only because partials are unpruned
     assert any(r[1] == boiler and r[2] == 3 for r in scratch)
+
+
+def test_keyword_extract_rational_score_and_ties(spark):
+    """t109's operator: tf/df scoring is exact, per-doc top-k honors
+    the (score desc, term asc) total order through ties, empty docs
+    vanish, and top_k is validated."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.operators.text import keyword_extract
+
+    docs = spark.createDataFrame(
+        [
+            # 'rare' appears twice here and nowhere else: tf/df = 2/1
+            (1, "rare rare common common common"),
+            (2, "common words only common"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = keyword_extract(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc contributes nothing
+    d1 = by_doc[1]
+    assert (d1[0]["term"], d1[0]["tf"], d1[0]["df"], d1[0]["score"]) == (
+        "rare", 2, 1, 2.0
+    )
+    # common: tf=3, df=2 -> 1.5 ranks second
+    assert (d1[1]["term"], d1[1]["score"]) == ("common", 1.5)
+    # doc 2: common tf=2/df=2=1.0, only/words tf=1/df=1=1.0 — a
+    # three-way tie resolved by term asc
+    d2 = by_doc[2]
+    assert [r["term"] for r in d2] == ["common", "only"]
+    with _pytest.raises(ValueError, match="top_k"):
+        keyword_extract(docs, top_k=0)
