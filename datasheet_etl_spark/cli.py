@@ -374,6 +374,24 @@ def _span_flag_error(flag: str, span: int) -> str | None:
     return None
 
 
+def _path_signature(spark, path: str) -> str:
+    """Identity of a dataset at rest: sorted name:size:mtime of every
+    file under ``path``, listed on the path's OWN FileSystem (the r10
+    wrong-FS lesson) — the audit CLI's same-input-retry detector."""
+    from datasheet_etl_spark.streaming.streams import _hadoop_fs
+
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    it = fs.listFiles(hpath, True)
+    parts = []
+    while it.hasNext():
+        st = it.next()
+        parts.append(
+            f"{st.getPath().getName()}:{st.getLen()}:"
+            f"{st.getModificationTime()}"
+        )
+    return ";".join(sorted(parts))
+
+
 def cmd_audit(args, spark=None) -> int:
     """Corpus hygiene audit over a documents parquet — the pre-training
     report a corpus owner reads before committing a build: most-
@@ -410,18 +428,78 @@ def cmd_audit(args, spark=None) -> int:
         # tokenized ONCE into an unpruned partial, summed with the
         # stored partial from prior runs, and the merged UNPRUNED
         # partial is persisted for run N+1 — history is never
-        # re-tokenized. Write partial.next then rename: the merged
-        # plan reads the stored partial lazily, so overwriting it in
-        # place would corrupt the plan's own input.
+        # re-tokenized. The swap is write-next → delete-stored →
+        # rename; `partial` is the ONLY committed state, and a
+        # `_AUDIT_META` file (n + last-merged-input signature) rides
+        # INSIDE the parquet dir so it commits atomically with the
+        # counts it describes — that is what makes a mismatched
+        # --ngram-n or a same-night retry refusable instead of a
+        # silent double-count (merge_partial_counts' doc-disjointness
+        # precondition, enforced here the way quarantine_ingest
+        # enforces its checkpoint lifetime).
+        import json as _json
+
         from datasheet_etl_spark.operators.text import (
             frequent_ngram_partials,
             merge_ngram_partials,
             merge_partial_counts,
         )
-        from datasheet_etl_spark.streaming.streams import _hadoop_fs
+        from datasheet_etl_spark.streaming.streams import (
+            _hadoop_fs,
+            _read_text,
+            _write_text_atomic,
+        )
 
         stored = f"{args.ngram_partials}/partial"
+        nxt = f"{args.ngram_partials}/partial.next"
         fs, stored_hpath, jvm = _hadoop_fs(spark, stored)
+        P = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(P(nxt)):
+            if not fs.exists(stored_hpath) and fs.exists(
+                P(f"{nxt}/_SUCCESS")
+            ):
+                # crash landed between delete-stored and rename:
+                # partial.next was FULLY written before the delete
+                # began, so it IS the committed merge — finish the swap
+                if not fs.rename(P(nxt), stored_hpath):
+                    print(
+                        "error: could not recover interrupted partial "
+                        f"swap ({nxt} -> {stored})",
+                        file=sys.stderr,
+                    )
+                    return 2
+                print("  (recovered interrupted partial swap)")
+            else:
+                # leftover from a crash BEFORE the swap: stored is
+                # still the committed state and that night's input
+                # never merged — discard the orphan, operator re-runs
+                # the failed night
+                fs.delete(P(nxt), True)
+                print(
+                    "  (discarded uncommitted partial.next from a "
+                    "failed run — re-run that night's input)"
+                )
+        sig = _path_signature(spark, args.input)
+        meta_txt = _read_text(spark, f"{stored}/_AUDIT_META")
+        if meta_txt is not None:
+            meta = _json.loads(meta_txt)
+            if meta["n"] != args.ngram_n:
+                print(
+                    f"error: stored partial holds {meta['n']}-grams; "
+                    f"--ngram-n {args.ngram_n} would merge mixed gram "
+                    "lengths — use a separate state dir",
+                    file=sys.stderr,
+                )
+                return 2
+            if meta.get("last_input_sig") == sig:
+                print(
+                    "error: this exact input is already merged into "
+                    "the stored partial (same file signature) — "
+                    "re-merging would double-count; pass tonight's "
+                    "new input",
+                    file=sys.stderr,
+                )
+                return 2
         fresh = frequent_ngram_partials(docs, n=args.ngram_n)
         if fs.exists(stored_hpath):
             merged = merge_partial_counts(
@@ -429,11 +507,22 @@ def cmd_audit(args, spark=None) -> int:
             )
         else:
             merged = fresh
-        nxt = f"{args.ngram_partials}/partial.next"
         merged.write.mode("overwrite").parquet(nxt)
+        _write_text_atomic(
+            spark,
+            f"{nxt}/_AUDIT_META",
+            _json.dumps({"n": args.ngram_n, "last_input_sig": sig}),
+        )
         if fs.exists(stored_hpath):
             fs.delete(stored_hpath, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(nxt), stored_hpath)
+        if not fs.rename(P(nxt), stored_hpath):
+            print(
+                f"error: partial swap rename failed ({nxt} -> {stored})"
+                " — state preserved in partial.next; re-running will "
+                "recover it",
+                file=sys.stderr,
+            )
+            return 2
         # top-k from the materialized partial (single-element merge is
         # the public floor/top-k/rank tail over already-summed counts)
         ng = merge_ngram_partials(

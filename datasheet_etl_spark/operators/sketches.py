@@ -68,11 +68,13 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
 def kmv_grouped_sketch(
     df: DataFrame, keys: Sequence[str], col: str, k: int = 256
 ) -> DataFrame:
-    """Per-KEY KMV pools in one pass: the ≤k smallest distinct
-    normalized hashes of ``col`` within each key group — the batch
-    form of t55's grouped streaming state. One shuffle on the keys;
-    the per-key rank prune runs in the same sorted partition pass.
-    Output: one row per kept hash (keys..., h)."""
+    """Per-KEY KMV pools: the ≤k smallest distinct normalized hashes
+    of ``col`` within each key group — the batch form of t55's grouped
+    streaming state. Two exchanges: the (keys, h) dedup (partial
+    map-side combine collapses within-partition duplicates before it
+    ships) and the keys-only re-shuffle for the rank prune, which runs
+    in that exchange's sorted partition pass. Hashes shuffle, never
+    values. Output: one row per kept hash (keys..., h)."""
     from pyspark.sql import Window
 
     hashed = (

@@ -545,8 +545,10 @@ def frequent_ngrams_hashed(
     counts); (2) a value-derived cut: the k-th largest occurrence
     count is the threshold, and every key REACHING it survives, so
     boundary ties are not lost before the string tie-break; (3) a
-    second map-side gram pass broadcast-semi-filtered to the candidate
-    keys (≤ top_k + boundary ties rows) resolves each key to its gram,
+    second map-side gram pass joined to the candidate keys (≤ top_k +
+    boundary ties rows — AQE broadcasts it when small, and a
+    pathological tie plateau degrades to a gkey shuffle join rather
+    than a forced-broadcast failure) resolves each key to its gram,
     and the shared ``_ngram_top`` tail applies the same
     (occurrences desc, gram asc) total order — hence the same rows and
     ranks as the string path. An md5 collision would merge two grams'
@@ -578,17 +580,21 @@ def frequent_ngrams_hashed(
         .filter(F.col("n_occurrences") >= F.col("_kth"))
         .drop("_kth")
     )
-    # join-back: re-derive grams map-side, keep only candidate keys
-    # (broadcast), one exemplar per key (identical strings share a key,
-    # so min() IS the gram)
+    # join-back: re-derive grams map-side, keep only candidate keys,
+    # one exemplar per key (identical strings share a key, so min()
+    # IS the gram). Join strategy deliberately left to the engine:
+    # the candidate frame is top_k + boundary ties — usually tiny and
+    # runtime-broadcast by AQE — but a pathological tie plateau (the
+    # top_k-th count shared by millions of grams) must degrade to a
+    # shuffle join on gkey, not die on a forced-broadcast size limit.
     exemplar = (
         _doc_grams(docs, id_col, text_col, n)
         .select(F.unhex(F.md5("gram")).alias("gkey"), "gram")
-        .join(F.broadcast(cands.select("gkey")), "gkey")
+        .join(cands.select("gkey"), "gkey")
         .groupBy("gkey")
         .agg(F.min("gram").alias("gram"))
     )
-    resolved = cands.join(F.broadcast(exemplar), "gkey").select(
+    resolved = cands.join(exemplar, "gkey").select(
         "gram", "n_occurrences", "n_docs"
     )
     return _ngram_top(resolved, top_k, min_count)

@@ -3588,9 +3588,12 @@ def t107_frequent_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on 16-byte md5 gram keys so readable strings never
     shuffle (t92's postings discipline), a value-derived k-th-count
     threshold keeps boundary ties alive, and only the ≤ top_k + ties
-    candidate keys join back (broadcast) to one exemplar string for
-    the final (occurrences desc, gram asc) rank. The plan pin lives in
-    test_plans: every Exchange partitions on gkey, none on gram."""
+    candidate keys join back to one exemplar string for the final
+    (occurrences desc, gram asc) rank (AQE runtime-broadcasts the tiny
+    candidate frame; a pathological tie plateau degrades to a gkey
+    shuffle join instead of a forced-broadcast failure). The plan pin
+    lives in test_plans: every Exchange partitions on gkey, none on
+    gram."""
     from datasheet_etl_spark.operators.text import frequent_ngrams_hashed
 
     docs = load_table(spark, sf_dir, "documents")

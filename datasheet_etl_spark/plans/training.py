@@ -962,9 +962,9 @@ def t25_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond-k regime ((k−1)/max h) and mergeability stay pinned in
     tests/test_sketches.py, where exactness is impossible by design.
 
-    Scale shape: one distinct on (key, hash), one shuffle on the key,
-    a rank prune in the same sorted pass, one per-key aggregate —
-    hashes shuffle, never values."""
+    Scale shape: a (key, hash) dedup exchange (map-side combined) and
+    a key-only exchange whose sorted pass runs the rank prune, then
+    one per-key aggregate — hashes shuffle, never values."""
     from datasheet_etl_spark.operators.sketches import kmv_grouped_estimate
 
     li = load_table(spark, sf_dir, "lineitem")

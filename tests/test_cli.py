@@ -318,6 +318,44 @@ def test_cli_audit_incremental_partials(spark, tmp_path, capsys):
     part = spark.read.parquet(f"{state}/partial")
     assert part.count() > len(want)
 
+    # same-input retry refused (re-merging would double-count)
+    assert main(["audit", p2, "--ngram-partials", state], spark=spark) == 2
+    assert "already merged" in capsys.readouterr().err
+    # mismatched gram length refused (mixed-n counts are nonsense)
+    rc = main(
+        ["audit", p2, "--ngram-partials", state, "--ngram-n", "3"],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "5-grams" in capsys.readouterr().err
+
+    # crash recovery, post-delete window: stored gone, partial.next
+    # complete — the next run must finish the swap, then refuse the
+    # crashed night's OWN input as already merged
+    import shutil as _sh
+
+    _sh.move(f"{state}/partial", f"{state}/partial.next")
+    assert main(["audit", p2, "--ngram-partials", state], spark=spark) == 2
+    out_err = capsys.readouterr()
+    assert "recovered interrupted partial swap" in out_err.out
+    assert "already merged" in out_err.err
+    assert spark.read.parquet(f"{state}/partial").count() == part.count()
+
+    # crash leftover, pre-swap window: BOTH exist — the orphan is
+    # uncommitted and must be discarded; stored stays authoritative
+    # and a NEW night still merges
+    import os as _os
+
+    _os.makedirs(f"{state}/partial.next")
+    night3 = spark.createDataFrame(
+        [(5, "fresh third night words")], "doc_id long, text string"
+    )
+    p3 = str(tmp_path / "n3.parquet")
+    night3.write.parquet(p3)
+    assert main(["audit", p3, "--ngram-partials", state], spark=spark) == 0
+    assert "discarded uncommitted" in capsys.readouterr().out
+    assert not _os.path.exists(f"{state}/partial.next")
+
 
 def test_cli_stream_status(spark, tmp_path, capsys):
     """stream-status reads a checkpoint's offsets/commits listings and
