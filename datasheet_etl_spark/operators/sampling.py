@@ -374,6 +374,34 @@ def pack_in_order(
     )
 
 
+def pack_efficiency(
+    plan: DataFrame,
+    cost_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Per-shard efficiency rollup over a :func:`pack_in_order` /
+    :func:`pack_sequences` plan — the number a training team watches
+    per nightly build: docs, total cost, bins the concatenate-then-
+    chunk stream occupies (``(total-1) div budget + 1`` — integer
+    arithmetic, exact past 2^53), and the fill rate of those bins
+    (one IEEE division, rounded for display). One partial-agged
+    groupBy on the shard; output is shard-count sized."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    total = F.sum(F.col(cost_col).cast("long"))
+    n_bins = F.greatest(
+        F.lit(1).cast("long"),
+        (F.expr(f"(sum(cast({cost_col} as long)) - 1) div {int(budget)}") + 1),
+    )
+    return plan.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.alias("total_cost"),
+        n_bins.alias("n_bins"),
+        F.round(total / (n_bins * F.lit(int(budget))), 6).alias("fill_rate"),
+    )
+
+
 def pack_sequences_nosplit(
     df: DataFrame,
     key_col: str,

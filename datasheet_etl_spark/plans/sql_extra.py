@@ -2842,9 +2842,10 @@ def t96_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-@register(
-    "t97_training_shard_plan",
-    """
+# shared by t97 (the full plan) and t111 (the efficiency rollup over
+# the same plan) — one derivation, two oracles, the
+# _EXCISION_ORACLE_CTES precedent
+_T97_PLAN_CTES = """
     WITH d AS (
       SELECT doc_id, source, n_chars FROM documents
     ), cnt AS (
@@ -2875,6 +2876,13 @@ def t96_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) - n_chars AS off
       FROM ordd
     )
+"""
+
+
+@register(
+    "t97_training_shard_plan",
+    _T97_PLAN_CTES
+    + """
     SELECT doc_id, source, shard, pos,
            CAST(off // 4096 AS BIGINT) AS bin_id,
            CAST(off AS BIGINT) AS bin_offset
@@ -3433,8 +3441,17 @@ def t105_streaming_quarantine_ingest(
             spark.read.parquet(clean_p), spark.read.parquet(quar_p)
         )
         # the sinks are per-invocation temp dirs: materialize before
-        # the cleanup below tears the files out from under the plan
+        # the cleanup below tears the files out from under the plan.
+        # BOUNDED by construction — the rollup is one row per source
+        # (a domain, not data, cardinality); copy this pattern into an
+        # unbounded entry and the collect is a driver OOM.
         rows = out.collect()
+        if len(rows) > 10_000:
+            raise AssertionError(
+                "t105 rollup exceeded its boundedness assumption "
+                f"({len(rows)} rows) — the collect-then-recreate "
+                "pattern is only safe for domain-sized results"
+            )
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -3740,3 +3757,49 @@ def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q52_BODY.format(dsum=sql_dsum("o_totalprice"), table="q52_orders")
     )
+
+
+@register(
+    "t111_pack_efficiency_report",
+    _T97_PLAN_CTES
+    + """
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_cost,
+           CAST(greatest(1, (sum(n_chars) - 1) // 4096 + 1) AS BIGINT)
+             AS n_bins,
+           round(CAST(sum(n_chars) AS DOUBLE)
+                 / (greatest(1, (sum(n_chars) - 1) // 4096 + 1) * 4096), 6)
+             AS fill_rate
+    FROM packed GROUP BY shard ORDER BY shard
+    """,
+)
+def t111_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing-efficiency rollup over t97's OWN training
+    plan (``sampling.pack_efficiency``) — the nightly build number a
+    training team actually watches: how many bins each shard's
+    concatenate-then-chunk stream occupies and how full they run.
+    Shares t97's derivation CTEs verbatim (_T97_PLAN_CTES — one
+    definition, two oracles, the t95/t101 precedent); everything is
+    integer arithmetic except the one display division, so the oracle
+    re-derives every row. Scale shape: t97's two bounded window
+    passes plus ONE partial-agged groupBy on the 16 shards — the
+    report adds a shard-count-sized aggregate to the plan it audits."""
+    from datasheet_etl_spark.operators.sampling import (
+        epoch_shuffle,
+        pack_efficiency,
+        pack_in_order,
+        stratified_sample_by_counts,
+        temperature_mixture_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    counts = temperature_mixture_counts(docs, ["source"], scale=2.0)
+    sel = stratified_sample_by_counts(
+        docs, "doc_id", ["source"], counts, rank_col=None
+    ).select("doc_id", "source", "n_chars")
+    shuf = epoch_shuffle(sel, "doc_id", epoch=1, shard_hex_chars=1)
+    plan = pack_in_order(shuf, "n_chars", 4096)
+    return pack_efficiency(plan, "n_chars", 4096).orderBy("shard")

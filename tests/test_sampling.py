@@ -660,3 +660,27 @@ def test_epoch_shuffle_properties(spark, docs):
         spark.createDataFrame([(None,)], "doc_id bigint")
     )
     assert epoch_shuffle(with_null, "doc_id", epoch=1).count() == 500
+
+
+def test_pack_efficiency_arithmetic(spark):
+    """t111's operator: bin counts are the concatenate-then-chunk
+    occupancy ((total-1) div budget + 1), fill rate is total over
+    bins*budget, one-row-per-shard; budget validated like the packers."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.operators.sampling import pack_efficiency
+
+    plan = spark.createDataFrame(
+        # shard a: 3 docs, 10 cost -> 3 bins of 4 -> fill 10/12
+        [("a", 3), ("a", 4), ("a", 3), ("b", 4)],
+        "shard string, cost int",
+    )
+    got = {
+        r["shard"]: (r["n_docs"], r["total_cost"], r["n_bins"], r["fill_rate"])
+        for r in pack_efficiency(plan, "cost", 4).collect()
+    }
+    assert got["a"] == (3, 10, 3, round(10 / 12, 6))
+    # exact multiple: 4 cost / budget 4 -> exactly 1 full bin
+    assert got["b"] == (1, 4, 1, 1.0)
+    with _pytest.raises(ValueError, match="budget"):
+        pack_efficiency(plan, "cost", 0)
