@@ -33,7 +33,6 @@ WINDOW: tuple[str, ...] = (
     "q14_dynamic_pivot",
     "q28_severity_ladder",
     "t41_streaming_interval_join",
-    "t55_streaming_kmv_distinct",
     "t01_dedup_exact",
     "t06_ann_bruteforce",
     "t07_ann_ivf",
@@ -49,7 +48,6 @@ WINDOW: tuple[str, ...] = (
     "q43_star_join_revenue",
     "t73_incremental_rollup",
     # --- rotated IN for round 7 (VERDICT r6 #2): oracled r6 additions ---
-    "q46_nullsafe_join",
     "t74_resample_interp",
     "t76_udtf_sentence_split",
     "t77_streaming_cdc_apply",
@@ -87,7 +85,6 @@ WINDOW: tuple[str, ...] = (
     # capabilities are driver-graded immediately): the memorization
     # audit, the excision impact report, and the streaming quarantine
     # ingest; q16/q26/t86 demoted with idiom-superset rationales ---
-    "t100_frequent_ngrams",
     "t101_excision_impact_report",
     "t105_streaming_quarantine_ingest",
     # --- rotated IN for round 11 (VERDICT r10 #1): the eight r10
@@ -105,6 +102,14 @@ WINDOW: tuple[str, ...] = (
     "q49_calendar_arithmetic",
     "q50_string_functions",
     "q51_null_semantics",
+    # --- r11 in-round promotions (the r8-r10 precedent: flagship new
+    # capabilities are driver-graded immediately): the hashed-audit
+    # scale path, the native session-window stateful aggregate, and
+    # keyword extraction; t100/t55/q46 demoted with idiom-superset
+    # rationales ---
+    "t107_frequent_ngrams_hashed",
+    "t108_session_window_native",
+    "t109_keyword_extract",
 )
 
 # Rows-only entries deliberately inside the graded window: no DuckDB
@@ -127,7 +132,7 @@ DEMOTED: tuple[str, ...] = (
     "q09_semi_join",  # semi-join idiom graded inside t07's probed-cell semi-join
     "q17_forward_fill",  # last(ignorenulls) carry graded inside t74_resample_interp's double-ASOF (r7: t18, the old anchor, demoted into t74)
     "q20_running_total",  # window cumsum graded inside t33 (pack_sequences' bin cumsum; r6: was t28, itself now demoted into t33)
-    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t96/t100's TakeOrdered top-k (r10: q16, the old anchor, demoted into t97/t96/t100; r6: t26 reference dropped, itself demoted)
+    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t96/t106/t107's TakeOrdered top-k tail (r11: t100, the old co-anchor, demoted into t106/t107 — the same _ngram_top tail stays in-window through both; r10: q16, the old anchor, demoted into t97/t96; r6: t26 reference dropped, itself demoted)
     "q27_scalar_pack",  # struct-pack idiom graded inside q48's map_from_entries(collect_list(struct)) construction + t103/t105's to_json(struct) fixture (r10: q26, the old anchor, demoted into q38/t105)
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside t32_decontaminate (corpus-scale left-anti; r8: q30, the old anchor, demoted into t32 on the same basis)
@@ -205,7 +210,7 @@ DEMOTED: tuple[str, ...] = (
     "q25_array_ops",  # higher-order array functions (transform/slice/zip_with/posexplode/array_sort) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale
     # r10 in-round: swapped for t100/t101/t105 — same-machinery
     # supersets stay in-window:
-    "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection (same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96 and t100 (identical orderBy/limit → row_number-on-k-rows shape)
+    "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection and t109's per-doc rank window (same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96/t106/t107 (identical orderBy/limit → row_number-on-k-rows shape; r11: t100, the old co-anchor, demoted into t106/t107)
     "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q38's VARIANT extraction; the to_json side inside t103/t105's staged fixture construction
     "t86_csv_lenient_ingest",  # the lenient-ingest machinery (_read_lenient scaffold + split_corrupt + quarantine populations) graded inside t105 through the strictly-stronger STREAMING path with exactly-once sinks; the from_csv-specific arm stays swept and pytest-covered (test_io_layout)
     # r11: swapped out for t102/t103/t104/t106/q48-q51 (VERDICT r10
@@ -220,6 +225,11 @@ DEMOTED: tuple[str, ...] = (
     "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames + t88's cumulative mergeable bins
     "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is the exact shape t84_curation_audit grades row-by-row plus t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline)
     "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t94/t98's gram-postings candidate generation + exact-span verification — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
+    # r11 in-round: swapped for t107/t108/t109 — same-contract/
+    # same-machinery supersets stay in-window:
+    "t100_frequent_ngrams",  # the audit's OUTPUT contract is graded twice in-window through t100's own oracle — t106 (the mergeable-partials path, whose partials ARE t100's two-level string aggregate) and t107 (the hashed scale path, row-identical including ranks); the from-scratch string entry stays swept + planted-gram pytest
+    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t14 (applyInPandasWithState through the same staged availableNow drain) and t81 (watermarked streaming state); the beyond-k regime stays pytest-pinned
+    "q46_nullsafe_join",  # NULL-equality machinery graded inside q51: GROUP BY on a NULLIF-derived key IS null-safe grouping (all NULLs one group — the <=> contract through the aggregate path) with the NOT-IN arm grading the non-null-safe contrast; the eqNullSafe join-condition form stays swept + pytest-covered
 )
 
 

@@ -66,7 +66,17 @@ def test_graded_window_contract():
         "q51_null_semantics",
     }
     assert r11_entries <= set(first50)
-    # r10 rotation survivors (all stay graded)
+    # r11 in-round promotions (flagship new work is driver-graded
+    # immediately; t100 demoted into t106/t107, t55 into t25/t14/t81,
+    # q46 into q51)
+    r11_promoted = {
+        "t107_frequent_ngrams_hashed",
+        "t108_session_window_native",
+        "t109_keyword_extract",
+    }
+    assert r11_promoted <= set(first50)
+    # r10 rotation survivors (t100 demoted r11 — its output contract
+    # stays graded through its OWN oracle via t106 and t107)
     r10_entries = {
         "t95_substring_span_excision",
         "t96_dsir_importance_select",
@@ -74,7 +84,6 @@ def test_graded_window_contract():
         "t98_incremental_substring_dedup",
         "t99_streaming_gram_index",
         "t12_multimodal_features",
-        "t100_frequent_ngrams",
         "t101_excision_impact_report",
         "t105_streaming_quarantine_ingest",
     }
