@@ -632,7 +632,7 @@ def t99_streaming_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), flagged AS (
       SELECT user_id, value, us,
-             CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                   THEN 1 ELSE 0 END AS is_start
       FROM ordered
     ), sessions AS (
@@ -656,11 +656,14 @@ def t108_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState sessionizer, graded against the same
     gap-sessionization SQL family (q18's idiom on event TIME): the
     engine merges an event into a session iff its gap to the previous
-    event is STRICTLY below 30 minutes (windows [t, t+gap) merge on
-    overlap, so a gap of exactly 30min starts a NEW session — the >=
-    in the oracle's is_start), and a session's end is its last event
-    time + gap. Bounded drain ⇒ must equal the batch window answer
-    bit-for-bit; value sums via the dsum decimal discipline.
+    event is AT MOST 30 minutes — the boundary is INCLUSIVE (an event
+    arriving exactly at the previous window's end merges; pinned on a
+    hand-planted frame in test_streaming.py, which is how the
+    oracle's strict `>` in is_start was set — not guessed from the
+    [start, end) notation, which reads as if exactly-gap should
+    split), and a session's end is its last event time + gap. Bounded
+    drain ⇒ must equal the batch window answer bit-for-bit; value
+    sums via the dsum decimal discipline.
 
     Scale shape: session_window is a streaming-native stateful
     aggregate — one shuffle on user_id, per-key ordered state merge,

@@ -2003,3 +2003,45 @@ def test_monitor_checkpoint_and_progress(spark, tmp_path):
         "latest_commit": -1,
         "in_flight": False,
     }
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """t108's oracle encodes Spark's merge rule, which this test
+    ESTABLISHED empirically: the gap boundary is INCLUSIVE — an event
+    exactly 30min after the previous one MERGES into its session
+    (despite the [start, end) window notation suggesting otherwise),
+    and only a strictly larger gap splits. Hence the strict `>` in
+    the oracle's is_start. µs event data never lands exactly on the
+    boundary, so only this planted frame guards the convention — a
+    silent semantics change in session_window would shift every t108
+    session edge."""
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_000  # µs
+    gap_us = 1800 * 1_000_000
+    rows = [
+        (1, base),
+        (1, base + gap_us),          # EXACTLY gap after prev: merges
+        (1, base + 2 * gap_us + 1),  # gap+1µs after prev: NEW session
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("s"),
+            F.unix_micros(F.col("session_window.end")).alias("e"),
+            "n",
+        )
+        .orderBy("user_id", "s")
+        .collect()
+    )
+    assert [(r["user_id"], r["s"], r["e"], r["n"]) for r in got] == [
+        (1, base, base + 2 * gap_us, 2),
+        (1, base + 2 * gap_us + 1, base + 3 * gap_us + 1, 1),
+        (2, base, base + gap_us, 1),
+    ]
