@@ -607,6 +607,42 @@ def cmd_stream_status(args, spark=None) -> int:
     return 0
 
 
+def cmd_cdc_diff(args, spark=None) -> int:
+    """What changed between two committed versions of a CDC target
+    (time-travel audit): per-status key counts, optionally the
+    row-level diff as parquet. One full-outer join on map-side
+    fingerprints — payloads never shuffle."""
+    spark = _get_spark(spark)
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.streaming.streams import cdc_version_diff
+
+    try:
+        diff = cdc_version_diff(
+            spark, args.target, args.from_version, args.to_version,
+            args.keys.split(","),
+        )
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    if args.output:
+        diff.write.mode("overwrite").parquet(args.output)
+        diff = spark.read.parquet(args.output)
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(
+        f"CDC diff {args.target} {args.from_version} -> "
+        f"{args.to_version or '<live>'}"
+    )
+    for s in ("added", "removed", "changed", "unchanged"):
+        print(f"  {s:10s} {counts.get(s, 0)}")
+    if args.output:
+        print(f"  Row-level diff: {args.output}")
+    return 0
+
+
 def cmd_index(args, spark=None) -> int:
     """ANN index lifecycle over an embeddings parquet: ``build`` trains
     the spherical-kmeans quantizer and writes the cell-partitioned
@@ -811,6 +847,22 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     )
     p.add_argument("checkpoint", help="checkpoint directory")
 
+    p = sub.add_parser(
+        "cdc-diff",
+        help="Diff two committed versions of a CDC target "
+        "(added/removed/changed/unchanged per key)",
+    )
+    p.add_argument("target", help="CDC target directory")
+    p.add_argument("--from-version", required=True)
+    p.add_argument(
+        "--to-version", default=None,
+        help="default: the live committed snapshot",
+    )
+    p.add_argument("--keys", default="k", help="comma-separated key columns")
+    p.add_argument(
+        "--output", default=None, help="write the row-level diff parquet"
+    )
+
     args = parser.parse_args(argv)
     if not args.command:
         parser.print_help()
@@ -827,6 +879,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "explain": cmd_explain,
         "audit": cmd_audit,
         "stream-status": cmd_stream_status,
+        "cdc-diff": cmd_cdc_diff,
     }
     return handlers[args.command](args, spark=spark)
 

@@ -2176,3 +2176,49 @@ def quarantine_ingest(
     query = writer.trigger(availableNow=True).start()
     query.awaitTermination()
     return query
+
+
+def cdc_version_diff(
+    spark: SparkSession,
+    target_dir: str,
+    old_version: str,
+    new_version: str | None,
+    keys: Sequence[str],
+) -> DataFrame:
+    """What changed between two COMMITTED versions of a CDC target —
+    the time-travel audit an operator runs before acting on a sink
+    ("what did last night's stream do to this table"): every key
+    classified added / removed / changed / unchanged between
+    ``old_version`` and ``new_version`` (None = the current committed
+    snapshot). Deleted keys surface as ``removed`` because snapshots
+    exclude tombstones; a key resurrected after deletion is ``added``.
+
+    Built from primitives this module already guarantees: version
+    reads are immutable-until-GC (:func:`read_cdc_snapshot`) and the
+    diff is :func:`relational.snapshot_diff`'s one full-outer join on
+    map-side fingerprints — non-key payload columns collapse to one
+    md5 per row before anything shuffles, so the diff moves
+    (key, 16-byte fp) pairs, never payloads. Raises (via
+    read_cdc_snapshot) on uncommitted/GC'd versions; a never-written
+    target raises ValueError."""
+    from datasheet_etl_spark.operators.relational import snapshot_diff
+
+    def fingerprinted(version):
+        snap = read_cdc_snapshot(spark, target_dir, version=version)
+        if snap is None:
+            raise ValueError(f"{target_dir} has no committed version")
+        payload = [c for c in snap.columns if c not in keys]
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
+        key = (
+            F.col(keys[0])
+            if len(keys) == 1
+            else F.to_json(F.struct(*[F.col(k) for k in keys]))
+        )
+        return snap.select(key.alias("_key"), fp.alias("fp"))
+
+    return snapshot_diff(
+        fingerprinted(old_version),
+        fingerprinted(new_version),
+        key_col="_key",
+        fp_col="fp",
+    )

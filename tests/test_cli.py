@@ -378,3 +378,51 @@ def test_cli_stream_status(spark, tmp_path, capsys):
     (ckpt / "commits" / "1").write_text("{}")
     assert main(["stream-status", str(ckpt)], spark=spark) == 0
     assert "In-flight:         none" in capsys.readouterr().out
+
+
+def test_cli_cdc_diff(spark, tmp_path, capsys):
+    """cdc-diff prints per-status counts between two committed CDC
+    versions and persists the row-level diff under --output; unknown
+    versions exit 2 with the read_cdc_snapshot wording."""
+    from datasheet_etl_spark.cli import main
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_versions,
+        cdc_upsert_sink,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src, target = str(tmp_path / "src"), str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b")], schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(2, 2, "U", "b2"), (3, 2, "I", "c")], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    cdc_upsert_sink(stream, target, str(tmp_path / "ck"), keys=["k"],
+                    seq_col="seq")
+    v0 = _committed_versions(spark, target)[0]
+    out = str(tmp_path / "diff")
+    rc = main(
+        ["cdc-diff", target, "--from-version", v0, "--keys", "k",
+         "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "added      1" in printed
+    assert "changed    1" in printed
+    assert "unchanged  1" in printed
+    assert "removed    0" in printed
+    assert spark.read.parquet(out).count() == 3
+
+    rc = main(
+        ["cdc-diff", target, "--from-version", "v9999999999"], spark=spark
+    )
+    assert rc == 2
+    assert "not committed" in capsys.readouterr().err

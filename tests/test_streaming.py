@@ -2045,3 +2045,55 @@ def test_session_window_exact_gap_boundary(spark):
         (1, base + 2 * gap_us + 1, base + 3 * gap_us + 1, 1),
         (2, base, base + gap_us, 1),
     ]
+
+
+def test_cdc_version_diff(spark, tmp_path):
+    """Time-travel diff between two committed CDC versions: upserts
+    classify as changed, inserts as added, deletes as removed (the
+    snapshot excludes tombstones), untouched keys as unchanged —
+    and diffing a version against the live snapshot (None) works."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_versions,
+        cdc_upsert_sink,
+        cdc_version_diff,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, 1, "I", "keep"), (2, 1, "I", "old"), (3, 1, "I", "gone")],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(2, 2, "U", "new"), (3, 2, "D", None), (4, 2, "I", "fresh")],
+        schema,
+    ).coalesce(1).write.parquet(src, mode="append")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    cdc_upsert_sink(stream, target, str(tmp_path / "ck"), keys=["k"],
+                    seq_col="seq")
+    committed = _committed_versions(spark, target)
+    assert len(committed) >= 2
+    v_old = committed[0]
+    got = {
+        r["_key"]: r["status"]
+        for r in cdc_version_diff(
+            spark, target, v_old, committed[-1], ["k"]
+        ).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # None = live snapshot; identical here to the last version
+    live = {
+        r["_key"]: r["status"]
+        for r in cdc_version_diff(spark, target, v_old, None, ["k"]).collect()
+    }
+    assert live == got
+    with _pytest.raises(ValueError, match="not committed"):
+        cdc_version_diff(spark, target, "v9999999999", None, ["k"])
