@@ -613,16 +613,25 @@ def cmd_cdc_diff(args, spark=None) -> int:
     row-level diff as parquet. One full-outer join on map-side
     fingerprints — payloads never shuffle."""
     spark = _get_spark(spark)
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from datasheet_etl_spark.streaming.streams import cdc_version_diff
 
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    if not keys:
+        print("error: --keys must name at least one column", file=sys.stderr)
+        return 2
+    ignore = [c.strip() for c in (args.ignore_cols or "").split(",") if c.strip()]
     try:
+        # a bad key/column name raises AnalysisException from the
+        # eager select inside cdc_version_diff — same exit-2 contract
+        # as unknown versions
         diff = cdc_version_diff(
             spark, args.target, args.from_version, args.to_version,
-            args.keys.split(","),
+            keys, ignore_cols=ignore,
         )
-    except ValueError as exc:
+    except (ValueError, AnalysisException) as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
     if args.output:
@@ -859,6 +868,13 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         help="default: the live committed snapshot",
     )
     p.add_argument("--keys", default="k", help="comma-separated key columns")
+    p.add_argument(
+        "--ignore-cols",
+        default=None,
+        help="comma-separated bookkeeping columns to exclude from the "
+        "value fingerprint (pass the sink's seq column so touch-updates "
+        "that only advance the watermark don't report as changed)",
+    )
     p.add_argument(
         "--output", default=None, help="write the row-level diff parquet"
     )

@@ -390,9 +390,13 @@ def pack_efficiency(
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")
     total = F.sum(F.col(cost_col).cast("long"))
+    # backtick-quoted so cost columns needing escaping ('n chars',
+    # 'cost-2021') behave identically to the F.col form above; div,
+    # not float floor — exactness past 2^53, the packers' rule
     n_bins = F.greatest(
         F.lit(1).cast("long"),
-        (F.expr(f"(sum(cast({cost_col} as long)) - 1) div {int(budget)}") + 1),
+        F.expr(f"(sum(cast(`{cost_col}` as long)) - 1) div {int(budget)}")
+        + 1,
     )
     return plan.groupBy(shard_col).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -62,7 +62,6 @@ WINDOW: tuple[str, ...] = (
     # --- rotated IN for round 8 (VERDICT r7 #1): the nine oracled r7
     # additions the driver window was blind to ---
     "t81_streaming_dedup_watermark",
-    "t83_ngram_novelty",
     "t84_curation_audit",
     "t89_schema_evolution_at_rest",
     "t90_feature_scale",
@@ -110,6 +109,10 @@ WINDOW: tuple[str, ...] = (
     "t107_frequent_ngrams_hashed",
     "t108_session_window_native",
     "t109_keyword_extract",
+    # --- r11 review fix: t55's demotion anchors the grouped-KMV
+    # estimator on t25's oracle, so t25 must itself be driver-graded —
+    # in; t83 out (its df-join machinery is t109's, in-window) ---
+    "t25_kmv_distinct",
 )
 
 # Rows-only entries deliberately inside the graded window: no DuckDB
@@ -230,6 +233,7 @@ DEMOTED: tuple[str, ...] = (
     "t100_frequent_ngrams",  # the audit's OUTPUT contract is graded twice in-window through t100's own oracle — t106 (the mergeable-partials path, whose partials ARE t100's two-level string aggregate) and t107 (the hashed scale path, row-identical including ranks); the from-scratch string entry stays swept + planted-gram pytest
     "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t14 (applyInPandasWithState through the same staged availableNow drain) and t81 (watermarked streaming state); the beyond-k regime stays pytest-pinned
     "q46_nullsafe_join",  # NULL-equality machinery graded inside q51: GROUP BY on a NULLIF-derived key IS null-safe grouping (all NULLs one group — the <=> contract through the aggregate path) with the NOT-IN arm grading the non-null-safe contrast; the eqNullSafe join-condition form stays swept + pytest-covered
+    "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t109_keyword_extract (the identical df-join shape, term-keyed, at corpus scale); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded
 )
 
 

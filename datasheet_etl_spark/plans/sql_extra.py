@@ -3444,15 +3444,16 @@ def t105_streaming_quarantine_ingest(
         # the cleanup below tears the files out from under the plan.
         # BOUNDED by construction — the rollup is one row per source
         # (a domain, not data, cardinality); copy this pattern into an
-        # unbounded entry and the collect is a driver OOM.
-        rows = out.collect()
-        if len(rows) > 10_000:
+        # unbounded entry and the collect is a driver OOM. The
+        # tripwire counts BEFORE collecting (a post-collect check
+        # could never fire on the OOM it exists to prevent).
+        if out.limit(10_001).count() > 10_000:
             raise AssertionError(
-                "t105 rollup exceeded its boundedness assumption "
-                f"({len(rows)} rows) — the collect-then-recreate "
-                "pattern is only safe for domain-sized results"
+                "t105 rollup exceeded its boundedness assumption — the "
+                "collect-then-recreate pattern is only safe for "
+                "domain-sized results"
             )
-        return spark.createDataFrame(rows, out.schema)
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

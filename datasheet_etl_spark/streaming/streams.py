@@ -2184,6 +2184,7 @@ def cdc_version_diff(
     old_version: str,
     new_version: str | None,
     keys: Sequence[str],
+    ignore_cols: Sequence[str] = (),
 ) -> DataFrame:
     """What changed between two COMMITTED versions of a CDC target —
     the time-travel audit an operator runs before acting on a sink
@@ -2200,14 +2201,23 @@ def cdc_version_diff(
     md5 per row before anything shuffles, so the diff moves
     (key, 16-byte fp) pairs, never payloads. Raises (via
     read_cdc_snapshot) on uncommitted/GC'd versions; a never-written
-    target raises ValueError."""
+    target raises ValueError.
+
+    ``ignore_cols`` excludes bookkeeping columns from the fingerprint —
+    pass the sink's ``seq_col`` to diff only user-visible values:
+    snapshots persist the per-key sequence watermark, and a source
+    that re-emits identical values under a new sequence number (full
+    reloads, touch-updates) advances ONLY that column, which would
+    otherwise report the key as ``changed``."""
     from datasheet_etl_spark.operators.relational import snapshot_diff
+
+    skip = set(keys) | set(ignore_cols)
 
     def fingerprinted(version):
         snap = read_cdc_snapshot(spark, target_dir, version=version)
         if snap is None:
             raise ValueError(f"{target_dir} has no committed version")
-        payload = [c for c in snap.columns if c not in keys]
+        payload = [c for c in snap.columns if c not in skip]
         fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
         key = (
             F.col(keys[0])

@@ -73,6 +73,9 @@ def test_graded_window_contract():
         "t107_frequent_ngrams_hashed",
         "t108_session_window_native",
         "t109_keyword_extract",
+        # review fix: t55's demotion anchors the grouped-KMV estimator
+        # on t25's oracle, so t25 is itself driver-graded
+        "t25_kmv_distinct",
     }
     assert r11_promoted <= set(first50)
     # r10 rotation survivors (t100 demoted r11 — its output contract
@@ -95,12 +98,12 @@ def test_graded_window_contract():
         "t94_substring_dedup_corpus",
     }
     assert r9_entries <= set(first50)
-    # r8 rotation survivors (t82/t85 demoted r11: t82's allocation
+    # r8 rotation survivors (t82/t85/t83 demoted r11: t82's allocation
     # family graded inside t97's temperature-count composition, t85's
-    # probe+rollup graded inside t32/t84/t101)
+    # probe+rollup inside t32/t84/t101, t83's df-join machinery inside
+    # t109/t98)
     r8_entries = {
-        "t81_streaming_dedup_watermark",
-        "t83_ngram_novelty", "t84_curation_audit",
+        "t81_streaming_dedup_watermark", "t84_curation_audit",
         "t89_schema_evolution_at_rest", "t90_feature_scale",
         "q47_distribution_windows",
     }

@@ -2097,3 +2097,31 @@ def test_cdc_version_diff(spark, tmp_path):
     assert live == got
     with _pytest.raises(ValueError, match="not committed"):
         cdc_version_diff(spark, target, "v9999999999", None, ["k"])
+
+    # touch-update (same value, new seq): the persisted watermark
+    # column alone moves; ignore_cols=['seq'] must report unchanged,
+    # while the raw fingerprint (review-found r11) reports changed
+    v_mid = _committed_versions(spark, target)[-1]
+    spark.createDataFrame([(1, 3, "U", "keep")], schema).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    cdc_upsert_sink(stream2, target, str(tmp_path / "ck"), keys=["k"],
+                    seq_col="seq")
+    raw = {
+        r["_key"]: r["status"]
+        for r in cdc_version_diff(spark, target, v_mid, None, ["k"]).collect()
+    }
+    assert raw[1] == "changed"
+    clean = {
+        r["_key"]: r["status"]
+        for r in cdc_version_diff(
+            spark, target, v_mid, None, ["k"], ignore_cols=["seq"]
+        ).collect()
+    }
+    assert clean[1] == "unchanged"
