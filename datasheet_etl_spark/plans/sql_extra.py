@@ -3804,3 +3804,48 @@ def t111_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuf = epoch_shuffle(sel, "doc_id", epoch=1, shard_hex_chars=1)
     plan = pack_in_order(shuf, "n_chars", 4096)
     return pack_efficiency(plan, "n_chars", 4096).orderBy("shard")
+
+
+@register(
+    "t112_python_datasource",
+    """
+    WITH r AS (
+      SELECT range AS event_id, CAST(range % 10 AS INT) AS bucket,
+             (range % 97) / 4.0 AS value
+      FROM range(5000)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(sum(value), 6) AS value_sum
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def t112_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource API seam (Spark 4) run end-to-end: a
+    CUSTOM registered format (``sources/pyds.py`` — deterministic
+    partition-parallel generator, each planner task generating its own
+    id slice from its InputPartition alone) read like any built-in
+    source and aggregated; the DuckDB range() oracle re-derives every
+    row, so the source's partitioning independence is hash-graded.
+    value is exact quarters (n/4 — IEEE-exact), so sums match
+    bit-for-bit. The template for wrapping external keyed fetches as
+    schedulable sources instead of driver loops."""
+    from datasheet_etl_spark.sources.pyds import register_synth_events
+
+    register_synth_events(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("numRows", "5000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .orderBy("bucket")
+    )
