@@ -3849,3 +3849,71 @@ def t112_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "t113_python_stream_source",
+    """
+    WITH r AS (
+      SELECT range AS event_id, CAST(range % 7 AS INT) AS bucket
+      FROM range(100)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def t113_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python DataSource seam: a custom
+    source with explicit offset management (``SyntheticFeedStream
+    Reader`` — read advances {"pos"} by one bounded batch,
+    readBetweenOffsets re-derives committed batches for replay)
+    drained through REPEATED availableNow restarts against ONE
+    checkpoint: each restart resumes from the committed offset, so
+    the loop itself grades offset persistence, and the oracle
+    hash-grades exactly-once (a replayed or double-read batch would
+    break id_sum). Raw rows land in a parquet append sink; the
+    aggregate runs batch-side. Bounded feed (100 rows, 30/batch ⇒ 4
+    restarts); the loop cap is structural, not a poll."""
+    import shutil
+    import tempfile
+
+    from datasheet_etl_spark.sources.pyds import register_synth_feed
+
+    register_synth_feed(spark)
+    work = tempfile.mkdtemp(prefix="t113_")
+    try:
+        out_p, ckpt = f"{work}/rows", f"{work}/ckpt"
+        # 100 rows at 50/batch: 2 drains reach the end; one extra
+        # empty drain is harmless and never scheduled (count stops us)
+        for _ in range(3):
+            q = (
+                spark.readStream.format("synth_feed")
+                .option("numRows", "100")
+                .option("batchSize", "50")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out_p)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if spark.read.parquet(out_p).count() >= 100:
+                break
+        agg = (
+            spark.read.parquet(out_p)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("id_sum"),
+            )
+            .orderBy("bucket")
+        )
+        # t105's bounded collect-then-recreate: 7 buckets, temp sink
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

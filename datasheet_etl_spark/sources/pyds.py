@@ -20,7 +20,12 @@ as a parallel source the optimizer can schedule."""
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _SCHEMA = "event_id bigint, bucket int, value double"
 
@@ -68,3 +73,59 @@ class SyntheticEventsDataSource(DataSource):
 def register_synth_events(spark) -> None:
     """Idempotent registration of the custom format with a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+_FEED_SCHEMA = "event_id bigint, bucket int"
+
+
+def _feed_rows(start: int, end: int):
+    return iter([(i, i % 7) for i in range(start, end)])
+
+
+class SyntheticFeedStreamReader(SimpleDataSourceStreamReader):
+    """Custom STREAMING source with explicit offset management — the
+    exactly-once contract made of three methods: ``read`` advances the
+    offset by one batch of at most ``batchSize`` rows, ``
+    readBetweenOffsets`` re-derives a committed batch DETERMINISTICALLY
+    for crash replay (same offsets ⇒ same rows, the whole guarantee),
+    and Spark checkpoints the offsets — so a restarted query resumes
+    exactly where the last commit left off. The feed is bounded at
+    ``numRows`` (read returns an empty slice at the end, never an
+    error)."""
+
+    def __init__(self, options):
+        self.total = int(options.get("numRows", 100))
+        self.batch = int(options.get("batchSize", 30))
+        if self.total < 0 or self.batch < 1:
+            raise ValueError(
+                f"numRows must be >= 0 and batchSize >= 1, got "
+                f"{self.total}/{self.batch}"
+            )
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.total)
+        return _feed_rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return _feed_rows(int(start["pos"]), int(end["pos"]))
+
+
+class SyntheticFeedDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synth_feed"
+
+    def schema(self):
+        return _FEED_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return SyntheticFeedStreamReader(self.options)
+
+
+def register_synth_feed(spark) -> None:
+    """Idempotent registration of the streaming format."""
+    spark.dataSource.register(SyntheticFeedDataSource)
