@@ -44,18 +44,63 @@ class SyntheticEventsReader(DataSourceReader):
                 f"numRows must be >= 0 and numPartitions >= 1, got "
                 f"{self.n}/{self.parts}"
             )
+        self.lo, self.hi = 0, self.n  # narrowed by PushdownEventsReader
 
     def partitions(self):
-        per = -(-self.n // self.parts)  # ceil-div; last slice may be short
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = hi - lo
+        per = -(-span // self.parts) if span else 0  # ceil-div
         return [
-            _SlicePartition(i * per, min((i + 1) * per, self.n))
+            _SlicePartition(lo + i * per, min(lo + (i + 1) * per, hi))
             for i in range(self.parts)
-            if i * per < self.n
+            if per and lo + i * per < hi
         ] or [_SlicePartition(0, 0)]
 
     def read(self, partition):
         for i in range(partition.start, partition.end):
             yield (i, i % 10, (i % 97) / 4.0)
+
+
+class PushdownEventsReader(SyntheticEventsReader):
+    """The pushdown-capable variant, selected via ``.option("pushdown",
+    "true")``: a SEPARATE class because merely implementing
+    ``pushFilters`` makes Spark refuse the reader unless
+    ``spark.sql.python.filterPushdown.enabled`` is true — the plain
+    reader must keep working under default conf."""
+
+    def pushFilters(self, filters):
+        """Range pushdown on the ordered id column (Spark 4.1):
+        accepted bounds NARROW the generation range itself, so
+        ``partitions()`` plans fewer/smaller slices and pruned rows
+        are never produced at all — the DataSourceV2 pushdown
+        contract expressed in the Python seam. Anything else is
+        returned for Spark to evaluate post-scan; an accepted filter
+        MUST be exact (Spark will not re-check it)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if tuple(col or ()) != ("event_id",):
+                yield f
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, f.value)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, f.value + 1)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, f.value + 1)
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, f.value)
+                self.hi = min(self.hi, f.value + 1)
+            else:
+                yield f
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -67,6 +112,8 @@ class SyntheticEventsDataSource(DataSource):
         return _SCHEMA
 
     def reader(self, schema):
+        if self.options.get("pushdown", "").lower() == "true":
+            return PushdownEventsReader(self.options)
         return SyntheticEventsReader(self.options)
 
 

@@ -89,3 +89,40 @@ def test_pyds_stream_offsets_and_replay(spark, tmp_path):
     got = spark.read.parquet(out_p)
     assert got.count() == 70
     assert {r["event_id"] for r in got.collect()} == set(range(70))
+
+
+def test_pyds_pushdown_narrows_generation(spark):
+    """t114's pruning made observable: pushed id-range bounds narrow
+    the generation span BEFORE partition planning, so the tail slice
+    [100, 103) plans 3 one-row partitions instead of 8 over 103 rows
+    — pruned rows are never produced. The residual bucket filter is
+    applied by Spark post-scan, and the plain (no-pushdown) reader
+    keeps working with the conf untouched."""
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            _read(spark, numRows=103, numPartitions=8, pushdown="true")
+            .filter("event_id >= 100")
+        )
+        assert df.rdd.getNumPartitions() == 3
+        assert {r["event_id"] for r in df.collect()} == {100, 101, 102}
+        # residual predicate on a non-pushable column still correct
+        res = (
+            _read(spark, numRows=103, numPartitions=8, pushdown="true")
+            .filter("event_id >= 100 AND bucket = 0")
+            .collect()
+        )
+        assert [r["event_id"] for r in res] == [100]
+        # contradictory bounds: empty, no error
+        assert (
+            _read(spark, numRows=103, pushdown="true")
+            .filter("event_id >= 50 AND event_id < 10")
+            .count()
+            == 0
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
