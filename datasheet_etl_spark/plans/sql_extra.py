@@ -3967,3 +3967,66 @@ def t114_python_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_sum"),
         F.round(F.sum("value"), 6).alias("value_sum"),
     )
+
+
+@register(
+    "t115_python_source_writer",
+    """
+    WITH r AS (
+      SELECT range AS event_id, CAST(range % 10 AS INT) AS bucket,
+             (range % 97) / 4.0 AS value
+      FROM range(800)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def t115_python_source_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python DataSource seam run e2e: the
+    deterministic feed flows through the custom transactional writer
+    (per-task uuid stagings → driver _MANIFEST commit naming exactly
+    the committed files), is read back through the manifest-resolving
+    reader, and aggregated — the oracle hash-grades that the commit
+    protocol preserved every row exactly once (a lost task file or a
+    double-committed retry each break id_sum). The abort path (planted
+    task failure ⇒ no manifest ⇒ committed read sees nothing) is
+    pinned in tests/test_pyds.py."""
+    import shutil
+    import tempfile
+
+    from datasheet_etl_spark.sources.pyds import (
+        read_jsonl_manifest,
+        register_jsonl_manifest,
+        register_synth_events,
+    )
+
+    register_synth_events(spark)
+    register_jsonl_manifest(spark)
+    work = tempfile.mkdtemp(prefix="t115_")
+    try:
+        src = (
+            spark.read.format("synth_events")
+            .option("numRows", "800")
+            .option("numPartitions", "8")
+            .load()
+        )
+        src.write.format("jsonl_manifest").option("path", work).mode(
+            "append"
+        ).save()
+        back = read_jsonl_manifest(spark, work)
+        agg = (
+            back.groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("id_sum"),
+            )
+            .orderBy("bucket")
+        )
+        # bounded collect-then-recreate (10 buckets) before the temp
+        # sink is torn down
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -23,8 +23,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _SCHEMA = "event_id bigint, bucket int, value double"
@@ -176,3 +178,111 @@ class SyntheticFeedDataSource(DataSource):
 def register_synth_feed(spark) -> None:
     """Idempotent registration of the streaming format."""
     spark.dataSource.register(SyntheticFeedDataSource)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """The WRITE half of the DataSource seam — the two-phase commit
+    protocol every transactional sink is built on: each task writes
+    its partition to a UNIQUELY-NAMED staged file (uuid — task retries
+    and speculative twins never collide) and returns a commit message;
+    the driver publishes a ``_MANIFEST`` naming exactly the committed
+    files only if EVERY task succeeded, and ``abort`` deletes the
+    named stagings otherwise. Readers resolve the manifest, so a
+    half-written job is invisible — the CDC sink's pointer discipline
+    (streams._write_text_atomic) expressed through the public writer
+    API. Rows serialize as JSON lines (schema-ordered fields).
+
+    ``write`` runs on executors: ``path`` must be storage every
+    executor AND the driver can reach (shared FS / object store; plain
+    local paths only work in local mode — this repo's test shape). A
+    failed ATTEMPT's partial staging is never referenced by any
+    manifest, so it is invisible garbage, not corruption; sweep
+    unreferenced part files older than the job window if staging space
+    matters."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_manifest writer requires a path option")
+        self.fields = [f.name for f in schema.fields]
+        self.fail_on = options.get("failOnValue")
+
+    def write(self, rows):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in rows:
+                rec = dict(zip(self.fields, row))
+                if (
+                    self.fail_on is not None
+                    and str(rec[self.fields[0]]) == self.fail_on
+                ):
+                    raise RuntimeError(
+                        f"planted task failure on {self.fail_on}"
+                    )
+                fh.write(_json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _StagedFile(staged, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps(manifest))
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_jsonl_manifest(spark, path: str):
+    """Committed-read counterpart: resolve ``_MANIFEST`` and read ONLY
+    the files it names — staged leftovers from failed/aborted jobs are
+    invisible. Returns None when no commit ever happened."""
+    import json as _json
+    import os
+
+    mpath = os.path.join(path, "_MANIFEST")
+    if not os.path.exists(mpath):
+        return None
+    manifest = _json.loads(open(mpath).read())
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], "value string")
+    return spark.read.json(files)
+
+
+class JsonLinesManifestDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite):
+        return JsonLinesWriter(self.options, schema)
+
+
+def register_jsonl_manifest(spark) -> None:
+    """Idempotent registration of the writable format."""
+    spark.dataSource.register(JsonLinesManifestDataSource)

@@ -126,3 +126,43 @@ def test_pyds_pushdown_narrows_generation(spark):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_pyds_writer_two_phase_commit_and_abort(spark, tmp_path):
+    """The writer seam's transactional story: a successful job
+    publishes a _MANIFEST naming exactly the committed files (readers
+    resolve it — staged orphans are invisible); a job with a planted
+    task failure never publishes a manifest, so the committed read
+    sees nothing — even though failed attempts may leave partial
+    staged files behind."""
+    from datasheet_etl_spark.sources.pyds import (
+        read_jsonl_manifest,
+        register_jsonl_manifest,
+        register_synth_events,
+    )
+
+    register_synth_events(spark)
+    register_jsonl_manifest(spark)
+    src = (
+        spark.read.format("synth_events")
+        .option("numRows", "50")
+        .option("numPartitions", "4")
+        .load()
+    )
+    out = str(tmp_path / "sink")
+    src.write.format("jsonl_manifest").option("path", out).mode(
+        "append"
+    ).save()
+    got = read_jsonl_manifest(spark, out)
+    assert got.count() == 50
+    assert {r["event_id"] for r in got.collect()} == set(range(50))
+
+    # planted task failure: no manifest, committed read sees nothing
+    out2 = str(tmp_path / "sink2")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="planted task failure|aborted"):
+        src.write.format("jsonl_manifest").option("path", out2).option(
+            "failOnValue", "17"
+        ).mode("append").save()
+    assert read_jsonl_manifest(spark, out2) is None
