@@ -3874,8 +3874,9 @@ def t113_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop itself grades offset persistence, and the oracle
     hash-grades exactly-once (a replayed or double-read batch would
     break id_sum). Raw rows land in a parquet append sink; the
-    aggregate runs batch-side. Bounded feed (100 rows, 30/batch ⇒ 4
-    restarts); the loop cap is structural, not a poll."""
+    aggregate runs batch-side. Bounded feed (100 rows, 50/batch ⇒ 2
+    restarts — the minimum that grades resume); the loop cap is
+    structural, not a poll."""
     import shutil
     import tempfile
 
@@ -3948,6 +3949,13 @@ def t114_python_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_pyds.py."""
     from datasheet_etl_spark.sources.pyds import register_synth_events
 
+    # Deliberately left set on the session: the conf is checked when
+    # the CALLER acts on the returned lazy frame (registry contract —
+    # the driver collects after this function returns), so a
+    # set/restore here would refuse this entry's own read. The leak is
+    # inert for every other entry: the conf only affects readers that
+    # implement pushFilters, and the only such reader is this entry's
+    # own opt-in class.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register_synth_events(spark)
     df = (

@@ -205,11 +205,13 @@ class JsonLinesWriter(DataSourceWriter):
     unreferenced part files older than the job window if staging space
     matters."""
 
-    def __init__(self, options, schema):
+    def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_manifest writer requires a path option")
+        self.schema_json = schema.json()
         self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
         self.fail_on = options.get("failOnValue")
 
     def write(self, rows):
@@ -238,16 +240,37 @@ class JsonLinesWriter(DataSourceWriter):
         import json as _json
         import os
 
+        files = sorted(
+            os.path.basename(m.path) for m in messages if m is not None
+        )
+        rows = sum(m.n_rows for m in messages if m is not None)
+        mpath = os.path.join(self.path, "_MANIFEST")
+        prev = None
+        if os.path.exists(mpath):
+            prev = _json.loads(open(mpath).read())
+        if prev is not None and not self.overwrite:
+            # append MERGES with the committed view — a second append
+            # job must not silently unreference the first job's files
+            files = sorted(set(prev["files"]) | set(files))
+            rows += prev["rows"]
         manifest = {
-            "files": sorted(
-                os.path.basename(m.path) for m in messages if m is not None
-            ),
-            "rows": sum(m.n_rows for m in messages if m is not None),
+            "files": files,
+            "rows": rows,
+            "schema": self.schema_json,
         }
         tmp = os.path.join(self.path, "_MANIFEST.tmp")
         with open(tmp, "w") as fh:
             fh.write(_json.dumps(manifest))
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+        os.replace(tmp, mpath)
+        if prev is not None and self.overwrite:
+            # overwrite: the old generation's files are unreferenced
+            # the instant the manifest swaps — delete them (readers
+            # that already resolved the old manifest hold open handles,
+            # the same window every pointer-swap layout has)
+            for f in set(prev["files"]) - set(files):
+                fp = os.path.join(self.path, f)
+                if os.path.exists(fp):
+                    os.remove(fp)
 
     def abort(self, messages):
         import os
@@ -260,18 +283,25 @@ class JsonLinesWriter(DataSourceWriter):
 def read_jsonl_manifest(spark, path: str):
     """Committed-read counterpart: resolve ``_MANIFEST`` and read ONLY
     the files it names — staged leftovers from failed/aborted jobs are
-    invisible. Returns None when no commit ever happened."""
+    invisible. Returns None when no commit ever happened. The read
+    uses the schema the WRITER recorded in the manifest, never
+    inference — an empty or all-null committed dataset must come back
+    with its written columns and types, and skipping inference also
+    saves a full pass over every file."""
     import json as _json
     import os
+
+    from pyspark.sql.types import StructType
 
     mpath = os.path.join(path, "_MANIFEST")
     if not os.path.exists(mpath):
         return None
     manifest = _json.loads(open(mpath).read())
+    schema = StructType.fromJson(_json.loads(manifest["schema"]))
     files = [os.path.join(path, f) for f in manifest["files"]]
     if not files:
-        return spark.createDataFrame([], "value string")
-    return spark.read.json(files)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
 
 
 class JsonLinesManifestDataSource(DataSource):
@@ -280,7 +310,7 @@ class JsonLinesManifestDataSource(DataSource):
         return "jsonl_manifest"
 
     def writer(self, schema, overwrite):
-        return JsonLinesWriter(self.options, schema)
+        return JsonLinesWriter(self.options, schema, overwrite)
 
 
 def register_jsonl_manifest(spark) -> None:

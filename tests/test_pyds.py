@@ -166,3 +166,59 @@ def test_pyds_writer_two_phase_commit_and_abort(spark, tmp_path):
             "failOnValue", "17"
         ).mode("append").save()
     assert read_jsonl_manifest(spark, out2) is None
+
+
+def test_pyds_writer_append_merges_overwrite_replaces(spark, tmp_path):
+    """Review-found r11: a second append must MERGE with the committed
+    view (not silently unreference the first job's files); overwrite
+    replaces the manifest and deletes the old generation's files; an
+    empty commit comes back with the WRITTEN schema, not inference's
+    zero columns."""
+    from datasheet_etl_spark.sources.pyds import (
+        read_jsonl_manifest,
+        register_jsonl_manifest,
+        register_synth_events,
+    )
+    import os
+
+    register_synth_events(spark)
+    register_jsonl_manifest(spark)
+
+    def feed(n):
+        return (
+            spark.read.format("synth_events")
+            .option("numRows", str(n)).option("numPartitions", "2").load()
+        )
+
+    out = str(tmp_path / "sink")
+    feed(10).write.format("jsonl_manifest").option("path", out).mode(
+        "append").save()
+    feed(10).selectExpr(
+        "event_id + 100 as event_id", "bucket", "value"
+    ).write.format("jsonl_manifest").option("path", out).mode("append").save()
+    got = read_jsonl_manifest(spark, out)
+    assert got.count() == 20
+    ids = {r["event_id"] for r in got.collect()}
+    assert ids == set(range(10)) | set(range(100, 110))
+
+    n_files_before = len(
+        [f for f in os.listdir(out) if f.startswith("part-")]
+    )
+    feed(5).write.format("jsonl_manifest").option("path", out).mode(
+        "overwrite").save()
+    got = read_jsonl_manifest(spark, out)
+    assert {r["event_id"] for r in got.collect()} == set(range(5))
+    # old generation's files deleted, only the new job's stagings remain
+    n_files_after = len(
+        [f for f in os.listdir(out) if f.startswith("part-")]
+    )
+    assert n_files_after < n_files_before
+
+    # empty commit: written schema survives, no inference collapse
+    empty_out = str(tmp_path / "empty_sink")
+    feed(0).write.format("jsonl_manifest").option("path", empty_out).mode(
+        "append").save()
+    e = read_jsonl_manifest(spark, empty_out)
+    assert e.count() == 0
+    assert set(e.columns) == {"event_id", "bucket", "value"}
+    assert e.groupBy("bucket").count().count() == 0
