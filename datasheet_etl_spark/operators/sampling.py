@@ -384,8 +384,10 @@ def pack_efficiency(
     :func:`pack_sequences` plan — the number a training team watches
     per nightly build: docs, total cost, bins the concatenate-then-
     chunk stream occupies (``(total-1) div budget + 1`` — integer
-    arithmetic, exact past 2^53), and the fill rate of those bins
-    (one IEEE division, rounded for display). One partial-agged
+    arithmetic, exact past 2^53; this is the OCCUPANCY count a trainer
+    provisions, >= the plan's ``max(bin_id)+1`` start-bin count
+    whenever a row spills across bins), and the fill rate of those
+    bins (one IEEE division, rounded for display). One partial-agged
     groupBy on the shard; output is shard-count sized."""
     if budget <= 0:
         raise ValueError(f"budget must be > 0, got {budget}")

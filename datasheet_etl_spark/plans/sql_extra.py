@@ -4038,3 +4038,45 @@ def t115_python_source_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_Q53_BODY = """
+    SELECT l_returnflag, l_linestatus,
+           date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+           count(*) AS n,
+           {dsum} AS sum_qty
+    FROM {table}
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-07-01'
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "q53_group_by_all",
+    _Q53_BODY.format(dsum=sql_dsum("l_quantity"), table="lineitem")
+    # DuckDB date_trunc returns DATE for date inputs; Spark returns
+    # TIMESTAMP — cast both to DATE for the compare (the q49 rule)
+    .replace("date_trunc('month', CAST(l_shipdate AS DATE))",
+             "CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)"),
+)
+def q53_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics syntax
+    both engines resolve by the same rule (every non-aggregate select
+    item becomes a grouping/sort key, in select order), graded
+    cross-engine INCLUDING a computed grouping expression
+    (month-truncated ship date, cast to DATE on both sides per the
+    q49 trunc-vs-date_trunc type rule). Resolution happening in the
+    analyzer means the plan is identical to the explicit GROUP BY —
+    one scan, partial-agged aggregate; the syntax surface is what is
+    graded."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q53_lineitem"
+    )
+    return spark.sql(
+        _Q53_BODY.format(dsum=sql_dsum("l_quantity"), table="q53_lineitem")
+        .replace(
+            "date_trunc('month', CAST(l_shipdate AS DATE))",
+            "CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)",
+        )
+    )

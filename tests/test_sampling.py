@@ -684,3 +684,52 @@ def test_pack_efficiency_arithmetic(spark):
     assert got["b"] == (1, 4, 1, 1.0)
     with _pytest.raises(ValueError, match="budget"):
         pack_efficiency(plan, "cost", 0)
+
+
+def test_pack_efficiency_consistent_with_pack_in_order(spark):
+    """Cross-operator invariant, for ANY shard/cost layout: the
+    report's n_bins is the stream-OCCUPANCY count ((total-1) div
+    budget + 1 — every bin the concatenated chars reach, which is
+    what a trainer reading fixed-size bins provisions), and is >= the
+    packer's max(bin_id)+1 (bins where some row STARTS — a row
+    spanning several bins leaves spanned bins with no starts, so the
+    two differ exactly when rows spill); totals and doc counts match
+    and fill_rate is in (0, 1]."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.sampling import (
+        pack_efficiency,
+        pack_in_order,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (s, p, rng.randrange(1, 900))
+        for s in ("a", "b", "c")
+        for p in range(rng.randrange(1, 40))
+    ]
+    df = spark.createDataFrame(rows, "shard string, pos int, cost int")
+    plan = pack_in_order(df, "cost", 256)
+    rep = {
+        r["shard"]: r for r in pack_efficiency(plan, "cost", 256).collect()
+    }
+    truth = {
+        r["shard"]: r
+        for r in plan.groupBy("shard")
+        .agg(
+            (F.max("bin_id") + 1).alias("bins"),
+            F.sum("cost").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(rep) == set(truth)
+    for s in truth:
+        occupancy = (truth[s]["total"] - 1) // 256 + 1
+        assert rep[s]["n_bins"] == occupancy, s
+        assert rep[s]["n_bins"] >= truth[s]["bins"], s
+        assert rep[s]["total_cost"] == truth[s]["total"]
+        assert rep[s]["n_docs"] == truth[s]["n"]
+        assert 0 < rep[s]["fill_rate"] <= 1
