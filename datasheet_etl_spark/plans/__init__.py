@@ -30,7 +30,6 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 # DEMOTED anchor pointed at any outgoing entry (verified by grep), so
 # no re-pointing was needed this round.
 WINDOW: tuple[str, ...] = (
-    "q14_dynamic_pivot",
     "q28_severity_ladder",
     "t41_streaming_interval_join",
     "t01_dedup_exact",
@@ -41,7 +40,6 @@ WINDOW: tuple[str, ...] = (
     "t33_corpus_prep_e2e",
     "t32_decontaminate",
     # --- rotated IN for round 6 (r5 additions, previously past the window) ---
-    "q35_cube",
     "q38_variant_extract",
     "t67_zorder_key",
     # --- r6 additions promoted in-round (q43/q44 were VERDICT r5 asks #2/#3) ---
@@ -49,29 +47,20 @@ WINDOW: tuple[str, ...] = (
     "t73_incremental_rollup",
     # --- rotated IN for round 7 (VERDICT r6 #2): oracled r6 additions ---
     "t74_resample_interp",
-    "t76_udtf_sentence_split",
     "t77_streaming_cdc_apply",
-    # --- r7: strong r5 residents never yet driver-graded ---
-    "t58_cohort_retention",
-    # --- r7 in-round promotions (GROUPED_AGG seam; leakage-safe split;
-    # mergeable-histogram quantiles; A-ES exact-k weighted sampling) ---
+    # --- r7 in-round promotions (GROUPED_AGG seam; mergeable-histogram
+    # quantiles; A-ES exact-k weighted sampling) ---
     "t79_weighted_median_udaf",
-    "t80_leakage_safe_split",
     "t88_mergeable_quantile_hist",
     "t91_weighted_sample",
-    # --- rotated IN for round 8 (VERDICT r7 #1): the nine oracled r7
+    # --- rotated IN for round 8 (VERDICT r7 #1): the oracled r7
     # additions the driver window was blind to ---
-    "t81_streaming_dedup_watermark",
-    "t84_curation_audit",
     "t89_schema_evolution_at_rest",
     "t90_feature_scale",
     "q47_distribution_windows",
     # --- rotated IN for round 9 (VERDICT r8 #1): stateful sessions,
     # oracle gained r8 via the batch-parity path ---
     "t14_streaming_stateful_sessions",
-    # --- r9 in-round promotion: the substring-dedup corpus assembly
-    # completing t92 (VERDICT r8 #3) is driver-graded immediately ---
-    "t94_substring_dedup_corpus",
     # --- rotated IN for round 10: the six oracled entries the driver
     # has never checked (r9 additions + t12's r9 oracle upgrade) ---
     "t95_substring_span_excision",
@@ -113,6 +102,21 @@ WINDOW: tuple[str, ...] = (
     # estimator on t25's oracle, so t25 must itself be driver-graded —
     # in; t83 out (its df-join machinery is t109's, in-window) ---
     "t25_kmv_distinct",
+    # --- r11 second in-round promotion batch (same standing rule:
+    # newest work is driver-graded immediately): the URL-analytics
+    # rollup, the general GROUPING SETS form (q35's strict superset),
+    # the shard-plan efficiency report, the full Python DataSource API
+    # square (batch reader / stream reader / filter pushdown /
+    # transactional writer), and GROUP BY ALL parity; q14/q35/t58/t76/
+    # t80/t81/t84/t94 demoted with idiom-superset rationales below ---
+    "t110_url_parse_rollup",
+    "q52_grouping_sets",
+    "t111_pack_efficiency_report",
+    "t112_python_datasource",
+    "t113_python_stream_source",
+    "t114_python_source_pushdown",
+    "t115_python_source_writer",
+    "q53_group_by_all",
 )
 
 # Rows-only entries deliberately inside the graded window: no DuckDB
@@ -145,10 +149,11 @@ DEMOTED: tuple[str, ...] = (
     "q02_normalize",  # regex normalize idiom graded inside q28's severity-ladder parse + t86's lenient-CSV regexp/cast family (r8: q03, the old anchor, demoted on the same basis)
     "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact (r7: q24, the old co-anchor, demoted into t70)
     # r5: swapped out for t41_streaming_interval_join; the tumbling
-    # epoch-bucket agg is graded inside t58's event time-bucketing +
-    # q35's multi-grain aggregates, the streaming drain path inside
-    # t14/t41 (r9: t13, which graded the identical contract through
-    # the streaming path, demoted on the same basis):
+    # epoch-bucket agg is graded inside t108's native event-time
+    # window aggregation + q52's multi-grain Expand (r11: t58/q35, the
+    # old anchors, demoted into q49/t108 and q52), the streaming drain
+    # path inside t14/t41 (r9: t13, which graded the identical
+    # contract through the streaming path, demoted on the same basis):
     "q31_tumbling_window",
     # r6: swapped out for t57/t59/t64/t65/t67/t68/q35/q38 (VERDICT r5
     # next-round #1) — every outgoing idiom stays graded inside an
@@ -163,15 +168,15 @@ DEMOTED: tuple[str, ...] = (
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside t95's token posexplode + ordered rebuild (r10: q25, the old anchor, demoted into t95) + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
     "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
-    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q35 (CUBE ⊃ ROLLUP grouping sets) + t58 (event time-bucketing; r9: t13, the old co-anchor, demoted into t14/t41/t58) (r7: q13, the old co-anchor, demoted into q35)
+    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q52 (GROUPING SETS ⊃ ROLLUP; r11: q35, the old anchor, demoted into q52) + q49's calendar bucketing + t108's event-time windows (r11: t58, the old co-anchor, demoted on the same basis)
     "t28_sequence_pack",  # pack_sequences budget packing graded inside t33's e2e composition (same operator)
     # r7: swapped out for q45/q46/t74-t77 + q39/t58/t69/t70 (VERDICT r6
     # next-round #2) — every outgoing idiom stays graded inside an
     # in-window superset:
     "q04_case_classify",  # when/otherwise ladder graded inside q28_severity_ladder (same chain idiom, more branches + tolerance logic)
-    "q13_rollup",  # ROLLUP grouping sets graded inside q35_cube (CUBE is the strict grouping-sets superset, same join+multi-grain agg shape)
-    "q15_unpivot",  # stack() long-form projection OVER the in-window q14 pivot (q15 is literally q14's result + unpivot(), a pure projection)
-    "q24_distinct_exact",  # countDistinct idiom graded inside t01's distinct-key dedup + t84's fingerprint-representative counting (r9: t70, the old anchor, demoted into t84/t94 on the same basis)
+    "q13_rollup",  # ROLLUP grouping sets graded inside q52_grouping_sets (the general grouping-sets form, same join+multi-grain agg shape; r11: q35, the old anchor, demoted into q52 — GROUPING SETS is the strict superset of both CUBE and ROLLUP)
+    "q15_unpivot",  # stack()/unpivot compiles to the same Expand operator q52_grouping_sets plan-pins in-window (r11: q14, the old anchor, demoted into q28/q52 — q15 remains q14's result + a pure Expand projection, both arms of which stay swept)
+    "q24_distinct_exact",  # countDistinct idiom graded inside t01's distinct-key dedup (r11: t84, the old co-anchor, demoted into t101/t01 — the fingerprint-representative counting it graded lives in t01's distinct-key machinery; r9: t70, the old anchor, demoted on the same basis)
     "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t77_streaming_cdc_apply (same apply_changes max_by-per-key resolution, streaming+bucketed superset; r8: t68, the old anchor, demoted into t77) + t97 (partitioned row_number selection; r10: q16, the old co-anchor, demoted)
     "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine; r8: t04, the old co-anchor, demoted into t92/t83)
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
@@ -189,24 +194,24 @@ DEMOTED: tuple[str, ...] = (
     # superset (and every demotee stays in the pytest oracle sweep):
     "q01_scan_filter",  # pushdown scan+filter is the substrate of every in-window entry; graded directly inside t19's gate filter chain and q43's plan-pinned pushdown star join
     "q03_regex_extract_cast",  # regexp extract + try_cast graded inside q28's severity-ladder parse (same stringly-cell regexp family) + t86's lenient-CSV typed casts
-    "q11_tpch_q1",  # multi-aggregate groupBy over lineitem graded inside t73_incremental_rollup (same sum/count/avg shape PLUS partial-merge maintenance) + q35's grouping-sets superset
+    "q11_tpch_q1",  # multi-aggregate groupBy over lineitem graded inside t73_incremental_rollup (same sum/count/avg shape PLUS partial-merge maintenance) + q52's grouping-sets superset (r11: q35, the old co-anchor, demoted into q52)
     "q19_percentiles",  # exact percentile contract graded inside t88_mergeable_quantile_hist (same quantiles re-derived from mergeable bin counts — the strictly-stronger maintenance path)
     "q30_idempotent_rerun",  # left-anti incremental-skip idiom graded inside t32_decontaminate (same left-anti at corpus scale, Bloom + shuffle-hash variants)
-    "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t94/t98 (same postings shape, exact-span verify; r10: t92, the old anchor, demoted into t94/t95/t98) + t83_ngram_novelty (same gram aggregation); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
+    "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t98 (same postings shape, exact-span verify; r11: t94, the old co-anchor, demoted into t98/t95; r10: t92, the old anchor, demoted on the same basis); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
     "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t16_dedup_clusters (same edge→component machinery over the shared graph helpers)
-    "t57_funnel",  # ordered-event window sequencing graded inside t14_streaming_stateful_sessions (q18's sessionize contract through the stateful path; r10: q18, the old anchor, demoted into t14) + t58_cohort_retention (same event bucketing)
+    "t57_funnel",  # ordered-event window sequencing graded inside t14_streaming_stateful_sessions (q18's sessionize contract through the stateful path; r10: q18, the old anchor, demoted into t14) + t108's native event-time sessions (r11: t58, the old co-anchor, demoted into q49/t14/t108)
     "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t90_feature_scale's stats pass (same decimal mean/variance machinery); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
     "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
     # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
     # — every outgoing idiom stays graded inside an in-window superset:
-    "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q35/t73's multi-aggregate rollups; the clamp/round tail is map-only scalar work
-    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t14 (identical staging + drain through the strictly-harder stateful operator) and t41 (stream-stream); the tumbling epoch-bucket agg graded inside t58_cohort_retention's event time-bucketing + q35's multi-grain aggregates
-    "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate of exactly the per-doc kept/is-dup decisions t84_curation_audit grades row-by-row (same fingerprint/min-rep machinery), now joined by t94's substring-gate keep/drop decisions; the count_distinct idiom stays graded inside t01's distinct-key dedup
+    "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q52/t73's multi-aggregate rollups (r11: q35, the old co-anchor, demoted into q52); the clamp/round tail is map-only scalar work
+    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t14 (identical staging + drain through the strictly-harder stateful operator) and t41 (stream-stream); the tumbling epoch-bucket agg graded inside t108's native event-time window aggregation + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
+    "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate over per-doc keep/drop decisions — the rollup-over-decisions discipline graded inside t101_excision_impact_report's per-source roster-joined rollup (r11: t84/t94, the old anchors, demoted into t101/t01 and t98/t95 on the same machinery); the count_distinct idiom stays graded inside t01's distinct-key dedup
     # r10: swapped out for t95/t96/t97/t98/t99/t12 (standing rule:
     # newest work is driver-graded) — every outgoing idiom stays graded
     # inside an in-window superset:
     "t65_unigram_log_ppl",  # tokenize→explode→broadcast-vocab→per-doc DECIMAL agg graded inside t96_dsir_importance_select — the strict machinery superset: the SAME Laplace-smoothed unigram-LM scoring run TWICE (target + pool LMs) with a log-ratio and a top-k tail
-    "t92_substring_overlap",  # positioned-gram postings + capped gkey self-join + island/span machinery graded THREE ways in-window: t94 re-derives the same pairs for corpus keep/drop, t95 excises over the same pair set, t98 runs the identical postings/meet/span path through the at-rest index probe
+    "t92_substring_overlap",  # positioned-gram postings + capped gkey self-join + island/span machinery graded in-window by t95 (excision over the same pair set) and t98 (the identical postings/meet/span path through the at-rest index probe; r11: t94, the old co-anchor, demoted into t98/t95 — it re-derived the same pairs for corpus keep/drop)
     "t93_epoch_shuffle",  # md5-keyed epoch shuffle graded inside t97_training_shard_plan, which invokes epoch_shuffle directly and composes it with temperature counts, hash-order selection, and pack_in_order — the e2e a training loop actually runs
     "q18_sessionize",  # gap-based sessionization graded inside t14_streaming_stateful_sessions with q18's OWN oracle SQL through the strictly-stronger applyInPandasWithState streaming path (batch-parity drain)
     "q06_positional_join",  # synthetic-position-key alignment (zip_frames' row_number join) graded inside t95's token-position-keyed excision + ordered rebuild and t97's packing over an existing (shard, pos) order
@@ -226,14 +231,26 @@ DEMOTED: tuple[str, ...] = (
     "t69_rolling_anomaly",  # trailing-frame moment windows graded inside q47_distribution_windows (same RANGE/ROWS WindowExec machinery, three frames sharing one sort) + t90_feature_scale (the same exact-decimal (n, Σx, Σx²) moment discipline feeding z-scores); the |z|>3 flag tail is map-only scalar work
     "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t41 (stream-stream, the strictly-stateful superset) + t77 (streaming join-and-resolve against bucketed state)
     "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames + t88's cumulative mergeable bins
-    "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is the exact shape t84_curation_audit grades row-by-row plus t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline)
-    "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t94/t98's gram-postings candidate generation + exact-span verification — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
+    "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline; r11: t84, the old co-anchor, demoted into t101/t01)
+    "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t98's gram-postings candidate generation + exact-span verification (r11: t94, the old co-anchor, demoted into t98/t95) — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
     # r11 in-round: swapped for t107/t108/t109 — same-contract/
     # same-machinery supersets stay in-window:
     "t100_frequent_ngrams",  # the audit's OUTPUT contract is graded twice in-window through t100's own oracle — t106 (the mergeable-partials path, whose partials ARE t100's two-level string aggregate) and t107 (the hashed scale path, row-identical including ranks); the from-scratch string entry stays swept + planted-gram pytest
-    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t14 (applyInPandasWithState through the same staged availableNow drain) and t81 (watermarked streaming state); the beyond-k regime stays pytest-pinned
+    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t14 (applyInPandasWithState through the same staged availableNow drain) and t108's native watermarked stateful windows (r11: t81, the old co-anchor, demoted into t108/t105/t01); the beyond-k regime stays pytest-pinned
     "q46_nullsafe_join",  # NULL-equality machinery graded inside q51: GROUP BY on a NULLIF-derived key IS null-safe grouping (all NULLs one group — the <=> contract through the aggregate path) with the NOT-IN arm grading the non-null-safe contrast; the eqNullSafe join-condition form stays swept + pytest-covered
     "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t109_keyword_extract (the identical df-join shape, term-keyed, at corpus scale); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded
+    # r11 second in-round rotation: swapped for t110/q52/t111/t112-t115/
+    # q53 (standing rule: newest work is driver-graded immediately) —
+    # every outgoing idiom stays graded inside an in-window superset,
+    # and every demotee stays in the pytest oracle sweep + bench:
+    "q35_cube",  # CUBE is a strict special case of GROUPING SETS; q52_grouping_sets grades the identical Expand machinery with asymmetric sets plus grouping()/grouping_id markers, plan-pinned to one Expand and no Union — the general form of every grouping-sets variant q35 graded
+    "q14_dynamic_pivot",  # two-phase dynamic pivot (driver-collected distinct keys → one sum(when) projection per key) is the sum(when) conditional-projection machinery graded inside q28's CASE ladder (q12's standing demotion basis) with the single-pass multi-grain aggregate shape inside q52's plan-pinned Expand; the two-phase pivot() API call stays swept + pytest-covered
+    "t58_cohort_retention",  # cohort month-bucketing + month-difference arithmetic graded inside q49_calendar_arithmetic (date_trunc/months_between family); the per-entity event sequencing inside t14_streaming_stateful_sessions + t108_session_window_native (the native event-time path); the retention-matrix tail is a groupBy-count over those decisions (q28/q52-family aggregate machinery)
+    "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t112-t115 Python DataSource square (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer API surface); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
+    "t80_leakage_safe_split",  # group-consistent md5-hash-threshold assignment is the same deterministic md5-derived selection family graded inside t91's A-ES exact-k md5-rank sampling and t97's hash-order shard selection; the no-leakage invariant (one group → exactly one split) stays pytest-pinned and swept
+    "t81_streaming_dedup_watermark",  # watermarked streaming state graded inside t108_session_window_native (watermark + stateful merge through the native-operator path) and the streaming exactly-once drain discipline inside t105/t99; the dedup-key contract itself inside t01_dedup_exact
+    "t84_curation_audit",  # the per-doc keep/drop decision audit + per-source roster-LEFT-join rollup is graded inside t101_excision_impact_report (the same join-back-to-roster denominator discipline over per-doc decisions, strictly richer impact metrics); the fingerprint/min-representative dedup machinery inside t01/t19 (in-window)
+    "t94_substring_dedup_corpus",  # the positioned-gram postings → capped meet → island/span pair machinery is graded inside t98_incremental_substring_dedup (the identical path through the strictly-harder at-rest index probe) and the span-excision composition inside t95; the corpus keep/drop rollup inside t101's impact report
 )
 
 

@@ -76,6 +76,15 @@ def test_graded_window_contract():
         # review fix: t55's demotion anchors the grouped-KMV estimator
         # on t25's oracle, so t25 is itself driver-graded
         "t25_kmv_distinct",
+        # second in-round batch: newest work driver-graded immediately
+        "t110_url_parse_rollup",
+        "q52_grouping_sets",
+        "t111_pack_efficiency_report",
+        "t112_python_datasource",
+        "t113_python_stream_source",
+        "t114_python_source_pushdown",
+        "t115_python_source_writer",
+        "q53_group_by_all",
     }
     assert r11_promoted <= set(first50)
     # r10 rotation survivors (t100 demoted r11 — its output contract
@@ -91,19 +100,18 @@ def test_graded_window_contract():
         "t105_streaming_quarantine_ingest",
     }
     assert r10_entries <= set(first50)
-    # r9 rotation survivors (t93 demoted r10 into t97, which grades
-    # the same epoch_shuffle through the e2e composition)
+    # r9 rotation survivors (t94 demoted r11 after two green driver
+    # grades — its postings/meet/span machinery stays graded inside
+    # t98/t95, its keep/drop rollup inside t101)
     r9_entries = {
         "t14_streaming_stateful_sessions",
-        "t94_substring_dedup_corpus",
     }
     assert r9_entries <= set(first50)
-    # r8 rotation survivors (t82/t85/t83 demoted r11: t82's allocation
-    # family graded inside t97's temperature-count composition, t85's
-    # probe+rollup inside t32/t84/t101, t83's df-join machinery inside
-    # t109/t98)
+    # r8 rotation survivors (t81/t84 demoted r11 after three green
+    # driver grades: t81's watermarked state graded inside t108/t105,
+    # t84's roster-rollup discipline inside t101/t01; t82/t85/t83
+    # demoted earlier r11 on the same superset basis)
     r8_entries = {
-        "t81_streaming_dedup_watermark", "t84_curation_audit",
         "t89_schema_evolution_at_rest", "t90_feature_scale",
         "q47_distribution_windows",
     }
