@@ -223,6 +223,121 @@ def t41_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("purchase_id", "click_id")
 
 
+def _stage_events_outer(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Events staging for outer-join drains: the real part files (as
+    ``a_*``, oldest mtimes) plus ONE sentinel file (``b_*``, utime'd a
+    minute newer) holding a far-future purchase+click pair for
+    ``user_id = -1``. With ``maxFilesPerTrigger = n_real`` the real
+    data lands in micro-batch 1 and the sentinel alone in batch 2, so
+    the watermark computed from batch 1 closes every real row's join
+    interval before the drain ends — the one thing a bounded
+    availableNow run otherwise never does for outer joins (see
+    stream_interval_join's outer-mode note). Returns (dir, n_real)."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = hashlib.md5(f"outer:{sf_dir}".encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"events_outer_{tag}")
+    n_real = len(_source_files(src))
+
+    def build(dst_dir):
+        now = 0.0
+        for f in _source_files(src):
+            shutil.copy2(f, os.path.join(dst_dir, f"a_{os.path.basename(f)}"))
+            now = max(now, os.stat(f).st_mtime)
+        ev = spark.read.parquet(src)
+        # +7 days clears any sane lookback+watermark (6h+1h here); the
+        # sentinel pair self-matches, and user_id = -1 filters it out
+        sent_ts = F.timestamp_add(
+            "DAY", F.lit(7), F.max("ts").cast("timestamp")
+        )
+        base = ev.agg(sent_ts.alias("ts")).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                if f.name not in ("ts",)
+                else F.col("ts")
+                for f in ev.schema.fields
+            ]
+        )
+        sent = base.selectExpr(
+            "stack(2, CAST(-1 AS BIGINT), 'purchase', CAST(-2 AS BIGINT), 'click') "
+            "AS (sent_id, sent_type)",
+            "*",
+        )
+        sent = (
+            sent.withColumn("event_id", F.col("sent_id"))
+            .withColumn("user_id", F.lit(-1).cast("bigint"))
+            .withColumn("event_type", F.col("sent_type"))
+            .select(*[f.name for f in ev.schema.fields])
+        )
+        tmp = os.path.join(dst_dir, "_sent_build")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(dst_dir, "b_sentinel.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 60, now + 60))
+
+    return _stage_synced(d, _source_signature(src), build), n_real
+
+
+@register(
+    "t116_streaming_outer_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    ORDER BY purchase_id, click_id
+    """,
+)
+def t116_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: t41's attribution join,
+    but purchases with NO preceding click emit exactly once with NULL
+    click columns — the unmatched-row contract a bounded availableNow
+    drain normally never delivers, because outer rows emit only when
+    the watermark CLOSES their interval and the watermark stops at
+    ``max(ts) - delay``. The staging fixes that structurally: a
+    far-future sentinel pair lands alone in the final micro-batch
+    (mtime-ordered, maxFilesPerTrigger pins the real data to batch 1),
+    advancing the watermark past every real purchase so all unmatched
+    state flushes before the drain ends. The sentinel's own rows are
+    filtered by ``user_id >= 0``. State stays bounded by the interval
+    condition exactly as in the inner form; the drained result must
+    equal the batch LEFT JOIN (DuckDB oracle), NULL rows included."""
+    src, n_real = _stage_events_outer(spark, sf_dir)
+    with _few_state_partitions(spark):
+        purchases = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "purchase")
+        clicks = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "click")
+        joined = stream_interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            lookback="6 hours",
+            watermark="1 hour",
+            how="left_outer",
+        )
+        out = run_available_now(
+            joined.select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("r_event_id").alias("click_id"),
+                (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+            ),
+            f"t116_{uuid.uuid4().hex[:8]}",
+            "append",
+        )
+    return out.filter(F.col("user_id") >= 0).orderBy("purchase_id", "click_id")
+
+
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only
 def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup detection: per-row signatures →

@@ -149,8 +149,12 @@ def stream_interval_join(
     and a bounded availableNow drain ends with the watermark at
     ``max(ts) - watermark`` — trailing unmatched rows inside that last
     window are never emitted. Inner join (the default) has no such
-    tail; for bounded replays needing outer semantics, run the batch
-    join instead.
+    tail. For bounded replays needing full outer-row delivery, stage a
+    far-future sentinel row into the FINAL micro-batch so the watermark
+    passes every real row before the drain ends — t116's
+    ``_stage_events_outer`` does exactly that (plans/streaming_entries),
+    and its DuckDB oracle pins the drained result equal to the batch
+    LEFT JOIN, NULL rows included.
     """
     lhs = left.withWatermark(ts_col, watermark)
     rhs = right.withWatermark(ts_col, watermark).select(

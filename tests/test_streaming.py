@@ -2125,3 +2125,115 @@ def test_cdc_version_diff(spark, tmp_path):
         ).collect()
     }
     assert clean[1] == "unchanged"
+
+
+def test_outer_interval_join_flushes_unmatched_only_with_sentinel(
+    spark, tmp_path
+):
+    """t116's load-bearing mechanics, on a planted frame.
+
+    Left-outer stream-stream interval join: (a) WITHOUT a
+    watermark-advancing final batch, trailing unmatched left rows stay
+    in state and a bounded availableNow drain never emits them — the
+    documented outer-mode caveat; (b) WITH a far-future sentinel pair
+    staged alone into the final micro-batch, every unmatched purchase
+    emits exactly once with NULL right columns and the drained frame
+    equals the batch LEFT JOIN row-for-row."""
+    import uuid as _uuid
+
+    from datasheet_etl_spark.streaming.streams import (
+        run_available_now,
+        stream_interval_join,
+    )
+
+    schema = "event_id bigint, ts string, user_id bigint, event_type string"
+    base = "2024-01-01 12:{:02d}:00"
+    rows = [
+        # user 1: purchase with one click 5 min earlier -> matched
+        (10, base.format(5), 1, "click"),
+        (11, base.format(10), 1, "purchase"),
+        # user 2: purchase with NO click -> must emit a NULL row
+        (20, base.format(10), 2, "purchase"),
+        # user 3: click AFTER the purchase -> outside interval, NULL row
+        (30, base.format(10), 3, "purchase"),
+        (31, base.format(20), 3, "click"),
+    ]
+    sentinel = [
+        (-1, "2024-03-01 00:00:00", -1, "purchase"),
+        (-2, "2024-03-01 00:00:00", -1, "click"),
+    ]
+
+    def drain(with_sentinel):
+        src = str(tmp_path / f"src_{with_sentinel}")
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        part_mtimes = [
+            os.path.getmtime(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        ]
+        if with_sentinel:
+            sent = spark.createDataFrame(sentinel, schema).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+            tmp = str(tmp_path / "sent_build")
+            sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, "zz_sentinel.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (max(part_mtimes) + 60, max(part_mtimes) + 60))
+        n_real = sum(
+            1
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith("zz_")
+        )
+        purchases = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .option("maxFilesPerTrigger", str(n_real))
+            .format("parquet")
+            .load(src)
+            .filter(F.col("event_type") == "purchase")
+        )
+        clicks = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", str(n_real))
+            .format("parquet")
+            .load(src)
+            .filter(F.col("event_type") == "click")
+        )
+        joined = stream_interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            lookback="6 hours",
+            watermark="1 hour",
+            how="left_outer",
+        )
+        out = run_available_now(
+            joined.select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("r_event_id").alias("click_id"),
+            ),
+            f"t116pin_{_uuid.uuid4().hex[:8]}",
+            "append",
+        )
+        return {
+            (r["purchase_id"], r["click_id"])
+            for r in out.filter(F.col("user_id") >= 0).collect()
+        }
+
+    # (a) no sentinel: the matched pair emits, the unmatched purchases
+    # are stuck in state when the drain ends
+    got = drain(with_sentinel=False)
+    assert got == {(11, 10)}
+
+    # (b) sentinel: unmatched purchases flush as NULL rows exactly once
+    got = drain(with_sentinel=True)
+    assert got == {(11, 10), (20, None), (30, None)}
