@@ -4080,3 +4080,63 @@ def q53_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)",
         )
     )
+
+
+@register(
+    "q54_timezone_parity",
+    """
+    WITH shifted AS (
+        SELECT event_id, user_id,
+               ts + to_days(CAST(event_id % 365 AS INT)) AS utc_ts
+        FROM events
+    ), local AS (
+        SELECT event_id, user_id,
+               timezone('America/New_York', timezone('UTC', utc_ts)) AS ny_ts
+        FROM shifted
+    )
+    SELECT CAST(date_trunc('day', ny_ts) AS DATE) AS ny_date,
+           CAST(extract(hour FROM ny_ts) AS INT) AS ny_hour,
+           count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS first_event
+    FROM local
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q54_timezone_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA-timezone conversion parity: UTC wall-clock events converted
+    to America/New_York local time and bucketed by local date+hour.
+    The events span one month, so each timestamp is first shifted by
+    ``event_id % 365`` days — deterministic in both engines — to cross
+    BOTH 2024 DST transitions (spring-forward gap and fall-back
+    overlap). UTC→local is a total function (no ambiguity in this
+    direction — only local→UTC has the skipped/doubled hour), so
+    Spark's ``from_utc_timestamp`` and DuckDB's
+    ``timezone(tz, timezone('UTC', ts))`` must agree row-for-row on
+    the shared IANA tzdata, DST edges included; the local-date
+    grouping makes any off-by-one-hour drift a visible count shift.
+    Map-side conversion + one partial-agged groupBy — tz conversion at
+    100 TB stays embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    shifted = ev.select(
+        "event_id",
+        "user_id",
+        F.timestamp_add(
+            "DAY", (F.col("event_id") % 365).cast("int"), F.col("ts")
+        ).alias("utc_ts"),
+    )
+    local = shifted.select(
+        "event_id",
+        F.from_utc_timestamp("utc_ts", "America/New_York").alias("ny_ts"),
+    )
+    return (
+        local.groupBy(
+            F.to_date(F.date_trunc("day", "ny_ts")).alias("ny_date"),
+            F.hour("ny_ts").cast("int").alias("ny_hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").cast("long").alias("first_event"),
+        )
+        .orderBy("ny_date", "ny_hour")
+    )
