@@ -223,22 +223,31 @@ def t41_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("purchase_id", "click_id")
 
 
-def _stage_events_outer(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
-    """Events staging for outer-join drains: the real part files (as
-    ``a_*``, oldest mtimes) plus ONE sentinel file (``b_*``, utime'd a
-    minute newer) holding a far-future purchase+click pair for
-    ``user_id = -1``. With ``maxFilesPerTrigger = n_real`` the real
-    data lands in micro-batch 1 and the sentinel alone in batch 2, so
-    the watermark computed from batch 1 closes every real row's join
-    interval before the drain ends — the one thing a bounded
-    availableNow run otherwise never does for outer joins (see
-    stream_interval_join's outer-mode note). Returns (dir, n_real)."""
+def _stage_events_sentinels(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    sentinel_files: list[list[tuple[int, int, str, int]]],
+) -> tuple[str, int]:
+    """Events staging for watermark-flush drains: the real part files
+    (as ``a_*``, oldest mtimes) plus one extra file per element of
+    ``sentinel_files`` (``b0_*``, ``b1_*``, …, utime'd one minute
+    apart, newest last), each holding far-future rows given as
+    ``(event_id, user_id, event_type, days_after_max_ts)``. With
+    ``maxFilesPerTrigger = n_real`` the real data lands in micro-batch
+    1 and each sentinel file alone in a later batch, so the watermark
+    computed from every batch N's data is live during batch N+1 —
+    advancing it past the real rows before the drain ends, which a
+    bounded availableNow run never guarantees by itself for outer
+    joins or event-time timeouts. Returns (dir, n_real)."""
     import hashlib
     import os
 
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    tag = hashlib.md5(f"outer:{sf_dir}".encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"events_outer_{tag}")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"events_{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
     n_real = len(_source_files(src))
 
     def build(dst_dir):
@@ -247,39 +256,60 @@ def _stage_events_outer(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
             shutil.copy2(f, os.path.join(dst_dir, f"a_{os.path.basename(f)}"))
             now = max(now, os.stat(f).st_mtime)
         ev = spark.read.parquet(src)
-        # +7 days clears any sane lookback+watermark (6h+1h here); the
-        # sentinel pair self-matches, and user_id = -1 filters it out
-        sent_ts = F.timestamp_add(
-            "DAY", F.lit(7), F.max("ts").cast("timestamp")
-        )
-        base = ev.agg(sent_ts.alias("ts")).select(
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                if f.name not in ("ts",)
-                else F.col("ts")
-                for f in ev.schema.fields
-            ]
-        )
-        sent = base.selectExpr(
-            "stack(2, CAST(-1 AS BIGINT), 'purchase', CAST(-2 AS BIGINT), 'click') "
-            "AS (sent_id, sent_type)",
-            "*",
-        )
-        sent = (
-            sent.withColumn("event_id", F.col("sent_id"))
-            .withColumn("user_id", F.lit(-1).cast("bigint"))
-            .withColumn("event_type", F.col("sent_type"))
-            .select(*[f.name for f in ev.schema.fields])
-        )
-        tmp = os.path.join(dst_dir, "_sent_build")
-        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(dst_dir, "b_sentinel.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (now + 60, now + 60))
+        max_ts = ev.agg(F.max("ts").cast("timestamp").alias("m"))
+        for i, rows in enumerate(sentinel_files):
+            sent = max_ts.selectExpr(
+                "stack({}, {}) AS (sent_id, sent_uid, sent_type, sent_days)".format(
+                    len(rows),
+                    ", ".join(
+                        f"CAST({eid} AS BIGINT), CAST({uid} AS BIGINT), "
+                        f"'{etype}', {days}"
+                        for eid, uid, etype, days in rows
+                    ),
+                ),
+                "m",
+            ).select(
+                *[
+                    F.col("sent_id").alias(f.name)
+                    if f.name == "event_id"
+                    else F.col("sent_uid").alias(f.name)
+                    if f.name == "user_id"
+                    else F.col("sent_type").alias(f.name)
+                    if f.name == "event_type"
+                    else F.timestamp_add("DAY", F.col("sent_days"), F.col("m")).alias(
+                        f.name
+                    )
+                    if f.name == "ts"
+                    else F.lit(0.0).cast(f.dataType).alias(f.name)
+                    if f.name == "value"
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in ev.schema.fields
+                ]
+            )
+            tmp = os.path.join(dst_dir, "_sent_build")
+            sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(dst_dir, f"b{i}_sentinel.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now + 60 * (i + 1), now + 60 * (i + 1)))
 
-    return _stage_synced(d, _source_signature(src), build), n_real
+    # sentinel spec is part of the staging identity: changing the
+    # planted rows must force a restage even when the source is same
+    sig = _source_signature(src) + "|" + repr(sentinel_files)
+    return _stage_synced(d, sig, build), n_real
+
+
+def _stage_events_outer(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """t116 staging: one sentinel file with a purchase+click pair for
+    ``user_id = -1`` at +7 days (clears the 6h lookback + 1h
+    watermark; the pair self-matches and the entry filters it out)."""
+    return _stage_events_sentinels(
+        spark,
+        sf_dir,
+        "outer",
+        [[(-1, -1, "purchase", 7), (-2, -1, "click", 7)]],
+    )
 
 
 @register(
@@ -336,6 +366,45 @@ def t116_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append",
         )
     return out.filter(F.col("user_id") >= 0).orderBy("purchase_id", "click_id")
+
+
+@register("t117_stateful_timeout_sessions", ORACLES["q18_sessionize"])
+def t117_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionize with EVENT-TIME TIMEOUT expiry
+    (``GroupStateTimeout.EventTimeTimeout``): sessions emit exactly
+    once, when CLOSED — by the next event's gap in-stream, or by the
+    watermark passing ``last_event + gap`` via the timeout branch
+    (``hasTimedOut`` → finalize → ``state.remove()``). This is the
+    state-lifecycle contract t14's NoTimeout operator never exercises:
+    quiet keys finalize and their state is removed, so state tracks
+    OPEN sessions only. Trailing no-data batches already fire timeouts
+    up to the final data watermark (``max(ts) − delay``; pinned in
+    tests/test_streaming.py), but sessions closing inside that last
+    window would stay stuck; two sentinel files (+7d/+14d, one per
+    micro-batch) advance the watermark in two steps — batch N+1 runs
+    with batch N's watermark — so by the second sentinel batch every
+    real session's timeout has fired, structurally. Because each
+    session is emitted exactly once, the drained sink needs NO dedup:
+    the raw memory-sink content equals batch Q18's session table
+    (the DuckDB oracle), which grades the whole timeout lifecycle."""
+    src, n_real = _stage_events_sentinels(
+        spark,
+        sf_dir,
+        "timeout",
+        [[(-1, -1, "sentinel", 7)], [(-2, -2, "sentinel", 14)]],
+    )
+    from datasheet_etl_spark.streaming.streams import sessionize_timeout
+
+    with _few_state_partitions(spark):
+        stream = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).withWatermark("ts", "1 hour")
+        out = run_available_now(
+            sessionize_timeout(stream),
+            f"t117_{uuid.uuid4().hex[:8]}",
+            "update",
+        )
+    return out.filter(F.col("user_id") >= 0).orderBy("user_id", "session_id")
 
 
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only

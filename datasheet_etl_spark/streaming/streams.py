@@ -289,6 +289,151 @@ def _session_fn(
         )
 
 
+def _session_timeout_fn(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: float = 1800.0,
+):
+    """Close-on-timeout gap sessionizer (EventTimeTimeout body).
+
+    Emission discipline differs from ``_session_fn`` deliberately: a
+    session row is yielded EXACTLY ONCE, at close — either an in-batch
+    gap starts the next session (the prior one is closed), or the
+    event-time timeout fires (watermark passed ``last_ts + gap``) and
+    ``hasTimedOut`` finalizes the open tail. Update-mode re-emission
+    never happens, so the raw sink content IS the session table with
+    no dedup pass — the exactly-once-per-session contract t14's
+    update-mode operator cannot offer.
+    """
+    (user_id,) = key
+
+    def row(session_id, n, first, last, value):
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_id": session_id,
+                    "n_events": n,
+                    "first_event": first,
+                    "last_event": last,
+                    "session_value": value,
+                }
+            ]
+        )
+
+    if state.hasTimedOut:
+        # no new events for this key and the watermark passed the open
+        # session's close time: finalize and drop the state row
+        last_ts, session_id, n, first, last, value = state.get
+        state.remove()
+        if n > 0:
+            yield row(session_id, n, first, last, value)
+        return
+
+    if state.exists:
+        last_ts, session_id, n, first, last, value = state.get
+    else:
+        last_ts, session_id, n, first, last, value = (None, 0, 0, None, None, 0.0)
+
+    # vectorized gap fold (the per-row-Python version of this loop was
+    # the 5x-at-10x hotspot in the scale audit): session boundaries are
+    # a shift/compare/cumsum, per-session aggregates one groupby — all
+    # C-speed pandas. Cross-batch continuity comes from seeding the
+    # first row's "previous timestamp" with the state's last_ts.
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("event_id")
+        ts_sec = pdf["ts"].astype("int64").to_numpy() / 1e9
+        prev = pd.Series(ts_sec).shift(1)
+        if last_ts is not None:
+            prev.iloc[0] = last_ts
+        is_start = prev.isna() | ((ts_sec - prev) > gap_seconds)
+        sid = session_id + is_start.cumsum().to_numpy()
+        agg = (
+            pd.DataFrame(
+                {
+                    "sid": sid,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "value": pdf["value"].to_numpy(),
+                    "ts_sec": ts_sec,
+                }
+            )
+            .groupby("sid", sort=True)
+            .agg(
+                n=("event_id", "size"),
+                first=("event_id", "min"),
+                last=("event_id", "max"),
+                value=("value", "sum"),
+                last_ts=("ts_sec", "max"),
+            )
+        )
+        sids = agg.index.to_numpy()
+        if n > 0 and sids[0] == session_id:
+            # first group continues the stored open session: merge
+            g = agg.iloc[0]
+            n += int(g["n"])
+            first = min(first, int(g["first"]))
+            last = max(last, int(g["last"]))
+            value += float(g["value"])
+            last_ts = float(g["last_ts"])
+            agg = agg.iloc[1:]
+            sids = sids[1:]
+        elif n > 0:
+            # the batch's first event started a NEW session: the
+            # stored one closed at the gap — emit it now
+            yield row(session_id, n, first, last, value)
+            n = 0
+        # all but the highest sid are closed in-batch
+        for s_id, g in zip(sids, agg.itertuples()):
+            if n > 0:
+                yield row(session_id, n, first, last, value)
+            session_id = int(s_id)
+            n, first, last, value, last_ts = (
+                int(g.n),
+                int(g.first),
+                int(g.last),
+                float(g.value),
+                float(g.last_ts),
+            )
+    if last_ts is None:
+        return
+    state.update((last_ts, session_id, n, first, last, value))
+    # close time in epoch-millis: when the watermark passes it, the
+    # timeout branch above finalizes this session
+    state.setTimeoutTimestamp(int((last_ts + gap_seconds) * 1000))
+
+
+def sessionize_timeout(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Sessionize with EVENT-TIME TIMEOUT state expiry: sessions emit
+    exactly once, when closed — by the next event's gap, or by the
+    watermark passing ``last_event + gap`` (``GroupStateTimeout.
+    EventTimeTimeout``; the stream must carry ``withWatermark``). This
+    is the state-LIFECYCLE half of stateful processing that
+    ``NoTimeout`` operators never exercise: keys with no further
+    traffic still finalize and their state is REMOVED, so state size
+    tracks open sessions, not ever-seen keys — the difference between
+    bounded and unbounded state on a 100 TB event stream where most
+    keys go quiet forever.
+
+    Session ids restart at 1 per key and number CLOSED-in-order, which
+    matches batch ``sessionize`` (q18's SQL) on an in-order bounded
+    replay — t117's DuckDB oracle grades exactly that equality.
+    """
+
+    def fn(key, batches, state):
+        yield from _session_timeout_fn(key, batches, state, gap_seconds)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def sessionize_stateful(events: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
     """Custom stateful sessionize via ``applyInPandasWithState`` — the
     extension point for stateful logic ``session_window`` cannot express

@@ -120,6 +120,18 @@ ENTRIES = [
     "t108_session_window_native",
     "t109_keyword_extract",
     "t110_url_parse_rollup",
+    # r11 second batch: the pack-efficiency report (t97's plan CTEs +
+    # a per-shard rollup), the sentinel-flushed streaming LEFT OUTER
+    # interval join (state scales with events per lookback window,
+    # exactly t41's bound, plus the unmatched-row flush), and the
+    # map-side timezone conversion rollup (embarrassingly parallel by
+    # construction — the row exists to SHOW that, not to test it)
+    "t111_pack_efficiency_report",
+    "t116_streaming_outer_join",
+    "q54_timezone_parity",
+    # r11: event-time-timeout sessionize — state rows track OPEN
+    # sessions (timeout removes quiet keys), emission once per close
+    "t117_stateful_timeout_sessions",
 ]
 
 # per-table key columns to offset so copies don't collide

@@ -2237,3 +2237,89 @@ def test_outer_interval_join_flushes_unmatched_only_with_sentinel(
     # (b) sentinel: unmatched purchases flush as NULL rows exactly once
     got = drain(with_sentinel=True)
     assert got == {(11, 10), (20, None), (30, None)}
+
+
+def test_timeout_sessionize_emits_once_on_close(spark, tmp_path):
+    """t117's lifecycle mechanics, on a planted frame.
+
+    (a) WITHOUT a watermark-advancing final batch, only sessions closed
+    by an in-stream gap emit; the open tail per key is withheld in
+    state. (b) WITH two staged sentinel batches, every session emits —
+    via the EventTimeTimeout branch for the tails — and each session
+    appears in the RAW sink output exactly once (close-only emission:
+    no update-mode re-emissions to dedup)."""
+    import uuid as _uuid
+
+    from datasheet_etl_spark.streaming.streams import (
+        run_available_now,
+        sessionize_timeout,
+    )
+
+    schema = "event_id bigint, ts string, user_id bigint, value double"
+    rows = [
+        # user 1: two sessions (gap 2h > 30min); second session is the
+        # open tail -> only flushes via timeout
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (2, "2024-01-01 10:10:00", 1, 2.0),
+        (3, "2024-01-01 12:30:00", 1, 4.0),
+        # user 2: one never-gapped session -> pure timeout flush
+        (4, "2024-01-01 10:00:00", 2, 8.0),
+    ]
+    sentinels = [
+        [(-1, "2024-02-01 00:00:00", -1, 0.0)],
+        [(-2, "2024-03-01 00:00:00", -2, 0.0)],
+    ]
+
+    def drain(n_sentinel_files):
+        src = str(tmp_path / f"src_{n_sentinel_files}")
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        mt = max(
+            os.path.getmtime(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        for i in range(n_sentinel_files):
+            sdf = spark.createDataFrame(sentinels[i], schema).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+            tmp = str(tmp_path / "sb")
+            sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"zz{i}_sentinel.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mt + 60 * (i + 1), mt + 60 * (i + 1)))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "1 hour")
+        )
+        out = run_available_now(
+            sessionize_timeout(stream),
+            f"t117pin_{_uuid.uuid4().hex[:8]}",
+            "update",
+        )
+        return [
+            (r["user_id"], r["session_id"], r["n_events"], r["session_value"])
+            for r in out.filter(F.col("user_id") >= 0).collect()
+        ]
+
+    # (a) no sentinels: user 1's first session closes via the
+    # in-stream gap; user 2's session times out anyway — the trailing
+    # no-data batch fires timeouts up to the FINAL watermark
+    # (max ts 12:30 − 1h = 11:30 > its 10:30 close). What a bounded
+    # drain can never flush on its own is the LAST watermark window:
+    # user 1's tail (close 13:00 > 11:30) stays stuck in state —
+    # exactly the gap the sentinels exist to cover.
+    got = drain(0)
+    assert sorted(got) == [(1, 1, 2, 3.0), (2, 1, 1, 8.0)]
+
+    # (b) both sentinels: tails flushed via the timeout branch, every
+    # session exactly once in the raw sink (list, not set: duplicate
+    # emissions would show)
+    got = drain(2)
+    assert sorted(got) == [(1, 1, 2, 3.0), (1, 2, 1, 4.0), (2, 1, 1, 8.0)]
