@@ -407,6 +407,74 @@ def t117_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     return out.filter(F.col("user_id") >= 0).orderBy("user_id", "session_id")
 
 
+@register(
+    "t118_chained_streaming_aggs",
+    """
+    WITH lvl1 AS (
+        SELECT date_trunc('hour', ts) AS ws, user_id,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(epoch_us(ws) AS BIGINT) AS ws_us,
+           count(*) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS total_events
+    FROM lvl1 GROUP BY ws ORDER BY ws
+    """,
+)
+def t118_chained_streaming_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful aggregations chained in ONE streaming query —
+    per-(user, 1h-window) counts feeding a per-window user-count/total
+    rollup — the multi-stateful-operator support Spark forbade before
+    3.4 and that turns 'stream → land → re-aggregate' two-job
+    pipelines into one checkpointed query. Both levels run in append
+    mode under one watermark: level 1 emits a (window, user) row when
+    the watermark closes the window, level 2 re-aggregates those
+    closed rows and emits when the same watermark passes ITS window.
+    Two sentinel micro-batches advance the watermark in two steps —
+    one step per stateful level, since each level's output reaches the
+    next level one batch later — so every real window flushes through
+    BOTH levels before the bounded drain ends. Sentinel rows must flow
+    THROUGH the aggregates (a pre-aggregate user filter gets pushed
+    below the EventTimeWatermark node and the watermark never
+    advances — found by prototype); the drained result is filtered by
+    window start ≤ max real ts instead, which also drops the sentinel
+    windows. The DuckDB oracle is the plain two-level batch SQL."""
+    src, n_real = _stage_events_sentinels(
+        spark,
+        sf_dir,
+        "chain",
+        [[(-1, -1, "sentinel", 7)], [(-2, -2, "sentinel", 14)]],
+    )
+    from datasheet_etl_spark.io import load_table
+
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    with _few_state_partitions(spark):
+        stream = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).withWatermark("ts", "1 hour")
+        lvl1 = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n_events"))
+        lvl2 = lvl1.groupBy("w").agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+        )
+        out = run_available_now(
+            lvl2, f"t118_{uuid.uuid4().hex[:8]}", "append"
+        )
+    return (
+        out.filter(F.col("w.start") <= F.lit(max_ts))
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "n_users",
+            F.col("total_events").cast("long").alias("total_events"),
+        )
+        .orderBy("ws_us")
+    )
+
+
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only
 def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup detection: per-row signatures →

@@ -132,6 +132,9 @@ ENTRIES = [
     # r11: event-time-timeout sessionize — state rows track OPEN
     # sessions (timeout removes quiet keys), emission once per close
     "t117_stateful_timeout_sessions",
+    # r11: two chained stateful aggregates — state ∝ open windows at
+    # level 1 (bounded by watermark) + windows at level 2
+    "t118_chained_streaming_aggs",
 ]
 
 # per-table key columns to offset so copies don't collide

@@ -2323,3 +2323,93 @@ def test_timeout_sessionize_emits_once_on_close(spark, tmp_path):
     # emissions would show)
     got = drain(2)
     assert sorted(got) == [(1, 1, 2, 3.0), (1, 2, 1, 4.0), (2, 1, 1, 8.0)]
+
+
+def test_chained_streaming_aggs_two_state_operators(spark, tmp_path):
+    """t118's mechanics: (a) the executed streaming query really runs
+    TWO stateful aggregation operators (progress.stateOperators), and
+    (b) the prototype-found trap is real — filtering the input on a
+    non-time column BEFORE the first aggregate gets pushed below the
+    EventTimeWatermark node, so sentinel rows never advance the
+    watermark and the trailing windows never flush. t118 therefore
+    filters the DRAINED output, never the stream."""
+    import json
+    import uuid as _uuid
+
+    schema = "event_id bigint, ts string, user_id bigint"
+    rows = [
+        (1, "2024-01-01 10:05:00", 1),
+        (2, "2024-01-01 10:15:00", 2),
+        (3, "2024-01-01 11:05:00", 1),
+    ]
+    sentinels = [
+        [(-1, "2024-02-01 00:00:00", -1)],
+        [(-2, "2024-03-01 00:00:00", -2)],
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    mt = max(
+        os.path.getmtime(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    for i, srows in enumerate(sentinels):
+        sdf = spark.createDataFrame(srows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        tmp = str(tmp_path / "sb")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"zz{i}_sentinel.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (mt + 60 * (i + 1), mt + 60 * (i + 1)))
+
+    def chain(stream):
+        lvl1 = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n_events"))
+        return lvl1.groupBy("w").agg(F.count("*").alias("n_users"))
+
+    def drain(pre_filter):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "1 hour")
+        )
+        if pre_filter:
+            stream = stream.filter(F.col("user_id") >= 0)
+        name = f"t118pin_{_uuid.uuid4().hex[:8]}"
+        q = (
+            chain(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_state_ops = len((q.lastProgress or {}).get("stateOperators", []))
+        got = {
+            (str(r["w"]["start"]), r["n_users"])
+            for r in spark.sql(f"SELECT * FROM {name}")
+            .filter(F.col("w.start") < "2024-01-15")
+            .collect()
+        }
+        return got, n_state_ops
+
+    # (a) sentinels in-stream: both real windows flush through both
+    # levels; the query ran exactly two stateful operators
+    got, n_ops = drain(pre_filter=False)
+    assert n_ops == 2, f"expected 2 state operators, got {n_ops}"
+    assert got == {("2024-01-01 10:00:00", 2), ("2024-01-01 11:00:00", 1)}
+
+    # (b) the trap: a pre-aggregate user filter starves the watermark
+    # (sentinels filtered below the EventTimeWatermark node) — nothing
+    # ever flushes
+    got, _ = drain(pre_filter=True)
+    assert got == set()
