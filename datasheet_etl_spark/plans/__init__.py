@@ -22,16 +22,18 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
 # oracled except the WINDOW_ROWS_ONLY exceptions below. Round-11
-# rotation (standing rule: newest work is driver-graded, not only
-# pytest-oracled): the eight r10 entries the driver never checked —
-# t103/t104/t106/q48-q51 (oracled) and t102 (rows-only by written
-# impossibility: zlib internals) — in; q45/q44/q39/t69/t75/t82/t85/t64
-# out, each with an idiom-superset rationale in DEMOTED. No existing
-# DEMOTED anchor pointed at any outgoing entry (verified by grep), so
-# no re-pointing was needed this round.
+# rotated in three steps (standing rule: newest work is driver-graded,
+# not only pytest-oracled): (1) the eight r10 entries the driver never
+# checked — t103/t104/t106/q48-q51 (oracled) and t102 (rows-only by
+# written impossibility: zlib internals) — in; q45/q44/q39/t69/t75/
+# t82/t85/t64 out. (2) in-round promotions t107/t108/t109/t25 then
+# t110/q52/t111/t112-t115/q53, demoting q14/q35/t58/t76/t80/t81/t84/
+# t94 + t100/t55/q46/t83. (3) strict-superset swaps t116←t41 and
+# t117←t14. Every demotion carries an idiom-superset rationale in
+# DEMOTED, and every DEMOTED rationale that cited an outgoing entry as
+# its in-window anchor was re-pointed in the same step.
 WINDOW: tuple[str, ...] = (
     "q28_severity_ladder",
-    "t41_streaming_interval_join",
     "t01_dedup_exact",
     "t06_ann_bruteforce",
     "t07_ann_ivf",
@@ -58,9 +60,6 @@ WINDOW: tuple[str, ...] = (
     "t89_schema_evolution_at_rest",
     "t90_feature_scale",
     "q47_distribution_windows",
-    # --- rotated IN for round 9 (VERDICT r8 #1): stateful sessions,
-    # oracle gained r8 via the batch-parity path ---
-    "t14_streaming_stateful_sessions",
     # --- rotated IN for round 10: the six oracled entries the driver
     # has never checked (r9 additions + t12's r9 oracle upgrade) ---
     "t95_substring_span_excision",
@@ -117,6 +116,14 @@ WINDOW: tuple[str, ...] = (
     "t114_python_source_pushdown",
     "t115_python_source_writer",
     "q53_group_by_all",
+    # --- r11 third in-round swap: two strict-superset promotions.
+    # t116 runs t41's OWN stream_interval_join operator in left-outer
+    # form (every t41 matched row appears identically, plus the
+    # sentinel-flushed NULL-row contract); t117 grades t14's q18
+    # oracle through the strictly-harder close-once EventTimeTimeout
+    # lifecycle. t41/t14 demoted with those rationales below ---
+    "t116_streaming_outer_join",
+    "t117_stateful_timeout_sessions",
 )
 
 # Rows-only entries deliberately inside the graded window: no DuckDB
@@ -152,7 +159,8 @@ DEMOTED: tuple[str, ...] = (
     # epoch-bucket agg is graded inside t108's native event-time
     # window aggregation + q52's multi-grain Expand (r11: t58/q35, the
     # old anchors, demoted into q49/t108 and q52), the streaming drain
-    # path inside t14/t41 (r9: t13, which graded the identical
+    # path inside t117/t116 (r11: t14/t41, the old anchors, demoted
+    # into those strict supersets; r9: t13, which graded the identical
     # contract through the streaming path, demoted on the same basis):
     "q31_tumbling_window",
     # r6: swapped out for t57/t59/t64/t65/t67/t68/q35/q38 (VERDICT r5
@@ -185,7 +193,7 @@ DEMOTED: tuple[str, ...] = (
     "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t96_dsir_importance_select (identical two-level agg shape; r10: t65, the old anchor, demoted into t96)
     # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
     "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside t97's per-source row_number selection and q47's shared-WindowExec trio (r10: q16, the old anchor, demoted)
-    "q07_range_join",  # range-containment predicate join graded inside t41's stream-stream interval join (same range predicate through the strictly-stronger watermarked streaming path) + t74's as-of alignment
+    "q07_range_join",  # range-containment predicate join graded inside t116's stream-stream interval join (same range predicate through the strictly-stronger watermarked left-outer streaming path; r11: t41, the old anchor, demoted into t116 — the same operator) + t74's as-of alignment
     # r7 continuation: swapped for t88/t91 — same-machinery supersets stay in-window:
     "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t96_dsir_importance_select (identical tokenize→explode→agg shape, richer two-level rollup; r10: t65, the old anchor, demoted into t96)
     "t29_mixture_weighted",  # hash-prefix Bernoulli sampling graded inside t33's weighted_sample 50% gate (same operator/idiom); the per-source CASE-weighted agg side graded inside q28's CASE machinery (r9: q29, the old anchor, demoted); the exact-k weighted form is now graded directly by t91
@@ -199,13 +207,13 @@ DEMOTED: tuple[str, ...] = (
     "q30_idempotent_rerun",  # left-anti incremental-skip idiom graded inside t32_decontaminate (same left-anti at corpus scale, Bloom + shuffle-hash variants)
     "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t98 (same postings shape, exact-span verify; r11: t94, the old co-anchor, demoted into t98/t95; r10: t92, the old anchor, demoted on the same basis); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
     "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t16_dedup_clusters (same edge→component machinery over the shared graph helpers)
-    "t57_funnel",  # ordered-event window sequencing graded inside t14_streaming_stateful_sessions (q18's sessionize contract through the stateful path; r10: q18, the old anchor, demoted into t14) + t108's native event-time sessions (r11: t58, the old co-anchor, demoted into q49/t14/t108)
+    "t57_funnel",  # ordered-event window sequencing graded inside t117_stateful_timeout_sessions (q18's sessionize contract through the stateful close-once path; r11: t14, the old anchor, demoted into t117; r10: q18 demoted on the same basis) + t108's native event-time sessions
     "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t90_feature_scale's stats pass (same decimal mean/variance machinery); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
     "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
     # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
     # — every outgoing idiom stays graded inside an in-window superset:
     "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q52/t73's multi-aggregate rollups (r11: q35, the old co-anchor, demoted into q52); the clamp/round tail is map-only scalar work
-    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t14 (identical staging + drain through the strictly-harder stateful operator) and t41 (stream-stream); the tumbling epoch-bucket agg graded inside t108's native event-time window aggregation + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
+    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t117 (identical staging + drain through the strictly-harder timeout-stateful operator) and t116 (stream-stream; r11: t14/t41, the old anchors, demoted into those supersets); the tumbling epoch-bucket agg graded inside t108's native event-time window aggregation + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
     "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate over per-doc keep/drop decisions — the rollup-over-decisions discipline graded inside t101_excision_impact_report's per-source roster-joined rollup (r11: t84/t94, the old anchors, demoted into t101/t01 and t98/t95 on the same machinery); the count_distinct idiom stays graded inside t01's distinct-key dedup
     # r10: swapped out for t95/t96/t97/t98/t99/t12 (standing rule:
     # newest work is driver-graded) — every outgoing idiom stays graded
@@ -213,7 +221,7 @@ DEMOTED: tuple[str, ...] = (
     "t65_unigram_log_ppl",  # tokenize→explode→broadcast-vocab→per-doc DECIMAL agg graded inside t96_dsir_importance_select — the strict machinery superset: the SAME Laplace-smoothed unigram-LM scoring run TWICE (target + pool LMs) with a log-ratio and a top-k tail
     "t92_substring_overlap",  # positioned-gram postings + capped gkey self-join + island/span machinery graded in-window by t95 (excision over the same pair set) and t98 (the identical postings/meet/span path through the at-rest index probe; r11: t94, the old co-anchor, demoted into t98/t95 — it re-derived the same pairs for corpus keep/drop)
     "t93_epoch_shuffle",  # md5-keyed epoch shuffle graded inside t97_training_shard_plan, which invokes epoch_shuffle directly and composes it with temperature counts, hash-order selection, and pack_in_order — the e2e a training loop actually runs
-    "q18_sessionize",  # gap-based sessionization graded inside t14_streaming_stateful_sessions with q18's OWN oracle SQL through the strictly-stronger applyInPandasWithState streaming path (batch-parity drain)
+    "q18_sessionize",  # gap-based sessionization graded inside t117_stateful_timeout_sessions with q18's OWN oracle SQL through the strictly-stronger applyInPandasWithState EventTimeTimeout path (r11: t14, the old anchor, demoted into t117 — same oracle, same fold contract)
     "q06_positional_join",  # synthetic-position-key alignment (zip_frames' row_number join) graded inside t95's token-position-keyed excision + ordered rebuild and t97's packing over an existing (shard, pos) order
     "q25_array_ops",  # higher-order array functions (transform/slice/zip_with/posexplode/array_sort) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale
     # r10 in-round: swapped for t100/t101/t105 — same-machinery
@@ -229,14 +237,14 @@ DEMOTED: tuple[str, ...] = (
     "q44_correlated_subqueries",  # Catalyst decorrelates all three arms into join+aggregate shapes each graded in-window: correlated scalar agg → grouped-aggregate-joined-back (t73's partial-merge rollup + q43's broadcast star), EXISTS → left-semi (t07's probed-cell semi-join), the NULL-edge of IN/NOT IN now graded DIRECTLY by q51's NOT-IN-with-NULL hard-0 arm; the spark.sql correlated-syntax acceptance stays swept + pytest-covered
     "q39_recursive_cte",  # loop-until-fixpoint frontier iteration graded inside t16_dedup_clusters' connected-components loop (same iterative self-join/convergence machinery at corpus scale, with the explicit lineage-truncation discipline q39's own docstring defers to); the WITH RECURSIVE syntax acceptance stays swept
     "t69_rolling_anomaly",  # trailing-frame moment windows graded inside q47_distribution_windows (same RANGE/ROWS WindowExec machinery, three frames sharing one sort) + t90_feature_scale (the same exact-decimal (n, Σx, Σx²) moment discipline feeding z-scores); the |z|>3 flag tail is map-only scalar work
-    "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t41 (stream-stream, the strictly-stateful superset) + t77 (streaming join-and-resolve against bucketed state)
+    "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t116 (stream-stream, the strictly-stateful superset; r11: t41, the old co-anchor, demoted into t116) + t77 (streaming join-and-resolve against bucketed state)
     "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames + t88's cumulative mergeable bins
     "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline; r11: t84, the old co-anchor, demoted into t101/t01)
     "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t98's gram-postings candidate generation + exact-span verification (r11: t94, the old co-anchor, demoted into t98/t95) — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
     # r11 in-round: swapped for t107/t108/t109 — same-contract/
     # same-machinery supersets stay in-window:
     "t100_frequent_ngrams",  # the audit's OUTPUT contract is graded twice in-window through t100's own oracle — t106 (the mergeable-partials path, whose partials ARE t100's two-level string aggregate) and t107 (the hashed scale path, row-identical including ranks); the from-scratch string entry stays swept + planted-gram pytest
-    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t14 (applyInPandasWithState through the same staged availableNow drain) and t108's native watermarked stateful windows (r11: t81, the old co-anchor, demoted into t108/t105/t01); the beyond-k regime stays pytest-pinned
+    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t117 (applyInPandasWithState through the same staged availableNow drain; r11: t14, the old anchor, demoted into t117) and t108's native watermarked stateful windows (r11: t81, the old co-anchor, demoted into t108/t105/t01); the beyond-k regime stays pytest-pinned
     "q46_nullsafe_join",  # NULL-equality machinery graded inside q51: GROUP BY on a NULLIF-derived key IS null-safe grouping (all NULLs one group — the <=> contract through the aggregate path) with the NOT-IN arm grading the non-null-safe contrast; the eqNullSafe join-condition form stays swept + pytest-covered
     "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t109_keyword_extract (the identical df-join shape, term-keyed, at corpus scale); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded
     # r11 second in-round rotation: swapped for t110/q52/t111/t112-t115/
@@ -245,12 +253,17 @@ DEMOTED: tuple[str, ...] = (
     # and every demotee stays in the pytest oracle sweep + bench:
     "q35_cube",  # CUBE is a strict special case of GROUPING SETS; q52_grouping_sets grades the identical Expand machinery with asymmetric sets plus grouping()/grouping_id markers, plan-pinned to one Expand and no Union — the general form of every grouping-sets variant q35 graded
     "q14_dynamic_pivot",  # two-phase dynamic pivot (driver-collected distinct keys → one sum(when) projection per key) is the sum(when) conditional-projection machinery graded inside q28's CASE ladder (q12's standing demotion basis) with the single-pass multi-grain aggregate shape inside q52's plan-pinned Expand; the two-phase pivot() API call stays swept + pytest-covered
-    "t58_cohort_retention",  # cohort month-bucketing + month-difference arithmetic graded inside q49_calendar_arithmetic (date_trunc/months_between family); the per-entity event sequencing inside t14_streaming_stateful_sessions + t108_session_window_native (the native event-time path); the retention-matrix tail is a groupBy-count over those decisions (q28/q52-family aggregate machinery)
+    "t58_cohort_retention",  # cohort month-bucketing + month-difference arithmetic graded inside q49_calendar_arithmetic (date_trunc/months_between family); the per-entity event sequencing inside t117_stateful_timeout_sessions (r11: t14, the old co-anchor, demoted into t117) + t108_session_window_native (the native event-time path); the retention-matrix tail is a groupBy-count over those decisions (q28/q52-family aggregate machinery)
     "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t112-t115 Python DataSource square (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer API surface); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
     "t80_leakage_safe_split",  # group-consistent md5-hash-threshold assignment is the same deterministic md5-derived selection family graded inside t91's A-ES exact-k md5-rank sampling and t97's hash-order shard selection; the no-leakage invariant (one group → exactly one split) stays pytest-pinned and swept
     "t81_streaming_dedup_watermark",  # watermarked streaming state graded inside t108_session_window_native (watermark + stateful merge through the native-operator path) and the streaming exactly-once drain discipline inside t105/t99; the dedup-key contract itself inside t01_dedup_exact
     "t84_curation_audit",  # the per-doc keep/drop decision audit + per-source roster-LEFT-join rollup is graded inside t101_excision_impact_report (the same join-back-to-roster denominator discipline over per-doc decisions, strictly richer impact metrics); the fingerprint/min-representative dedup machinery inside t01/t19 (in-window)
     "t94_substring_dedup_corpus",  # the positioned-gram postings → capped meet → island/span pair machinery is graded inside t98_incremental_substring_dedup (the identical path through the strictly-harder at-rest index probe) and the span-excision composition inside t95; the corpus keep/drop rollup inside t101's impact report
+    # r11 third swap: strict-superset promotions of brand-new entries —
+    # both demotees' oracles are re-graded verbatim inside their
+    # successors:
+    "t41_streaming_interval_join",  # graded inside t116_streaming_outer_join, which runs the SAME stream_interval_join operator in its strictly-stronger left-outer form: every t41 matched row appears identically in t116's result (the oracle's inner rows are a subset of t116's LEFT JOIN oracle), plus the sentinel-flushed unmatched-row contract a bounded drain otherwise lacks
+    "t14_streaming_stateful_sessions",  # q18's sessionize contract through applyInPandasWithState stays graded inside t117_stateful_timeout_sessions with q18's OWN oracle SQL — the strictly-harder close-once EventTimeTimeout lifecycle (timeout finalize + state.remove) over the same gap fold; the update-mode re-emission drain discipline (max_by dedup) stays pytest-pinned (batch-parity + provider-independence tests) and swept
 )
 
 

@@ -85,6 +85,11 @@ def test_graded_window_contract():
         "t114_python_source_pushdown",
         "t115_python_source_writer",
         "q53_group_by_all",
+        # third batch: strict-superset swaps — t116 runs t41's own
+        # stream_interval_join in left-outer form, t117 grades t14's
+        # q18 oracle through the EventTimeTimeout lifecycle
+        "t116_streaming_outer_join",
+        "t117_stateful_timeout_sessions",
     }
     assert r11_promoted <= set(first50)
     # r10 rotation survivors (t100 demoted r11 — its output contract
@@ -100,13 +105,12 @@ def test_graded_window_contract():
         "t105_streaming_quarantine_ingest",
     }
     assert r10_entries <= set(first50)
-    # r9 rotation survivors (t94 demoted r11 after two green driver
-    # grades — its postings/meet/span machinery stays graded inside
-    # t98/t95, its keep/drop rollup inside t101)
-    r9_entries = {
-        "t14_streaming_stateful_sessions",
-    }
-    assert r9_entries <= set(first50)
+    # r9 rotation: no survivors pinned — t94 demoted r11 (postings/
+    # meet/span machinery graded inside t98/t95, keep/drop rollup
+    # inside t101) and t14 demoted r11 into t117, which re-grades
+    # t14's own q18 oracle through the strictly-harder
+    # EventTimeTimeout close-once lifecycle (both after 2+ green
+    # driver grades)
     # r8 rotation survivors (t81/t84 demoted r11 after three green
     # driver grades: t81's watermarked state graded inside t108/t105,
     # t84's roster-rollup discipline inside t101/t01; t82/t85/t83
