@@ -235,11 +235,19 @@ def _stage_events_sentinels(
     apart, newest last), each holding far-future rows given as
     ``(event_id, user_id, event_type, days_after_max_ts)``. With
     ``maxFilesPerTrigger = n_real`` the real data lands in micro-batch
-    1 and each sentinel file alone in a later batch, so the watermark
+    1 and each sentinel lands in its OWN later batch, so the watermark
     computed from every batch N's data is live during batch N+1 —
     advancing it past the real rows before the drain ends, which a
     bounded availableNow run never guarantees by itself for outer
-    joins or event-time timeouts. Returns (dir, n_real)."""
+    joins or event-time timeouts.
+
+    One-batch-per-sentinel is made structural, not hoped-for: the file
+    source fills each trigger with up to ``maxFilesPerTrigger`` files
+    in (mtime, path) order, so with ``n_real >= 2`` a bare sentinel
+    file would be BATCHED TOGETHER with the next one (review-found);
+    each sentinel is therefore padded with ``n_real - 1`` empty
+    same-schema parquet files at the same mtime, making every sentinel
+    group exactly one full trigger. Returns (dir, n_real)."""
     import hashlib
     import os
 
@@ -292,11 +300,30 @@ def _stage_events_sentinels(
             dst = os.path.join(dst_dir, f"b{i}_sentinel.parquet")
             shutil.move(os.path.join(tmp, part), dst)
             shutil.rmtree(tmp)
-            os.utime(dst, (now + 60 * (i + 1), now + 60 * (i + 1)))
+            mtime = now + 60 * (i + 1)
+            os.utime(dst, (mtime, mtime))
+            if n_real > 1:
+                # pad the sentinel's trigger group to exactly n_real
+                # files so maxFilesPerTrigger = n_real puts each
+                # sentinel in its own micro-batch
+                empty_tmp = os.path.join(dst_dir, "_empty_build")
+                ev.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                    empty_tmp
+                )
+                epart = next(
+                    f for f in os.listdir(empty_tmp) if f.endswith(".parquet")
+                )
+                for j in range(n_real - 1):
+                    pad = os.path.join(dst_dir, f"b{i}_pad{j:03d}.parquet")
+                    shutil.copyfile(os.path.join(empty_tmp, epart), pad)
+                    os.utime(pad, (mtime, mtime))
+                shutil.rmtree(empty_tmp)
 
-    # sentinel spec is part of the staging identity: changing the
-    # planted rows must force a restage even when the source is same
-    sig = _source_signature(src) + "|" + repr(sentinel_files)
+    # sentinel spec AND staging-layout version are part of the staging
+    # identity: changing the planted rows or the layout rules (v2:
+    # per-sentinel padding to full trigger groups) must force a
+    # restage even when the source is unchanged
+    sig = "v2|" + _source_signature(src) + "|" + repr(sentinel_files)
     return _stage_synced(d, sig, build), n_real
 
 

@@ -257,7 +257,14 @@ def _session_fn(
         last_ts, session_id, n, first, last, value = (None, 0, 0, None, None, 0.0)
 
     touched: dict[int, tuple] = {}
-    for pdf in batches:
+    # materialize ALL Arrow chunks before sorting: a key whose batch
+    # rows exceed arrow.maxRecordsPerBatch arrives as multiple chunks
+    # with NO cross-chunk order guarantee, so a per-chunk sort would
+    # fold events out of event_id order (review-found)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    for pdf in (
+        [pd.concat(chunks, ignore_index=True)] if chunks else []
+    ):
         pdf = pdf.sort_values("event_id")
         for ts_sec, event_id, val in zip(
             pdf["ts"].astype("int64") / 1e9, pdf["event_id"], pdf["value"]
@@ -340,10 +347,15 @@ def _session_timeout_fn(
     # the 5x-at-10x hotspot in the scale audit): session boundaries are
     # a shift/compare/cumsum, per-session aggregates one groupby — all
     # C-speed pandas. Cross-batch continuity comes from seeding the
-    # first row's "previous timestamp" with the state's last_ts.
-    for pdf in batches:
-        if not len(pdf):
-            continue
+    # first row's "previous timestamp" with the state's last_ts. All
+    # Arrow chunks are materialized and concatenated BEFORE the sort:
+    # chunk-spanning keys have no cross-chunk order guarantee, so a
+    # per-chunk sort would mis-fold (review-found; same fix as
+    # _session_fn).
+    chunks = [pdf for pdf in batches if len(pdf)]
+    for pdf in (
+        [pd.concat(chunks, ignore_index=True)] if chunks else []
+    ):
         pdf = pdf.sort_values("event_id")
         ts_sec = pdf["ts"].astype("int64").to_numpy() / 1e9
         prev = pd.Series(ts_sec).shift(1)
@@ -420,6 +432,16 @@ def sessionize_timeout(events: DataFrame, gap_seconds: float = 1800.0) -> DataFr
     Session ids restart at 1 per key and number CLOSED-in-order, which
     matches batch ``sessionize`` (q18's SQL) on an in-order bounded
     replay — t117's DuckDB oracle grades exactly that equality.
+
+    Production caveat (review-found): ``state.remove()`` at timeout
+    also discards the per-key session COUNTER, so a key that returns
+    after going quiet numbers its next session 1 again. That is the
+    deliberate price of bounded state — keeping counters for every
+    ever-seen key is exactly the unbounded growth the timeout exists
+    to prevent. On a long-running stream, treat ``(user_id,
+    session_id, first_event)`` as the unique key, or derive an id from
+    the session's start time downstream; within one bounded replay
+    (the oracle setting) ids are unique per key as emitted.
     """
 
     def fn(key, batches, state):

@@ -2413,3 +2413,78 @@ def test_chained_streaming_aggs_two_state_operators(spark, tmp_path):
     # ever flushes
     got, _ = drain(pre_filter=True)
     assert got == set()
+
+
+def test_sentinel_staging_isolates_batches_for_multipart_sources(
+    spark, tmp_path
+):
+    """Review-found regression: with a multi-part events source,
+    maxFilesPerTrigger = n_real used to batch BOTH sentinel files into
+    one trigger, collapsing the two watermark steps the chained-agg
+    flush needs. The staging now pads each sentinel to a full trigger
+    group of n_real files (empties, same mtime), so each sentinel gets
+    its own micro-batch. Drive the REAL helper over a 3-part source
+    and assert the two-level chain flushes every window."""
+    from datasheet_etl_spark.plans.streaming_entries import (
+        _stage_events_sentinels,
+    )
+    from datasheet_etl_spark.streaming.streams import run_available_now
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    rows = [
+        (1, "2024-01-01 10:05:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 10:15:00", 2, "click", 1.0, None),
+        (3, "2024-01-01 11:05:00", 1, "click", 1.0, None),
+        (4, "2024-01-01 12:40:00", 3, "click", 1.0, None),
+    ]
+    schema = (
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.repartition(3).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+    src, n_real = _stage_events_sentinels(
+        spark,
+        sf_dir,
+        "multipart_pin",
+        [[(-1, -1, "sentinel", 7)], [(-2, -2, "sentinel", 14)]],
+    )
+    assert n_real == 3
+    # each sentinel group is exactly n_real files (1 sentinel + pads)
+    names = sorted(os.listdir(src))
+    assert sum(1 for f in names if f.startswith("b0")) == 3
+    assert sum(1 for f in names if f.startswith("b1")) == 3
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", str(n_real))
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", "1 hour")
+    )
+    lvl1 = stream.groupBy(F.window("ts", "1 hour").alias("w"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    lvl2 = lvl1.groupBy("w").agg(F.count("*").alias("n_users"))
+    import uuid as _uuid
+
+    out = run_available_now(lvl2, f"mp_{_uuid.uuid4().hex[:8]}", "append")
+    got = {
+        (str(r["w"]["start"]), r["n_users"])
+        for r in out.filter(F.col("w.start") < "2024-01-02").collect()
+    }
+    # every real window flushed through BOTH levels — including 12:00,
+    # the trailing window a collapsed sentinel pair would strand
+    assert got == {
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 11:00:00", 1),
+        ("2024-01-01 12:00:00", 1),
+    }
