@@ -4192,3 +4192,48 @@ def q55_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_lower")
     )
+
+
+_Q56_BODY = """
+    WITH agg AS (
+        SELECT l_returnflag AS flag,
+               {dsum_qty} AS sum_qty,
+               {dsum_price} AS sum_price,
+               CAST(count(*) AS DOUBLE) AS n_rows
+        FROM {table}
+        GROUP BY l_returnflag
+    )
+    SELECT flag, metric, val
+    FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))
+    ORDER BY flag, metric
+"""
+
+
+@register(
+    "q56_native_unpivot",
+    _Q56_BODY.format(
+        dsum_qty=sql_dsum("l_quantity"),
+        dsum_price=sql_dsum("l_extendedprice"),
+        table="lineitem",
+    ),
+)
+def q56_native_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE ``UNPIVOT`` SQL syntax (Spark 3.4+), graded against
+    DuckDB's identical standard form — distinct from q15's ``stack()``
+    expression route: here the wide→long reshape is the relational
+    UNPIVOT operator both parsers resolve natively, over a
+    decimal-exact measure aggregate (all three measures pre-cast to
+    DOUBLE so the long ``val`` column needs no engine-specific type
+    unification). The plan is still one scan + one partial-agged
+    aggregate + one Expand — reshape is free at 100 TB because it
+    happens on the aggregate's few output rows, never the fact rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q56_lineitem"
+    )
+    return spark.sql(
+        _Q56_BODY.format(
+            dsum_qty=sql_dsum("l_quantity"),
+            dsum_price=sql_dsum("l_extendedprice"),
+            table="q56_lineitem",
+        )
+    )

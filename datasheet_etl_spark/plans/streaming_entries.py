@@ -502,6 +502,82 @@ def t118_chained_streaming_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t119_stream_join_then_agg",
+    """
+    WITH j AS (
+        SELECT p.ts AS pts,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    )
+    SELECT CAST(epoch_us(date_trunc('hour', pts)) AS BIGINT) AS ws_us,
+           count(*) AS n_pairs,
+           CAST(sum(lag_us) AS BIGINT) AS sum_lag_us
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def t119_stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER multi-stateful combination (t118 chains agg→agg):
+    a stream-stream interval JOIN feeding a windowed AGGREGATE in one
+    streaming query — enrich-then-rollup, the shape that otherwise
+    forces a land-and-relaunch pipeline. The inner join emits matched
+    pairs as they meet (no watermark wait), the downstream tumbling
+    aggregate holds them in window state until the shared watermark
+    closes each hour — two stateful operators, one checkpoint, one
+    exactly-once contract. Each sentinel file carries a self-matching
+    purchase+click pair so the JOIN ITSELF emits a far-future row that
+    carries event time into the aggregate (a sentinel that only one
+    side sees would advance the watermark but put no row through the
+    join); two sentinel batches give the two levels one watermark step
+    each. Drained result filtered to real windows equals the batch
+    join+rollup (DuckDB oracle), with the BIGINT lag sum exact by
+    construction."""
+    src, n_real = _stage_events_sentinels(
+        spark,
+        sf_dir,
+        "joinagg",
+        [
+            [(-1, -1, "purchase", 7), (-2, -1, "click", 7)],
+            [(-3, -2, "purchase", 14), (-4, -2, "click", 14)],
+        ],
+    )
+    from datasheet_etl_spark.io import load_table
+
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    with _few_state_partitions(spark):
+        purchases = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "purchase")
+        clicks = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "click")
+        joined = stream_interval_join(
+            purchases, clicks, key="user_id", lookback="6 hours",
+            watermark="1 hour",
+        )
+        agg = joined.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.unix_micros("ts") - F.unix_micros("r_ts")).alias(
+                "sum_lag_us"
+            ),
+        )
+        out = run_available_now(agg, f"t119_{uuid.uuid4().hex[:8]}", "append")
+    return (
+        out.filter(F.col("w.start") <= F.lit(max_ts))
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "n_pairs",
+            F.col("sum_lag_us").cast("long").alias("sum_lag_us"),
+        )
+        .orderBy("ws_us")
+    )
+
+
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only
 def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup detection: per-row signatures →

@@ -135,6 +135,9 @@ ENTRIES = [
     # r11: two chained stateful aggregates — state ∝ open windows at
     # level 1 (bounded by watermark) + windows at level 2
     "t118_chained_streaming_aggs",
+    # r11: stream-stream join feeding a windowed agg (join state ∝
+    # lookback window, agg state ∝ open windows)
+    "t119_stream_join_then_agg",
 ]
 
 # per-table key columns to offset so copies don't collide
