@@ -578,6 +578,138 @@ def t119_stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_ORACLE = """
+    WITH c AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ), iv AS (
+        SELECT user_id, value, event_id AS valid_from, op,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS valid_to
+        FROM c
+    )
+    SELECT user_id, value, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv WHERE op <> 'D'
+    ORDER BY user_id, valid_from
+"""
+
+
+def _scd2_changes(spark: SparkSession, src) -> DataFrame:
+    """events-as-changelog: key user_id, seq event_id, payload value;
+    'error' events are deletes (closing the open interval), everything
+    else upserts."""
+    df = (
+        spark.read.parquet(src) if isinstance(src, str) else src
+    )
+    return df.select(
+        "user_id",
+        F.col("event_id"),
+        "value",
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+
+
+@register("t120_scd2_history", _SCD2_ORACLE)
+def t120_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from a changelog (batch derivation): one
+    validity interval per upsert, ``valid_to`` = the next change's
+    sequence, deletes ('error' events) closing the open interval
+    without opening one — the warehouse dimension-history pattern.
+    One lead() window pass over the changelog + a filter; the DuckDB
+    oracle is the same lead-window SQL. This is the from-scratch
+    derivation the streaming sink (t121) must reproduce
+    incrementally."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.relational import scd2_history
+
+    changes = _scd2_changes(spark, load_table(spark, sf_dir, "events"))
+    out = scd2_history(changes, ["user_id"], "event_id", ["value"])
+    return out.select(
+        "user_id", "value", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")
+
+
+def _stage_events_seq_split(spark: SparkSession, sf_dir: str) -> str:
+    """Events as a 2-file changelog staging, split at the median
+    event_id with mtimes ordered — so maxFilesPerTrigger=1 delivers
+    the changes in two micro-batches that respect per-key sequence
+    order (every seq in batch 1 < every seq in batch 2), the ordered
+    -feed contract SCD2 maintenance assumes across batches."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"events_seqsplit_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+
+    def build(dst_dir):
+        ev = spark.read.parquet(src)
+        mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+        for i, part in enumerate(
+            (
+                ev.filter(F.col("event_id") <= mid),
+                ev.filter(F.col("event_id") > mid),
+            )
+        ):
+            tmp = os.path.join(dst_dir, "_build")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            pf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(dst_dir, f"part{i}.parquet")
+            shutil.move(os.path.join(tmp, pf), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    return _stage_synced(d, "v1|" + _source_signature(src), build)
+
+
+@register("t121_streaming_scd2", _SCD2_ORACLE)
+def t121_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Type-2 SCD materialization: the changelog arrives in
+    two seq-ordered micro-batches and ``scd2_upsert_sink`` maintains
+    the history table incrementally — per batch, only touched keys'
+    OPEN intervals re-enter the derivation (closed history passes
+    through verbatim), committed as immutable versions behind the
+    ``_LATEST`` pointer (the cdc sink's own commit discipline). The
+    drained table must equal t120's from-scratch batch derivation —
+    the SAME DuckDB oracle grades both, which is the
+    incremental-equals-batch contract that makes an SCD2 sink
+    trustworthy. Fresh per-invocation sink + checkpoint (wiped at
+    entry start), like t105's fresh-drain shape."""
+    import hashlib
+    import os
+
+    from datasheet_etl_spark.streaming.streams import scd2_upsert_sink
+
+    src = _stage_events_seq_split(spark, sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"scd2_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    target, ckpt = os.path.join(work, "target"), os.path.join(work, "ckpt")
+    with _few_state_partitions(spark):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", "1").format("parquet").load(src)
+        changes = _scd2_changes(spark, stream)
+        scd2_upsert_sink(
+            changes, target, ckpt, ["user_id"], "event_id", ["value"]
+        )
+    from datasheet_etl_spark.streaming.streams import _resolve_version
+
+    version = _resolve_version(spark, target)
+    out = spark.read.parquet(f"{target}/{version}")
+    return out.select(
+        "user_id", "value", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")
+
+
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only
 def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup detection: per-row signatures →

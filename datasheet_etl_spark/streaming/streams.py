@@ -1830,6 +1830,117 @@ def cdc_upsert_sink(
     query.awaitTermination()
 
 
+def scd2_upsert_sink(
+    changes_sdf: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    seq_col: str,
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+) -> None:
+    """Streaming TYPE-2 SCD materialization: where
+    :func:`cdc_upsert_sink` keeps each key's LATEST row, this keeps
+    the full validity-interval HISTORY — one row per upsert with
+    ``valid_from``/``valid_to``/``is_current``, deletes closing the
+    open interval without opening one (the warehouse dimension-history
+    pattern, Delta/Iceberg MERGE-into-SCD2 from parquet + a pointer).
+
+    Per micro-batch, incremental by construction:
+    - **stale guard**: a key's high-water mark is
+      ``max(coalesce(valid_to, valid_from))`` over its history —
+      closed intervals carry the closing change's seq in ``valid_to``,
+      so a late change can neither reopen a delete-closed interval nor
+      interleave into committed history; changes at/below the mark are
+      dropped (same-seq duplicate deliveries collapse here too).
+    - **touched-keys rebuild**: untouched keys' rows pass through
+      verbatim; for touched keys, only their OPEN interval re-enters
+      the derivation (as a synthetic 'U' at its own ``valid_from``)
+      together with the fresh changes, and one
+      :func:`operators.relational.scd2_history` pass re-derives the
+      intervals — closed history is never recomputed.
+    - **commit**: the result is a NEW immutable ``v<n>`` snapshot, the
+      ``_LATEST`` pointer moves after the write (crash replay finds
+      every replayed change stale and commits an identical version);
+      checkpoint/target binding and orphaned-checkpoint refusal are
+      the cdc sink's own (:func:`_bind_checkpoint_target`).
+
+    Full-snapshot commits only (O(history) per batch); at 100 TB the
+    bucketed manifest discipline of ``cdc_upsert_sink(num_buckets=N)``
+    applies verbatim — history rows bucket by key like latest rows do.
+    t121 grades the drained history equal to the from-scratch batch
+    derivation (the DuckDB lead-window oracle).
+    """
+    kl = list(keys)
+    pcols = list(payload_cols)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from datasheet_etl_spark.operators.relational import scd2_history
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        version_name = _resolve_version(spark, target_dir)
+        base = (
+            spark.read.parquet(f"{target_dir}/{version_name}")
+            if version_name is not None
+            else None
+        )
+        changes = batch_df.select(
+            *kl, *pcols, F.col(seq_col), F.col(op_col)
+        )
+        if base is None:
+            nxt = scd2_history(changes, kl, seq_col, pcols, op_col)
+        else:
+            marks = base.groupBy(*kl).agg(
+                F.max(F.coalesce("valid_to", "valid_from")).alias("_mark")
+            )
+            fresh = (
+                changes.join(marks, kl, "left")
+                .filter(
+                    F.col("_mark").isNull()
+                    | (F.col(seq_col) > F.col("_mark"))
+                )
+                .drop("_mark")
+            )
+            touched = fresh.select(*kl).distinct()
+            untouched = base.join(touched, kl, "left_anti")
+            open_rows = base.join(touched, kl, "left_semi").filter(
+                F.col("valid_to").isNull()
+            )
+            closed_rows = base.join(touched, kl, "left_semi").filter(
+                F.col("valid_to").isNotNull()
+            )
+            reopened = open_rows.select(
+                *kl,
+                *pcols,
+                F.col("valid_from").alias(seq_col),
+                F.lit("U").alias(op_col),
+            )
+            rebuilt = scd2_history(
+                reopened.unionByName(fresh), kl, seq_col, pcols, op_col
+            )
+            nxt = untouched.unionByName(closed_rows).unionByName(rebuilt)
+        version = _next_version(spark, target_dir)
+        nxt.write.mode("overwrite").parquet(f"{target_dir}/{version}")
+        _write_pointer(spark, target_dir, version)
+
+    _spark = changes_sdf.sparkSession
+    _bind_checkpoint_target(
+        _spark,
+        target_dir,
+        checkpoint_dir,
+        target_alive=_resolve_version(_spark, target_dir) is not None,
+    )
+    query = (
+        changes_sdf.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def compact_cdc_target(
     spark: SparkSession, target_dir: str, min_seq, seq_col: str = "seq"
 ) -> int:

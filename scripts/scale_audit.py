@@ -138,6 +138,9 @@ ENTRIES = [
     # r11: stream-stream join feeding a windowed agg (join state ∝
     # lookback window, agg state ∝ open windows)
     "t119_stream_join_then_agg",
+    # r11: streaming SCD2 — per-batch cost is O(history) in flat mode
+    # by design (documented; bucketed mode is the cdc sink's path)
+    "t121_streaming_scd2",
 ]
 
 # per-table key columns to offset so copies don't collide

@@ -2488,3 +2488,86 @@ def test_sentinel_staging_isolates_batches_for_multipart_sources(
         ("2024-01-01 11:00:00", 1),
         ("2024-01-01 12:00:00", 1),
     }
+
+
+def test_scd2_sink_history_lifecycle(spark, tmp_path):
+    """scd2_upsert_sink mechanics on a planted frame: (a) upserts open
+    intervals and close predecessors, deletes close WITHOUT opening;
+    (b) a later batch extends history incrementally and the stale
+    guard rejects changes at/below a key's high-water mark — including
+    a change that would interleave into delete-closed history; (c)
+    replaying the whole changelog against the populated target is
+    idempotent (every change stale → identical snapshot, new identical
+    version committed)."""
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_versions,
+        _resolve_version,
+        scd2_upsert_sink,
+    )
+
+    schema = "user_id bigint, event_id bigint, value double, op string"
+    target = str(tmp_path / "target")
+
+    def drain(rows, ckpt):
+        src = str(tmp_path / f"src_{ckpt}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet")
+            .load(src)
+        )
+        scd2_upsert_sink(
+            stream,
+            target,
+            str(tmp_path / f"ck_{ckpt}"),
+            ["user_id"],
+            "event_id",
+            ["value"],
+        )
+
+    def snapshot():
+        v = _resolve_version(spark, target)
+        return sorted(
+            (
+                r["user_id"],
+                r["value"],
+                r["valid_from"],
+                r["valid_to"],
+                r["is_current"],
+            )
+            for r in spark.read.parquet(f"{target}/{v}").collect()
+        )
+
+    # (a) key 1: two upserts then a delete; key 2: one open upsert
+    batch1 = [
+        (1, 1, 10.0, "U"),
+        (1, 3, 11.0, "U"),
+        (1, 5, None, "D"),
+        (2, 2, 20.0, "U"),
+    ]
+    drain(batch1, "b1")
+    assert snapshot() == [
+        (1, 10.0, 1, 3, False),
+        (1, 11.0, 3, 5, False),  # closed by the delete, never reopened
+        (2, 20.0, 2, None, True),
+    ]
+
+    # (b) stale change (seq 4 <= key 1's mark 5, would interleave into
+    # delete-closed history) rejected; fresh change opens a new interval
+    drain([(1, 4, 99.0, "U"), (1, 7, 12.0, "U")], "b2")
+    assert snapshot() == [
+        (1, 10.0, 1, 3, False),
+        (1, 11.0, 3, 5, False),
+        (1, 12.0, 7, None, True),
+        (2, 20.0, 2, None, True),
+    ]
+    before = snapshot()
+
+    # (c) full-changelog replay: all stale, snapshot unchanged, a new
+    # (identical) version committed — the crash-replay contract
+    n_versions = len(_committed_versions(spark, target))
+    drain(batch1 + [(1, 7, 12.0, "U")], "replay")
+    assert snapshot() == before
+    assert len(_committed_versions(spark, target)) == n_versions + 1
