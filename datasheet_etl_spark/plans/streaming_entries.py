@@ -701,10 +701,9 @@ def t121_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_upsert_sink(
             changes, target, ckpt, ["user_id"], "event_id", ["value"]
         )
-    from datasheet_etl_spark.streaming.streams import _resolve_version
+    from datasheet_etl_spark.streaming.streams import read_scd2_snapshot
 
-    version = _resolve_version(spark, target)
-    out = spark.read.parquet(f"{target}/{version}")
+    out = read_scd2_snapshot(spark, target)
     return out.select(
         "user_id", "value", "valid_from", "valid_to", "is_current"
     ).orderBy("user_id", "valid_from")

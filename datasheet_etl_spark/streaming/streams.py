@@ -1830,6 +1830,27 @@ def cdc_upsert_sink(
     query.awaitTermination()
 
 
+def read_scd2_snapshot(
+    spark: SparkSession, target_dir: str, include_tombstones: bool = False
+) -> DataFrame | None:
+    """Committed view of a :func:`scd2_upsert_sink` target (pointer-
+    resolved, reader-isolated like :func:`read_cdc_snapshot`), with
+    the zero-width ``_tombstone`` watermark rows filtered out — they
+    carry sequence high-water marks for delete-closed keys, not
+    history. ``include_tombstones=True`` returns the raw snapshot
+    (what the sink's own stale guard reads). None until a version has
+    committed."""
+    version = _resolve_version(spark, target_dir)
+    if version is None:
+        return None
+    snap = spark.read.parquet(f"{target_dir}/{version}")
+    if "_tombstone" not in snap.columns:
+        snap = snap.withColumn("_tombstone", F.lit(False))
+    if include_tombstones:
+        return snap
+    return snap.filter(~F.col("_tombstone")).drop("_tombstone")
+
+
 def scd2_upsert_sink(
     changes_sdf: DataFrame,
     target_dir: str,
@@ -1845,20 +1866,32 @@ def scd2_upsert_sink(
     ``valid_from``/``valid_to``/``is_current``, deletes closing the
     open interval without opening one (the warehouse dimension-history
     pattern, Delta/Iceberg MERGE-into-SCD2 from parquet + a pointer).
+    Read targets with :func:`read_scd2_snapshot`.
 
     Per micro-batch, incremental by construction:
+    - **same-seq collapse**: duplicate deliveries at one (key, seq)
+      inside a batch are collapsed FIRST, by the same deterministic
+      total order :func:`operators.relational.apply_changes` uses
+      (delete-wins, then op, then payload) — every run/partitioning
+      picks the same winner.
     - **stale guard**: a key's high-water mark is
-      ``max(coalesce(valid_to, valid_from))`` over its history —
+      ``max(coalesce(valid_to, valid_from))`` over its RAW history —
       closed intervals carry the closing change's seq in ``valid_to``,
-      so a late change can neither reopen a delete-closed interval nor
-      interleave into committed history; changes at/below the mark are
-      dropped (same-seq duplicate deliveries collapse here too).
+      and a delete that closes nothing (double delete, delete of a
+      closed key) leaves a zero-width ``_tombstone`` watermark row so
+      its sequence still gates (review-found: without it, a later
+      out-of-order change could interleave into delete-closed
+      history). Changes at/below the mark are dropped; like the cdc
+      sink, the ordered-feed contract is per key ACROSS batches, and
+      stale stragglers are rejected, never spliced.
     - **touched-keys rebuild**: untouched keys' rows pass through
       verbatim; for touched keys, only their OPEN interval re-enters
       the derivation (as a synthetic 'U' at its own ``valid_from``)
       together with the fresh changes, and one
       :func:`operators.relational.scd2_history` pass re-derives the
-      intervals — closed history is never recomputed.
+      intervals — closed history is never recomputed. The base
+      snapshot is persisted for the batch and read once (one
+      semi-join, filter-split after).
     - **commit**: the result is a NEW immutable ``v<n>`` snapshot, the
       ``_LATEST`` pointer moves after the write (crash replay finds
       every replayed change stale and commits an identical version);
@@ -1871,6 +1904,8 @@ def scd2_upsert_sink(
     t121 grades the drained history equal to the from-scratch batch
     derivation (the DuckDB lead-window oracle).
     """
+    from pyspark.sql import Window
+
     kl = list(keys)
     pcols = list(payload_cols)
 
@@ -1880,47 +1915,122 @@ def scd2_upsert_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        version_name = _resolve_version(spark, target_dir)
-        base = (
-            spark.read.parquet(f"{target_dir}/{version_name}")
-            if version_name is not None
-            else None
-        )
+        base = read_scd2_snapshot(spark, target_dir, include_tombstones=True)
         changes = batch_df.select(
             *kl, *pcols, F.col(seq_col), F.col(op_col)
         )
-        if base is None:
-            nxt = scd2_history(changes, kl, seq_col, pcols, op_col)
-        else:
-            marks = base.groupBy(*kl).agg(
-                F.max(F.coalesce("valid_to", "valid_from")).alias("_mark")
+        # same-seq duplicate collapse, deterministic (apply_changes'
+        # total order: delete-wins, then op, then payload)
+        wdup = Window.partitionBy(*kl, seq_col).orderBy(
+            (F.col(op_col) == "D").cast("int").desc(),
+            F.col(op_col).desc(),
+            *[F.col(c).desc_nulls_last() for c in pcols],
+        )
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(wdup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tombstone_schema_cols = [
+            *kl,
+            *pcols,
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "_tombstone",
+        ]
+
+        def with_tombstones(history: DataFrame, applied: DataFrame):
+            # zero-width watermark rows for keys whose max applied seq
+            # is not already carried by a history row
+            ptypes = dict(changes.dtypes)
+            marks_applied = applied.groupBy(*kl).agg(
+                F.max(seq_col).alias("_aseq")
             )
-            fresh = (
-                changes.join(marks, kl, "left")
+            carried = history.groupBy(*kl).agg(
+                F.max(F.coalesce("valid_to", "valid_from")).alias("_hseq")
+            )
+            need = (
+                marks_applied.join(carried, kl, "left")
                 .filter(
-                    F.col("_mark").isNull()
-                    | (F.col(seq_col) > F.col("_mark"))
+                    F.col("_hseq").isNull()
+                    | (F.col("_aseq") > F.col("_hseq"))
                 )
-                .drop("_mark")
+                .select(
+                    *kl,
+                    *[
+                        F.lit(None).cast(ptypes[c]).alias(c)
+                        for c in pcols
+                    ],
+                    F.col("_aseq").alias("valid_from"),
+                    F.col("_aseq").alias("valid_to"),
+                    F.lit(False).alias("is_current"),
+                    F.lit(True).alias("_tombstone"),
+                )
             )
-            touched = fresh.select(*kl).distinct()
-            untouched = base.join(touched, kl, "left_anti")
-            open_rows = base.join(touched, kl, "left_semi").filter(
-                F.col("valid_to").isNull()
+            return history.select(*tombstone_schema_cols).unionByName(need)
+
+        if base is None:
+            hist = scd2_history(changes, kl, seq_col, pcols, op_col)
+            nxt = with_tombstones(
+                hist.withColumn("_tombstone", F.lit(False)), changes
             )
-            closed_rows = base.join(touched, kl, "left_semi").filter(
-                F.col("valid_to").isNotNull()
-            )
-            reopened = open_rows.select(
-                *kl,
-                *pcols,
-                F.col("valid_from").alias(seq_col),
-                F.lit("U").alias(op_col),
-            )
-            rebuilt = scd2_history(
-                reopened.unionByName(fresh), kl, seq_col, pcols, op_col
-            )
-            nxt = untouched.unionByName(closed_rows).unionByName(rebuilt)
+        else:
+            base.persist()
+            try:
+                marks = base.groupBy(*kl).agg(
+                    F.max(F.coalesce("valid_to", "valid_from")).alias(
+                        "_mark"
+                    )
+                )
+                fresh = (
+                    changes.join(marks, kl, "left")
+                    .filter(
+                        F.col("_mark").isNull()
+                        | (F.col(seq_col) > F.col("_mark"))
+                    )
+                    .drop("_mark")
+                )
+                touched = fresh.select(*kl).distinct()
+                untouched = base.join(touched, kl, "left_anti")
+                touched_rows = base.join(touched, kl, "left_semi")
+                # old tombstones for touched keys are superseded by the
+                # rebuild's new watermark; real closed rows pass through
+                closed_rows = touched_rows.filter(
+                    (~F.col("_tombstone")) & F.col("valid_to").isNotNull()
+                )
+                open_rows = touched_rows.filter(
+                    (~F.col("_tombstone")) & F.col("valid_to").isNull()
+                )
+                reopened = open_rows.select(
+                    *kl,
+                    *pcols,
+                    F.col("valid_from").alias(seq_col),
+                    F.lit("U").alias(op_col),
+                )
+                rebuilt = scd2_history(
+                    reopened.unionByName(fresh), kl, seq_col, pcols, op_col
+                ).withColumn("_tombstone", F.lit(False))
+                # watermark basis: everything the touched keys now
+                # carry (closed + rebuilt) vs the max seq applied
+                # (fresh ∪ reopened covers closed-key deletes too)
+                applied = fresh.select(*kl, seq_col).unionByName(
+                    reopened.select(*kl, seq_col)
+                )
+                touched_hist = closed_rows.select(
+                    *tombstone_schema_cols
+                ).unionByName(rebuilt.select(*tombstone_schema_cols))
+                nxt = untouched.select(*tombstone_schema_cols).unionByName(
+                    with_tombstones(touched_hist, applied)
+                )
+                version = _next_version(spark, target_dir)
+                nxt.write.mode("overwrite").parquet(
+                    f"{target_dir}/{version}"
+                )
+                _write_pointer(spark, target_dir, version)
+                return
+            finally:
+                base.unpersist()
         version = _next_version(spark, target_dir)
         nxt.write.mode("overwrite").parquet(f"{target_dir}/{version}")
         _write_pointer(spark, target_dir, version)

@@ -2501,7 +2501,7 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
     version committed)."""
     from datasheet_etl_spark.streaming.streams import (
         _committed_versions,
-        _resolve_version,
+        read_scd2_snapshot,
         scd2_upsert_sink,
     )
 
@@ -2527,17 +2527,16 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
             ["value"],
         )
 
-    def snapshot():
-        v = _resolve_version(spark, target)
+    def snapshot(tombstones=False):
+        snap = read_scd2_snapshot(
+            spark, target, include_tombstones=tombstones
+        )
+        cols = ["user_id", "value", "valid_from", "valid_to", "is_current"]
+        if tombstones:
+            cols.append("_tombstone")
         return sorted(
-            (
-                r["user_id"],
-                r["value"],
-                r["valid_from"],
-                r["valid_to"],
-                r["is_current"],
-            )
-            for r in spark.read.parquet(f"{target}/{v}").collect()
+            (tuple(r[c] for c in cols) for r in snap.collect()),
+            key=lambda t: (t[0], t[2], t[3] is None, t[3]),
         )
 
     # (a) key 1: two upserts then a delete; key 2: one open upsert
@@ -2571,3 +2570,26 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
     drain(batch1 + [(1, 7, 12.0, "U")], "replay")
     assert snapshot() == before
     assert len(_committed_versions(spark, target)) == n_versions + 1
+
+    # (d) review-found hole, now closed: a delete that closes NO
+    # interval (key 2's open interval closed by D@9, then D@11 is a
+    # double delete) must still advance the watermark — via a
+    # zero-width _tombstone row — so the late U@10 cannot interleave
+    # into delete-closed history
+    drain([(2, 9, None, "D"), (2, 11, None, "D")], "d1")
+    drain([(2, 10, 99.0, "U")], "late")  # 10 <= tombstone mark 11
+    assert snapshot() == [
+        (1, 10.0, 1, 3, False),
+        (1, 11.0, 3, 5, False),
+        (1, 12.0, 7, None, True),
+        (2, 20.0, 2, 9, False),  # closed by D@9; no 99.0 row appeared
+    ]
+    # the raw snapshot carries exactly one watermark tombstone for key 2
+    tombs = [t for t in snapshot(tombstones=True) if t[-1]]
+    assert [(t[0], t[2], t[3]) for t in tombs] == [(2, 11, 11)]
+
+    # (e) a fresh change ABOVE the tombstone mark reopens cleanly and
+    # supersedes the tombstone (watermark moves to the open row)
+    drain([(2, 12, 21.0, "U")], "reopen")
+    assert (2, 21.0, 12, None, True) in snapshot()
+    assert not [t for t in snapshot(tombstones=True) if t[-1]]
