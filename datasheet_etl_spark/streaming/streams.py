@@ -1851,6 +1851,20 @@ def read_scd2_snapshot(
     return snap.filter(~F.col("_tombstone")).drop("_tombstone")
 
 
+def scd2_as_of(history: DataFrame, seq) -> DataFrame:
+    """Point-in-time read over SCD2 history: the row version each key
+    had when the change with sequence ``seq`` was the newest applied —
+    ``valid_from <= seq < valid_to`` (open intervals unbounded). A
+    key whose interval was delete-closed at or before ``seq`` has no
+    row, exactly like a latest-rows table rewound to that moment.
+    Pure filter — at 100 TB this is a metadata-cheap scan of the one
+    committed snapshot, no join and no time-travel version walk."""
+    return history.filter(
+        (F.col("valid_from") <= F.lit(seq))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(seq)))
+    )
+
+
 def scd2_upsert_sink(
     changes_sdf: DataFrame,
     target_dir: str,

@@ -2593,3 +2593,49 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
     drain([(2, 12, 21.0, "U")], "reopen")
     assert (2, 21.0, 12, None, True) in snapshot()
     assert not [t for t in snapshot(tombstones=True) if t[-1]]
+
+
+def test_scd2_as_of_rewinds_to_each_moment(spark, tmp_path):
+    """scd2_as_of over a sink-built history equals the latest-rows
+    table rewound to each sequence: before a key's first change it is
+    absent, between changes it shows the then-current payload, at and
+    after a delete it is absent again."""
+    from datasheet_etl_spark.streaming.streams import (
+        read_scd2_snapshot,
+        scd2_as_of,
+        scd2_upsert_sink,
+    )
+
+    schema = "user_id bigint, event_id bigint, value double, op string"
+    target = str(tmp_path / "t")
+    rows = [
+        (1, 1, 10.0, "U"),
+        (1, 3, 11.0, "U"),
+        (1, 5, None, "D"),
+        (2, 2, 20.0, "U"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .load(src)
+    )
+    scd2_upsert_sink(
+        stream, target, str(tmp_path / "ck"), ["user_id"], "event_id",
+        ["value"],
+    )
+    hist = read_scd2_snapshot(spark, target)
+
+    def at(seq):
+        return {
+            (r["user_id"], r["value"])
+            for r in scd2_as_of(hist, seq).collect()
+        }
+
+    assert at(0) == set()
+    assert at(1) == {(1, 10.0)}
+    assert at(2) == {(1, 10.0), (2, 20.0)}
+    assert at(4) == {(1, 11.0), (2, 20.0)}
+    assert at(5) == {(2, 20.0)}  # delete at 5 is effective AT 5
+    assert at(99) == {(2, 20.0)}
