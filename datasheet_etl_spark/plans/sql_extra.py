@@ -4237,3 +4237,80 @@ def q56_native_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             table="q56_lineitem",
         )
     )
+
+
+@register(
+    "q57_interval_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q57_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-typed RANGE frame ordered by a raw TIMESTAMP — the
+    calendar-aware twin of q36's numeric range frame, and a different
+    execution path: the frame bound is a TimeAdd over the ordering
+    expression, no epoch projection in the plan. Trailing-hour counts
+    and decimal-exact sums per user; both engines evaluate the frame
+    in one sorted pass per partition. Ties on ts cannot occur in this
+    data (µs event times are unique per user), so the frame content
+    is engine-deterministic."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "q57_events"
+    )
+    # interval frame bounds are SQL-literal surface (the DataFrame
+    # rangeBetween API takes numeric bounds only)
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_1h,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS sum_value_1h
+        FROM q57_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
+
+
+@register(
+    "q58_pagination_offset",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+)
+def q58_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (OFFSET is Spark 3.4+ SQL surface):
+    page 3 of a keyset-ordered scan. Deterministic only because the
+    ORDER BY is a TOTAL order (date, key) — offset pagination over a
+    partial order is engine-lottery, the bug this entry exists to
+    document. Note the 100 TB caveat carried in the plan itself:
+    OFFSET still sorts/skips the prefix (GlobalLimit(75) then a local
+    skip), so deep pagination degrades linearly — keyset pagination
+    (WHERE (date, key) > last_seen ORDER BY ... LIMIT n, i.e. q23's
+    pushed-sort shape) is the scalable form; this entry grades the
+    operator's existence and exactness, not its use at depth."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q58_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS total
+        FROM q58_orders
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 25 OFFSET 50
+        """
+    )
