@@ -709,6 +709,61 @@ def t121_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+@register(
+    "t122_streaming_full_outer_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 6 HOUR
+    ORDER BY purchase_id, click_id
+    """,
+)
+def t122_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, completing the join
+    family (t41 inner — demoted into t116; t116 left outer): BOTH
+    sides' unmatched rows emit exactly once with NULL columns from the
+    other side — purchases with no preceding click AND clicks that
+    preceded no purchase. The user key must be COALESCED across sides
+    (a right-only row carries NULLs in every left column, including
+    the left's copy of the join key — the full-outer projection trap).
+    One sentinel pair advances both streams' watermarks (it passes
+    both event-type filters), closing every real row's interval; the
+    drained result equals the batch FULL JOIN (DuckDB oracle), both
+    NULL populations included."""
+    src, n_real = _stage_events_outer(spark, sf_dir)
+    with _few_state_partitions(spark):
+        purchases = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "purchase")
+        clicks = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "click")
+        joined = stream_interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            lookback="6 hours",
+            watermark="1 hour",
+            how="full_outer",
+        )
+        out = run_available_now(
+            joined.select(
+                F.col("event_id").alias("purchase_id"),
+                F.coalesce("user_id", "r_user_id").alias("user_id"),
+                F.col("r_event_id").alias("click_id"),
+                (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+            ),
+            f"t122_{uuid.uuid4().hex[:8]}",
+            "append",
+        )
+    return out.filter(F.col("user_id") >= 0).orderBy("purchase_id", "click_id")
+
+
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only
 def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup detection: per-row signatures →

@@ -141,6 +141,8 @@ ENTRIES = [
     # r11: streaming SCD2 — per-batch cost is O(history) in flat mode
     # by design (documented; bucketed mode is the cdc sink's path)
     "t121_streaming_scd2",
+    # r11: full-outer interval join — t116's state bound on both sides
+    "t122_streaming_full_outer_join",
 ]
 
 # per-table key columns to offset so copies don't collide
