@@ -28,8 +28,8 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 # written impossibility: zlib internals) — in; q45/q44/q39/t69/t75/
 # t82/t85/t64 out. (2) in-round promotions t107/t108/t109/t25 then
 # t110/q52/t111/t112-t115/q53, demoting q14/q35/t58/t76/t80/t81/t84/
-# t94 + t100/t55/q46/t83. (3) strict-superset swaps t116←t41 and
-# t117←t14. Every demotion carries an idiom-superset rationale in
+# t94 + t100/t55/q46/t83. (3+4) strict-superset swaps t117←t14 and
+# t122←t116←t41. Every demotion carries an idiom-superset rationale in
 # DEMOTED, and every DEMOTED rationale that cited an outgoing entry as
 # its in-window anchor was re-pointed in the same step.
 WINDOW: tuple[str, ...] = (
@@ -116,13 +116,15 @@ WINDOW: tuple[str, ...] = (
     "t114_python_source_pushdown",
     "t115_python_source_writer",
     "q53_group_by_all",
-    # --- r11 third in-round swap: two strict-superset promotions.
-    # t116 runs t41's OWN stream_interval_join operator in left-outer
-    # form (every t41 matched row appears identically, plus the
-    # sentinel-flushed NULL-row contract); t117 grades t14's q18
-    # oracle through the strictly-harder close-once EventTimeTimeout
-    # lifecycle. t41/t14 demoted with those rationales below ---
-    "t116_streaming_outer_join",
+    # --- r11 third/fourth in-round swaps: strict-superset promotions.
+    # t122 runs t41's/t116's OWN stream_interval_join operator in
+    # full-outer form (t41's inner rows ⊂ t116's LEFT JOIN rows ⊂
+    # t122's FULL JOIN rows — one shared drain body, parameterized by
+    # join mode, plus the sentinel-flushed NULL contracts on BOTH
+    # sides); t117 grades t14's q18 oracle through the strictly-harder
+    # close-once EventTimeTimeout lifecycle. t41/t14/t116 demoted with
+    # those rationales below ---
+    "t122_streaming_full_outer_join",
     "t117_stateful_timeout_sessions",
 )
 
@@ -159,7 +161,7 @@ DEMOTED: tuple[str, ...] = (
     # epoch-bucket agg is graded inside t108's native event-time
     # window aggregation + q52's multi-grain Expand (r11: t58/q35, the
     # old anchors, demoted into q49/t108 and q52), the streaming drain
-    # path inside t117/t116 (r11: t14/t41, the old anchors, demoted
+    # path inside t117/t122 (r11: t14/t41/t116, the old anchors, demoted
     # into those strict supersets; r9: t13, which graded the identical
     # contract through the streaming path, demoted on the same basis):
     "q31_tumbling_window",
@@ -193,7 +195,7 @@ DEMOTED: tuple[str, ...] = (
     "t34_repetition_score",  # tokenize→explode→(doc,gram) partial agg→doc rollup graded inside t96_dsir_importance_select (identical two-level agg shape; r10: t65, the old anchor, demoted into t96)
     # r7 in-round: swapped for t79/t80 — same-machinery supersets stay in-window:
     "q21_ranking_trio",  # rank/dense_rank/row_number share one WindowExec; the window-ranking idiom stays graded inside t97's per-source row_number selection and q47's shared-WindowExec trio (r10: q16, the old anchor, demoted)
-    "q07_range_join",  # range-containment predicate join graded inside t116's stream-stream interval join (same range predicate through the strictly-stronger watermarked left-outer streaming path; r11: t41, the old anchor, demoted into t116 — the same operator) + t74's as-of alignment
+    "q07_range_join",  # range-containment predicate join graded inside t122's stream-stream interval join (same range predicate through the strictly-stronger watermarked full-outer streaming path; r11: t41/t116, the old anchors, demoted into t122 — the same operator) + t74's as-of alignment
     # r7 continuation: swapped for t88/t91 — same-machinery supersets stay in-window:
     "q34_wordcount",  # lower/split/explode/groupBy-count graded inside t96_dsir_importance_select (identical tokenize→explode→agg shape, richer two-level rollup; r10: t65, the old anchor, demoted into t96)
     "t29_mixture_weighted",  # hash-prefix Bernoulli sampling graded inside t33's weighted_sample 50% gate (same operator/idiom); the per-source CASE-weighted agg side graded inside q28's CASE machinery (r9: q29, the old anchor, demoted); the exact-k weighted form is now graded directly by t91
@@ -213,7 +215,7 @@ DEMOTED: tuple[str, ...] = (
     # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
     # — every outgoing idiom stays graded inside an in-window superset:
     "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q52/t73's multi-aggregate rollups (r11: q35, the old co-anchor, demoted into q52); the clamp/round tail is map-only scalar work
-    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t117 (identical staging + drain through the strictly-harder timeout-stateful operator) and t116 (stream-stream; r11: t14/t41, the old anchors, demoted into those supersets); the tumbling epoch-bucket agg graded inside t108's native event-time window aggregation + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
+    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t117 (identical staging + drain through the strictly-harder timeout-stateful operator) and t122 (stream-stream; r11: t14/t41/t116, the old anchors, demoted into those supersets); the tumbling epoch-bucket agg graded inside t108's native event-time window aggregation + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
     "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate over per-doc keep/drop decisions — the rollup-over-decisions discipline graded inside t101_excision_impact_report's per-source roster-joined rollup (r11: t84/t94, the old anchors, demoted into t101/t01 and t98/t95 on the same machinery); the count_distinct idiom stays graded inside t01's distinct-key dedup
     # r10: swapped out for t95/t96/t97/t98/t99/t12 (standing rule:
     # newest work is driver-graded) — every outgoing idiom stays graded
@@ -237,7 +239,7 @@ DEMOTED: tuple[str, ...] = (
     "q44_correlated_subqueries",  # Catalyst decorrelates all three arms into join+aggregate shapes each graded in-window: correlated scalar agg → grouped-aggregate-joined-back (t73's partial-merge rollup + q43's broadcast star), EXISTS → left-semi (t07's probed-cell semi-join), the NULL-edge of IN/NOT IN now graded DIRECTLY by q51's NOT-IN-with-NULL hard-0 arm; the spark.sql correlated-syntax acceptance stays swept + pytest-covered
     "q39_recursive_cte",  # loop-until-fixpoint frontier iteration graded inside t16_dedup_clusters' connected-components loop (same iterative self-join/convergence machinery at corpus scale, with the explicit lineage-truncation discipline q39's own docstring defers to); the WITH RECURSIVE syntax acceptance stays swept
     "t69_rolling_anomaly",  # trailing-frame moment windows graded inside q47_distribution_windows (same RANGE/ROWS WindowExec machinery, three frames sharing one sort) + t90_feature_scale (the same exact-decimal (n, Σx, Σx²) moment discipline feeding z-scores); the |z|>3 flag tail is map-only scalar work
-    "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t116 (stream-stream, the strictly-stateful superset; r11: t41, the old co-anchor, demoted into t116) + t77 (streaming join-and-resolve against bucketed state)
+    "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t122 (stream-stream, the strictly-stateful superset; r11: t41/t116, the old co-anchors, demoted into t122) + t77 (streaming join-and-resolve against bucketed state)
     "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames + t88's cumulative mergeable bins
     "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline; r11: t84, the old co-anchor, demoted into t101/t01)
     "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t98's gram-postings candidate generation + exact-span verification (r11: t94, the old co-anchor, demoted into t98/t95) — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
@@ -262,8 +264,11 @@ DEMOTED: tuple[str, ...] = (
     # r11 third swap: strict-superset promotions of brand-new entries —
     # both demotees' oracles are re-graded verbatim inside their
     # successors:
-    "t41_streaming_interval_join",  # graded inside t116_streaming_outer_join, which runs the SAME stream_interval_join operator in its strictly-stronger left-outer form: every t41 matched row appears identically in t116's result (the oracle's inner rows are a subset of t116's LEFT JOIN oracle), plus the sentinel-flushed unmatched-row contract a bounded drain otherwise lacks
+    "t41_streaming_interval_join",  # graded inside t122_streaming_full_outer_join, which runs the SAME stream_interval_join operator in its strictly-stronger full-outer form: every t41 matched row appears identically in t122's result (the inner oracle rows are a subset of the FULL JOIN oracle; r11: t116, the intermediate left-outer anchor, itself demoted into t122 on the same subset basis), plus the sentinel-flushed unmatched-row contracts a bounded drain otherwise lacks
     "t14_streaming_stateful_sessions",  # q18's sessionize contract through applyInPandasWithState stays graded inside t117_stateful_timeout_sessions with q18's OWN oracle SQL — the strictly-harder close-once EventTimeTimeout lifecycle (timeout finalize + state.remove) over the same gap fold; the update-mode re-emission drain discipline (max_by dedup) stays pytest-pinned (batch-parity + provider-independence tests) and swept
+    # r11 fourth swap (review-prompted, the t41→t116 rule applied to
+    # its own successor):
+    "t116_streaming_outer_join",  # graded inside t122_streaming_full_outer_join, the SAME _outer_interval_drain body in full-outer mode: every LEFT JOIN oracle row (matched + left-NULL) appears identically inside t122's FULL JOIN oracle, which additionally grades the right-unmatched population and the coalesced-key projection; t116 stays swept + its planted-frame sentinel pin test
 )
 
 

@@ -339,6 +339,47 @@ def _stage_events_outer(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     )
 
 
+def _outer_interval_drain(
+    spark: SparkSession, sf_dir: str, how: str, tag: str
+) -> DataFrame:
+    """Shared drain for the outer interval-join entries (t116 left,
+    t122 full): sentinel-staged events, watermarked purchase/click
+    streams, one stream_interval_join in ``how`` mode, availableNow
+    into a memory sink, sentinel rows filtered post-drain. The user
+    key is COALESCED across sides — identity for left-outer (left rows
+    always carry it), required for full-outer (a right-only row holds
+    NULLs in every left column including the left's copy of the join
+    key)."""
+    src, n_real = _stage_events_outer(spark, sf_dir)
+    with _few_state_partitions(spark):
+        purchases = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "purchase")
+        clicks = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_real)
+        ).filter(F.col("event_type") == "click")
+        joined = stream_interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            lookback="6 hours",
+            watermark="1 hour",
+            how=how,
+        )
+        out = run_available_now(
+            joined.select(
+                F.col("event_id").alias("purchase_id"),
+                F.coalesce("user_id", "r_user_id").alias("user_id"),
+                F.col("r_event_id").alias("click_id"),
+                (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
+            ),
+            f"{tag}_{uuid.uuid4().hex[:8]}",
+            "append",
+        )
+    return out.filter(F.col("user_id") >= 0).orderBy("purchase_id", "click_id")
+
+
+
 @register(
     "t116_streaming_outer_join",
     """
@@ -365,34 +406,10 @@ def t116_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state flushes before the drain ends. The sentinel's own rows are
     filtered by ``user_id >= 0``. State stays bounded by the interval
     condition exactly as in the inner form; the drained result must
-    equal the batch LEFT JOIN (DuckDB oracle), NULL rows included."""
-    src, n_real = _stage_events_outer(spark, sf_dir)
-    with _few_state_partitions(spark):
-        purchases = events_stream(
-            spark, src, max_files_per_trigger=max(1, n_real)
-        ).filter(F.col("event_type") == "purchase")
-        clicks = events_stream(
-            spark, src, max_files_per_trigger=max(1, n_real)
-        ).filter(F.col("event_type") == "click")
-        joined = stream_interval_join(
-            purchases,
-            clicks,
-            key="user_id",
-            lookback="6 hours",
-            watermark="1 hour",
-            how="left_outer",
-        )
-        out = run_available_now(
-            joined.select(
-                F.col("event_id").alias("purchase_id"),
-                "user_id",
-                F.col("r_event_id").alias("click_id"),
-                (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
-            ),
-            f"t116_{uuid.uuid4().hex[:8]}",
-            "append",
-        )
-    return out.filter(F.col("user_id") >= 0).orderBy("purchase_id", "click_id")
+    equal the batch LEFT JOIN (DuckDB oracle), NULL rows included.
+    Shares ``_outer_interval_drain`` with t122, whose FULL JOIN result
+    is the strict superset of this one."""
+    return _outer_interval_drain(spark, sf_dir, "left_outer", "t116")
 
 
 @register("t117_stateful_timeout_sessions", ORACLES["q18_sessionize"])
@@ -734,34 +751,9 @@ def t122_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
     One sentinel pair advances both streams' watermarks (it passes
     both event-type filters), closing every real row's interval; the
     drained result equals the batch FULL JOIN (DuckDB oracle), both
-    NULL populations included."""
-    src, n_real = _stage_events_outer(spark, sf_dir)
-    with _few_state_partitions(spark):
-        purchases = events_stream(
-            spark, src, max_files_per_trigger=max(1, n_real)
-        ).filter(F.col("event_type") == "purchase")
-        clicks = events_stream(
-            spark, src, max_files_per_trigger=max(1, n_real)
-        ).filter(F.col("event_type") == "click")
-        joined = stream_interval_join(
-            purchases,
-            clicks,
-            key="user_id",
-            lookback="6 hours",
-            watermark="1 hour",
-            how="full_outer",
-        )
-        out = run_available_now(
-            joined.select(
-                F.col("event_id").alias("purchase_id"),
-                F.coalesce("user_id", "r_user_id").alias("user_id"),
-                F.col("r_event_id").alias("click_id"),
-                (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("lag_us"),
-            ),
-            f"t122_{uuid.uuid4().hex[:8]}",
-            "append",
-        )
-    return out.filter(F.col("user_id") >= 0).orderBy("purchase_id", "click_id")
+    NULL populations included. Shares ``_outer_interval_drain`` with
+    t116 — one body, parameterized by join mode."""
+    return _outer_interval_drain(spark, sf_dir, "full_outer", "t122")
 
 
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only

@@ -85,10 +85,11 @@ def test_graded_window_contract():
         "t114_python_source_pushdown",
         "t115_python_source_writer",
         "q53_group_by_all",
-        # third batch: strict-superset swaps — t116 runs t41's own
-        # stream_interval_join in left-outer form, t117 grades t14's
-        # q18 oracle through the EventTimeTimeout lifecycle
-        "t116_streaming_outer_join",
+        # third/fourth batch: strict-superset swaps — t122 runs t41's/
+        # t116's own stream_interval_join in full-outer form (inner ⊂
+        # LEFT JOIN ⊂ FULL JOIN oracle rows), t117 grades t14's q18
+        # oracle through the EventTimeTimeout lifecycle
+        "t122_streaming_full_outer_join",
         "t117_stateful_timeout_sessions",
     }
     assert r11_promoted <= set(first50)

@@ -2130,15 +2130,19 @@ def test_cdc_version_diff(spark, tmp_path):
 def test_outer_interval_join_flushes_unmatched_only_with_sentinel(
     spark, tmp_path
 ):
-    """t116's load-bearing mechanics, on a planted frame.
+    """t116/t122's load-bearing mechanics, on a planted frame.
 
-    Left-outer stream-stream interval join: (a) WITHOUT a
+    Outer stream-stream interval join: (a) WITHOUT a
     watermark-advancing final batch, trailing unmatched left rows stay
     in state and a bounded availableNow drain never emits them — the
     documented outer-mode caveat; (b) WITH a far-future sentinel pair
     staged alone into the final micro-batch, every unmatched purchase
     emits exactly once with NULL right columns and the drained frame
-    equals the batch LEFT JOIN row-for-row."""
+    equals the batch LEFT JOIN row-for-row; (c) FULL OUTER (t122) also
+    emits the right-unmatched population — the click that followed its
+    purchase, which no left-outer drain can surface — with the join
+    key coalesced across sides (right-only rows carry NULL left
+    columns, including the left's copy of the key)."""
     import uuid as _uuid
 
     from datasheet_etl_spark.streaming.streams import (
@@ -2163,8 +2167,8 @@ def test_outer_interval_join_flushes_unmatched_only_with_sentinel(
         (-2, "2024-03-01 00:00:00", -1, "click"),
     ]
 
-    def drain(with_sentinel):
-        src = str(tmp_path / f"src_{with_sentinel}")
+    def drain(with_sentinel, how="left_outer"):
+        src = str(tmp_path / f"src_{with_sentinel}_{how}")
         df = spark.createDataFrame(rows, schema).withColumn(
             "ts", F.col("ts").cast("timestamp")
         )
@@ -2213,12 +2217,12 @@ def test_outer_interval_join_flushes_unmatched_only_with_sentinel(
             key="user_id",
             lookback="6 hours",
             watermark="1 hour",
-            how="left_outer",
+            how=how,
         )
         out = run_available_now(
             joined.select(
                 F.col("event_id").alias("purchase_id"),
-                "user_id",
+                F.coalesce("user_id", "r_user_id").alias("user_id"),
                 F.col("r_event_id").alias("click_id"),
             ),
             f"t116pin_{_uuid.uuid4().hex[:8]}",
@@ -2237,6 +2241,11 @@ def test_outer_interval_join_flushes_unmatched_only_with_sentinel(
     # (b) sentinel: unmatched purchases flush as NULL rows exactly once
     got = drain(with_sentinel=True)
     assert got == {(11, 10), (20, None), (30, None)}
+
+    # (c) full outer: click 31 (after its purchase, matching nothing)
+    # also flushes, keyed by the coalesced user id
+    got = drain(with_sentinel=True, how="full_outer")
+    assert got == {(11, 10), (20, None), (30, None), (None, 31)}
 
 
 def test_timeout_sessionize_emits_once_on_close(spark, tmp_path):
