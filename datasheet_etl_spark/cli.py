@@ -375,20 +375,28 @@ def _span_flag_error(flag: str, span: int) -> str | None:
 
 
 def _path_signature(spark, path: str) -> str:
-    """Identity of a dataset at rest: sorted name:size:mtime of every
-    file under ``path``, listed on the path's OWN FileSystem (the r10
-    wrong-FS lesson) — the audit CLI's same-input-retry detector."""
+    """Identity of a dataset at rest: sorted relpath:size:mtime of
+    every file under ``path``, listed on the path's OWN FileSystem
+    (the r10 wrong-FS lesson) — the audit CLI's same-input-retry
+    detector. The component is the path RELATIVE to the input root,
+    not the basename: basenames collide across subdirectories
+    (part-00000 everywhere), so distinct inputs could falsely refuse
+    and a renamed file could defeat the double-count guard."""
     from datasheet_etl_spark.streaming.streams import _hadoop_fs
 
     fs, hpath, _ = _hadoop_fs(spark, path)
+    root = fs.makeQualified(hpath).toString().rstrip("/")
     it = fs.listFiles(hpath, True)
     parts = []
     while it.hasNext():
         st = it.next()
-        parts.append(
-            f"{st.getPath().getName()}:{st.getLen()}:"
-            f"{st.getModificationTime()}"
+        full = st.getPath().toString()
+        rel = (
+            full[len(root) + 1 :]
+            if full.startswith(root + "/")
+            else st.getPath().getName()
         )
+        parts.append(f"{rel}:{st.getLen()}:{st.getModificationTime()}")
     return ";".join(sorted(parts))
 
 
@@ -454,6 +462,7 @@ def cmd_audit(args, spark=None) -> int:
         nxt = f"{args.ngram_partials}/partial.next"
         fs, stored_hpath, jvm = _hadoop_fs(spark, stored)
         P = jvm.org.apache.hadoop.fs.Path
+        recovered = False
         if fs.exists(P(nxt)):
             if not fs.exists(stored_hpath) and fs.exists(
                 P(f"{nxt}/_SUCCESS")
@@ -469,6 +478,7 @@ def cmd_audit(args, spark=None) -> int:
                     )
                     return 2
                 print("  (recovered interrupted partial swap)")
+                recovered = True
             else:
                 # leftover from a crash BEFORE the swap: stored is
                 # still the committed state and that night's input
@@ -481,6 +491,7 @@ def cmd_audit(args, spark=None) -> int:
                 )
         sig = _path_signature(spark, args.input)
         meta_txt = _read_text(spark, f"{stored}/_AUDIT_META")
+        already_merged = False
         if meta_txt is not None:
             meta = _json.loads(meta_txt)
             if meta["n"] != args.ngram_n:
@@ -492,37 +503,50 @@ def cmd_audit(args, spark=None) -> int:
                 )
                 return 2
             if meta.get("last_input_sig") == sig:
+                if recovered:
+                    # the crashed run DID merge tonight's input —
+                    # the recovered swap carries its signature, so the
+                    # promised recovery re-run must report, not refuse
+                    # (refusing here made 're-running will recover it'
+                    # a lie: the re-run always exited 2)
+                    print(
+                        "  (input already merged by the recovered "
+                        "swap — skipping merge)"
+                    )
+                    already_merged = True
+                else:
+                    print(
+                        "error: this exact input is already merged "
+                        "into the stored partial (same file "
+                        "signature) — re-merging would double-count; "
+                        "pass tonight's new input",
+                        file=sys.stderr,
+                    )
+                    return 2
+        if not already_merged:
+            fresh = frequent_ngram_partials(docs, n=args.ngram_n)
+            if fs.exists(stored_hpath):
+                merged = merge_partial_counts(
+                    [spark.read.parquet(stored), fresh]
+                )
+            else:
+                merged = fresh
+            merged.write.mode("overwrite").parquet(nxt)
+            _write_text_atomic(
+                spark,
+                f"{nxt}/_AUDIT_META",
+                _json.dumps({"n": args.ngram_n, "last_input_sig": sig}),
+            )
+            if fs.exists(stored_hpath):
+                fs.delete(stored_hpath, True)
+            if not fs.rename(P(nxt), stored_hpath):
                 print(
-                    "error: this exact input is already merged into "
-                    "the stored partial (same file signature) — "
-                    "re-merging would double-count; pass tonight's "
-                    "new input",
+                    f"error: partial swap rename failed ({nxt} -> "
+                    f"{stored}) — state preserved in partial.next; "
+                    "re-running will recover it",
                     file=sys.stderr,
                 )
                 return 2
-        fresh = frequent_ngram_partials(docs, n=args.ngram_n)
-        if fs.exists(stored_hpath):
-            merged = merge_partial_counts(
-                [spark.read.parquet(stored), fresh]
-            )
-        else:
-            merged = fresh
-        merged.write.mode("overwrite").parquet(nxt)
-        _write_text_atomic(
-            spark,
-            f"{nxt}/_AUDIT_META",
-            _json.dumps({"n": args.ngram_n, "last_input_sig": sig}),
-        )
-        if fs.exists(stored_hpath):
-            fs.delete(stored_hpath, True)
-        if not fs.rename(P(nxt), stored_hpath):
-            print(
-                f"error: partial swap rename failed ({nxt} -> {stored})"
-                " — state preserved in partial.next; re-running will "
-                "recover it",
-                file=sys.stderr,
-            )
-            return 2
         # top-k from the materialized partial (single-element merge is
         # the public floor/top-k/rank tail over already-summed counts)
         ng = merge_ngram_partials(

@@ -660,12 +660,25 @@ def apply_changes(
     )
     # total order: seq, then delete-wins, then op and payload columns —
     # same-seq duplicate deliveries (at-least-once sources) must pick
-    # the SAME winner on every run/partitioning
+    # the SAME winner on every run/partitioning. Map-typed payloads are
+    # not orderable (and their entry order is undefined anyway):
+    # canonicalize to entries sorted by key for the tiebreak, so CDC
+    # streams can carry map payloads; nested maps-inside-maps stay
+    # unsupported (Spark's own ordering error surfaces).
+    from pyspark.sql.types import MapType
+
+    _ctypes = {f.name: f.dataType for f in changes.schema.fields}
+
+    def _ord(c: str) -> Column:
+        if isinstance(_ctypes.get(c), MapType):
+            return F.array_sort(F.map_entries(F.col(c))).desc_nulls_last()
+        return F.col(c).desc_nulls_last()
+
     w = Window.partitionBy(*kl).orderBy(
         F.col(seq_col).desc(),
         (F.col(op_col) == "D").cast("int").desc(),
         F.col(op_col).desc(),
-        *[F.col(c).desc_nulls_last() for c in pcols],
+        *[_ord(c) for c in pcols],
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -180,6 +180,41 @@ def register_synth_feed(spark) -> None:
     spark.dataSource.register(SyntheticFeedDataSource)
 
 
+def _json_native(dt) -> bool:
+    """True when values of ``dt`` round-trip through bare json.dumps:
+    the atomic types whose Python representations ARE JSON types, plus
+    arrays of those. Timestamp/date/decimal/binary/map/struct arrive
+    as datetime/Decimal/bytes/dict/Row and need a converter the
+    manifest format deliberately does not define."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        NullType,
+        ShortType,
+        StringType,
+    )
+
+    atomic = (
+        StringType,
+        BooleanType,
+        ByteType,
+        ShortType,
+        IntegerType,
+        LongType,
+        FloatType,
+        DoubleType,
+        NullType,
+    )
+    if isinstance(dt, ArrayType):
+        return _json_native(dt.elementType)
+    return isinstance(dt, atomic)
+
+
 class _StagedFile(WriterCommitMessage):
     def __init__(self, path: str, n_rows: int):
         self.path, self.n_rows = path, n_rows
@@ -209,6 +244,22 @@ class JsonLinesWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_manifest writer requires a path option")
+        # Fail FAST on types bare json.dumps cannot serialize
+        # (timestamp/date/decimal/binary arrive as datetime/Decimal/
+        # bytes and would raise TypeError mid-task, after staged files
+        # exist) — the supported-type boundary is explicit here, at
+        # plan time, not discovered per-row on an executor.
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if not _json_native(f.dataType)
+        ]
+        if bad:
+            raise ValueError(
+                "jsonl_manifest writer only supports JSON-native "
+                "column types (string/boolean/integral/floating, and "
+                "arrays of those); cast or drop: " + ", ".join(bad)
+            )
         self.schema_json = schema.json()
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
@@ -250,7 +301,19 @@ class JsonLinesWriter(DataSourceWriter):
             prev = _json.loads(open(mpath).read())
         if prev is not None and not self.overwrite:
             # append MERGES with the committed view — a second append
-            # job must not silently unreference the first job's files
+            # job must not silently unreference the first job's files.
+            # Refuse a drifted schema: the manifest records ONE schema
+            # for every referenced file, so appending different columns
+            # would silently re-type earlier committed rows on read
+            # (the repo's refuse-over-corrupt discipline).
+            if self.schema_json != prev["schema"]:
+                raise ValueError(
+                    "append schema differs from the committed "
+                    "manifest's schema — appending would re-type "
+                    "earlier committed rows on read; overwrite, or "
+                    "align the frame to the committed schema "
+                    f"(committed: {prev['schema']})"
+                )
             files = sorted(set(prev["files"]) | set(files))
             rows += prev["rows"]
         manifest = {

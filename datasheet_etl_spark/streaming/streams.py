@@ -2620,11 +2620,31 @@ def cdc_version_diff(
     skip = set(keys) | set(ignore_cols)
 
     def fingerprinted(version):
+        from pyspark.sql.types import MapType
+
         snap = read_cdc_snapshot(spark, target_dir, version=version)
         if snap is None:
             raise ValueError(f"{target_dir} has no committed version")
         payload = [c for c in snap.columns if c not in skip]
-        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in payload])))
+        types = {f.name: f.dataType for f in snap.schema.fields}
+
+        def canon(c):
+            # maps have no defined entry order (and to_json would key
+            # the fingerprint on whatever order the scan produced) —
+            # canonicalize to entries sorted by key before hashing
+            if isinstance(types[c], MapType):
+                return F.array_sort(F.map_entries(F.col(c))).alias(c)
+            return F.col(c)
+
+        # ignoreNullFields=false: a NULL payload field must fingerprint
+        # differently from an ABSENT one — to_json's default silently
+        # drops nulls, making {a: null, b: 1} collide with {b: 1}
+        fp = F.md5(
+            F.to_json(
+                F.struct(*[canon(c) for c in payload]),
+                {"ignoreNullFields": "false"},
+            )
+        )
         key = (
             F.col(keys[0])
             if len(keys) == 1

@@ -330,16 +330,23 @@ def test_cli_audit_incremental_partials(spark, tmp_path, capsys):
     assert "5-grams" in capsys.readouterr().err
 
     # crash recovery, post-delete window: stored gone, partial.next
-    # complete — the next run must finish the swap, then refuse the
-    # crashed night's OWN input as already merged
+    # complete — the next run must finish the swap, SKIP the merge
+    # (the crashed run already merged tonight's input — refusing here
+    # would make 're-running will recover it' a lie) and fall through
+    # to the report
     import shutil as _sh
 
     _sh.move(f"{state}/partial", f"{state}/partial.next")
-    assert main(["audit", p2, "--ngram-partials", state], spark=spark) == 2
+    assert main(["audit", p2, "--ngram-partials", state], spark=spark) == 0
     out_err = capsys.readouterr()
     assert "recovered interrupted partial swap" in out_err.out
-    assert "already merged" in out_err.err
+    assert "already merged by the recovered swap" in out_err.out
+    assert "Top duplicated" in out_err.out  # the report actually prints
     assert spark.read.parquet(f"{state}/partial").count() == part.count()
+    # a SECOND re-run (no recovery this time) still refuses: exit 2 is
+    # kept exactly for the no-recovery-happened case
+    assert main(["audit", p2, "--ngram-partials", state], spark=spark) == 2
+    assert "already merged" in capsys.readouterr().err
 
     # crash leftover, pre-swap window: BOTH exist — the orphan is
     # uncommitted and must be discarded; stored stays authoritative

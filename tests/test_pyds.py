@@ -222,3 +222,66 @@ def test_pyds_writer_append_merges_overwrite_replaces(spark, tmp_path):
     assert e.count() == 0
     assert set(e.columns) == {"event_id", "bucket", "value"}
     assert e.groupBy("bucket").count().count() == 0
+
+
+def test_pyds_writer_schema_guards(spark, tmp_path):
+    """ADVICE r11: (a) append with a drifted column set must REFUSE at
+    commit — the manifest records ONE schema for every referenced
+    file, so merging a different schema would silently re-type earlier
+    committed rows on read; (b) non-JSON-native column types
+    (timestamp/decimal/binary/...) refuse at PLAN time with a clear
+    message instead of a mid-task json.dumps TypeError after staged
+    files exist."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.sources.pyds import (
+        read_jsonl_manifest,
+        register_jsonl_manifest,
+        register_synth_events,
+    )
+
+    register_synth_events(spark)
+    register_jsonl_manifest(spark)
+    feed = (
+        spark.read.format("synth_events")
+        .option("numRows", "6").option("numPartitions", "2").load()
+    )
+    out = str(tmp_path / "sink")
+    feed.write.format("jsonl_manifest").option("path", out).mode(
+        "append").save()
+
+    # (a) drifted append refused; the committed view is untouched
+    with _pytest.raises(Exception, match="append schema differs"):
+        feed.selectExpr(
+            "event_id", "value"
+        ).write.format("jsonl_manifest").option("path", out).mode(
+            "append").save()
+    got = read_jsonl_manifest(spark, out)
+    assert got.count() == 6
+    assert set(got.columns) == {"event_id", "bucket", "value"}
+
+    # (b) JSON-unrepresentable types refuse at plan time, naming the
+    # offending column:type pairs
+    for expr, label in [
+        ("timestamp'2026-01-01' as ts", "ts:timestamp"),
+        ("cast(1.5 as decimal(5,2)) as d", "d:decimal(5,2)"),
+        ("cast('ab' as binary) as b", "b:binary"),
+    ]:
+        with _pytest.raises(Exception, match="JSON-native"):
+            feed.selectExpr("event_id", expr).write.format(
+                "jsonl_manifest"
+            ).option("path", str(tmp_path / "bad")).mode("append").save()
+    import os
+
+    assert not os.path.exists(str(tmp_path / "bad"))
+
+    # arrays of atomics ARE native and round-trip
+    arr_out = str(tmp_path / "arr")
+    feed.selectExpr(
+        "event_id", "array(value, value + 1.0) as vals"
+    ).write.format("jsonl_manifest").option("path", arr_out).mode(
+        "append").save()
+    arr = read_jsonl_manifest(spark, arr_out)
+    assert arr.count() == 6
+    r = {x["event_id"]: x["vals"] for x in arr.collect()}
+    assert len(r[0]) == 2 and abs(r[0][1] - r[0][0] - 1.0) < 1e-9

@@ -2127,6 +2127,86 @@ def test_cdc_version_diff(spark, tmp_path):
     assert clean[1] == "unchanged"
 
 
+def test_cdc_version_diff_null_and_map_fingerprints(spark, tmp_path):
+    """ADVICE r11: the diff fingerprint must (a) distinguish a NULL
+    payload field from an absent one (to_json drops nulls by default —
+    {a:null,b:1} would collide with {b:1} under column renames/drift)
+    and (b) canonicalize map-typed payloads, whose entry order is
+    undefined, so a physically-reordered but equal map never reports
+    'changed'. Exercised through cdc_version_diff's own fingerprinted()
+    by building two committed versions that differ ONLY in null-ness,
+    and a map payload rewritten in reversed entry order."""
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_versions,
+        cdc_upsert_sink,
+        cdc_version_diff,
+    )
+
+    schema = "k long, seq long, op string, a string, b string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    # v1: k=1 has a='x', b=NULL; v2 flips to a=NULL, b='x'. A
+    # null-dropping fingerprint serializes both as {"a":"x"}/{"b":"x"}
+    # with DIFFERENT hashes — fine — but k=2 (a=NULL,b='1') vs a
+    # hypothetical {b:'1'} row must not collide; the direct observable
+    # here: flipping WHICH field is null must classify as changed, and
+    # an identical null layout as unchanged.
+    spark.createDataFrame(
+        [(1, 1, "I", "x", None), (2, 1, "I", None, "1")], schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(1, 2, "U", None, "x"), (2, 2, "U", None, "1")], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    cdc_upsert_sink(stream, target, str(tmp_path / "ck"), keys=["k"],
+                    seq_col="seq")
+    committed = _committed_versions(spark, target)
+    got = {
+        r["_key"]: r["status"]
+        for r in cdc_version_diff(
+            spark, target, committed[0], None, ["k"], ignore_cols=["seq", "op"]
+        ).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged"}
+
+    # (b) map payload: same logical map written in reversed entry
+    # order between versions — canonicalized fingerprints agree
+    m_src = str(tmp_path / "m_src")
+    m_target = str(tmp_path / "m_target")
+    m_schema = "k long, seq long, op string, payload map<string,string>"
+    spark.createDataFrame(
+        [(1, 1, "I", {"x": "1", "y": "2"})], m_schema
+    ).coalesce(1).write.parquet(m_src)
+    # rewrite with entries produced in the opposite order (map_concat
+    # of singletons fixes physical order deterministically)
+    spark.range(1).selectExpr(
+        "1L as k", "2L as seq", "'U' as op",
+        "map_concat(map('y','2'), map('x','1')) as payload",
+    ).coalesce(1).write.parquet(m_src, mode="append")
+    m_stream = (
+        spark.readStream.schema(m_schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(m_src)
+    )
+    cdc_upsert_sink(m_stream, m_target, str(tmp_path / "m_ck"),
+                    keys=["k"], seq_col="seq")
+    m_committed = _committed_versions(spark, m_target)
+    m_got = {
+        r["_key"]: r["status"]
+        for r in cdc_version_diff(
+            spark, m_target, m_committed[0], None, ["k"],
+            ignore_cols=["seq", "op"],
+        ).collect()
+    }
+    assert m_got == {1: "unchanged"}
+
+
 def test_outer_interval_join_flushes_unmatched_only_with_sentinel(
     spark, tmp_path
 ):
