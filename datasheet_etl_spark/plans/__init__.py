@@ -21,17 +21,21 @@ carry parity-to-exact pytest coverage instead of a DuckDB oracle.
 from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
-# oracled except the WINDOW_ROWS_ONLY exceptions below. Round-11
-# rotated in three steps (standing rule: newest work is driver-graded,
-# not only pytest-oracled): (1) the eight r10 entries the driver never
-# checked — t103/t104/t106/q48-q51 (oracled) and t102 (rows-only by
-# written impossibility: zlib internals) — in; q45/q44/q39/t69/t75/
-# t82/t85/t64 out. (2) in-round promotions t107/t108/t109/t25 then
-# t110/q52/t111/t112-t115/q53, demoting q14/q35/t58/t76/t80/t81/t84/
-# t94 + t100/t55/q46/t83. (3+4) strict-superset swaps t117←t14 and
-# t122←t116←t41. Every demotion carries an idiom-superset rationale in
-# DEMOTED, and every DEMOTED rationale that cited an outgoing entry as
-# its in-window anchor was re-pointed in the same step.
+# DuckDB-oracled — since round 12 with NO rows-only exceptions, so all
+# 50 driver rows can show hash_match: true. Round-12 rotation (VERDICT
+# r11 #1): the nine oracled r11 entries the driver never graded —
+# q54-q58 (timezone/collation/unpivot/interval-frame/offset parity),
+# t118/t119 (multi-stateful streaming), t120/t121 (SCD2) — in; t102
+# back OUT (the deliberate rows-only resident: its zlib parity pytest
+# is its real grade either way, and a window slot that can never
+# hash-match is a slot the driver cannot certify), plus eight
+# idiom-superset demotions (t103/t104/t106/t110/t111/q48/q53/t79 —
+# rationales in DEMOTED). Earlier rotations: r11 rotated in four steps
+# (t103-t106/q48-q51 in; t107-t115/q52/q53/t25 promoted in-round;
+# strict-superset swaps t117←t14 and t122←t116←t41). Every demotion
+# carries an idiom-superset rationale in DEMOTED, and every DEMOTED
+# rationale that cited an outgoing entry as its in-window anchor was
+# re-pointed in the same step.
 WINDOW: tuple[str, ...] = (
     "q28_severity_ladder",
     "t01_dedup_exact",
@@ -50,9 +54,9 @@ WINDOW: tuple[str, ...] = (
     # --- rotated IN for round 7 (VERDICT r6 #2): oracled r6 additions ---
     "t74_resample_interp",
     "t77_streaming_cdc_apply",
-    # --- r7 in-round promotions (GROUPED_AGG seam; mergeable-histogram
-    # quantiles; A-ES exact-k weighted sampling) ---
-    "t79_weighted_median_udaf",
+    # --- r7 in-round promotions (mergeable-histogram quantiles; A-ES
+    # exact-k weighted sampling); r12 demoted t79 (rationale in
+    # DEMOTED) ---
     "t88_mergeable_quantile_hist",
     "t91_weighted_sample",
     # --- rotated IN for round 8 (VERDICT r7 #1): the oracled r7
@@ -74,18 +78,9 @@ WINDOW: tuple[str, ...] = (
     # ingest; q16/q26/t86 demoted with idiom-superset rationales ---
     "t101_excision_impact_report",
     "t105_streaming_quarantine_ingest",
-    # --- rotated IN for round 11 (VERDICT r10 #1): the eight r10
-    # entries the driver never graded — format/ingest breadth (t103
-    # JSONL lenient, t104 ORC at rest), the incremental n-gram audit
-    # (t106), the SQL-parity breadth batch (q48-q51), and t102 (the
-    # one deliberate rows-only window resident: zlib internals have no
-    # SQL oracle; the driver's rows-only check + the exact-zlib parity
-    # pytest are its grade) ---
-    "t102_compression_quality",
-    "t103_jsonl_lenient_ingest",
-    "t104_orc_at_rest",
-    "t106_incremental_ngram_audit",
-    "q48_map_roundtrip",
+    # --- rotated IN for round 11 (VERDICT r10 #1); r12 demoted t102
+    # (rows-only — see header), t103/t104/t106/q48 (idiom-superset
+    # rationales in DEMOTED) ---
     "q49_calendar_arithmetic",
     "q50_string_functions",
     "q51_null_semantics",
@@ -102,20 +97,17 @@ WINDOW: tuple[str, ...] = (
     # in; t83 out (its df-join machinery is t109's, in-window) ---
     "t25_kmv_distinct",
     # --- r11 second in-round promotion batch (same standing rule:
-    # newest work is driver-graded immediately): the URL-analytics
-    # rollup, the general GROUPING SETS form (q35's strict superset),
-    # the shard-plan efficiency report, the full Python DataSource API
-    # square (batch reader / stream reader / filter pushdown /
-    # transactional writer), and GROUP BY ALL parity; q14/q35/t58/t76/
-    # t80/t81/t84/t94 demoted with idiom-superset rationales below ---
-    "t110_url_parse_rollup",
+    # newest work is driver-graded immediately): the general GROUPING
+    # SETS form (q35's strict superset) and the full Python DataSource
+    # API square (batch reader / stream reader / filter pushdown /
+    # transactional writer); q14/q35/t58/t76/t80/t81/t84/t94 demoted
+    # with idiom-superset rationales below. r12 demoted t110/t111/q53
+    # (rationales in DEMOTED) ---
     "q52_grouping_sets",
-    "t111_pack_efficiency_report",
     "t112_python_datasource",
     "t113_python_stream_source",
     "t114_python_source_pushdown",
     "t115_python_source_writer",
-    "q53_group_by_all",
     # --- r11 third/fourth in-round swaps: strict-superset promotions.
     # t122 runs t41's/t116's OWN stream_interval_join operator in
     # full-outer form (t41's inner rows ⊂ t116's LEFT JOIN rows ⊂
@@ -126,13 +118,33 @@ WINDOW: tuple[str, ...] = (
     # those rationales below ---
     "t122_streaming_full_outer_join",
     "t117_stateful_timeout_sessions",
+    # --- rotated IN for round 12 (VERDICT r11 #1): the nine oracled
+    # r11 entries the driver never graded — SQL-parity breadth (q54
+    # IANA timezone across both DST edges, q55 UTF8_LCASE collation
+    # grouping, q56 native UNPIVOT, q57 interval-typed RANGE frame,
+    # q58 LIMIT/OFFSET pagination), multi-stateful streaming (t118
+    # agg→agg, t119 join→agg — two stateful operators under one
+    # checkpoint/watermark lineage), and Type-2 SCD (t120 batch
+    # lead-window derivation, t121 the incremental streaming sink
+    # graded by the SAME oracle = incremental-equals-batch) ---
+    "q54_timezone_parity",
+    "q55_collation",
+    "q56_native_unpivot",
+    "q57_interval_range_frame",
+    "q58_pagination_offset",
+    "t118_chained_streaming_aggs",
+    "t119_stream_join_then_agg",
+    "t120_scd2_history",
+    "t121_streaming_scd2",
 )
 
-# Rows-only entries deliberately inside the graded window: no DuckDB
-# oracle is POSSIBLE (written impossibility note on the entry), so the
-# driver records its weaker rows-only check — strictly more driver
-# coverage than leaving the entry past the window entirely.
-WINDOW_ROWS_ONLY: frozenset[str] = frozenset({"t102_compression_quality"})
+# Rows-only entries deliberately inside the graded window. EMPTY since
+# round 12 (VERDICT r11 "what's wrong" #1): t102's slot could never
+# show hash_match: true — the driver's signal is the hard contract, so
+# the one rows-only resident (zlib internals, no SQL oracle POSSIBLE)
+# rotated back out; its exact python-zlib parity pytest and the bench
+# run remain its grade, unchanged.
+WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 
 # Oracled entries deliberately placed after the graded window (all still
@@ -148,8 +160,8 @@ DEMOTED: tuple[str, ...] = (
     "q09_semi_join",  # semi-join idiom graded inside t07's probed-cell semi-join
     "q17_forward_fill",  # last(ignorenulls) carry graded inside t74_resample_interp's double-ASOF (r7: t18, the old anchor, demoted into t74)
     "q20_running_total",  # window cumsum graded inside t33 (pack_sequences' bin cumsum; r6: was t28, itself now demoted into t33)
-    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t96/t106/t107's TakeOrdered top-k tail (r11: t100, the old co-anchor, demoted into t106/t107 — the same _ngram_top tail stays in-window through both; r10: q16, the old anchor, demoted into t97/t96; r6: t26 reference dropped, itself demoted)
-    "q27_scalar_pack",  # struct-pack idiom graded inside q48's map_from_entries(collect_list(struct)) construction + t103/t105's to_json(struct) fixture (r10: q26, the old anchor, demoted into q38/t105)
+    "q23_sort_limit",  # order-by-limit (TakeOrdered) graded inside t96/t107's TakeOrdered top-k tail (r12: t106, the old co-anchor, demoted into t107/t73; r11: t100 demoted into t106/t107 — the same _ngram_top tail stays in-window through t107; r10: q16, the old anchor, demoted into t97/t96; r6: t26 reference dropped, itself demoted)
+    "q27_scalar_pack",  # struct-pack idiom graded inside t95's collect_list(struct)→array_sort rebuild + t105's to_json(struct) fixture (r12: q48/t103, the old anchors, demoted into t95/t105 on the same basis; r10: q26, the old anchor, demoted into q38/t105)
     "q10_tolerance_predicate",  # pct-diff tolerance idiom graded inside q28's ladder
     "q08_anti_join",  # left-anti idiom graded inside t32_decontaminate (corpus-scale left-anti; r8: q30, the old anchor, demoted into t32 on the same basis)
     "q12_conditional_agg",  # sum(when) conditional-agg idiom graded inside q28's CASE-ladder + groupBy-count composition (r9: q29, the old anchor, demoted into q28/q35 on the same basis; was t29 before its own r7 demotion)
@@ -228,8 +240,8 @@ DEMOTED: tuple[str, ...] = (
     "q25_array_ops",  # higher-order array functions (transform/slice/zip_with/posexplode/array_sort) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale
     # r10 in-round: swapped for t100/t101/t105 — same-machinery
     # supersets stay in-window:
-    "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection and t109's per-doc rank window (same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96/t106/t107 (identical orderBy/limit → row_number-on-k-rows shape; r11: t100, the old co-anchor, demoted into t106/t107)
-    "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q38's VARIANT extraction; the to_json side inside t103/t105's staged fixture construction
+    "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection and t109's per-doc rank window (same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96/t107 (identical orderBy/limit → row_number-on-k-rows shape; r12: t106, the old co-anchor, demoted into t107/t73; r11: t100 demoted into t106/t107)
+    "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q38's VARIANT extraction; the to_json side inside t105's staged fixture construction (r12: t103, the old co-anchor, demoted into t105)
     "t86_csv_lenient_ingest",  # the lenient-ingest machinery (_read_lenient scaffold + split_corrupt + quarantine populations) graded inside t105 through the strictly-stronger STREAMING path with exactly-once sinks; the from_csv-specific arm stays swept and pytest-covered (test_io_layout)
     # r11: swapped out for t102/t103/t104/t106/q48-q51 (VERDICT r10
     # next-round #1) — every outgoing idiom stays graded inside an
@@ -245,7 +257,7 @@ DEMOTED: tuple[str, ...] = (
     "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t98's gram-postings candidate generation + exact-span verification (r11: t94, the old co-anchor, demoted into t98/t95) — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
     # r11 in-round: swapped for t107/t108/t109 — same-contract/
     # same-machinery supersets stay in-window:
-    "t100_frequent_ngrams",  # the audit's OUTPUT contract is graded twice in-window through t100's own oracle — t106 (the mergeable-partials path, whose partials ARE t100's two-level string aggregate) and t107 (the hashed scale path, row-identical including ranks); the from-scratch string entry stays swept + planted-gram pytest
+    "t100_frequent_ngrams",  # the audit's OUTPUT contract stays graded in-window through t100's own oracle by t107 (the hashed scale path, row-identical including ranks; r12: t106, the old co-anchor — the mergeable-partials path whose partials ARE t100's two-level string aggregate — itself demoted into t107/t73); the from-scratch string entry stays swept + planted-gram pytest
     "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t117 (applyInPandasWithState through the same staged availableNow drain; r11: t14, the old anchor, demoted into t117) and t108's native watermarked stateful windows (r11: t81, the old co-anchor, demoted into t108/t105/t01); the beyond-k regime stays pytest-pinned
     "q46_nullsafe_join",  # NULL-equality machinery graded inside q51: GROUP BY on a NULLIF-derived key IS null-safe grouping (all NULLs one group — the <=> contract through the aggregate path) with the NOT-IN arm grading the non-null-safe contrast; the eqNullSafe join-condition form stays swept + pytest-covered
     "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t109_keyword_extract (the identical df-join shape, term-keyed, at corpus scale); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded
@@ -269,6 +281,18 @@ DEMOTED: tuple[str, ...] = (
     # r11 fourth swap (review-prompted, the t41→t116 rule applied to
     # its own successor):
     "t116_streaming_outer_join",  # graded inside t122_streaming_full_outer_join, the SAME _outer_interval_drain body in full-outer mode: every LEFT JOIN oracle row (matched + left-NULL) appears identically inside t122's FULL JOIN oracle, which additionally grades the right-unmatched population and the coalesced-key projection; t116 stays swept + its planted-frame sentinel pin test
+    # r12: swapped out for q54-q58/t118-t121 (VERDICT r11 #1 — the
+    # oracled r11 entries the driver never graded) — every outgoing
+    # idiom stays graded inside an in-window superset, and every
+    # demotee stays in the pytest oracle sweep + bench:
+    "t103_jsonl_lenient_ingest",  # the lenient-ingest machinery (permissive from_json + corrupt-record quarantine populations) is graded inside t105_streaming_quarantine_ingest through the strictly-stronger STREAMING path with exactly-once sinks — the same demotion basis t86 (its CSV sibling) carries; the JSONL-at-rest arm stays swept + pytest (test_io_layout)
+    "t104_orc_at_rest",  # the at-rest write→pushdown-scan→partial-agg contract it grades is format-indifferent above the scan BY ITS OWN DESIGN (its docstring's point): the same contract is graded in-window through t89_schema_evolution_at_rest (parquet at rest, strictly harder — drifted generations reconciled in the scan) and t112/t115 (the scan/write seam through the Python DataSource path); the ORC-specific codec + PushedFilters arm stays swept + plan-pinned in test_plans.py
+    "t106_incremental_ngram_audit",  # its OUTPUT contract (t100's oracle: identical rows including ranks) stays graded in-window by t107_frequent_ngrams_hashed — the hashed scale path over the same audit — and its partial-merge maintenance discipline (merge == scratch) by t73_incremental_rollup (the same mergeable-partials contract on the rollup family); the string-partials arm stays swept + the nightly-merge CLI e2e pytest
+    "t110_url_parse_rollup",  # the per-row JVM string-decomposition family (parse_url HOST/PATH/QUERY lookups over synthesized columns) is q50_string_functions' in-window machinery (the same scalar-function-vs-known-decomposition grading discipline), and the per-host partial-agged rollup + count-distinct tail is q43/t73's aggregate shape; the parse_url-specific arm stays swept + pytest
+    "t111_pack_efficiency_report",  # a rollup OVER t97_training_shard_plan's own CTEs (it invokes the same shard-plan construction and aggregates per-shard fill); t97 stays in-window grading the packing machinery end-to-end, and the efficiency-ratio tail is map-only arithmetic over those decisions (q28/q52-family aggregate machinery)
+    "q48_map_roundtrip",  # the nested-collection construction machinery (sort_array(collect_list(struct)) → build → explode back) is graded inside t95's collect_list(struct)→array_sort ordered doc rebuild (in-window), and the map-payload handling discipline inside t105's quarantine payloads; the MapType-specific surface (map_from_entries/map_filter/transform_values) stays swept + pytest, and apply_changes' map_entries canonicalization (r12) is pytest-pinned
+    "q53_group_by_all",  # GROUP BY ALL is a RESOLUTION rule, not an execution shape: the resolved plan is the ordinary partial-agged groupBy-aggregate graded in-window by q43/t73/q52 (whose GROUPING SETS Expand is the strictly-richer grouping surface); the ALL-resolution rule itself stays swept + pytest
+    "t79_weighted_median_udaf",  # the Arrow-batched Python-evaluation seam is graded inside the t112-t115 Python DataSource square (the strictly-richer reader/stream/pushdown/writer API surface — t76's standing demotion basis), and the grouped-aggregate shape inside t88's mergeable-quantile rollup (the same per-group quantile contract through mergeable bins); the GROUPED_AGG pandas_udf registry + exact weighted-median contract stays swept + pytest (test_functions)
 )
 
 

@@ -33,10 +33,11 @@ def test_query_matches_oracle(spark, name):
 def test_graded_window_contract():
     """The driver grades the first 50 registry entries. Pin that the
     window is exactly the explicit WINDOW list, every entry oracled
-    (except the named rows-only impossibility exceptions), that the
-    r11 rotation landed (the eight r10 entries the driver had never
-    checked are graded), that recent rotations stay covered, and that
-    demotion never drops oracle coverage."""
+    with NO rows-only exceptions (r12: every driver row can show
+    hash_match true), that the r12 rotation landed (the nine oracled
+    r11 entries the driver had never checked are graded), that recent
+    rotations stay covered, and that demotion never drops oracle
+    coverage."""
     from datasheet_etl_spark.plans import (
         DEMOTED,
         WINDOW,
@@ -48,19 +49,31 @@ def test_graded_window_contract():
     first50 = list(registry())[:50]
     assert first50 == list(WINDOW)
     ora = oracles()
-    assert all(k in ora for k in first50 if k not in WINDOW_ROWS_ONLY)
-    # the rows-only window residents each carry a written oracle
-    # impossibility note; t102's grade is the driver rows-only check
-    # plus the exact-zlib parity pytest
-    assert WINDOW_ROWS_ONLY == {"t102_compression_quality"}
-    assert WINDOW_ROWS_ONLY <= set(first50)
-    # r11 rotation: the eight r10 entries the driver had never graded
+    # r12 (VERDICT r11 "what's wrong" #1): EVERY window slot is
+    # oracled — a slot that can never hash-match is a slot the driver
+    # cannot certify. t102 (zlib, no SQL oracle possible) rotated back
+    # out; its exact python-zlib parity pytest remains its grade.
+    assert WINDOW_ROWS_ONLY == frozenset()
+    assert all(k in ora for k in first50)
+    # r12 rotation: the nine oracled r11 entries the driver had never
+    # graded (VERDICT r11 #1)
+    r12_entries = {
+        "q54_timezone_parity",
+        "q55_collation",
+        "q56_native_unpivot",
+        "q57_interval_range_frame",
+        "q58_pagination_offset",
+        "t118_chained_streaming_aggs",
+        "t119_stream_join_then_agg",
+        "t120_scd2_history",
+        "t121_streaming_scd2",
+    }
+    assert r12_entries <= set(first50)
+    # r11 rotation survivors (t102 rotated out r12 per the verdict;
+    # t103 demoted into t105, t104 into t89/t112/t115, t106 into
+    # t107/t73, q48 into t95/t105 — all after one green driver grade,
+    # idiom-superset rationales in DEMOTED)
     r11_entries = {
-        "t102_compression_quality",
-        "t103_jsonl_lenient_ingest",
-        "t104_orc_at_rest",
-        "t106_incremental_ngram_audit",
-        "q48_map_roundtrip",
         "q49_calendar_arithmetic",
         "q50_string_functions",
         "q51_null_semantics",
@@ -77,14 +90,13 @@ def test_graded_window_contract():
         # on t25's oracle, so t25 is itself driver-graded
         "t25_kmv_distinct",
         # second in-round batch: newest work driver-graded immediately
-        "t110_url_parse_rollup",
+        # (r12 demoted t110 into q50/q43/t73, t111 into t97, q53 into
+        # q43/t73/q52 — idiom-superset rationales in DEMOTED)
         "q52_grouping_sets",
-        "t111_pack_efficiency_report",
         "t112_python_datasource",
         "t113_python_stream_source",
         "t114_python_source_pushdown",
         "t115_python_source_writer",
-        "q53_group_by_all",
         # third/fourth batch: strict-superset swaps — t122 runs t41's/
         # t116's own stream_interval_join in full-outer form (inner ⊂
         # LEFT JOIN ⊂ FULL JOIN oracle rows), t117 grades t14's q18
@@ -121,7 +133,10 @@ def test_graded_window_contract():
         "q47_distribution_windows",
     }
     assert r8_entries <= set(first50)
-    # entries CREATED in round 7: >= 6 must still be driver-graded
+    # entries CREATED in round 7: >= 5 must still be driver-graded
+    # (was >= 6 through r11; r12 demoted t79 — its Arrow-batched
+    # Python seam graded inside the t112-t115 square, its grouped
+    # quantile contract inside t88, both in-window)
     r7_created = {
         "t79_weighted_median_udaf", "t80_leakage_safe_split",
         "t81_streaming_dedup_watermark", "t82_mixture_waterfill",
@@ -131,7 +146,7 @@ def test_graded_window_contract():
         "t90_feature_scale", "t91_weighted_sample",
         "q47_distribution_windows",
     }
-    assert len(r7_created & set(first50)) >= 6
+    assert len(r7_created & set(first50)) >= 5
     # demotion is a WINDOW decision, never an oracle decision: every
     # demoted entry keeps its DuckDB oracle and stays in this sweep
     assert all(k in ora for k in DEMOTED)
