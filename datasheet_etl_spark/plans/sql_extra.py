@@ -4300,8 +4300,10 @@ def q58_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     OFFSET still sorts/skips the prefix (GlobalLimit(75) then a local
     skip), so deep pagination degrades linearly — keyset pagination
     (WHERE (date, key) > last_seen ORDER BY ... LIMIT n, i.e. q23's
-    pushed-sort shape) is the scalable form; this entry grades the
-    operator's existence and exactness, not its use at depth."""
+    pushed-sort shape) is the scalable form, graded beside this entry
+    by q59_pagination_keyset with a page-equivalence pin; this entry
+    grades the OFFSET operator's existence and exactness, not its use
+    at depth."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "q58_orders"
     )
@@ -4313,4 +4315,67 @@ def q58_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderdate, o_orderkey
         LIMIT 25 OFFSET 50
         """
+    )
+
+
+@register(
+    "q59_pagination_keyset",
+    """
+    WITH cursor AS (
+      SELECT o_orderdate AS d, o_orderkey AS k
+      FROM orders ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET 49
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS total
+    FROM orders o, cursor c
+    WHERE o.o_orderdate > c.d
+       OR (o.o_orderdate = c.d AND o.o_orderkey > c.k)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT 25
+    """,
+)
+def q59_pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — the scale-safe form q58's own
+    docstring names (VERDICT r11 #3): ``WHERE (date, key) > last_seen
+    ORDER BY date, key LIMIT n``. The cursor is the LAST ROW OF THE
+    PREVIOUS PAGE — client state, held between requests — so the page
+    query itself carries literal bounds: the filter reaches the
+    parquet scan as PushedFilters and the sort+limit compiles to
+    TakeOrderedAndProject (q23's pushed-sort shape; both plan-pinned
+    in tests/test_plans.py). That is the 100 TB point OFFSET lacks:
+    page depth costs nothing — every page is one pruned scan + a
+    per-partition top-25, no prefix is sorted or skipped. The one-row
+    cursor collect stands in for the client's held cursor and is the
+    pattern's point, not a driver-side loop. Page equivalence against
+    q58's OFFSET page is pytest-pinned (identical rows); the total
+    (date, key) order makes both pages engine-deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    # the previous page's last row — at a real API boundary this
+    # arrives FROM the client; deriving it here keeps the entry
+    # self-contained at every sf
+    cur = (
+        orders.select("o_orderdate", "o_orderkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(49)
+        .limit(1)
+        .collect()[0]
+    )
+    last_d, last_k = cur["o_orderdate"], cur["o_orderkey"]
+    return (
+        orders.filter(
+            (F.col("o_orderdate") > F.lit(last_d))
+            | (
+                (F.col("o_orderdate") == F.lit(last_d))
+                & (F.col("o_orderkey") > F.lit(last_k))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("total"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(25)
     )

@@ -758,3 +758,33 @@ def test_aqe_skew_join_lever(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q59_keyset_page_plan_and_equivalence(spark):
+    """VERDICT r11 #3: the keyset page's plan must show the pushed
+    sort+limit (TakeOrderedAndProject — per-partition top-25, driver
+    merge, no global sort) with the cursor predicate reaching the
+    parquet scan as PushedFilters, and the page itself must equal
+    q58's OFFSET page row-for-row (same cursor position, same total
+    order) — the keyset form is a PLAN upgrade, never a content
+    change."""
+    import re as _re
+
+    from datasheet_etl_spark.plans.sql_extra import (
+        q58_pagination_offset,
+        q59_pagination_keyset,
+    )
+
+    ks = q59_pagination_keyset(spark, SF_SMOKE)
+    plan = _plan(ks)
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+    # no OFFSET prefix machinery anywhere in the keyset plan
+    assert "GlobalLimit" not in plan, plan[:600]
+    scan = plan[plan.index("FileScan") :]
+    m = _re.search(r"PushedFilters: \[([^\n]*)", scan)
+    assert m and "o_orderdate" in m.group(1), scan[:400]
+
+    want = [tuple(r) for r in q58_pagination_offset(spark, SF_SMOKE).collect()]
+    got = [tuple(r) for r in ks.collect()]
+    assert len(got) == 25
+    assert got == want
