@@ -726,6 +726,55 @@ def t121_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+@register("t121b_streaming_scd2_bucketed", _SCD2_ORACLE)
+def t121b_streaming_scd2_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t121's streaming Type-2 SCD through the BUCKETED manifest
+    storage mode (VERDICT r11 #4): ``scd2_upsert_sink(num_buckets=8)``
+    puts the history on the cdc sink's partition-scoped layout —
+    per micro-batch, only the buckets the batch's keys hash into are
+    read and rewritten (O(touched buckets), not O(history); untouched
+    buckets' dirs are re-pointed by the manifest, never re-written —
+    pinned in tests/test_streaming.py). The SAME DuckDB lead-window
+    oracle grades t120 (batch), t121 (incremental, flat) and this
+    entry (incremental, bucketed): one contract, three execution
+    shapes — the storage mode must be invisible in the result."""
+    import hashlib
+    import os
+
+    from datasheet_etl_spark.streaming.streams import (
+        read_scd2_snapshot,
+        scd2_upsert_sink,
+    )
+
+    src = _stage_events_seq_split(spark, sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"scd2b_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    target, ckpt = os.path.join(work, "target"), os.path.join(work, "ckpt")
+    with _few_state_partitions(spark):
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", "1").format("parquet").load(src)
+        changes = _scd2_changes(spark, stream)
+        scd2_upsert_sink(
+            changes,
+            target,
+            ckpt,
+            ["user_id"],
+            "event_id",
+            ["value"],
+            num_buckets=8,
+        )
+    out = read_scd2_snapshot(spark, target)
+    return out.select(
+        "user_id", "value", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")
+
+
 @register(
     "t122_streaming_full_outer_join",
     """

@@ -1481,6 +1481,77 @@ def _resolve_manifest(spark: SparkSession, target_dir: str) -> dict | None:
     return manifest
 
 
+def _resolve_or_init_bucketed_manifest(
+    spark: SparkSession,
+    target_dir: str,
+    checkpoint_dir: str,
+    num_buckets: int,
+) -> dict:
+    """Resolve a bucketed target's committed manifest, initializing an
+    empty one for a new target — with the full guard ladder every
+    bucketed sink (CDC latest-rows AND SCD2 history) must run before
+    touching the target. Raises rather than guessing on the two
+    corruption-shaped states (manifest history lost after commit;
+    flat-layout target driven with num_buckets)."""
+    manifest = _resolve_manifest(spark, target_dir)
+    if manifest is None:
+        committed = _committed_versions(spark, target_dir)
+        if committed:
+            orphans = _orphaned_bucketed_versions(spark, target_dir)
+            if set(orphans) == set(committed):
+                # every committed-looking version is bucketed-shaped
+                # with no manifest. Two very different states look
+                # like this, and only the checkpoint tells them apart:
+                if _checkpoint_has_commits(spark, checkpoint_dir):
+                    # the checkpoint has committed batches, so these
+                    # versions WERE manifest-committed once and the
+                    # manifests dir was lost separately (partial
+                    # restore, fs mishap). Discarding the data dirs
+                    # here would be silent data loss — the committed
+                    # batches will never be replayed.
+                    raise ValueError(
+                        f"{target_dir} holds bucketed CDC data but "
+                        "its manifests/ dir is missing while the "
+                        "checkpoint records committed batches — the "
+                        "manifest history was lost after commit. "
+                        "Restore manifests/ and _LATEST from backup "
+                        "(or recreate checkpoint AND target together "
+                        "and replay the changelog); refusing to "
+                        "discard committed data"
+                    )
+                # checkpoint has no commits: a previous bucketed run
+                # crashed between its parquet write (which drops
+                # _SUCCESS) and its manifest commit. The batch never
+                # reached the checkpoint's commits, so it WILL be
+                # replayed — discard the uncommitted dirs and proceed
+                # as a new bucketed target.
+                fs, _, jvm = _hadoop_fs(spark, target_dir)
+                for v in orphans:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{target_dir}/{v}"),
+                        True,
+                    )
+            else:
+                # genuinely flat-layout versions: treating this as
+                # 'new table' would make every existing row invisible
+                # to the stale guard and the first bucketed commit
+                # would orphan the prior snapshot
+                raise ValueError(
+                    f"{target_dir} is a full-snapshot CDC target; "
+                    "run the sink without num_buckets (or migrate "
+                    "by replaying the changelog into a fresh "
+                    "bucketed target)"
+                )
+        manifest = {"num_buckets": num_buckets, "buckets": {}}
+    if manifest["num_buckets"] != num_buckets:
+        raise ValueError(
+            f"target created with num_buckets={manifest['num_buckets']}, "
+            f"sink configured with {num_buckets} — a key's bucket must "
+            "never move, recreate the target to re-bucket"
+        )
+    return manifest
+
+
 def read_cdc_snapshot(
     spark: SparkSession,
     target_dir: str,
@@ -1702,65 +1773,9 @@ def cdc_upsert_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        manifest = _resolve_manifest(spark, target_dir)
-        if manifest is None:
-            committed = _committed_versions(spark, target_dir)
-            if committed:
-                orphans = _orphaned_bucketed_versions(spark, target_dir)
-                if set(orphans) == set(committed):
-                    # every committed-looking version is bucketed-shaped
-                    # with no manifest. Two very different states look
-                    # like this, and only the checkpoint tells them
-                    # apart:
-                    if _checkpoint_has_commits(spark, checkpoint_dir):
-                        # the checkpoint has committed batches, so these
-                        # versions WERE manifest-committed once and the
-                        # manifests dir was lost separately (partial
-                        # restore, fs mishap). Discarding the data dirs
-                        # here would be silent data loss — the committed
-                        # batches will never be replayed.
-                        raise ValueError(
-                            f"{target_dir} holds bucketed CDC data but "
-                            "its manifests/ dir is missing while the "
-                            "checkpoint records committed batches — the "
-                            "manifest history was lost after commit. "
-                            "Restore manifests/ and _LATEST from backup "
-                            "(or recreate checkpoint AND target together "
-                            "and replay the changelog); refusing to "
-                            "discard committed data"
-                        )
-                    # checkpoint has no commits: a previous bucketed run
-                    # crashed between its parquet write (which drops
-                    # _SUCCESS) and its manifest commit. The batch never
-                    # reached the checkpoint's commits, so it WILL be
-                    # replayed — discard the uncommitted dirs and
-                    # proceed as a new bucketed target.
-                    fs, _, jvm = _hadoop_fs(spark, target_dir)
-                    for v in orphans:
-                        fs.delete(
-                            jvm.org.apache.hadoop.fs.Path(
-                                f"{target_dir}/{v}"
-                            ),
-                            True,
-                        )
-                else:
-                    # genuinely flat-layout versions: treating this as
-                    # 'new table' would make every existing row
-                    # invisible to the stale guard and the first
-                    # bucketed commit would orphan the prior snapshot
-                    raise ValueError(
-                        f"{target_dir} is a full-snapshot CDC target; "
-                        "run the sink without num_buckets (or migrate "
-                        "by replaying the changelog into a fresh "
-                        "bucketed target)"
-                    )
-            manifest = {"num_buckets": num_buckets, "buckets": {}}
-        if manifest["num_buckets"] != num_buckets:
-            raise ValueError(
-                f"target created with num_buckets={manifest['num_buckets']}, "
-                f"sink configured with {num_buckets} — a key's bucket must "
-                "never move, recreate the target to re-bucket"
-            )
+        manifest = _resolve_or_init_bucketed_manifest(
+            spark, target_dir, checkpoint_dir, num_buckets
+        )
         bucket = _cdc_bucket(kl, num_buckets)
         # bounded driver-side set: ≤ num_buckets ints, never row data
         touched = sorted(
@@ -1831,7 +1846,10 @@ def cdc_upsert_sink(
 
 
 def read_scd2_snapshot(
-    spark: SparkSession, target_dir: str, include_tombstones: bool = False
+    spark: SparkSession,
+    target_dir: str,
+    include_tombstones: bool = False,
+    version: str | None = None,
 ) -> DataFrame | None:
     """Committed view of a :func:`scd2_upsert_sink` target (pointer-
     resolved, reader-isolated like :func:`read_cdc_snapshot`), with
@@ -1839,11 +1857,16 @@ def read_scd2_snapshot(
     carry sequence high-water marks for delete-closed keys, not
     history. ``include_tombstones=True`` returns the raw snapshot
     (what the sink's own stale guard reads). None until a version has
-    committed."""
-    version = _resolve_version(spark, target_dir)
-    if version is None:
+    committed. Bucketed SCD2 targets (``num_buckets`` on the sink)
+    resolve the committed manifest and read the union of per-bucket
+    dirs, and ``version`` pins a committed version for time travel —
+    both inherited from the CDC reader, since the layouts are one
+    discipline."""
+    snap = read_cdc_snapshot(
+        spark, target_dir, include_tombstones=True, version=version
+    )
+    if snap is None:
         return None
-    snap = spark.read.parquet(f"{target_dir}/{version}")
     if "_tombstone" not in snap.columns:
         snap = snap.withColumn("_tombstone", F.lit(False))
     if include_tombstones:
@@ -1873,6 +1896,7 @@ def scd2_upsert_sink(
     seq_col: str,
     payload_cols: Sequence[str],
     op_col: str = "op",
+    num_buckets: int | None = None,
 ) -> None:
     """Streaming TYPE-2 SCD materialization: where
     :func:`cdc_upsert_sink` keeps each key's LATEST row, this keeps
@@ -1912,152 +1936,215 @@ def scd2_upsert_sink(
       checkpoint/target binding and orphaned-checkpoint refusal are
       the cdc sink's own (:func:`_bind_checkpoint_target`).
 
-    Full-snapshot commits only (O(history) per batch); at 100 TB the
-    bucketed manifest discipline of ``cdc_upsert_sink(num_buckets=N)``
-    applies verbatim — history rows bucket by key like latest rows do.
-    t121 grades the drained history equal to the from-scratch batch
-    derivation (the DuckDB lead-window oracle).
+    Scale mode — ``num_buckets`` (VERDICT r11 #4): the default (None)
+    rewrites the FULL history snapshot per batch — O(history), fine
+    while history fits a rewrite budget. ``num_buckets=N`` puts the
+    history on the SAME bucketed manifest layout as
+    ``cdc_upsert_sink(num_buckets=N)`` — history rows bucket by key
+    exactly like latest rows do — so a micro-batch reads and rewrites
+    ONLY the buckets its keys hash into: per-batch cost O(touched
+    buckets), not O(history). Layout, guards (orphan recovery,
+    flat-vs-bucketed refusal, num_buckets pinning), reader isolation,
+    and time travel are the CDC sink's own machinery, shared, not
+    mirrored. t121 grades the flat mode and t121b the bucketed mode
+    against the SAME DuckDB lead-window oracle as t120's from-scratch
+    batch derivation (incremental == batch, both storage modes).
     """
     from pyspark.sql import Window
 
     kl = list(keys)
     pcols = list(payload_cols)
+    tombstone_schema_cols = [
+        *kl,
+        *pcols,
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "_tombstone",
+    ]
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        from datasheet_etl_spark.operators.relational import scd2_history
-
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        base = read_scd2_snapshot(spark, target_dir, include_tombstones=True)
-        changes = batch_df.select(
-            *kl, *pcols, F.col(seq_col), F.col(op_col)
-        )
+    def collapse(batch_df: DataFrame) -> DataFrame:
         # same-seq duplicate collapse, deterministic (apply_changes'
         # total order: delete-wins, then op, then payload)
+        changes = batch_df.select(*kl, *pcols, F.col(seq_col), F.col(op_col))
         wdup = Window.partitionBy(*kl, seq_col).orderBy(
             (F.col(op_col) == "D").cast("int").desc(),
             F.col(op_col).desc(),
             *[F.col(c).desc_nulls_last() for c in pcols],
         )
-        changes = (
+        return (
             changes.withColumn("_rn", F.row_number().over(wdup))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        tombstone_schema_cols = [
-            *kl,
-            *pcols,
-            "valid_from",
-            "valid_to",
-            "is_current",
-            "_tombstone",
-        ]
 
-        def with_tombstones(history: DataFrame, applied: DataFrame):
-            # zero-width watermark rows for keys whose max applied seq
-            # is not already carried by a history row
-            ptypes = dict(changes.dtypes)
-            marks_applied = applied.groupBy(*kl).agg(
-                F.max(seq_col).alias("_aseq")
+    def with_tombstones(history: DataFrame, applied: DataFrame, ptypes):
+        # zero-width watermark rows for keys whose max applied seq
+        # is not already carried by a history row
+        marks_applied = applied.groupBy(*kl).agg(
+            F.max(seq_col).alias("_aseq")
+        )
+        carried = history.groupBy(*kl).agg(
+            F.max(F.coalesce("valid_to", "valid_from")).alias("_hseq")
+        )
+        need = (
+            marks_applied.join(carried, kl, "left")
+            .filter(
+                F.col("_hseq").isNull() | (F.col("_aseq") > F.col("_hseq"))
             )
-            carried = history.groupBy(*kl).agg(
-                F.max(F.coalesce("valid_to", "valid_from")).alias("_hseq")
+            .select(
+                *kl,
+                *[F.lit(None).cast(ptypes[c]).alias(c) for c in pcols],
+                F.col("_aseq").alias("valid_from"),
+                F.col("_aseq").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+                F.lit(True).alias("_tombstone"),
             )
-            need = (
-                marks_applied.join(carried, kl, "left")
-                .filter(
-                    F.col("_hseq").isNull()
-                    | (F.col("_aseq") > F.col("_hseq"))
-                )
-                .select(
-                    *kl,
-                    *[
-                        F.lit(None).cast(ptypes[c]).alias(c)
-                        for c in pcols
-                    ],
-                    F.col("_aseq").alias("valid_from"),
-                    F.col("_aseq").alias("valid_to"),
-                    F.lit(False).alias("is_current"),
-                    F.lit(True).alias("_tombstone"),
-                )
-            )
-            return history.select(*tombstone_schema_cols).unionByName(need)
+        )
+        return history.select(*tombstone_schema_cols).unionByName(need)
 
+    def derive(base: DataFrame | None, changes: DataFrame) -> DataFrame | None:
+        """Next history for the SCOPE ``base`` covers (full table in
+        flat mode, the touched buckets in bucketed mode). ``base``
+        must be persisted by the caller when not None. Returns None
+        when every change is stale (nothing can differ)."""
+        from datasheet_etl_spark.operators.relational import scd2_history
+
+        ptypes = dict(changes.dtypes)
         if base is None:
             hist = scd2_history(changes, kl, seq_col, pcols, op_col)
-            nxt = with_tombstones(
-                hist.withColumn("_tombstone", F.lit(False)), changes
+            return with_tombstones(
+                hist.withColumn("_tombstone", F.lit(False)), changes, ptypes
             )
-        else:
+        marks = base.groupBy(*kl).agg(
+            F.max(F.coalesce("valid_to", "valid_from")).alias("_mark")
+        )
+        fresh = (
+            changes.join(marks, kl, "left")
+            .filter(F.col("_mark").isNull() | (F.col(seq_col) > F.col("_mark")))
+            .drop("_mark")
+        )
+        if fresh.isEmpty():
+            return None
+        touched = fresh.select(*kl).distinct()
+        untouched = base.join(touched, kl, "left_anti")
+        touched_rows = base.join(touched, kl, "left_semi")
+        # old tombstones for touched keys are superseded by the
+        # rebuild's new watermark; real closed rows pass through
+        closed_rows = touched_rows.filter(
+            (~F.col("_tombstone")) & F.col("valid_to").isNotNull()
+        )
+        open_rows = touched_rows.filter(
+            (~F.col("_tombstone")) & F.col("valid_to").isNull()
+        )
+        reopened = open_rows.select(
+            *kl,
+            *pcols,
+            F.col("valid_from").alias(seq_col),
+            F.lit("U").alias(op_col),
+        )
+        rebuilt = scd2_history(
+            reopened.unionByName(fresh), kl, seq_col, pcols, op_col
+        ).withColumn("_tombstone", F.lit(False))
+        # watermark basis: everything the touched keys now carry
+        # (closed + rebuilt) vs the max seq applied (fresh ∪ reopened
+        # covers closed-key deletes too)
+        applied = fresh.select(*kl, seq_col).unionByName(
+            reopened.select(*kl, seq_col)
+        )
+        touched_hist = closed_rows.select(*tombstone_schema_cols).unionByName(
+            rebuilt.select(*tombstone_schema_cols)
+        )
+        return untouched.select(*tombstone_schema_cols).unionByName(
+            with_tombstones(touched_hist, applied, ptypes)
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = read_scd2_snapshot(spark, target_dir, include_tombstones=True)
+        changes = collapse(batch_df)
+        if base is not None:
             base.persist()
-            try:
-                marks = base.groupBy(*kl).agg(
-                    F.max(F.coalesce("valid_to", "valid_from")).alias(
-                        "_mark"
-                    )
-                )
-                fresh = (
-                    changes.join(marks, kl, "left")
-                    .filter(
-                        F.col("_mark").isNull()
-                        | (F.col(seq_col) > F.col("_mark"))
-                    )
-                    .drop("_mark")
-                )
-                touched = fresh.select(*kl).distinct()
-                untouched = base.join(touched, kl, "left_anti")
-                touched_rows = base.join(touched, kl, "left_semi")
-                # old tombstones for touched keys are superseded by the
-                # rebuild's new watermark; real closed rows pass through
-                closed_rows = touched_rows.filter(
-                    (~F.col("_tombstone")) & F.col("valid_to").isNotNull()
-                )
-                open_rows = touched_rows.filter(
-                    (~F.col("_tombstone")) & F.col("valid_to").isNull()
-                )
-                reopened = open_rows.select(
-                    *kl,
-                    *pcols,
-                    F.col("valid_from").alias(seq_col),
-                    F.lit("U").alias(op_col),
-                )
-                rebuilt = scd2_history(
-                    reopened.unionByName(fresh), kl, seq_col, pcols, op_col
-                ).withColumn("_tombstone", F.lit(False))
-                # watermark basis: everything the touched keys now
-                # carry (closed + rebuilt) vs the max seq applied
-                # (fresh ∪ reopened covers closed-key deletes too)
-                applied = fresh.select(*kl, seq_col).unionByName(
-                    reopened.select(*kl, seq_col)
-                )
-                touched_hist = closed_rows.select(
-                    *tombstone_schema_cols
-                ).unionByName(rebuilt.select(*tombstone_schema_cols))
-                nxt = untouched.select(*tombstone_schema_cols).unionByName(
-                    with_tombstones(touched_hist, applied)
-                )
-                version = _next_version(spark, target_dir)
-                nxt.write.mode("overwrite").parquet(
-                    f"{target_dir}/{version}"
-                )
-                _write_pointer(spark, target_dir, version)
-                return
-            finally:
+        try:
+            nxt = derive(base, changes)
+            if nxt is None:
+                # all-stale batch: the flat mode keeps its original
+                # commit-identical-version behavior (harmless here)
+                nxt = base.select(*tombstone_schema_cols)
+            version = _next_version(spark, target_dir)
+            nxt.write.mode("overwrite").parquet(f"{target_dir}/{version}")
+            _write_pointer(spark, target_dir, version)
+        finally:
+            if base is not None:
                 base.unpersist()
-        version = _next_version(spark, target_dir)
-        nxt.write.mode("overwrite").parquet(f"{target_dir}/{version}")
-        _write_pointer(spark, target_dir, version)
+
+    def upsert_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        manifest = _resolve_or_init_bucketed_manifest(
+            spark, target_dir, checkpoint_dir, num_buckets
+        )
+        bucket = _cdc_bucket(kl, num_buckets)
+        # bounded driver-side set: ≤ num_buckets ints, never row data
+        touched_b = sorted(
+            r["_b"]
+            for r in batch_df.select(bucket.alias("_b")).distinct().collect()
+        )
+        current = [
+            f"{target_dir}/{manifest['buckets'][str(b)]}"
+            for b in touched_b
+            if str(b) in manifest["buckets"]
+        ]
+        # partition-scoped read: ONLY touched buckets' history dirs are
+        # opened — base-side cost is O(touched buckets) like the write
+        base = spark.read.parquet(*current) if current else None
+        changes = collapse(batch_df)
+        if base is not None:
+            base.persist()
+        try:
+            nxt = derive(base, changes)
+            if nxt is None:
+                # pure replay / all-stale batch: nothing can change,
+                # commit nothing (the flat mode re-commits an identical
+                # snapshot — harmless there, wasteful here)
+                return
+            version = _next_version(spark, target_dir)
+            (
+                nxt.withColumn("_bucket", bucket)
+                # one task per bucket → one file per bucket dir
+                .repartition(F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(f"{target_dir}/{version}")
+            )
+            _commit_bucketed_version(
+                spark,
+                target_dir,
+                version,
+                manifest["buckets"],
+                touched_b,
+                num_buckets,
+                nxt.schema.json(),
+            )
+        finally:
+            if base is not None:
+                base.unpersist()
 
     _spark = changes_sdf.sparkSession
     _bind_checkpoint_target(
         _spark,
         target_dir,
         checkpoint_dir,
-        target_alive=_resolve_version(_spark, target_dir) is not None,
+        target_alive=_resolve_version(_spark, target_dir) is not None
+        or _resolve_manifest(_spark, target_dir) is not None,
     )
     query = (
-        changes_sdf.writeStream.foreachBatch(upsert)
+        changes_sdf.writeStream.foreachBatch(
+            upsert if num_buckets is None else upsert_bucketed
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -2579,16 +2579,20 @@ def test_sentinel_staging_isolates_batches_for_multipart_sources(
     }
 
 
-def test_scd2_sink_history_lifecycle(spark, tmp_path):
-    """scd2_upsert_sink mechanics on a planted frame: (a) upserts open
-    intervals and close predecessors, deletes close WITHOUT opening;
-    (b) a later batch extends history incrementally and the stale
-    guard rejects changes at/below a key's high-water mark — including
-    a change that would interleave into delete-closed history; (c)
-    replaying the whole changelog against the populated target is
-    idempotent (every change stale → identical snapshot, new identical
-    version committed)."""
+@pytest.mark.parametrize("num_buckets", [None, 4], ids=["flat", "bucketed"])
+def test_scd2_sink_history_lifecycle(spark, tmp_path, num_buckets):
+    """scd2_upsert_sink mechanics on a planted frame, in BOTH storage
+    modes (flat snapshot / bucketed manifests — the lifecycle contract
+    is storage-independent): (a) upserts open intervals and close
+    predecessors, deletes close WITHOUT opening; (b) a later batch
+    extends history incrementally and the stale guard rejects changes
+    at/below a key's high-water mark — including a change that would
+    interleave into delete-closed history; (c) replaying the whole
+    changelog against the populated target is idempotent — flat mode
+    commits a new identical version, bucketed mode commits NOTHING
+    (an all-stale batch cannot change any bucket)."""
     from datasheet_etl_spark.streaming.streams import (
+        _committed_manifest_versions,
         _committed_versions,
         read_scd2_snapshot,
         scd2_upsert_sink,
@@ -2596,6 +2600,11 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
 
     schema = "user_id bigint, event_id bigint, value double, op string"
     target = str(tmp_path / "target")
+
+    def versions():
+        if num_buckets is None:
+            return _committed_versions(spark, target)
+        return _committed_manifest_versions(spark, target)
 
     def drain(rows, ckpt):
         src = str(tmp_path / f"src_{ckpt}")
@@ -2614,6 +2623,7 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
             ["user_id"],
             "event_id",
             ["value"],
+            num_buckets=num_buckets,
         )
 
     def snapshot(tombstones=False):
@@ -2653,12 +2663,16 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
     ]
     before = snapshot()
 
-    # (c) full-changelog replay: all stale, snapshot unchanged, a new
-    # (identical) version committed — the crash-replay contract
-    n_versions = len(_committed_versions(spark, target))
+    # (c) full-changelog replay: all stale, snapshot unchanged — the
+    # crash-replay contract. Flat mode commits a new identical
+    # version; bucketed mode commits nothing (no bucket can change)
+    n_versions = len(versions())
     drain(batch1 + [(1, 7, 12.0, "U")], "replay")
     assert snapshot() == before
-    assert len(_committed_versions(spark, target)) == n_versions + 1
+    if num_buckets is None:
+        assert len(versions()) == n_versions + 1
+    else:
+        assert len(versions()) == n_versions
 
     # (d) review-found hole, now closed: a delete that closes NO
     # interval (key 2's open interval closed by D@9, then D@11 is a
@@ -2682,6 +2696,96 @@ def test_scd2_sink_history_lifecycle(spark, tmp_path):
     drain([(2, 12, 21.0, "U")], "reopen")
     assert (2, 21.0, 12, None, True) in snapshot()
     assert not [t for t in snapshot(tombstones=True) if t[-1]]
+
+
+def test_scd2_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    """VERDICT r11 #4's scale pin: with num_buckets set, a micro-batch
+    whose keys all hash into ONE bucket must rewrite only that bucket —
+    the other buckets' manifest entries keep pointing at the PREVIOUS
+    version's dirs (no data rewritten, verified on the manifest AND on
+    the new version dir's contents), while the committed read still
+    sees every key."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_manifest_versions,
+        _read_manifest,
+        read_scd2_snapshot,
+        scd2_upsert_sink,
+    )
+
+    nb = 4
+    # pick two keys in DIFFERENT buckets by probing the sink's own
+    # assignment (xxhash64 pmod nb)
+    probe = {
+        r["k"]: r["b"]
+        for r in spark.range(1, 20)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    k_a = 1
+    k_b = next(k for k, b in probe.items() if b != probe[k_a])
+
+    schema = "user_id bigint, event_id bigint, value double, op string"
+    target = str(tmp_path / "target")
+
+    def drain(rows, ckpt):
+        src = str(tmp_path / f"src_{ckpt}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet")
+            .load(src)
+        )
+        scd2_upsert_sink(
+            stream,
+            target,
+            str(tmp_path / f"ck_{ckpt}"),
+            ["user_id"],
+            "event_id",
+            ["value"],
+            num_buckets=nb,
+        )
+
+    drain([(k_a, 1, 10.0, "U"), (k_b, 1, 20.0, "U")], "b1")
+    v1 = _committed_manifest_versions(spark, target)[-1]
+    m1 = _read_manifest(spark, target, v1)
+    assert m1["buckets"][str(probe[k_a])].startswith(v1)
+    assert m1["buckets"][str(probe[k_b])].startswith(v1)
+
+    # batch 2 touches ONLY k_a's bucket
+    drain([(k_a, 5, 11.0, "U")], "b2")
+    v2 = _committed_manifest_versions(spark, target)[-1]
+    m2 = _read_manifest(spark, target, v2)
+    # touched bucket re-pointed at v2; untouched bucket STILL points at
+    # v1's dir — its data was never rewritten
+    assert m2["buckets"][str(probe[k_a])].startswith(v2)
+    assert m2["buckets"][str(probe[k_b])] == m1["buckets"][str(probe[k_b])]
+    # the v2 version dir holds ONLY the touched bucket's subdir
+    import os
+
+    sub = [
+        d
+        for d in os.listdir(os.path.join(target, v2))
+        if d.startswith("_bucket=")
+    ]
+    assert sub == [f"_bucket={probe[k_a]}"]
+
+    # committed read is storage-complete: both keys, full history
+    got = {
+        (r["user_id"], r["value"], r["valid_from"], r["valid_to"])
+        for r in read_scd2_snapshot(spark, target).collect()
+    }
+    assert got == {
+        (k_a, 10.0, 1, 5),
+        (k_a, 11.0, 5, None),
+        (k_b, 20.0, 1, None),
+    }
 
 
 def test_scd2_as_of_rewinds_to_each_moment(spark, tmp_path):
