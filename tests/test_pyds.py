@@ -285,3 +285,89 @@ def test_pyds_writer_schema_guards(spark, tmp_path):
     assert arr.count() == 6
     r = {x["event_id"]: x["vals"] for x in arr.collect()}
     assert len(r[0]) == 2 and abs(r[0][1] - r[0][0] - 1.0) < 1e-9
+
+
+def test_pyds_stream_crash_replay_through_checkpoint(spark, tmp_path):
+    """VERDICT r11 #5: plant the mid-batch crash window (offsets/<n>
+    recorded, commits/<n> missing — the state a kill between offset
+    write and commit leaves) and pin that the restarted query replays
+    exactly batch n through readBetweenOffsets with IDENTICAL rows:
+    the t99/t105 crash-replay discipline applied to the Python
+    DataSource seam. Per-batch rows are captured by a foreachBatch
+    observer, so the replayed batch is compared row-for-row against
+    the original run's batch, not just by end-state counts."""
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    from datasheet_etl_spark.sources.pyds import register_synth_feed
+
+    register_synth_feed(spark)
+    capture = tmp_path / "capture"
+    capture.mkdir()
+    ckpt = str(tmp_path / "ck")
+
+    def observer(batch_df, batch_id):
+        rows = sorted(tuple(r) for r in batch_df.collect())
+        (capture / f"b{batch_id}_{_uuid.uuid4().hex}.json").write_text(
+            _json.dumps(rows)
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("synth_feed")
+            .option("numRows", "70").option("batchSize", "30").load()
+            .writeStream.foreachBatch(observer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # Python stream sources fall back to single-batch execution under
+    # availableNow (Spark's own WARN), so each drain advances one
+    # batch: 70 rows / 30 per batch -> three drains, batches 0,1,2
+    for _ in range(3):
+        drain()
+    by_batch: dict[str, list] = {}
+    for f in os.listdir(capture):
+        by_batch.setdefault(f.split("_")[0], []).append(f)
+    # every batch captured exactly once
+    assert all(len(v) == 1 for v in by_batch.values()), by_batch
+    all_rows = sorted(
+        t
+        for fs in by_batch.values()
+        for t in _json.loads((capture / fs[0]).read_text())
+    )
+    assert [r[0] for r in all_rows] == list(range(70))
+
+    # plant the crash: the LAST batch's commit record vanishes while
+    # its offset survives — to the restarted query, batch n is
+    # in-flight and must be re-executed from the checkpointed offsets
+    commits = sorted(
+        int(f) for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    n = commits[-1]
+    os.remove(f"{ckpt}/commits/{n}")
+    crc = f"{ckpt}/commits/.{n}.crc"
+    if os.path.exists(crc):
+        # drop the checksum sidecar too — a stale CRC next to the
+        # recreated commit record reads as a concurrent writer
+        os.remove(crc)
+    first_run = dict(by_batch)
+
+    drain()
+    by_batch2: dict[str, list] = {}
+    for f in os.listdir(capture):
+        by_batch2.setdefault(f.split("_")[0], []).append(f)
+    # exactly the in-flight batch replayed, nothing else re-emitted
+    assert len(by_batch2[f"b{n}"]) == 2
+    for b, fs in by_batch2.items():
+        if b != f"b{n}":
+            assert fs == first_run[b], f"batch {b} unexpectedly re-ran"
+    a, b = (
+        _json.loads((capture / f).read_text()) for f in by_batch2[f"b{n}"]
+    )
+    # the whole guarantee: same offsets => same rows, bit-identical
+    assert a == b and a, (a, b)
+    # and the replay re-committed: the checkpoint's commit record is back
+    assert os.path.exists(f"{ckpt}/commits/{n}")
