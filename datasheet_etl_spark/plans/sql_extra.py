@@ -851,15 +851,18 @@ def t63_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone-vs-reflection diversification behavior is pinned in
     tests/test_training_ops.py.
 
-    Oracle feasibility note (r7): the pre-greedy relevance POOL is
-    plain SQL (top-50 cosine per probe — the t06 shape) and an
-    unrolled 10-step greedy could in principle be written as ten
-    chained CTEs each taking an argmax over (relevance − λ·max-sim-to-
-    selected); but every step needs the pairwise sim of 50 candidates
-    × the growing selected set, so the unrolled SQL is O(k·pool²)
-    re-derivations with float argmax tie-breaks that DuckDB and Spark
-    order differently at equal scores. The python-model parity test is
-    the stronger check; left rows-only deliberately."""
+    Oracle feasibility note (r7): an unrolled 10-step greedy could in
+    principle be written as ten chained CTEs each taking an argmax
+    over (relevance − λ·max-sim-to-selected); but every step needs the
+    pairwise sim of 50 candidates × the growing selected set, so the
+    unrolled SQL is O(k·pool²) re-derivations with float argmax
+    tie-breaks that DuckDB and Spark order differently at equal
+    scores. The python-model parity test is the stronger check; left
+    rows-only deliberately. r12 (VERDICT r11 #6): the pre-greedy
+    relevance POOL — this entry's stage 1, and everything distributed
+    about it — is now DIRECTLY hash-graded by ``t63b_mmr_pool`` with
+    the same parameters, narrowing the uncertified surface to the
+    bounded driver-side greedy fold alone."""
     from datasheet_etl_spark.operators.similarity import mmr_select
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -868,6 +871,47 @@ def t63_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "vec_id", "mmr_rank", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("probe_id", "mmr_rank")
+
+
+@register(
+    "t63b_mmr_pool",
+    """
+    SELECT probe_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                        b.vec_id) AS rank
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+    )
+    WHERE rank <= 50
+    ORDER BY probe_id, rank
+    """,
+)
+def t63b_mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t63's pre-greedy relevance pool, hash-graded (VERDICT r11 #6):
+    the EXACT candidate set ``mmr_select`` hands its greedy fold —
+    top-50 cosine per probe via the same ``brute_force_topk`` call
+    with the same parameters (self excluded, ties on corpus id). With
+    this green, t63's remaining uncertified surface is only the
+    bounded driver-side greedy loop, which its python-model parity
+    pytest covers. Scale shape is t06's: probes broadcast in the
+    scanner closure, the corpus streams map-side (one matmul per Arrow
+    batch), per-partition top-k then one small merge — no corpus
+    shuffle at any size."""
+    from datasheet_etl_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, probes, k=50)
+    return out.select(
+        "probe_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
+    ).orderBy("probe_id", "rank")
 
 
 @register(

@@ -947,32 +947,71 @@ def t75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("type_code")
 
 
-@register("t78_streaming_heavy_hitters")  # MG summary order-dependent → rows-only
+@register(
+    "t78_streaming_heavy_hitters",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN event_id % 3 <> 0 THEN user_id % 4
+                  ELSE user_id END AS item
+      FROM events
+    ), c AS (
+      SELECT event_type, item, count(*) AS cnt
+      FROM d GROUP BY event_type, item
+    ), t AS (
+      SELECT event_type, count(*) AS total FROM d GROUP BY event_type
+    )
+    SELECT c.event_type AS event_type, CAST(c.item AS BIGINT) AS item
+    FROM c JOIN t ON c.event_type = t.event_type
+    WHERE c.cnt > t.total / 17.0
+    ORDER BY c.event_type, item
+    """,
+)
 def t78_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type heavy-hitter users via a Misra-Gries summary in
     grouped streaming state — the frequency sketch beside t55's
-    distinct sketch (KMV): state hard-capped at k (item, count) pairs
-    per key forever, where exact streaming top-k state is unbounded.
-    Any user holding > n/(k+1) of a type's events provably surfaces
-    (guarantee pinned in tests/test_streaming.py); the summary content
-    is arrival-order-dependent by nature, hence rows-only."""
+    distinct sketch (KMV): state hard-capped at k=16 (item, count)
+    pairs per key forever, where exact streaming top-k state is
+    unbounded.
+
+    MEMBERSHIP oracle (r12, VERDICT r11 #6 — upgraded from rows-only):
+    the summary's COUNTS are arrival-order-dependent and stay
+    rows-only territory, but MG's guarantee is order-free — any item
+    with true frequency > n/(k+1) is present with
+    ``est_count > true − n/(k+1)``. The stream deterministically skews
+    users (event_id % 3 ≠ 0 → user_id % 4), so four users each hold
+    ~1/6 of every type's events: 1/6 > 1/17 with the undercount bound
+    still leaving est > n·(1/6 − 1/17) ≈ n/9.3 > n/17 — a 2×
+    GENERATOR-RATIO margin, not a data-size accident — while tail
+    users (true ≪ n/17, est ≤ true) can never cross the emission bar.
+    So ``est_count > n_seen/(k+1)`` emits EXACTLY the exact-count
+    heavy set at every scale, and DuckDB grades the membership.
+    Full-summary mechanics (counts, noise floor, the guarantee on
+    adversarial folds) stay pinned in tests/test_streaming.py."""
     from datasheet_etl_spark.streaming.streams import heavy_hitters_stateful
 
     src = _stage_events(sf_dir)
     with _few_state_partitions(spark):
-        stream = events_stream(spark, src)
+        stream = events_stream(spark, src).withColumn(
+            "item",
+            F.when(
+                F.col("event_id") % 3 != 0, F.col("user_id") % 4
+            ).otherwise(F.col("user_id")),
+        )
         name = f"t78_{uuid.uuid4().hex[:8]}"
         out = run_available_now(
-            heavy_hitters_stateful(stream, "event_type", "user_id", k=16),
+            heavy_hitters_stateful(stream, "event_type", "item", k=16),
             name,
             "update",
         )
-    # final summary per key = the emission at that key's max n_seen
+    # final summary per key = the emission at that key's max n_seen;
+    # provable-membership filter: est ≤ true, so est > n/(k+1) ⇒ heavy
     w = Window.partitionBy("event_type")
     return (
         out.withColumn("_mx", F.max("n_seen").over(w))
         .filter(F.col("n_seen") == F.col("_mx"))
-        .select("event_type", "item", "est_count", "n_seen")
+        .filter(F.col("est_count") > F.col("n_seen") / 17.0)
+        .select("event_type", F.col("item").cast("long").alias("item"))
         .orderBy("event_type", "item")
     )
 
