@@ -131,11 +131,19 @@ WINDOW: tuple[str, ...] = (
     "q55_collation",
     "q56_native_unpivot",
     "q57_interval_range_frame",
-    "q58_pagination_offset",
     "t118_chained_streaming_aggs",
     "t119_stream_join_then_agg",
     "t120_scd2_history",
-    "t121_streaming_scd2",
+    # --- r12 in-round pair swaps (the t122←t116 precedent: an entry
+    # swaps for its same-oracle strict superset the round it lands):
+    # q59 grades q58's OFFSET page CONTENT row-identically through the
+    # scale-safe keyset plan (page-equivalence pytest-pinned) — the
+    # OFFSET operator itself stays swept; t121b drives the SAME
+    # incremental SCD2 derivation through the strictly-stronger
+    # bucketed-manifest commit path, graded by the same oracle as
+    # t120/t121 ---
+    "q59_pagination_keyset",
+    "t121b_streaming_scd2_bucketed",
 )
 
 # Rows-only entries deliberately inside the graded window. EMPTY since
@@ -281,6 +289,9 @@ DEMOTED: tuple[str, ...] = (
     # r11 fourth swap (review-prompted, the t41→t116 rule applied to
     # its own successor):
     "t116_streaming_outer_join",  # graded inside t122_streaming_full_outer_join, the SAME _outer_interval_drain body in full-outer mode: every LEFT JOIN oracle row (matched + left-NULL) appears identically inside t122's FULL JOIN oracle, which additionally grades the right-unmatched population and the coalesced-key projection; t116 stays swept + its planted-frame sentinel pin test
+    # r12 in-round pair swaps (same-oracle strict-superset promotions):
+    "q58_pagination_offset",  # the OFFSET page's CONTENT is graded row-identically through q59_pagination_keyset (same cursor position, same (date, key) total order — equality pytest-pinned in test_plans.py) via the plan that scales (pushed TakeOrderedAndProject, no prefix sort/skip); the OFFSET operator's own existence/exactness stays swept + pytest
+    "t121_streaming_scd2",  # the flat-mode sink runs the SAME derive() body t121b_streaming_scd2_bucketed drives through the strictly-stronger bucketed-manifest commit path, graded by the SAME oracle (incremental == batch == t120); flat mode stays swept + the storage-mode-parametrized lifecycle pytest
     # r12: swapped out for q54-q58/t118-t121 (VERDICT r11 #1 — the
     # oracled r11 entries the driver never graded) — every outgoing
     # idiom stays graded inside an in-window superset, and every

@@ -247,6 +247,144 @@ def t105_steady_state(spark):
         shutil.rmtree(work)
 
 
+def t117_flush_term(spark):
+    """VERDICT r11 #7: the drain-tail FLUSH TERM measured on its own
+    at two scale points (sf0.1 and the x10 ~sf1 staging), separated
+    from the in-batch fold — per-batch wall time captured by a
+    foreachBatch observer over t117's own staged source (all real
+    files in batch 0, the two sentinel batches carrying nothing but
+    timeout firings). The claim under test: the flush term's asymptote
+    is LINEAR in open sessions (the per-key Python-API invocation
+    count), so flush_s ratio ≈ open-sessions ratio under 10x data —
+    the honest bound behind the whole-entry 5.5x row."""
+    import uuid as _uuid
+
+    from datasheet_etl_spark.plans.streaming_entries import (
+        _few_state_partitions,
+        _stage_events_sentinels,
+        events_stream,
+    )
+    from datasheet_etl_spark.streaming.streams import sessionize_timeout
+
+    print(f"{'scale':8s} {'fold_s':>8s} {'flush_s':>8s} {'sessions_flushed':>17s}")
+    for label, sf in (("sf0.1", SRC), ("x10", DST)):
+        src, n_real = _stage_events_sentinels(
+            spark,
+            sf,
+            "timeout",
+            [[(-1, -1, "sentinel", 7)], [(-2, -2, "sentinel", 14)]],
+        )
+        batches: list[tuple[int, int, float]] = []
+
+        def capture(batch_df, batch_id):
+            t0 = time.time()
+            n = batch_df.filter(F.col("user_id") >= 0).count()
+            batches.append((batch_id, n, time.time() - t0))
+
+        with _few_state_partitions(spark):
+            stream = events_stream(
+                spark, src, max_files_per_trigger=max(1, n_real)
+            ).withWatermark("ts", "1 hour")
+            q = (
+                sessionize_timeout(stream)
+                .writeStream.foreachBatch(capture)
+                .outputMode("update")
+                .option(
+                    "checkpointLocation",
+                    f"/tmp/t117flush_ck_{_uuid.uuid4().hex[:8]}",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        fold = sum(dt for b, n, dt in batches[:1])
+        flush = sum(dt for b, n, dt in batches[1:])
+        flushed = sum(n for b, n, dt in batches[1:])
+        print(
+            f"{label:8s} {fold:>8.2f} {flush:>8.2f} {flushed:>17d}",
+            flush=True,
+        )
+
+
+def t121b_marginal(spark):
+    """VERDICT r11 #4's scale row: the bucketed SCD2 sink's marginal
+    batch cost is O(touched buckets), and bucket SIZE is an operator
+    choice — num_buckets scales with the table (8 at sf0.1, 80 at the
+    x10 staging, holding ~constant rows per bucket), so a marginal
+    batch touching ONE key must cost ~flat across a 10x history. The
+    flat mode pays O(history) on the same marginal batch — that
+    contrast is the whole point of the layout. Backlog build is
+    untimed; two identical single-key marginal batches run timed (the
+    second shakes JIT)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming.streams import scd2_upsert_sink
+
+    print(f"{'backlog':8s} {'nb':>4s} {'hist_rows':>10s} {'m1_s':>7s} {'m2_s':>7s}")
+    for label, sf, nb in (("sf0.1", SRC, 8), ("x10", DST, 80)):
+        work = _tempfile.mkdtemp(prefix="t121bmarg_")
+        src_dir = os.path.join(work, "in")
+        os.makedirs(src_dir)
+        ev = (
+            load_table(spark, sf, "events")
+            .select(
+                F.col("user_id"),
+                F.col("event_id"),
+                F.col("value"),
+                F.when(F.col("event_type") == "error", "D")
+                .otherwise("U")
+                .alias("op"),
+            )
+        )
+        ev.coalesce(4).write.parquet(os.path.join(src_dir, "backlog"))
+        target = os.path.join(work, "target")
+
+        def drain(ck):
+            stream = (
+                spark.readStream.schema(
+                    "user_id bigint, event_id bigint, value double, op string"
+                )
+                .format("parquet")
+                .load(os.path.join(src_dir, "backlog"))
+            )
+            scd2_upsert_sink(
+                stream,
+                target,
+                os.path.join(work, ck),
+                ["user_id"],
+                "event_id",
+                ["value"],
+                num_buckets=nb,
+            )
+
+        drain("ck0")  # backlog, untimed
+        from datasheet_etl_spark.streaming.streams import read_scd2_snapshot
+
+        hist = read_scd2_snapshot(
+            spark, target, include_tombstones=True
+        ).count()
+        times = []
+        for b in (1, 2):
+            # marginal file lands beside the backlog (append), so the
+            # same checkpoint sees exactly one new file per round
+            spark.createDataFrame(
+                [(1, 10**15 + b, 1.0, "U")],
+                "user_id bigint, event_id bigint, value double, op string",
+            ).coalesce(1).write.mode("append").parquet(
+                os.path.join(src_dir, "backlog")
+            )
+            t0 = time.time()
+            drain("ck0")
+            times.append(time.time() - t0)
+        print(
+            f"{label:8s} {nb:>4d} {hist:>10d} {times[0]:>7.2f} {times[1]:>7.2f}",
+            flush=True,
+        )
+        _shutil.rmtree(work)
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -261,6 +399,12 @@ def main():
     stage(spark)
     if sys.argv[1:] == ["--t105-steady"]:
         t105_steady_state(spark)
+        return
+    if sys.argv[1:] == ["--t117-flush"]:
+        t117_flush_term(spark)
+        return
+    if sys.argv[1:] == ["--t121b-marginal"]:
+        t121b_marginal(spark)
         return
     q = ep.queries()
     # optional argv subset: audit only the named entries (new-entry

@@ -62,11 +62,16 @@ def test_graded_window_contract():
         "q55_collation",
         "q56_native_unpivot",
         "q57_interval_range_frame",
-        "q58_pagination_offset",
         "t118_chained_streaming_aggs",
         "t119_stream_join_then_agg",
         "t120_scd2_history",
-        "t121_streaming_scd2",
+        # in-round pair swaps (same-oracle strict supersets): q58's
+        # OFFSET page content is graded row-identically through q59's
+        # keyset plan (equality pytest-pinned), t121's flat-mode
+        # derivation through t121b's bucketed commit path (same oracle
+        # as t120) — the swapped-out pair members stay swept
+        "q59_pagination_keyset",
+        "t121b_streaming_scd2_bucketed",
     }
     assert r12_entries <= set(first50)
     # r11 rotation survivors (t102 rotated out r12 per the verdict;

@@ -2414,6 +2414,91 @@ def test_timeout_sessionize_emits_once_on_close(spark, tmp_path):
     assert sorted(got) == [(1, 1, 2, 3.0), (1, 2, 1, 4.0), (2, 1, 1, 8.0)]
 
 
+def test_timeout_sessionize_amortizes_across_batches(spark, tmp_path):
+    """VERDICT r11 #7 (amortization pin): t117's drain-tail is O(open
+    sessions) ONLY because a bounded drain pays every timeout at the
+    end — on a production-shaped stream where data keeps arriving,
+    each batch's watermark advance fires the PREVIOUS window's
+    timeouts, so session emissions spread across batches and the final
+    flush holds only the last window's sessions. Three day-files +
+    two sentinels, per-batch emissions captured via foreachBatch:
+    every session emits exactly once, emissions land in >= 3 distinct
+    batches, and the terminal sentinel batches flush ONLY the last
+    day's sessions (a strict minority)."""
+    import os as _os
+    import shutil as _shutil
+
+    from datasheet_etl_spark.streaming.streams import sessionize_timeout
+
+    schema = "event_id bigint, ts string, user_id bigint, value double"
+    days = [
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 10:10:00", 2, 2.0)],
+        [(3, "2024-01-02 10:00:00", 11, 3.0), (4, "2024-01-02 10:10:00", 12, 4.0)],
+        [(5, "2024-01-03 10:00:00", 21, 5.0), (6, "2024-01-03 10:10:00", 22, 6.0)],
+    ]
+    sentinels = [
+        [(-1, "2024-02-01 00:00:00", -1, 0.0)],
+        [(-2, "2024-03-01 00:00:00", -2, 0.0)],
+    ]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    tmp = str(tmp_path / "build")
+    for i, rows in enumerate(days + sentinels):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        dst = _os.path.join(src, f"f{i}.parquet")
+        _shutil.move(_os.path.join(tmp, part), dst)
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", "1 hour")
+    )
+    emitted: list[tuple[int, int, int]] = []  # (batch_id, user_id, session_id)
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            emitted.append((batch_id, r["user_id"], r["session_id"]))
+
+    q = (
+        sessionize_timeout(stream)
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    real = [(b, u, s) for (b, u, s) in emitted if u >= 0]
+    # exactly once per session, all six sessions
+    assert sorted((u, s) for _, u, s in real) == [
+        (1, 1), (2, 1), (11, 1), (12, 1), (21, 1), (22, 1),
+    ]
+    by_batch: dict[int, set] = {}
+    for b, u, s in real:
+        by_batch.setdefault(b, set()).add(u)
+    # amortization: emissions spread over >= 3 distinct batches...
+    assert len(by_batch) >= 3, by_batch
+    # ...and the terminal flush (the two sentinel batches) holds only
+    # the LAST day's sessions — a strict minority of the total
+    last_two = sorted(by_batch)[-1:] if len(by_batch) == 3 else sorted(by_batch)[-2:]
+    tail_users = set().union(*(by_batch[b] for b in last_two if b in by_batch))
+    assert tail_users <= {21, 22}, by_batch
+    # earlier batches carried the majority: day-1 and day-2 sessions
+    # fired while data was still flowing, not in the drain tail
+    head_users = set().union(
+        *(v for b, v in by_batch.items() if b not in last_two)
+    )
+    assert {1, 2, 11, 12} <= head_users, by_batch
+
+
 def test_chained_streaming_aggs_two_state_operators(spark, tmp_path):
     """t118's mechanics: (a) the executed streaming query really runs
     TWO stateful aggregation operators (progress.stateOperators), and
