@@ -805,6 +805,68 @@ def t122_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
     return _outer_interval_drain(spark, sf_dir, "full_outer", "t122")
 
 
+@register(
+    "t123_state_store_read",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def t123_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE read back from the checkpoint at rest — Spark's
+    ``statestore`` data source through :func:`monitor.read_state_store`
+    (r12, new surface): a per-user streaming count drains in two
+    micro-batches, then the entry reads the aggregation operator's
+    OWN state store files and grades them against the batch
+    aggregate. The state of an unwindowed groupBy count IS the
+    aggregate, so the DuckDB oracle certifies byte-level state
+    correctness — not the query output, the STATE — which is the
+    audit a long-running pipeline runs when it suspects drift ("what
+    does the state actually hold"), answered without replaying the
+    stream or stopping anything. Scale shape: the reader opens state
+    store files partition-parallel and scans state only (bounded by
+    the operator's own watermark/cap design), never the corpus.
+    Per-batch time travel + the multi-store metadata inventory are
+    pinned in tests/test_streaming.py."""
+    import hashlib
+    import os
+
+    from datasheet_etl_spark.streaming.monitor import read_state_store
+
+    src = _stage_events(sf_dir)
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(src))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"t123_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ckpt = os.path.join(work, "ckpt")
+    with _few_state_partitions(spark):
+        stream = events_stream(
+            spark, src, max_files_per_trigger=max(1, n_files // 2)
+        )
+        name = f"t123_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = read_state_store(spark, ckpt)
+    # the value struct carries the aggregation BUFFER's field names
+    # (`count` for a count aggregate), not the output alias — the
+    # reader exposes physical state, which is the point
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("long").alias("n_events"),
+    ).orderBy("user_id")
+
+
 @register("t24_streaming_minhash")  # stateful bucket matcher → rows-only
 def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash near-dup detection: per-row signatures →

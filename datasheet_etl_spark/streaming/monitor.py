@@ -97,3 +97,47 @@ def progress_summary(query) -> dict:
         "max_batch_duration_ms": max_dur,
         "state_rows": state_rows,
     }
+
+
+def state_operator_metadata(spark: SparkSession, checkpoint_dir: str):
+    """The checkpoint's stateful-operator inventory via Spark's
+    ``state-metadata`` data source: one row per stateful operator —
+    operatorId/operatorName/stateStoreName/numPartitions and the
+    batch-id range whose state snapshots exist. The discovery step
+    before :func:`read_state_store` (multi-stateful queries — t118's
+    agg→agg, t119's join→agg — have several operator ids; the join
+    keeps FOUR stores). Read-only over checkpoint metadata files."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def read_state_store(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    operator_id: int = 0,
+    store_name: str | None = None,
+    batch_id: int | None = None,
+):
+    """Streaming state AT REST, as a DataFrame — Spark's
+    ``statestore`` data source over a checkpoint: one row per state
+    entry with ``key``/``value`` structs (schemas come from the state
+    schema files, so columns are real, not blobs) and the
+    ``partition_id`` that owns the entry.
+
+    This is the debugging/audit read every long-running stateful
+    pipeline eventually needs — "what does the dedup/session/agg state
+    ACTUALLY hold" — answered without replaying the stream or touching
+    the live query: the reader opens the checkpoint's state store
+    files directly, partition-parallel, so at 100 TB it scans only
+    state (bounded by watermarks/caps by the operators' own design),
+    never the corpus. ``batch_id`` pins a historical snapshot (state
+    time travel, bounded by the checkpoint's retained versions —
+    ``minBatchId``/``maxBatchId`` in :func:`state_operator_metadata`);
+    default is the latest committed batch. ``store_name`` selects
+    among an operator's stores (stream-stream joins keep
+    keyToNumValues/keyWithIndexToValue pairs per side)."""
+    r = spark.read.format("statestore").option("operatorId", operator_id)
+    if store_name is not None:
+        r = r.option("storeName", store_name)
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint_dir)

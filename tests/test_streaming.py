@@ -2917,3 +2917,98 @@ def test_scd2_as_of_rewinds_to_each_moment(spark, tmp_path):
     assert at(4) == {(1, 11.0), (2, 20.0)}
     assert at(5) == {(2, 20.0)}  # delete at 5 is effective AT 5
     assert at(99) == {(2, 20.0)}
+
+
+def test_state_store_reader_time_travel_and_metadata(spark, tmp_path):
+    """t123's machinery on a planted frame: (a) read_state_store
+    exposes the aggregate's physical state (buffer field names, one
+    row per key) and batchId pins a HISTORICAL snapshot — state after
+    batch 0 shows only batch 0's keys/counts, the default shows the
+    final state; (b) state_operator_metadata inventories stateful
+    operators — a two-level windowed aggregate query (t118's shape)
+    reports TWO operator ids, each with its own store and batch range
+    (the discovery step before reading a multi-stateful checkpoint)."""
+    import os as _os
+    import shutil as _shutil
+
+    from datasheet_etl_spark.streaming.monitor import (
+        read_state_store,
+        state_operator_metadata,
+    )
+
+    schema = "k bigint, g bigint"
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    tmp = str(tmp_path / "build")
+    batches = [
+        [(1, 0), (1, 0), (2, 1)],   # batch 0: k=1 x2, k=2 x1
+        [(1, 0), (3, 1)],           # batch 1: k=1 +1, k=3 new
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        dst = _os.path.join(src, f"f{i}.parquet")
+        _shutil.move(_os.path.join(tmp, part), dst)
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        stream.groupBy("k", "g").count()
+        .writeStream.format("memory").queryName("t123pin")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    # (a) physical state + batchId time travel
+    final = {
+        (r["key"]["k"], r["key"]["g"]): r["value"]["count"]
+        for r in read_state_store(spark, ck).collect()
+    }
+    assert final == {(1, 0): 3, (2, 1): 1, (3, 1): 1}
+    b0 = {
+        (r["key"]["k"], r["key"]["g"]): r["value"]["count"]
+        for r in read_state_store(spark, ck, batch_id=0).collect()
+    }
+    # after batch 0: only batch 0's keys, with batch-0 counts — k=1
+    # still at 2, k=3 absent
+    assert b0 == {(1, 0): 2, (2, 1): 1}
+    md = {
+        (r["operatorId"], r["operatorName"]): (r["minBatchId"], r["maxBatchId"])
+        for r in state_operator_metadata(spark, ck).collect()
+    }
+    assert len(md) == 1 and list(md.values())[0] == (0, 1), md
+
+    # (b) multi-stateful inventory: two chained WINDOWED aggregates
+    # (unwindowed chaining trips Spark's global-watermark correctness
+    # check — the windowed form is t118's graded shape)
+    ts_schema = "ts timestamp, g bigint"
+    src2 = str(tmp_path / "src2")
+    spark.sql(
+        "SELECT timestamp'2024-01-01 10:05:00' AS ts, 1L AS g"
+        " UNION ALL SELECT timestamp'2024-01-01 11:05:00', 2L"
+    ).coalesce(1).write.parquet(src2)
+    stream2 = (
+        spark.readStream.schema(ts_schema).format("parquet").load(src2)
+        .withWatermark("ts", "1 hour")
+    )
+    lvl1 = stream2.groupBy(F.window("ts", "1 hour"), "g").count()
+    lvl2 = lvl1.groupBy("window").count()
+    ck2 = str(tmp_path / "ck2")
+    q2 = (
+        lvl2.writeStream.format("memory").queryName("t123pin2")
+        .outputMode("append")
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    ops2 = {r["operatorId"] for r in state_operator_metadata(spark, ck2).collect()}
+    assert len(ops2) == 2, ops2
