@@ -631,6 +631,76 @@ def cmd_stream_status(args, spark=None) -> int:
     return 0
 
 
+def cmd_state(args, spark=None) -> int:
+    """Inspect streaming STATE at rest (t123 machinery): with no
+    ``--operator``, print the checkpoint's stateful-operator inventory
+    (state-metadata source); with ``--operator``, read that operator's
+    state store — row count plus a bounded key/value sample, and the
+    full state as parquet under ``--output``. ``--batch`` pins a
+    historical snapshot (state time travel, within the retained batch
+    range the inventory prints). Reads checkpoint files only — safe
+    against a live query, and never replays the stream."""
+    spark = _get_spark(spark)
+    from pyspark.errors import AnalysisException, IllegalArgumentException
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.streaming.monitor import (
+        read_state_store,
+        state_operator_metadata,
+    )
+
+    from datasheet_etl_spark.streaming.streams import _hadoop_fs
+
+    fs, hpath, _ = _hadoop_fs(spark, args.checkpoint)
+    if not fs.exists(hpath):
+        # the metadata source returns an EMPTY inventory for a missing
+        # path — indistinguishable from a stateless checkpoint, so
+        # refuse explicitly
+        print(f"error: no such checkpoint: {args.checkpoint}", file=sys.stderr)
+        return 2
+    try:
+        if args.operator is None:
+            md = state_operator_metadata(spark, args.checkpoint).collect()
+            print(f"Stateful operators in {args.checkpoint}")
+            for r in sorted(md, key=lambda r: r["operatorId"]):
+                print(
+                    f"  [{r['operatorId']}] {r['operatorName']:24s} "
+                    f"store={r['stateStoreName']} "
+                    f"partitions={r['numPartitions']} "
+                    f"batches={r['minBatchId']}..{r['maxBatchId']}"
+                )
+            if not md:
+                print("  (none — not a stateful query's checkpoint)")
+            return 0
+        st = read_state_store(
+            spark,
+            args.checkpoint,
+            operator_id=args.operator,
+            store_name=args.store,
+            batch_id=args.batch,
+        )
+        if args.output:
+            # write-then-read-back (the cmd_diff discipline): the
+            # printed summary reuses the persisted parquet
+            st.write.mode("overwrite").parquet(args.output)
+            st = spark.read.parquet(args.output)
+        n = st.count()
+        when = "latest batch" if args.batch is None else f"batch {args.batch}"
+        print(
+            f"Operator {args.operator} state at {when}: {n} entries"
+        )
+        for r in st.orderBy(F.col("partition_id")).limit(args.sample).collect():
+            print(f"  key={tuple(r['key'])} value={tuple(r['value'])}")
+        if n > args.sample:
+            print(f"  ... ({n - args.sample} more; --output for all)")
+        if args.output:
+            print(f"  Output: {args.output}")
+        return 0
+    except (ValueError, AnalysisException, IllegalArgumentException) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+
 def cmd_cdc_diff(args, spark=None) -> int:
     """What changed between two committed versions of a CDC target
     (time-travel audit): per-status key counts, optionally the
@@ -881,6 +951,32 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     p.add_argument("checkpoint", help="checkpoint directory")
 
     p = sub.add_parser(
+        "state",
+        help="Inspect streaming state at rest (operator inventory, "
+        "state entries, per-batch time travel)",
+    )
+    p.add_argument("checkpoint", help="checkpoint directory")
+    p.add_argument(
+        "--operator", type=int, default=None,
+        help="operator id to read (default: print the inventory)",
+    )
+    p.add_argument(
+        "--store", default=None,
+        help="state store name (joins keep several per operator)",
+    )
+    p.add_argument(
+        "--batch", type=int, default=None,
+        help="pin a historical batch id (default: latest committed)",
+    )
+    p.add_argument(
+        "--sample", type=int, default=20,
+        help="rows to print (default 20)",
+    )
+    p.add_argument(
+        "--output", default=None, help="write the full state as parquet"
+    )
+
+    p = sub.add_parser(
         "cdc-diff",
         help="Diff two committed versions of a CDC target "
         "(added/removed/changed/unchanged per key)",
@@ -919,6 +1015,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "explain": cmd_explain,
         "audit": cmd_audit,
         "stream-status": cmd_stream_status,
+        "state": cmd_state,
         "cdc-diff": cmd_cdc_diff,
     }
     return handlers[args.command](args, spark=spark)

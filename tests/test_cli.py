@@ -433,3 +433,66 @@ def test_cli_cdc_diff(spark, tmp_path, capsys):
     )
     assert rc == 2
     assert "not committed" in capsys.readouterr().err
+
+
+def test_cli_state(spark, tmp_path, capsys):
+    """`state` subcommand e2e: inventory with no --operator, entries +
+    sample with --operator, --batch time travel, --output parquet
+    persistence, and exit 2 on a non-checkpoint path."""
+    import os
+    import shutil
+
+    from datasheet_etl_spark.cli import main
+    from pyspark.sql import functions as F
+
+    schema = "k bigint"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "build")
+    for i, rows in enumerate([[(1,), (2,)], [(1,)]]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").format("parquet").load(src)
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName("clistate")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    assert main(["state", ck], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "stateStoreSave" in out and "batches=0..1" in out
+
+    outp = str(tmp_path / "state_out")
+    assert main(
+        ["state", ck, "--operator", "0", "--output", outp], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "2 entries" in out  # keys 1 and 2
+    got = {
+        (r["key"]["k"], r["value"]["count"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+
+    # time travel: after batch 0, k=1 has count 1 and k=2 count 1
+    assert main(
+        ["state", ck, "--operator", "0", "--batch", "0"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "state at batch 0: 2 entries" in out
+    assert "key=(1,) value=(1,)" in out
+
+    # not a checkpoint -> exit 2, message on stderr
+    assert main(["state", str(tmp_path / "nope")], spark=spark) == 2
+    assert "error:" in capsys.readouterr().err
