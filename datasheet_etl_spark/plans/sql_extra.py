@@ -3401,6 +3401,79 @@ def t103_jsonl_lenient_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q60_multi_distinct_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_dist_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q60_multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE distinct aggregates over different columns in one
+    GROUP BY — the plan shape q52's GROUPING SETS machinery serves a
+    second master with: Catalyst rewrites N distinct aggregates into
+    ONE Expand (each input row replicated once per distinct group with
+    the others' columns nulled) feeding a two-level aggregate, instead
+    of N self-joined subqueries (plan-pinned: one Expand, no Join, in
+    tests/test_plans.py). The mixed regular aggregate (count(*)) rides
+    the same pass. At 100 TB this is the difference between one
+    shuffle of (group, gid, value) partials and N full scans — the
+    multi-distinct report every dedup/audit rollup eventually writes.
+    sum(DISTINCT) runs on a bigint cast so both engines sum exact
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum_distinct(F.col("l_quantity").cast("long")).alias(
+                "sum_dist_qty"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q61_set_ops_all",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'intersect_all' AS tag, o_custkey
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all' AS tag, o_custkey
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    ORDER BY tag, o_custkey
+    """,
+)
+def q61_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (q22 graded the DISTINCT forms):
+    INTERSECT ALL keeps min(multiplicity) per value, EXCEPT ALL
+    subtracts multiplicities — the ANSI semantics both engines must
+    agree on ROW COUNTS for, not just membership (a customer with
+    three 1995 orders and one 1996 order contributes 1 intersect row
+    and 2 except rows). DataFrame API surface: ``intersectAll`` /
+    ``exceptAll``, which plan as aggregate-with-count + generate —
+    one shuffle each on the value, no join of the raw tables."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    out = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("tag"), "o_custkey"
+    ).unionAll(
+        a.exceptAll(b).select(F.lit("except_all").alias("tag"), "o_custkey")
+    )
+    return out.orderBy("tag", "o_custkey")
+
+
+@register(
     "t104_orc_at_rest",
     """
     SELECT source,

@@ -141,3 +141,34 @@ def read_state_store(
     if batch_id is not None:
         r = r.option("batchId", batch_id)
     return r.load(checkpoint_dir)
+
+
+def read_state_changes(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    operator_id: int = 0,
+    start_batch: int = 0,
+    end_batch: int | None = None,
+    store_name: str | None = None,
+):
+    """The state CHANGE FEED: every state-store write (update/delete)
+    between two batch ids, as rows — ``readChangeFeed`` on the
+    ``statestore`` source. Where :func:`read_state_store` answers
+    "what does the state hold", this answers "what did batch N DO to
+    it" — the streaming-state analogue of :func:`streams.
+    cdc_version_diff`, read from checkpoint files with no replay.
+    A key's count progressing 1→2 shows as two ``update`` rows with
+    their ``batch_id``; watermark eviction shows as ``delete`` rows.
+    Bounded by the checkpoint's retained state versions, like
+    ``batch_id`` pinning."""
+    r = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", start_batch)
+    )
+    if end_batch is not None:
+        r = r.option("changeEndBatchId", end_batch)
+    if store_name is not None:
+        r = r.option("storeName", store_name)
+    return r.load(checkpoint_dir)

@@ -788,3 +788,15 @@ def test_q59_keyset_page_plan_and_equivalence(spark):
     got = [tuple(r) for r in ks.collect()]
     assert len(got) == 25
     assert got == want
+
+
+def test_q60_multi_distinct_one_expand_no_join(spark):
+    """q60's point: N distinct aggregates over different columns must
+    compile to ONE Expand feeding a two-level aggregate — never N
+    self-joined subqueries (and the mixed count(*) rides the same
+    pass)."""
+    from datasheet_etl_spark.plans.sql_extra import q60_multi_distinct_agg
+
+    plan = _plan(q60_multi_distinct_agg(spark, SF_SMOKE))
+    assert plan.count("Expand") >= 1, plan[:600]
+    assert "Join" not in plan, plan[:600]

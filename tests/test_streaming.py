@@ -3012,3 +3012,20 @@ def test_state_store_reader_time_travel_and_metadata(spark, tmp_path):
     q2.awaitTermination()
     ops2 = {r["operatorId"] for r in state_operator_metadata(spark, ck2).collect()}
     assert len(ops2) == 2, ops2
+
+    # (c) the change feed: what each batch DID to the first query's
+    # state — k=1 progresses 1→2 across the two batches, k=2/k=3 write
+    # once; every row carries its batch_id and change_type
+    from datasheet_etl_spark.streaming.monitor import read_state_changes
+
+    changes = sorted(
+        (r["batch_id"], r["key"]["k"], r["key"]["g"],
+         r["change_type"], r["value"]["count"])
+        for r in read_state_changes(spark, ck).collect()
+    )
+    assert changes == [
+        (0, 1, 0, "update", 2),
+        (0, 2, 1, "update", 1),
+        (1, 1, 0, "update", 3),
+        (1, 3, 1, "update", 1),
+    ], changes
