@@ -374,20 +374,23 @@ def _span_flag_error(flag: str, span: int) -> str | None:
     return None
 
 
-def _path_signature(spark, path: str) -> str:
-    """Identity of a dataset at rest: sorted relpath:size:mtime of
-    every file under ``path``, listed on the path's OWN FileSystem
-    (the r10 wrong-FS lesson) — the audit CLI's same-input-retry
-    detector. The component is the path RELATIVE to the input root,
-    not the basename: basenames collide across subdirectories
-    (part-00000 everywhere), so distinct inputs could falsely refuse
-    and a renamed file could defeat the double-count guard."""
+def _path_signature(spark, path: str) -> tuple[str, str]:
+    """Identity of a dataset at rest, as ``(sig, legacy_sig)`` — both
+    sorted ``component:size:mtime`` over every file under ``path``,
+    listed on the path's OWN FileSystem (the r10 wrong-FS lesson); the
+    audit CLI's same-input-retry detector. The current component is
+    the path RELATIVE to the input root — basenames collide across
+    subdirectories (part-00000 everywhere), so distinct inputs could
+    falsely refuse and a renamed file could defeat the double-count
+    guard. ``legacy_sig`` keeps the pre-r12 basename format so a state
+    dir whose stored signature predates the change still refuses its
+    own input (one listing computes both)."""
     from datasheet_etl_spark.streaming.streams import _hadoop_fs
 
     fs, hpath, _ = _hadoop_fs(spark, path)
     root = fs.makeQualified(hpath).toString().rstrip("/")
     it = fs.listFiles(hpath, True)
-    parts = []
+    parts, legacy = [], []
     while it.hasNext():
         st = it.next()
         full = st.getPath().toString()
@@ -396,8 +399,10 @@ def _path_signature(spark, path: str) -> str:
             if full.startswith(root + "/")
             else st.getPath().getName()
         )
-        parts.append(f"{rel}:{st.getLen()}:{st.getModificationTime()}")
-    return ";".join(sorted(parts))
+        tail = f"{st.getLen()}:{st.getModificationTime()}"
+        parts.append(f"{rel}:{tail}")
+        legacy.append(f"{st.getPath().getName()}:{tail}")
+    return ";".join(sorted(parts)), ";".join(sorted(legacy))
 
 
 def cmd_audit(args, spark=None) -> int:
@@ -489,7 +494,7 @@ def cmd_audit(args, spark=None) -> int:
                     "  (discarded uncommitted partial.next from a "
                     "failed run — re-run that night's input)"
                 )
-        sig = _path_signature(spark, args.input)
+        sig, legacy_sig = _path_signature(spark, args.input)
         meta_txt = _read_text(spark, f"{stored}/_AUDIT_META")
         already_merged = False
         if meta_txt is not None:
@@ -502,7 +507,10 @@ def cmd_audit(args, spark=None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            if meta.get("last_input_sig") == sig:
+            # legacy_sig: a partial committed before the r12 relpath
+            # format still refuses its own input (silent double-count
+            # otherwise — review-found r12)
+            if meta.get("last_input_sig") in (sig, legacy_sig):
                 if recovered:
                     # the crashed run DID merge tonight's input —
                     # the recovered swap carries its signature, so the
@@ -641,7 +649,12 @@ def cmd_state(args, spark=None) -> int:
     range the inventory prints). Reads checkpoint files only — safe
     against a live query, and never replays the stream."""
     spark = _get_spark(spark)
-    from pyspark.errors import AnalysisException, IllegalArgumentException
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import (
+        AnalysisException,
+        IllegalArgumentException,
+        PySparkException,
+    )
     from pyspark.sql import functions as F
 
     from datasheet_etl_spark.streaming.monitor import (
@@ -696,8 +709,19 @@ def cmd_state(args, spark=None) -> int:
         if args.output:
             print(f"  Output: {args.output}")
         return 0
-    except (ValueError, AnalysisException, IllegalArgumentException) as exc:
-        print(f"error: {exc}", file=sys.stderr)
+    except (
+        ValueError,
+        AnalysisException,
+        IllegalArgumentException,
+        PySparkException,
+        Py4JJavaError,
+    ) as exc:
+        # several state-source failures (bad operator id, batch id
+        # outside the retained range, non-checkpoint dirs) surface only
+        # at scan time as Py4J/Spark exceptions — exit-2 contract, not
+        # a JVM stack trace (review-found r12)
+        msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+        print(f"error: {msg}", file=sys.stderr)
         return 2
 
 

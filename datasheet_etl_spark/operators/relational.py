@@ -619,6 +619,77 @@ def fuzzy_levenshtein_join(
     )
 
 
+def _contains_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    return False
+
+
+def canonicalize_maps(expr: Column, dt) -> Column:
+    """Rewrite ``expr`` so every MapType ANYWHERE in ``dt`` becomes an
+    array of (key, value) entries sorted by key — maps are not
+    orderable and their entry order is undefined, so both deterministic
+    tiebreaks (:func:`payload_tiebreak`) and value fingerprints
+    (``streams.cdc_version_diff``) need this canonical form; recursion
+    covers maps nested inside structs, arrays, and map values
+    (review-found r12: the original fixes each handled only the
+    top level)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        entries = F.map_entries(expr)
+        if _contains_map(dt.valueType):
+            entries = F.transform(
+                entries,
+                lambda kv: F.struct(
+                    kv["key"].alias("key"),
+                    canonicalize_maps(kv["value"], dt.valueType).alias(
+                        "value"
+                    ),
+                ),
+            )
+        return F.array_sort(entries)
+    if isinstance(dt, StructType):
+        return F.struct(
+            *[
+                canonicalize_maps(expr[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        if _contains_map(dt.elementType):
+            return F.transform(
+                expr, lambda x: canonicalize_maps(x, dt.elementType)
+            )
+        return expr
+    return expr
+
+
+def payload_tiebreak(df: DataFrame, cols: Sequence[str]) -> list[Column]:
+    """DESC-NULLS-LAST ordering expressions over ``cols`` for a
+    deterministic same-sequence tiebreak, with any map-bearing column
+    canonicalized (:func:`canonicalize_maps`) so it becomes orderable
+    with key-sorted entries. One definition shared by
+    :func:`apply_changes` and the SCD2 sink's same-seq collapse, so
+    the two CDC disciplines can never pick different winners for the
+    same duplicate delivery."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    out: list[Column] = []
+    for c in cols:
+        dt = types.get(c)
+        if dt is not None and _contains_map(dt):
+            out.append(canonicalize_maps(F.col(c), dt).desc_nulls_last())
+        else:
+            out.append(F.col(c).desc_nulls_last())
+    return out
+
+
 def apply_changes(
     base: DataFrame,
     changes: DataFrame,
@@ -661,24 +732,13 @@ def apply_changes(
     # total order: seq, then delete-wins, then op and payload columns —
     # same-seq duplicate deliveries (at-least-once sources) must pick
     # the SAME winner on every run/partitioning. Map-typed payloads are
-    # not orderable (and their entry order is undefined anyway):
-    # canonicalize to entries sorted by key for the tiebreak, so CDC
-    # streams can carry map payloads; nested maps-inside-maps stay
-    # unsupported (Spark's own ordering error surfaces).
-    from pyspark.sql.types import MapType
-
-    _ctypes = {f.name: f.dataType for f in changes.schema.fields}
-
-    def _ord(c: str) -> Column:
-        if isinstance(_ctypes.get(c), MapType):
-            return F.array_sort(F.map_entries(F.col(c))).desc_nulls_last()
-        return F.col(c).desc_nulls_last()
-
+    # canonicalized for the tiebreak (payload_tiebreak, shared with the
+    # SCD2 sink's same-seq collapse) so CDC streams can carry maps.
     w = Window.partitionBy(*kl).orderBy(
         F.col(seq_col).desc(),
         (F.col(op_col) == "D").cast("int").desc(),
         F.col(op_col).desc(),
-        *[_ord(c) for c in pcols],
+        *payload_tiebreak(changes, pcols),
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -305,8 +305,19 @@ class JsonLinesWriter(DataSourceWriter):
             # Refuse a drifted schema: the manifest records ONE schema
             # for every referenced file, so appending different columns
             # would silently re-type earlier committed rows on read
-            # (the repo's refuse-over-corrupt discipline).
-            if self.schema_json != prev["schema"]:
+            # (the repo's refuse-over-corrupt discipline). Compare
+            # (name, type) pairs, NOT raw schema JSON — nullability and
+            # metadata flip freely across Spark plans (a filter or
+            # literal makes a column non-nullable) and cannot re-type
+            # anything (review-found r12: the raw-string compare
+            # falsely refused type-identical appends).
+            def shape(schema_json: str):
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromJson(_json.loads(schema_json))
+                return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+            if shape(self.schema_json) != shape(prev["schema"]):
                 raise ValueError(
                     "append schema differs from the committed "
                     "manifest's schema — appending would re-type "

@@ -1964,13 +1964,18 @@ def scd2_upsert_sink(
     ]
 
     def collapse(batch_df: DataFrame) -> DataFrame:
-        # same-seq duplicate collapse, deterministic (apply_changes'
-        # total order: delete-wins, then op, then payload)
+        # same-seq duplicate collapse, deterministic — apply_changes'
+        # total order (delete-wins, then op, then payload) through the
+        # SHARED payload_tiebreak, so map payloads work here exactly
+        # like they do in the CDC sink (review-found r12: a local copy
+        # of the tiebreak had missed the map canonicalization)
+        from datasheet_etl_spark.operators.relational import payload_tiebreak
+
         changes = batch_df.select(*kl, *pcols, F.col(seq_col), F.col(op_col))
         wdup = Window.partitionBy(*kl, seq_col).orderBy(
             (F.col(op_col) == "D").cast("int").desc(),
             F.col(op_col).desc(),
-            *[F.col(c).desc_nulls_last() for c in pcols],
+            *payload_tiebreak(changes, pcols),
         )
         return (
             changes.withColumn("_rn", F.row_number().over(wdup))
@@ -2003,11 +2008,18 @@ def scd2_upsert_sink(
         )
         return history.select(*tombstone_schema_cols).unionByName(need)
 
-    def derive(base: DataFrame | None, changes: DataFrame) -> DataFrame | None:
+    def derive(
+        base: DataFrame | None,
+        changes: DataFrame,
+        check_stale: bool = False,
+    ) -> DataFrame | None:
         """Next history for the SCOPE ``base`` covers (full table in
         flat mode, the touched buckets in bucketed mode). ``base``
-        must be persisted by the caller when not None. Returns None
-        when every change is stale (nothing can differ)."""
+        must be persisted by the caller when not None. With
+        ``check_stale`` (bucketed mode — an all-stale batch must
+        commit NOTHING), returns None when every change is stale; flat
+        mode skips that extra job, since both branches there commit an
+        equivalent snapshot anyway."""
         from datasheet_etl_spark.operators.relational import scd2_history
 
         ptypes = dict(changes.dtypes)
@@ -2024,7 +2036,7 @@ def scd2_upsert_sink(
             .filter(F.col("_mark").isNull() | (F.col(seq_col) > F.col("_mark")))
             .drop("_mark")
         )
-        if fresh.isEmpty():
+        if check_stale and fresh.isEmpty():
             return None
         touched = fresh.select(*kl).distinct()
         untouched = base.join(touched, kl, "left_anti")
@@ -2063,16 +2075,26 @@ def scd2_upsert_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if _is_bucketed_target(spark, target_dir):
+            # review-found (r12): writing a flat version into a
+            # bucketed target would be WORSE than an error later — the
+            # flat version carries no manifest, so readers resolve the
+            # old manifest and the commit is silently invisible while
+            # the checkpoint marks the batch done (permanent loss).
+            # The CDC flat sink refuses identically.
+            raise ValueError(
+                f"{target_dir} is a bucketed SCD2 target; run the sink "
+                "with its original num_buckets"
+            )
         base = read_scd2_snapshot(spark, target_dir, include_tombstones=True)
         changes = collapse(batch_df)
         if base is not None:
             base.persist()
         try:
+            # no stale check: an all-stale flat batch derives a
+            # base-equivalent snapshot and commits it, the original
+            # behavior — the extra isEmpty job is bucketed-mode-only
             nxt = derive(base, changes)
-            if nxt is None:
-                # all-stale batch: the flat mode keeps its original
-                # commit-identical-version behavior (harmless here)
-                nxt = base.select(*tombstone_schema_cols)
             version = _next_version(spark, target_dir)
             nxt.write.mode("overwrite").parquet(f"{target_dir}/{version}")
             _write_pointer(spark, target_dir, version)
@@ -2105,7 +2127,7 @@ def scd2_upsert_sink(
         if base is not None:
             base.persist()
         try:
-            nxt = derive(base, changes)
+            nxt = derive(base, changes, check_stale=True)
             if nxt is None:
                 # pure replay / all-stale batch: nothing can change,
                 # commit nothing (the flat mode re-commits an identical
@@ -2707,7 +2729,9 @@ def cdc_version_diff(
     skip = set(keys) | set(ignore_cols)
 
     def fingerprinted(version):
-        from pyspark.sql.types import MapType
+        from datasheet_etl_spark.operators.relational import (
+            canonicalize_maps,
+        )
 
         snap = read_cdc_snapshot(spark, target_dir, version=version)
         if snap is None:
@@ -2718,10 +2742,10 @@ def cdc_version_diff(
         def canon(c):
             # maps have no defined entry order (and to_json would key
             # the fingerprint on whatever order the scan produced) —
-            # canonicalize to entries sorted by key before hashing
-            if isinstance(types[c], MapType):
-                return F.array_sort(F.map_entries(F.col(c))).alias(c)
-            return F.col(c)
+            # canonicalize to key-sorted entries at EVERY nesting level
+            # (shared with the CDC tiebreak; review-found r12: the
+            # original fix handled only top-level map columns)
+            return canonicalize_maps(F.col(c), types[c]).alias(c)
 
         # ignoreNullFields=false: a NULL payload field must fingerprint
         # differently from an ABSENT one — to_json's default silently

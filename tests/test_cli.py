@@ -496,3 +496,49 @@ def test_cli_state(spark, tmp_path, capsys):
     # not a checkpoint -> exit 2, message on stderr
     assert main(["state", str(tmp_path / "nope")], spark=spark) == 2
     assert "error:" in capsys.readouterr().err
+    # scan-time JVM failures (bad operator id) -> the same exit-2
+    # contract, one clean error line, no raw py4j stack dump
+    assert main(["state", ck, "--operator", "7"], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert err.startswith("error:") and "\n" not in err.rstrip("\n")
+
+
+def test_cli_audit_legacy_signature_still_refuses(spark, tmp_path, capsys):
+    """Review-found (r12): the r12 relpath signature format must not
+    orphan state dirs committed under the old basename format — a
+    stored legacy-format last_input_sig still refuses its own input
+    (silent double-count otherwise)."""
+    import json as _json
+
+    from datasheet_etl_spark.cli import _path_signature, main
+    from datasheet_etl_spark.streaming.streams import (
+        _read_text,
+        _write_text_atomic,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "legacy sig words here")], "doc_id long, text string"
+    )
+    # NESTED layout (partition subdir): the only case where the r12
+    # relpath format and the legacy basename format actually differ
+    p = str(tmp_path / "night.parquet")
+    docs.withColumn("pt", F.lit(0)).write.partitionBy("pt").parquet(p)
+    state = str(tmp_path / "state")
+    assert main(["audit", p, "--ngram-partials", state], spark=spark) == 0
+    capsys.readouterr()
+
+    # rewrite the committed meta to the PRE-r12 basename format
+    sig, legacy = _path_signature(spark, p)
+    assert sig != legacy  # nested layout: relpath vs basename differ
+    meta = _json.loads(_read_text(spark, f"{state}/partial/_AUDIT_META"))
+    assert meta["last_input_sig"] == sig
+    meta["last_input_sig"] = legacy
+    _write_text_atomic(
+        spark, f"{state}/partial/_AUDIT_META", _json.dumps(meta)
+    )
+
+    # same input still refused against the legacy-format signature
+    assert main(["audit", p, "--ngram-partials", state], spark=spark) == 2
+    assert "already merged" in capsys.readouterr().err

@@ -371,3 +371,31 @@ def test_pyds_stream_crash_replay_through_checkpoint(spark, tmp_path):
     assert a == b and a, (a, b)
     # and the replay re-committed: the checkpoint's commit record is back
     assert os.path.exists(f"{ckpt}/commits/{n}")
+
+
+def test_pyds_writer_append_tolerates_nullability_drift(spark, tmp_path):
+    """Review-found (r12): the append-schema guard must compare
+    (name, type) shape, not raw schema JSON — Spark flips nullability
+    freely across plans (literals, filters, aggregation), and
+    appending non-nullable data into a nullable column cannot re-type
+    anything."""
+    from datasheet_etl_spark.sources.pyds import (
+        read_jsonl_manifest,
+        register_jsonl_manifest,
+    )
+
+    register_jsonl_manifest(spark)
+    out = str(tmp_path / "sink")
+    # nullable value column first
+    spark.createDataFrame(
+        [(1, 1.0), (2, None)], "event_id bigint, value double"
+    ).write.format("jsonl_manifest").option("path", out).mode(
+        "append").save()
+    # non-nullable shape for the same columns (selectExpr literals)
+    spark.range(3, 5).selectExpr(
+        "id as event_id", "cast(id as double) as value"
+    ).write.format("jsonl_manifest").option("path", out).mode(
+        "append").save()
+    got = read_jsonl_manifest(spark, out)
+    assert got.count() == 4
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3, 4}

@@ -3029,3 +3029,118 @@ def test_state_store_reader_time_travel_and_metadata(spark, tmp_path):
         (1, 1, 0, "update", 3),
         (1, 3, 1, "update", 1),
     ], changes
+
+
+def test_scd2_flat_refuses_bucketed_target(spark, tmp_path):
+    """Review-found (r12): a flat-mode scd2 run against a BUCKETED
+    target must refuse — the flat version carries no manifest, so
+    readers would resolve the old manifest and the commit would be
+    silently invisible while the checkpoint marks the batch done."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import scd2_upsert_sink
+
+    schema = "user_id bigint, event_id bigint, value double, op string"
+    target = str(tmp_path / "target")
+
+    def drain(rows, ckpt, nb):
+        src = str(tmp_path / f"src_{ckpt}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet").load(src)
+        )
+        scd2_upsert_sink(
+            stream, target, str(tmp_path / f"ck_{ckpt}"),
+            ["user_id"], "event_id", ["value"], num_buckets=nb,
+        )
+
+    drain([(1, 1, 10.0, "U")], "b1", 4)
+    with _pytest.raises(Exception, match="bucketed SCD2 target"):
+        drain([(1, 2, 11.0, "U")], "b2", None)
+
+
+def test_scd2_sink_accepts_map_payloads(spark, tmp_path):
+    """Review-found (r12): the SCD2 sink's same-seq collapse duplicated
+    apply_changes' tiebreak WITHOUT the map canonicalization, so map
+    payload columns crashed at analysis. Now shared
+    (relational.payload_tiebreak): a map-payload changelog drains and
+    the history intervals carry the maps."""
+    from datasheet_etl_spark.streaming.streams import (
+        read_scd2_snapshot,
+        scd2_upsert_sink,
+    )
+
+    schema = (
+        "user_id bigint, event_id bigint, attrs map<string,string>, "
+        "op string"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, 1, {"a": "1"}, "U"),
+            (1, 1, {"a": "1"}, "U"),  # same-seq duplicate delivery
+            (1, 3, {"a": "2", "b": "9"}, "U"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet").load(src)
+    )
+    target = str(tmp_path / "target")
+    scd2_upsert_sink(
+        stream, target, str(tmp_path / "ck"),
+        ["user_id"], "event_id", ["attrs"],
+    )
+    got = sorted(
+        (
+            (r["user_id"], dict(r["attrs"]), r["valid_from"], r["valid_to"])
+            for r in read_scd2_snapshot(spark, target).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, {"a": "1"}, 1, 3),
+        (1, {"a": "2", "b": "9"}, 3, None),
+    ]
+
+
+def test_cdc_version_diff_nested_map_canonicalized(spark, tmp_path):
+    """Review-found (r12): maps nested inside structs fingerprinted in
+    physical entry order — a reordered-but-equal nested map reported
+    'changed'. The canonicalization now recurses."""
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_versions,
+        cdc_upsert_sink,
+        cdc_version_diff,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(1).selectExpr(
+        "1L as k", "1L as seq", "'I' as op",
+        "named_struct('tags', map('x','1','y','2'), 'n', 5L) as payload",
+    ).coalesce(1).write.parquet(src)
+    # same logical payload, nested map entries in the opposite order
+    spark.range(1).selectExpr(
+        "1L as k", "2L as seq", "'U' as op",
+        "named_struct('tags', map_concat(map('y','2'), map('x','1')),"
+        " 'n', 5L) as payload",
+    ).coalesce(1).write.parquet(src, mode="append")
+    target = str(tmp_path / "target")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").format("parquet").load(src)
+    )
+    cdc_upsert_sink(stream, target, str(tmp_path / "ck"), keys=["k"],
+                    seq_col="seq")
+    v0 = _committed_versions(spark, target)[0]
+    got = {
+        r["_key"]: r["status"]
+        for r in cdc_version_diff(
+            spark, target, v0, None, ["k"], ignore_cols=["seq", "op"]
+        ).collect()
+    }
+    assert got == {1: "unchanged"}
