@@ -143,6 +143,22 @@ ENTRIES = [
     "t121_streaming_scd2",
     # r11: full-outer interval join — t116's state bound on both sides
     "t122_streaming_full_outer_join",
+    # r12: bucketed SCD2 (per-batch cost O(touched buckets); this
+    # whole-entry row pays the FULL backlog drain each run — the
+    # marginal-cost claim is --t121b-marginal's flat row), the
+    # state-store read (scan of state files only, never the corpus),
+    # the MG membership oracle (state hard-capped at k per key), the
+    # keyset page (pushed TakeOrdered — the row exists to SHOW depth
+    # costs nothing), the one-Expand multi-distinct aggregate, bag
+    # set-ops (aggregate+generate, one shuffle each), and t63's pool
+    # (map-side matmul, t06's shape)
+    "t121b_streaming_scd2_bucketed",
+    "t123_state_store_read",
+    "t78_streaming_heavy_hitters",
+    "q59_pagination_keyset",
+    "q60_multi_distinct_agg",
+    "q61_set_ops_all",
+    "t63b_mmr_pool",
 ]
 
 # per-table key columns to offset so copies don't collide
