@@ -3474,6 +3474,166 @@ def q61_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q62_filter_clause",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+               AS n_big,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+               AS discounted_revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q62_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause — ``agg(x) FILTER (WHERE p)`` — the
+    standard form of the sum(CASE WHEN ...) conditional-aggregate idiom
+    q28/q12 grade: per-aggregate predicates inside ONE grouping pass
+    (no per-predicate subqueries, no self-joins; the filters evaluate
+    map-side before partial aggregation, exactly like the CASE form).
+    Decimal-exact revenue so both engines sum identical values. The
+    plan is the same partial-agged HashAggregate every conditional
+    aggregate compiles to — the entry grades the SYNTAX surface
+    agreeing with the semantics both engines already share."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q62_lineitem"
+    )
+    # FILTER is SQL-surface (the DataFrame API spells it .filter inside
+    # when/otherwise); the point here is the ANSI clause itself
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+                   AS n_big,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+                   AS discounted_revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM q62_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "q63_ordered_set_aggs",
+    """
+    SELECT o_orderpriority,
+           round(CAST(percentile_cont(0.5)
+                 WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4)
+               AS median_price,
+           CAST(percentile_disc(0.25)
+                WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE)
+               AS p25_disc,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q63_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-SET aggregates (ANSI ``WITHIN GROUP``): interpolated
+    ``percentile_cont``, exact-row ``percentile_disc``, and ordered
+    ``listagg DISTINCT`` (DuckDB spells it ``string_agg ... ORDER
+    BY``) in one grouping pass. percentile_disc picks an ACTUAL value
+    (no interpolation — both engines must select the same row under
+    the same ordering); listagg's determinism comes from ordering by
+    the aggregated value itself, so equal values are interchangeable
+    in the output string. These are holistic aggregates — per-group
+    cost is O(group) by contract (the sort runs inside the aggregate);
+    the mergeable-sketch path for 100 TB quantiles is t88's histogram,
+    which this entry's exact contract anchors."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q63_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(CAST(percentile_cont(0.5)
+                     WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4)
+                   AS median_price,
+               CAST(percentile_disc(0.25)
+                    WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE)
+                   AS p25_disc,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+        FROM q63_orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q64_ignore_nulls_windows",
+    """
+    WITH d AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE CAST(value AS DECIMAL(18,4)) END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(lag(v IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id)
+                AS DOUBLE) AS prev_v,
+           CAST(lead(v IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id)
+                AS DOUBLE) AS next_v,
+           CAST(last_value(v IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS locf,
+           CAST(nth_value(v, 2 IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS second_nn
+    FROM d ORDER BY user_id, event_id
+    """,
+)
+def q64_ignore_nulls_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS across the whole window-function family — lag,
+    lead, last_value (the LOCF carry q17/t74 build on), nth_value —
+    with deterministically planted NULLs (event_id % 3). The two
+    engines spell it differently (Spark: ``lag(v) IGNORE NULLS``;
+    DuckDB: ``lag(v IGNORE NULLS)``) but must agree on every value:
+    null-skipping changes WHICH row each function reads, not just its
+    output, so a drift here corrupts gap-filling and sessionization
+    silently. Decimal-typed values so the carried numbers are
+    bit-identical. One sort per partition serves all four functions
+    (shared WindowExec — q47's discipline)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "q64_events"
+    )
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT user_id, event_id,
+                 CASE WHEN event_id % 3 = 0 THEN NULL
+                      ELSE CAST(value AS DECIMAL(18,4)) END AS v
+          FROM q64_events
+        )
+        SELECT user_id, event_id,
+               CAST(lag(v) IGNORE NULLS
+                    OVER (PARTITION BY user_id ORDER BY event_id)
+                    AS DOUBLE) AS prev_v,
+               CAST(lead(v) IGNORE NULLS
+                    OVER (PARTITION BY user_id ORDER BY event_id)
+                    AS DOUBLE) AS next_v,
+               CAST(last_value(v) IGNORE NULLS
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                    AS DOUBLE) AS locf,
+               CAST(nth_value(v, 2) IGNORE NULLS
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING)
+                    AS DOUBLE) AS second_nn
+        FROM d ORDER BY user_id, event_id
+        """
+    )
+
+
+@register(
     "t104_orc_at_rest",
     """
     SELECT source,

@@ -3144,3 +3144,68 @@ def test_cdc_version_diff_nested_map_canonicalized(spark, tmp_path):
         ).collect()
     }
     assert got == {1: "unchanged"}
+
+
+def test_state_store_reader_join_stores(spark, tmp_path):
+    """A stream-stream join keeps FOUR named stores per side-pair
+    (keyToNumValues / keyWithIndexToValue, left and right);
+    state_operator_metadata must inventory the join operator and
+    read_state_store(store_name=...) must open a named store and
+    surface the buffered rows — the state a join debug session
+    actually wants ('which rows is the join holding for this key')."""
+    from datasheet_etl_spark.streaming.monitor import (
+        read_state_store,
+        state_operator_metadata,
+    )
+
+    schema = "k bigint, ts timestamp"
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.sql(
+        "SELECT 1L AS k, timestamp'2024-01-01 10:00:00' AS ts"
+    ).coalesce(1).write.parquet(src_l)
+    spark.sql(
+        "SELECT 1L AS k, timestamp'2024-01-01 10:10:00' AS ts"
+    ).coalesce(1).write.parquet(src_r)
+    left = (
+        spark.readStream.schema(schema).parquet(src_l)
+        .withWatermark("ts", "1 hour").alias("l")
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(src_r)
+        .withWatermark("ts", "1 hour").alias("r")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "l.k = r.k AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 1 HOUR"
+        ),
+    )
+    ck = str(tmp_path / "ck")
+    q = (
+        joined.writeStream.format("memory").queryName("joinstores")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    md = state_operator_metadata(spark, ck).collect()
+    join_ops = [r for r in md if "join" in r["operatorName"].lower()]
+    assert join_ops, md
+    stores = {r["stateStoreName"] for r in md}
+    assert {
+        "left-keyToNumValues", "left-keyWithIndexToValue",
+        "right-keyToNumValues", "right-keyWithIndexToValue",
+    } <= stores, stores
+
+    # read one named store: the left side buffered its single row
+    st = read_state_store(
+        spark, ck, operator_id=join_ops[0]["operatorId"],
+        store_name="left-keyWithIndexToValue",
+    )
+    rows = st.collect()
+    assert len(rows) == 1
+    # join-store key schema is (field0=join key, index); the VALUE
+    # carries the buffered row plus the matched flag
+    assert rows[0]["key"]["field0"] == 1
+    assert rows[0]["value"]["k"] == 1
+    assert rows[0]["value"]["matched"] is True
