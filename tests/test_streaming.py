@@ -3209,3 +3209,79 @@ def test_state_store_reader_join_stores(spark, tmp_path):
     assert rows[0]["key"]["field0"] == 1
     assert rows[0]["value"]["k"] == 1
     assert rows[0]["value"]["matched"] is True
+
+
+def test_scd2_bucketed_gc_reachability(spark, tmp_path):
+    """gc_cdc_target is LAYOUT-level, so it must work verbatim on a
+    bucketed SCD2 target: superseded manifest versions are swept,
+    but any old version's bucket DIRECTORY a kept manifest still
+    references survives (reachability, not age — untouched buckets
+    legitimately point into much older versions), and the committed
+    read is unchanged after GC."""
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_manifest_versions,
+        _read_manifest,
+        gc_cdc_target,
+        read_scd2_snapshot,
+        scd2_upsert_sink,
+    )
+
+    nb = 4
+    # two keys in different buckets (probe the sink's own assignment)
+    from pyspark.sql import functions as F
+
+    probe = {
+        r["k"]: r["b"]
+        for r in spark.range(1, 20).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int").alias("b"),
+        ).collect()
+    }
+    k_a, k_b = 1, next(k for k, b in probe.items() if b != probe[1])
+    schema = "user_id bigint, event_id bigint, value double, op string"
+    target = str(tmp_path / "target")
+
+    def drain(rows, ckpt):
+        src = str(tmp_path / f"src_{ckpt}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet").load(src)
+        )
+        scd2_upsert_sink(
+            stream, target, str(tmp_path / f"ck_{ckpt}"),
+            ["user_id"], "event_id", ["value"], num_buckets=nb,
+        )
+
+    # v1 writes BOTH buckets; v2..v4 touch only k_a's bucket — k_b's
+    # data stays physically in v1's dir, referenced by every manifest
+    drain([(k_a, 1, 10.0, "U"), (k_b, 1, 20.0, "U")], "b1")
+    for i, seq in enumerate((3, 5, 7)):
+        drain([(k_a, seq, 10.0 + seq, "U")], f"b{i+2}")
+    committed = _committed_manifest_versions(spark, target)
+    assert len(committed) == 4
+    v1 = committed[0]
+    before = sorted(
+        (r["user_id"], r["value"], r["valid_from"], r["valid_to"])
+        for r in read_scd2_snapshot(spark, target).collect()
+    )
+
+    deleted = gc_cdc_target(spark, target, keep_versions=2)
+    assert deleted > 0
+    kept = _committed_manifest_versions(spark, target)
+    assert kept == committed[-2:]
+    # reachability: the CURRENT manifest still points k_b's bucket at
+    # v1's dir, so that dir must have survived the sweep
+    m = _read_manifest(spark, target, kept[-1])
+    assert m["buckets"][str(probe[k_b])].startswith(v1)
+    import os
+
+    assert os.path.exists(
+        os.path.join(target, m["buckets"][str(probe[k_b])])
+    )
+    after = sorted(
+        (r["user_id"], r["value"], r["valid_from"], r["valid_to"])
+        for r in read_scd2_snapshot(spark, target).collect()
+    )
+    assert after == before
