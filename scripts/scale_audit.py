@@ -159,6 +159,14 @@ ENTRIES = [
     "q60_multi_distinct_agg",
     "q61_set_ops_all",
     "t63b_mmr_pool",
+    # r12 second batch: FILTER-clause conditional aggregates (one
+    # partial-agged pass), holistic ordered-set aggregates (per-group
+    # sort BY CONTRACT — the row shows the documented O(group) shape),
+    # and the IGNORE NULLS window family (one sort per partition
+    # serving four functions; output ∝ input)
+    "q62_filter_clause",
+    "q63_ordered_set_aggs",
+    "q64_ignore_nulls_windows",
 ]
 
 # per-table key columns to offset so copies don't collide
