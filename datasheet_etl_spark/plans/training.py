@@ -973,6 +973,46 @@ def t25_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t124_hll_native_grouped",
+    """
+    SELECT l_partkey,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_est
+    FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)
+def t124_hll_native_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE Datasketches HLL functions beside the module's
+    own sketches (t25 grouped KMV, t87 custom HLL partials):
+    per-shard ``hll_sketch_agg`` partials merged per key with
+    ``hll_union_agg`` — the two-level mergeable-partials shape an
+    incremental distinct-count pipeline actually runs (tonight's shard
+    sketches union with the stored ones; kilobytes move, never
+    values). Oracled by t25's exactness route: distinct suppliers per
+    part is ~30 at every scale factor (a generator ratio), far inside
+    the Datasketches sparse/coupon regime where the sketch stores
+    every distinct hash and ``hll_sketch_estimate`` IS
+    ``count(DISTINCT)`` bit-for-bit — verified across BOTH the direct
+    and the two-level union paths. The beyond-exact regime (estimate
+    within documented error, union == sketch-of-union) stays pinned
+    in tests/test_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = (
+        li.withColumn("_shard", F.col("l_orderkey") % 7)
+        .groupBy("l_partkey", "_shard")
+        .agg(F.expr("hll_sketch_agg(l_suppkey)").alias("_sk"))
+    )
+    return (
+        partials.groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_union_agg(_sk)) AS BIGINT)"
+            ).alias("distinct_est")
+        )
+        .orderBy("l_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / packing family (operators/sampling.py)
 # ---------------------------------------------------------------------------

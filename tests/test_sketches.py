@@ -244,3 +244,37 @@ def test_kmv_grouped_exact_below_k_and_estimator_beyond(spark):
     # all-NULL group contributes no pool at all
     only_null = spark.createDataFrame([("x", None)], "k string, v string")
     assert kmv_grouped_estimate(only_null, ["k"], "v", k=64).count() == 0
+
+
+def test_native_hll_beyond_exact_regime(spark):
+    """t124's oracle rides the sparse-regime exactness; this pins the
+    NATIVE Datasketches functions beyond it: at 200k distinct values
+    the estimate lands within the documented lgConfigK=12 error
+    (~1.6% RSE — assert 5%), and unioning two overlapping sketches
+    equals sketching the union (mergeability, the property that makes
+    the two-level partial path correct at any scale)."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n)
+    est = df.select(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(id))").alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - n) / n < 0.05, est
+
+    # mergeability: sketch(A) ∪ sketch(B) == sketch(A ∪ B), compared
+    # at the ESTIMATE level (the sketches' user-visible contract)
+    a = df.filter("id < 120000")
+    b = df.filter("id >= 80000")
+    union_est = (
+        a.select(F.expr("hll_sketch_agg(id)").alias("s"))
+        .unionAll(b.select(F.expr("hll_sketch_agg(id)").alias("s")))
+        .select(
+            F.expr("hll_sketch_estimate(hll_union_agg(s))").alias("e")
+        )
+        .collect()[0]["e"]
+    )
+    whole_est = df.select(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(id))").alias("e")
+    ).collect()[0]["e"]
+    assert union_est == whole_est, (union_est, whole_est)
