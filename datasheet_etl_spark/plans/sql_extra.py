@@ -3634,6 +3634,109 @@ def q64_ignore_nulls_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t125_xpath_extract",
+    """
+    SELECT source AS src, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id % 5) AS BIGINT) AS attr_sum
+    FROM documents GROUP BY source, lang ORDER BY src, lang
+    """,
+)
+def t125_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML field extraction via Spark's BUILTIN xpath family (no
+    external spark-xml jar — xpath_string / xpath_int / the
+    node-list form all ship in the engine), graded with t110's
+    known-decomposition discipline: each doc synthesizes an XML
+    record from its own columns, Spark must take it apart again
+    (element text, attribute, node-list size as a cross-check), and
+    the oracle rebuilds the rollup directly from the generator
+    columns — any extraction drift breaks the hash. Scale shape: one
+    map-side parse per row (the xpath UDFs evaluate per-row JVM-side,
+    no Python), one partial-agged rollup — the crawl-XML ingest shape
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><src>"), F.col("source"),
+        F.lit("</src><lang>"), F.col("lang"),
+        F.lit('</lang><m n="'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('">'), F.col("n_chars").cast("string"),
+        F.lit("</m></doc>"),
+    )
+    parsed = d.withColumn("_xml", xml).select(
+        F.expr("xpath_string(_xml, '/doc/src')").alias("src"),
+        F.expr("xpath_string(_xml, '/doc/lang')").alias("lang"),
+        F.expr("xpath_int(_xml, '/doc/m')").alias("chars"),
+        F.expr("CAST(xpath_string(_xml, '/doc/m/@n') AS BIGINT)").alias(
+            "attr"
+        ),
+        F.expr("size(xpath(_xml, '/doc/*'))").alias("n_children"),
+    )
+    return (
+        parsed.filter(F.col("n_children") == 3)  # structural cross-check
+        .groupBy("src", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("attr").alias("attr_sum"),
+        )
+        .orderBy("src", "lang")
+    )
+
+
+@register(
+    "q65_hof_breadth",
+    """
+    WITH d AS (
+      SELECT o_orderkey, range(1, CAST(2 + o_orderkey % 7 AS BIGINT)) AS arr
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(list_aggregate(arr, 'sum') AS BIGINT) AS total,
+           CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+           list_contains(arr, 5) AS has_five,
+           CAST(list_transform(arr, x -> x * 3)[-1] AS BIGINT)
+               AS scaled_last,
+           CAST(list_aggregate(list_transform(
+                    list_zip(arr, list_reverse(arr)),
+                    p -> p[1] * p[2]), 'sum') AS BIGINT) AS dot_rev,
+           CAST(list_aggregate(arr, 'sum') * 10 AS BIGINT) AS finished
+    FROM d ORDER BY o_orderkey
+    """,
+)
+def q65_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions end-to-end — transform / filter /
+    exists / aggregate / reduce-with-finish / zip_with over
+    per-row generated arrays, the lambda surface a vector/feature
+    pipeline leans on before reaching for a UDF (q25's family, graded
+    live again after its demotion — here in one dedicated breadth
+    entry against DuckDB's list lambdas). exists() is graded through
+    list_contains on the oracle side; reduce's finish lambda maps to
+    plain post-arithmetic. All JVM expression-tree evaluation — the
+    100 TB point is precisely that none of this needs Python."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("sequence(1L, 1 + o_orderkey % 7)").alias("arr"),
+    ).select(
+        "o_orderkey",
+        F.expr("aggregate(arr, 0L, (a, x) -> a + x)").alias("total"),
+        F.expr("size(filter(arr, x -> x % 2 = 0))").alias("n_even"),
+        F.expr("exists(arr, x -> x = 5)").alias("has_five"),
+        F.expr("element_at(transform(arr, x -> x * 3), -1)").alias(
+            "scaled_last"
+        ),
+        F.expr(
+            "aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("dot_rev"),
+        F.expr(
+            "reduce(arr, 0L, (a, x) -> a + x, a -> a * 10)"
+        ).alias("finished"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "t104_orc_at_rest",
     """
     SELECT source,
