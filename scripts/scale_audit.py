@@ -167,6 +167,12 @@ ENTRIES = [
     "q62_filter_clause",
     "q63_ordered_set_aggs",
     "q64_ignore_nulls_windows",
+    # r12 third batch: native-HLL two-level union (kilobyte sketches
+    # shuffle, never values), builtin-xpath per-row JVM parse + rollup,
+    # and the all-JVM higher-order-function surface
+    "t124_hll_native_grouped",
+    "t125_xpath_extract",
+    "q65_hof_breadth",
 ]
 
 # per-table key columns to offset so copies don't collide

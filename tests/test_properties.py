@@ -303,3 +303,54 @@ def test_mixture_waterfill_properties(spark, rows, budget):
     assert abs(total_alloc - min(budget, solvable_total)) <= tol + 1e-6
     if len(lams) > 1:
         assert max(lams) - min(lams) <= 1e-5
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.dictionaries(
+            st.text(alphabet="xyz", min_size=1, max_size=2),
+            st.integers(min_value=0, max_value=99),
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_canonicalize_maps_order_invariant(spark, payload):
+    """Property (r12 review follow-up): canonicalize_maps makes any
+    map-bearing value — including maps nested INSIDE map values —
+    insensitive to physical entry order: building the same nested map
+    from entries inserted in opposite orders yields identical
+    canonical forms (and therefore identical to_json fingerprints)."""
+    from datasheet_etl_spark.operators.relational import canonicalize_maps
+
+    def build_expr(d, reverse):
+        items = sorted(d.items(), reverse=reverse)
+        inner = []
+        for k, v in items:
+            sub_items = sorted(v.items(), reverse=reverse)
+            if sub_items:
+                sub = "map_concat(" + ", ".join(
+                    f"map('{sk}', {sv})" for sk, sv in sub_items
+                ) + ")" if len(sub_items) > 1 else (
+                    f"map('{sub_items[0][0]}', {sub_items[0][1]})"
+                )
+            else:
+                sub = "map()"
+            inner.append(f"map('{k}', cast({sub} AS map<string,int>))")
+        if len(inner) > 1:
+            return "map_concat(" + ", ".join(inner) + ")"
+        return inner[0]
+
+    fwd, rev = build_expr(payload, False), build_expr(payload, True)
+    df = spark.sql(
+        f"SELECT {fwd} AS a, {rev} AS b"
+    )
+    dt = df.schema["a"].dataType
+    got = df.select(
+        F.to_json(canonicalize_maps(F.col("a"), dt)).alias("ja"),
+        F.to_json(canonicalize_maps(F.col("b"), dt)).alias("jb"),
+    ).collect()[0]
+    assert got["ja"] == got["jb"], (got["ja"], got["jb"])
