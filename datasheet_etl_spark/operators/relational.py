@@ -642,7 +642,14 @@ def canonicalize_maps(expr: Column, dt) -> Column:
     top level)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    if not _contains_map(dt):
+        # map-free types pass through untouched — no plan bloat, and
+        # their NULL/fingerprint behavior stays exactly what it was
+        # (review-found r12, second pass)
+        return expr
     if isinstance(dt, MapType):
+        # map_entries/array_sort are NULL-preserving, so a NULL map
+        # stays NULL through canonicalization
         entries = F.map_entries(expr)
         if _contains_map(dt.valueType):
             entries = F.transform(
@@ -656,18 +663,22 @@ def canonicalize_maps(expr: Column, dt) -> Column:
             )
         return F.array_sort(entries)
     if isinstance(dt, StructType):
-        return F.struct(
+        # F.struct() alone would turn a NULL struct into a non-null
+        # struct of NULL fields — collapsing two genuinely different
+        # values into one fingerprint/sort key (review-found r12,
+        # second pass) — so null-ness is preserved explicitly
+        rebuilt = F.struct(
             *[
                 canonicalize_maps(expr[f.name], f.dataType).alias(f.name)
                 for f in dt.fields
             ]
         )
+        return F.when(expr.isNull(), F.lit(None)).otherwise(rebuilt)
     if isinstance(dt, ArrayType):
-        if _contains_map(dt.elementType):
-            return F.transform(
-                expr, lambda x: canonicalize_maps(x, dt.elementType)
-            )
-        return expr
+        # transform is NULL-preserving (NULL array -> NULL)
+        return F.transform(
+            expr, lambda x: canonicalize_maps(x, dt.elementType)
+        )
     return expr
 
 

@@ -325,6 +325,26 @@ class JsonLinesWriter(DataSourceWriter):
                     "align the frame to the committed schema "
                     f"(committed: {prev['schema']})"
                 )
+            # the recorded schema must stay TRUE for EVERY referenced
+            # file: union nullability field-wise (a manifest claiming
+            # non-nullable over a file holding NULLs would misread
+            # committed data; review-found r12, second pass — the
+            # latest writer's schema used to overwrite the record)
+            from pyspark.sql.types import StructField, StructType
+
+            a = StructType.fromJson(_json.loads(prev["schema"]))
+            b = StructType.fromJson(_json.loads(self.schema_json))
+            self.schema_json = StructType(
+                [
+                    StructField(
+                        fa.name,
+                        fa.dataType,
+                        fa.nullable or fb.nullable,
+                        fa.metadata,
+                    )
+                    for fa, fb in zip(a.fields, b.fields)
+                ]
+            ).json()
             files = sorted(set(prev["files"]) | set(files))
             rows += prev["rows"]
         manifest = {

@@ -399,3 +399,16 @@ def test_pyds_writer_append_tolerates_nullability_drift(spark, tmp_path):
     got = read_jsonl_manifest(spark, out)
     assert got.count() == 4
     assert {r["event_id"] for r in got.collect()} == {1, 2, 3, 4}
+    # the recorded schema stays TRUE for every referenced file: the
+    # first append committed a NULL, so 'value' must remain nullable
+    # even though the LATEST writer's frame was non-nullable
+    # (review-found r12, second pass)
+    import json as _json
+    import os as _os
+
+    manifest = _json.loads(open(_os.path.join(out, "_MANIFEST")).read())
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(_json.loads(manifest["schema"]))
+    assert {f.name: f.nullable for f in st.fields}["value"] is True
+    assert sum(1 for r in got.collect() if r["value"] is None) == 1

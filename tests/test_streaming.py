@@ -3285,3 +3285,38 @@ def test_scd2_bucketed_gc_reachability(spark, tmp_path):
         for r in read_scd2_snapshot(spark, target).collect()
     )
     assert after == before
+
+
+def test_canonicalize_maps_preserves_null_structs(spark):
+    """Review-found (r12, second pass): the struct rebuild must keep a
+    NULL struct NULL — F.struct() alone manufactures a non-null struct
+    of NULL fields, collapsing two genuinely different payloads into
+    one fingerprint/sort key. Map-free columns pass through untouched
+    (no rebuild at all)."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.relational import canonicalize_maps
+
+    df = spark.sql(
+        "SELECT CAST(NULL AS struct<tags: map<string,string>, n: bigint>)"
+        " AS a,"
+        " named_struct('tags', CAST(NULL AS map<string,string>),"
+        "              'n', CAST(NULL AS bigint)) AS b"
+    )
+    dt = df.schema["a"].dataType
+    got = df.select(
+        F.to_json(
+            F.struct(canonicalize_maps(F.col("a"), dt).alias("a")),
+            {"ignoreNullFields": "false"},
+        ).alias("ja"),
+        F.to_json(
+            F.struct(canonicalize_maps(F.col("b"), dt).alias("a")),
+            {"ignoreNullFields": "false"},
+        ).alias("jb"),
+    ).collect()[0]
+    assert got["ja"] != got["jb"], got
+    # map-free struct: passthrough, column object unchanged
+    plain = spark.sql("SELECT named_struct('x', 1L) AS s")
+    sdt = plain.schema["s"].dataType
+    expr = canonicalize_maps(F.col("s"), sdt)
+    assert str(expr) == str(F.col("s"))
