@@ -3737,6 +3737,45 @@ def q65_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t126_arrow_python_udf",
+    """
+    SELECT source,
+           CAST(sum(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                    ) AS BIGINT) AS total_vowels,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def t126_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW-OPTIMIZED scalar Python UDF (``useArrow=True``) — the
+    fourth corner of the Python-evaluation square the registry grades
+    (pandas_udf GROUPED_AGG t79, UDTF t76, DataSource t112-t115): the
+    same ``@udf`` signature, but batches cross the JVM boundary as
+    Arrow instead of pickled rows (plan shows ArrowEvalPython,
+    plan-pinned in tests/test_plans.py). The vowel-count body is
+    deliberately builtin-expressible — the SEAM is what this entry
+    grades (t112's rationale); the module-wide rule stands: hot paths
+    use JVM expressions, and when Python is genuinely needed it rides
+    Arrow, never per-row pickling."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def vowels(s: str) -> int:
+        return sum(1 for c in (s or "").lower() if c in "aeiou")
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", vowels("text").alias("nv"))
+        .groupBy("source")
+        .agg(
+            F.sum("nv").alias("total_vowels"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "t104_orc_at_rest",
     """
     SELECT source,

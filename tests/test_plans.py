@@ -800,3 +800,14 @@ def test_q60_multi_distinct_one_expand_no_join(spark):
     plan = _plan(q60_multi_distinct_agg(spark, SF_SMOKE))
     assert plan.count("Expand") >= 1, plan[:600]
     assert "Join" not in plan, plan[:600]
+
+
+def test_t126_arrow_udf_not_pickled(spark):
+    """t126's seam pin: the scalar Python UDF must evaluate through
+    ArrowEvalPython (vectorized Arrow batches), never the pickled
+    row-at-a-time BatchEvalPython path."""
+    from datasheet_etl_spark.plans.sql_extra import t126_arrow_python_udf
+
+    plan = _plan(t126_arrow_python_udf(spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan, plan[:600]
+    assert "BatchEvalPython" not in plan, plan[:600]
