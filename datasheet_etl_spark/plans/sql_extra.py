@@ -3776,6 +3776,79 @@ def t126_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t127_session_window_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             (30 + (event_id % 4) * 30) * 60 * 1000000 AS gap_us,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    ), m AS (
+      SELECT user_id, ts, gap_us, v,
+             max(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e
+    ), b AS (
+      SELECT *, CASE WHEN prev_end IS NULL
+                       OR epoch_us(ts) > prev_end THEN 1
+                     ELSE 0 END AS is_new
+      FROM m
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    )
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(max(epoch_us(ts) + gap_us) AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def t127_session_window_dynamic_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native ``session_window`` with a DYNAMIC, per-event gap (t108's
+    fixed-gap sibling): each event proposes the interval
+    [ts, ts + gap(event)) — event-type-dependent inactivity budgets
+    are the production use — and Spark merges overlapping proposals.
+    The semantics were probed, not assumed, and the oracle models
+    them exactly: an event JOINS a session when its ts is <= the
+    RUNNING MAX of merged interval ends (equality merges — probed),
+    and the session's end is that running max, so an early event with
+    a large gap can out-extend every later member. The oracle is the
+    classic interval-merge sweep (running-max window → boundary flags
+    → islands), decimal-exact values. Batch form here (session_window
+    works in plain groupBy); the streaming path with this operator is
+    t108's, state ∝ open sessions either way."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, 0,"
+        " CAST(30 + (event_id % 4) * 30 AS INT), 0)"
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_v"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            F.col("_v").cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
     "t104_orc_at_rest",
     """
     SELECT source,

@@ -3320,3 +3320,41 @@ def test_canonicalize_maps_preserves_null_structs(spark):
     sdt = plain.schema["s"].dataType
     expr = canonicalize_maps(F.col("s"), sdt)
     assert str(expr) == str(F.col("s"))
+
+
+def test_session_window_dynamic_gap_semantics(spark):
+    """t127's probed-not-assumed semantics, pinned on planted frames:
+    (a) an event landing EXACTLY at a session's end MERGES (the
+    boundary rule is strictly-greater); (b) an early event's large gap
+    out-extends later members — the session end is the running MAX of
+    merged interval ends, not the last event's end."""
+    from pyspark.sql import functions as F
+
+    def sessions(rows):
+        df = spark.createDataFrame(
+            rows, "gap_min int, ts string, user_id bigint"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        gap = F.expr("make_interval(0,0,0,0,0, gap_min, 0)")
+        return sorted(
+            (str(r["w"]["start"]), str(r["w"]["end"]), r["n"])
+            for r in df.groupBy(
+                F.session_window("ts", gap).alias("w"), "user_id"
+            ).agg(F.count("*").alias("n")).collect()
+        )
+
+    # (a) equality merges: 11:00 == 10:00 + 60min
+    assert sessions(
+        [(60, "2024-01-01 10:00:00", 1), (60, "2024-01-01 11:00:00", 1)]
+    ) == [("2024-01-01 10:00:00", "2024-01-01 12:00:00", 2)]
+    # one microsecond later: two sessions
+    assert len(sessions(
+        [(60, "2024-01-01 10:00:00", 1),
+         (60, "2024-01-01 11:00:00.000001", 1)]
+    )) == 2
+    # (b) running-max end: e1's 120min gap absorbs e3 at 11:30 even
+    # though e2's own interval ended at 11:00
+    assert sessions(
+        [(120, "2024-01-01 10:00:00", 1),
+         (30, "2024-01-01 10:30:00", 1),
+         (30, "2024-01-01 11:30:00", 1)]
+    ) == [("2024-01-01 10:00:00", "2024-01-01 12:00:00", 3)]
