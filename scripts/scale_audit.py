@@ -173,6 +173,11 @@ ENTRIES = [
     "t124_hll_native_grouped",
     "t125_xpath_extract",
     "q65_hof_breadth",
+    # r12 fourth batch: the Arrow-UDF seam (per-row Python IS the
+    # graded surface, Arrow-batched by construction) and dynamic-gap
+    # session windows (one sort per user partition + merge)
+    "t126_arrow_python_udf",
+    "t127_session_window_dynamic_gap",
 ]
 
 # per-table key columns to offset so copies don't collide
