@@ -3761,7 +3761,13 @@ def t126_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType=LongType(), useArrow=True)
     def vowels(s: str) -> int:
-        return sum(1 for c in (s or "").lower() if c in "aeiou")
+        # NULL in -> NULL out, matching the oracle's SQL NULL
+        # semantics (regexp over NULL is NULL and sum skips it) —
+        # mapping NULL to 0 here would grade 0 vs NULL for a source
+        # whose texts are all NULL (review-found r12, third pass)
+        if s is None:
+            return None
+        return sum(1 for c in s.lower() if c in "aeiou")
 
     d = load_table(spark, sf_dir, "documents")
     return (

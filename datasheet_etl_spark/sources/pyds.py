@@ -311,13 +311,21 @@ class JsonLinesWriter(DataSourceWriter):
             # literal makes a column non-nullable) and cannot re-type
             # anything (review-found r12: the raw-string compare
             # falsely refused type-identical appends).
-            def shape(schema_json: str):
-                from pyspark.sql.types import StructType
+            from pyspark.sql.types import (
+                ArrayType,
+                StructField,
+                StructType,
+            )
 
-                st = StructType.fromJson(_json.loads(schema_json))
-                return [(f.name, f.dataType.simpleString()) for f in st.fields]
+            a = StructType.fromJson(_json.loads(prev["schema"]))
+            b = StructType.fromJson(_json.loads(self.schema_json))
 
-            if shape(self.schema_json) != shape(prev["schema"]):
+            def shape(st):
+                return [
+                    (f.name, f.dataType.simpleString()) for f in st.fields
+                ]
+
+            if shape(a) != shape(b):
                 raise ValueError(
                     "append schema differs from the committed "
                     "manifest's schema — appending would re-type "
@@ -325,20 +333,29 @@ class JsonLinesWriter(DataSourceWriter):
                     "align the frame to the committed schema "
                     f"(committed: {prev['schema']})"
                 )
-            # the recorded schema must stay TRUE for EVERY referenced
-            # file: union nullability field-wise (a manifest claiming
-            # non-nullable over a file holding NULLs would misread
-            # committed data; review-found r12, second pass — the
-            # latest writer's schema used to overwrite the record)
-            from pyspark.sql.types import StructField, StructType
 
-            a = StructType.fromJson(_json.loads(prev["schema"]))
-            b = StructType.fromJson(_json.loads(self.schema_json))
+            # the recorded schema must stay TRUE for EVERY referenced
+            # file: union nullability at EVERY level — top-level
+            # fields AND array containsNull (review-found r12, third
+            # pass: the field-level union kept the previous schema's
+            # ELEMENT nullability wholesale, so a NULL element
+            # appended into a containsNull=false array column still
+            # misread). The writer's type domain is atomic +
+            # arrays-of-atomic (_json_native), so array recursion
+            # covers everything.
+            def union_type(da, db):
+                if isinstance(da, ArrayType):
+                    return ArrayType(
+                        union_type(da.elementType, db.elementType),
+                        da.containsNull or db.containsNull,
+                    )
+                return da
+
             self.schema_json = StructType(
                 [
                     StructField(
                         fa.name,
-                        fa.dataType,
+                        union_type(fa.dataType, fb.dataType),
                         fa.nullable or fb.nullable,
                         fa.metadata,
                     )

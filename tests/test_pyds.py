@@ -412,3 +412,24 @@ def test_pyds_writer_append_tolerates_nullability_drift(spark, tmp_path):
     st = StructType.fromJson(_json.loads(manifest["schema"]))
     assert {f.name: f.nullable for f in st.fields}["value"] is True
     assert sum(1 for r in got.collect() if r["value"] is None) == 1
+
+    # array ELEMENT nullability unions too (review-found r12, third
+    # pass): a NULL element appended into a containsNull=false array
+    # column must flip the recorded containsNull
+    arr_out = str(tmp_path / "arr_sink")
+    spark.sql(
+        "SELECT 1L AS event_id, array(1L, 2L) AS xs"
+    ).write.format("jsonl_manifest").option("path", arr_out).mode(
+        "append").save()
+    spark.createDataFrame(
+        [(2, [3, None])], "event_id bigint, xs array<bigint>"
+    ).write.format("jsonl_manifest").option("path", arr_out).mode(
+        "append").save()
+    m2 = _json.loads(open(_os.path.join(arr_out, "_MANIFEST")).read())
+    st2 = StructType.fromJson(_json.loads(m2["schema"]))
+    assert {f.name: f.dataType.containsNull for f in st2.fields
+            if f.name == "xs"}["xs"] is True
+    arr_got = read_jsonl_manifest(spark, arr_out)
+    assert sorted(
+        (r["event_id"], tuple(r["xs"])) for r in arr_got.collect()
+    ) == [(1, (1, 2)), (2, (3, None))]

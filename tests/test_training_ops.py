@@ -1699,3 +1699,27 @@ def test_keyword_extract_rational_score_and_ties(spark):
     assert [r["term"] for r in d2] == ["common", "only"]
     with _pytest.raises(ValueError, match="top_k"):
         keyword_extract(docs, top_k=0)
+
+
+def test_arrow_udf_null_text_matches_sql_null_semantics(spark):
+    """Review-found (r12, third pass): t126's UDF must map NULL to
+    NULL, not 0 — an all-NULL-text group grades sum=NULL in both
+    engines; mapping NULL to 0 would grade 0 vs NULL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def vowels(s):
+        if s is None:
+            return None
+        return sum(1 for c in s.lower() if c in "aeiou")
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", "hello")], "src string, t string"
+    )
+    got = {
+        r["src"]: r["s"]
+        for r in df.select("src", vowels("t").alias("nv"))
+        .groupBy("src").agg(F.sum("nv").alias("s")).collect()
+    }
+    assert got == {"a": None, "b": 2}
