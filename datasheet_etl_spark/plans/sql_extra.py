@@ -3855,6 +3855,55 @@ def t127_session_window_dynamic_gap(
 
 
 @register(
+    "q66_sql_programmability",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_quantity >= 25 AND l_quantity < 45
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q66_sql_programmability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-programmability surface in one query: a SQL-defined
+    scalar function (``CREATE FUNCTION ... RETURN expr`` — Catalyst
+    INLINES the body, so unlike every Python seam there is no
+    evaluation boundary at all; plan-pinned in tests/test_plans.py), a
+    session VARIABLE (``DECLARE``/``SET VAR``) carrying the quantity
+    floor, and a NAMED PARAMETER (``spark.sql(..., args=...)`` — the
+    injection-safe binding) carrying the ceiling. The oracle inlines
+    all three by hand: the abstractions must be semantically
+    transparent. Decimal(18,4) keeps p*(1-d) exact (2dp x 2dp), so no
+    engine rounding is ever exercised."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q66_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q66_disc("
+        "p DECIMAL(18,2), d DECIMAL(18,2)) RETURNS DECIMAL(18,4) "
+        "RETURN CAST(p * (1 - d) AS DECIMAL(18,4))"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE q66_minqty INT DEFAULT 0")
+    spark.sql("SET VAR q66_minqty = 25")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(q66_disc(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                 CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM q66_lineitem
+        WHERE l_quantity >= q66_minqty AND l_quantity < :maxq
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        args={"maxq": 45},
+    )
+
+
+@register(
     "t104_orc_at_rest",
     """
     SELECT source,

@@ -811,3 +811,16 @@ def test_t126_arrow_udf_not_pickled(spark):
     plan = _plan(t126_arrow_python_udf(spark, SF_SMOKE))
     assert "ArrowEvalPython" in plan, plan[:600]
     assert "BatchEvalPython" not in plan, plan[:600]
+
+
+def test_q66_sql_udf_inlines_no_eval_boundary(spark):
+    """q66's point: a SQL-defined function is INLINED by Catalyst —
+    the physical plan contains no UDF evaluation node of any kind
+    (no ArrowEvalPython/BatchEvalPython, no ScalaUDF), just the
+    expanded decimal arithmetic inside the aggregate."""
+    from datasheet_etl_spark.plans.sql_extra import q66_sql_programmability
+
+    plan = _plan(q66_sql_programmability(spark, SF_SMOKE))
+    for marker in ("EvalPython", "ScalaUDF", "PythonUDF"):
+        assert marker not in plan, plan[:600]
+    assert "HashAggregate" in plan
