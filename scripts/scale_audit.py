@@ -178,6 +178,9 @@ ENTRIES = [
     # session windows (one sort per user partition + merge)
     "t126_arrow_python_udf",
     "t127_session_window_dynamic_gap",
+    # r12: inlined SQL UDF + session var + named param — one
+    # partial-agged scan, the row exists to SHOW zero eval boundary
+    "q66_sql_programmability",
 ]
 
 # per-table key columns to offset so copies don't collide
