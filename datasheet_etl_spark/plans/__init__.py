@@ -22,15 +22,23 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
 # DuckDB-oracled — since round 12 with NO rows-only exceptions, so all
-# 50 driver rows can show hash_match: true. Round-12 rotation (VERDICT
-# r11 #1): the nine oracled r11 entries the driver never graded —
-# q54-q58 (timezone/collation/unpivot/interval-frame/offset parity),
-# t118/t119 (multi-stateful streaming), t120/t121 (SCD2) — in; t102
-# back OUT (the deliberate rows-only resident: its zlib parity pytest
-# is its real grade either way, and a window slot that can never
-# hash-match is a slot the driver cannot certify), plus eight
-# idiom-superset demotions (t103/t104/t106/t110/t111/q48/q53/t79 —
-# rationales in DEMOTED). Earlier rotations: r11 rotated in four steps
+# 50 driver rows can show hash_match: true. Round-13 rotation (VERDICT
+# r12 #1, executing the written COVERAGE plan): ten of the fourteen
+# oracled r12 entries the driver never graded come IN — t123 (state-
+# store read), t124 (native HLL), t125 (xpath), t126 (Arrow UDF), q60
+# (multi-distinct Expand), q63 (ordered-set aggs), q64 (IGNORE NULLS
+# windows), q66 (SQL programmability) on slots freed by eight
+# idiom-superset demotions (q49/q50/q56/q57/t109/t112/t118/t120 —
+# rationales in DEMOTED), plus two same-machinery pair swaps: t108→
+# t127 (the SAME native session_window operator with a per-event
+# DYNAMIC gap — fixed gap is the constant special case; the
+# watermarked-stateful streaming arm stays graded by t119's windowed
+# aggregate stage and t117's session lifecycle) and t06→t63b (the
+# SAME brute_force_topk scanner at k=50 — t06's k=10 oracle rows are
+# the same machinery under a lighter load). The four r12 entries left
+# out (t78/q61/q62/q65) stay sweep-graded with written notes in
+# COVERAGE.md. Earlier rotations: r12 rotated in q54-q58/t118-t121 +
+# pair swaps q58→q59/t121→t121b; r11 rotated in four steps
 # (t103-t106/q48-q51 in; t107-t115/q52/q53/t25 promoted in-round;
 # strict-superset swaps t117←t14 and t122←t116←t41). Every demotion
 # carries an idiom-superset rationale in DEMOTED, and every DEMOTED
@@ -39,7 +47,13 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 WINDOW: tuple[str, ...] = (
     "q28_severity_ladder",
     "t01_dedup_exact",
-    "t06_ann_bruteforce",
+    # r13 pair swap (the t122←t116 precedent): t63b runs t06's OWN
+    # brute_force_topk scanner (same broadcast-probe map-side matmul,
+    # per-partition top-k, one small merge) at the strictly-heavier
+    # k=50 over t63's MMR pool — certifying both the scanner AND the
+    # distributed stage of the rows-only t63; t06 demoted (rationale
+    # in DEMOTED, anchors t05/q33 re-pointed)
+    "t63b_mmr_pool",
     "t07_ann_ivf",
     "t19_corpus_curation",
     "t16_dedup_clusters",
@@ -79,10 +93,10 @@ WINDOW: tuple[str, ...] = (
     "t101_excision_impact_report",
     "t105_streaming_quarantine_ingest",
     # --- rotated IN for round 11 (VERDICT r10 #1); r12 demoted t102
-    # (rows-only — see header), t103/t104/t106/q48 (idiom-superset
-    # rationales in DEMOTED) ---
-    "q49_calendar_arithmetic",
-    "q50_string_functions",
+    # (rows-only — see header), t103/t104/t106/q48; r13 demoted
+    # q49 (calendar machinery into q54's tz-aware form) and q50
+    # (scalar-decomposition discipline into t125 + q28) — rationales
+    # in DEMOTED ---
     "q51_null_semantics",
     # --- r11 in-round promotions (the r8-r10 precedent: flagship new
     # capabilities are driver-graded immediately): the hashed-audit
@@ -90,8 +104,18 @@ WINDOW: tuple[str, ...] = (
     # keyword extraction; t100/t55/q46 demoted with idiom-superset
     # rationales ---
     "t107_frequent_ngrams_hashed",
-    "t108_session_window_native",
-    "t109_keyword_extract",
+    # r13 pair swap: t127 grades the SAME native session_window
+    # operator with a per-event DYNAMIC gap expression — the fixed
+    # "30 minutes" gap t108 graded is the constant special case of
+    # t127's make_interval gap, over the same events table with the
+    # same merge semantics; t108's streaming-drain arm stays graded
+    # by t119's watermarked windowed-aggregate stage + t117's
+    # stateful session lifecycle (t108 demoted, rationale in DEMOTED)
+    "t127_session_window_dynamic_gap",
+    # r13: t109 demoted — its df-join-back + per-doc rank machinery
+    # graded inside t96 (broadcast-LM join-back, t65's standing
+    # basis) and t97 (QUALIFY row_number selection, q16's standing
+    # basis); rationale in DEMOTED
     # --- r11 review fix: t55's demotion anchors the grouped-KMV
     # estimator on t25's oracle, so t25 must itself be driver-graded —
     # in; t83 out (its df-join machinery is t109's, in-window) ---
@@ -104,7 +128,9 @@ WINDOW: tuple[str, ...] = (
     # with idiom-superset rationales below. r12 demoted t110/t111/q53
     # (rationales in DEMOTED) ---
     "q52_grouping_sets",
-    "t112_python_datasource",
+    # r13: t112 demoted — t114 reads the SAME registered synth_events
+    # source (same generator, same InputPartition planning) through
+    # the strictly-richer pushFilters path; rationale in DEMOTED
     "t113_python_stream_source",
     "t114_python_source_pushdown",
     "t115_python_source_writer",
@@ -129,11 +155,13 @@ WINDOW: tuple[str, ...] = (
     # graded by the SAME oracle = incremental-equals-batch) ---
     "q54_timezone_parity",
     "q55_collation",
-    "q56_native_unpivot",
-    "q57_interval_range_frame",
-    "t118_chained_streaming_aggs",
+    # r13: q56/q57/t118/t120 demoted after their r12 green grade
+    # (the r8-r11 precedent: 1-3 green driver grades + a superset):
+    # q56's Expand into q52, q57's frame machinery into q47+q54,
+    # t118's chained-checkpoint discipline into t119 (the strictly
+    # harder join→agg pair whose stage 2 IS the native windowed agg),
+    # t120 into t121b's SAME oracle — rationales in DEMOTED
     "t119_stream_join_then_agg",
-    "t120_scd2_history",
     # --- r12 in-round pair swaps (the t122←t116 precedent: an entry
     # swaps for its same-oracle strict superset the round it lands):
     # q59 grades q58's OFFSET page CONTENT row-identically through the
@@ -144,6 +172,27 @@ WINDOW: tuple[str, ...] = (
     # t120/t121 ---
     "q59_pagination_keyset",
     "t121b_streaming_scd2_bucketed",
+    # --- rotated IN for round 13 (VERDICT r12 #1, the written
+    # COVERAGE rotation plan): eight of the oracled r12 entries the
+    # driver never graded, on the slots freed above (t63b/t127 came
+    # in via the pair swaps). t124 grades a DIFFERENT estimator than
+    # t25 (native Datasketches HLL vs KMV) so it takes its own slot —
+    # t25 stays as t55's demotion anchor; q60's multi-distinct Expand
+    # likewise sits beside q52 (q52 stays as the anchor for
+    # q35/q13/q15/q14/q56). t123 reads PHYSICAL state-store rows
+    # against the batch aggregate; t125 is q50's demotion anchor and
+    # must itself be driver-graded (the t25/t55 review rule); t126 is
+    # the fourth Python-evaluation seam (ArrowEvalPython); q63/q64/
+    # q66 are the ordered-set / IGNORE-NULLS / SQL-programmability
+    # parity surfaces ---
+    "t123_state_store_read",
+    "t124_hll_native_grouped",
+    "t125_xpath_extract",
+    "t126_arrow_python_udf",
+    "q60_multi_distinct_agg",
+    "q63_ordered_set_aggs",
+    "q64_ignore_nulls_windows",
+    "q66_sql_programmability",
 )
 
 # Rows-only entries deliberately inside the graded window. EMPTY since
@@ -161,7 +210,7 @@ WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 # superset entry that remains in the window).
 DEMOTED: tuple[str, ...] = (
     "q31b_sliding_window",  # q31 tumbling grades the same windowing idiom
-    "t05_dedup_embedding_cosine",  # t06 grades the same vectorized scanner
+    "t05_dedup_embedding_cosine",  # t63b grades the same vectorized brute_force_topk scanner at k=50 (r13: t06, the old anchor, demoted into t63b — same operator, heavier load)
     "t15_vision_stage",
     # r4: swapped out for the t26-t30 sampling/packing family — each
     # demotee's idiom stays graded inside a superset entry:
@@ -178,9 +227,10 @@ DEMOTED: tuple[str, ...] = (
     "q02_normalize",  # regex normalize idiom graded inside q28's severity-ladder parse + t86's lenient-CSV regexp/cast family (r8: q03, the old anchor, demoted on the same basis)
     "q22_set_ops",  # distinct/set idiom graded inside t01_dedup_exact (r7: q24, the old co-anchor, demoted into t70)
     # r5: swapped out for t41_streaming_interval_join; the tumbling
-    # epoch-bucket agg is graded inside t108's native event-time
-    # window aggregation + q52's multi-grain Expand (r11: t58/q35, the
-    # old anchors, demoted into q49/t108 and q52), the streaming drain
+    # epoch-bucket agg is graded inside t119's native event-time
+    # windowed-aggregate stage (r13: t108, the old anchor, demoted
+    # into t127/t119) + q52's multi-grain Expand (r11: t58/q35, the
+    # old anchors, demoted into q49→q54 and q52), the streaming drain
     # path inside t117/t122 (r11: t14/t41/t116, the old anchors, demoted
     # into those strict supersets; r9: t13, which graded the identical
     # contract through the streaming path, demoted on the same basis):
@@ -198,7 +248,7 @@ DEMOTED: tuple[str, ...] = (
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside t95's token posexplode + ordered rebuild (r10: q25, the old anchor, demoted into t95) + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
     "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
-    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q52 (GROUPING SETS ⊃ ROLLUP; r11: q35, the old anchor, demoted into q52) + q49's calendar bucketing + t108's event-time windows (r11: t58, the old co-anchor, demoted on the same basis)
+    "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q52 (GROUPING SETS ⊃ ROLLUP; r11: q35, the old anchor, demoted into q52) + q54's tz-aware calendar bucketing (r13: q49, the old co-anchor, demoted into q54) + t127's native session windows (r13: t108, the old co-anchor, demoted into t127/t119/t117)
     "t28_sequence_pack",  # pack_sequences budget packing graded inside t33's e2e composition (same operator)
     # r7: swapped out for q45/q46/t74-t77 + q39/t58/t69/t70 (VERDICT r6
     # next-round #2) — every outgoing idiom stays graded inside an
@@ -208,7 +258,7 @@ DEMOTED: tuple[str, ...] = (
     "q15_unpivot",  # stack()/unpivot compiles to the same Expand operator q52_grouping_sets plan-pins in-window (r11: q14, the old anchor, demoted into q28/q52 — q15 remains q14's result + a pure Expand projection, both arms of which stay swept)
     "q24_distinct_exact",  # countDistinct idiom graded inside t01's distinct-key dedup (r11: t84, the old co-anchor, demoted into t101/t01 — the fingerprint-representative counting it graded lives in t01's distinct-key machinery; r9: t70, the old anchor, demoted on the same basis)
     "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t77_streaming_cdc_apply (same apply_changes max_by-per-key resolution, streaming+bucketed superset; r8: t68, the old anchor, demoted into t77) + t97 (partitioned row_number selection; r10: q16, the old co-anchor, demoted)
-    "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t06_ann_bruteforce (same scanner shape, cosine; r8: t04, the old co-anchor, demoted into t92/t83)
+    "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t63b_mmr_pool (same brute_force_topk scanner shape, cosine, k=50; r13: t06, the old anchor, demoted into t63b; r8: t04, the old co-anchor, demoted into t92/t83)
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
     "t27_stratified_sample",  # per-stratum hash-rank sample graded inside t97 (per-source QUALIFY row_number selection; r10: q16, the old anchor, demoted) + t91 (md5-derived deterministic sampling family, per-stratum exact-k)
     "t30_redact_pii",  # shuffle-free JVM regexp pack (replace/count) graded inside q28's ladder regexp parse + t86's lenient-CSV casts — same per-row regexp family (r8: q03, the old anchor, demoted)
@@ -229,13 +279,13 @@ DEMOTED: tuple[str, ...] = (
     "q30_idempotent_rerun",  # left-anti incremental-skip idiom graded inside t32_decontaminate (same left-anti at corpus scale, Bloom + shuffle-hash variants)
     "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t98 (same postings shape, exact-span verify; r11: t94, the old co-anchor, demoted into t98/t95; r10: t92, the old anchor, demoted on the same basis); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
     "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t16_dedup_clusters (same edge→component machinery over the shared graph helpers)
-    "t57_funnel",  # ordered-event window sequencing graded inside t117_stateful_timeout_sessions (q18's sessionize contract through the stateful close-once path; r11: t14, the old anchor, demoted into t117; r10: q18 demoted on the same basis) + t108's native event-time sessions
+    "t57_funnel",  # ordered-event window sequencing graded inside t117_stateful_timeout_sessions (q18's sessionize contract through the stateful close-once path; r11: t14, the old anchor, demoted into t117; r10: q18 demoted on the same basis) + t127's native sessions (r13: t108, the old co-anchor, demoted into t127)
     "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t90_feature_scale's stats pass (same decimal mean/variance machinery); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
     "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
     # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
     # — every outgoing idiom stays graded inside an in-window superset:
     "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q52/t73's multi-aggregate rollups (r11: q35, the old co-anchor, demoted into q52); the clamp/round tail is map-only scalar work
-    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t117 (identical staging + drain through the strictly-harder timeout-stateful operator) and t122 (stream-stream; r11: t14/t41/t116, the old anchors, demoted into those supersets); the tumbling epoch-bucket agg graded inside t108's native event-time window aggregation + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
+    "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t117 (identical staging + drain through the strictly-harder timeout-stateful operator) and t122 (stream-stream; r11: t14/t41/t116, the old anchors, demoted into those supersets); the tumbling epoch-bucket agg graded inside t119's native event-time windowed-aggregate stage (r13: t108, the old anchor, demoted into t127/t119) + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
     "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate over per-doc keep/drop decisions — the rollup-over-decisions discipline graded inside t101_excision_impact_report's per-source roster-joined rollup (r11: t84/t94, the old anchors, demoted into t101/t01 and t98/t95 on the same machinery); the count_distinct idiom stays graded inside t01's distinct-key dedup
     # r10: swapped out for t95/t96/t97/t98/t99/t12 (standing rule:
     # newest work is driver-graded) — every outgoing idiom stays graded
@@ -248,7 +298,7 @@ DEMOTED: tuple[str, ...] = (
     "q25_array_ops",  # higher-order array functions (transform/slice/zip_with/posexplode/array_sort) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale
     # r10 in-round: swapped for t100/t101/t105 — same-machinery
     # supersets stay in-window:
-    "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection and t109's per-doc rank window (same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96/t107 (identical orderBy/limit → row_number-on-k-rows shape; r12: t106, the old co-anchor, demoted into t107/t73; r11: t100 demoted into t106/t107)
+    "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection (r13: t109, the old co-anchor, demoted into t96/t97 — the same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96/t107 (identical orderBy/limit → row_number-on-k-rows shape; r12: t106, the old co-anchor, demoted into t107/t73; r11: t100 demoted into t106/t107)
     "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q38's VARIANT extraction; the to_json side inside t105's staged fixture construction (r12: t103, the old co-anchor, demoted into t105)
     "t86_csv_lenient_ingest",  # the lenient-ingest machinery (_read_lenient scaffold + split_corrupt + quarantine populations) graded inside t105 through the strictly-stronger STREAMING path with exactly-once sinks; the from_csv-specific arm stays swept and pytest-covered (test_io_layout)
     # r11: swapped out for t102/t103/t104/t106/q48-q51 (VERDICT r10
@@ -266,19 +316,19 @@ DEMOTED: tuple[str, ...] = (
     # r11 in-round: swapped for t107/t108/t109 — same-contract/
     # same-machinery supersets stay in-window:
     "t100_frequent_ngrams",  # the audit's OUTPUT contract stays graded in-window through t100's own oracle by t107 (the hashed scale path, row-identical including ranks; r12: t106, the old co-anchor — the mergeable-partials path whose partials ARE t100's two-level string aggregate — itself demoted into t107/t73); the from-scratch string entry stays swept + planted-gram pytest
-    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t117 (applyInPandasWithState through the same staged availableNow drain; r11: t14, the old anchor, demoted into t117) and t108's native watermarked stateful windows (r11: t81, the old co-anchor, demoted into t108/t105/t01); the beyond-k regime stays pytest-pinned
+    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t117 (applyInPandasWithState through the same staged availableNow drain; r11: t14, the old anchor, demoted into t117) and t119's native watermarked stateful windowed aggregate (r13: t108, the old co-anchor, demoted into t127/t119; r11: t81 demoted into t108/t105/t01, now re-pointed the same way); the beyond-k regime stays pytest-pinned
     "q46_nullsafe_join",  # NULL-equality machinery graded inside q51: GROUP BY on a NULLIF-derived key IS null-safe grouping (all NULLs one group — the <=> contract through the aggregate path) with the NOT-IN arm grading the non-null-safe contrast; the eqNullSafe join-condition form stays swept + pytest-covered
-    "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t109_keyword_extract (the identical df-join shape, term-keyed, at corpus scale); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded
+    "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t96_dsir_importance_select (the identical tokenize→explode→vocab-join-back→per-doc rollup shape; r13: t109, the old anchor, demoted into t96/t97 on the same basis); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded
     # r11 second in-round rotation: swapped for t110/q52/t111/t112-t115/
     # q53 (standing rule: newest work is driver-graded immediately) —
     # every outgoing idiom stays graded inside an in-window superset,
     # and every demotee stays in the pytest oracle sweep + bench:
     "q35_cube",  # CUBE is a strict special case of GROUPING SETS; q52_grouping_sets grades the identical Expand machinery with asymmetric sets plus grouping()/grouping_id markers, plan-pinned to one Expand and no Union — the general form of every grouping-sets variant q35 graded
     "q14_dynamic_pivot",  # two-phase dynamic pivot (driver-collected distinct keys → one sum(when) projection per key) is the sum(when) conditional-projection machinery graded inside q28's CASE ladder (q12's standing demotion basis) with the single-pass multi-grain aggregate shape inside q52's plan-pinned Expand; the two-phase pivot() API call stays swept + pytest-covered
-    "t58_cohort_retention",  # cohort month-bucketing + month-difference arithmetic graded inside q49_calendar_arithmetic (date_trunc/months_between family); the per-entity event sequencing inside t117_stateful_timeout_sessions (r11: t14, the old co-anchor, demoted into t117) + t108_session_window_native (the native event-time path); the retention-matrix tail is a groupBy-count over those decisions (q28/q52-family aggregate machinery)
-    "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t112-t115 Python DataSource square (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer API surface); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
+    "t58_cohort_retention",  # cohort month-bucketing + month-difference arithmetic graded inside q54's tz-aware calendar-bucket-then-aggregate shape (r13: q49, the old anchor, demoted into q54 — the date_trunc/months_between family's remaining surface is map-only scalar arithmetic); the per-entity event sequencing inside t117_stateful_timeout_sessions (r11: t14, the old co-anchor, demoted into t117) + t127's native session windows (r13: t108, the old co-anchor, demoted into t127); the retention-matrix tail is a groupBy-count over those decisions (q28/q52-family aggregate machinery)
+    "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t126's ArrowEvalPython scalar UDF (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer API surface; r13: t112, the old square corner, demoted into t114); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
     "t80_leakage_safe_split",  # group-consistent md5-hash-threshold assignment is the same deterministic md5-derived selection family graded inside t91's A-ES exact-k md5-rank sampling and t97's hash-order shard selection; the no-leakage invariant (one group → exactly one split) stays pytest-pinned and swept
-    "t81_streaming_dedup_watermark",  # watermarked streaming state graded inside t108_session_window_native (watermark + stateful merge through the native-operator path) and the streaming exactly-once drain discipline inside t105/t99; the dedup-key contract itself inside t01_dedup_exact
+    "t81_streaming_dedup_watermark",  # watermarked streaming state graded inside t119's native watermarked windowed-aggregate stage (r13: t108, the old anchor, demoted into t127/t119 — the same watermark + stateful merge through the native-operator path) and the streaming exactly-once drain discipline inside t105/t99; the dedup-key contract itself inside t01_dedup_exact
     "t84_curation_audit",  # the per-doc keep/drop decision audit + per-source roster-LEFT-join rollup is graded inside t101_excision_impact_report (the same join-back-to-roster denominator discipline over per-doc decisions, strictly richer impact metrics); the fingerprint/min-representative dedup machinery inside t01/t19 (in-window)
     "t94_substring_dedup_corpus",  # the positioned-gram postings → capped meet → island/span pair machinery is graded inside t98_incremental_substring_dedup (the identical path through the strictly-harder at-rest index probe) and the span-excision composition inside t95; the corpus keep/drop rollup inside t101's impact report
     # r11 third swap: strict-superset promotions of brand-new entries —
@@ -297,13 +347,29 @@ DEMOTED: tuple[str, ...] = (
     # idiom stays graded inside an in-window superset, and every
     # demotee stays in the pytest oracle sweep + bench:
     "t103_jsonl_lenient_ingest",  # the lenient-ingest machinery (permissive from_json + corrupt-record quarantine populations) is graded inside t105_streaming_quarantine_ingest through the strictly-stronger STREAMING path with exactly-once sinks — the same demotion basis t86 (its CSV sibling) carries; the JSONL-at-rest arm stays swept + pytest (test_io_layout)
-    "t104_orc_at_rest",  # the at-rest write→pushdown-scan→partial-agg contract it grades is format-indifferent above the scan BY ITS OWN DESIGN (its docstring's point): the same contract is graded in-window through t89_schema_evolution_at_rest (parquet at rest, strictly harder — drifted generations reconciled in the scan) and t112/t115 (the scan/write seam through the Python DataSource path); the ORC-specific codec + PushedFilters arm stays swept + plan-pinned in test_plans.py
+    "t104_orc_at_rest",  # the at-rest write→pushdown-scan→partial-agg contract it grades is format-indifferent above the scan BY ITS OWN DESIGN (its docstring's point): the same contract is graded in-window through t89_schema_evolution_at_rest (parquet at rest, strictly harder — drifted generations reconciled in the scan) and t114/t115 (the scan/write seam through the Python DataSource path; r13: t112, the old co-anchor, demoted into t114); the ORC-specific codec + PushedFilters arm stays swept + plan-pinned in test_plans.py
     "t106_incremental_ngram_audit",  # its OUTPUT contract (t100's oracle: identical rows including ranks) stays graded in-window by t107_frequent_ngrams_hashed — the hashed scale path over the same audit — and its partial-merge maintenance discipline (merge == scratch) by t73_incremental_rollup (the same mergeable-partials contract on the rollup family); the string-partials arm stays swept + the nightly-merge CLI e2e pytest
-    "t110_url_parse_rollup",  # the per-row JVM string-decomposition family (parse_url HOST/PATH/QUERY lookups over synthesized columns) is q50_string_functions' in-window machinery (the same scalar-function-vs-known-decomposition grading discipline), and the per-host partial-agged rollup + count-distinct tail is q43/t73's aggregate shape; the parse_url-specific arm stays swept + pytest
+    "t110_url_parse_rollup",  # the per-row JVM string-decomposition family (parse_url HOST/PATH/QUERY lookups over synthesized columns) is t125_xpath_extract's in-window machinery (the same scalar-function-vs-known-decomposition grading discipline over the same synthesized-from-own-columns documents; r13: q50, the old anchor, demoted into t125/q28 on the same basis), and the per-host partial-agged rollup + count-distinct tail is q43/t73's aggregate shape; the parse_url-specific arm stays swept + pytest
     "t111_pack_efficiency_report",  # a rollup OVER t97_training_shard_plan's own CTEs (it invokes the same shard-plan construction and aggregates per-shard fill); t97 stays in-window grading the packing machinery end-to-end, and the efficiency-ratio tail is map-only arithmetic over those decisions (q28/q52-family aggregate machinery)
     "q48_map_roundtrip",  # the nested-collection construction machinery (sort_array(collect_list(struct)) → build → explode back) is graded inside t95's collect_list(struct)→array_sort ordered doc rebuild (in-window), and the map-payload handling discipline inside t105's quarantine payloads; the MapType-specific surface (map_from_entries/map_filter/transform_values) stays swept + pytest, and apply_changes' map_entries canonicalization (r12) is pytest-pinned
     "q53_group_by_all",  # GROUP BY ALL is a RESOLUTION rule, not an execution shape: the resolved plan is the ordinary partial-agged groupBy-aggregate graded in-window by q43/t73/q52 (whose GROUPING SETS Expand is the strictly-richer grouping surface); the ALL-resolution rule itself stays swept + pytest
-    "t79_weighted_median_udaf",  # the Arrow-batched Python-evaluation seam is graded inside the t112-t115 Python DataSource square (the strictly-richer reader/stream/pushdown/writer API surface — t76's standing demotion basis), and the grouped-aggregate shape inside t88's mergeable-quantile rollup (the same per-group quantile contract through mergeable bins); the GROUPED_AGG pandas_udf registry + exact weighted-median contract stays swept + pytest (test_functions)
+    "t79_weighted_median_udaf",  # the Arrow-batched Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t126's ArrowEvalPython scalar seam (the strictly-richer reader/stream/pushdown/writer API surface — t76's standing demotion basis; r13: t112, the old square corner, demoted into t114), and the grouped-aggregate shape inside t88's mergeable-quantile rollup (the same per-group quantile contract through mergeable bins); the GROUPED_AGG pandas_udf registry + exact weighted-median contract stays swept + pytest (test_functions)
+    # r13: swapped out for t123-t126/q60/q63/q64/q66 (VERDICT r12 #1
+    # — the oracled r12 entries the driver never graded) + the t63b/
+    # t127 pair swaps — every outgoing idiom stays graded inside an
+    # in-window superset, and every demotee stays in the pytest
+    # oracle sweep + bench:
+    "q49_calendar_arithmetic",  # the calendar-bucketing machinery (date_trunc/to_date bucketing feeding one partial-agged groupBy on the calendar key) is graded inside q54_timezone_parity — the strictly-harder tz-aware form: the SAME bucket-then-aggregate shape built from from_utc_timestamp conversions that must hold across both 2024 DST edges, plus timestamp_add day arithmetic; q49's remaining surface (last_day/add_months/datediff) is map-only scalar arithmetic on ~tens of month rows (the q50-family discipline), stays swept + pytest
+    "q50_string_functions",  # the per-row JVM string-decomposition family graded against a KNOWN decomposition (t110's standing demotion discipline) stays graded inside t125_xpath_extract — the strictly-richer form: xpath path-expression lookups over documents synthesized from the table's own columns, where any extraction drift breaks the hash — and the regexp/parse string family inside q28's severity-ladder parse; q50's specific scalar set (split_part/lpad/translate/reverse/repeat) is map-only codegen surface, stays swept + pytest
+    "q56_native_unpivot",  # the native UNPIVOT operator resolves to the SAME Expand node q52_grouping_sets plan-pins in-window (q15's standing stack() basis: wide→long reshape on the aggregate's few output rows is an Expand projection whichever parser surface produced it); the UNPIVOT-syntax acceptance + decimal measure unification stays swept + pytest
+    "q57_interval_range_frame",  # the RANGE-frame WindowExec machinery (one sorted pass per partition, frame bounds against the ordering expression) is graded inside q47_distribution_windows' shared-WindowExec RANGE/ROWS trio, and the calendar/interval arithmetic the TimeAdd bound leans on inside q54's tz-aware timestamp family; the INTERVAL-typed-bound parse arm (SQL-literal-only surface) stays swept + pytest
+    "t109_keyword_extract",  # the tokenize → map-side tf partials → vocab-sized df aggregate → join-back-on-term → per-doc ranking machinery is graded inside t96_dsir_importance_select (the identical tokenize→explode→broadcast-vocab join-back→per-doc rollup shape, run TWICE with a log-ratio — t65's standing basis) and t97's per-source QUALIFY row_number selection (q16's standing basis for the per-group rank window); the rational tf/df scoring contract stays swept + pytest
+    "t112_python_datasource",  # t114_python_source_pushdown reads the SAME registered synth_events source — same DataSource class, same deterministic generator, same InputPartition planning — through the strictly-richer pushFilters path (range predicates narrowing the source's own generation bounds + a residual Spark re-evaluates); the plain full-table read arm stays swept + pytest (test_pyds)
+    "t118_chained_streaming_aggs",  # the multi-stateful discipline it grades (TWO stateful operators under ONE checkpoint/watermark lineage, sentinel batches stepping the watermark once per level) is graded inside t119_stream_join_then_agg — the strictly-harder pair: a stream-stream interval JOIN (more state-complex than a windowed agg) feeding the SAME native event-time windowed aggregate as its second stage; the agg→agg-specific sentinel flow-through contract stays swept + pytest
+    "t120_scd2_history",  # its batch lead-window SCD2 derivation IS the oracle t121b_streaming_scd2_bucketed is graded by in-window (incremental == batch == t120's own SQL — the same-oracle basis t121 carries); the batch-entry form stays swept + the storage-mode-parametrized lifecycle pytest
+    # r13 pair swaps (same-machinery strict-superset promotions):
+    "t108_session_window_native",  # t127_session_window_dynamic_gap grades the SAME native session_window operator with a per-event DYNAMIC make_interval gap — the fixed "30 minutes" gap is the constant special case, same equality-merge/running-max-end semantics over the same events table; the watermarked-stateful streaming-drain arm stays graded inside t119's windowed-aggregate stage (native event-time state under the shared watermark) + t117's stateful session lifecycle; the streaming session_window form stays swept + pytest
+    "t06_ann_bruteforce",  # t63b_mmr_pool runs the SAME brute_force_topk operator (broadcast probes in the scanner closure, per-Arrow-batch map-side matmul, per-partition top-k then one small merge — no corpus shuffle) at the strictly-heavier k=50, doubling as the distributed-stage certificate for rows-only t63; the k=10 ten-probe form stays swept + pytest
 )
 
 
