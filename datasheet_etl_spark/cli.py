@@ -770,6 +770,54 @@ def cmd_cdc_diff(args, spark=None) -> int:
     return 0
 
 
+def cmd_cdc_migrate(args, spark=None) -> int:
+    """One-call flat→bucketed migration of a CDC/SCD2 target (the
+    'replay into a fresh bucketed target' the sink's mode-switch
+    refusal directs the user to). Source is read-only; history is
+    preserved under original version ids unless --truncate-history."""
+    spark = _get_spark(spark)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from datasheet_etl_spark.streaming.streams import migrate_cdc_target
+
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    if not keys:
+        print("error: --keys must name at least one column", file=sys.stderr)
+        return 2
+    if args.num_buckets < 1:
+        print("error: --num-buckets must be >= 1", file=sys.stderr)
+        return 2
+    try:
+        summary = migrate_cdc_target(
+            spark,
+            args.source,
+            args.dest,
+            num_buckets=args.num_buckets,
+            keys=keys,
+            preserve_history=not args.truncate_history,
+        )
+    except (ValueError, AnalysisException, Py4JJavaError) as exc:
+        msg = str(exc).splitlines()[0]
+        print(f"error: {msg}", file=sys.stderr)
+        return 2
+    print(
+        f"Migrated {args.source} -> {summary['dest']} "
+        f"(num_buckets={summary['num_buckets']})"
+    )
+    print(f"  versions migrated: {len(summary['migrated_versions'])}")
+    if summary["truncated_versions"]:
+        print(
+            "  versions TRUNCATED (still readable in the source): "
+            f"{len(summary['truncated_versions'])}"
+        )
+    print(
+        "  source left untouched — verify the new target, then retire "
+        "the flat one"
+    )
+    return 0
+
+
 def cmd_index(args, spark=None) -> int:
     """ANN index lifecycle over an embeddings parquet: ``build`` trains
     the spherical-kmeans quantizer and writes the cell-partitioned
@@ -1023,6 +1071,23 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "--output", default=None, help="write the row-level diff parquet"
     )
 
+    p = sub.add_parser(
+        "cdc-migrate",
+        help="Migrate a flat (full-snapshot) CDC/SCD2 target into the "
+        "bucketed-manifest layout (source read-only, history preserved "
+        "under original version ids)",
+    )
+    p.add_argument("source", help="flat CDC/SCD2 target directory")
+    p.add_argument("dest", help="fresh destination directory (must be empty)")
+    p.add_argument("--num-buckets", type=int, required=True)
+    p.add_argument("--keys", default="k", help="comma-separated key columns")
+    p.add_argument(
+        "--truncate-history",
+        action="store_true",
+        help="migrate only the current snapshot (prior versions stay "
+        "readable in the source but are not carried over)",
+    )
+
     args = parser.parse_args(argv)
     if not args.command:
         parser.print_help()
@@ -1041,6 +1106,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "stream-status": cmd_stream_status,
         "state": cmd_state,
         "cdc-diff": cmd_cdc_diff,
+        "cdc-migrate": cmd_cdc_migrate,
     }
     return handlers[args.command](args, spark=spark)
 

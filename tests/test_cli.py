@@ -542,3 +542,74 @@ def test_cli_audit_legacy_signature_still_refuses(spark, tmp_path, capsys):
     # same input still refused against the legacy-format signature
     assert main(["audit", p, "--ngram-partials", state], spark=spark) == 2
     assert "already merged" in capsys.readouterr().err
+
+
+def test_cli_cdc_migrate(spark, tmp_path, capsys):
+    """cdc-migrate e2e: migrates a flat CDC target into a fresh
+    bucketed one (snapshot + version parity checked through the
+    readers), reports truncation when asked, and exits 2 with the
+    refusal wording on a non-empty destination."""
+    from datasheet_etl_spark.cli import main
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_manifest_versions,
+        _committed_versions,
+        cdc_upsert_sink,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src, flat = str(tmp_path / "src"), str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b")], schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(2, 2, "U", "b2"), (3, 2, "I", "c")], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(src)
+    )
+    cdc_upsert_sink(stream, flat, str(tmp_path / "ck"), keys=["k"],
+                    seq_col="seq")
+    versions = _committed_versions(spark, flat)
+    assert len(versions) == 2
+
+    dest = str(tmp_path / "bucketed")
+    rc = main(
+        ["cdc-migrate", flat, dest, "--num-buckets", "4", "--keys", "k"],
+        spark=spark,
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "versions migrated: 2" in printed
+    assert "TRUNCATED" not in printed
+    assert _committed_manifest_versions(spark, dest) == versions
+    assert sorted(
+        (r["k"], r["seq"], r["v"])
+        for r in read_cdc_snapshot(spark, dest).collect()
+    ) == sorted(
+        (r["k"], r["seq"], r["v"])
+        for r in read_cdc_snapshot(spark, flat).collect()
+    )
+
+    # non-empty destination refused through the exit-2 contract
+    rc = main(
+        ["cdc-migrate", flat, dest, "--num-buckets", "4", "--keys", "k"],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "not empty" in capsys.readouterr().err
+
+    # explicit truncation reported
+    dest2 = str(tmp_path / "bucketed2")
+    rc = main(
+        ["cdc-migrate", flat, dest2, "--num-buckets", "4", "--keys", "k",
+         "--truncate-history"],
+        spark=spark,
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "versions migrated: 1" in printed
+    assert "TRUNCATED (still readable in the source): 1" in printed

@@ -3358,3 +3358,210 @@ def test_session_window_dynamic_gap_semantics(spark):
          (30, "2024-01-01 10:30:00", 1),
          (30, "2024-01-01 11:30:00", 1)]
     ) == [("2024-01-01 10:00:00", "2024-01-01 12:00:00", 3)]
+
+
+def test_migrate_cdc_target_preserves_history_and_stale_guard(spark, tmp_path):
+    """migrate_cdc_target (VERDICT r12 #3) on a flat CDC target built
+    over three drains: (a) the migrated bucketed snapshot equals the
+    flat one row-for-row; (b) EVERY source version id time-travels to
+    identical rows in the destination (1:1 version parity, including
+    tombstone watermarks); (c) untouched buckets re-point at existing
+    immutable dirs across migrated versions (delta storage, not
+    re-copies); (d) stale-guard continuity — a bucketed sink resumed
+    on the migrated target drops a stale change and applies a fresh
+    one; (e) refusals: non-empty destination, already-bucketed
+    source; (f) preserve_history=False truncates explicitly."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.streaming.streams import (
+        _committed_manifest_versions,
+        _committed_versions,
+        _read_manifest,
+        cdc_upsert_sink,
+        migrate_cdc_target,
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    src = str(tmp_path / "changes_src")
+    flat = str(tmp_path / "flat_target")
+    ckpt = str(tmp_path / "flat_ckpt")
+
+    def drain(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            mode
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet")
+            .load(src)
+        )
+        cdc_upsert_sink(stream, flat, ckpt, keys=["k"], seq_col="seq")
+
+    # three drains -> three committed flat versions; keys 1..8 spread
+    # over 4 buckets; k=5 ends deleted (tombstone watermark seq 9)
+    drain([(k, 1, "I", f"a{k}") for k in range(1, 9)], "overwrite")
+    drain([(1, 2, "U", "b1"), (2, 3, "U", "b2")], "append")
+    drain([(5, 9, "D", None), (3, 4, "U", "b3")], "append")
+    src_versions = _committed_versions(spark, flat)
+    assert len(src_versions) == 3
+
+    def rows(df):
+        return sorted(
+            (r["k"], r["seq"], r["v"]) for r in df.collect()
+        )
+
+    dest = str(tmp_path / "bucketed_target")
+    summary = migrate_cdc_target(
+        spark, flat, dest, num_buckets=4, keys=["k"]
+    )
+    assert summary["migrated_versions"] == src_versions
+    assert summary["truncated_versions"] == []
+
+    # (a) current snapshot identical (with and without tombstones)
+    for tomb in (False, True):
+        assert rows(
+            read_cdc_snapshot(spark, dest, include_tombstones=tomb)
+        ) == rows(read_cdc_snapshot(spark, flat, include_tombstones=tomb))
+    # (b) per-version time travel identical under the ORIGINAL ids
+    assert _committed_manifest_versions(spark, dest) == src_versions
+    for v in src_versions:
+        assert rows(
+            read_cdc_snapshot(
+                spark, dest, include_tombstones=True, version=v
+            )
+        ) == rows(
+            read_cdc_snapshot(
+                spark, flat, include_tombstones=True, version=v
+            )
+        )
+    # (c) delta storage: v2 only touched the buckets of k=1 and k=2 —
+    # every other bucket's manifest entry still points at a v1 dir
+    m1 = _read_manifest(spark, dest, src_versions[0])["buckets"]
+    m2 = _read_manifest(spark, dest, src_versions[1])["buckets"]
+    changed = {
+        b for b in m1 if m2.get(b) != m1[b]
+    } | (set(m2) - set(m1))
+    assert 0 < len(changed) < 4  # some but not all buckets rewritten
+    assert any(m2[b] == m1[b] for b in m1)  # re-pointed, not copied
+
+    # (d) stale-guard continuity on the migrated target: k=2's stored
+    # seq is 3 — a seq-2 change must lose; k=5 is tombstoned at 9 — a
+    # seq-8 update must not resurrect it; a fresh seq-10 insert lands
+    src2 = str(tmp_path / "changes_src2")
+    spark.createDataFrame(
+        [(2, 2, "U", "STALE"), (5, 8, "U", "ZOMBIE"), (9, 10, "I", "new9")],
+        schema,
+    ).coalesce(1).write.parquet(src2)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src2).schema)
+        .format("parquet")
+        .load(src2)
+    )
+    cdc_upsert_sink(
+        stream2,
+        dest,
+        str(tmp_path / "bucketed_ckpt"),
+        keys=["k"],
+        seq_col="seq",
+        num_buckets=4,
+    )
+    got = {r["k"]: (r["seq"], r["v"]) for r in read_cdc_snapshot(spark, dest).collect()}
+    assert got[2] == (3, "b2")  # stale change lost
+    assert 5 not in got  # tombstone watermark survived migration
+    assert got[9] == (10, "new9")  # fresh change applied
+
+    # (e) refusals
+    with _pytest.raises(ValueError, match="not empty"):
+        migrate_cdc_target(spark, flat, dest, num_buckets=4, keys=["k"])
+    with _pytest.raises(ValueError, match="already a bucketed"):
+        migrate_cdc_target(
+            spark, dest, str(tmp_path / "x"), num_buckets=8, keys=["k"]
+        )
+
+    # (f) explicit truncation: only the latest version carries over
+    dest2 = str(tmp_path / "truncated_target")
+    summary2 = migrate_cdc_target(
+        spark, flat, dest2, num_buckets=4, keys=["k"],
+        preserve_history=False,
+    )
+    assert summary2["migrated_versions"] == [src_versions[-1]]
+    assert summary2["truncated_versions"] == src_versions[:-1]
+    assert rows(read_cdc_snapshot(spark, dest2)) == rows(
+        read_cdc_snapshot(spark, flat)
+    )
+    with _pytest.raises(ValueError, match="not committed"):
+        read_cdc_snapshot(spark, dest2, version=src_versions[0])
+
+
+def test_migrate_scd2_target_history_and_as_of(spark, tmp_path):
+    """migrate_cdc_target works VERBATIM on a flat SCD2 target (the
+    layouts are one discipline; SCD2's multi-row-per-key history is
+    exactly why the migration diffs per-BUCKET fingerprints, not
+    per-key): migrated history equals flat history, scd2_as_of rewinds
+    identically, and the bucketed SCD2 sink extends the migrated
+    history incrementally with the stale guard intact."""
+    from datasheet_etl_spark.streaming.streams import (
+        migrate_cdc_target,
+        read_scd2_snapshot,
+        scd2_as_of,
+        scd2_upsert_sink,
+    )
+
+    schema = "user_id bigint, event_id bigint, value double, op string"
+    flat = str(tmp_path / "scd2_flat")
+
+    def drain(rows, tag, target, num_buckets=None):
+        src = str(tmp_path / f"src_{tag}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .format("parquet")
+            .load(src)
+        )
+        scd2_upsert_sink(
+            stream,
+            target,
+            str(tmp_path / f"ck_{tag}"),
+            ["user_id"],
+            "event_id",
+            ["value"],
+            num_buckets=num_buckets,
+        )
+
+    drain(
+        [(1, 1, 10.0, "U"), (1, 3, 11.0, "U"), (2, 2, 20.0, "U"),
+         (3, 1, 30.0, "U"), (4, 1, 40.0, "U")],
+        "b1",
+        flat,
+    )
+    drain([(1, 5, None, "D"), (2, 6, 21.0, "U")], "b2", flat)
+
+    def hist(target, seq=None):
+        snap = read_scd2_snapshot(spark, target)
+        if seq is not None:
+            snap = scd2_as_of(snap, seq)
+        return sorted(
+            (r["user_id"], r["value"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in snap.collect()
+        )
+
+    dest = str(tmp_path / "scd2_bucketed")
+    migrate_cdc_target(spark, flat, dest, num_buckets=4, keys=["user_id"])
+    assert hist(dest) == hist(flat)
+    for seq in (1, 2, 4, 6):
+        assert hist(dest, seq) == hist(flat, seq)
+
+    # incremental extension on the migrated target: stale event_id 4
+    # for user 1 (delete-closed at 5) must be rejected; fresh 7 lands
+    drain(
+        [(1, 4, 99.0, "U"), (3, 7, 31.0, "U")],
+        "b3",
+        dest,
+        num_buckets=4,
+    )
+    h = hist(dest)
+    assert (1, 99.0) not in {(u, v) for u, v, *_ in h}
+    assert (3, 31.0, 7, None, True) in h
+    assert (3, 30.0, 1, 7, False) in h
