@@ -3565,3 +3565,57 @@ def test_migrate_scd2_target_history_and_as_of(spark, tmp_path):
     assert (1, 99.0) not in {(u, v) for u, v, *_ in h}
     assert (3, 31.0, 7, None, True) in h
     assert (3, 30.0, 1, 7, False) in h
+
+
+def test_join_state_eviction_boundary_keeps_equality(spark, tmp_path):
+    """The t128 oracle's load-bearing probe, pinned: after a bounded
+    drain's final no-data batch, a left row survives join-state
+    eviction iff l.ts + <upper interval bound> >= watermark, with the
+    EQUALITY case KEPT (a right row at exactly the bound could still
+    match). Planted frame puts one row exactly ON the boundary, one
+    just below, one above."""
+    from datasheet_etl_spark.streaming.monitor import read_state_store
+
+    schema = "k bigint, ts timestamp"
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    # right max 13:10, left max 12:40 -> wm = min(12:40, 13:10) - 1h
+    # = 11:40; bound 1h -> keep left iff ts + 1h >= 11:40, i.e. ts >=
+    # 10:40. 10:20 evicted, 10:40 boundary KEPT, 11:00 kept.
+    spark.sql(
+        "SELECT * FROM VALUES (1L, timestamp'2024-01-01 10:20:00'),"
+        " (2L, timestamp'2024-01-01 10:40:00'),"
+        " (3L, timestamp'2024-01-01 11:00:00'),"
+        " (9L, timestamp'2024-01-01 12:40:00') AS t(k, ts)"
+    ).coalesce(1).write.parquet(src_l)
+    spark.sql(
+        "SELECT * FROM VALUES (2L, timestamp'2024-01-01 11:10:00'),"
+        " (9L, timestamp'2024-01-01 13:10:00') AS t(k, ts)"
+    ).coalesce(1).write.parquet(src_r)
+    left = (
+        spark.readStream.schema(schema).parquet(src_l)
+        .withWatermark("ts", "1 hour").alias("l")
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(src_r)
+        .withWatermark("ts", "1 hour").alias("r")
+    )
+    joined = left.join(
+        right,
+        F.expr("l.k = r.k AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 1 HOUR"),
+    )
+    ck = str(tmp_path / "ck")
+    q = (
+        joined.writeStream.format("memory").queryName("evbound")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    st = read_state_store(
+        spark, ck, operator_id=0, store_name="left-keyWithIndexToValue"
+    )
+    got = sorted(
+        (r["value"]["k"], r["value"]["matched"]) for r in st.collect()
+    )
+    # k=1 evicted (below boundary); k=2 ON the boundary, kept, matched;
+    # k=3 kept, unmatched; k=9 kept (defines left max), matched
+    assert got == [(2, True), (3, False), (9, True)]
