@@ -838,33 +838,97 @@ def simhash_fingerprints(
     )
 
 
-def simhash_dedup_pairs(
+def simhash_fingerprints_md5(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    bits: int = 60,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4×16-bit chunk banding (any exact chunk
-    match → candidate; guarantees recall for Hamming ≤ 3 and catches most
-    ≤ 8), verified with bit_count(xor) ≤ max_hamming."""
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    """(id, text) → (id, fp long): SimHash whose bits come from the
+    token's ``md5`` HEX DIGITS instead of ``xxhash64`` — bit ``j`` is
+    bit ``j%4`` of hex digit ``j//4``, so the entire fingerprint is
+    re-derivable in any engine with md5 + string ops (the t93/t97
+    replay discipline; DuckDB: ``strpos('0123456789abcdef', digit)``).
+    60 bits ≤ 15 hex digits keeps every intermediate in a SIGNED long
+    (no engine-specific unsigned-hex parse anywhere). The certifiable
+    twin of :func:`simhash_fingerprints` — same explode + per-bit
+    majority-vote aggregate shape, one md5 + 15 hex-digit decodes per
+    token occurrence instead of one xxhash64; use the xxhash64 form in
+    production hot paths and this one where cross-engine auditability
+    of the fingerprint itself is the requirement."""
+    from datasheet_etl_spark.functions import tokens
+
+    assert bits <= 60, "signed-long budget: 15 hex digits = 60 bits"
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    ).withColumn("_h", F.md5(F.col("_tok")))
+    # one decode per hex digit, shared by its four bit votes
+    digits = exploded.select(
+        id_col,
+        *[
+            F.conv(F.substring(F.col("_h"), d + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"_d{d}")
+            for d in range((bits + 3) // 4)
+        ],
+    )
+    votes = []
+    for j in range(bits):
+        bit = F.shiftright(F.col(f"_d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{j}")
+        )
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits):
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(
+                F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return (
+        digits.groupBy(id_col).agg(*votes).select(id_col, fingerprint.alias("fp"))
+    )
+
+
+def simhash_pairs_from_fps(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    chunk_bits: int = 16,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Banded candidate generation + Hamming verify over precomputed
+    SimHash fingerprints: ``n_chunks`` chunks of ``chunk_bits`` each
+    band the fingerprint (any exact chunk match → candidate), verified
+    with ``bit_count(xor) <= max_hamming``. Shared by the xxhash64 and
+    md5-replayable fingerprint variants — the banding/verify machinery
+    is hash-source-independent."""
+    mask = (1 << chunk_bits) - 1
     chunks = fps.select(
         id_col,
         "fp",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("fp"), c * 16).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
     )
     a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "chunk_idx", "chunk"
+        F.col(id_col).alias("id_a"),
+        F.col("fp").alias("fp_a"),
+        "chunk_idx",
+        "chunk",
     )
     b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "chunk_idx", "chunk"
+        F.col(id_col).alias("id_b"),
+        F.col("fp").alias("fp_b"),
+        "chunk_idx",
+        "chunk",
     )
     cands = (
         a.join(b, ["chunk_idx", "chunk"])
@@ -877,6 +941,21 @@ def simhash_dedup_pairs(
         cands.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit chunk banding (any exact chunk
+    match → candidate; guarantees recall for Hamming ≤ 3 and catches most
+    ≤ 8), verified with bit_count(xor) ≤ max_hamming."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    return simhash_pairs_from_fps(
+        fps, id_col, max_hamming=max_hamming, chunk_bits=16, n_chunks=4
     )
 
 

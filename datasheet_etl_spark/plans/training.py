@@ -147,9 +147,91 @@ def t03_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle impossibility note: fingerprint bits are majority votes over
     ``xxhash64`` shingle hashes — unreproducible in DuckDB (no
     xxHash64); rows-only with the clone/near-dup behavioral pytest as
-    the cross-check (same reasoning as t02)."""
+    the cross-check (same reasoning as t02). r13 (VERDICT r12 #2): the
+    full SimHash MACHINERY — vote aggregate, fingerprint assembly,
+    chunk banding, Hamming verify — is now directly hash-graded by
+    ``t03b_simhash_md5_oracle``, whose bits are md5-hex-derived and
+    re-derived bit-for-bit in DuckDB; what stays uncertified here is
+    only the xxhash64 bit source itself."""
     docs = _docs(spark, sf_dir)
     return simhash_dedup_pairs(docs, max_hamming=8)
+
+
+def _t03b_oracle_sql() -> str:
+    # the 60-bit md5-hex SimHash re-derived in DuckDB: bit j of a
+    # token's hash is bit j%4 of md5 hex digit j//4 (the exact
+    # simhash_fingerprints_md5 contract) — built programmatically so
+    # the 60 vote columns and the fingerprint assembly cannot drift
+    # from the Spark side's loop
+    votes = ",\n             ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef',"
+        f" substr(m, {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(60)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, md5(tok) AS m FROM t
+    ), v AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id
+    ), f AS (
+      SELECT doc_id, {fp} AS fp FROM v
+    ), ch AS (
+      SELECT doc_id, fp, c.c AS chunk_idx,
+             (fp >> (15 * c.c)) & 32767 AS chunk
+      FROM f CROSS JOIN (SELECT unnest(range(4)) AS c) c
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fp AS fa, b.fp AS fb
+      FROM ch a JOIN ch b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 8
+    ORDER BY id_a, id_b
+    """
+
+
+@register("t03b_simhash_md5_oracle", _t03b_oracle_sql())
+def t03b_simhash_md5_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t03's SimHash machinery under a REPLAYABLE bit source (VERDICT
+    r12 #2, the t63b/t93 discipline): fingerprint bits come from each
+    token's md5 HEX DIGITS (bit j = bit j%4 of digit j//4 — 60 bits
+    keeps every value in a signed long), so DuckDB re-derives the
+    ENTIRE pipeline bit-for-bit: the per-bit ±1 majority-vote
+    aggregate, the fingerprint assembly, the 4×15-bit chunk banding,
+    the candidate self-join, and the bit_count(xor) <= 8 Hamming
+    verify. With this green, t03's uncertified surface narrows to the
+    xxhash64 bit source alone (its banding/verify tail is THIS
+    entry's, shared code — ``simhash_pairs_from_fps``). Scale shape is
+    t03's unchanged: one explode + partial-agged 60-column vote per
+    doc, banded (chunk, chunk_idx) candidates, never all-pairs."""
+    from datasheet_etl_spark.operators.dedup import (
+        simhash_fingerprints_md5,
+        simhash_pairs_from_fps,
+    )
+
+    docs = _docs(spark, sf_dir)
+    fps = simhash_fingerprints_md5(docs)
+    out = simhash_pairs_from_fps(
+        fps, max_hamming=8, chunk_bits=15, n_chunks=4
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -1399,14 +1481,70 @@ def t35_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("t37_sequence_pack_nosplit")  # sequential next-fit → rows-only
+@register(
+    "t37_sequence_pack_nosplit",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_chars, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                 AS rn
+      FROM s
+    ), walk(shard, rn, doc_id, n_chars, bin_id, bin_offset, oversize,
+            st_bin, st_fill) AS (
+      SELECT shard, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BOOLEAN), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT shard FROM r)
+      UNION ALL
+      SELECT r.shard, r.rn, r.doc_id, r.n_chars,
+             CASE WHEN r.n_chars > 2048 THEN
+                    (CASE WHEN w.st_fill > 0 THEN w.st_bin + 1
+                          ELSE w.st_bin END)
+                  WHEN w.st_fill + r.n_chars > 2048 THEN w.st_bin + 1
+                  ELSE w.st_bin END,
+             CASE WHEN r.n_chars > 2048
+                    OR w.st_fill + r.n_chars > 2048 THEN 0
+                  ELSE w.st_fill END,
+             r.n_chars > 2048,
+             CASE WHEN r.n_chars > 2048 THEN
+                    (CASE WHEN w.st_fill > 0 THEN w.st_bin + 1
+                          ELSE w.st_bin END) + 1
+                  WHEN w.st_fill + r.n_chars > 2048 THEN w.st_bin + 1
+                  ELSE w.st_bin END,
+             CASE WHEN r.n_chars > 2048 THEN 0
+                  WHEN w.st_fill + r.n_chars > 2048 THEN r.n_chars
+                  ELSE w.st_fill + r.n_chars END
+      FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+    )
+    SELECT doc_id, shard, n_chars,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(bin_offset AS BIGINT) AS bin_offset,
+           oversize
+    FROM walk WHERE rn >= 1
+    ORDER BY shard, bin_id, bin_offset, doc_id
+    """,
+)
 def t37_sequence_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split sequence packing: greedy next-fit into 2048-char bins in
     deterministic hash order — documents never straddle bins (the SFT
     packing contract; t28 is the straddling pretraining form). Genuinely
     sequential within a shard, so it runs as applyInPandas per hash
     shard; invariants (fill ≤ budget, dense bins, determinism under
-    repartitioning) are pinned in tests/test_sampling.py."""
+    repartitioning) are pinned in tests/test_sampling.py.
+
+    Oracled since r13 (VERDICT r12 #2): the fold is deterministic over
+    the md5-hash shard order, so the SAME sequential recurrence is
+    re-derived exactly in DuckDB as a per-shard RECURSIVE CTE — state
+    (bin, fill) threads row-to-row through the three next-fit branches
+    (fits / opens next bin / oversize gets a dedicated bin), and the
+    recursion depth is rows-per-shard, bounded by the 16-way hash
+    sharding (the t93/t97 md5-replay discipline applied to a FOLD, not
+    just an order)."""
     from datasheet_etl_spark.operators.sampling import pack_sequences_nosplit
 
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
