@@ -798,7 +798,7 @@ def cmd_cdc_migrate(args, spark=None) -> int:
             preserve_history=not args.truncate_history,
         )
     except (ValueError, AnalysisException, Py4JJavaError) as exc:
-        msg = str(exc).splitlines()[0]
+        msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
         print(f"error: {msg}", file=sys.stderr)
         return 2
     print(

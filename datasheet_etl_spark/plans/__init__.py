@@ -118,7 +118,8 @@ WINDOW: tuple[str, ...] = (
     # basis); rationale in DEMOTED
     # --- r11 review fix: t55's demotion anchors the grouped-KMV
     # estimator on t25's oracle, so t25 must itself be driver-graded —
-    # in; t83 out (its df-join machinery is t109's, in-window) ---
+    # in; t83 out (its df-join machinery was t109's; r13: t109 itself
+    # demoted, t83's anchor re-pointed to t96/t97 in DEMOTED) ---
     "t25_kmv_distinct",
     # --- r11 second in-round promotion batch (same standing rule:
     # newest work is driver-graded immediately): the general GROUPING

@@ -2729,33 +2729,16 @@ def cdc_version_diff(
     skip = set(keys) | set(ignore_cols)
 
     def fingerprinted(version):
-        from datasheet_etl_spark.operators.relational import (
-            canonicalize_maps,
-        )
-
         snap = read_cdc_snapshot(spark, target_dir, version=version)
         if snap is None:
             raise ValueError(f"{target_dir} has no committed version")
         payload = [c for c in snap.columns if c not in skip]
-        types = {f.name: f.dataType for f in snap.schema.fields}
-
-        def canon(c):
-            # maps have no defined entry order (and to_json would key
-            # the fingerprint on whatever order the scan produced) —
-            # canonicalize to key-sorted entries at EVERY nesting level
-            # (shared with the CDC tiebreak; review-found r12: the
-            # original fix handled only top-level map columns)
-            return canonicalize_maps(F.col(c), types[c]).alias(c)
-
-        # ignoreNullFields=false: a NULL payload field must fingerprint
-        # differently from an ABSENT one — to_json's default silently
-        # drops nulls, making {a: null, b: 1} collide with {b: 1}
-        fp = F.md5(
-            F.to_json(
-                F.struct(*[canon(c) for c in payload]),
-                {"ignoreNullFields": "false"},
-            )
-        )
+        # the shared canonical row fingerprint (_canonical_row_fp):
+        # key-sorted map entries at every nesting level (review-found
+        # r12: the original fix handled only top-level map columns),
+        # ignoreNullFields=false so {a: null, b: 1} cannot collide
+        # with {b: 1}
+        fp = _canonical_row_fp(snap, payload)
         key = (
             F.col(keys[0])
             if len(keys) == 1
@@ -2771,20 +2754,17 @@ def cdc_version_diff(
     )
 
 
-def _bucket_fingerprints(df: DataFrame, bucket, cols: Sequence[str]):
-    """Per-bucket content fingerprint for migration diffing: every row
-    collapses map-side to one md5 (maps canonicalized to key-sorted
-    entries at every nesting level, NULL fields kept distinct from
-    absent ones — the cdc_version_diff discipline), then buckets
-    combine rows ORDER-INDEPENDENTLY with partial-aggregable
-    reductions: row count, bit_xor of two independently-salted 64-bit
-    hashes, and an overflow-proof decimal sum of a third. No
-    collect_list — a bucket with 10^9 rows costs the same driver/task
-    memory as one with 10. Returns ≤ num_buckets rows."""
+def _canonical_row_fp(df: DataFrame, cols: Sequence[str]):
+    """THE row-content fingerprint expression every version/migration
+    diff in this module must share (single definition on purpose —
+    the r12 review caught a divergence bug in exactly this
+    discipline): maps canonicalized to key-sorted entries at every
+    nesting level, ``ignoreNullFields=false`` so a NULL field stays
+    distinct from an ABSENT one, one md5 per row."""
     from datasheet_etl_spark.operators.relational import canonicalize_maps
 
     types = {f.name: f.dataType for f in df.schema.fields}
-    fp = F.md5(
+    return F.md5(
         F.to_json(
             F.struct(
                 *[
@@ -2795,6 +2775,18 @@ def _bucket_fingerprints(df: DataFrame, bucket, cols: Sequence[str]):
             {"ignoreNullFields": "false"},
         )
     )
+
+
+def _bucket_fingerprints(df: DataFrame, bucket, cols: Sequence[str]):
+    """Per-bucket content fingerprint for migration diffing: every row
+    collapses map-side to one md5 (:func:`_canonical_row_fp` — the
+    cdc_version_diff discipline, shared code), then buckets combine
+    rows ORDER-INDEPENDENTLY with partial-aggregable reductions: row
+    count, bit_xor of two independently-salted 64-bit hashes, and an
+    overflow-proof decimal sum of a third. No collect_list — a bucket
+    with 10^9 rows costs the same driver/task memory as one with 10.
+    Returns ≤ num_buckets rows."""
+    fp = _canonical_row_fp(df, cols)
     return (
         df.select(bucket.alias("_b"), fp.alias("_fp"))
         .groupBy("_b")
@@ -2862,6 +2854,11 @@ def migrate_cdc_target(
     migrated; nothing is shuffled except (bucket, fingerprint) rows
     and the changed buckets' own data."""
     kl = list(keys)
+    if num_buckets < 1:
+        # refuse up front like every other corruption-shaped input —
+        # pmod(hash, 0) would otherwise surface mid-job as an ANSI
+        # divide-by-zero after the refusal ladder already passed
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     if _is_bucketed_target(spark, source_dir):
         raise ValueError(
             f"{source_dir} is already a bucketed target; re-bucketing "
