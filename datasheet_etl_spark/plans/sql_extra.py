@@ -4926,3 +4926,107 @@ def q59_pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(25)
     )
+
+
+@register(
+    "t129_cogroup_asof",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+      SELECT user_id, event_id AS purchase_event_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_event_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           v.view_event_id,
+           CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS wait_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_event_id
+    """,
+)
+def t129_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED ``applyInPandas`` — the FIFTH and last corner of the
+    Python-evaluation surface the registry grades (Arrow scalar UDF
+    t126, GROUPED_AGG pandas_udf t79, UDTF t76, Python DataSource
+    t112–t115): two DataFrames grouped on the same key, each key's
+    two Arrow batches handed to ONE Python function
+    (``FlatMapCoGroupsInPandas`` in the plan, pinned in
+    tests/test_plans.py). The body is the canonical cogroup workload —
+    pandas ``merge_asof`` per key: every purchase matched to the
+    latest view at-or-before it (per user), ties inclusive.
+
+    The oracle is DuckDB's native ASOF LEFT JOIN — the one entry whose
+    oracle is itself a first-class as-of operator rather than a window
+    re-derivation.
+
+    Determinism: merge keys are integer MICROSECONDS (``unix_micros``
+    staged JVM-side before the seam — no datetime-unit or tz pitfalls
+    inside pandas), and the view side is pre-aggregated to one row per
+    (user, ts) with max(event_id), so equal-ts tie order can't depend
+    on Arrow batch order.
+
+    Scale shape, stated plainly: cogroup shuffles BOTH sides on
+    user_id and sorts each group — the same exchange a join would pay
+    — and per-group cost after the sort is linear in the two group
+    sizes. As with t126/t112, the SEAM is what this entry grades; the
+    all-JVM asof composition (t18's merge-ordered union + forward
+    fill, `operators/relational.py:57`) is the production path when
+    the per-key logic doesn't genuinely need pandas.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("view_ts_us"),
+            "view_event_id",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left-only keys arrive with an EMPTY right frame (merge_asof
+        # fills NaN -> nullable Int64 below); right-only keys arrive
+        # with an empty left and return 0 rows — left-join semantics.
+        out = pd.merge_asof(
+            left.sort_values("purchase_ts_us"),
+            right.drop(columns=["user_id"]).sort_values("view_ts_us"),
+            left_on="purchase_ts_us",
+            right_on="view_ts_us",
+            direction="backward",
+        )
+        out["wait_us"] = out["purchase_ts_us"] - out["view_ts_us"]
+        for c in ("view_event_id", "view_ts_us", "wait_us"):
+            out[c] = out[c].astype("Int64")
+        return out[
+            [
+                "user_id",
+                "purchase_event_id",
+                "purchase_ts_us",
+                "view_event_id",
+                "view_ts_us",
+                "wait_us",
+            ]
+        ]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id long, purchase_event_id long, purchase_ts_us long, "
+            "view_event_id long, view_ts_us long, wait_us long",
+        )
+        .orderBy("purchase_event_id")
+    )

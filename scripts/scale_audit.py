@@ -423,6 +423,234 @@ def t121b_marginal(spark):
         _shutil.rmtree(work)
 
 
+ASY = "/tmp/sfasy"
+
+
+def _stage_asymptote(spark):
+    """VERDICT r12 #4 staging: organic ×10 / ×100 replicas for the
+    three entries whose data term dominates (t02, t45, t56). The
+    standard ``stage()`` replica deliberately PLANTS a denser duplicate
+    structure per copy (a harder candidate-generation workload — the
+    right stress for the ×10 hardness rows). For the ×10→×100
+    ASYMPTOTE decade that planting would conflate two variables: copy
+    count AND clone-group size (a 100-way clone group is 100² pair
+    work — quadratic in copies by construction, measuring the staging,
+    not the machinery). These replicas instead hold PER-COPY structure
+    exactly constant so the decade measures data volume alone:
+
+    - documents: every token gets a per-copy suffix (bijective rename
+      — within-copy shingle sets transform 1:1, so every within-copy
+      Jaccard is EXACTLY preserved; cross-copy shingle overlap is 0).
+    - embeddings: labels offset per copy — cell COUNT grows with the
+      corpus at constant cell size, which is SemDeDup's stated
+      operating point (pick k ∝ N so cells stay ~10⁴; arXiv:2303.09540
+      §3). The fixed-cell-count hot case is measured separately by the
+      guard row below.
+    - lineitem: BOTH l_orderkey and l_partkey offset — each copy is a
+      disjoint co-purchase subgraph (a 100× corpus has ~100× parts,
+      not 100× denser co-purchase among a fixed 5 000).
+    """
+    from datasheet_etl_spark.io import load_table
+
+    for copies in (10, 100):
+        outdir = f"{ASY}/x{copies}"
+        os.makedirs(outdir, exist_ok=True)
+        idx = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_i")
+
+        out = f"{outdir}/documents.parquet"
+        if not os.path.exists(out):
+            d = load_table(spark, SRC, "documents").select("*", idx)
+            d = (
+                d.withColumn("doc_id", F.col("doc_id") + F.col("_i") * F.lit(STEP))
+                .withColumn(
+                    "text",
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit(r"(\S+)"),
+                        F.concat(F.lit("$1c"), F.col("_i").cast("string")),
+                    ),
+                )
+                .drop("_i")
+            )
+            d.write.mode("overwrite").parquet(out)
+            print(f"staged asy documents x{copies}", flush=True)
+
+        out = f"{outdir}/embeddings.parquet"
+        if not os.path.exists(out):
+            e = load_table(spark, SRC, "embeddings").select("*", idx)
+            e = (
+                e.withColumn("vec_id", F.col("vec_id") + F.col("_i") * F.lit(STEP))
+                .withColumn(
+                    "label", F.col("label") + (F.col("_i") * F.lit(1000)).cast("int")
+                )
+                .drop("_i")
+            )
+            e.write.mode("overwrite").parquet(out)
+            print(f"staged asy embeddings x{copies}", flush=True)
+
+        out = f"{outdir}/lineitem.parquet"
+        if not os.path.exists(out):
+            li = load_table(spark, SRC, "lineitem").select("*", idx)
+            li = (
+                li.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.col("_i") * F.lit(STEP)
+                )
+                .withColumn(
+                    "l_partkey", F.col("l_partkey") + F.col("_i") * F.lit(STEP)
+                )
+                .drop("_i")
+            )
+            li.repartition(32).write.mode("overwrite").parquet(out)
+            print(f"staged asy lineitem x{copies}", flush=True)
+
+
+def asymptote(spark):
+    """VERDICT r12 #4: a SECOND scale point (×100) for t02/t45/t56 —
+    the three r6 audit rows whose 10× ratio left the 100 TB story to
+    argument — with each entry's DOMINANT TERM counted at both scales
+    so the wall ratio can be attributed to the term, not asserted.
+
+    Terms:
+    - t02: verified LSH pipeline wall vs CANDIDATE PAIRS (capped
+      (band, bucket) self-join output — the only super-linear stage).
+    - t45: within-cell matmul wall vs Σ cell·(cell−1)/2 pairwise
+      volume (cell count ∝ N at constant cell size — the SemDeDup
+      operating point; the fixed-cell hot case is the guard row).
+    - t45-guard: the SAME ×10/×100 embeddings with labels collapsed
+      back to the 10 base cells (pmod 1000) — hot cells of 20 k/200 k
+      vectors — pruned with max_cell=2048: Σ sub-cell² ≈ n·2048 is
+      LINEAR by construction; this row measures the in-engine answer
+      when re-clustering isn't an option.
+    - t56: degree-oriented triangle wall vs ORIENTED WEDGE volume
+      Σ C(outdeg, 2) — the shuffle that dominates the plan.
+    """
+    from datasheet_etl_spark.caching import release_caches, scoped_persist
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from datasheet_etl_spark.functions import tokens
+    from datasheet_etl_spark.operators.graph import (
+        degrees,
+        edges_undirected,
+        triangle_count,
+    )
+    from datasheet_etl_spark.operators.similarity import semantic_dedup
+
+    import __spark_entry__ as ep
+
+    q = ep.queries()
+
+    def _clear():
+        release_caches()
+        spark.catalog.clearCache()
+
+    def timed(fn, src):
+        fn(spark, src).count()  # warm (codegen + any staging)
+        _clear()
+        t0 = time.time()
+        fn(spark, src).count()
+        dt = time.time() - t0
+        _clear()
+        return dt
+
+    def t02_candidates(spark, d):
+        docs = load_table(spark, d, "documents")
+        sh = docs.select(
+            "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
+        )
+        sigs = minhash_signatures(sh, "doc_id", "sh", 64)
+        return lsh_candidate_pairs(sigs, "doc_id", "sig", 16, 64, 256)
+
+    def t45_guard(spark, d):
+        emb = load_table(spark, d, "embeddings").withColumn(
+            "label", F.pmod(F.col("label"), F.lit(1000)).cast("int")
+        )
+        return semantic_dedup(emb, cell_col="label", threshold=0.6, max_cell=2048)
+
+    def t56_disjoint(spark, d):
+        li = load_table(spark, d, "lineitem").filter(
+            F.pmod(F.col("l_partkey"), F.lit(STEP)) < 5000
+        )
+        a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+        co = a.join(b, "l_orderkey").filter(F.col("id_a") != F.col("id_b"))
+        return triangle_count(scoped_persist(edges_undirected(co)))
+
+    def t56_wedges(spark, d):
+        li = load_table(spark, d, "lineitem").filter(
+            F.pmod(F.col("l_partkey"), F.lit(STEP)) < 5000
+        )
+        a = li.select("l_orderkey", F.col("l_partkey").alias("id_a"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("id_b"))
+        co = a.join(b, "l_orderkey").filter(F.col("id_a") != F.col("id_b"))
+        edges = scoped_persist(edges_undirected(co))
+        deg = scoped_persist(degrees(edges))
+        e = (
+            edges.join(deg.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("degree", "d_src")
+            .join(
+                deg.withColumnRenamed("id", "dst").withColumnRenamed(
+                    "degree", "d_dst"
+                ),
+                "dst",
+            )
+        )
+        fwd = (F.col("d_src") < F.col("d_dst")) | (
+            (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+        )
+        oriented = e.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        )
+        return (
+            oriented.groupBy("u")
+            .agg(F.count("*").alias("od"))
+            .agg(
+                F.sum(F.col("od") * (F.col("od") - 1) / 2)
+                .cast("long")
+                .alias("wedges")
+            )
+        )
+
+    def cell_pairs(spark, d):
+        emb = load_table(spark, d, "embeddings")
+        return emb.groupBy("label").agg(F.count("*").alias("n")).agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pairs")
+        )
+
+    x10, x100 = f"{ASY}/x10", f"{ASY}/x100"
+    rows = []
+    for name, fn, term_fn, term_name in (
+        ("t02 minhash lsh", lambda s, d: q["t02_dedup_minhash_lsh"](s, d),
+         t02_candidates, "candidate pairs"),
+        ("t45 semantic dedup", lambda s, d: q["t45_semantic_dedup"](s, d),
+         cell_pairs, "within-cell pairs"),
+        ("t45 hot-cell guard", t45_guard, None, "sub-cell pairs ≈ n·2048"),
+        ("t56 triangles", t56_disjoint, t56_wedges, "oriented wedges"),
+    ):
+        w10 = timed(fn, x10)
+        w100 = timed(fn, x100)
+        if term_fn is not None:
+            c10 = term_fn(spark, x10).collect()[0][0]
+            _clear()
+            c100 = term_fn(spark, x100).collect()[0][0]
+            _clear()
+        else:
+            c10 = c100 = None
+        rows.append((name, w10, w100, c10, c100, term_name))
+        tr = f"{c100 / c10:6.2f}" if c10 else "   n/a"
+        print(
+            f"{name:22s} x10 {w10:7.2f}s  x100 {w100:7.2f}s  "
+            f"wall {w100 / w10:5.2f}x  term({term_name}) "
+            f"{c10 if c10 is not None else '-'} -> "
+            f"{c100 if c100 is not None else '-'} ({tr}x)",
+            flush=True,
+        )
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -434,6 +662,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as ep
 
+    if sys.argv[1:] == ["--asymptote"]:
+        _stage_asymptote(spark)
+        asymptote(spark)
+        return
     stage(spark)
     if sys.argv[1:] == ["--t105-steady"]:
         t105_steady_state(spark)

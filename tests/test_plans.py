@@ -813,6 +813,46 @@ def test_t126_arrow_udf_not_pickled(spark):
     assert "BatchEvalPython" not in plan, plan[:600]
 
 
+def test_t129_cogroup_seam_and_left_join_semantics(spark):
+    """t129's seam pin: the two-sided grouped pandas function must
+    evaluate through FlatMapCoGroupsInPandas (one Arrow batch pair per
+    key), and the per-key merge_asof must reproduce left-join
+    semantics — a user with purchases but no views still reports every
+    purchase (NULL view columns), and a view-only user contributes no
+    rows."""
+    from datasheet_etl_spark.plans.sql_extra import t129_cogroup_asof
+
+    df = t129_cogroup_asof(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:600]
+
+    rows = df.collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from pyspark.sql import functions as F
+
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purch  # every purchase reported exactly once
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    has_views = {
+        r.user_id
+        for r in ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    for uid, urows in by_user.items():
+        for r in urows:
+            if r.view_event_id is not None:
+                assert r.view_ts_us <= r.purchase_ts_us
+                assert r.wait_us == r.purchase_ts_us - r.view_ts_us
+            else:
+                assert r.view_ts_us is None and r.wait_us is None
+        if uid not in has_views:
+            assert all(r.view_event_id is None for r in urows)
+
+
 def test_q66_sql_udf_inlines_no_eval_boundary(spark):
     """q66's point: a SQL-defined function is INLINED by Catalyst —
     the physical plan contains no UDF evaluation node of any kind
