@@ -162,6 +162,101 @@ def asof_join(
     )
 
 
+def cogroup_merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_on: str,
+    right_on: str,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+) -> DataFrame:
+    """As-of join through the COGROUPED-pandas seam: both sides group
+    on ``keys``, each key's two Arrow batches land in one Python
+    function, and pandas ``merge_asof`` aligns them
+    (``FlatMapCoGroupsInPandas`` in the plan). Returns every left row
+    with the right side's non-key columns attached (NULL when no match
+    — left-join semantics: left-only keys see an empty right frame,
+    right-only keys emit nothing).
+
+    WHEN to use this over :func:`asof_join` (the all-JVM merge-ordered
+    union + forward fill, ONE shuffle, no Python): only when the
+    per-key logic genuinely needs pandas — custom tolerance shapes,
+    nearest-direction matching, or follow-on per-key array math in the
+    same pass. This seam pays the same shuffle PLUS an in-group sort
+    and the Arrow round-trip; the 100 TB default is asof_join.
+
+    Determinism notes baked into the contract:
+    - ``left_on``/``right_on`` should be integer or float columns
+      (stage timestamps as ``unix_micros`` BEFORE the seam — no
+      datetime-unit or tz pitfalls inside pandas).
+    - Right-side rows should be unique per (keys, right_on); otherwise
+      which equal-timestamp row wins depends on Arrow batch order.
+      Pre-aggregate to enforce it (as t129 does with max(event_id)).
+    - ``direction``/``tolerance`` pass through to ``merge_asof``
+      (backward = latest right at-or-before, pandas semantics).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    key_set = set(keys)
+    lf = list(left.schema.fields)
+    rf = [f for f in right.schema.fields if f.name not in key_set]
+    clash = [f.name for f in rf if f.name in {g.name for g in lf}]
+    if clash:
+        raise ValueError(
+            f"right columns collide with left: {clash}; rename before joining"
+        )
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in (*lf, *rf)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    # pandas nullable-int dtypes per unmatched right column: merge_asof
+    # fills float NaN, which Arrow won't narrow back to integral types
+    _int_dtype = {
+        "bigint": "Int64",
+        "int": "Int32",
+        "smallint": "Int16",
+        "tinyint": "Int8",
+        "boolean": "boolean",
+    }
+    r_restore = {
+        f.name: _int_dtype[f.dataType.simpleString()]
+        for f in rf
+        if f.dataType.simpleString() in _int_dtype
+    }
+    r_object = [
+        f.name
+        for f in rf
+        if f.dataType.simpleString() not in _int_dtype
+        and not f.dataType.simpleString().startswith(("double", "float", "decimal"))
+    ]
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.merge_asof(
+            lpdf.sort_values(left_on, kind="mergesort"),
+            rpdf.drop(columns=list(keys)).sort_values(right_on, kind="mergesort"),
+            left_on=left_on,
+            right_on=right_on,
+            direction=direction,
+            tolerance=tolerance,
+        )
+        for c, dt in r_restore.items():
+            out[c] = out[c].astype(dt)
+        for c in r_object:
+            # unmatched object/string cells come back as float NaN —
+            # normalize to None so Arrow reads them as SQL NULL
+            out[c] = out[c].where(out[c].notna(), None)
+        return out[out_cols]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(align, out_schema)
+    )
+
+
 def salt_expr(salt_from: str, buckets: int) -> Column:
     """The deterministic salt :func:`salted_join` derives — exposed so
     tests and diagnostics reproduce the operator's own spread instead

@@ -4976,7 +4976,7 @@ def t129_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill, `operators/relational.py:57`) is the production path when
     the per-key logic doesn't genuinely need pandas.
     """
-    import pandas as pd
+    from datasheet_etl_spark.operators.relational import cogroup_merge_asof
 
     ev = load_table(spark, sf_dir, "events")
     views = (
@@ -4994,39 +4994,17 @@ def t129_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_event_id"),
         F.unix_micros("ts").alias("purchase_ts_us"),
     )
-
-    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left-only keys arrive with an EMPTY right frame (merge_asof
-        # fills NaN -> nullable Int64 below); right-only keys arrive
-        # with an empty left and return 0 rows — left-join semantics.
-        out = pd.merge_asof(
-            left.sort_values("purchase_ts_us"),
-            right.drop(columns=["user_id"]).sort_values("view_ts_us"),
-            left_on="purchase_ts_us",
-            right_on="view_ts_us",
-            direction="backward",
-        )
-        out["wait_us"] = out["purchase_ts_us"] - out["view_ts_us"]
-        for c in ("view_event_id", "view_ts_us", "wait_us"):
-            out[c] = out[c].astype("Int64")
-        return out[
-            [
-                "user_id",
-                "purchase_event_id",
-                "purchase_ts_us",
-                "view_event_id",
-                "view_ts_us",
-                "wait_us",
-            ]
-        ]
-
+    joined = cogroup_merge_asof(
+        purchases, views, ["user_id"], "purchase_ts_us", "view_ts_us"
+    )
     return (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
-        .applyInPandas(
-            align,
-            "user_id long, purchase_event_id long, purchase_ts_us long, "
-            "view_event_id long, view_ts_us long, wait_us long",
+        joined.select(
+            "user_id",
+            "purchase_event_id",
+            "purchase_ts_us",
+            "view_event_id",
+            "view_ts_us",
+            (F.col("purchase_ts_us") - F.col("view_ts_us")).alias("wait_us"),
         )
         .orderBy("purchase_event_id")
     )

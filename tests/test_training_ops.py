@@ -286,6 +286,55 @@ def test_asof_join_semantics(spark):
     assert fwd == {(1, 5): 50, (1, 10): None, (1, 2): 30, (2, 7): 80}
 
 
+def test_cogroup_merge_asof_matches_asof_join(spark):
+    """The cogrouped-pandas seam must reproduce asof_join's contract on
+    the same inputs — backward/forward match sets, NULLs for unmatched
+    lefts — plus the seam-specific edges: string right columns read
+    back as SQL NULL when unmatched, integer dtypes survive NaN fill,
+    tolerance voids distant matches, and name collisions are refused."""
+    import pytest as _pytest
+
+    from datasheet_etl_spark.operators.relational import cogroup_merge_asof
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "c"), (2, 7, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30, "x3"), (1, 5, 50, "x5"), (1, 9, 90, "x9"), (2, 8, 80, "x8")],
+        "k long, rts long, v long, label string",
+    )
+    back = {
+        (r["k"], r["ts"]): (r["v"], r["label"])
+        for r in cogroup_merge_asof(left, right, ["k"], "ts", "rts").collect()
+    }
+    assert back == {
+        (1, 5): (50, "x5"),
+        (1, 10): (90, "x9"),
+        (1, 2): (None, None),
+        (2, 7): (None, None),
+    }
+    fwd = {
+        (r["k"], r["ts"]): r["v"]
+        for r in cogroup_merge_asof(
+            left, right, ["k"], "ts", "rts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 5): 50, (1, 10): None, (1, 2): 30, (2, 7): 80}
+    tol = {
+        (r["k"], r["ts"]): r["v"]
+        for r in cogroup_merge_asof(
+            left, right, ["k"], "ts", "rts", tolerance=1
+        ).collect()
+    }
+    # (1,10)'s nearest earlier right is at 9 (within 1); (1,2) has none
+    assert tol == {(1, 5): 50, (1, 10): 90, (1, 2): None, (2, 7): None}
+    with _pytest.raises(ValueError, match="collide"):
+        cogroup_merge_asof(
+            left, right.withColumnRenamed("v", "tag"), ["k"], "ts", "rts"
+        )
+
+
 def test_salted_join_equivalence(spark):
     """Salting must not change join results — only the key distribution.
     90% of the left rows share one hot key."""
