@@ -443,9 +443,12 @@ def _stage_asymptote(spark):
     not the machinery). These replicas instead hold PER-COPY structure
     exactly constant so the decade measures data volume alone:
 
-    - documents: every token gets a per-copy suffix (bijective rename
-      — within-copy shingle sets transform 1:1, so every within-copy
-      Jaccard is EXACTLY preserved; cross-copy shingle overlap is 0).
+    - documents: every whitespace word gets a per-copy letter-only
+      suffix — a copy-consistent token rename (exactly 1:1 for plain
+      words; punctuation-adjacent words split the salt into its own
+      within-copy token, still identically for every doc in the copy),
+      so within-copy Jaccard structure is preserved and cross-copy
+      shingle overlap is 0.
     - embeddings: labels offset per copy — cell COUNT grows with the
       corpus at constant cell size, which is SemDeDup's stated
       operating point (pick k ∝ N so cells stay ~10⁴; arXiv:2303.09540
@@ -472,16 +475,36 @@ def _stage_asymptote(spark):
             d = (
                 d.withColumn("doc_id", F.col("doc_id") + F.col("_i").cast("long") * F.lit(STEP))
                 .withColumn(
+                    # LETTER-ONLY per-copy salt (base-26 of _i):
+                    # functions.tokens() splits on non-letter runs, so a
+                    # digit-bearing salt ("c13") would collapse to the
+                    # SAME token in every copy and turn the staging into
+                    # a 100-way clone corpus — the exact conflation this
+                    # mode exists to avoid (found empirically: the digit
+                    # variant produced 7e8 capped candidates at x10)
+                    "_salt",
+                    F.concat(
+                        F.lit("x"),
+                        F.expr("chr(97 + CAST(_i / 26 AS INT))"),
+                        F.expr("chr(97 + _i % 26)"),
+                    ),
+                )
+                .withColumn(
                     "text",
                     F.regexp_replace(
                         F.col("text"),
                         F.lit(r"(\S+)"),
-                        F.concat(F.lit("$1c"), F.col("_i").cast("string")),
+                        F.concat(F.lit("$1"), F.col("_salt")),
                     ),
                 )
+                .drop("_salt")
                 .drop("_i")
             )
-            d.write.mode("overwrite").parquet(out)
+            # repartition before write: the explode plan otherwise lands
+            # in ~1 parquet file (x100 docs ~= 120 MB < maxPartitionBytes),
+            # which would serialize the map side onto ONE core and measure
+            # file layout, not the plan
+            d.repartition(32).write.mode("overwrite").parquet(out)
             print(f"staged asy documents x{copies}", flush=True)
 
         out = f"{outdir}/embeddings.parquet"
@@ -494,7 +517,7 @@ def _stage_asymptote(spark):
                 )
                 .drop("_i")
             )
-            e.write.mode("overwrite").parquet(out)
+            e.repartition(32).write.mode("overwrite").parquet(out)
             print(f"staged asy embeddings x{copies}", flush=True)
 
         out = f"{outdir}/lineitem.parquet"
@@ -565,13 +588,23 @@ def asymptote(spark):
         _clear()
         return dt
 
-    def t02_candidates(spark, d):
+    def _sigs(spark, d):
         docs = load_table(spark, d, "documents")
         sh = docs.select(
             "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
         )
-        sigs = minhash_signatures(sh, "doc_id", "sh", 64)
-        return lsh_candidate_pairs(sigs, "doc_id", "sig", 16, 64, 256)
+        return minhash_signatures(sh, "doc_id", "sh", 64)
+
+    def t02_sig_stage(spark, d):
+        # the full-corpus stage of the pipeline on its own: explode to
+        # (doc, shingle), 64 map-side-combined min aggregates, shuffle
+        # (id, 64 longs) — the term that must stay linear
+        return _sigs(spark, d).agg(F.count(F.lit(1)).alias("n"))
+
+    def t02_candidates(spark, d):
+        return lsh_candidate_pairs(
+            _sigs(spark, d), "doc_id", "sig", 16, 64, 256
+        ).agg(F.count(F.lit(1)).alias("n"))
 
     def t45_guard(spark, d):
         emb = load_table(spark, d, "embeddings").withColumn(
@@ -633,6 +666,7 @@ def asymptote(spark):
     x10, x100 = f"{ASY}/x10", f"{ASY}/x100"
     rows = []
     for name, fn, term_fn, term_name in (
+        ("t02 sig stage", t02_sig_stage, None, "corpus-linear by design"),
         ("t02 minhash lsh", lambda s, d: q["t02_dedup_minhash_lsh"](s, d),
          t02_candidates, "candidate pairs"),
         ("t45 semantic dedup", lambda s, d: q["t45_semantic_dedup"](s, d),
