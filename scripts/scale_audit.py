@@ -182,9 +182,9 @@ ENTRIES = [
     # partial-agged scan, the row exists to SHOW zero eval boundary
     "q66_sql_programmability",
     # r13: cogrouped applyInPandas (FlatMapCoGroupsInPandas) — both
-    # sides shuffle on user_id once, then per-key cost is linear in
-    # the two group sizes after the in-group sort; the Python seam is
-    # the graded surface (t126's rationale)
+    # sides shuffle ONCE on the key's hash bucket, one pandas call per
+    # bucket with merge_asof(by=key) vectorizing the per-key align;
+    # the Python seam is the graded surface (t126's rationale)
     "t129_cogroup_asof",
 ]
 
