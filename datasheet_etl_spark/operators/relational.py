@@ -83,11 +83,21 @@ def asof_join(
 
     Ties (equal timestamps) match: the right row sorts before the left
     row at the same instant.
+
+    NULL partition keys follow SQL JOIN semantics, not PARTITION BY
+    semantics: a right row with a NULL key can never match anything
+    (it is filtered before the union — otherwise the window's
+    NULLs-group-together partitioning would silently "match" NULL to
+    NULL), and a left row with a NULL key is kept with NULL payload
+    (left-join semantics). Review-found r13; pinned in
+    tests/test_training_ops.py.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(partition_keys)
     lcols = [c for c in left.columns if c not in keys and c != left_on]
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     tagged_r = right.select(
         *keys,
         F.col(right_on).alias("_ts"),
@@ -197,6 +207,11 @@ def cogroup_merge_asof(
     role shuffle partitions play for a join.
 
     Determinism notes baked into the contract:
+    - NULL ``keys`` values follow SQL JOIN semantics: a NULL-keyed
+      right row never matches, a NULL-keyed left row is kept with
+      NULL payload. (pandas ``merge_asof(by=)`` would happily match
+      NaN to NaN — review-found r13 — so both sides' NULL-keyed rows
+      are split out before the merge.)
     - ``left_on``/``right_on`` should be integer or float columns
       (stage timestamps as ``unix_micros`` BEFORE the seam — no
       datetime-unit or tz pitfalls inside pandas).
@@ -254,6 +269,13 @@ def cogroup_merge_asof(
                 f"cogroup_merge_asof: NULL in on-column "
                 f"({left_on!r}/{right_on!r}); filter or fill before joining"
             )
+        # SQL JOIN semantics for NULL keys: merge_asof's by-matching
+        # would pair NaN with NaN, so NULL-keyed right rows are dropped
+        # (they can never match) and NULL-keyed left rows bypass the
+        # merge, rejoining with all-NaN right columns
+        l_null = lpdf[list(keys)].isna().any(axis=1)
+        lpdf, l_rest = lpdf[~l_null], lpdf[l_null]
+        rpdf = rpdf[~rpdf[list(keys)].isna().any(axis=1)]
         out = pd.merge_asof(
             lpdf.drop(columns=["_cg"]).sort_values(left_on, kind="mergesort"),
             rpdf.drop(columns=["_cg"]).sort_values(right_on, kind="mergesort"),
@@ -263,6 +285,10 @@ def cogroup_merge_asof(
             direction=direction,
             tolerance=tolerance,
         )
+        if len(l_rest):
+            out = pd.concat(
+                [out, l_rest.drop(columns=["_cg"])], ignore_index=True
+            )
         for c, dt in r_restore.items():
             out[c] = out[c].astype(dt)
         for c in r_object:

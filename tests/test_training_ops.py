@@ -286,6 +286,47 @@ def test_asof_join_semantics(spark):
     assert fwd == {(1, 5): 50, (1, 10): None, (1, 2): 30, (2, 7): 80}
 
 
+def test_asof_null_keys_follow_sql_join_semantics(spark):
+    """Review-found r13: NULL partition keys must follow SQL JOIN
+    semantics, not PARTITION BY semantics. asof_join's window grouped
+    NULL keys together (PARTITION BY groups NULLs) and
+    cogroup_merge_asof's pandas merge_asof matched NaN by-keys to each
+    other — either way a NULL-keyed left row silently "matched" a
+    NULL-keyed right row, which no SQL join (including the DuckDB ASOF
+    JOIN oracle shape) would produce. Contract now pinned for BOTH
+    operators: NULL-keyed right rows never match; NULL-keyed left rows
+    are kept with NULL payload (left-join semantics)."""
+    from datasheet_etl_spark.operators.relational import (
+        asof_join,
+        cogroup_merge_asof,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5), (None, 10), (2, 7)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30, "a"), (None, 8, 80, "b"), (2, 6, 60, "c")],
+        "k long, rts long, v long, s string",
+    )
+    expect = {(1, 5): (30, "a"), (2, 7): (60, "c"), (None, 10): (None, None)}
+    got_a = {
+        (r["k"], r["ts"]): (r["v"], r["s"])
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["v", "s"]).collect()
+    }
+    assert got_a == expect
+    got_c = {
+        (r["k"], r["ts"]): (r["v"], r["s"])
+        for r in cogroup_merge_asof(left, right, ["k"], "ts", "rts").collect()
+    }
+    assert got_c == expect
+    # a bucket holding ONLY null-keyed left rows still emits them
+    lone = spark.createDataFrame([(None, 4)], "k long, ts long")
+    rows = cogroup_merge_asof(lone, right, ["k"], "ts", "rts").collect()
+    assert [(r["k"], r["ts"], r["v"], r["s"]) for r in rows] == [
+        (None, 4, None, None)
+    ]
+
+
 def test_cogroup_merge_asof_matches_asof_join(spark):
     """The cogrouped-pandas seam must reproduce asof_join's contract on
     the same inputs — backward/forward match sets, NULLs for unmatched
