@@ -338,11 +338,105 @@ def t07_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
-@register("t20_ann_ivf_kmeans")  # trained quantizer → rows-only; recall pinned in tests
+@register(
+    "t20_ann_ivf_kmeans",
+    # The FULL training loop replayed: kmeans_fit is deterministic by
+    # construction (init = the 16 lowest-id vectors unit-normalized;
+    # assignment argmax breaks ties toward the lower cell; new centroid
+    # = unit-normalized sum of the cell's RAW vectors; empty cells keep
+    # their previous centroid), so the two Lloyd iterations unroll as
+    # sequential CTEs — init → a1 → cent1 → a2 → cent2 — then the final
+    # assignment, the probes' nprobe=4 cell choice, and the exact
+    # in-cell scoring re-derive the whole entry.
+    """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), nv AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> x / greatest(sqrt(list_dot_product(v,v)), 1e-12)) AS vh
+      FROM emb
+    ), init AS (
+      SELECT cell, vh AS c FROM (
+        SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, vh
+        FROM nv ORDER BY vec_id LIMIT 16)
+    ), a1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT n.vec_id, n.v, i.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.vh, i.c) DESC, i.cell) AS rn
+        FROM nv n CROSS JOIN init i) WHERE rn = 1
+    ), s1 AS (
+      SELECT cell, i, sum(v[i]) AS s
+      FROM a1, range(1, 65) r(i) GROUP BY cell, i
+    ), cs1 AS (
+      SELECT cell, list(s ORDER BY i) AS sv FROM s1 GROUP BY cell
+    ), cent1 AS (
+      SELECT i.cell,
+             CASE WHEN coalesce(sqrt(list_dot_product(cs1.sv, cs1.sv)), 0) > 0
+                  THEN list_transform(cs1.sv, x -> x / sqrt(list_dot_product(cs1.sv, cs1.sv)))
+                  ELSE i.c END AS c
+      FROM init i LEFT JOIN cs1 ON cs1.cell = i.cell
+    ), a2 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT n.vec_id, n.v, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.vh, c.c) DESC, c.cell) AS rn
+        FROM nv n CROSS JOIN cent1 c) WHERE rn = 1
+    ), s2 AS (
+      SELECT cell, i, sum(v[i]) AS s
+      FROM a2, range(1, 65) r(i) GROUP BY cell, i
+    ), cs2 AS (
+      SELECT cell, list(s ORDER BY i) AS sv FROM s2 GROUP BY cell
+    ), cent2 AS (
+      SELECT c1.cell,
+             CASE WHEN coalesce(sqrt(list_dot_product(cs2.sv, cs2.sv)), 0) > 0
+                  THEN list_transform(cs2.sv, x -> x / sqrt(list_dot_product(cs2.sv, cs2.sv)))
+                  ELSE c1.c END AS c
+      FROM cent1 c1 LEFT JOIN cs2 ON cs2.cell = c1.cell
+    ), a3 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.vh, c.c) DESC, c.cell) AS rn
+        FROM nv n CROSS JOIN cent2 c) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS probe_id, vh AS pv FROM nv WHERE vec_id < 10
+    ), pcells AS (
+      SELECT probe_id, pv, cell FROM (
+        SELECT p.probe_id, p.pv, c.cell,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(p.pv, c.c) DESC, c.cell) AS rn
+        FROM probes p CROSS JOIN cent2 c) WHERE rn <= 4
+    )
+    SELECT probe_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT pc.probe_id AS probe_id, m.vec_id AS vec_id,
+             list_dot_product(pc.pv, m.vh) AS cos_sim,
+             row_number() OVER (PARTITION BY pc.probe_id
+               ORDER BY list_dot_product(pc.pv, m.vh) DESC, m.vec_id) AS rank
+      FROM pcells pc
+      JOIN a3 ON a3.cell = pc.cell
+      JOIN nv m ON m.vec_id = a3.vec_id
+      WHERE m.vec_id <> pc.probe_id
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
 def t20_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over a trained spherical-kmeans quantizer (Lloyd's, driver-
     held centroids, corpus streamed): nprobe=4 of 16 cells searched
     exactly. Recall vs brute force asserted in tests.
+
+    Oracled since r13 (the t37 discipline — a deterministic FOLD is
+    replayable, and so is a deterministic TRAINING LOOP): kmeans_fit
+    has no random state (init = 16 lowest-id vectors, argmax ties to
+    the lower cell, empty cells inherit), so DuckDB re-derives both
+    Lloyd iterations, the final assignment, the probes' cell choice,
+    and the in-cell exact scores — hash-matched at sf0.001/0.01/0.1.
+    FP robustness was MEASURED, not assumed: the smallest
+    best-vs-second-best assignment margin across every vector and both
+    iterations is 1.1e-5 (sf0.1; 2.3e-4 at sf0.01), eight orders above
+    double-precision dot error at dim 64, so engine summation-order
+    differences cannot flip a cell.
 
     Bench variance note (r5): r4 recorded 5.86 s vs r2's 3.49 s with no
     code change; a warm-session A/B (3× alternating runs with/without
