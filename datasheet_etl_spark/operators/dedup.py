@@ -68,17 +68,38 @@ def _permutations(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _base_shingle_hash(hash_family: str) -> Column:
+    """The per-shingle base hash the affine permutation family maps over
+    (applied to the exploded ``_shingle`` column), already reduced mod
+    the Mersenne prime. ``xxhash64`` is the production default;
+    ``md5`` is the cross-engine-replayable twin (first 15 md5 hex
+    digits as a 60-bit long — the t03b discipline: one md5 + one conv
+    per shingle occurrence, re-derivable in any engine with md5 and
+    string ops)."""
+    if hash_family == "xxhash64":
+        h = F.xxhash64(F.col("_shingle"))
+    elif hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return F.pmod(h, F.lit(MERSENNE_PRIME))
+
+
 def minhash_signatures(
     sh_df: DataFrame,
     id_col: str = "doc_id",
     sh_col: str = "sh",
     num_perm: int = 64,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, shingle-array) → (id, sig array<long>) via explode + hash
     aggregate — NOT nested array HOFs.
 
-    Each shingle hashes once (xxhash64 → pmod p); each permutation is an
+    Each shingle hashes once (``hash_family`` → pmod p — see
+    :func:`_base_shingle_hash`); each permutation is an
     affine map a·x+b mod p (p Mersenne 2³¹−1, products stay < 2⁶², so no
     ANSI overflow); the signature component is ``min()`` over shingles,
     computed as ``num_perm`` plain aggregate columns. Array HOFs like
@@ -90,7 +111,7 @@ def minhash_signatures(
     Empty-shingle docs drop out (an all-sentinel signature would bucket
     every empty doc together and explode the candidate join).
     """
-    h = F.pmod(F.xxhash64(F.col("_shingle")), F.lit(MERSENNE_PRIME))
+    h = _base_shingle_hash(hash_family)
     mins = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"_m{i}")
         for i, (a, b) in enumerate(_permutations(num_perm, seed))
@@ -215,6 +236,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     shingle_n: int = 2,
     max_bucket: int | None = 256,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banding,
     verified with *exact* shingle-set Jaccard ≥ threshold.
@@ -224,6 +246,9 @@ def minhash_dedup_pairs(
 
     ``max_bucket`` caps LSH bucket width (skew guard; see
     ``lsh_candidate_pairs`` for the recall tradeoff); ``None`` disables.
+    ``hash_family`` picks the base shingle hash (xxhash64 production /
+    md5 replayable — :func:`_base_shingle_hash`); every other stage is
+    shared code whichever family feeds it.
     """
     from datasheet_etl_spark.functions import tokens
 
@@ -237,7 +262,9 @@ def minhash_dedup_pairs(
     # (id, 64×long) is ~0.5 KB/doc — persisting it (not the shingle sets)
     # keeps the corpus pass single-execution across the banding and verify
     # joins, and stays tiny relative to the corpus even at 100 TB.
-    sigs = scoped_persist(minhash_signatures(sh, id_col, "sh", num_perm))
+    sigs = scoped_persist(
+        minhash_signatures(sh, id_col, "sh", num_perm, hash_family=hash_family)
+    )
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm, max_bucket)
 
     # Exact-Jaccard verify touches only candidate docs: semi-join the

@@ -132,10 +132,117 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded candidate set. The verified-pair OUTPUT after the exact
     Jaccard check is hash-dependent too (recall < 1 by design). The
     pinned recall-vs-exact test against t04's oracled exact pairs is
-    the strongest available cross-check; deliberately rows-only."""
+    the strongest available cross-check; deliberately rows-only. r13:
+    the full LSH MACHINERY — min-agg signatures, the seed-42 affine
+    family itself, banding, bucket cap, candidate join, est/exact
+    Jaccard verify — is now directly hash-graded by
+    ``t02b_minhash_lsh_md5_oracle``, the same pipeline (shared code,
+    only the base hash swapped to md5); what stays uncertified here is
+    the xxhash64 base hash alone."""
     docs = _docs(spark, sf_dir)
     return minhash_dedup_pairs(
         docs, num_perm=64, bands=16, threshold=0.5, shingle_n=2
+    )
+
+
+def _t02b_oracle_sql() -> str:
+    # The EXACT minhash_dedup_pairs(hash_family="md5") recurrence in
+    # DuckDB, built programmatically so the 64 permutation constants
+    # (the seed-42 family the PRODUCTION pipeline uses), the 16 band
+    # slices, and the est-agreement sum cannot drift from the Spark
+    # side's loops.
+    from datasheet_etl_spark.operators.dedup import (
+        MERSENNE_PRIME as P,
+        _permutations,
+    )
+
+    perms = _permutations(64, 42)
+    # first 15 md5 hex digits as a 60-bit BIGINT (the t03b decode,
+    # spelled with plain string ops so any engine can replay it)
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {d + 1}, 1)) - 1) * "
+        f"{16 ** (14 - d)}"
+        for d in range(15)
+    )
+    mins = ",\n             ".join(
+        f"min(({a} * h0 + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"[{', '.join(f'm{4 * b + r}' for r in range(4))}] AS key FROM sig"
+        for b in range(16)
+    )
+    est = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(64)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), shs AS (
+      SELECT doc_id, {_SQL_BIGRAMS} AS sh FROM t WHERE len(toks) >= 2
+    ), h AS (
+      SELECT doc_id, ({digits}) % {P} AS h0
+      FROM (SELECT doc_id, md5(u.s) AS m
+            FROM shs, unnest(sh) AS u(s))
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {band_rows}
+    ), capped AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               count(*) OVER (PARTITION BY band, key) AS w
+        FROM banded) WHERE w <= 256
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             ({est}) / 64.0 AS est,
+             len(list_intersect(A.sh, B.sh)) * 1.0
+               / len(list_distinct(list_concat(A.sh, B.sh))) AS jac
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      JOIN shs A ON A.doc_id = c.id_a
+      JOIN shs B ON B.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(est, 6) AS est_jaccard,
+           round(jac, 6) AS jaccard
+    FROM scored WHERE jac >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@register("t02b_minhash_lsh_md5_oracle", _t02b_oracle_sql())
+def t02b_minhash_lsh_md5_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t02's MinHash+LSH machinery under a REPLAYABLE base hash (the
+    t03b discipline applied to the registry's flagship rows-only
+    cluster): the base shingle hash is the first 15 md5 hex digits (a
+    60-bit long) mod the Mersenne prime, and EVERYTHING downstream is
+    t02's own shared code with its production config — the seed-42
+    affine permutation family (the oracle embeds the same 64 (a,b)
+    literals the Spark loop uses), the explode + 64-column min-agg
+    signature pass, 16×4 banded buckets, the width-256 bucket cap
+    (deterministic: whole buckets drop, never sampled rows), the
+    bucket self-join, and the est/exact-Jaccard verify ≥ 0.5. DuckDB
+    re-derives every stage; with this green, the uncertified residue
+    of t02 (and of streaming t24 / incremental t71, which reuse these
+    stages) narrows to the xxhash64 base hash alone. Scale shape is
+    t02's unchanged — banded (band, bucket) candidates, never
+    all-pairs."""
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup_pairs(
+        docs,
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+        shingle_n=2,
+        hash_family="md5",
     )
 
 

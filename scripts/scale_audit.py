@@ -38,6 +38,9 @@ ENTRIES = [
     "q43_star_join_revenue",
     "t01_dedup_exact",
     "t02_dedup_minhash_lsh",
+    # r13: t02's pipeline under the md5-replayable base hash — same
+    # stages shared-code, so the ratio should track t02's
+    "t02b_minhash_lsh_md5_oracle",
     "t19_corpus_curation",
     "t45_semantic_dedup",
     "t56_triangle_count",

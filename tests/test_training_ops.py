@@ -45,6 +45,22 @@ def test_minhash_finds_exact_near_dups(spark):
         assert r["jaccard"] >= 0.5
 
 
+def test_minhash_md5_family_finds_exact_near_dups(spark):
+    """t02b (the md5-replayable base hash) runs t02's own pipeline, so
+    it must meet the SAME recall contract: cover every exact
+    bigram-Jaccard ≥0.5 pair, and report only pairs the exact verify
+    passes (precision 1 by construction, family-independent)."""
+    from datasheet_etl_spark.plans.training import t02b_minhash_lsh_md5_oracle
+
+    exact = _exact_pairs(spark)
+    rows = t02b_minhash_lsh_md5_oracle(spark, SF_ORACLE).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    missed = exact - got
+    assert not missed, f"md5-minhash-LSH missed exact near-dups: {missed}"
+    for r in rows:
+        assert r["jaccard"] >= 0.5
+
+
 def test_simhash_finds_exact_near_dups(spark):
     from datasheet_etl_spark.plans.training import t03_dedup_simhash
 
