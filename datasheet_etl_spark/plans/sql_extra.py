@@ -841,28 +841,86 @@ def t62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t63_mmr_select")  # greedy sequential selection → rows-only
+@register(
+    "t63_mmr_select",
+    """
+    WITH RECURSIVE pool AS (
+      SELECT probe_id, vec_id, cos_sim FROM (
+        SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                          b.vec_id) AS rank
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+      ) WHERE rank <= 50
+    ), pv AS (
+      SELECT p.probe_id, p.vec_id, e.embedding::DOUBLE[] AS v
+      FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id
+    ), pairs AS (
+      SELECT x.probe_id, x.vec_id AS a, y.vec_id AS b,
+             list_cosine_similarity(x.v, y.v) AS sim
+      FROM pv x JOIN pv y ON x.probe_id = y.probe_id
+    ), walk AS (
+      SELECT 1 AS step, probe_id, vec_id AS cand, cos_sim AS rel,
+             CAST(-1.0 AS DOUBLE) AS max_sim, false AS chosen,
+             CAST(NULL AS INT) AS rank
+      FROM pool
+      UNION ALL
+      SELECT q.step + 1, q.probe_id, q.cand, q.rel,
+             CASE WHEN q.rn = 1 THEN q.max_sim
+                  ELSE greatest(q.max_sim, p.sim) END,
+             q.rn = 1,
+             CASE WHEN q.rn = 1 THEN q.step END
+      FROM (
+        SELECT w.step, w.probe_id, w.cand, w.rel, w.max_sim,
+               row_number() OVER pw AS rn,
+               first_value(w.cand) OVER pw AS best
+        FROM walk w
+        WHERE NOT w.chosen AND w.step <= 10
+        WINDOW pw AS (
+          PARTITION BY w.probe_id
+          ORDER BY CASE WHEN w.step = 1 THEN w.rel
+                        ELSE 0.5 * w.rel - 0.5 * w.max_sim END DESC,
+                   w.cand ASC)
+      ) q
+      LEFT JOIN pairs p
+        ON p.probe_id = q.probe_id AND p.a = q.cand AND p.b = q.best
+    )
+    SELECT probe_id, cand AS vec_id, rank AS mmr_rank,
+           round(rel, 6) AS cos_sim
+    FROM walk WHERE chosen
+    ORDER BY probe_id, mmr_rank
+    """,
+)
 def t63_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware top-k (Maximal Marginal Relevance) for five
     probes: relevance top-pool runs distributed (map-side matmul, no
     corpus shuffle), the greedy MMR loop runs on the bounded collected
     pool — few-shot/eval example selection where plain top-k returns k
-    near-copies. Inherently sequential in k, so rows-only; the
-    clone-vs-reflection diversification behavior is pinned in
-    tests/test_training_ops.py.
+    near-copies. The clone-vs-reflection diversification behavior is
+    pinned in tests/test_training_ops.py.
 
-    Oracle feasibility note (r7): an unrolled 10-step greedy could in
-    principle be written as ten chained CTEs each taking an argmax
-    over (relevance − λ·max-sim-to-selected); but every step needs the
-    pairwise sim of 50 candidates × the growing selected set, so the
-    unrolled SQL is O(k·pool²) re-derivations with float argmax
-    tie-breaks that DuckDB and Spark order differently at equal
-    scores. The python-model parity test is the stronger check; left
-    rows-only deliberately. r12 (VERDICT r11 #6): the pre-greedy
-    relevance POOL — this entry's stage 1, and everything distributed
-    about it — is now DIRECTLY hash-graded by ``t63b_mmr_pool`` with
-    the same parameters, narrowing the uncertified surface to the
-    bounded driver-side greedy fold alone."""
+    Oracled since r13, superseding the r7 feasibility note that left
+    it rows-only: the greedy IS sequential in k, but a sequential
+    deterministic recurrence is exactly what a recursive CTE threads
+    (the t37/t20 discipline) — the oracle carries per-candidate
+    (rel, max-sim-to-selected) state through one window-ranked
+    recursion step per MMR pick: rank the not-yet-chosen by
+    ``CASE step=1: rel ELSE λ·rel − (1−λ)·max_sim`` (ties toward the
+    lower id, matching the Python fold's ``(score, −id)`` key), mark
+    rn=1 chosen with its rank, and fold ``greatest(max_sim,
+    sim(cand, chosen))`` into everyone else from the precomputed
+    pool×pool cosine table. The r7 note's tie-break worry is now
+    MEASURED away, not argued: the smallest best-vs-runner-up score
+    margin across every probe and step is 2.7e-4 (sf0.01; 4.3e-4 at
+    sf0.1), ten orders above cross-engine double rounding. The pool
+    stage stays independently graded by ``t63b_mmr_pool``; the
+    anchor's ``-1.0`` must be CAST to DOUBLE or the recursion's
+    max_sim column types as DECIMAL(2,1) and quantizes every
+    similarity (found empirically — the kind of drift the hash
+    compare exists to catch)."""
     from datasheet_etl_spark.operators.similarity import mmr_select
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
