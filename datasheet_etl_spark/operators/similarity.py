@@ -409,6 +409,7 @@ def hyperplane_buckets(
     num_tables: int = 16,
     bits: int = 12,
     seed: int = 7,
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH buckets: (id, table, bucket)
     long form, one row per (vector, table).
@@ -419,13 +420,44 @@ def hyperplane_buckets(
     make hyperplane LSH usable: a single b-bit signature has recall
     p(θ)^b, while L tables give 1−(1−p^b)^L (e.g. cos ≥ 0.95 →
     p≈0.90 → one 12-bit table 28%, 16 tables 99.5%).
-    """
+
+    ``plane_family``: "gaussian" (production — seeded
+    ``standard_normal``) or "md5" (the cross-engine-replayable twin:
+    component (r, d) is the first 15 md5 hex digits of ``hp-{r}-{d}``
+    mapped to [-1, 1) — uniform rather than normal, which only scales
+    the sign-agreement/angle curve slightly; any symmetric component
+    law gives sign-LSH its locality property. Every plane value is
+    re-derivable in any engine with md5 + string ops — the t03b/t02b
+    discipline for the hyperplane family)."""
     import numpy as np
     import pandas as pd
 
     dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables * bits, dim))
+    if plane_family == "md5":
+        import hashlib
+
+        planes = np.array(
+            [
+                [
+                    (
+                        int(
+                            hashlib.md5(f"hp-{r}-{d}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        / 2**60
+                    )
+                    * 2
+                    - 1
+                    for d in range(dim)
+                ]
+                for r in range(num_tables * bits)
+            ]
+        )
+    elif plane_family == "gaussian":
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_tables * bits, dim))
+    else:
+        raise ValueError(f"unknown plane_family {plane_family!r}")
     weights = (1 << np.arange(bits)).astype(np.int64)
 
     def op(batches):
@@ -458,6 +490,7 @@ def hyperplane_lsh_pairs(
     threshold: float = 0.9,
     seed: int = 7,
     max_bucket: int = 64,
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """All-pairs near-dup at scale: candidates from any shared
     (table, bucket), verified with exact cosine ≥ threshold. The
@@ -472,7 +505,9 @@ def hyperplane_lsh_pairs(
     bucket stayed under the cap — recall loss concentrates on vectors
     that near-collide with thousands of others, i.e. dense clumps better
     served by clustering than pairwise dedup."""
-    buckets = hyperplane_buckets(corpus, id_col, vec_col, num_tables, bits, seed)
+    buckets = hyperplane_buckets(
+        corpus, id_col, vec_col, num_tables, bits, seed, plane_family
+    )
     buckets = cap_buckets(buckets, ["table", "bucket"], max_bucket)
     cands = (
         buckets.withColumnRenamed(id_col, "id_a")

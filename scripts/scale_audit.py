@@ -41,6 +41,9 @@ ENTRIES = [
     # r13: t02's pipeline under the md5-replayable base hash — same
     # stages shared-code, so the ratio should track t02's
     "t02b_minhash_lsh_md5_oracle",
+    # r13: t07b's hyperplane pipeline under md5-derived planes — the
+    # map-side-only signature pass + (table, bucket) self-join
+    "t07c_hyperplane_md5_oracle",
     "t19_corpus_curation",
     "t45_semantic_dedup",
     "t56_triangle_count",

@@ -61,6 +61,21 @@ def test_minhash_md5_family_finds_exact_near_dups(spark):
         assert r["jaccard"] >= 0.5
 
 
+def test_hyperplane_md5_family_finds_planted_pairs(spark):
+    """t07c (md5-derived planes) runs t07b's own pipeline, so it must
+    meet the same behavioral contract: every planted (v, v+1e6) pair
+    verified above threshold, and nothing below threshold reported."""
+    from datasheet_etl_spark.plans.training import t07c_hyperplane_md5_oracle
+
+    rows = t07c_hyperplane_md5_oracle(spark, SF_ORACLE).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    planted = {(v, v + 1_000_000) for v in range(50)}
+    missed = planted - got
+    assert not missed, f"md5-plane LSH missed planted near-dups: {missed}"
+    for r in rows:
+        assert r["cos_sim"] >= 0.9
+
+
 def test_simhash_finds_exact_near_dups(spark):
     from datasheet_etl_spark.plans.training import t03_dedup_simhash
 
