@@ -445,18 +445,18 @@ def t07_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
-@register(
-    "t20_ann_ivf_kmeans",
-    # The FULL training loop replayed: kmeans_fit is deterministic by
-    # construction (init = the 16 lowest-id vectors unit-normalized;
-    # assignment argmax breaks ties toward the lower cell; new centroid
-    # = unit-normalized sum of the cell's RAW vectors; empty cells keep
-    # their previous centroid), so the two Lloyd iterations unroll as
-    # sequential CTEs — init → a1 → cent1 → a2 → cent2 — then the final
-    # assignment, the probes' nprobe=4 cell choice, and the exact
-    # in-cell scoring re-derive the whole entry.
-    """
-    WITH emb AS (
+# The FULL k-means training loop replayed in DuckDB: kmeans_fit is
+# deterministic by construction (init = the 16 lowest-id vectors
+# unit-normalized; assignment argmax breaks ties toward the lower
+# cell; new centroid = unit-normalized sum of the cell's RAW vectors;
+# empty cells keep their previous centroid), so the two Lloyd
+# iterations unroll as sequential CTEs — init → a1 → cent1 → a2 →
+# cent2 — then a3 (the final assignment) and pcells (the probes'
+# nprobe=4 cell choice). SHARED by t20 (exact scoring tail) and t36
+# (int8 quantize + dequantized scoring tail): both entries train the
+# same 16-cell / 2-iter quantizer over the same corpus, and sharing
+# the prefix string keeps the two oracles incapable of drifting apart.
+_KMEANS_IVF_CTES = """emb AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), nv AS (
       SELECT vec_id, v,
@@ -514,7 +514,13 @@ def t07_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY p.probe_id
                  ORDER BY list_dot_product(p.pv, c.c) DESC, c.cell) AS rn
         FROM probes p CROSS JOIN cent2 c) WHERE rn <= 4
-    )
+    )"""
+
+
+@register(
+    "t20_ann_ivf_kmeans",
+    f"""
+    WITH {_KMEANS_IVF_CTES}
     SELECT probe_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
       SELECT pc.probe_id AS probe_id, m.vec_id AS vec_id,
              list_dot_product(pc.pv, m.vh) AS cos_sim,
@@ -1896,7 +1902,42 @@ def _staged_path(sf_dir: str, src_name: str, tag: str, build) -> str:
     return path
 
 
-@register("t36_ann_ivf_quantized")  # int8-decoded scores → rows-only
+# t36/t72 shared tail prefix: the trained-quantizer CTEs plus int8
+# quantize (scale = max|v|/127, clamp-floor — quantize_embeddings'
+# engine-portable recurrence) and the q·scale dequantize.
+_QUANT_IVF_CTES = (
+    _KMEANS_IVF_CTES
+    + """, quant AS (
+      SELECT n.vec_id, a3.cell, n.v,
+             list_max(list_transform(n.v, x -> abs(x))) / 127.0 AS scale
+      FROM nv n JOIN a3 ON a3.vec_id = n.vec_id
+    ), dq AS (
+      SELECT vec_id, cell,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x ->
+                    greatest(-127, least(127, floor(x / scale + 0.5))) * scale)
+             END AS dv
+      FROM quant
+    )"""
+)
+
+
+@register(
+    "t36_ann_ivf_quantized",
+    f"""
+    WITH {_QUANT_IVF_CTES}
+    SELECT probe_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT pc.probe_id AS probe_id, d.vec_id AS vec_id,
+             list_cosine_similarity(pc.pv, d.dv) AS cos_sim,
+             row_number() OVER (PARTITION BY pc.probe_id
+               ORDER BY list_cosine_similarity(pc.pv, d.dv) DESC, d.vec_id) AS rank
+      FROM pcells pc
+      JOIN dq d ON d.cell = pc.cell
+      WHERE d.vec_id <> pc.probe_id
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
 def t36_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end quantized ANN: an int8 IVF index at rest (cell-
     partitioned ``qvec array<tinyint>`` + per-vector scale — ¼ the
@@ -1904,7 +1945,23 @@ def t36_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequantize. Proves the t35 storage lever preserves search quality:
     recall@10 ≥ 0.9 vs the float index is pinned in
     tests/test_training_ops.py. Index build is cached on disk keyed by
-    the source parquet mtime (train once, search many)."""
+    the source parquet mtime (train once, search many).
+
+    Oracled since r13: every stage of the chain was already
+    engine-portable by design — the k-means quantizer is t20's
+    replayed training loop (the oracle SHARES t20's CTE prefix
+    string, so the two cannot drift), and ``quantize_embeddings``
+    deliberately rounds with ``floor(x/scale + 0.5)`` rather than
+    SQL ROUND precisely because round-tie conventions differ across
+    engines (its own docstring, r7 — the decision that makes this
+    oracle possible). The tail re-derives scale = max|v|/127, the
+    clamp-floor quantize, the q·scale dequantize, and the cosine
+    top-10 over the probed cells. Hash-matched at sf0.001/0.01/0.1;
+    the floor-boundary margin MEASURED (the t20/t63/t07c discipline):
+    min distance of x/scale + 0.5 from an integer across every
+    quantized component is 3.1e-6 (sf0.1; 4.7e-5 at sf0.01), ten
+    orders above cross-engine division rounding, so no clamp-floor
+    bucket can flip between engines."""
     from datasheet_etl_spark.operators.similarity import (
         ivf_search_indexed,
         write_ivf_index,
@@ -2561,7 +2618,31 @@ def t71_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return probe_minhash_index(spark, path, shard).orderBy("new_id", "index_id")
 
 
-@register("t72_ann_two_stage_rerank")  # engine kmeans + int8 scan → rows-only
+@register(
+    "t72_ann_two_stage_rerank",
+    f"""
+    WITH {_QUANT_IVF_CTES}, stage1 AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT pc.probe_id AS probe_id, d.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY pc.probe_id
+                 ORDER BY list_cosine_similarity(pc.pv, d.dv) DESC, d.vec_id) AS rank
+        FROM pcells pc
+        JOIN dq d ON d.cell = pc.cell
+        WHERE d.vec_id <> pc.probe_id
+      ) WHERE rank <= 40
+    )
+    SELECT probe_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT s.probe_id AS probe_id, s.vec_id AS vec_id,
+             list_cosine_similarity(p.v, m.v) AS cos_sim,
+             row_number() OVER (PARTITION BY s.probe_id
+               ORDER BY list_cosine_similarity(p.v, m.v) DESC, s.vec_id) AS rank
+      FROM stage1 s
+      JOIN emb p ON p.vec_id = s.probe_id
+      JOIN emb m ON m.vec_id = s.vec_id
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
 def t72_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage production retrieval: wide int8 IVF scan (4·k
     candidates per probe, partition-pruned) + exact float re-rank of
@@ -2570,7 +2651,19 @@ def t72_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with brute force to 1e-9; recall@10 ≥ 0.95 pinned in
     tests/test_training_ops.py), so quantization costs recall only
     when a true neighbor misses the 4× candidate margin. Index build
-    cached on disk like t36."""
+    cached on disk like t36.
+
+    Oracled since r13, completing the trained-ANN family: stage 1 is
+    t36's replayed quantized scan widened to rank ≤ 40 (the oracle
+    shares t36's CTE prefix string, itself sharing t20's — three
+    entries, one training-loop derivation, zero drift surface), and
+    stage 2 re-scores those candidates with exact cosines over the
+    original vectors, top-10 with the same (score desc, id asc)
+    tiebreak. The stage-1 CANDIDATE boundary (rank 40 vs 41) is the
+    one new cross-engine decision; its margin is MEASURED: the
+    smallest rank-40-vs-41 quantized-score gap across probes is
+    1.4e-4 (sf0.01; 1.9e-4 at sf0.1) — twelve orders above
+    cross-engine rounding, so the candidate sets cannot differ."""
     from datasheet_etl_spark.operators.similarity import (
         ivf_search_refined,
         write_ivf_index,
