@@ -44,6 +44,15 @@ ENTRIES = [
     # r13: t07b's hyperplane pipeline under md5-derived planes — the
     # map-side-only signature pass + (table, bucket) self-join
     "t07c_hyperplane_md5_oracle",
+    # r13 (first rows after their in-place oracle upgrades): the
+    # trained-ANN family — kmeans pass is corpus-linear (2 map-side
+    # partial-agg iterations), search is nprobe-pruned
+    "t20_ann_ivf_kmeans",
+    "t36_ann_ivf_quantized",
+    "t72_ann_two_stage_rerank",
+    # r13: MMR — distributed top-pool (corpus-linear scan) + bounded
+    # driver greedy; ratio should track the pool scan alone
+    "t63_mmr_select",
     "t19_corpus_curation",
     "t45_semantic_dedup",
     "t56_triangle_count",
