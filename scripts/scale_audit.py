@@ -53,6 +53,10 @@ ENTRIES = [
     # r13: MMR — distributed top-pool (corpus-linear scan) + bounded
     # driver greedy; ratio should track the pool scan alone
     "t63_mmr_select",
+    # r13: the Arrow-native seams — map-side-only kernel pass and the
+    # grouped one-shuffle reduce
+    "t130_arrow_native_map",
+    "t131_arrow_native_grouped",
     "t19_corpus_curation",
     "t45_semantic_dedup",
     "t56_triangle_count",

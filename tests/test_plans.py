@@ -864,3 +864,40 @@ def test_q66_sql_udf_inlines_no_eval_boundary(spark):
     for marker in ("EvalPython", "ScalaUDF", "PythonUDF"):
         assert marker not in plan, plan[:600]
     assert "HashAggregate" in plan
+
+
+def test_t130_t131_arrow_native_seams(spark):
+    """The Arrow-native seam pins: t130 must evaluate through
+    MapInArrow (RecordBatch map, no pandas) and t131 through
+    FlatMapGroupsInArrow (grouped Table apply) — and neither through
+    any pandas evaluation node. NULL text must propagate as SQL NULL
+    through the Arrow kernels."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.text import (
+        arrow_byte_stats,
+        arrow_grouped_stats,
+    )
+    from datasheet_etl_spark.plans.sql_extra import (
+        t130_arrow_native_map,
+        t131_arrow_native_grouped,
+    )
+
+    p130 = _plan(t130_arrow_native_map(spark, SF_SMOKE))
+    assert "MapInArrow" in p130, p130[:600]
+    assert "InPandas" not in p130, p130[:600]
+    p131 = _plan(t131_arrow_native_grouped(spark, SF_SMOKE))
+    assert "FlatMapGroupsInArrow" in p131, p131[:600]
+    assert "InPandas" not in p131, p131[:600]
+
+    df = spark.createDataFrame(
+        [(1, "Abé"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in arrow_byte_stats(df).collect()}
+    assert (rows[1]["n_chars"], rows[1]["n_bytes"], rows[1]["n_upper"]) == (3, 4, 1)
+    assert rows[2]["n_chars"] is None and rows[2]["n_bytes"] is None
+    assert (rows[3]["n_chars"], rows[3]["n_upper"]) == (0, 0)
+    g = arrow_grouped_stats(
+        df.select(F.lit("s").alias("source"), "text")
+    ).collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 3 and g[0]["total_bytes"] == 4
