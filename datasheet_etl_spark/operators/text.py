@@ -823,6 +823,18 @@ def arrow_grouped_stats(
         import pyarrow.compute as pc
 
         t = table.column(text_col)
+        # explicit output schema: a NULL group key (SQL groups NULLs
+        # together) or an all-NULL aggregate would otherwise infer a
+        # null-typed column and fail the seam's schema check
+        # (review-found r13)
+        schema = pa.schema(
+            [
+                (group_col, table.schema.field(group_col).type),
+                ("n_docs", pa.int64()),
+                ("total_bytes", pa.int64()),
+                ("max_chars", pa.int64()),
+            ]
+        )
         return pa.table(
             {
                 group_col: [table.column(group_col)[0].as_py()],
@@ -833,7 +845,8 @@ def arrow_grouped_stats(
                 "max_chars": [
                     pc.max(pc.utf8_length(t)).cast(pa.int64()).as_py()
                 ],
-            }
+            },
+            schema=schema,
         )
 
     return (

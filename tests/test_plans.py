@@ -901,3 +901,14 @@ def test_t130_t131_arrow_native_seams(spark):
         df.select(F.lit("s").alias("source"), "text")
     ).collect()
     assert len(g) == 1 and g[0]["n_docs"] == 3 and g[0]["total_bytes"] == 4
+    # NULL group key + all-NULL aggregates (review-found r13): a bare
+    # pa.table would infer null-typed columns and fail the seam's
+    # schema check; the explicit schema makes NULL groups behave like
+    # SQL GROUP BY (NULLs group together, empty aggregates are NULL)
+    dfn = spark.createDataFrame(
+        [(None, "ab"), ("s", None), (None, None)],
+        "source string, text string",
+    )
+    got = {r["source"]: (r["n_docs"], r["total_bytes"]) for r in
+           arrow_grouped_stats(dfn).collect()}
+    assert got == {None: (2, 2), "s": (1, None)}
