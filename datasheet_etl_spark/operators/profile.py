@@ -392,3 +392,68 @@ def psi_drift(
         )
         .orderBy("bucket")
     )
+
+
+def linear_fit(df: DataFrame, y: str, xs: Sequence[str]) -> DataFrame:
+    """Simple per-feature OLS fits (slope, intercept, R²) of ``y``
+    against each column in ``xs``, all from ONE scan: like
+    :func:`correlation_matrix`, every moment (n, Σx, Σy, Σxy, Σxx, Σyy)
+    lands in a single aggregate row and the fits are derived from the
+    moments — ``F.regr_slope`` per feature would read the table once
+    per feature, O(M) scans at 100 TB.
+
+    Moments are EXACT decimals (DECIMAL(14,3) values, product sums
+    accumulating at DECIMAL(38,6)), so the fit is identical under any
+    partitioning, task order, or engine — Spark's native ``regr_*``
+    aggregates accumulate in float and are summation-order-dependent,
+    which is why two runs of the same drift-regression can disagree in
+    the low-order digits at scale. The native family's SEMANTICS are
+    what this reproduces (pinned against ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` / ``regr_count`` within 1e-6 in
+    tests/test_plans.py):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+        intercept = (Σy − slope·Σx) / n
+        R²        = (n·Σxy − Σx·Σy)² / ((n·Σxx − Σx²)(n·Σyy − Σy²))
+
+    Returns (x_col, n, slope, intercept, r2), one row per feature,
+    rounded to 6 places; slope/R² are NULL for a zero-variance
+    feature. Assumes complete columns (the correlation_matrix caveat:
+    SQL sum skips NULLs, so pairwise moments would disagree on n).
+    """
+    cols = [y, *xs]
+    dec = df.select(*[F.col(c).cast("decimal(14,3)").alias(c) for c in cols])
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
+    aggs.append(F.sum(F.col(y) * F.col(y)).alias("_p_yy"))
+    for x in xs:
+        aggs.append(F.sum(F.col(x) * F.col(x)).alias(f"_p_{x}_{x}"))
+        aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"_p_{x}_y"))
+    row = dec.agg(*aggs).select(
+        "_n",
+        *[F.col(f"_s_{c}").cast("double").alias(f"_s_{c}") for c in cols],
+        F.col("_p_yy").cast("double").alias("_p_yy"),
+        *[F.col(f"_p_{x}_{x}").cast("double").alias(f"_p_{x}_{x}") for x in xs],
+        *[F.col(f"_p_{x}_y").cast("double").alias(f"_p_{x}_y") for x in xs],
+    )
+
+    def _fit(x: str) -> Column:
+        n = F.col("_n")
+        sx, sy = F.col(f"_s_{x}"), F.col(f"_s_{y}")
+        num = n * F.col(f"_p_{x}_y") - sx * sy
+        dx = n * F.col(f"_p_{x}_{x}") - sx * sx
+        dy = n * F.col("_p_yy") - sy * sy
+        slope = num / F.nullif(dx, F.lit(0.0))
+        return F.struct(
+            F.lit(x).alias("x_col"),
+            n.cast("long").alias("n"),
+            F.round(slope, 6).alias("slope"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+            F.round(num * num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("r2"),
+        )
+
+    return (
+        row.select(F.explode(F.array(*[_fit(x) for x in xs])).alias("_fit"))
+        .select("_fit.*")
+    )

@@ -248,6 +248,47 @@ def hll_estimate(sketches: DataFrame, out_col: str = "n_distinct") -> DataFrame:
 # DuckDB oracle replays the identical expressions).
 
 
+def bitmap_page_partials(
+    df: DataFrame, keys: Sequence[str], col: str
+) -> DataFrame:
+    """Per-(keys, page) EXACT membership bitmaps over an integer
+    column: ``bitmap_bucket_number`` splits the value domain into
+    32768-bit pages, ``bitmap_bit_position`` sets the in-page bit, and
+    ``bitmap_construct_agg`` builds one fixed-size (≤4 KB) binary page
+    per group — the exact counterpart of :func:`hll_partials` in the
+    same mergeable-partials algebra. Partials from different shards,
+    days, or table versions OR together losslessly
+    (:func:`bitmap_distinct_grouped` merges with ``bitmap_or_agg``),
+    so incremental maintenance shuffles pages, never raw values.
+    Output: keys + ``_page`` + ``_bm``."""
+    return (
+        df.select(
+            *keys,
+            F.expr(f"bitmap_bucket_number({col})").alias("_page"),
+            F.expr(f"bitmap_bit_position({col})").alias("_pos"),
+        )
+        .groupBy(*keys, "_page")
+        .agg(F.expr("bitmap_construct_agg(_pos)").alias("_bm"))
+    )
+
+
+def bitmap_distinct_grouped(
+    partials: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """EXACT per-key distinct counts from bitmap page partials: OR
+    same-page bitmaps across partials, then sum each key's page
+    popcounts. Unlike ``count(DISTINCT)`` (shuffles raw values) or HLL
+    (constant-size but approximate), the bitmap path is exact AND
+    fixed-size per page — the right tool for dense integer domains.
+    Output: keys + ``n_distinct`` (BIGINT)."""
+    merged = partials.groupBy(*keys, "_page").agg(
+        F.expr("bitmap_or_agg(_bm)").alias("_bm")
+    )
+    return merged.groupBy(*keys).agg(
+        F.expr("CAST(sum(bitmap_count(_bm)) AS BIGINT)").alias("n_distinct")
+    )
+
+
 def hist_frame(df: DataFrame, col: str) -> tuple[float, float]:
     """The fixed value frame (min, max) the histogram family requires —
     one aggregate pass, a single collected row (bounded)."""

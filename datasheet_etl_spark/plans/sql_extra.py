@@ -5173,3 +5173,248 @@ def t129_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 session-3: error-safe expressions, aggregate breadth, exact-stats ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_try_arithmetic",
+    """
+    WITH staged AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             CASE WHEN l_linenumber % 3 = 0
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+                  ELSE concat('#', l_returnflag) END AS price_str,
+             CASE WHEN l_linenumber % 2 = 0
+                  THEN CAST(CAST(l_shipdate AS DATE) AS VARCHAR)
+                  ELSE 'not-a-date' END AS date_str
+      FROM lineitem WHERE l_orderkey % 19 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - 25, 0) AS safe_ratio,
+           CASE WHEN 2147483645 + CAST(l_linenumber AS BIGINT) > 2147483647
+                THEN NULL
+                ELSE CAST(2147483645 + l_linenumber AS INTEGER) END
+             AS safe_add,
+           TRY_CAST(price_str AS DECIMAL(11,2)) AS safe_num,
+           ([l_quantity, l_extendedprice])[l_linenumber] AS safe_elem,
+           TRY_CAST(date_str AS DATE) AS safe_date
+    FROM staged
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q68_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` error-safe expression family — the ANSI-mode
+    survival kit: ``try_divide`` (÷0 → NULL), ``try_add`` (int32
+    overflow → NULL), ``try_to_number`` (malformed numeric string →
+    NULL), ``try_element_at`` (out-of-bounds index → NULL) and
+    ``try_to_timestamp`` (unparseable date → NULL), each exercised on
+    rows engineered to hit BOTH arms. The 100 TB point: under ANSI
+    semantics a single malformed row kills the task, the stage retries
+    the same data, and a 1000-executor job dies hours in — ``try_*``
+    converts the poison row into a NULL the pipeline can quarantine
+    (t105's streaming quarantine is the downstream half of this
+    pattern). The oracle states each NULL contract independently:
+    nullif-guarded division, BIGINT-checked overflow, TRY_CAST for
+    number/date parsing, native 1-based out-of-bounds list indexing.
+    Row-level output on purpose — every value (including each NULL) is
+    hash-graded; non-NULL doubles are single IEEE ops, bit-identical
+    across engines. Scale shape: one pushdown-filtered scan, no
+    shuffle, no aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q68_lineitem"
+    )
+    return spark.sql(
+        """
+        WITH staged AS (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 CASE WHEN l_linenumber % 3 = 0
+                      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                AS STRING)
+                      ELSE concat('#', l_returnflag) END AS price_str,
+                 CASE WHEN l_linenumber % 2 = 0
+                      THEN CAST(CAST(l_shipdate AS DATE) AS STRING)
+                      ELSE 'not-a-date' END AS date_str
+          FROM q68_lineitem WHERE l_orderkey % 19 = 0
+        )
+        SELECT l_orderkey, l_linenumber,
+               try_divide(l_extendedprice, l_quantity - 25) AS safe_ratio,
+               try_add(CAST(2147483645 AS INT), CAST(l_linenumber AS INT))
+                 AS safe_add,
+               try_to_number(price_str, '999999999.99') AS safe_num,
+               try_element_at(array(l_quantity, l_extendedprice),
+                              CAST(l_linenumber AS INT)) AS safe_elem,
+               CAST(try_to_timestamp(date_str) AS DATE) AS safe_date
+        FROM staged
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
+
+
+@register(
+    "q69_boolean_bitwise_aggs",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 5000.0) AS all_above_floor,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           bit_and(o_orderkey) AS key_bit_and,
+           bit_or(o_orderkey) AS key_bit_or,
+           bit_xor(o_orderkey) AS key_bit_xor,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q69_boolean_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregate breadth: ``bool_and`` /
+    ``bool_or`` (the data-quality "does EVERY/ANY row in this group
+    satisfy the gate" primitives — t43's expectations engine in single
+    aggregate form) and ``bit_and`` / ``bit_or`` / ``bit_xor`` over a
+    BIGINT key — all five exact, associative-commutative, and so
+    order-independent under any partitioning (unlike float sums, a
+    bitwise fold cannot depend on task order). ``every``/``any``/
+    ``some`` are parser aliases of the first two, pinned in
+    tests/test_plans.py. Scale shape: one scan, partial-agged (all
+    five combine map-side), one 5-group exchange."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q69_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 5000.0) AS all_above_floor,
+               bool_or(o_orderstatus = 'P') AS any_pending,
+               bit_and(o_orderkey) AS key_bit_and,
+               bit_or(o_orderkey) AS key_bit_or,
+               bit_xor(o_orderkey) AS key_bit_xor,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM q69_orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q70_width_bucket_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 25
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q70_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``width_bucket`` equi-width histogram: 24 buckets over a fixed
+    [0, 600000) price grid plus the two sentinel buckets (0 below, 25
+    at-or-above the ceiling) — the native form of the fixed-grid
+    bucketing t60's PSI drift monitor builds by hand, and the same
+    "grid is data-INDEPENDENT" reproducibility argument: quantile
+    buckets drift with the data, a fixed grid compares across corpus
+    versions. DuckDB has no width_bucket, so the oracle states the
+    function's exact contract in arithmetic (floor of one IEEE
+    division — deterministic both engines; Spark's upper bound is
+    exclusive at the ceiling sentinel n+1). Sums in DECIMAL(18,2) per
+    the q11 discipline. Scale shape: one scan, a ~26-group partial
+    agg — the histogram an executor fleet computes with kilobytes of
+    exchange regardless of corpus size."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(24)
+            ).alias("bucket"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_T133_XS = ("l_quantity", "l_discount", "l_tax")
+
+
+def _t133_sql() -> str:
+    """DuckDB mirror of linear_fit's exact-decimal moments and double
+    derivation — the t59 discipline: identical DECIMAL(14,3) casts,
+    (38,6)-accumulated product sums, and the same double expression
+    tree, so both engines derive identical fits bit-for-bit."""
+    y = "l_extendedprice"
+    m = ["CAST(count(*) AS DOUBLE) AS n"]
+    m.append(f"sum(CAST({y} AS DECIMAL(14,3))) AS s_y")
+    m.append(
+        f"sum(CAST(CAST({y} AS DECIMAL(14,3)) * CAST({y} AS DECIMAL(14,3))"
+        f" AS DECIMAL(38,6))) AS p_yy"
+    )
+    for x in _T133_XS:
+        m.append(f"sum(CAST({x} AS DECIMAL(14,3))) AS s_{x}")
+        m.append(
+            f"sum(CAST(CAST({x} AS DECIMAL(14,3)) * CAST({x} AS DECIMAL(14,3))"
+            f" AS DECIMAL(38,6))) AS p_{x}_{x}"
+        )
+        m.append(
+            f"sum(CAST(CAST({x} AS DECIMAL(14,3)) * CAST({y} AS DECIMAL(14,3))"
+            f" AS DECIMAL(38,6))) AS p_{x}_y"
+        )
+    selects = []
+    for x in _T133_XS:
+        num = (
+            f"(n * CAST(p_{x}_y AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_y AS DOUBLE))"
+        )
+        dx = (
+            f"(n * CAST(p_{x}_{x} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+        )
+        dy = (
+            "(n * CAST(p_yy AS DOUBLE)"
+            " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))"
+        )
+        slope = f"({num} / nullif({dx}, 0.0))"
+        selects.append(
+            f"SELECT '{x}' AS x_col, CAST(n AS BIGINT) AS n, "
+            f"round({slope}, 6) AS slope, "
+            f"round((CAST(s_y AS DOUBLE) - {slope} * CAST(s_{x} AS DOUBLE))"
+            f" / n, 6) AS intercept, "
+            f"round({num} * {num} / nullif({dx} * {dy}, 0.0), 6) AS r2 "
+            f"FROM m"
+        )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(m)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY x_col"
+    )
+
+
+@register("t133_linear_fit", _t133_sql())
+def t133_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature OLS fits (slope, intercept, R²) of price against
+    three lineitem measures in ONE scan — t59's exact-decimal-moment
+    discipline applied to Spark's ``regr_*`` aggregate family: the
+    native ``regr_slope``/``regr_intercept``/``regr_r2`` accumulate in
+    float (summation-order-dependent — two runs of the same drift
+    regression can disagree in the low digits at scale, and a DuckDB
+    hash-compare would be flaky by construction), so the registry
+    entry derives the SAME statistics from exact decimal moments and
+    the native family is pinned against it within 1e-6 in
+    tests/test_plans.py — semantics graded, reproducibility kept.
+    The training-pipeline use is t60's sibling: fit quality-vs-length
+    (or loss-vs-mixture-weight) slopes per corpus version and alarm on
+    sign flips. Scale shape: one scan, ONE aggregate row (11 decimal
+    moments), fits derived driver-side-free via explode — versus one
+    full scan per feature for the naive ``regr_*`` loop."""
+    from datasheet_etl_spark.operators.profile import linear_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return linear_fit(li, "l_extendedprice", list(_T133_XS)).orderBy("x_col")

@@ -912,3 +912,118 @@ def test_t130_t131_arrow_native_seams(spark):
     got = {r["source"]: (r["n_docs"], r["total_bytes"]) for r in
            arrow_grouped_stats(dfn).collect()}
     assert got == {None: (2, 2), "s": (1, None)}
+
+
+def test_q68_try_family_hits_both_arms(spark):
+    """Each try_* column must exercise BOTH the NULL (error-absorbed)
+    and the value arm on the real data — otherwise the entry grades
+    nothing. Also pins the exact overflow boundary: try_add goes NULL
+    iff 2147483645 + l_linenumber exceeds int32."""
+    from datasheet_etl_spark.plans.sql_extra import q68_try_arithmetic
+
+    rows = q68_try_arithmetic(spark, SF_SMOKE).collect()
+    assert rows
+    for c in ("safe_ratio", "safe_add", "safe_num", "safe_elem", "safe_date"):
+        nulls = sum(1 for r in rows if r[c] is None)
+        assert 0 < nulls < len(rows), (c, nulls, len(rows))
+    for r in rows:
+        assert (r["safe_add"] is None) == (r["l_linenumber"] >= 3), r
+        assert (r["safe_elem"] is None) == (r["l_linenumber"] > 2), r
+
+
+def test_q69_every_any_some_are_parser_aliases(spark):
+    """every/any/some are parser aliases of bool_and/bool_or — swept
+    here so q69's oracle only needs the canonical pair."""
+    df = spark.createDataFrame(
+        [(1, True), (1, False), (2, True)], "k int, b boolean"
+    )
+    df.createOrReplaceTempView("q69_alias_t")
+    rows = spark.sql(
+        """
+        SELECT k, every(b) AS e, any(b) AS a, some(b) AS s,
+               bool_and(b) AS ba, bool_or(b) AS bo
+        FROM q69_alias_t GROUP BY k ORDER BY k
+        """
+    ).collect()
+    for r in rows:
+        assert r["e"] == r["ba"] and r["a"] == r["bo"] and r["s"] == r["bo"], r
+    assert (rows[0]["ba"], rows[0]["bo"]) == (False, True)
+    assert (rows[1]["ba"], rows[1]["bo"]) == (True, True)
+
+
+def test_q70_width_bucket_sentinel_arms(spark):
+    """The sf data never leaves [1320, 499706], so the oracle's two
+    sentinel arms (0 below the grid, n+1 at-or-above the ceiling) are
+    pinned here on constructed values, including the exact-ceiling
+    boundary Spark treats as out-of-range."""
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (599999.99,), (600000.0,), (700000.0,)], "v double"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            F.width_bucket(F.col("v"), F.lit(0.0), F.lit(600000.0), F.lit(24))
+            .alias("b")
+        ).collect()
+    ]
+    assert got == [0, 1, 24, 25, 25], got
+
+
+def test_t132_bitmap_exact_across_pages_and_shards(spark):
+    """The bitmap path must be exact across 32768-bit page boundaries
+    and across shard merges: values spanning three pages, duplicated
+    across two shards, must reproduce countDistinct bit-for-bit. Also
+    pins the plan shape: the construct/OR levels are real aggregate
+    nodes over page bitmaps, and the exact count needs no
+    Expand (q24's multi-distinct rewrite) anywhere."""
+    from datasheet_etl_spark.operators.sketches import (
+        bitmap_distinct_grouped,
+        bitmap_page_partials,
+    )
+
+    vals = [1, 2, 3, 32768, 32769, 70000, 1, 32768]  # dups on purpose
+    df = spark.createDataFrame(
+        [(k, s, v) for k in ("a", "b") for s in (0, 1) for v in vals],
+        "k string, shard int, v long",
+    )
+    out = bitmap_distinct_grouped(
+        bitmap_page_partials(df, ["k", "shard"], "v"), ["k"]
+    )
+    rows = {r["k"]: r["n_distinct"] for r in out.collect()}
+    assert rows == {"a": 6, "b": 6}, rows
+    plan = _plan(out)
+    assert "bitmap_construct_agg" in plan and "bitmap_or_agg" in plan, plan[:600]
+    assert "Expand" not in plan, plan[:600]
+
+
+def test_t133_matches_native_regr_family_single_scan(spark):
+    """t133's exact-decimal fits must agree with Spark's native
+    regr_slope/regr_intercept/regr_r2/regr_count within 1e-6 — the
+    entry grades the family's SEMANTICS while keeping the
+    order-independent derivation the DuckDB hash-compare needs. Plan
+    pin: all three fits come from ONE FileScan (the naive regr_* loop
+    would scan once per feature)."""
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.operators.profile import linear_fit
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    fits = {r["x_col"]: r for r in
+            linear_fit(li, "l_extendedprice", ["l_quantity", "l_discount"])
+            .collect()}
+    nat = li.agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("sl"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("ic"),
+        F.regr_r2("l_extendedprice", "l_quantity").alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        F.regr_slope("l_extendedprice", "l_discount").alias("sl2"),
+    ).first()
+    q = fits["l_quantity"]
+    assert abs(q["slope"] - nat["sl"]) <= 1e-6, (q["slope"], nat["sl"])
+    assert abs(q["intercept"] - nat["ic"]) <= 1e-6 * max(1, abs(nat["ic"]))
+    assert abs(q["r2"] - nat["r2"]) <= 1e-6
+    assert q["n"] == nat["n"]
+    assert abs(fits["l_discount"]["slope"] - nat["sl2"]) <= 1e-6 * max(
+        1, abs(nat["sl2"])
+    )
+    plan = _plan(linear_fit(li, "l_extendedprice", ["l_quantity", "l_discount"]))
+    assert plan.count("FileScan") == 1, plan[:800]
