@@ -5418,3 +5418,45 @@ def t133_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return linear_fit(li, "l_extendedprice", list(_T133_XS)).orderBy("x_col")
+
+
+@register(
+    "q71_lateral_join_api",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber
+        LIMIT 2
+    ) l
+    ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber
+    """,
+)
+def q71_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.lateralJoin`` — the Spark 4 DF-API form of q37's
+    SQL LATERAL, deliberately run with a LARGE driving side (every
+    order) to grade the part q37's scale note could only caveat:
+    Catalyst DECORRELATES the correlated ordered-LIMIT subquery into
+    a WindowGroupLimit top-k (map-side partial group-limit BEFORE the
+    shuffle, the q16 plan) plus an equi-join — so the API that reads
+    like "re-run a subquery per driving row" executes as one bounded
+    window pass, never a per-row nested loop. Plan-pinned in
+    tests/test_plans.py (WindowGroupLimit present, no
+    BroadcastNestedLoopJoin). Ties cannot occur in the top-2 cut
+    (l_linenumber is unique per order), so the selected set is
+    deterministic in both engines."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    top2 = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber"))
+        .limit(2)
+        .select("l_linenumber", "l_extendedprice")
+    )
+    return od.lateralJoin(top2, how="inner").orderBy(
+        "o_orderkey", F.col("l_extendedprice").desc(), "l_linenumber"
+    )

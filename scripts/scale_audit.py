@@ -205,6 +205,22 @@ ENTRIES = [
     # bucket with merge_asof(by=key) vectorizing the per-key align;
     # the Python seam is the graded surface (t126's rationale)
     "t129_cogroup_asof",
+    # r13 session 3: the try_* family (one filtered map-only scan —
+    # output ∝ selected rows), boolean/bitwise aggregates and the
+    # width_bucket histogram (both partial-agged single scans with
+    # O(groups) exchange), bitmap exact-distinct (fixed 4KB pages
+    # shuffle, never raw values — ratio should track t124's), and the
+    # one-aggregate-row OLS fit (t59's shape: scan-linear, exchange
+    # is 11 decimal moments)
+    "q68_try_arithmetic",
+    "q69_boolean_bitwise_aggs",
+    "q70_width_bucket_histogram",
+    "t132_bitmap_distinct",
+    "t133_linear_fit",
+    # r13 session 3: DF-API lateralJoin with a LARGE driving side —
+    # decorrelated to WindowGroupLimit top-k + equi-join, so the
+    # expected shape is one bounded window pass (output ∝ orders)
+    "q71_lateral_join_api",
 ]
 
 # per-table key columns to offset so copies don't collide

@@ -1027,3 +1027,103 @@ def test_t133_matches_native_regr_family_single_scan(spark):
     )
     plan = _plan(linear_fit(li, "l_extendedprice", ["l_quantity", "l_discount"]))
     assert plan.count("FileScan") == 1, plan[:800]
+
+
+def test_q71_lateral_decorrelates_to_window_group_limit(spark):
+    """The DF-API lateralJoin's scale claim: the correlated
+    ordered-LIMIT subquery must decorrelate into a WindowGroupLimit
+    top-k (map-side partial group-limit) + equi-join — never a per-row
+    nested loop over the driving side."""
+    from datasheet_etl_spark.plans.sql_extra import q71_lateral_join_api
+
+    plan = _plan(q71_lateral_join_api(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_spark4_df_api_forms_match_graded_sql(spark):
+    """Spark 4 DF-API sweeps: each form must be semantically identical
+    to the SQL surface the registry already grades — groupingSets ≡
+    q52's GROUPING SETS, scalar()/exists() subquery builders ≡ q44's
+    correlated subqueries, transpose ≡ a hand-built pivot of a tiny
+    moments frame."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+
+    od = load_table(spark, SF_SMOKE, "orders")
+
+    # groupingSets DF API vs SQL GROUPING SETS
+    api = (
+        od.groupingSets(
+            [["o_orderpriority"], []], F.col("o_orderpriority")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    od.createOrReplaceTempView("gs_orders")
+    sql = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), ())
+        """
+    ).collect()
+    canon = lambda rows: sorted(
+        (r["o_orderpriority"] or "", r["n"]) for r in rows
+    )
+    assert canon(api) == canon(sql)
+
+    # scalar()/exists() builders vs the correlated SQL forms
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    big = li.where(
+        (F.col("l_orderkey") == F.col("o_orderkey").outer())
+        & (F.col("l_quantity") > 45)
+    )
+    api_rows = (
+        od.where(big.exists()).select("o_orderkey").collect()
+    )
+    li.createOrReplaceTempView("ex_lineitem")
+    sql_rows = spark.sql(
+        """
+        SELECT o_orderkey FROM gs_orders o
+        WHERE EXISTS (SELECT 1 FROM ex_lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+        """
+    ).collect()
+    assert sorted(r[0] for r in api_rows) == sorted(r[0] for r in sql_rows)
+    assert api_rows  # non-vacuous
+
+    counts = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .select(F.count(F.lit(1)).alias("c"))
+    )
+    api_c = {
+        r["o_orderkey"]: r["n_items"]
+        for r in od.select(
+            "o_orderkey", counts.scalar().alias("n_items")
+        ).collect()
+    }
+    sql_c = {
+        r["o_orderkey"]: r["n_items"]
+        for r in spark.sql(
+            """
+            SELECT o_orderkey,
+                   (SELECT count(*) FROM ex_lineitem
+                    WHERE l_orderkey = o.o_orderkey) AS n_items
+            FROM gs_orders o
+            """
+        ).collect()
+    }
+    assert api_c == sql_c
+
+    # transpose: tiny stats frame — first column becomes the header row
+    stats = od.agg(
+        F.lit("orders").alias("metric"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    t = stats.transpose()
+    got = {r[0]: r["orders"] for r in t.collect()}
+    base = stats.first()
+    assert got == {"n": base["n"], "max_price": base["max_price"]}, got
