@@ -5460,3 +5460,52 @@ def q71_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.lateralJoin(top2, how="inner").orderBy(
         "o_orderkey", F.col("l_extendedprice").desc(), "l_linenumber"
     )
+
+
+@register(
+    "t134_observe_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) FILTER (WHERE n_chars >= 200) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) FILTER (WHERE n_chars >= 200) AS BIGINT)
+             AS kept_chars
+    FROM documents
+    """,
+)
+def t134_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``observe()`` pipeline health metrics, DuckDB-oracled: two
+    Observations attached at two plan points (the raw scan, and after
+    the curation filter) are both populated by ONE action — rows
+    in/out and byte volume per stage with NO second scan and no
+    accumulator double-count under task retry (``pipeline.observed``,
+    the reference's mutable stats counters re-expressed; survey §4).
+    The 100 TB point is the cost model: a pipeline that recomputes its
+    stage counters with a follow-up ``count()`` pays a second full
+    pass per stage — observe() metrics ride the job that already ran,
+    so per-stage telemetry is FREE at any corpus size. The returned
+    1-row frame is the observed metrics themselves; the oracle
+    recomputes all four from the table, so the grade checks that
+    observed values equal ground truth (exact counts + integer sums —
+    deterministic under any partitioning)."""
+    from datasheet_etl_spark.pipeline import observed
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged, obs_in = observed(
+        docs,
+        "t134_in",
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    kept, obs_out = observed(
+        staged.filter(F.col("n_chars") >= 200),
+        "t134_out",
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    kept.write.format("noop").mode("overwrite").save()  # the ONE action
+    m = {**obs_in.get, **obs_out.get}
+    return spark.createDataFrame(
+        [(m["n_docs"], m["total_chars"], m["n_kept"], m["kept_chars"])],
+        "n_docs long, total_chars long, n_kept long, kept_chars long",
+    )

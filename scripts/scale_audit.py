@@ -221,6 +221,9 @@ ENTRIES = [
     # decorrelated to WindowGroupLimit top-k + equi-join, so the
     # expected shape is one bounded window pass (output ∝ orders)
     "q71_lateral_join_api",
+    # r13 session 3: observe() metrics riding one noop-write action —
+    # a single corpus scan, metrics exchange is O(1)
+    "t134_observe_metrics",
 ]
 
 # per-table key columns to offset so copies don't collide
