@@ -264,11 +264,11 @@ def bitmap_page_partials(
     return (
         df.select(
             *keys,
-            F.expr(f"bitmap_bucket_number({col})").alias("_page"),
-            F.expr(f"bitmap_bit_position({col})").alias("_pos"),
+            F.bitmap_bucket_number(F.col(col)).alias("_page"),
+            F.bitmap_bit_position(F.col(col)).alias("_pos"),
         )
         .groupBy(*keys, "_page")
-        .agg(F.expr("bitmap_construct_agg(_pos)").alias("_bm"))
+        .agg(F.bitmap_construct_agg(F.col("_pos")).alias("_bm"))
     )
 
 
@@ -282,10 +282,10 @@ def bitmap_distinct_grouped(
     fixed-size per page — the right tool for dense integer domains.
     Output: keys + ``n_distinct`` (BIGINT)."""
     merged = partials.groupBy(*keys, "_page").agg(
-        F.expr("bitmap_or_agg(_bm)").alias("_bm")
+        F.bitmap_or_agg(F.col("_bm")).alias("_bm")
     )
     return merged.groupBy(*keys).agg(
-        F.expr("CAST(sum(bitmap_count(_bm)) AS BIGINT)").alias("n_distinct")
+        F.sum(F.bitmap_count(F.col("_bm"))).cast("long").alias("n_distinct")
     )
 
 
