@@ -216,22 +216,46 @@ def write_range_sorted(
 
 
 def compact_small_files(
-    spark: SparkSession, path: str, target_files: int
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    *,
+    target_mb: int | None = None,
 ) -> int:
-    """Rewrite a parquet directory into ``target_files`` files and
-    return the file count before compaction. The small-files antidote:
-    streaming sinks and fine-grained appends accrete kilobyte files
-    whose per-file open/footer cost eventually dominates scans (and
-    whose count is a driver-memory burden at listing time). Rewrite via
-    a temp sibling directory, then swap with two renames (old table is
-    renamed aside BEFORE the new one takes its place). The data is
-    never deleted before the swap completes: a crash leaves the
-    original table (possibly as ``__old``), and a RERUN self-heals —
+    """Rewrite a parquet directory into fewer files and return the file
+    count before compaction. The small-files antidote: streaming sinks
+    and fine-grained appends accrete kilobyte files whose per-file
+    open/footer cost eventually dominates scans (and whose count is a
+    driver-memory burden at listing time).
+
+    Two sizing modes, and the choice matters at scale:
+
+    - ``target_files=N`` — ``coalesce(N)``: no shuffle, but the scan
+      runs through at most N tasks (reads serialize) and file sizes
+      inherit whatever skew the input partitions carry. Right for
+      small-to-medium tables where N is comfortably parallel.
+    - ``target_mb=M`` — AQE REBALANCE to an advisory partition size:
+      one shuffle, but reads stay fully parallel and AQE both COALESCES
+      undersized and SPLITS oversized shuffle partitions toward M MB,
+      so output files are evenly sized with NO file-count guess. Right
+      for large tables, where picking N requires knowing the data size
+      anyway and a skewed partition would otherwise become one huge
+      file. (Advisory sizing is estimated on compressed shuffle bytes —
+      file sizes land near M, not exactly on it.)
+
+    Rewrite via a temp sibling directory, then swap with two renames
+    (old table is renamed aside BEFORE the new one takes its place).
+    The data is never deleted before the swap completes: a crash leaves
+    the original table (possibly as ``__old``), and a RERUN self-heals —
     the recovery branch below restores ``__old`` to ``path`` if a
     previous attempt died between the two renames."""
     import os
     import shutil
 
+    if (target_files is None) == (target_mb is None):
+        raise ValueError(
+            "compact_small_files: pass exactly one of target_files / target_mb"
+        )
     tmp = f"{path}__compacting"
     old = f"{path}__old"
     if not os.path.exists(path) and os.path.exists(old):
@@ -243,9 +267,20 @@ def compact_small_files(
     before = [
         f for f in os.listdir(path) if f.endswith(".parquet")
     ]
-    spark.read.parquet(path).coalesce(target_files).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    df = spark.read.parquet(path)
+    if target_mb is not None:
+        advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        prev = spark.conf.get(advisory, None)
+        spark.conf.set(advisory, f"{target_mb * 1024 * 1024}b")
+        try:
+            df.hint("rebalance").write.mode("overwrite").parquet(tmp)
+        finally:
+            if prev is None:
+                spark.conf.unset(advisory)
+            else:
+                spark.conf.set(advisory, prev)
+    else:
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)  # leftover from a prior crashed compaction
     os.rename(path, old)

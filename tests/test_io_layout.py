@@ -68,6 +68,38 @@ def test_compact_small_files(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == docs.count()
 
 
+def test_compact_small_files_rebalance_mode(spark, tmp_path):
+    """Size-based compaction: AQE REBALANCE sizes output toward
+    target_mb with no file-count guess — data survives bit-for-bit,
+    the file count drops, the advisory conf is restored afterwards,
+    and the mode exclusivity guard fires."""
+    import pytest
+
+    from datasheet_etl_spark.io import compact_small_files, load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "fragmented_mb")
+    for i in range(6):
+        docs.filter(F.col("doc_id") % 6 == i).coalesce(1).write.parquet(
+            path, mode="append"
+        )
+    advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(advisory, None)
+    n_before = compact_small_files(spark, path, target_mb=64)
+    assert n_before == 6
+    assert spark.conf.get(advisory, None) == prev
+    files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    # the whole sf-smoke table is far below 64 MB: AQE coalesces to one
+    assert len(files_after) < 6
+    got = spark.read.parquet(path)
+    assert got.count() == docs.count()
+    assert got.select("doc_id").distinct().count() == docs.count()
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_small_files(spark, path)
+    with pytest.raises(ValueError, match="exactly one"):
+        compact_small_files(spark, path, target_files=2, target_mb=64)
+
+
 def test_read_json_lenient_quarantines_corrupt(spark, tmp_path):
     """PERMISSIVE read: clean rows parse, malformed lines land in the
     corrupt column verbatim, and clean+bad partitions the input."""

@@ -1127,3 +1127,62 @@ def test_spark4_df_api_forms_match_graded_sql(spark):
     got = {r[0]: r["orders"] for r in t.collect()}
     base = stats.first()
     assert got == {"n": base["n"], "max_price": base["max_price"]}, got
+
+
+def test_sql_distribution_clauses_and_join_hints(spark):
+    """The physical-distribution parser arms: DISTRIBUTE BY must plan a
+    hash exchange, SORT BY a per-partition (non-global) sort, CLUSTER
+    BY both; the SQL join-strategy hints must override Catalyst's
+    choice in BOTH directions (BROADCAST forces a broadcast join under
+    a disabled threshold; SHUFFLE_MERGE forces sort-merge on a
+    broadcastable dimension); REBALANCE must plan the AQE rebalance
+    exchange compact_small_files' size-based mode rides. All are
+    value-neutral directives — row counts pinned unchanged."""
+    from datasheet_etl_spark.io import load_table
+
+    load_table(spark, SF_SMOKE, "orders").createOrReplaceTempView(
+        "dist_orders"
+    )
+    load_table(spark, SF_SMOKE, "nation").createOrReplaceTempView(
+        "dist_nation"
+    )
+    load_table(spark, SF_SMOKE, "customer").createOrReplaceTempView(
+        "dist_customer"
+    )
+
+    d = spark.sql("SELECT * FROM dist_orders DISTRIBUTE BY o_custkey")
+    assert "Exchange hashpartitioning(o_custkey" in _plan(d), _plan(d)[:400]
+
+    s = spark.sql("SELECT * FROM dist_orders SORT BY o_orderdate")
+    ps = _plan(s)
+    assert re.search(r"Sort \[o_orderdate.*\], false", ps), ps[:400]
+    assert "Exchange rangepartitioning" not in ps  # not a global ORDER BY
+
+    c = spark.sql("SELECT * FROM dist_orders CLUSTER BY o_custkey")
+    pc = _plan(c)
+    assert "Exchange hashpartitioning(o_custkey" in pc, pc[:400]
+    assert re.search(r"Sort \[o_custkey.*\], false", pc), pc[:400]
+
+    q = """
+        SELECT {hint} count(*) AS n
+        FROM dist_customer c JOIN dist_nation n
+          ON c.c_nationkey = n.n_nationkey
+    """
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = spark.sql(q.format(hint="/*+ BROADCAST(n) */"))
+        assert "BroadcastHashJoin" in _plan(hinted)
+        bare = spark.sql(q.format(hint=""))
+        assert "BroadcastHashJoin" not in _plan(bare)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    merged = spark.sql(q.format(hint="/*+ SHUFFLE_MERGE(n) */"))
+    assert "SortMergeJoin" in _plan(merged)
+    n_rows = merged.first()["n"]
+    assert n_rows == hinted.first()["n"] > 0
+
+    r = spark.sql("SELECT /*+ REBALANCE */ * FROM dist_orders")
+    pr = r._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in pr, pr[:400]
+    assert r.count() == d.count()
