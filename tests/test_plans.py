@@ -1186,3 +1186,74 @@ def test_sql_distribution_clauses_and_join_hints(spark):
     pr = r._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in pr, pr[:400]
     assert r.count() == d.count()
+
+
+def test_udtf_table_argument_with_partition_by(spark):
+    """The polymorphic-UDTF arm t76's scalar-argument form doesn't
+    touch: a TABLE(...) argument with PARTITION BY hands the UDTF
+    whole rows one partition at a time (eval per row, terminate per
+    partition) — checked against the plain groupBy equivalent."""
+    from pyspark.sql.functions import udtf
+
+    from datasheet_etl_spark.io import load_table
+
+    @udtf(returnType="source string, n_docs int, total_chars bigint")
+    class SourceStats:
+        def __init__(self):
+            self._src = None
+            self._n = 0
+            self._chars = 0
+
+        def eval(self, row):
+            self._src = row["source"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self._n:
+                yield (self._src, self._n, self._chars)
+
+    spark.udtf.register("udtf_source_stats", SourceStats)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    got = {
+        r["source"]: (r["n_docs"], r["total_chars"])
+        for r in spark.sql(
+            "SELECT * FROM udtf_source_stats(TABLE(udtf_docs) PARTITION BY source)"
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n"], r["c"])
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c"))
+        .collect()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_identifier_clause_binds_table_names_safely(spark):
+    """IDENTIFIER(:param) — the injection-safe binding for table/column
+    NAMES (q66's named parameters bind only values): a bound name
+    resolves like a literal identifier, and a smuggled SQL fragment is
+    rejected at parse time instead of executing."""
+    from pyspark.sql.utils import AnalysisException, ParseException
+
+    from datasheet_etl_spark.io import load_table
+
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView(
+        "ident_docs"
+    )
+    n = spark.sql(
+        "SELECT count(*) AS n FROM IDENTIFIER(:tab)", args={"tab": "ident_docs"}
+    ).first()["n"]
+    assert n == spark.table("ident_docs").count() > 0
+    col = spark.sql(
+        "SELECT max(IDENTIFIER(:col)) AS m FROM ident_docs",
+        args={"col": "n_chars"},
+    ).first()["m"]
+    assert col == spark.table("ident_docs").agg(F.max("n_chars")).first()[0]
+    with pytest.raises((AnalysisException, ParseException)):
+        spark.sql(
+            "SELECT count(*) AS n FROM IDENTIFIER(:tab)",
+            args={"tab": "ident_docs WHERE 1=1 --"},
+        ).collect()
