@@ -5257,15 +5257,15 @@ def q68_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q69_boolean_bitwise_aggs",
     """
-    SELECT o_orderpriority,
-           bool_and(o_totalprice > 5000.0) AS all_above_floor,
+    SELECT o_custkey,
+           bool_and(o_totalprice > 50000.0) AS all_above_floor,
            bool_or(o_orderstatus = 'P') AS any_pending,
            bit_and(o_orderkey) AS key_bit_and,
            bit_or(o_orderkey) AS key_bit_or,
            bit_xor(o_orderkey) AS key_bit_xor,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    GROUP BY o_custkey ORDER BY o_custkey
     """,
 )
 def q69_boolean_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5275,22 +5275,27 @@ def q69_boolean_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate form) and ``bit_and`` / ``bit_or`` / ``bit_xor`` over a
     BIGINT key — all five exact, associative-commutative, and so
     order-independent under any partitioning (unlike float sums, a
-    bitwise fold cannot depend on task order). ``every``/``any``/
-    ``some`` are parser aliases of the first two, pinned in
-    tests/test_plans.py. Scale shape: one scan, partial-agged (all
-    five combine map-side), one 5-group exchange."""
+    bitwise fold cannot depend on task order). Per-CUSTOMER grain on
+    purpose: at the 5-priority grain both booleans are constant
+    (every priority has a sub-floor order and a pending one — checked
+    at sf0.001/0.01), so nothing would be graded; per customer both
+    arms split the population (49/101 and 143/7 at sf0.001).
+    ``every``/``any``/``some`` are parser aliases of the first two,
+    pinned in tests/test_plans.py. Scale shape: one scan,
+    partial-agged (all five combine map-side), one exchange on the
+    grouping key."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q69_orders")
     return spark.sql(
         """
-        SELECT o_orderpriority,
-               bool_and(o_totalprice > 5000.0) AS all_above_floor,
+        SELECT o_custkey,
+               bool_and(o_totalprice > 50000.0) AS all_above_floor,
                bool_or(o_orderstatus = 'P') AS any_pending,
                bit_and(o_orderkey) AS key_bit_and,
                bit_or(o_orderkey) AS key_bit_or,
                bit_xor(o_orderkey) AS key_bit_xor,
                CAST(count(*) AS BIGINT) AS n_orders
         FROM q69_orders
-        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        GROUP BY o_custkey ORDER BY o_custkey
         """
     )
 
