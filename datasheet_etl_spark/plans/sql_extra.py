@@ -5222,8 +5222,10 @@ def q68_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     number/date parsing, native 1-based out-of-bounds list indexing.
     Row-level output on purpose — every value (including each NULL) is
     hash-graded; non-NULL doubles are single IEEE ops, bit-identical
-    across engines. Scale shape: one pushdown-filtered scan, no
-    shuffle, no aggregate."""
+    across engines. Scale shape: one map-only scan — the modulo sample
+    predicate is NOT parquet-pushable (plan shows only IsNotNull in
+    PushedFilters; the filter runs in codegen post-scan), and the only
+    exchange is the presentation sort's range partitioning."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "q68_lineitem"
     )
