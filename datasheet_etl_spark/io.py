@@ -269,16 +269,28 @@ def compact_small_files(
     ]
     df = spark.read.parquet(path)
     if target_mb is not None:
-        advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-        prev = spark.conf.get(advisory, None)
-        spark.conf.set(advisory, f"{target_mb * 1024 * 1024}b")
+        # REBALANCE is an AQE feature: without AQE the hint plans a
+        # plain round-robin shuffle to spark.sql.shuffle.partitions and
+        # the advisory size is never consulted — the "compaction" would
+        # silently write N arbitrary-size files. Pin BOTH confs for the
+        # write (and restore after), the load_table discipline.
+        pinned = {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+                f"{target_mb * 1024 * 1024}b"
+            ),
+        }
+        prev = {k: spark.conf.get(k, None) for k in pinned}
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
         try:
             df.hint("rebalance").write.mode("overwrite").parquet(tmp)
         finally:
-            if prev is None:
-                spark.conf.unset(advisory)
-            else:
-                spark.conf.set(advisory, prev)
+            for k, was in prev.items():
+                if was is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, was)
     else:
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):

@@ -240,6 +240,60 @@ def mad_outliers(
     )
 
 
+def _decimal_moments(
+    df: DataFrame, cols: Sequence[str], pairs: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """ONE aggregate row of exact decimal moments shared by
+    :func:`correlation_matrix` and :func:`linear_fit`: row count,
+    per-column non-NULL counts, per-column sums, and the requested
+    product sums — values cast to DECIMAL(14,3) (exact for ≤2-dp
+    measures, narrow enough to multiply without internal int64
+    overflow), product sums accumulating at DECIMAL(38,6), so every
+    derived statistic is independent of partitioning, task order, and
+    engine. Output aliases: ``_n`` (double), ``_c_{c}``, ``_s_{c}``,
+    ``_p_{x}_{y}`` — sums/products pre-cast to double for the 1-row
+    derive step.
+
+    Two codegen notes carried from the r7/r8 bench adjudications:
+    the decimal casts are staged ONCE in a projection (inside the
+    aggregate expressions they get no common-subexpression
+    elimination and ~double the one-time whole-stage-codegen cost of
+    the aggregate unit — measured 6.5s → 4.0s cold at sf0.1), and the
+    per-row products keep their native (29,6) precision (the explicit
+    (38,6) cast measured 2× slower per row for zero extra exactness —
+    the sum accumulates at (38,6) regardless). Column names resolve
+    via :func:`_ref`, never parsed as SQL."""
+    dec = df.select(*[_ref(c).cast("decimal(14,3)").alias(c) for c in cols])
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.count(_ref(c)).cast("double").alias(f"_c_{c}"))
+        aggs.append(F.sum(_ref(c)).alias(f"_s_{c}"))
+    for x, y in pairs:
+        aggs.append(F.sum(_ref(x) * _ref(y)).alias(f"_p_{x}_{y}"))
+    # stage each moment's decimal->double cast once instead of
+    # re-casting inside every derived expression — this projection
+    # runs on ONE row, its only cost is the codegen size
+    return dec.agg(*aggs).select(
+        "_n",
+        *[_ref(f"_c_{c}") for c in cols],
+        *[_ref(f"_s_{c}").cast("double").alias(f"_s_{c}") for c in cols],
+        *[
+            _ref(f"_p_{x}_{y}").cast("double").alias(f"_p_{x}_{y}")
+            for x, y in pairs
+        ],
+    )
+
+
+def _complete(*cols: str) -> Column:
+    """True iff every named column was NULL-free in the moments row —
+    the gate that turns the silent wrong-moments hazard (SQL sum skips
+    NULLs while count(*) doesn't) into an explicit NULL result."""
+    out = F.lit(True)
+    for c in cols:
+        out = out & (_ref(f"_c_{c}") == F.col("_n"))
+    return out
+
+
 def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Pairwise Pearson correlation over ``cols`` in ONE scan: all
     M + M(M+1)/2 moments (per-column sums, all cross/self products)
@@ -248,50 +302,21 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     (``df.stat.corr`` per pair) reads the table once per pair,
     O(M²) scans at 100 TB.
 
-    Moments are EXACT decimals (values cast to DECIMAL(14,3) — exact
-    for these ≤2-dp measures and narrow enough that engines multiply
-    without internal int64 overflow — product sums accumulate at
-    DECIMAL(38,6)), so the result is independent of
-    partitioning/aggregation order AND engine — float summation order
-    is exactly what makes naive correlation non-reproducible at scale;
-    correlations are then derived from the moments in double
+    Moments are EXACT decimals (:func:`_decimal_moments`), so the
+    result is independent of partitioning/aggregation order AND
+    engine — float summation order is exactly what makes naive
+    correlation non-reproducible at scale; correlations are then
+    derived from the moments in double
     (corr = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²))).
 
-    Returns (col_x, col_y, corr) for x < y in ``cols`` order. NULL corr
-    for a zero-variance column. NULL values poison the decimal sums
-    (SQL sum skips NULLs but pairwise moments then disagree on n) —
-    drop or impute upstream; this operator assumes complete columns.
-    """
-    # stage the decimal casts ONCE in a projection: repeated inside the
-    # aggregate expressions they get no common-subexpression elimination
-    # (each product re-cast both factors), and the bigger expression
-    # tree also ~doubled the one-time whole-stage codegen of this
-    # 15-aggregate unit — measured 6.5s -> 4.0s cold, 2.1s -> 1.3s warm
-    # at sf0.1 (the r7 verdict's one bench outlier was exactly this JIT)
-    dec = df.select(*[F.col(c).cast("decimal(14,3)").alias(c) for c in cols])
-    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
-    for i, x in enumerate(cols):
-        for y in cols[i:]:
-            # native product precision (29,6) — no widening cast: the
-            # sum accumulates at (38,6) regardless, and the explicit
-            # (38,6) cast per row measured 2x slower (per-row BigDecimal
-            # rescale) for zero extra exactness
-            aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"_p_{x}_{y}"))
-    # same CSE story for the one-row derive step: stage each moment's
-    # decimal->double cast once instead of re-casting inside every
-    # pair's expression (6 pairs x 5 casts otherwise) — this projection
-    # runs on ONE row, its only cost is the codegen size
-    row = dec.agg(*aggs).select(
-        "_n",
-        *[F.col(f"_s_{c}").cast("double").alias(f"_s_{c}") for c in cols],
-        *[
-            F.col(f"_p_{x}_{y}").cast("double").alias(f"_p_{x}_{y}")
-            for i, x in enumerate(cols)
-            for y in cols[i:]
-        ],
-    )
+    Returns (col_x, col_y, corr) for x < y in ``cols`` order. NULL
+    corr for a zero-variance column, and for any pair touching a
+    column with NULLs — sum-based moments skip NULLs while n counts
+    every row, so a fit over incomplete columns would be silently
+    wrong; the per-column count gate surfaces it as NULL instead.
+    Drop or impute upstream to get values."""
+    all_pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i:]]
+    row = _decimal_moments(df, cols, all_pairs)
 
     def _corr(x: str, y: str) -> Column:
         n = F.col("_n")
@@ -300,7 +325,7 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         pxx, pyy = F.col(f"_p_{x}_{x}"), F.col(f"_p_{y}_{y}")
         num = n * pxy - sx * sy
         den = F.sqrt((n * pxx - sx * sx) * (n * pyy - sy * sy))
-        return num / F.nullif(den, F.lit(0.0))
+        return F.when(_complete(x, y), num / F.nullif(den, F.lit(0.0)))
 
     pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1 :]]
     return row.select(
@@ -418,39 +443,33 @@ def linear_fit(df: DataFrame, y: str, xs: Sequence[str]) -> DataFrame:
 
     Returns (x_col, n, slope, intercept, r2), one row per feature,
     rounded to 6 places; slope/R² are NULL for a zero-variance
-    feature. Assumes complete columns (the correlation_matrix caveat:
-    SQL sum skips NULLs, so pairwise moments would disagree on n).
+    feature. ``n`` is the full row count; slope/intercept/R² are NULL
+    for any feature whose column (or whose y) contains NULLs — SQL sum
+    skips NULLs while count(*) doesn't, so an ungated fit over
+    incomplete columns would be silently wrong (and would diverge from
+    ``regr_*``, which drops null PAIRS). Drop or impute upstream to
+    fit incomplete data.
     """
     cols = [y, *xs]
-    dec = df.select(*[F.col(c).cast("decimal(14,3)").alias(c) for c in cols])
-    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
-    aggs.append(F.sum(F.col(y) * F.col(y)).alias("_p_yy"))
-    for x in xs:
-        aggs.append(F.sum(F.col(x) * F.col(x)).alias(f"_p_{x}_{x}"))
-        aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"_p_{x}_y"))
-    row = dec.agg(*aggs).select(
-        "_n",
-        *[F.col(f"_s_{c}").cast("double").alias(f"_s_{c}") for c in cols],
-        F.col("_p_yy").cast("double").alias("_p_yy"),
-        *[F.col(f"_p_{x}_{x}").cast("double").alias(f"_p_{x}_{x}") for x in xs],
-        *[F.col(f"_p_{x}_y").cast("double").alias(f"_p_{x}_y") for x in xs],
-    )
+    pairs = [(y, y)] + [p for x in xs for p in ((x, x), (x, y))]
+    row = _decimal_moments(df, cols, pairs)
 
     def _fit(x: str) -> Column:
         n = F.col("_n")
         sx, sy = F.col(f"_s_{x}"), F.col(f"_s_{y}")
-        num = n * F.col(f"_p_{x}_y") - sx * sy
+        num = n * F.col(f"_p_{x}_{y}") - sx * sy
         dx = n * F.col(f"_p_{x}_{x}") - sx * sx
-        dy = n * F.col("_p_yy") - sy * sy
+        dy = n * F.col(f"_p_{y}_{y}") - sy * sy
         slope = num / F.nullif(dx, F.lit(0.0))
+        ok = _complete(x, y)
         return F.struct(
             F.lit(x).alias("x_col"),
             n.cast("long").alias("n"),
-            F.round(slope, 6).alias("slope"),
-            F.round((sy - slope * sx) / n, 6).alias("intercept"),
-            F.round(num * num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("r2"),
+            F.round(F.when(ok, slope), 6).alias("slope"),
+            F.round(F.when(ok, (sy - slope * sx) / n), 6).alias("intercept"),
+            F.round(
+                F.when(ok, num * num / F.nullif(dx * dy, F.lit(0.0))), 6
+            ).alias("r2"),
         )
 
     return (

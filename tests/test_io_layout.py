@@ -85,7 +85,16 @@ def test_compact_small_files_rebalance_mode(spark, tmp_path):
         )
     advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     prev = spark.conf.get(advisory, None)
-    n_before = compact_small_files(spark, path, target_mb=64)
+    # REBALANCE needs AQE: the mode must pin it for the write (an
+    # AQE-off session would silently round-robin to shuffle.partitions)
+    # and restore the caller's setting afterwards
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_before = compact_small_files(spark, path, target_mb=64)
+    finally:
+        aqe_after = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert aqe_after == "false"  # caller's conf restored
     assert n_before == 6
     assert spark.conf.get(advisory, None) == prev
     files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]

@@ -1035,6 +1035,16 @@ def test_t133_matches_native_regr_family_single_scan(spark):
     )
     plan = _plan(linear_fit(li, "l_extendedprice", ["l_quantity", "l_discount"]))
     assert plan.count("FileScan") == 1, plan[:800]
+    # NULL gate (review-found): sum-moments skip NULLs while n counts
+    # every row — an ungated fit would be silently wrong, so a feature
+    # (or target) with NULLs must yield NULL fits, not plausible values
+    dfn = spark.createDataFrame(
+        [(1.0, 1.0, 1.0), (2.0, None, 2.0), (3.0, 3.0, 3.0)],
+        "y double, x1 double, x2 double",
+    )
+    gated = {r["x_col"]: r for r in linear_fit(dfn, "y", ["x1", "x2"]).collect()}
+    assert gated["x1"]["slope"] is None and gated["x1"]["r2"] is None
+    assert gated["x2"]["slope"] == 1.0 and gated["x2"]["n"] == 3
 
 
 def test_q71_lateral_decorrelates_to_window_group_limit(spark):
