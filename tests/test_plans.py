@@ -996,12 +996,13 @@ def test_t132_bitmap_exact_across_pages_and_shards(spark):
     assert "Expand" not in plan, plan[:600]
     # full signed domain: negative pages and the zero/±32768 page edges
     # stay exact (the sf data is non-negative, so pin it here)
-    signed = [-70000, -32769, -32768, -1, 0, 1, 32767, 32768, 70000, -1, 0]
+    signed = [-70000, -32769, -32768, -1, 0, 1, 32767, 32768, 70000, -1, 0,
+              None, None]  # NULLs ignored, exactly count(DISTINCT)'s contract
     sdf = spark.createDataFrame([("k", v) for v in signed], "k string, v long")
     got = bitmap_distinct_grouped(
         bitmap_page_partials(sdf, ["k"], "v"), ["k"]
     ).first()["n_distinct"]
-    assert got == sdf.select("v").distinct().count() == 9
+    assert got == sdf.select("v").dropna().distinct().count() == 9
 
 
 def test_t133_matches_native_regr_family_single_scan(spark):
