@@ -354,3 +354,50 @@ def test_canonicalize_maps_order_invariant(spark, payload):
         F.to_json(canonicalize_maps(F.col("b"), dt)).alias("jb"),
     ).collect()[0]
     assert got["ja"] == got["jb"], (got["ja"], got["jb"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.decimals(
+                min_value=-999, max_value=999, places=2, allow_nan=False
+            ),
+            st.decimals(
+                min_value=-999, max_value=999, places=2, allow_nan=False
+            ),
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_linear_fit_matches_numpy_lstsq(spark, pts):
+    """linear_fit's decimal-moment OLS must agree with numpy's
+    least-squares reference on arbitrary 2-dp data (the generator
+    matches DECIMAL(14,3) exactness), including the degenerate
+    zero-variance case (NULL slope, never a crash or ±inf)."""
+    import numpy as np
+
+    from datasheet_etl_spark.operators.profile import linear_fit
+
+    rows = [(float(y), float(x)) for y, x in pts]
+    df = spark.createDataFrame(rows, "y double, x double")
+    got = linear_fit(df, "y", ["x"]).first()
+    xs = np.array([x for _, x in rows])
+    ys = np.array([y for y, _ in rows])
+    if np.allclose(xs, xs[0]):  # zero variance → gated NULL
+        assert got["slope"] is None and got["r2"] is None
+        return
+    a = np.vstack([xs, np.ones_like(xs)]).T
+    (slope, intercept), *_ = np.linalg.lstsq(a, ys, rcond=None)
+    assert got["n"] == len(rows)
+    assert abs(got["slope"] - slope) <= 1e-4 * max(1.0, abs(slope)), (
+        got["slope"],
+        slope,
+    )
+    assert abs(got["intercept"] - intercept) <= 1e-4 * max(
+        1.0, abs(intercept)
+    )
+    if got["r2"] is not None:  # ys constant → r2 NULL (dy == 0)
+        c = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got["r2"] - c * c) <= 1e-4
