@@ -574,7 +574,7 @@ def _stage_asymptote(spark):
             print(f"staged asy lineitem x{copies}", flush=True)
 
 
-def asymptote(spark):
+def asymptote(spark, only=None):
     """VERDICT r12 #4: a SECOND scale point (×100) for t02/t45/t56 —
     the three r6 audit rows whose 10× ratio left the 100 TB story to
     argument — with each entry's DOMINANT TERM counted at both scales
@@ -701,6 +701,21 @@ def asymptote(spark):
             F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pairs")
         )
 
+    def t132_pages(spark, d):
+        # the entry's only exchange: level-1 (key, shard, page) bitmap
+        # partials — the asymptote claim is that THIS is what shuffles
+        # (4 KB pages), never the raw (key, value) rows
+        from datasheet_etl_spark.operators.sketches import (
+            bitmap_page_partials,
+        )
+
+        li = load_table(spark, d, "lineitem")
+        return bitmap_page_partials(
+            li.withColumn("_shard", F.col("l_partkey") % 7),
+            ["l_suppkey", "_shard"],
+            "l_orderkey",
+        ).agg(F.count(F.lit(1)).alias("n"))
+
     x10, x100 = f"{ASY}/x10", f"{ASY}/x100"
     rows = []
     for name, fn, term_fn, term_name in (
@@ -711,7 +726,18 @@ def asymptote(spark):
          cell_pairs, "within-cell pairs"),
         ("t45 hot-cell guard", t45_guard, None, "sub-cell pairs ≈ n·2048"),
         ("t56 triangles", t56_disjoint, t56_wedges, "oriented wedges"),
+        # r13 session 3: the asymptote staging does NOT offset
+        # l_suppkey, so the key count stays fixed while distinct orders
+        # per key grow with the corpus (page stride 1e8/32768 ≈ 3052 —
+        # copies land in disjoint pages): the decade stresses
+        # pages-per-key growth, the dimension the ×10 replica (which
+        # grows suppliers too) cannot isolate
+        ("t132 bitmap distinct",
+         lambda s, d: q["t132_bitmap_distinct"](s, d),
+         t132_pages, "(key,shard,page) partials"),
     ):
+        if only and not any(s in name for s in only):
+            continue
         w10 = timed(fn, x10)
         w100 = timed(fn, x100)
         if term_fn is not None:
@@ -743,9 +769,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as ep
 
-    if sys.argv[1:] == ["--asymptote"]:
+    if sys.argv[1:2] == ["--asymptote"]:
         _stage_asymptote(spark)
-        asymptote(spark)
+        asymptote(spark, only=sys.argv[2:] or None)
         return
     stage(spark)
     if sys.argv[1:] == ["--t105-steady"]:
