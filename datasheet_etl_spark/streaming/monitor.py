@@ -172,3 +172,33 @@ def read_state_changes(
     if store_name is not None:
         r = r.option("storeName", store_name)
     return r.load(checkpoint_dir)
+
+
+def observed_totals(query, name: str) -> dict:
+    """Fold a named ``observe()`` aggregation across every micro-batch
+    in a query's ``recentProgress``: per-metric SUMS over batches, plus
+    ``n_batches_observed``. The streaming half of the t134 telemetry
+    story — per-stage rows/bytes ride the micro-batches that already
+    ran, no second pass over the stream.
+
+    ADDITIVE metrics only (count, sum): a micro-batch observation sees
+    its batch's rows, so only batch-additive aggregates fold into
+    stream totals — an avg/min/max across batches would need weighted
+    re-derivation the raw observations don't carry. Reads the settled
+    driver-side progress ring (the module's no-listener rule), so it
+    is deterministic after an availableNow drain. Batches where the
+    observation is absent (no rows reached the observe point) are
+    skipped, matching batch observe()'s empty-action behavior."""
+    totals: dict[str, float] = {}
+    n_seen = 0
+    for p in query.recentProgress or []:
+        m = (p.get("observedMetrics") or {}).get(name)
+        if m is None:
+            continue
+        n_seen += 1
+        row = m.asDict() if hasattr(m, "asDict") else dict(m)
+        for k, v in row.items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                totals[k] = totals.get(k, 0) + v
+    totals["n_batches_observed"] = n_seen
+    return totals

@@ -3619,3 +3619,54 @@ def test_join_state_eviction_boundary_keeps_equality(spark, tmp_path):
     # k=1 evicted (below boundary); k=2 ON the boundary, kept, matched;
     # k=3 kept, unmatched; k=9 kept (defines left max), matched
     assert got == [(2, True), (3, False), (9, True)]
+
+
+def test_streaming_observed_totals_fold_across_batches(spark, tmp_path):
+    """observe() on a STREAMING frame: named observations land in each
+    micro-batch's progress event, and observed_totals folds the
+    additive metrics into stream totals equal to batch ground truth —
+    per-stage telemetry riding the drain, no second pass (t134's
+    batch-side contract, completed on the streaming side)."""
+    import os
+
+    from pyspark.sql import Observation, functions as F
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming.monitor import observed_totals
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "obs_src")
+    for i in range(3):  # three files → three micro-batches
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .observe(
+            "obs_ingest",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = observed_totals(q, "obs_ingest")
+    assert got["n_batches_observed"] == 3
+    assert got["n_rows"] == ev.count()
+    want = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    ).first()[0]
+    assert abs(got["total_value"] - want) < 1e-6
+    assert observed_totals(q, "no_such_name") == {"n_batches_observed": 0}
