@@ -1464,6 +1464,127 @@ def t132_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t135_kll_quantiles_native",
+    """
+    SELECT l_partkey,
+           lst[greatest(1, CAST(ceil(0.5 * n) AS BIGINT))] AS p50,
+           lst[greatest(1, CAST(ceil(0.75 * n) AS BIGINT))] AS p75
+    FROM (SELECT l_partkey,
+                 list_sort(list(l_extendedprice)) AS lst,
+                 count(*) AS n
+          FROM lineitem GROUP BY l_partkey)
+    ORDER BY l_partkey
+    """,
+)
+def t135_kll_quantiles_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1's NATIVE Datasketches KLL quantile sketches beside
+    t88's hand-built mergeable histogram: per-shard
+    ``kll_sketch_agg_double`` partials merged per key with
+    ``kll_merge_agg_double`` (the t124 two-level shape — tonight's
+    shard sketches merge with the stored ones; kilobytes move, never
+    values), then p50/p75 reads off the merged sketch. Oracled by the
+    t25 exactness route: lineitems per part is ~30 at every scale
+    factor (a generator ratio), far below k=200, and below k a KLL
+    sketch RETAINS every item — so ``kll_sketch_get_quantile`` is the
+    exact order statistic. The convention is pinned empirically
+    (smallest item whose inclusive rank i/n ≥ q; the probe at q=.25
+    over [1..6,100] returns 2, i.e. ceil(q·n) 1-based) and the oracle
+    states it as sorted-list indexing — with DYADIC q (0.5, 0.75) on
+    purpose, so q·n is exact in IEEE double and the ceil boundary
+    cannot drift between engines (q=0.9 would multiply to
+    27.000000000000004 at n=30 and select the wrong index). The
+    beyond-exact regime (documented rank error at n ≫ k) stays the
+    approximate-by-definition territory q24b already marks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = (
+        li.withColumn("_shard", F.col("l_orderkey") % 5)
+        .groupBy("l_partkey", "_shard")
+        .agg(
+            F.expr("kll_sketch_agg_double(l_extendedprice, 200)").alias(
+                "_sk"
+            )
+        )
+    )
+    return (
+        partials.groupBy("l_partkey")
+        .agg(F.expr("kll_merge_agg_double(_sk)").alias("_m"))
+        .select(
+            "l_partkey",
+            F.expr("kll_sketch_get_quantile_double(_m, 0.5d)").alias("p50"),
+            F.expr("kll_sketch_get_quantile_double(_m, 0.75d)").alias("p75"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "t136_theta_set_distinct",
+    """
+    SELECT l_partkey,
+           CAST(count(DISTINCT CASE WHEN l_returnflag IN ('R', 'A')
+                                    THEN l_suppkey END) AS BIGINT)
+             AS n_union,
+           CAST(count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                    THEN l_suppkey END)
+              + count(DISTINCT CASE WHEN l_returnflag = 'A'
+                                    THEN l_suppkey END)
+              - count(DISTINCT CASE WHEN l_returnflag IN ('R', 'A')
+                                    THEN l_suppkey END) AS BIGINT)
+             AS n_common,
+           CAST(count(DISTINCT CASE WHEN l_returnflag IN ('R', 'A')
+                                    THEN l_suppkey END)
+              - count(DISTINCT CASE WHEN l_returnflag = 'A'
+                                    THEN l_suppkey END) AS BIGINT)
+             AS n_r_only
+    FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+    """,
+)
+def t136_theta_set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Datasketches THETA sketches — the distinct-count family
+    member that supports set OPERATIONS: HLL (t87/t124) only unions,
+    bitmaps (t132) are exact but domain-dense; theta sketches
+    intersect and difference, which is how a pipeline answers
+    "how many suppliers appear in BOTH the returned and the
+    acknowledged flows, per part" without shuffling supplier sets. Two
+    filtered ``theta_sketch_agg`` partials per part, then
+    union/intersection/difference estimates — a NULL sketch (a part
+    with no rows under one flag) behaves as the empty set through all
+    three operators (probed: union=|other|, intersection=0). Oracled
+    by the t25 exactness route: suppliers per part is ~30 at every
+    scale factor, far below the sketch's nominal 4096 entries, and
+    below nominal a theta sketch retains every hash — estimates ARE
+    the exact set cardinalities, which the oracle derives from
+    count(DISTINCT) via inclusion-exclusion. Beyond-nominal the
+    estimates carry documented error (q24b's territory)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey").agg(
+        F.expr(
+            "theta_sketch_agg(l_suppkey) FILTER (WHERE l_returnflag = 'R')"
+        ).alias("_r"),
+        F.expr(
+            "theta_sketch_agg(l_suppkey) FILTER (WHERE l_returnflag = 'A')"
+        ).alias("_a"),
+    )
+    return (
+        g.select(
+            "l_partkey",
+            F.expr(
+                "CAST(theta_sketch_estimate(theta_union(_r, _a)) AS BIGINT)"
+            ).alias("n_union"),
+            F.expr(
+                "CAST(theta_sketch_estimate(theta_intersection(_r, _a))"
+                " AS BIGINT)"
+            ).alias("n_common"),
+            F.expr(
+                "CAST(theta_sketch_estimate(theta_difference(_r, _a))"
+                " AS BIGINT)"
+            ).alias("n_r_only"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / packing family (operators/sampling.py)
 # ---------------------------------------------------------------------------

@@ -224,6 +224,11 @@ ENTRIES = [
     # r13 session 3: observe() metrics riding one noop-write action —
     # a single corpus scan, metrics exchange is O(1)
     "t134_observe_metrics",
+    # r13 session 3: the native sketch pair — per-key KLL partials
+    # merged two-level (kilobyte sketches shuffle, never values) and
+    # filtered theta partials + set operators (same bound)
+    "t135_kll_quantiles_native",
+    "t136_theta_set_distinct",
 ]
 
 # per-table key columns to offset so copies don't collide

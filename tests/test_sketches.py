@@ -278,3 +278,64 @@ def test_native_hll_beyond_exact_regime(spark):
         F.expr("hll_sketch_estimate(hll_sketch_agg(id))").alias("e")
     ).collect()[0]["e"]
     assert union_est == whole_est, (union_est, whole_est)
+
+
+def test_kll_native_exact_regime_and_convention(spark):
+    """t135's basis: below k a KLL sketch retains every item, and its
+    quantile convention is "smallest item whose inclusive rank i/n ≥ q"
+    (ceil(q·n), 1-based) — pinned on a frame where every index is
+    distinguishable. Beyond k the sketch goes approximate: rank error
+    within the documented bound (±1.7% at k=200, 99% conf — checked
+    loosely at 3%)."""
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sk = df.agg(F.expr("kll_sketch_agg_double(v, 200)").alias("s"))
+    got = sk.select(
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(s, {q}d)").alias(f"q{i}")
+            for i, q in enumerate([0.0, 0.25, 0.5, 0.75, 1.0])
+        ]
+    ).first()
+    assert tuple(got) == (1.0, 2.0, 4.0, 6.0, 100.0), tuple(got)
+
+    # beyond-exact regime: 50k distinct values through k=200
+    big = spark.range(50_000).select(
+        (F.col("id") + 1).cast("double").alias("v")
+    )
+    est = big.agg(
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_sketch_agg_double(v, 200),"
+            " 0.5d)"
+        ).alias("m")
+    ).first()["m"]
+    assert abs(est - 25_000) / 50_000 < 0.03, est
+
+
+def test_theta_set_ops_exact_regime_and_null_empty_set(spark):
+    """t136's basis: below the nominal entry count theta sketches are
+    exact, set operators follow set algebra, and a NULL sketch (an
+    empty FILTER arm) behaves as the empty set through union /
+    intersection / difference."""
+    li = spark.createDataFrame(
+        [(1, "R", 10), (1, "R", 11), (1, "A", 11), (1, "A", 12),
+         (2, "R", 20), (2, "A", 21), (3, "R", 30)],
+        "p long, f string, s long",
+    )
+    g = li.groupBy("p").agg(
+        F.expr("theta_sketch_agg(s) FILTER (WHERE f = 'R')").alias("sr"),
+        F.expr("theta_sketch_agg(s) FILTER (WHERE f = 'A')").alias("sa"),
+    )
+    rows = {
+        r["p"]: (r["u"], r["i"], r["d"])
+        for r in g.select(
+            "p",
+            F.expr("theta_sketch_estimate(theta_union(sr, sa))").alias("u"),
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(sr, sa))"
+            ).alias("i"),
+            F.expr(
+                "theta_sketch_estimate(theta_difference(sr, sa))"
+            ).alias("d"),
+        ).collect()
+    }
+    assert rows == {1: (3, 1, 1), 2: (2, 0, 1), 3: (1, 0, 1)}, rows
