@@ -1585,6 +1585,61 @@ def t136_theta_set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t137_file_provenance",
+    """
+    SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY bucket ORDER BY bucket
+    """,
+)
+def t137_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` scan column — row-level FILE
+    provenance at zero storage cost: the documents table staged
+    partitioned into four bucket directories, read back, and rolled
+    up by the bucket PARSED OUT OF ``_metadata.file_path`` (the
+    per-row file identity every scan carries but no table stores).
+    The 100 TB use is lineage and blast-radius: "which input files
+    produced these corrupt rows" answered from the scan itself —
+    no provenance column written, no join against a manifest
+    (t105's quarantine flow answers the row-level half; this is the
+    file-level half). The oracle re-derives the planted partitioning
+    (bucket = doc_id % 4) from the data alone, so the grade checks
+    that the metadata column's path identifies each row's true file.
+    Scale shape: one scan + one 4-group partial agg; ``_metadata`` is
+    populated from the split the task already holds — no extra I/O."""
+    import os
+
+    docs_src = load_table(spark, sf_dir, "documents")
+
+    def build(path):
+        docs_src.withColumn(
+            "bucket", (F.col("doc_id") % 4).cast("long")
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
+            os.path.join(path, "bucketed")
+        )
+
+    work = _staged_path(sf_dir, "documents.parquet", "file_prov", build)
+    d = spark.read.parquet(os.path.join(work, "bucketed"))
+    return (
+        d.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"bucket=(\d+)", 1
+            )
+            .cast("long")
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / packing family (operators/sampling.py)
 # ---------------------------------------------------------------------------

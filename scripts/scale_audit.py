@@ -229,6 +229,9 @@ ENTRIES = [
     # filtered theta partials + set operators (same bound)
     "t135_kll_quantiles_native",
     "t136_theta_set_distinct",
+    # r13 session 3: _metadata file provenance — one scan + 4-group
+    # partial agg; the metadata column costs no extra I/O
+    "t137_file_provenance",
 ]
 
 # per-table key columns to offset so copies don't collide
