@@ -5516,3 +5516,77 @@ def t134_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_docs"], m["total_chars"], m["n_kept"], m["kept_chars"])],
         "n_docs long, total_chars long, n_kept long, kept_chars long",
     )
+
+
+@register(
+    "q72_sql_scripting",
+    """
+    WITH params AS (
+      SELECT CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS floor_qty,
+             CAST(ceil(log2(count(*))) AS INTEGER) AS k
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           (SELECT k FROM params) AS log2_ceil_corpus
+    FROM lineitem
+    WHERE l_quantity >= (SELECT floor_qty FROM params)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q72_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (``BEGIN … END``, conf-gated): DECLAREd
+    variables set from data-dependent subqueries and a WHILE loop
+    (smallest k with 2^k ≥ corpus rows — the doubling search a
+    fixed-point script actually runs), feeding the final statement,
+    whose result IS the script's result. The procedural surface for
+    multi-step jobs that otherwise round-trip scalars through the
+    driver between spark.sql calls. The oracle inlines everything:
+    the variable becomes a scalar subquery, the loop becomes
+    ceil(log2(n)) — exact at powers of two (IEEE log2 of 2^k is
+    exact) and slack-protected elsewhere, semantics the pytest pins
+    at the n=1 and exact-power boundaries. Decimal-exact threshold
+    and sums per the q11 discipline; the quantity floor compares
+    integral doubles against a 2-dp decimal-derived mean, so the
+    boundary cannot straddle engines."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+            "q72_lineitem"
+        )
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE floor_qty DOUBLE DEFAULT 0;
+              DECLARE n BIGINT DEFAULT 0;
+              DECLARE k INT DEFAULT 0;
+              DECLARE p BIGINT DEFAULT 1;
+              SET floor_qty = (
+                SELECT CAST(avg(CAST(l_quantity AS DECIMAL(18,2)))
+                            AS DOUBLE)
+                FROM q72_lineitem);
+              SET n = (SELECT count(*) FROM q72_lineitem);
+              WHILE p < n DO
+                SET p = p * 2;
+                SET k = k + 1;
+              END WHILE;
+              SELECT l_returnflag,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS revenue,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     k AS log2_ceil_corpus
+              FROM q72_lineitem
+              WHERE l_quantity >= floor_qty
+              GROUP BY l_returnflag ORDER BY l_returnflag;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

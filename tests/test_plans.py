@@ -1276,3 +1276,37 @@ def test_identifier_clause_binds_table_names_safely(spark):
             "SELECT count(*) AS n FROM IDENTIFIER(:tab)",
             args={"tab": "ident_docs WHERE 1=1 --"},
         ).collect()
+
+
+def test_q72_scripting_loop_matches_ceil_log2_at_boundaries(spark):
+    """q72's WHILE loop computes the smallest k with 2^k ≥ n; the
+    oracle states it as ceil(log2(n)). Pin the equivalence at the
+    boundaries where they could diverge: n=1 (loop never runs, k=0;
+    log2(1)=0), exact powers of two (IEEE log2 is exact there), and
+    power+1."""
+    import math
+
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        for n in (1, 2, 3, 8, 9, 1024, 1025):
+            k = spark.sql(
+                f"""
+                BEGIN
+                  DECLARE k INT DEFAULT 0;
+                  DECLARE p BIGINT DEFAULT 1;
+                  WHILE p < {n} DO
+                    SET p = p * 2;
+                    SET k = k + 1;
+                  END WHILE;
+                  SELECT k;
+                END
+                """
+            ).first()[0]
+            want = 0 if n == 1 else math.ceil(math.log2(n))
+            assert k == want, (n, k, want)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
