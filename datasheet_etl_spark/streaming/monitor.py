@@ -186,19 +186,38 @@ def observed_totals(query, name: str) -> dict:
     stream totals — an avg/min/max across batches would need weighted
     re-derivation the raw observations don't carry. Reads the settled
     driver-side progress ring (the module's no-listener rule), so it
-    is deterministic after an availableNow drain. Batches where the
-    observation is absent (no rows reached the observe point) are
-    skipped, matching batch observe()'s empty-action behavior."""
+    is deterministic after an availableNow drain.
+
+    The ring is BOUNDED (``spark.sql.streaming.numRecentProgressUpdates``,
+    default 100 entries): a drain longer than the retention folds only
+    the retained tail, so the result carries ``complete`` — True iff
+    the ring still reaches batch 0 of this run. A False ``complete``
+    means the totals are a tail sum, not stream ground truth; raise the
+    retention conf (or fold incrementally per batch) for long drains.
+    Batches where the observation is absent (no rows reached the
+    observe point) are skipped, matching batch observe()'s empty-action
+    behavior. ``n_batches_observed``/``complete`` are reserved output
+    keys — a user metric with either name raises rather than being
+    silently overwritten."""
     totals: dict[str, float] = {}
     n_seen = 0
+    batch_ids = []
     for p in query.recentProgress or []:
+        batch_ids.append(p.get("batchId"))
         m = (p.get("observedMetrics") or {}).get(name)
         if m is None:
             continue
         n_seen += 1
         row = m.asDict() if hasattr(m, "asDict") else dict(m)
         for k, v in row.items():
+            if k in ("n_batches_observed", "complete"):
+                raise ValueError(
+                    f"observed_totals: metric name {k!r} collides with a "
+                    "reserved output key — alias the observe() column"
+                )
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 totals[k] = totals.get(k, 0) + v
+    known = [b for b in batch_ids if b is not None]
+    totals["complete"] = (min(known) == 0) if known else True
     totals["n_batches_observed"] = n_seen
     return totals

@@ -744,7 +744,12 @@ def asymptote(spark, only=None):
          lambda s, d: q["t132_bitmap_distinct"](s, d),
          t132_pages, "(key,shard,page) partials"),
     ):
-        if only and not any(s in name for s in only):
+        # match display labels ("t132 bitmap distinct") AND registry
+        # names ("t132_bitmap_distinct") — a filter that selects
+        # nothing is reported below instead of exiting silently
+        if only and not any(
+            s in name or s.replace("_", " ") in name for s in only
+        ):
             continue
         w10 = timed(fn, x10)
         w100 = timed(fn, x100)
@@ -763,6 +768,11 @@ def asymptote(spark, only=None):
             f"{c10 if c10 is not None else '-'} -> "
             f"{c100 if c100 is not None else '-'} ({tr}x)",
             flush=True,
+        )
+    if only and not rows:
+        raise SystemExit(
+            f"--asymptote filter {only!r} matched no rows — known labels "
+            "use spaces or registry-style underscores (e.g. 't132')"
         )
 
 

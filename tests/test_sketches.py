@@ -318,7 +318,8 @@ def test_theta_set_ops_exact_regime_and_null_empty_set(spark):
     intersection / difference."""
     li = spark.createDataFrame(
         [(1, "R", 10), (1, "R", 11), (1, "A", 11), (1, "A", 12),
-         (2, "R", 20), (2, "A", 21), (3, "R", 30)],
+         (2, "R", 20), (2, "A", 21), (3, "R", 30), (4, "A", 40),
+         (4, "A", 41)],
         "p long, f string, s long",
     )
     g = li.groupBy("p").agg(
@@ -338,4 +339,8 @@ def test_theta_set_ops_exact_regime_and_null_empty_set(spark):
             ).alias("d"),
         ).collect()
     }
-    assert rows == {1: (3, 1, 1), 2: (2, 0, 1), 3: (1, 0, 1)}, rows
+    # p=3 pins NULL as the SECOND operand (no A rows), p=4 as the
+    # FIRST (no R rows) — both directions of the empty-set contract
+    assert rows == {
+        1: (3, 1, 1), 2: (2, 0, 1), 3: (1, 0, 1), 4: (2, 0, 0)
+    }, rows

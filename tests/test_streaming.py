@@ -3669,4 +3669,18 @@ def test_streaming_observed_totals_fold_across_batches(spark, tmp_path):
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
     ).first()[0]
     assert abs(got["total_value"] - want) < 1e-6
-    assert observed_totals(q, "no_such_name") == {"n_batches_observed": 0}
+    assert got["complete"] is True
+    assert observed_totals(q, "no_such_name") == {
+        "complete": True,
+        "n_batches_observed": 0,
+    }
+    # reserved-key guard: a user metric named like an output key raises
+    import pytest as _pytest
+
+    class _FakeQ:
+        recentProgress = [
+            {"batchId": 0, "observedMetrics": {"m": {"complete": 1}}}
+        ]
+
+    with _pytest.raises(ValueError, match="reserved"):
+        observed_totals(_FakeQ(), "m")
