@@ -1310,3 +1310,49 @@ def test_q72_scripting_loop_matches_ceil_log2_at_boundaries(spark):
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+def test_q73_collated_group_merges_case_variants(spark):
+    """UTF8_LCASE grouping must merge case variants WITHOUT any
+    lower()/upper() in the key — including a non-ASCII pair where ICU
+    lowercasing and the oracle's lower() agree (the ASCII + simple
+    1:1-mapping domain is the oracle-safe zone q73 stays inside)."""
+    df = spark.createDataFrame(
+        [("Spark",), ("SPARK",), ("spark",), ("ÄPFEL",), ("äpfel",)],
+        "w string",
+    )
+    df.createOrReplaceTempView("q73t_words")
+    rows = {
+        (r["word"], r["n"])
+        for r in spark.sql(
+            """
+            SELECT CAST(lower(collate(w, 'UTF8_LCASE')) AS STRING) AS word,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM q73t_words GROUP BY collate(w, 'UTF8_LCASE')
+            """
+        ).collect()
+    }
+    assert rows == {("spark", 3), ("äpfel", 2)}
+
+
+def test_q73_collated_join_is_case_insensitive_equality(spark):
+    """Collated equality joins rows whose keys differ only by case,
+    and does NOT join genuinely different words: the join arm of q73
+    on a 2-row fixture where binary equality would return nothing."""
+    spark.createDataFrame(
+        [("TABLE", 2), ("SCAN", 1)], "w string, n_up int"
+    ).createOrReplaceTempView("q73t_up")
+    spark.createDataFrame(
+        [("table", 5), ("join", 3)], "w string, n_lo int"
+    ).createOrReplaceTempView("q73t_lo")
+    rows = spark.sql(
+        """
+        SELECT CAST(lower(collate(u.w, 'UTF8_LCASE')) AS STRING) AS word,
+               n_up, n_lo
+        FROM q73t_up u JOIN q73t_lo l
+          ON collate(u.w, 'UTF8_LCASE') = collate(l.w, 'UTF8_LCASE')
+        """
+    ).collect()
+    assert [(r["word"], r["n_up"], r["n_lo"]) for r in rows] == [
+        ("table", 2, 5)
+    ]
