@@ -39,6 +39,38 @@ def main() -> int:
 
     for warm in ("region", "lineitem", "orders", "documents", "embeddings", "events"):
         load_table(spark, sf_dir, warm).count()
+    # xpath/XML-stack JIT warm (VERDICT r13 #2): the first xpath-heavy
+    # plan execution in a JVM pays ~2.5-3s of one-time cost — C2 JIT of
+    # the Xerces parse + XPath evaluation paths across the 32 task
+    # threads (measured: t125 cold 3.8-4.1s vs 1.1-1.3s steady at
+    # sf0.1; a 64-row warm does NOT absorb it — the JIT needs ~10^4
+    # parse invocations). Under a host-contention burst that cold
+    # section stretches multiplicatively (the r13 driver vector
+    # recorded 14.5s). Warm it here with a shape-identical synthetic
+    # pass (60k rows, all three xpath forms, same rollup) so the timed
+    # t125 measures steady-state xpath throughput like every other
+    # entry measures steady-state scan/shuffle throughput.
+    from pyspark.sql import functions as F
+
+    _xml = F.concat(
+        F.lit("<doc><src>s"), (F.col("id") % 3).cast("string"),
+        F.lit("</src><lang>l"), (F.col("id") % 4).cast("string"),
+        F.lit('</lang><m n="'), (F.col("id") % 5).cast("string"),
+        F.lit('">'), F.col("id").cast("string"), F.lit("</m></doc>"),
+    )
+    (
+        spark.range(0, 60000, 1, cpus)
+        .select(_xml.alias("_xml"))
+        .select(
+            F.expr("xpath_string(_xml, '/doc/src')").alias("src"),
+            F.expr("xpath_int(_xml, '/doc/m')").alias("chars"),
+            F.expr("CAST(xpath_string(_xml, '/doc/m/@n') AS BIGINT)").alias("attr"),
+            F.expr("size(xpath(_xml, '/doc/*'))").alias("n_children"),
+        )
+        .groupBy("src")
+        .agg(F.sum("chars"), F.sum("attr"), F.sum("n_children"))
+        .count()
+    )
     from datasheet_etl_spark.caching import release_caches
 
     def cpu_ticks() -> dict[str, int] | None:
@@ -60,37 +92,32 @@ def main() -> int:
         except Exception:  # noqa: BLE001
             return None
 
+    # Dispersion hardening (VERDICT r13 #3): this host is a shared
+    # hypervisor whose contention arrives in BURSTS — five r13 runs of
+    # identical code measured 272.6-475.2s (steal 3.1%-33.4%), and one
+    # throttled execution of one entry masqueraded as an 8.75x
+    # regression (t125: 14.5s driver vs 1.49s clean). A single-shot
+    # timing therefore cannot distinguish an engine regression from a
+    # scheduling accident. Fix: steal-gated retry — an entry whose OWN
+    # measurement window saw steal above RETRY_STEAL is re-run (up to
+    # MAX_RETRIES, global budget RETRY_BUDGET so a whole-run throttle
+    # can't triple the wall), and the MINIMUM wall across attempts is
+    # recorded: contention only ever ADDS wall-clock, so min is the
+    # estimator closest to the uncontended cost. Every retry is
+    # recorded in env.bench_retries (attempt walls + steal fracs), so
+    # the artifact shows exactly which numbers were re-measured.
+    retry_steal = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_STEAL", "0.02"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RETRIES", "2"))
+    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "40"))
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     entry_steal: dict[str, float] = {}
+    retries: dict[str, list[dict[str, float]]] = {}
     ticks0 = cpu_ticks()
     t_all = time.perf_counter()
-    for name in sorted(reg):
-        # one broken entry must not destroy the whole run's perf signal:
-        # record the error, keep timing the rest, always emit the JSON line
-        e0 = cpu_ticks()
-        t0 = time.perf_counter()
-        try:
-            df = reg[name](spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            # per-entry steal attribution (VERDICT r8 #7): a run-level
-            # steal number can't say WHICH entry's timing it polluted —
-            # e.g. r8's 6.1% made every sub-second diff ambiguous.
-            # One /proc/stat read per entry pins the contention to the
-            # entries that ran under it, so a cross-round per-entry
-            # diff can discard exactly the polluted measurements.
-            e1 = cpu_ticks()
-            if e0 and e1:
-                busy = sum(e1[k] - e0[k] for k in ("user", "system", "steal"))
-                if busy > 0:
-                    frac = (e1["steal"] - e0["steal"]) / busy
-                    if frac > 0.005:  # keep the artifact sparse
-                        entry_steal[name] = round(frac, 3)
-            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+
+    def cleanup() -> None:
         # per-query isolation: operators may persist() intermediates and
         # streaming entries register memory-sink views; left in place they
         # pile up executor memory and skew later timings with GC pressure
@@ -99,6 +126,63 @@ def main() -> int:
         for t in spark.catalog.listTables():
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
+
+    def attempt(name: str) -> tuple[float, int, float | None]:
+        """One timed execution; returns (wall, rows, steal_frac)."""
+        e0 = cpu_ticks()
+        t0 = time.perf_counter()
+        n = reg[name](spark, sf_dir).count()
+        wall = round(time.perf_counter() - t0, 3)
+        e1 = cpu_ticks()
+        frac = None
+        if e0 and e1:
+            busy = sum(e1[k] - e0[k] for k in ("user", "system", "steal"))
+            if busy > 0:
+                frac = (e1["steal"] - e0["steal"]) / busy
+        return wall, n, frac
+
+    for name in sorted(reg):
+        # one broken entry must not destroy the whole run's perf signal:
+        # record the error, keep timing the rest, always emit the JSON line
+        try:
+            wall, n, frac = attempt(name)
+            attempts = [{"wall": wall, "steal": round(frac or 0.0, 3)}]
+            while (
+                frac is not None
+                and frac > retry_steal
+                and len(attempts) <= max_retries
+                and retry_budget > 0
+            ):
+                retry_budget -= 1
+                cleanup()
+                wall2, n, frac = attempt(name)
+                attempts.append(
+                    {"wall": wall2, "steal": round(frac or 0.0, 3)}
+                )
+                wall = min(wall, wall2)
+            timings[name] = wall
+            if len(attempts) > 1:
+                retries[name] = attempts
+            # per-entry steal attribution (VERDICT r8 #7): a run-level
+            # steal number can't say WHICH entry's timing it polluted —
+            # e.g. r8's 6.1% made every sub-second diff ambiguous.
+            # One /proc/stat read per entry pins the contention to the
+            # entries that ran under it, so a cross-round per-entry
+            # diff can discard exactly the polluted measurements. The
+            # annotated frac is the one from the RECORDED (fastest)
+            # attempt's window.
+            best = min(attempts, key=lambda a: a["wall"])
+            if best["steal"] > 0.005:  # keep the artifact sparse
+                entry_steal[name] = best["steal"]
+            print(
+                f"# {name}: {timings[name]:.3f}s rows={n}"
+                + (f" (best of {len(attempts)})" if len(attempts) > 1 else ""),
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+        cleanup()
     total = round(time.perf_counter() - t_all, 3)
     ticks1 = cpu_ticks()
     env: dict[str, float] = {}
@@ -111,9 +195,12 @@ def main() -> int:
             # fraction of the run's CPU demand the hypervisor withheld
             env["steal_frac"] = round(env["steal_sec"] / busy, 3)
     if entry_steal:
-        # entries whose individual window saw >0.5% steal — diff these
+        # entries whose RECORDED attempt's window still saw >0.5% steal
+        # (i.e. the retry could not find a clean window) — diff these
         # with suspicion (or not at all) across rounds
         env["steal_frac_per_entry"] = entry_steal
+    if retries:
+        env["bench_retries"] = retries
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Durable per-entry artifact (VERDICT r7 #7): the stdout detail line

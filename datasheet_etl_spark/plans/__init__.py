@@ -22,28 +22,26 @@ from datasheet_etl_spark.plans.queries import ORACLES, QUERIES
 
 # The driver-graded window (first 50 registry entries), every entry
 # DuckDB-oracled — since round 12 with NO rows-only exceptions, so all
-# 50 driver rows can show hash_match: true. Round-13 rotation (VERDICT
-# r12 #1, executing the written COVERAGE plan): ten of the fourteen
-# oracled r12 entries the driver never graded come IN — t123 (state-
-# store read), t124 (native HLL), t125 (xpath), t126 (Arrow UDF), q60
-# (multi-distinct Expand), q63 (ordered-set aggs), q64 (IGNORE NULLS
-# windows), q66 (SQL programmability) on slots freed by eight
-# idiom-superset demotions (q49/q50/q56/q57/t109/t112/t118/t120 —
-# rationales in DEMOTED), plus two same-machinery pair swaps: t108→
-# t127 (the SAME native session_window operator with a per-event
-# DYNAMIC gap — fixed gap is the constant special case; the
-# watermarked-stateful streaming arm stays graded by t119's windowed
-# aggregate stage and t117's session lifecycle) and t06→t63b (the
-# SAME brute_force_topk scanner at k=50 — t06's k=10 oracle rows are
-# the same machinery under a lighter load). The four r12 entries left
-# out (t78/q61/q62/q65) stay sweep-graded with written notes in
-# COVERAGE.md. Earlier rotations: r12 rotated in q54-q58/t118-t121 +
-# pair swaps q58→q59/t121→t121b; r11 rotated in four steps
-# (t103-t106/q48-q51 in; t107-t115/q52/q53/t25 promoted in-round;
-# strict-superset swaps t117←t14 and t122←t116←t41). Every demotion
-# carries an idiom-superset rationale in DEMOTED, and every DEMOTED
-# rationale that cited an outgoing entry as its in-window anchor was
-# re-pointed in the same step.
+# 50 driver rows can show hash_match: true. Round-14 rotation (VERDICT
+# r13 #1, executing the written COVERAGE pre-plan): ten never-graded
+# oracled entries come IN — the priority picks t135 (native KLL
+# quantiles), t136 (theta set algebra), t137 (_metadata provenance),
+# t132 (exact bitmap distinct), t128 (join-state read), t133 (exact
+# decimal OLS), t129 (cogrouped as-of), t131 (applyInArrow), and the
+# q67-q73 picks q72 (SQL scripting) + q73 (collated join) — via four
+# pair swaps (t88→t135, t123→t128, t124→t136, q66→q72, q55→q73) and
+# five idiom-superset demotions (t90/q60/q63/q64/t126 — rationales in
+# DEMOTED; anchors q19/t59/t69/t82/t76/t79 re-pointed in the same
+# step). The r13 stragglers t78/q61/q62/q65 stay sweep-graded with
+# refreshed notes in COVERAGE.md, now beside the machine-readable
+# ORACLE_SWEEP artifact (VERDICT r13 #6). Earlier rotations: r13
+# rotated in t123-t127/t63b/q60/q63/q64/q66; r12 rotated in
+# q54-q58/t118-t121 + pair swaps q58→q59/t121→t121b; r11 rotated in
+# four steps (t103-t106/q48-q51 in; t107-t115/q52/q53/t25 promoted
+# in-round; strict-superset swaps t117←t14 and t122←t116←t41). Every
+# demotion carries an idiom-superset rationale in DEMOTED, and every
+# DEMOTED rationale that cited an outgoing entry as its in-window
+# anchor was re-pointed in the same step.
 WINDOW: tuple[str, ...] = (
     "q28_severity_ladder",
     "t01_dedup_exact",
@@ -71,12 +69,28 @@ WINDOW: tuple[str, ...] = (
     # --- r7 in-round promotions (mergeable-histogram quantiles; A-ES
     # exact-k weighted sampling); r12 demoted t79 (rationale in
     # DEMOTED) ---
-    "t88_mergeable_quantile_hist",
+    # r14 pair swap (the COVERAGE pre-plan's named candidate): t135 is
+    # t88's NATIVE mergeable-quantile twin — the same two-level
+    # shard-partials → per-key merge → quantile-read contract through
+    # Spark 4.1's Datasketches KLL aggregates, graded in the below-k
+    # EXACT regime (every item retained ⇒ the sketch quantile IS the
+    # order statistic, dyadic q so the IEEE rank boundary cannot
+    # drift); t88's hand-built histogram machinery demoted (rationale
+    # in DEMOTED; anchors q19/t79/t82 re-pointed in the same step)
+    "t135_kll_quantiles_native",
     "t91_weighted_sample",
     # --- rotated IN for round 8 (VERDICT r7 #1): the oracled r7
     # additions the driver window was blind to ---
     "t89_schema_evolution_at_rest",
-    "t90_feature_scale",
+    # r14: t90 demoted — its decimal-exact moment folds are t133's
+    # in-window machinery (t59's standing basis) and its map-only JVM
+    # higher-order array transforms are the same codegen HOF family
+    # t98/t99's in-window positioned-gram builders run; t133 takes the
+    # slot: per-feature OLS fits from ONE aggregate row of exact
+    # decimal moments, the numerically-reproducible form of the native
+    # regr_* family (which is pinned against it within 1e-6) and the
+    # entry whose NULL-gating fix closed r13's silent-wrong-fit defect
+    "t133_linear_fit",
     "q47_distribution_windows",
     # --- rotated IN for round 10: the six oracled entries the driver
     # has never checked (r9 additions + t12's r9 oracle upgrade) ---
@@ -155,7 +169,15 @@ WINDOW: tuple[str, ...] = (
     # lead-window derivation, t121 the incremental streaming sink
     # graded by the SAME oracle = incremental-equals-batch) ---
     "q54_timezone_parity",
-    "q55_collation",
+    # r14 pair swap (the t122←t116 precedent): q73 CONTAINS q55's
+    # collated GROUP BY as its probe side (the g CTE groups by
+    # collate(w, UTF8_LCASE)) and adds the arm q55 cannot reach —
+    # equality JOIN on the collated key, certifying the plan reality
+    # that collated keys hash-partition but fall back hash→SortMerge
+    # (co-location survives; the 100 TB cost is a per-partition sort,
+    # not a broadcast or cartesian); q55 demoted (rationale in
+    # DEMOTED)
+    "q73_collated_group_join",
     # r13: q56/q57/t118/t120 demoted after their r12 green grade
     # (the r8-r11 precedent: 1-3 green driver grades + a superset):
     # q56's Expand into q52, q57's frame machinery into q47+q54,
@@ -186,14 +208,61 @@ WINDOW: tuple[str, ...] = (
     # the fourth Python-evaluation seam (ArrowEvalPython); q63/q64/
     # q66 are the ordered-set / IGNORE-NULLS / SQL-programmability
     # parity surfaces ---
-    "t123_state_store_read",
-    "t124_hll_native_grouped",
+    # --- rotated IN for round 14 (VERDICT r13 #1, executing the
+    # written COVERAGE pre-plan). Pair swaps on the t122←t116
+    # precedent (an entry swaps for its same-machinery strict
+    # superset): t123→t128 — the SAME statestore-source reader
+    # (monitor.read_state_store: partition-parallel state-file scan,
+    # key/value struct decode) on the strictly-harder operator class,
+    # a symmetric hash join's keyWithIndexToValue store with the
+    # eviction frontier and matched-flag bookkeeping modeled and
+    # probed (t123's drained-aggregate arm stays swept; time travel +
+    # multi-store inventory stay pinned in test_streaming);
+    # t124→t136 — the SAME native-Datasketches two-level
+    # shard-partials→merge→estimate shape and the same t25 exactness
+    # route, through THETA sketches, which add the set-algebra arm no
+    # window slot touched (intersection/difference + the probed
+    # NULL-sketch=empty-set contract; t124's HLL union arm stays
+    # swept); q66→q72 — the session-variable machinery q66 grades is
+    # q72's scripted core (DECLARE/SET inside BEGIN..END) under the
+    # strictly-richer procedural surface (data-dependent SET from
+    # subqueries, a WHILE loop, script-result semantics); q66's
+    # CREATE FUNCTION inlining arm stays swept + plan-pinned.
+    "t128_join_state_read",
+    "t136_theta_set_distinct",
     "t125_xpath_extract",
-    "t126_arrow_python_udf",
-    "q60_multi_distinct_agg",
-    "q63_ordered_set_aggs",
-    "q64_ignore_nulls_windows",
-    "q66_sql_programmability",
+    # r14: t126 demoted — the Arrow-batched Python seam is graded
+    # in-window by t131 (applyInArrow: Arrow both directions, grouped
+    # superset of the scalar columnar transform, the
+    # NULL-group-key-fix surface) and t129 (cogrouped applyInPandas,
+    # the fifth seam corner, whose oracle is DuckDB's native ASOF
+    # JOIN); the ArrowEvalPython scalar node stays plan-pinned +
+    # swept — rationale in DEMOTED
+    "t131_arrow_native_grouped",
+    "t129_cogroup_asof",
+    # r14: q60 demoted — its Expand-based multi-distinct rewrite is
+    # the same physical Expand + two-level aggregate q52 plan-pins
+    # in-window, and the exact grouped distinct-count semantics are
+    # graded by t132 (below) and t01; rationale in DEMOTED. t132
+    # takes the slot: exact distinct via fixed 4 KB bitmap pages —
+    # the q24/t124 trade's third corner (exact AND mergeable on dense
+    # integer domains), with the ×100 decade row (2.09× cold / 1.03×
+    # warm) as its scale evidence
+    "t132_bitmap_distinct",
+    # r14: q63 demoted — its exact-quantile contract (percentile_disc
+    # picks the same actual row under the same total order) is graded
+    # in-window by t135's below-k-exact KLL order statistics; the
+    # WITHIN GROUP parser arm and listagg stay swept — rationale in
+    # DEMOTED. t137 takes the slot: row-level FILE provenance from
+    # the hidden _metadata scan column (lineage with no manifest
+    # join; q01's in-window scan-pruning discipline is its anchor)
+    "t137_file_provenance",
+    # r14: q64 demoted — the IGNORE NULLS null-skipping carry is
+    # graded in-window by t74's double-ASOF last(ignorenulls) LOCF
+    # (q17's standing basis since r7); the lag/lead/nth_value
+    # spellings stay swept — rationale in DEMOTED. q72 takes the
+    # q66 pair-swap slot (see the r14 header above)
+    "q72_sql_scripting",
 )
 
 # Rows-only entries deliberately inside the graded window. EMPTY since
@@ -276,12 +345,12 @@ DEMOTED: tuple[str, ...] = (
     "q01_scan_filter",  # pushdown scan+filter is the substrate of every in-window entry; graded directly inside t19's gate filter chain and q43's plan-pinned pushdown star join
     "q03_regex_extract_cast",  # regexp extract + try_cast graded inside q28's severity-ladder parse (same stringly-cell regexp family) + t86's lenient-CSV typed casts
     "q11_tpch_q1",  # multi-aggregate groupBy over lineitem graded inside t73_incremental_rollup (same sum/count/avg shape PLUS partial-merge maintenance) + q52's grouping-sets superset (r11: q35, the old co-anchor, demoted into q52)
-    "q19_percentiles",  # exact percentile contract graded inside t88_mergeable_quantile_hist (same quantiles re-derived from mergeable bin counts — the strictly-stronger maintenance path)
+    "q19_percentiles",  # exact percentile contract graded inside t135_kll_quantiles_native (below-k exact order statistics through the mergeable native-sketch maintenance path; r14: t88, the old anchor — the hand-built mergeable-bin path — itself demoted into t135 on the same contract)
     "q30_idempotent_rerun",  # left-anti incremental-skip idiom graded inside t32_decontaminate (same left-anti at corpus scale, Bloom + shuffle-hash variants)
     "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t98 (same postings shape, exact-span verify; r11: t94, the old co-anchor, demoted into t98/t95; r10: t92, the old anchor, demoted on the same basis); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
     "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t16_dedup_clusters (same edge→component machinery over the shared graph helpers)
     "t57_funnel",  # ordered-event window sequencing graded inside t117_stateful_timeout_sessions (q18's sessionize contract through the stateful close-once path; r11: t14, the old anchor, demoted into t117; r10: q18 demoted on the same basis) + t127's native sessions (r13: t108, the old co-anchor, demoted into t127)
-    "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t90_feature_scale's stats pass (same decimal mean/variance machinery); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
+    "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t133_linear_fit (the SAME shared moments helper carried to full OLS statistics — slope/intercept/R² from one aggregate row of exact decimal moments; r14: t90, the old anchor, demoted into t133 on the same decimal-moment basis); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
     "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
     # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
     # — every outgoing idiom stays graded inside an in-window superset:
@@ -309,9 +378,9 @@ DEMOTED: tuple[str, ...] = (
     "q45_union_by_name",  # unionByName(allowMissingColumns) schema-union graded inside t89_schema_evolution_at_rest — the strictly-stronger at-rest form of the same contract (mergeSchema reconciles drifted parquet generations, missing columns NULL-filled, the identical column-resolution semantics through the scan path)
     "q44_correlated_subqueries",  # Catalyst decorrelates all three arms into join+aggregate shapes each graded in-window: correlated scalar agg → grouped-aggregate-joined-back (t73's partial-merge rollup + q43's broadcast star), EXISTS → left-semi (t07's probed-cell semi-join), the NULL-edge of IN/NOT IN now graded DIRECTLY by q51's NOT-IN-with-NULL hard-0 arm; the spark.sql correlated-syntax acceptance stays swept + pytest-covered
     "q39_recursive_cte",  # loop-until-fixpoint frontier iteration graded inside t16_dedup_clusters' connected-components loop (same iterative self-join/convergence machinery at corpus scale, with the explicit lineage-truncation discipline q39's own docstring defers to); the WITH RECURSIVE syntax acceptance stays swept
-    "t69_rolling_anomaly",  # trailing-frame moment windows graded inside q47_distribution_windows (same RANGE/ROWS WindowExec machinery, three frames sharing one sort) + t90_feature_scale (the same exact-decimal (n, Σx, Σx²) moment discipline feeding z-scores); the |z|>3 flag tail is map-only scalar work
+    "t69_rolling_anomaly",  # trailing-frame moment windows graded inside q47_distribution_windows (same RANGE/ROWS WindowExec machinery, three frames sharing one sort) + t133_linear_fit (the same exact-decimal (n, Σx, Σx²) moment discipline feeding derived statistics; r14: t90, the old co-anchor, demoted into t133 on the same basis); the |z|>3 flag tail is map-only scalar work
     "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t122 (stream-stream, the strictly-stateful superset; r11: t41/t116, the old co-anchors, demoted into t122) + t77 (streaming join-and-resolve against bucketed state)
-    "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames + t88's cumulative mergeable bins
+    "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames (cume_dist/percent_rank ARE prefix-count ratios over the same sorted pass; r14: t88, the old co-anchor whose cumulative bins graded the running-sum form, demoted into t135 — the cumulative-prefix window idiom also stays in-window through t33's bin cumsum, q20's standing basis)
     "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline; r11: t84, the old co-anchor, demoted into t101/t01)
     "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t98's gram-postings candidate generation + exact-span verification (r11: t94, the old co-anchor, demoted into t98/t95) — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
     # r11 in-round: swapped for t107/t108/t109 — same-contract/
@@ -327,7 +396,7 @@ DEMOTED: tuple[str, ...] = (
     "q35_cube",  # CUBE is a strict special case of GROUPING SETS; q52_grouping_sets grades the identical Expand machinery with asymmetric sets plus grouping()/grouping_id markers, plan-pinned to one Expand and no Union — the general form of every grouping-sets variant q35 graded
     "q14_dynamic_pivot",  # two-phase dynamic pivot (driver-collected distinct keys → one sum(when) projection per key) is the sum(when) conditional-projection machinery graded inside q28's CASE ladder (q12's standing demotion basis) with the single-pass multi-grain aggregate shape inside q52's plan-pinned Expand; the two-phase pivot() API call stays swept + pytest-covered
     "t58_cohort_retention",  # cohort month-bucketing + month-difference arithmetic graded inside q54's tz-aware calendar-bucket-then-aggregate shape (r13: q49, the old anchor, demoted into q54 — the date_trunc/months_between family's remaining surface is map-only scalar arithmetic); the per-entity event sequencing inside t117_stateful_timeout_sessions (r11: t14, the old co-anchor, demoted into t117) + t127's native session windows (r13: t108, the old co-anchor, demoted into t127); the retention-matrix tail is a groupBy-count over those decisions (q28/q52-family aggregate machinery)
-    "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t126's ArrowEvalPython scalar UDF (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer API surface; r13: t112, the old square corner, demoted into t114); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
+    "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t131's applyInArrow grouped seam and t129's cogrouped pandas seam (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer + grouped/cogrouped surfaces; r14: t126, the old scalar-seam co-anchor, demoted into t131/t129; r13: t112, the old square corner, demoted into t114); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
     "t80_leakage_safe_split",  # group-consistent md5-hash-threshold assignment is the same deterministic md5-derived selection family graded inside t91's A-ES exact-k md5-rank sampling and t97's hash-order shard selection; the no-leakage invariant (one group → exactly one split) stays pytest-pinned and swept
     "t81_streaming_dedup_watermark",  # watermarked streaming state graded inside t119's native watermarked windowed-aggregate stage (r13: t108, the old anchor, demoted into t127/t119 — the same watermark + stateful merge through the native-operator path) and the streaming exactly-once drain discipline inside t105/t99; the dedup-key contract itself inside t01_dedup_exact
     "t84_curation_audit",  # the per-doc keep/drop decision audit + per-source roster-LEFT-join rollup is graded inside t101_excision_impact_report (the same join-back-to-roster denominator discipline over per-doc decisions, strictly richer impact metrics); the fingerprint/min-representative dedup machinery inside t01/t19 (in-window)
@@ -354,7 +423,7 @@ DEMOTED: tuple[str, ...] = (
     "t111_pack_efficiency_report",  # a rollup OVER t97_training_shard_plan's own CTEs (it invokes the same shard-plan construction and aggregates per-shard fill); t97 stays in-window grading the packing machinery end-to-end, and the efficiency-ratio tail is map-only arithmetic over those decisions (q28/q52-family aggregate machinery)
     "q48_map_roundtrip",  # the nested-collection construction machinery (sort_array(collect_list(struct)) → build → explode back) is graded inside t95's collect_list(struct)→array_sort ordered doc rebuild (in-window), and the map-payload handling discipline inside t105's quarantine payloads; the MapType-specific surface (map_from_entries/map_filter/transform_values) stays swept + pytest, and apply_changes' map_entries canonicalization (r12) is pytest-pinned
     "q53_group_by_all",  # GROUP BY ALL is a RESOLUTION rule, not an execution shape: the resolved plan is the ordinary partial-agged groupBy-aggregate graded in-window by q43/t73/q52 (whose GROUPING SETS Expand is the strictly-richer grouping surface); the ALL-resolution rule itself stays swept + pytest
-    "t79_weighted_median_udaf",  # the Arrow-batched Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t126's ArrowEvalPython scalar seam (the strictly-richer reader/stream/pushdown/writer API surface — t76's standing demotion basis; r13: t112, the old square corner, demoted into t114), and the grouped-aggregate shape inside t88's mergeable-quantile rollup (the same per-group quantile contract through mergeable bins); the GROUPED_AGG pandas_udf registry + exact weighted-median contract stays swept + pytest (test_functions)
+    "t79_weighted_median_udaf",  # the Arrow-batched Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t131's applyInArrow grouped seam (the strictly-richer reader/stream/pushdown/writer + grouped surfaces — t76's standing demotion basis; r14: t126, the old scalar-seam co-anchor, demoted into t131/t129; r13: t112, the old square corner, demoted into t114), and the grouped-aggregate quantile contract inside t135's native mergeable KLL rollup (r14: t88, the old anchor, demoted into t135 on the same contract); the GROUPED_AGG pandas_udf registry + exact weighted-median contract stays swept + pytest (test_functions)
     # r13: swapped out for t123-t126/q60/q63/q64/q66 (VERDICT r12 #1
     # — the oracled r12 entries the driver never graded) + the t63b/
     # t127 pair swaps — every outgoing idiom stays graded inside an
@@ -371,6 +440,21 @@ DEMOTED: tuple[str, ...] = (
     # r13 pair swaps (same-machinery strict-superset promotions):
     "t108_session_window_native",  # t127_session_window_dynamic_gap grades the SAME native session_window operator with a per-event DYNAMIC make_interval gap — the fixed "30 minutes" gap is the constant special case, same equality-merge/running-max-end semantics over the same events table; the watermarked-stateful streaming-drain arm stays graded inside t119's windowed-aggregate stage (native event-time state under the shared watermark) + t117's stateful session lifecycle; the streaming session_window form stays swept + pytest
     "t06_ann_bruteforce",  # t63b_mmr_pool runs the SAME brute_force_topk operator (broadcast probes in the scanner closure, per-Arrow-batch map-side matmul, per-partition top-k then one small merge — no corpus shuffle) at the strictly-heavier k=50, doubling as the distributed-stage certificate for rows-only t63; the k=10 ten-probe form stays swept + pytest
+    # r14: swapped out for t128/t129/t131-t133/t135-t137/q72/q73
+    # (VERDICT r13 #1 — the written rotation pre-plan; ten
+    # never-driver-graded oracled entries in) — every outgoing idiom
+    # stays graded inside an in-window superset, and every demotee
+    # stays in the pytest oracle sweep + bench:
+    "t88_mergeable_quantile_hist",  # the mergeable-quantile contract (per-key shard partials → additive merge → quantile read, merge state == one-pass state) is graded in-window by t135_kll_quantiles_native — the SAME two-level shape through Spark 4.1's native Datasketches KLL aggregates, graded in the below-k EXACT regime where the sketch quantile IS the order statistic; t88's hand-built equi-width-bin machinery (hist_partials/hist_merge/hist_quantiles) stays swept + merge-invariance pytest-pinned in test_sketches, and the fixed-frame resolution trade stays its docstring's record
+    "t124_hll_native_grouped",  # the native-Datasketches two-level mergeable-partials shape (per-shard sketch_agg → per-key union/merge agg → estimate) and the t25 exactness-route oracle are graded in-window by t136_theta_set_distinct — the SAME discipline through theta sketches, which additionally grade the set-algebra arm (intersection/difference + the probed NULL-sketch=empty-set contract) HLL cannot express; the HLL-specific estimator (sparse-regime bit-for-bit, beyond-exact documented error) stays swept + pytest-pinned in test_sketches
+    "t123_state_store_read",  # the statestore-source reader machinery (monitor.read_state_store: partition-parallel state-file scan, key/value struct decode, physical-state-vs-batch-truth grading) is graded in-window by t128_join_state_read — the SAME reader on the strictly-harder operator class: a symmetric hash join's keyWithIndexToValue store with the eviction frontier (probed boundary-equality contract) and matched-flag bookkeeping; the drained-aggregate store arm stays swept, and per-batch time travel + the multi-store metadata inventory stay pytest-pinned in test_streaming
+    "q66_sql_programmability",  # the session-variable machinery (DECLARE/SET VAR carrying data into a query) is graded in-window by q72_sql_scripting — the strictly-richer procedural surface: the SAME variable discipline inside BEGIN..END with data-dependent SET from subqueries, a WHILE loop, and script-result semantics; q66's CREATE FUNCTION body-inlining arm (no evaluation boundary, plan-pinned) and named-parameter binding stay swept + pytest
+    "q55_collation",  # the collated GROUP BY machinery (hash exchange + aggregation on collate(w, UTF8_LCASE), lower()-coincidence oracle contract for ASCII-manufactured case) is graded in-window by q73_collated_group_join, which CONTAINS q55's collated grouping as its probe side and adds the equality-JOIN arm (hash→SortMergeJoin fallback with co-location preserved); the part-name fixture form stays swept + the case-merge pytest
+    "t90_feature_scale",  # the decimal-exact moment folds (partitioning-independent sums — the t65 summation pattern) are graded in-window by t133_linear_fit (the same exact-decimal-moment discipline, t59's standing basis, carried to full OLS statistics), and the map-only JVM higher-order array machinery (transform/aggregate per-element rescale, zero shuffles) is the same codegen HOF family t98/t99's in-window positioned-gram builders run (zip_with/transform gram keys); the min-max frame pass is a two-row global aggregate (q01's scan-agg shape); the feature_frame/scale_features operators stay swept + pytest
+    "q60_multi_distinct_agg",  # Catalyst's multi-distinct rewrite compiles to the SAME physical Expand + two-level aggregate q52_grouping_sets plan-pins in-window (one Expand, no Join — the pin lives in test_plans either way), and the exact grouped distinct-count semantics are graded by t132_bitmap_distinct (exact AND mergeable, in-window) + t01's distinct-key dedup; the mixed regular-aggregate ride-along stays swept + plan-pinned
+    "q63_ordered_set_aggs",  # the exact-quantile contract (percentile_disc must pick the same ACTUAL row under the same total order; percentile_cont the same interpolated order statistics) is graded in-window by t135_kll_quantiles_native's below-k-exact order statistics (every item retained ⇒ sketch quantile == order statistic, dyadic-q IEEE-boundary argument written); the WITHIN GROUP parser surface and ordered listagg stay swept + pytest
+    "q64_ignore_nulls_windows",  # the IGNORE NULLS null-skipping carry (WHICH row each function reads) is graded in-window by t74_resample_interp's double-ASOF last(ignorenulls) LOCF — q17's standing demotion basis since r7 (the production consumer of null-skipping: gap-filling); the lag/lead/nth_value spellings and the planted-NULL fixture stay swept + pytest
+    "t126_arrow_python_udf",  # the Arrow-batched scalar Python seam (values cross the JVM boundary as Arrow batches, NULL-in→NULL-out SQL semantics) is graded in-window by t131_arrow_native_grouped (applyInArrow — Arrow both directions with NO pandas conversion, the grouped superset of a scalar columnar transform, carrying the r13 NULL-group-key fix) and t129_cogroup_asof (the cogrouped pandas seam, two Arrow batch streams into one function); the ArrowEvalPython scalar node stays plan-pinned in test_plans + swept
 )
 
 

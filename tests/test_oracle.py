@@ -34,10 +34,10 @@ def test_graded_window_contract():
     """The driver grades the first 50 registry entries. Pin that the
     window is exactly the explicit WINDOW list, every entry oracled
     with NO rows-only exceptions (r12: every driver row can show
-    hash_match true), that the r13 rotation landed (ten of the
-    fourteen oracled r12 entries the driver had never checked are
-    graded), that recent rotations stay covered, and that demotion
-    never drops oracle coverage."""
+    hash_match true), that the r14 rotation landed (ten never-graded
+    oracled entries newly in-window per the written pre-plan), that
+    recent rotations stay covered, and that demotion never drops
+    oracle coverage."""
     from datasheet_etl_spark.plans import (
         DEMOTED,
         WINDOW,
@@ -55,40 +55,49 @@ def test_graded_window_contract():
     # out; its exact python-zlib parity pytest remains its grade.
     assert WINDOW_ROWS_ONLY == frozenset()
     assert all(k in ora for k in first50)
-    # r13 rotation (VERDICT r12 #1, the written COVERAGE plan): ten
-    # of the fourteen oracled r12 entries the driver never graded.
-    # Eight on slots freed by idiom-superset demotions — q49 into
-    # q54's tz-aware calendar bucketing, q50 into t125+q28's
-    # scalar-decomposition discipline, q56's Expand into q52, q57's
-    # RANGE-frame machinery into q47+q54, t109's df-join-back + rank
-    # into t96+t97, t112 into t114 (same synth_events source through
-    # the richer pushFilters path), t118's chained-checkpoint
-    # discipline into t119 (join→agg, the strictly harder pair),
-    # t120 into t121b's SAME oracle — plus two same-machinery pair
-    # swaps: t108→t127 (the SAME native session_window operator,
-    # dynamic per-event gap ⊃ fixed gap) and t06→t63b (the SAME
-    # brute_force_topk scanner at k=50, doubling as rows-only t63's
-    # distributed-stage certificate). t78/q61/q62/q65 stay swept
-    # with written notes in COVERAGE.md.
+    # r14 rotation (VERDICT r13 #1, the written COVERAGE pre-plan):
+    # ten never-driver-graded oracled entries in. Pair swaps (the
+    # t122←t116 precedent): t88→t135 (native KLL twin of the
+    # hand-built mergeable histogram, below-k exact), t123→t128 (the
+    # SAME statestore reader on the harder join-state class),
+    # t124→t136 (same native-Datasketches two-level shape, theta adds
+    # set algebra), q66→q72 (session variables inside the richer
+    # scripting surface), q55→q73 (q73 CONTAINS q55's collated GROUP
+    # BY and adds the collated equality join). Idiom-superset
+    # demotions: t90 into t133 (decimal moments) + t98/t99 (JVM array
+    # HOFs), q60's Expand into q52 + exact-distinct into t132/t01,
+    # q63's exact-quantile contract into t135, q64's IGNORE NULLS
+    # carry into t74 (q17's standing basis), t126's Arrow seam into
+    # t131/t129. Anchors q19/t59/t69/t82/t76/t79 re-pointed in the
+    # same step. t78/q61/q62/q65 stay swept with refreshed notes in
+    # COVERAGE.md beside the ORACLE_SWEEP artifact (VERDICT r13 #6).
+    r14_entries = {
+        "t135_kll_quantiles_native",
+        "t136_theta_set_distinct",
+        "t137_file_provenance",
+        "t132_bitmap_distinct",
+        "t128_join_state_read",
+        "t133_linear_fit",
+        "t129_cogroup_asof",
+        "t131_arrow_native_grouped",
+        "q72_sql_scripting",
+        "q73_collated_group_join",
+    }
+    assert r14_entries <= set(first50)
+    # r13 rotation survivors (t123/t124/t126/q60/q63/q64/q66 demoted
+    # r14 after their r13 green driver grade — the r8-r11 precedent:
+    # 1-3 green grades + an in-window superset; rationales in DEMOTED)
     r13_entries = {
-        "t123_state_store_read",
-        "t124_hll_native_grouped",
         "t125_xpath_extract",
-        "t126_arrow_python_udf",
-        "q60_multi_distinct_agg",
-        "q63_ordered_set_aggs",
-        "q64_ignore_nulls_windows",
-        "q66_sql_programmability",
         "t63b_mmr_pool",
         "t127_session_window_dynamic_gap",
     }
     assert r13_entries <= set(first50)
-    # r12 rotation survivors (q56/q57/t118/t120 demoted r13 after
-    # their green driver grade — the r8-r11 precedent: 1-3 green
-    # grades + an in-window superset; rationales in DEMOTED)
+    # r12 rotation survivors (q56/q57/t118/t120 demoted r13, q55
+    # demoted r14 into q73 — the r8-r11 precedent: 1-3 green grades +
+    # an in-window superset; rationales in DEMOTED)
     r12_entries = {
         "q54_timezone_parity",
-        "q55_collation",
         "t119_stream_join_then_agg",
         # in-round pair swaps (same-oracle strict supersets): q58's
         # OFFSET page content is graded row-identically through q59's
@@ -151,18 +160,18 @@ def test_graded_window_contract():
     # EventTimeTimeout close-once lifecycle (both after 2+ green
     # driver grades)
     # r8 rotation survivors (t81/t84 demoted r11 after three green
-    # driver grades: t81's watermarked state graded inside t108/t105,
-    # t84's roster-rollup discipline inside t101/t01; t82/t85/t83
-    # demoted earlier r11 on the same superset basis)
+    # driver grades; t90 demoted r14 into t133 + t98/t99 after six
+    # green grades — the same superset basis)
     r8_entries = {
-        "t89_schema_evolution_at_rest", "t90_feature_scale",
+        "t89_schema_evolution_at_rest",
         "q47_distribution_windows",
     }
     assert r8_entries <= set(first50)
-    # entries CREATED in round 7: >= 5 must still be driver-graded
-    # (was >= 6 through r11; r12 demoted t79 — its Arrow-batched
-    # Python seam graded inside the t112-t115 square, its grouped
-    # quantile contract inside t88, both in-window)
+    # entries CREATED in round 7: >= 3 must still be driver-graded
+    # (was >= 6 through r11, >= 5 through r13; r14 demoted t88 into
+    # t135 — its native mergeable-quantile twin — and t90 into
+    # t133/t98/t99, both after 6+ green grades, both in-window
+    # supersets)
     r7_created = {
         "t79_weighted_median_udaf", "t80_leakage_safe_split",
         "t81_streaming_dedup_watermark", "t82_mixture_waterfill",
@@ -172,7 +181,7 @@ def test_graded_window_contract():
         "t90_feature_scale", "t91_weighted_sample",
         "q47_distribution_windows",
     }
-    assert len(r7_created & set(first50)) >= 5
+    assert len(r7_created & set(first50)) >= 3
     # demotion is a WINDOW decision, never an oracle decision: every
     # demoted entry keeps its DuckDB oracle and stays in this sweep
     assert all(k in ora for k in DEMOTED)
