@@ -5663,3 +5663,48 @@ def q73_collated_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                JOIN od ON g.cw = collate(od.w, 'UTF8_LCASE')
         """
     )
+
+
+@register(
+    "q74_execute_immediate",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_quantity >= 25 AND l_quantity < 45
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q74_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE`` — dynamic SQL from a session variable
+    with positional ``USING`` parameter binding (Spark 4.0), closing
+    the SQL-programmability square beside q72's scripting (BEGIN/END
+    control flow), q66's demoted CREATE FUNCTION + named-parameter
+    arms, and the session-variable discipline both grade: the
+    statement TEXT lives in a variable (the metadata-driven-job
+    pattern — a rollup template instantiated per table), the
+    parameters bind injection-safely at execution, and the result is
+    the statement's result. The oracle inlines both; the abstraction
+    must be semantically transparent (q66's standing contract).
+    Decimal-exact revenue per the q11 discipline. Plan shape: the
+    executed statement compiles to the ordinary partial-agged
+    pushdown scan — EXECUTE IMMEDIATE is a binding surface, not an
+    execution one, and the entry exists to pin exactly that."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q74_lineitem"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE q74_stmt STRING")
+    spark.sql(
+        """SET VAR q74_stmt =
+        'SELECT l_returnflag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM q74_lineitem
+         WHERE l_quantity >= ? AND l_quantity < ?
+         GROUP BY l_returnflag ORDER BY l_returnflag'
+        """
+    )
+    return spark.sql("EXECUTE IMMEDIATE q74_stmt USING 25, 45")

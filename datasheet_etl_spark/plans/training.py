@@ -1640,6 +1640,216 @@ def t137_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t138_recursive_hierarchy",
+    """
+    WITH RECURSIVE walk(id, anc, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT id, anc // 2, depth + 1 FROM walk WHERE anc >= 8
+    )
+    SELECT anc AS root, CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM walk JOIN documents ON id = doc_id
+    WHERE anc < 8
+    GROUP BY root, depth ORDER BY root, depth
+    """,
+)
+def t138_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4.1 ``WITH RECURSIVE`` — the
+    ``UnionLoop`` operator, plan-pinned in tests/test_plans.py): the
+    taxonomy/hierarchy walk every catalog pipeline runs, expressed
+    declaratively instead of as a driver-side loop of DataFrame
+    unions. A planted binary forest over documents (parent =
+    doc_id DIV 2, roots = ids 0-7) is walked to its roots INSIDE one
+    plan — each doc's root ancestor and walk depth, rolled up to
+    (root, depth) strata weighted by chars. This is the graded
+    declarative twin of the repo's iterative graph loops (t16's
+    connected components, t44's pagerank — both driver-stepped with
+    convergence checks): here the loop lives in the PLAN, the engine
+    schedules each level as a stage (AQE re-plans per level), and no
+    collect() touches the driver.
+
+    The oracle is DuckDB's native WITH RECURSIVE — near-verbatim SQL
+    (``anc // 2`` vs ``CAST(anc / 2 AS BIGINT)``, both floor on
+    non-negative ids). Termination is structural (anc halves each
+    level ⇒ depth ≤ log2(max doc_id) ≈ 13 at sf0.1, far under
+    ``spark.sql.cteRecursionLevelLimit`` = 100 — the conf a deeper
+    hierarchy raises). Scale shape: the loop materializes the frontier
+    once per level — Σ rows = N·avg_depth = O(N log N) through the
+    UnionLoop, each level one map-side halving projection; the only
+    shuffles are the final join and the (root, depth) rollup. At
+    100 TB the hierarchy table this models (folders, org units,
+    taxonomy nodes) is metadata-scale; the pattern's cost is the
+    frontier scan, not the recursion bookkeeping. UNION ALL semantics
+    only (Spark raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed,
+    so cycle-bearing graphs still need the iterative operators; this
+    entry grades the acyclic-walk class they don't)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "t138_documents"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(id, anc, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM t138_documents
+          UNION ALL
+          SELECT id, CAST(anc / 2 AS BIGINT), depth + 1
+          FROM walk WHERE anc >= 8
+        )
+        SELECT anc AS root, CAST(depth AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM walk JOIN t138_documents ON id = doc_id
+        WHERE anc < 8
+        GROUP BY root, depth ORDER BY root, depth
+        """
+    )
+
+
+@register(
+    "t139_approx_top_k_native",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN event_id % 3 <> 0 THEN user_id % 4
+                  ELSE user_id END AS item
+      FROM events
+    ), c AS (
+      SELECT event_type, item, count(*) AS cnt
+      FROM d GROUP BY event_type, item
+    ), r AS (
+      SELECT event_type, item, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, item) AS rk
+      FROM c
+    )
+    SELECT event_type, CAST(item AS BIGINT) AS item,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rk <= 4 ORDER BY event_type, item
+    """,
+)
+def t139_approx_top_k_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Datasketches FREQUENT-ITEMS (Spark 4.1
+    ``approx_top_k_accumulate`` / ``_combine`` / ``_estimate``) — the
+    fourth member of the native-sketch family (t124 HLL, t135 KLL,
+    t136 theta) and the native twin of t78's hand-built Misra-Gries:
+    per-event-type top-4 items through the two-level mergeable shape
+    every incremental pipeline runs (per-shard accumulate partials →
+    per-key combine → estimate; tonight's shard sketches combine with
+    the stored ones, kilobytes move, never values).
+
+    Oracled by the family's exactness route, with BOTH regime bounds
+    stated: (1) below-capacity exactness — distinct items per type is
+    ≤ 4 + n_users (≈1.5k at sf0.1), far under the explicit
+    maxItemsTracked = 8192, and a frequent-items sketch below map
+    capacity never evicts, so every count is exact; (2) top-4
+    SELECTION is safe on t78's generator-ratio margin — the four
+    planted heavy items each hold ~1/6 of a type's events while every
+    tail user holds ≪ 1/17, so no tie at the selection boundary can
+    flip membership between engines (counts within the top-4 CAN tie;
+    output is therefore ordered by item, never by rank). The oracle
+    re-derives the same top-4 from exact GROUP BY counts. Beyond
+    capacity the estimates carry documented error — q24b's
+    approximate-by-definition territory, pinned in
+    tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 3 != 0, F.col("user_id") % 4)
+        .otherwise(F.col("user_id"))
+        .alias("item"),
+        (F.col("event_id") % 5).alias("_shard"),
+    )
+    partials = d.groupBy("event_type", "_shard").agg(
+        F.expr("approx_top_k_accumulate(item, 8192)").alias("_st")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(_st), 4)").alias(
+            "_top"
+        )
+    )
+    return (
+        merged.select(
+            "event_type", F.explode("_top").alias("t")
+        )
+        .select(
+            "event_type",
+            F.col("t.item").cast("long").alias("item"),
+            F.col("t.count").cast("long").alias("cnt"),
+        )
+        .orderBy("event_type", "item")
+    )
+
+
+@register(
+    "t140_utf8_validity_gate",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT)
+               AS n_invalid,
+           CAST(count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS BIGINT)
+               AS n_valid_through,
+           CAST(sum(length(text)
+                    + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS repaired_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def t140_utf8_validity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 VALIDITY gate (Spark 4.0 ``is_valid_utf8`` /
+    ``try_validate_utf8`` / ``make_valid_utf8``) — the mojibake
+    firewall a web-crawl ingest runs before tokenization (invalid
+    bytes poison downstream token counts, gram keys, and Arrow
+    transfers, which assume valid UTF-8): classify, pass-through
+    valid rows as NULL-on-error (the try_* discipline q68 grades for
+    arithmetic, here for encoding), and repair by substitution.
+    Corruption is planted IN-PLAN with t110/t125's
+    known-decomposition discipline: docs with doc_id % 7 = 0 get one
+    0x80 continuation byte appended (CAST(x'80' AS STRING) — the cast
+    is non-validating), so ground truth is a pure function of doc_id
+    and the clean text. The graded contract: is_valid_utf8 flags
+    exactly the planted rows, try_validate_utf8 nulls exactly those
+    (count() skips them), and make_valid_utf8 replaces the lone
+    invalid byte with exactly one U+FFFD (repaired char count =
+    clean chars + planted count — verified identity, no engine ever
+    evaluates char_length over an INVALID string on the graded path
+    except through the repair the entry certifies). DuckDB never
+    builds the invalid strings at all: its strings are
+    validated-UTF-8 by contract, so the oracle re-derives every
+    population from the planted predicate — which is the point: the
+    entry grades Spark's byte-level leniency against an engine that
+    refuses the bytes. Scale shape: map-only scalar predicates into
+    one partial-agged rollup, scan-speed at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    bad = F.col("doc_id") % 7 == 0
+    staged = d.select(
+        "source",
+        F.when(
+            bad, F.concat("text", F.expr("CAST(x'80' AS STRING)"))
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(~F.expr("is_valid_utf8(t)"), F.lit(1))
+            ).alias("n_invalid"),
+            F.count(F.expr("try_validate_utf8(t)")).alias(
+                "n_valid_through"
+            ),
+            F.sum(F.expr("char_length(make_valid_utf8(t))")).alias(
+                "repaired_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / packing family (operators/sampling.py)
 # ---------------------------------------------------------------------------

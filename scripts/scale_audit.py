@@ -709,6 +709,18 @@ def asymptote(spark, only=None):
             F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("pairs")
         )
 
+    def t136_parts(spark, d):
+        # t136's only exchange: per-(part, returnflag-arm) theta
+        # partials — key count is the shuffled row count, and the
+        # per-row payload is the sketch, bounded by below-nominal
+        # retention (suppliers per part, which the staging holds
+        # CONSTANT: l_suppkey is never offset, so the decade isolates
+        # key-count growth at fixed sketch size — and the below-k
+        # exactness contract that makes t136 oracle-able holds at
+        # both scales by the same construction)
+        li = load_table(spark, d, "lineitem")
+        return li.agg(F.countDistinct("l_partkey").alias("n"))
+
     def t132_pages(spark, d):
         # the entry's only exchange: level-1 (key, shard, page) bitmap
         # partials — the asymptote claim is that THIS is what shuffles
@@ -743,6 +755,16 @@ def asymptote(spark, only=None):
         ("t132 bitmap distinct",
          lambda s, d: q["t132_bitmap_distinct"](s, d),
          t132_pages, "(key,shard,page) partials"),
+        # r14 (VERDICT r13 #5): t136's 1.66x was the highest x10 ratio
+        # among the r13 additions — give it the t132 decade treatment.
+        # The staging offsets l_partkey per copy but never l_suppkey:
+        # parts (= shuffle keys = output rows) grow x100 while
+        # suppliers-per-part (= theta retention = per-key payload)
+        # stays constant, so the decade isolates the one dimension
+        # that grows at 100 TB
+        ("t136 theta set distinct",
+         lambda s, d: q["t136_theta_set_distinct"](s, d),
+         t136_parts, "per-part sketch rows (bounded payload)"),
     ):
         # match display labels ("t132 bitmap distinct") AND registry
         # names ("t132_bitmap_distinct") — a filter that selects

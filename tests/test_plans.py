@@ -1356,3 +1356,206 @@ def test_q73_collated_join_is_case_insensitive_equality(spark):
     assert [(r["word"], r["n_up"], r["n_lo"]) for r in rows] == [
         ("table", 2, 5)
     ]
+
+
+def test_t138_recursive_cte_union_loop(spark):
+    """t138's graded surface is the native recursive CTE: the plan
+    must contain the UnionLoop operator (the in-plan loop — no
+    driver-stepped unions), terminate structurally under the
+    recursion limit, and agree with a Python-computed walk on the
+    small fixture."""
+    from datasheet_etl_spark.plans.training import t138_recursive_hierarchy
+
+    df = t138_recursive_hierarchy(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnionLoop" in plan, plan[:800]
+
+    # python replay: root + depth for every doc, rolled up identically
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    agg = {}
+    for doc_id, n_chars in docs:
+        anc, depth = doc_id, 0
+        while anc >= 8:
+            anc, depth = anc // 2, depth + 1
+        key = (anc, depth)
+        n, tc = agg.get(key, (0, 0))
+        agg[key] = (n + 1, tc + n_chars)
+    got = {
+        (r["root"], r["depth"]): (r["n_docs"], r["total_chars"])
+        for r in df.collect()
+    }
+    assert got == agg
+
+
+def test_t138_union_distinct_recursion_unsupported(spark):
+    """The entry's docstring claims UNION (distinct) recursion raises
+    — pin the gate so a Spark upgrade that adds support flips this
+    test and prompts a cycle-capable entry."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    with _pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED"):
+        spark.sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n+1 FROM t "
+            "WHERE n < 3) SELECT * FROM t"
+        ).collect()
+
+
+def test_t139_below_capacity_counts_are_exact(spark):
+    """t139's oracle argument: below map capacity a frequent-items
+    sketch never evicts, so every (item, count) is exact — verified
+    against exact GROUP BY counts for ALL items (not just the top-4),
+    and through the two-level combine path."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    d = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 3 != 0, F.col("user_id") % 4)
+        .otherwise(F.col("user_id"))
+        .alias("item"),
+        (F.col("event_id") % 5).alias("_shard"),
+    )
+    n_items = d.select("event_type", "item").distinct().count()
+    assert n_items < 8192  # the below-capacity premise, checked
+    merged = (
+        d.groupBy("event_type", "_shard")
+        .agg(F.expr("approx_top_k_accumulate(item, 8192)").alias("_st"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_top_k_estimate(approx_top_k_combine(_st), {n_items})"
+            ).alias("_top")
+        )
+        .select("event_type", F.explode("_top").alias("t"))
+        .select(
+            "event_type",
+            F.col("t.item").alias("item"),
+            F.col("t.count").cast("long").alias("cnt"),
+        )
+    )
+    exact = d.groupBy("event_type", "item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sk = {(r["event_type"], r["item"]): r["cnt"] for r in merged.collect()}
+    ex = {(r["event_type"], r["item"]): r["cnt"] for r in exact.collect()}
+    assert sk == ex
+
+
+def test_t139_top4_selection_margin(spark):
+    """The selection-boundary margin (t78's generator-ratio argument):
+    per type, the 4th item's count must clear the 5th by a real gap
+    — the planted heavy items each hold ~n/6 while tail users hold
+    ≪ n/17 — so top-4 membership cannot flip between engines."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    d = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 3 != 0, F.col("user_id") % 4)
+        .otherwise(F.col("user_id"))
+        .alias("item"),
+    )
+    counts = d.groupBy("event_type", "item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("item")
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    r4 = {
+        r["event_type"]: r["cnt"]
+        for r in ranked.filter(F.col("rk") == 4).collect()
+    }
+    r5 = {
+        r["event_type"]: r["cnt"]
+        for r in ranked.filter(F.col("rk") == 5).collect()
+    }
+    for et, c4 in r4.items():
+        c5 = r5.get(et, 0)
+        assert c4 >= 2 * c5, (et, c4, c5)
+        heavy = {
+            r["item"]
+            for r in ranked.filter(
+                (F.col("event_type") == et) & (F.col("rk") <= 4)
+            ).collect()
+        }
+        assert heavy == {0, 1, 2, 3}, (et, heavy)
+
+
+def test_t140_utf8_row_level_semantics(spark):
+    """Row-level pins behind t140's rollup: the planted byte flips
+    is_valid_utf8 exactly where planted, try_validate_utf8 nulls
+    exactly those rows, validate_utf8 raises on them, and
+    make_valid_utf8 substitutes exactly one U+FFFD."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, "naïve ünïcode"), (3, "")], "id int, s string"
+    ).select(
+        "id",
+        F.when(
+            F.col("id") == 2,
+            F.concat("s", F.expr("CAST(x'80' AS STRING)")),
+        )
+        .otherwise(F.col("s"))
+        .alias("t"),
+        F.col("s").alias("orig"),
+    )
+    rows = df.select(
+        "id",
+        F.expr("is_valid_utf8(t)").alias("ok"),
+        F.expr("try_validate_utf8(t)").alias("tv"),
+        F.expr("make_valid_utf8(t)").alias("fixed"),
+        F.char_length("orig").alias("orig_chars"),
+        F.expr("char_length(make_valid_utf8(t))").alias("fixed_chars"),
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["ok"] and by_id[3]["ok"]
+    assert not by_id[2]["ok"]
+    assert by_id[2]["tv"] is None and by_id[1]["tv"] == "plain"
+    assert by_id[2]["fixed"] == "naïve ünïcode�"
+    assert by_id[2]["fixed_chars"] == by_id[2]["orig_chars"] + 1
+    # the strict form raises — the ingest-gate fail-fast arm
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="INVALID_UTF8_STRING"):
+        df.select(F.expr("validate_utf8(t)")).collect()
+
+
+def test_q74_execute_immediate_binds_like_inline(spark):
+    """q74's transparency contract: EXECUTE IMMEDIATE with USING
+    parameters returns exactly the inlined statement's rows, and the
+    statement text travels through a session variable."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.plans.sql_extra import q74_execute_immediate
+
+    got = {
+        (r["l_returnflag"], r["n_rows"])
+        for r in q74_execute_immediate(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    want = {
+        (r["l_returnflag"], r["n_rows"])
+        for r in li.filter(
+            (F.col("l_quantity") >= 25) & (F.col("l_quantity") < 45)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
