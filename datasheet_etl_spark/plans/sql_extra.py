@@ -5708,3 +5708,205 @@ def q74_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("EXECUTE IMMEDIATE q74_stmt USING 25, 45")
+
+
+@register(
+    "t141_from_xml_native",
+    """
+    SELECT source AS src, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id % 7) AS BIGINT) AS tag_sum,
+           CAST(count(*) AS BIGINT) AS n_consistent
+    FROM documents GROUP BY src, lang ORDER BY src, lang
+    """,
+)
+def t141_from_xml_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-BASED XML parse — ``from_xml`` with an explicit schema
+    (builtin since Spark 4.0, NO spark-xml jar: the gate note that
+    kept XML extraction on t125's xpath path-expressions is now half
+    obsolete, and this entry grades the half that opened). The
+    structured sibling of t125: the same known-decomposition
+    discipline (each doc synthesizes an XML record from its own
+    columns; any parse drift breaks the hash), but through one typed
+    parse per row — nested element text (``_VALUE``), a typed
+    attribute (``_tag``, default attributePrefix), and a
+    source-vs-parsed consistency cross-check — instead of five xpath
+    evaluations re-walking the DOM. The attribute plants doc_id % 7
+    (coprime with the 20-way source hash, so every (src, lang) group
+    sums a mix — a %5 plant would be constant-0 within a source and
+    grade nothing). to_xml (the writer arm) round-trips in
+    tests/test_plans.py: from_xml(to_xml(struct)) == struct. Scale
+    shape: one map-side typed parse, one partial-agged rollup — the
+    crawl-XML ingest shape with N fields at one parse instead of N
+    xpath walks. The oracle rebuilds the rollup from the generator
+    columns directly."""
+    d = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><src>"), F.col("source"),
+        F.lit("</src><n>"), F.col("n_chars").cast("string"),
+        F.lit('</n><m tag="'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('">'), F.col("lang"), F.lit("</m></doc>"),
+    )
+    parsed = d.select(
+        "source",
+        F.from_xml(
+            xml, "src STRING, n BIGINT, m STRUCT<_VALUE STRING, _tag BIGINT>"
+        ).alias("p"),
+    )
+    return (
+        parsed.select(
+            F.col("p.src").alias("src"),
+            F.col("p.m._VALUE").alias("lang"),
+            F.col("p.n").alias("n"),
+            F.col("p.m._tag").alias("tag"),
+            (F.col("p.src") == F.col("source")).alias("ok"),
+        )
+        .groupBy("src", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_chars"),
+            F.sum("tag").alias("tag_sum"),
+            F.count(F.when(F.col("ok"), F.lit(1))).alias("n_consistent"),
+        )
+        .orderBy("src", "lang")
+    )
+
+
+@register(
+    "q75_variant_lenient_json",
+    """
+    WITH staged AS (
+      SELECT doc_id, source,
+             doc_id % 11 = 0 AS broken,
+             n_chars + doc_id % 7 AS arr_sum_term
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(CASE WHEN NOT broken THEN 1 END) AS BIGINT)
+               AS n_parsed,
+           CAST(count(CASE WHEN broken THEN 1 END) AS BIGINT) AS n_bad,
+           CAST(sum(CASE WHEN NOT broken THEN arr_sum_term END) AS BIGINT)
+               AS arr_sum,
+           CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                THEN 'OBJECT<arr: ARRAY<BIGINT>, extra: STRING, id: BIGINT>'
+                ELSE 'OBJECT<arr: ARRAY<BIGINT>, id: BIGINT>'
+           END AS discovered
+    FROM staged GROUP BY source ORDER BY source
+    """,
+)
+def q75_variant_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT leniency + introspection — the three Spark 4 variant
+    arms q38's extraction entry does not reach: ``try_parse_json``
+    (NULL-on-error ingest — q68/t140's try_* discipline applied to
+    JSON: one planted malformed payload per 11 docs, and the graded
+    populations prove broken rows null out while clean rows carry
+    values through), ``variant_explode`` (the variant GENERATOR — a
+    lateral TVF over a variant array, here summed per source), and
+    ``schema_of_variant_agg`` (SCHEMA DISCOVERY over heterogeneous
+    payloads — the schema-drift telemetry a crawl-JSON pipeline
+    publishes). Heterogeneity is planted by doc parity (even docs
+    carry an ``extra`` field), which the 20-way source hash makes
+    CONSTANT per source — so each source discovers a deterministic
+    union schema, re-derived by the oracle from the source's own
+    parity (the known-decomposition discipline end to end; aggregate
+    semantics note: schema_of_variant_agg skips NULL variants exactly
+    as SQL aggregates skip NULLs, so broken rows never pollute the
+    discovered schema). Scale shape: map-side parse + one lateral
+    generate + two partial-agged rollups joined on source."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q75_documents"
+    )
+    return spark.sql(
+        """
+        WITH staged AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN concat('{"broken": ', lang)
+                      WHEN doc_id % 2 = 0 THEN
+                        concat('{"id":', doc_id, ',"arr":[', n_chars,
+                               ',', doc_id % 7, '],"extra":"', lang, '"}')
+                      ELSE concat('{"id":', doc_id, ',"arr":[', n_chars,
+                                  ',', doc_id % 7, ']}')
+                 END AS js
+          FROM q75_documents
+        ), v AS (
+          SELECT doc_id, source, try_parse_json(js) AS pv FROM staged
+        ), schemas AS (
+          SELECT source AS s2, schema_of_variant_agg(pv) AS discovered
+          FROM v GROUP BY source
+        ), ex AS (
+          SELECT v.source, v.doc_id, CAST(e.value AS BIGINT) AS elem
+          FROM v, LATERAL variant_explode(variant_get(pv, '$.arr')) e
+          WHERE pv IS NOT NULL
+        ), counts AS (
+          SELECT source,
+                 CAST(count(CASE WHEN pv IS NOT NULL THEN 1 END) AS BIGINT)
+                     AS n_parsed,
+                 CAST(count(CASE WHEN pv IS NULL THEN 1 END) AS BIGINT)
+                     AS n_bad
+          FROM v GROUP BY source
+        ), sums AS (
+          SELECT source, CAST(sum(elem) AS BIGINT) AS arr_sum
+          FROM ex GROUP BY source
+        )
+        SELECT c.source AS source, c.n_parsed, c.n_bad, s.arr_sum,
+               sc.discovered
+        FROM counts c JOIN sums s ON c.source = s.source
+             JOIN schemas sc ON c.source = sc.s2
+        ORDER BY source
+        """
+    )
+
+
+@register(
+    "q76_transpose_api",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+             CAST(count(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'revenue' AS key,
+           max(CASE WHEN l_returnflag = 'A' THEN revenue END) AS A,
+           max(CASE WHEN l_returnflag = 'N' THEN revenue END) AS N,
+           max(CASE WHEN l_returnflag = 'R' THEN revenue END) AS R
+    FROM agg
+    UNION ALL
+    SELECT 'n_rows',
+           max(CASE WHEN l_returnflag = 'A' THEN n_rows END),
+           max(CASE WHEN l_returnflag = 'N' THEN n_rows END),
+           max(CASE WHEN l_returnflag = 'R' THEN n_rows END)
+    FROM agg
+    ORDER BY key DESC
+    """,
+)
+def q76_transpose_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0) — the REPORT-SHAPE reshape
+    completing the A1/A2 pivot family's API square (q67 native SQL
+    PIVOT, q56's demoted UNPIVOT, q14's demoted dynamic pivot): rows
+    become columns with column names taken from the index column's
+    VALUES, the metrics-as-rows layout a dashboard export writes.
+    Two semantics the entry pins: transpose collects the index
+    column's values to NAME the output columns (a driver-side
+    metadata step — correct ONLY on aggregate-sized frames, never a
+    corpus; stated plainly, and the input here is a 3-row aggregate)
+    and unifies the transposed values to their least common type
+    (both metrics pre-cast to DOUBLE so unification is the identity
+    and the oracle's CASE-pivot values are bit-identical). Ordering:
+    transpose emits metric rows in source-column order; the
+    presentation sort pins it engine-independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose().orderBy(F.col("key").desc())

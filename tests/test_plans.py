@@ -1559,3 +1559,83 @@ def test_q74_execute_immediate_binds_like_inline(spark):
         .collect()
     }
     assert got == want
+
+
+def test_t141_to_xml_round_trip(spark):
+    """t141's writer arm: to_xml serializes a struct and from_xml
+    with the matching schema recovers it exactly — including the
+    attribute (_-prefixed) and element-text (_VALUE) conventions."""
+    r = spark.sql(
+        """
+        SELECT from_xml(
+                 to_xml(named_struct('src', 'a', 'n', 5L,
+                        'm', named_struct('_VALUE', 'de', '_tag', 3L))),
+                 'src STRING, n BIGINT, m STRUCT<_VALUE STRING, _tag BIGINT>'
+               ) AS p
+        """
+    ).collect()[0]["p"]
+    assert p_tuple(r) == ("a", 5, ("de", 3))
+
+
+def p_tuple(row):
+    return tuple(
+        p_tuple(v) if hasattr(v, "__fields__") else v for v in row
+    )
+
+
+def test_q75_variant_row_level_semantics(spark):
+    """Row-level pins behind q75's rollup: try_parse_json nulls
+    exactly the malformed payload, variant_explode yields (pos, value)
+    with array positions, and schema_of_variant_agg skips NULL
+    variants (broken rows never pollute the discovered schema)."""
+    rows = spark.sql(
+        """
+        SELECT try_parse_json('{bad') AS bad,
+               try_parse_json('{"a":1}') AS good
+        """
+    ).collect()[0]
+    assert rows["bad"] is None and rows["good"] is not None
+
+    ex = spark.sql(
+        """
+        SELECT pos, CAST(value AS BIGINT) AS v
+        FROM variant_explode(parse_json('[7,8,9]')) ORDER BY pos
+        """
+    ).collect()
+    assert [(r["pos"], r["v"]) for r in ex] == [(0, 7), (1, 8), (2, 9)]
+
+    sch = spark.sql(
+        """
+        SELECT schema_of_variant_agg(try_parse_json(x)) AS s
+        FROM VALUES ('{"a":1}'), ('{bad'), ('{"b":"y"}') AS t(x)
+        """
+    ).collect()[0]["s"]
+    assert sch == "OBJECT<a: BIGINT, b: STRING>"
+
+
+def test_q76_transpose_matches_case_pivot(spark):
+    """q76's transparency contract: DataFrame.transpose over the
+    3-row aggregate returns exactly the hand-written CASE pivot's
+    values, with columns named from the index column's values."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.plans.sql_extra import q76_transpose_api
+
+    df = q76_transpose_api(spark, SF_SMOKE)
+    assert df.columns == ["key", "A", "N", "R"]
+    got = {r["key"]: (r["A"], r["N"], r["R"]) for r in df.collect()}
+    from datasheet_etl_spark.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    want_rev = {
+        r["l_returnflag"]: r["revenue"] for r in agg.collect()
+    }
+    want_n = {r["l_returnflag"]: r["n_rows"] for r in agg.collect()}
+    assert got["revenue"] == (want_rev["A"], want_rev["N"], want_rev["R"])
+    assert got["n_rows"] == (want_n["A"], want_n["N"], want_n["R"])
