@@ -5910,3 +5910,74 @@ def q76_transpose_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
     return agg.transpose().orderBy(F.col("key").desc())
+
+
+@register(
+    "t142_xml_at_rest",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS roundtrip_chars
+    FROM documents WHERE n_chars >= 200
+    GROUP BY source ORDER BY source
+    """,
+)
+def t142_xml_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a FILE FORMAT at rest — ``spark.read/write.format("xml")``
+    is builtin in Spark 4 (no spark-xml jar: the r13 environment-gate
+    note recorded XML as jar-gated with builtin xpath as the
+    workaround — re-probed this round, the DATA SOURCE itself now
+    ships, and this entry retires that half of the gate; t141 grades
+    the scalar from_xml arm, t125 the path-expression arm). t104's
+    ORC discipline applied to the THIRD at-rest format: the documents
+    table staged as XML (rowTag=doc), read back with an explicit
+    schema (schema inference over 100 TB of XML is a planning-time
+    full scan — always pass one), and graded through a filtered
+    rollup INCLUDING the full text column round-trip (sum of
+    round-tripped text lengths == sum of stored n_chars — XML entity
+    escaping of arbitrary corpus text must be lossless, the part a
+    header-only parity check would miss). Lossless requires
+    ``ignoreSurroundingSpaces=false``: the reader's DEFAULT trims
+    leading/trailing whitespace from element text (probed: "  padded  "
+    reads back as "padded"), which silently corrupts corpus text whose
+    boundary whitespace is meaningful — the trap this entry exists to
+    pin (tests/test_plans.py pins both modes). Scale shape: XML scans
+    split per file (no intra-file split like parquet row groups) and
+    push no filters — stated plainly; the at-rest XML role is ingest
+    interchange, with parquet as the working format (t104's
+    format-indifference contract above the scan)."""
+    import os
+
+    from datasheet_etl_spark.plans.training import _staged_path
+
+    def build(path):
+        load_table(spark, sf_dir, "documents").repartition(8).write.format(
+            "xml"
+        ).option("rowTag", "doc").mode("overwrite").save(
+            os.path.join(path, "xml")
+        )
+
+    work = _staged_path(sf_dir, "documents.parquet", "xml_at_rest", build)
+    d = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(
+            "doc_id BIGINT, source STRING, lang STRING,"
+            " n_chars BIGINT, text STRING"
+        )
+        .load(os.path.join(work, "xml"))
+    )
+    return (
+        d.filter(F.col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).cast("long").alias(
+                "roundtrip_chars"
+            ),
+        )
+        .orderBy("source")
+    )

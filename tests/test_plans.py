@@ -1639,3 +1639,39 @@ def test_q76_transpose_matches_case_pivot(spark):
     want_n = {r["l_returnflag"]: r["n_rows"] for r in agg.collect()}
     assert got["revenue"] == (want_rev["A"], want_rev["N"], want_rev["R"])
     assert got["n_rows"] == (want_n["A"], want_n["N"], want_n["R"])
+
+
+def test_t142_xml_reader_whitespace_modes(spark):
+    """t142's documented trap: the XML reader's DEFAULT trims
+    leading/trailing whitespace from element text;
+    ignoreSurroundingSpaces=false (what t142 sets) preserves it.
+    Pin BOTH so a default change in either direction surfaces."""
+    import os
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(1, "  padded  "), (2, "x\ny")], "id int, t string"
+    )
+    d = tempfile.mkdtemp(prefix="t142_ws_")
+    df.write.format("xml").option("rowTag", "r").mode("overwrite").save(
+        os.path.join(d, "x")
+    )
+    trimmed = {
+        r["id"]: r["t"]
+        for r in spark.read.format("xml")
+        .option("rowTag", "r")
+        .schema("id INT, t STRING")
+        .load(os.path.join(d, "x"))
+        .collect()
+    }
+    preserved = {
+        r["id"]: r["t"]
+        for r in spark.read.format("xml")
+        .option("rowTag", "r")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema("id INT, t STRING")
+        .load(os.path.join(d, "x"))
+        .collect()
+    }
+    assert trimmed[1] == "padded" and preserved[1] == "  padded  "
+    assert trimmed[2] == preserved[2] == "x\ny"  # interior ws untouched
