@@ -1483,3 +1483,88 @@ def t108_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"t108_{uuid.uuid4().hex[:8]}"
         out = run_available_now(agg, name, "complete")
     return out.orderBy("user_id", "start_us")
+
+
+@register(
+    "t143_python_stream_sink",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def t143_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING write arm of the Python DataSource seam — the
+    fifth and last corner of that surface (batch read t112/t114,
+    stream read t113, batch write t115): the events stream drains
+    through ``writeStream.format("jsonl_manifest")`` into the custom
+    per-micro-batch transactional sink (``JsonLinesStreamWriter``:
+    per-task uuid stagings → an atomic ``_MANIFEST_b{batchId}`` per
+    batch; a retried batch REPLACES its own manifest, so exactly-once
+    at rest is batch-id idempotence, not luck), is read back through
+    the manifest-resolving reader, and aggregated — the oracle
+    hash-grades that every source row crossed the Python sink exactly
+    once (a lost task file, a double-committed retry, or a read of an
+    aborted staging each break id_sum). Two genuine micro-batches
+    (maxFilesPerTrigger), so the per-batch manifest discipline is
+    actually exercised; the retried-batch replacement and
+    planted-failure abort paths are pinned in tests/test_pyds.py.
+    Scale shape: the sink is partition-parallel (one staged file per
+    task), the driver touches only commit messages, and the at-rest
+    layout is O(batches) manifests — the compaction story is t77's
+    CDC bucketed-manifest family."""
+    import hashlib
+    import os
+
+    from datasheet_etl_spark.sources.pyds import (
+        read_jsonl_manifests_stream,
+        register_jsonl_manifest,
+    )
+    from datasheet_etl_spark.streaming import events_stream
+
+    register_jsonl_manifest(spark)
+    # a TWO-file staging (the source parquet is one file at test sfs),
+    # so maxFilesPerTrigger=1 yields two genuine micro-batches and the
+    # per-batch manifest discipline is actually exercised
+    from datasheet_etl_spark.io import load_table
+
+    events_src = f"{sf_dir.rstrip('/')}/events.parquet"
+    src = _stage_synced(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"t143_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+        ),
+        _source_signature(events_src) + "|2file",
+        lambda dst: load_table(spark, sf_dir, "events")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(dst),
+    )
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"t143_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    with _few_state_partitions(spark):
+        stream = events_stream(
+            spark, src, max_files_per_trigger=1
+        ).select("event_type", "event_id")
+        q = (
+            stream.writeStream.format("jsonl_manifest")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = read_jsonl_manifests_stream(spark, sink)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -415,6 +416,106 @@ def read_jsonl_manifest(spark, path: str):
     return spark.read.schema(schema).json(files)
 
 
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """The STREAMING write arm of the DataSource seam (the fifth and
+    last corner of the Python DataSource surface: batch read t112/
+    t114, stream read t113, batch write t115, and this) — the same
+    staged-files discipline as :class:`JsonLinesWriter`, committed
+    PER MICRO-BATCH: each batch's tasks stage uniquely-named files,
+    and ``commit(messages, batchId)`` publishes an atomic
+    ``_MANIFEST_b{batchId}`` naming exactly that batch's files.
+
+    Exactly-once AT REST falls out of batch-id idempotence: a
+    re-delivered batch (failure between sink commit and checkpoint
+    write — the crash window every streaming sink must handle)
+    REPLACES its own manifest and deletes the superseded attempt's
+    now-unreferenced files, so readers never see a batch twice no
+    matter how many times the engine retries it. ``abort`` removes
+    the failed attempt's stagings; a batch with no manifest is
+    invisible. Serialization, type gating, and the planted
+    ``failOnValue`` failure hook are shared with the batch writer
+    (same ``write``)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        # reuse the batch writer's validation + write() wholesale
+        self._w = JsonLinesWriter(options, schema, overwrite)
+        self.path = self._w.path
+
+    def write(self, rows):
+        return self._w.write(rows)
+
+    def commit(self, messages, batchId):
+        import json as _json
+        import os
+
+        files = sorted(
+            os.path.basename(m.path) for m in messages if m is not None
+        )
+        rows = sum(m.n_rows for m in messages if m is not None)
+        mpath = os.path.join(self.path, f"_MANIFEST_b{batchId:012d}")
+        prev = None
+        if os.path.exists(mpath):
+            prev = _json.loads(open(mpath).read())
+        manifest = {
+            "batch_id": batchId,
+            "files": files,
+            "rows": rows,
+            "schema": self._w.schema_json,
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps(manifest))
+        os.replace(tmp, mpath)
+        if prev is not None:
+            # retried batch: the superseded attempt's files are
+            # unreferenced the instant the manifest swaps
+            for f in set(prev["files"]) - set(files):
+                fp = os.path.join(self.path, f)
+                if os.path.exists(fp):
+                    os.remove(fp)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def read_jsonl_manifests_stream(spark, path: str):
+    """Committed-read counterpart for the STREAMING sink: resolve
+    every per-batch ``_MANIFEST_b*`` and read exactly the union of
+    the files they name — staged leftovers of aborted or retried
+    batches are invisible, and each committed batch appears exactly
+    once. Returns None when no batch ever committed. Schema comes
+    from the manifests (one writer query ⇒ one schema; drift refused
+    rather than silently re-typed — the batch reader's discipline)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    manifests = sorted(_glob.glob(os.path.join(path, "_MANIFEST_b*")))
+    manifests = [m for m in manifests if not m.endswith(".tmp")]
+    if not manifests:
+        return None
+    parsed = [_json.loads(open(m).read()) for m in manifests]
+    schemas = {p["schema"] for p in parsed}
+    if len(schemas) > 1:
+        raise ValueError(
+            "committed batch manifests disagree on schema — refusing "
+            "to re-type committed rows on read"
+        )
+    schema = StructType.fromJson(_json.loads(parsed[0]["schema"]))
+    files = sorted(
+        os.path.join(path, f) for p in parsed for f in p["files"]
+    )
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class JsonLinesManifestDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -422,6 +523,9 @@ class JsonLinesManifestDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return JsonLinesWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return JsonLinesStreamWriter(self.options, schema, overwrite)
 
 
 def register_jsonl_manifest(spark) -> None:

@@ -433,3 +433,76 @@ def test_pyds_writer_append_tolerates_nullability_drift(spark, tmp_path):
     assert sorted(
         (r["event_id"], tuple(r["xs"])) for r in arr_got.collect()
     ) == [(1, (1, 2)), (2, (3, None))]
+
+
+def test_pyds_stream_sink_per_batch_manifests_and_exactly_once(
+    spark, tmp_path
+):
+    """t143's sink discipline: a streamed write commits one atomic
+    manifest per micro-batch; the committed read returns every input
+    row exactly once; a RETRIED batch replaces its own manifest and
+    the superseded attempt's files become invisible (batch-id
+    idempotence = exactly-once at rest)."""
+    import glob
+    import json
+    import os
+
+    from datasheet_etl_spark.sources.pyds import (
+        JsonLinesStreamWriter,
+        read_jsonl_manifests_stream,
+        register_jsonl_manifest,
+        register_synth_feed,
+    )
+
+    register_synth_feed(spark)
+    register_jsonl_manifest(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # two availableNow drains on ONE checkpoint (the feed grows between
+    # them): each drain commits its own batch, so the sink must hold
+    # two per-batch manifests covering the feed exactly once
+    for n in ("12", "30"):
+        q = (
+            spark.readStream.format("synth_feed")
+            .option("numRows", n)
+            .load()
+            .writeStream.format("jsonl_manifest")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    manifests = sorted(glob.glob(os.path.join(sink, "_MANIFEST_b*")))
+    assert len(manifests) >= 2, manifests  # genuinely multi-batch
+    back = read_jsonl_manifests_stream(spark, sink)
+    got = sorted(r["event_id"] for r in back.collect())
+    assert got == sorted(set(got))  # exactly once
+    n_before = back.count()
+
+    # retried batch: re-commit batch 0 with a fresh attempt's files —
+    # the manifest must swap atomically and the OLD attempt's files
+    # must become unreferenced (and be deleted)
+    m0 = json.loads(open(manifests[0]).read())
+    old_files = set(m0["files"])
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m0["schema"]))
+    w = JsonLinesStreamWriter({"path": sink}, schema, True)
+    rows = back.limit(3).collect()
+    msg = w.write(iter(rows))
+    w.commit([msg], batchId=0)
+    m0b = json.loads(open(manifests[0]).read())
+    assert set(m0b["files"]) == {os.path.basename(msg.path)}
+    for f in old_files:
+        assert not os.path.exists(os.path.join(sink, f))
+    # committed view now reflects the retried batch's content only
+    back2 = read_jsonl_manifests_stream(spark, sink)
+    assert back2.count() == n_before - m0["rows"] + 3
+
+    # abort path: staged file removed, no manifest touched
+    msg2 = w.write(iter(rows))
+    assert os.path.exists(msg2.path)
+    w.abort([msg2], batchId=99)
+    assert not os.path.exists(msg2.path)
+    assert not glob.glob(os.path.join(sink, "_MANIFEST_b*000099*"))
