@@ -1674,21 +1674,52 @@ def t138_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is DuckDB's native WITH RECURSIVE — near-verbatim SQL
     (``anc // 2`` vs ``CAST(anc / 2 AS BIGINT)``, both floor on
     non-negative ids). Termination is structural (anc halves each
-    level ⇒ depth ≤ log2(max doc_id) ≈ 13 at sf0.1, far under
-    ``spark.sql.cteRecursionLevelLimit`` = 100 — the conf a deeper
-    hierarchy raises). Scale shape: the loop materializes the frontier
-    once per level — Σ rows = N·avg_depth = O(N log N) through the
-    UnionLoop, each level one map-side halving projection; the only
-    shuffles are the final join and the (root, depth) rollup. At
-    100 TB the hierarchy table this models (folders, org units,
-    taxonomy nodes) is metadata-scale; the pattern's cost is the
-    frontier scan, not the recursion bookkeeping. UNION ALL semantics
-    only (Spark raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed,
-    so cycle-bearing graphs still need the iterative operators; this
-    entry grades the acyclic-walk class they don't)."""
+    level ⇒ depth ≤ log2(max doc_id) ≈ 13 at sf0.1), and BOTH
+    recursion guards are managed explicitly because they bind at
+    different scales: ``spark.sql.cteRecursionLevelLimit`` (100)
+    bounds DEPTH — log-scale, never the binder here — while
+    ``spark.sql.cteRecursionRowLimit`` (default 1,000,000) bounds
+    TOTAL rows through the loop, which IS the binder for this
+    pattern: Σ rows = N·avg_depth = O(N log N), so any corpus past
+    ~100k docs trips the default (found empirically on the ×10
+    decade staging: RECURSION_ROW_LIMIT_EXCEEDED at 1.35M walk
+    rows; -1 is not accepted — probed — so the entry sizes the conf
+    and restores it). Scale shape: each level is one map-side
+    halving projection over the frontier; the only shuffles are the
+    final join and the (root, depth) rollup. At 100 TB the hierarchy
+    table this models (folders, org units, taxonomy nodes) is
+    metadata-scale; the pattern's cost is the frontier scan, not the
+    recursion bookkeeping. UNION ALL semantics only (Spark raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed, so cycle-bearing
+    graphs still need the iterative operators; this entry grades the
+    acyclic-walk class they don't)."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "t138_documents"
     )
+    # size the ROW guard to the workload (N·log2(max id) with slack)
+    # rather than disabling it — the guard is the runaway-recursion
+    # backstop and should stay armed
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_docs * 64))
+    )
+    try:
+        # the guard is read at EXECUTION, not plan time (probed), so
+        # the walk must run inside the conf window — bounded
+        # collect-then-recreate (≤ roots × depth ≈ dozens of rows),
+        # the t115 pattern
+        df = _t138_sql(spark)
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+
+
+def _t138_sql(spark: SparkSession) -> DataFrame:
     return spark.sql(
         """
         WITH RECURSIVE walk(id, anc, depth) AS (

@@ -721,6 +721,61 @@ def asymptote(spark, only=None):
         li = load_table(spark, d, "lineitem")
         return li.agg(F.countDistinct("l_partkey").alias("n"))
 
+    def _t138_conf(spark, d):
+        # the ROW guard (default 1e6) binds at N·depth; size it to the
+        # staging (x100: ~500k docs × ~33 levels ≈ 17M) — read at
+        # execution time, so set before each timed run
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+
+    def t138_walk_rows(spark, d):
+        _t138_conf(spark, d)
+        # t138's dominant term: rows materialized through the
+        # UnionLoop = Σ_i depth(i) ≈ N·log2(max doc_id). The staging
+        # offsets doc_id by 1e8 per copy, so x100 grows BOTH N (×10
+        # vs x10) and the walk depth (log2(1e10) ≈ 33 levels vs 27) —
+        # the decade stresses frontier volume AND recursion depth,
+        # still far under the 100-level conf
+        from datasheet_etl_spark.io import load_table
+
+        load_table(spark, d, "documents").createOrReplaceTempView(
+            "asy_docs_t138"
+        )
+        return spark.sql(
+            """
+            WITH RECURSIVE walk(id, anc, depth) AS (
+              SELECT doc_id, doc_id, 0 FROM asy_docs_t138
+              UNION ALL
+              SELECT id, CAST(anc / 2 AS BIGINT), depth + 1
+              FROM walk WHERE anc >= 8
+            )
+            SELECT count(*) AS n FROM walk
+            """
+        )
+
+    def t138_entry(spark, d):
+        _t138_conf(spark, d)
+        from datasheet_etl_spark.io import load_table
+
+        load_table(spark, d, "documents").createOrReplaceTempView(
+            "asy_docs_t138e"
+        )
+        return spark.sql(
+            """
+            WITH RECURSIVE walk(id, anc, depth) AS (
+              SELECT doc_id, doc_id, 0 FROM asy_docs_t138e
+              UNION ALL
+              SELECT id, CAST(anc / 2 AS BIGINT), depth + 1
+              FROM walk WHERE anc >= 8
+            )
+            SELECT anc AS root, CAST(depth AS INT) AS depth,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM walk JOIN asy_docs_t138e ON id = doc_id
+            WHERE anc < 8
+            GROUP BY root, depth
+            """
+        )
+
     def t132_pages(spark, d):
         # the entry's only exchange: level-1 (key, shard, page) bitmap
         # partials — the asymptote claim is that THIS is what shuffles
@@ -765,6 +820,11 @@ def asymptote(spark, only=None):
         ("t136 theta set distinct",
          lambda s, d: q["t136_theta_set_distinct"](s, d),
          t136_parts, "per-part sketch rows (bounded payload)"),
+        # r14: the recursive-CTE entry's decade — the walk is run over
+        # the staged replicas directly (the registry entry reads
+        # sf_dir/documents.parquet; the staged copies keep that layout)
+        ("t138 recursive walk", t138_entry,
+         t138_walk_rows, "UnionLoop frontier rows (N·depth)"),
     ):
         # match display labels ("t132 bitmap distinct") AND registry
         # names ("t132_bitmap_distinct") — a filter that selects

@@ -1364,10 +1364,17 @@ def test_t138_recursive_cte_union_loop(spark):
     driver-stepped unions), terminate structurally under the
     recursion limit, and agree with a Python-computed walk on the
     small fixture."""
-    from datasheet_etl_spark.plans.training import t138_recursive_hierarchy
+    from datasheet_etl_spark.plans.training import (
+        _t138_sql,
+        t138_recursive_hierarchy,
+    )
 
     df = t138_recursive_hierarchy(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the entry returns a bounded recreated frame (the row-limit conf
+    # is read at EXECUTION time — probed — so the walk runs inside the
+    # entry's conf window); pin the loop operator on the walk plan
+    # itself, which the entry leaves addressable via its temp view
+    plan = _t138_sql(spark)._jdf.queryExecution().optimizedPlan().toString()
     assert "UnionLoop" in plan, plan[:800]
 
     # python replay: root + depth for every doc, rolled up identically
