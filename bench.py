@@ -155,7 +155,20 @@ def main() -> int:
             ):
                 retry_budget -= 1
                 cleanup()
-                wall2, n, frac = attempt(name)
+                # a FAILED retry must not discard the successful
+                # measurement already in hand (review-found r14: an
+                # executor hiccup under the very contention burst that
+                # triggered the retry would otherwise convert a valid
+                # first-attempt wall into a spurious bench error)
+                try:
+                    wall2, n, frac = attempt(name)
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"# {name}: retry failed "
+                        f"({type(exc).__name__}), keeping prior attempt",
+                        file=sys.stderr,
+                    )
+                    break
                 attempts.append(
                     {"wall": wall2, "steal": round(frac or 0.0, 3)}
                 )

@@ -86,20 +86,33 @@ def main() -> int:
             f"({common_new / common_old:.2f}x); new entries add "
             f"{new_work:.1f}s"
         )
+        zero_wall = [k for k in clean if oq[k] == 0]
+        if zero_wall:
+            # a 0.000-wall entry (3-decimal rounding) has no ratio —
+            # surface it rather than dropping it from every list
+            for k in zero_wall:
+                print(f"  (no ratio) {oq[k]:.3f}s → {nq[k]:.3f}s  {k}")
         out = sorted(ratios.items(), key=lambda kv: kv[1], reverse=True)
+        grown = [(k, r) for k, r in out if r > 1.0]
+        improved = [(k, r) for k, r in out if r < 1.0]
         print(f"\nslowest-growing clean entries (top {args.top}):")
-        for k, r in out[: args.top]:
+        for k, r in grown[: args.top]:
             print(f"  {r:6.2f}x  {oq[k]:7.2f}s → {nq[k]:7.2f}s  {k}")
         print(f"fastest-improving clean entries (top {args.top}):")
-        for k, r in out[-args.top:][::-1]:
+        for k, r in improved[::-1][: args.top]:
             print(f"  {r:6.2f}x  {oq[k]:7.2f}s → {nq[k]:7.2f}s  {k}")
     if polluted:
         print(
             f"\nsteal-polluted (ratios are environment, listed for "
             f"completeness):"
         )
-        for k in sorted(polluted, key=lambda k: -(nq[k] / oq[k]))[: args.top]:
-            print(f"  {nq[k] / oq[k]:6.2f}x  {oq[k]:7.2f}s → {nq[k]:7.2f}s  {k}")
+        ranked = sorted(
+            polluted,
+            key=lambda k: -(nq[k] / oq[k]) if oq[k] > 0 else float("-inf"),
+        )
+        for k in ranked[: args.top]:
+            r = f"{nq[k] / oq[k]:6.2f}x" if oq[k] > 0 else "  (n/a)"
+            print(f"  {r}  {oq[k]:7.2f}s → {nq[k]:7.2f}s  {k}")
     if added:
         print(f"\nadded: {', '.join(added)}")
     if removed:
@@ -108,4 +121,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # `| head` is a normal way to read this
+        raise SystemExit(0)

@@ -52,7 +52,7 @@ def main() -> int:
     from datasheet_etl_spark.plans import registry, oracles
     from datasheet_etl_spark.session import get_session
     from datasheet_etl_spark.caching import release_caches
-    from tests.oracle_harness import compare
+    from tests.oracle_harness import compare_counted
 
     spark = get_session(app_name="oracle_sweep")
     reg, ora = registry(), oracles()
@@ -65,11 +65,15 @@ def main() -> int:
         try:
             df = reg[name](spark, args.sf_dir)
             if name in ora:
-                ok, msg = compare(df, ora[name], args.sf_dir)
+                # compare_counted returns the row count from the SAME
+                # execution — a separate df.count() would re-run the
+                # whole plan, side-effectful staging/drains included
+                # (review-found r14: it doubled the sweep wall)
+                ok, msg, n_rows = compare_counted(df, ora[name], args.sf_dir)
                 rec["pass"] = bool(ok)
                 if not ok:
                     rec["err"] = msg[:300]
-                rec["rows"] = df.count()
+                rec["rows"] = n_rows
             else:
                 # rows-only contract: executes, stable schema, >= 0 rows
                 rec["rows"] = df.count()

@@ -48,6 +48,16 @@ def _canon_rows(rows, columns):
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     """Returns (ok, message)."""
+    ok, msg, _ = compare_counted(spark_df, oracle_sql, sf_dir)
+    return ok, msg
+
+
+def compare_counted(
+    spark_df, oracle_sql: str, sf_dir: str
+) -> tuple[bool, str, int]:
+    """``compare`` plus the Spark row count from the SAME execution —
+    for callers (the sweep artifact) that would otherwise re-run the
+    whole plan, side effects included, just to count rows."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
 
@@ -60,13 +70,25 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
         con.close()
 
     if sorted(s_cols) != sorted(d_cols):
-        return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+        return (
+            False,
+            f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
+            len(s_rows),
+        )
     if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+        return (
+            False,
+            f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}",
+            len(s_rows),
+        )
 
     cs = _canon_rows(s_rows, s_cols)
     cd = _canon_rows(d_rows, d_cols)
     if cs != cd:
         diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-        return False, f"value mismatch, first diffs (spark vs duckdb): {diffs}"
-    return True, "ok"
+        return (
+            False,
+            f"value mismatch, first diffs (spark vs duckdb): {diffs}",
+            len(s_rows),
+        )
+    return True, "ok", len(s_rows)
