@@ -3210,3 +3210,82 @@ def t85_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t144_khop_reachability",
+    """
+    WITH RECURSIVE hop(src, cur, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT h.src, h.cur // s.d, h.depth + 1
+      FROM hop h JOIN (SELECT unnest([2, 3]) AS d) s
+      ON h.depth < 4 AND h.cur // s.d >= 1
+    )
+    SELECT src % 7 AS grp,
+           CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT cur) AS BIGINT) AS n_reached,
+           CAST(sum(cur) AS BIGINT) AS sum_nodes
+    FROM hop WHERE depth = 4
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def t144_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-HOP reachability through the recursive CTE — the second
+    recursion SHAPE beside t138's single-parent walk: a branching
+    frontier (each node steps to ⌊cur/2⌋ AND ⌊cur/3⌋ — a DAG, two
+    successors per node) expanded by joining the recursive relation
+    to a constant divisor relation (the single-reference form both
+    engines require; a double reference to the recursive CTE inside
+    one recursive term happens to execute in Spark 4.1 but is
+    unspecified — probed, avoided). Two semantics this entry grades
+    that t138 cannot: UNION ALL recursion is BAG semantics, so
+    ``n_paths`` counts PATHS (a node reachable two ways counts
+    twice — exactly what a path-enumeration or influence-propagation
+    workload wants and what an accidental DISTINCT would corrupt),
+    while ``n_reached`` collapses to the visited SET in the final
+    aggregate — the classic k-hop-neighborhood pair. The hop bound
+    (depth < 4) is the scale contract: bounded-hop expansion is
+    ≤ branching^k per seed (linear in the corpus, the friends-of-
+    friends query), where UNbounded path enumeration on a DAG grows
+    super-linearly (p(n) = p(n/2) + p(n/3) ⇒ n^0.79 paths per seed)
+    — the reason this entry fixes k and states it. Row volume
+    N·(2^5-1) stays under the 1e6 recursion ROW guard at graded sfs;
+    the conf is sized-and-restored per the t138 discipline anyway so
+    the entry survives any corpus. Oracle: DuckDB's native recursive
+    CTE, same single-reference join form, verified three ways
+    (Spark == DuckDB == a Python frontier replay) before
+    registration."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "t144_documents"
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_docs * 64))
+    )
+    try:
+        df = spark.sql(
+            """
+            WITH RECURSIVE hop(src, cur, depth) AS (
+              SELECT doc_id, doc_id, 0 FROM t144_documents
+              UNION ALL
+              SELECT h.src, CAST(h.cur / s.d AS BIGINT), h.depth + 1
+              FROM hop h JOIN (SELECT explode(array(2, 3)) AS d) s
+              ON h.depth < 4 AND CAST(h.cur / s.d AS BIGINT) >= 1
+            )
+            SELECT src % 7 AS grp,
+                   CAST(count(*) AS BIGINT) AS n_paths,
+                   CAST(count(DISTINCT cur) AS BIGINT) AS n_reached,
+                   CAST(sum(cur) AS BIGINT) AS sum_nodes
+            FROM hop WHERE depth = 4
+            GROUP BY grp ORDER BY grp
+            """
+        )
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)

@@ -1682,3 +1682,25 @@ def test_t142_xml_reader_whitespace_modes(spark):
     }
     assert trimmed[1] == "padded" and preserved[1] == "  padded  "
     assert trimmed[2] == preserved[2] == "x\ny"  # interior ws untouched
+
+
+def test_t144_bag_semantics_counts_paths_not_nodes(spark):
+    """t144's graded distinction: UNION ALL recursion enumerates
+    PATHS. From node 6 with successors ⌊/2⌋ and ⌊/3⌋, node 1 at
+    depth 2 is reachable two ways (6→3→1 and 6→2→1), so the bag
+    holds it twice while the distinct set holds it once."""
+    df = spark.sql(
+        """
+        WITH RECURSIVE hop(cur, depth) AS (
+          SELECT CAST(6 AS BIGINT), 0
+          UNION ALL
+          SELECT CAST(h.cur / s.d AS BIGINT), h.depth + 1
+          FROM hop h JOIN (SELECT explode(array(2, 3)) AS d) s
+          ON h.depth < 2 AND CAST(h.cur / s.d AS BIGINT) >= 1
+        )
+        SELECT count(*) AS paths, count(DISTINCT cur) AS nodes
+        FROM hop WHERE depth = 2
+        """
+    ).collect()[0]
+    # depth-2 multiset from 6: {3,2} -> {1,1, 1,0(pruned)} = [1,1,1]
+    assert df["paths"] == 3 and df["nodes"] == 1
