@@ -1568,3 +1568,91 @@ def t143_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "t145_streaming_native_topk",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN event_id % 3 <> 0 THEN user_id % 4
+                  ELSE user_id END AS item
+      FROM events
+    ), c AS (
+      SELECT event_type, item, count(*) AS cnt
+      FROM d GROUP BY event_type, item
+    ), r AS (
+      SELECT event_type, item, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, item) AS rk
+      FROM c
+    )
+    SELECT event_type, CAST(item AS BIGINT) AS item,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rk <= 4 ORDER BY event_type, item
+    """,
+)
+def t145_streaming_native_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t78's heavy-hitter workload through a NATIVE streaming sketch
+    aggregate — and a strict certification upgrade over t78's own
+    grade: Misra-Gries counts are arrival-order-dependent (t78 is
+    membership-oracled only), but a frequent-items sketch below map
+    capacity never evicts, so its counts are EXACT regardless of
+    arrival order or batch boundaries — which makes the STREAMING
+    drain's final state fully value-oracled against the batch truth
+    (t139's oracle verbatim; same below-capacity + selection-margin
+    argument). What this entry grades that t139 cannot: the sketch
+    STATE lives in the streaming state store and must merge correctly
+    ACROSS micro-batches (two genuine batches via maxFilesPerTrigger
+    over the t143 two-file staging) — the incremental
+    top-k-at-midnight pipeline where tonight's batch updates the
+    stored sketch instead of rescanning history. Complete output mode:
+    the memory sink holds the final per-key sketch states; the batch
+    tail estimates top-4 and explodes. Scale shape: state is one
+    bounded sketch per key (kilobytes), input streams through
+    map-side partial sketch updates — corpus size never enters
+    state."""
+    import hashlib
+    import os
+
+    from datasheet_etl_spark.io import load_table
+    from datasheet_etl_spark.streaming import events_stream
+
+    events_src = f"{sf_dir.rstrip('/')}/events.parquet"
+    src = _stage_synced(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"t143_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+        ),
+        _source_signature(events_src) + "|2file",
+        lambda dst: load_table(spark, sf_dir, "events")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(dst),
+    )
+    with _few_state_partitions(spark):
+        stream = events_stream(spark, src, max_files_per_trigger=1).select(
+            "event_type",
+            F.when(
+                F.col("event_id") % 3 != 0, F.col("user_id") % 4
+            )
+            .otherwise(F.col("user_id"))
+            .alias("item"),
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.expr("approx_top_k_accumulate(item, 8192)").alias("_st")
+        )
+        name = f"t145_{uuid.uuid4().hex[:8]}"
+        final = run_available_now(agg, name, "complete")
+    return (
+        final.select(
+            "event_type",
+            F.explode(F.expr("approx_top_k_estimate(_st, 4)")).alias("t"),
+        )
+        .select(
+            "event_type",
+            F.col("t.item").cast("long").alias("item"),
+            F.col("t.count").cast("long").alias("cnt"),
+        )
+        .orderBy("event_type", "item")
+    )
