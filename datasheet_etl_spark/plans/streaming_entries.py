@@ -81,6 +81,33 @@ def _stage_synced(d: str, signature: str, build) -> str:
     return d
 
 
+def _stage_events_2file(spark: SparkSession, sf_dir: str) -> str:
+    """TWO-file staged copy of events (the source parquet is one file
+    at test sfs), so ``maxFilesPerTrigger=1`` yields two genuine
+    micro-batches. ONE helper shared by every entry that needs the
+    multi-batch structure (t143's sink, t145's sketch merge) — the
+    cache dir is keyed on the source signature, so two divergent
+    inline copies could silently consume each other's staging
+    (review-found r14)."""
+    import hashlib
+    import os
+
+    from datasheet_etl_spark.io import load_table
+
+    events_src = f"{sf_dir.rstrip('/')}/events.parquet"
+    return _stage_synced(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"t143_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+        ),
+        _source_signature(events_src) + "|2file",
+        lambda dst: load_table(spark, sf_dir, "events")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(dst),
+    )
+
+
 def _stage_events(sf_dir: str) -> str:
     # deterministic per-sf staging dir, reused across calls (repeated
     # bench/driver runs must not leak one events copy per invocation)
@@ -1524,23 +1551,9 @@ def t143_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasheet_etl_spark.streaming import events_stream
 
     register_jsonl_manifest(spark)
-    # a TWO-file staging (the source parquet is one file at test sfs),
-    # so maxFilesPerTrigger=1 yields two genuine micro-batches and the
-    # per-batch manifest discipline is actually exercised
-    from datasheet_etl_spark.io import load_table
-
-    events_src = f"{sf_dir.rstrip('/')}/events.parquet"
-    src = _stage_synced(
-        os.path.join(
-            tempfile.gettempdir(),
-            f"t143_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
-        ),
-        _source_signature(events_src) + "|2file",
-        lambda dst: load_table(spark, sf_dir, "events")
-        .repartition(2)
-        .write.mode("overwrite")
-        .parquet(dst),
-    )
+    # two genuine micro-batches, so the per-batch manifest discipline
+    # is actually exercised
+    src = _stage_events_2file(spark, sf_dir)
     work = os.path.join(
         tempfile.gettempdir(),
         f"t143_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
@@ -1612,24 +1625,9 @@ def t145_streaming_native_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sketch per key (kilobytes), input streams through
     map-side partial sketch updates — corpus size never enters
     state."""
-    import hashlib
-    import os
-
-    from datasheet_etl_spark.io import load_table
     from datasheet_etl_spark.streaming import events_stream
 
-    events_src = f"{sf_dir.rstrip('/')}/events.parquet"
-    src = _stage_synced(
-        os.path.join(
-            tempfile.gettempdir(),
-            f"t143_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
-        ),
-        _source_signature(events_src) + "|2file",
-        lambda dst: load_table(spark, sf_dir, "events")
-        .repartition(2)
-        .write.mode("overwrite")
-        .parquet(dst),
-    )
+    src = _stage_events_2file(spark, sf_dir)
     with _few_state_partitions(spark):
         stream = events_stream(spark, src, max_files_per_trigger=1).select(
             "event_type",

@@ -1693,23 +1693,28 @@ def t138_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — probed, so cycle-bearing
     graphs still need the iterative operators; this entry grades the
     acyclic-walk class they don't)."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "t138_documents"
-    )
-    # size the ROW guard to the workload (N·log2(max id) with slack)
-    # rather than disabling it — the guard is the runaway-recursion
-    # backstop and should stay armed
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("t138_documents")
+    return _run_sized_recursion(spark, docs.count(), lambda: _t138_sql(spark))
+
+
+def _run_sized_recursion(spark, n_seeds: int, build) -> DataFrame:
+    """Shared guard discipline for every recursive-CTE entry (t138,
+    t144 — review-found r14: two inline copies must evolve in
+    lockstep): size ``spark.sql.cteRecursionRowLimit`` to the workload
+    (N·64 covers both shapes' ≤31-64 rows/seed with slack) rather than
+    disabling it — the guard is the runaway-recursion backstop and
+    should stay armed for everything else in the session. The guard is
+    read at EXECUTION, not plan time (probed), so the walk must run
+    inside the conf window — bounded collect-then-recreate (both
+    entries aggregate to dozens of rows), the t115 pattern — and the
+    conf is restored after."""
     prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_docs * 64))
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_seeds * 64))
     )
     try:
-        # the guard is read at EXECUTION, not plan time (probed), so
-        # the walk must run inside the conf window — bounded
-        # collect-then-recreate (≤ roots × depth ≈ dozens of rows),
-        # the t115 pattern
-        df = _t138_sql(spark)
+        df = build()
         rows = df.collect()
         return spark.createDataFrame(rows, df.schema)
     finally:
@@ -3256,16 +3261,12 @@ def t144_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE, same single-reference join form, verified three ways
     (Spark == DuckDB == a Python frontier replay) before
     registration."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "t144_documents"
-    )
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
-    spark.conf.set(
-        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_docs * 64))
-    )
-    try:
-        df = spark.sql(
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("t144_documents")
+    return _run_sized_recursion(
+        spark,
+        docs.count(),
+        lambda: spark.sql(
             """
             WITH RECURSIVE hop(src, cur, depth) AS (
               SELECT doc_id, doc_id, 0 FROM t144_documents
@@ -3281,11 +3282,5 @@ def t144_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hop WHERE depth = 4
             GROUP BY grp ORDER BY grp
             """
-        )
-        rows = df.collect()
-        return spark.createDataFrame(rows, df.schema)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.cteRecursionRowLimit")
-        else:
-            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+        ),
+    )
