@@ -3684,3 +3684,46 @@ def test_streaming_observed_totals_fold_across_batches(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="reserved"):
         observed_totals(_FakeQ(), "m")
+
+
+def test_t145_cross_batch_merge_equals_direct_sketch(spark):
+    """t145's machinery certificate: the two-micro-batch drained
+    sketch states must decode to exactly the same (item, count) set a
+    DIRECT single-pass batch sketch produces — the cross-batch
+    state-store merge is what the entry adds over t139, so pin it
+    against the one-shot form explicitly (the value oracle already
+    pins both against exact counts)."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.plans import registry
+
+    streamed = {
+        (r["event_type"], r["item"]): r["cnt"]
+        for r in registry()["t145_streaming_native_topk"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    from datasheet_etl_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    direct = (
+        e.select(
+            "event_type",
+            F.when(F.col("event_id") % 3 != 0, F.col("user_id") % 4)
+            .otherwise(F.col("user_id"))
+            .alias("item"),
+        )
+        .groupBy("event_type")
+        .agg(F.expr("approx_top_k_accumulate(item, 8192)").alias("_st"))
+        .select(
+            "event_type",
+            F.explode(F.expr("approx_top_k_estimate(_st, 4)")).alias("t"),
+        )
+        .select(
+            "event_type",
+            F.col("t.item").cast("long").alias("item"),
+            F.col("t.count").cast("long").alias("cnt"),
+        )
+    )
+    want = {(r["event_type"], r["item"]): r["cnt"] for r in direct.collect()}
+    assert streamed == want
