@@ -3874,7 +3874,7 @@ def t130_arrow_native_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            count(*) AS n_docs,
-           sum(strlen(text)) AS total_bytes,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
            max(length(text)) AS max_chars
     FROM documents
     GROUP BY source
@@ -3892,7 +3892,19 @@ def t131_arrow_native_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same shuffle-and-fit contract as applyInPandas minus the pandas
     copy; sum/max kernels skip Arrow nulls exactly as SQL aggregates
     skip SQL NULLs. Operator:
-    ``operators/text.py:arrow_grouped_stats``."""
+    ``operators/text.py:arrow_grouped_stats``.
+
+    r14 driver hash-mismatch ROOT CAUSE (values were oracle-identical
+    at sf0.001/0.01/0.1): the oracle's bare ``sum(strlen(text))`` is
+    HUGEINT in DuckDB — int via ``fetchall()`` (so every tuple-path
+    compare passed), but decimal128(38,0) via ``.arrow()`` and
+    float64 via ``.df()``, so any typed fetch path canonicalizes the
+    value as Decimal/"...0" while Spark emits int64. It was the ONLY
+    hugeint-typed column among all 221 registered oracles (probed
+    registry-wide; tests/test_oracle.py::test_no_hugeint_oracle_columns
+    now pins that invariant). Fixed by the repo-standard
+    ``CAST(... AS BIGINT)``; the applyInArrow seam itself was always
+    emitting pinned int64 (explicit pa.schema + kernel casts)."""
     from datasheet_etl_spark.operators.text import arrow_grouped_stats
 
     d = load_table(spark, sf_dir, "documents")

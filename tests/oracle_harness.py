@@ -92,3 +92,25 @@ def compare_counted(
             len(s_rows),
         )
     return True, "ok", len(s_rows)
+
+
+def oracle_arrow_types(oracle_sql: str, sf_dir: str) -> list[tuple[str, str]]:
+    """(column, arrow type) of an oracle's DuckDB result via the TYPED
+    fetch path (``.arrow()``, LIMIT 0 so aggregates never execute).
+
+    The r14 t131 driver hash mismatch lived exactly here: DuckDB's
+    ``sum(BIGINT)`` is HUGEINT — a plain Python int through
+    ``fetchall()`` (so the tuple-path compare above passes) but
+    decimal128(38,0) through ``.arrow()`` and float64 through
+    ``.df()``, which a typed-path canonicalizer hashes differently
+    from Spark's int64. Oracles must CAST such aggregates so EVERY
+    fetch path agrees; tests/test_oracle.py pins the invariant
+    registry-wide with this helper."""
+    con = duckdb_conn(sf_dir)
+    try:
+        tbl = con.execute(
+            f"SELECT * FROM ({oracle_sql}) AS _q LIMIT 0"
+        ).arrow()
+    finally:
+        con.close()
+    return [(f.name, str(f.type)) for f in tbl.schema]

@@ -185,3 +185,27 @@ def test_graded_window_contract():
     # demotion is a WINDOW decision, never an oracle decision: every
     # demoted entry keeps its DuckDB oracle and stays in this sweep
     assert all(k in ora for k in DEMOTED)
+
+
+def test_no_hugeint_oracle_columns():
+    """No oracle may emit a HUGEINT-typed column (r15, the t131 root
+    cause). DuckDB's sum(BIGINT) is HUGEINT: a plain int through
+    fetchall() — so the tuple-path compare in this suite passes — but
+    decimal128(38,0) through .arrow() and float64 through .df(), which
+    a typed-path canonicalizer (the driver's) hashes differently from
+    Spark's int64. t131 was the only such column among 221 oracles in
+    r14 and was the round's one red driver row despite value-parity at
+    three sfs. LIMIT-0 type resolution keeps this registry-wide sweep
+    sub-second."""
+    from datasheet_etl_spark.plans import oracles
+
+    from tests.oracle_harness import oracle_arrow_types
+
+    offenders = []
+    for name, sql in sorted(oracles().items()):
+        for col, typ in oracle_arrow_types(sql, SF_ORACLE):
+            if typ == "decimal128(38, 0)":
+                offenders.append((name, col))
+    assert not offenders, (
+        f"hugeint-typed oracle columns (CAST them AS BIGINT): {offenders}"
+    )
