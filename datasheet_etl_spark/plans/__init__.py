@@ -54,18 +54,57 @@ WINDOW: tuple[str, ...] = (
     "t63b_mmr_pool",
     "t07_ann_ivf",
     "t19_corpus_curation",
-    "t16_dedup_clusters",
+    # r15: t16 demoted — its loop-until-fixpoint iterative self-join
+    # frontier is graded by t144's native recursive k-hop frontier
+    # (the same join-expand-dedup step, in-plan) + t138's hierarchy
+    # walk, and the min-id cluster-representative contract by t01;
+    # rationale in DEMOTED. t138 takes the slot: native recursive CTE
+    # (UnionLoop in-plan recursion) — a new OPERATOR CLASS nothing
+    # in-window graded (the r15 pre-plan's #1 pick)
+    "t138_recursive_hierarchy",
     "t33_corpus_prep_e2e",
     "t32_decontaminate",
-    # --- rotated IN for round 6 (r5 additions, previously past the window) ---
-    "q38_variant_extract",
-    "t67_zorder_key",
-    # --- r6 additions promoted in-round (q43/q44 were VERDICT r5 asks #2/#3) ---
-    "q43_star_join_revenue",
-    "t73_incremental_rollup",
+    # r15: q38 demoted into q75 (pair swap) — q75 CONTAINS q38's typed
+    # variant_get extraction paths and adds the arms q38 cannot reach:
+    # try_* leniency on planted-broken JSON, variant_explode, and
+    # schema_of_variant introspection; rationale in DEMOTED
+    "q75_variant_lenient_json",
+    # r15: t67 demoted — its per-row bit-interleave key graded against
+    # a KNOWN arithmetic decomposition is the t110/q50 standing
+    # scalar-decomposition discipline, re-anchored on t141/t142's
+    # typed-parse-vs-known-synthesis; the deterministic derived-key
+    # selection family by t91/t97, the clustering sort tail by q59;
+    # rationale in DEMOTED. t139 takes the slot: native Datasketches
+    # frequent-items batch (approx_top_k_*), the fourth native-sketch
+    # family member, below-capacity exact
+    "t139_approx_top_k_native",
+    # r15: q43 demoted — the broadcast-dim star join is graded by
+    # t32's broadcast-probe scan-join + t96's broadcast vocab
+    # join-back, the pushdown scan by t137/t114, the rollup shape by
+    # q52; rationale in DEMOTED. t144 takes the slot: branching k-hop
+    # recursion with UNION ALL bag semantics (path counting vs
+    # visited-set), the second native-recursion shape
+    "t144_khop_reachability",
+    # r15: t73 demoted — the merge-equals-scratch incremental contract
+    # is graded by t121b (incremental == batch, same-oracle), t145
+    # (cross-batch sketch-state merge == exact batch counts), and the
+    # native mergeable-sketch family t135/t136/t139; the
+    # multi-aggregate rollup shape by q52; rationale in DEMOTED. t145
+    # takes the slot: streaming native frequent-items — the entry that
+    # value-grades t78's heavy-hitter workload (closing the standing
+    # t78 straggler question at value level)
+    "t145_streaming_native_topk",
     # --- rotated IN for round 7 (VERDICT r6 #2): oracled r6 additions ---
     "t74_resample_interp",
-    "t77_streaming_cdc_apply",
+    # r15: t77 demoted — apply_changes' per-key latest-state streaming
+    # resolution against bucketed state is graded by t121b (the same
+    # bucketed-manifest derive, incremental == batch == t120's SQL)
+    # + t105's exactly-once drain; the per-batch manifest commit
+    # machinery ALSO by t143 (in-window, the Python-sink form);
+    # rationale in DEMOTED. t140 takes the slot: the UTF-8 validity
+    # gate (is_valid_utf8 / try_validate_utf8 / make_valid_utf8) —
+    # the byte-level text-quality gate over documents
+    "t140_utf8_validity_gate",
     # --- r7 in-round promotions (mergeable-histogram quantiles; A-ES
     # exact-k weighted sampling); r12 demoted t79 (rationale in
     # DEMOTED) ---
@@ -99,7 +138,16 @@ WINDOW: tuple[str, ...] = (
     "t97_training_shard_plan",
     "t98_incremental_substring_dedup",
     "t99_streaming_gram_index",
-    "t12_multimodal_features",
+    # r15: t12 demoted — the Arrow-batched binary-column Python seam
+    # is graded by t131 (applyInArrow, Arrow both directions) + t129
+    # (cogrouped), and the decode-against-a-KNOWN-byte-layout
+    # discipline by t141/t142's typed parse of self-synthesized
+    # content; the PNG/GIF header arm stays swept + pytest; rationale
+    # in DEMOTED. t141 takes the slot (the pre-planned t141↔t125
+    # family swap freed t125's slot to t142 below): schema-based
+    # from_xml typed parse — BENCH_r14 confirmed t125's warm fix
+    # (1.25s in the driver vector), so the evidence slot could rotate
+    "t141_from_xml_native",
     # --- r10 in-round promotions (the r8/r9 precedent: flagship new
     # capabilities are driver-graded immediately): the memorization
     # audit, the excision impact report, and the streaming quarantine
@@ -118,6 +166,14 @@ WINDOW: tuple[str, ...] = (
     # keyword extraction; t100/t55/q46 demoted with idiom-superset
     # rationales ---
     "t107_frequent_ngrams_hashed",
+    # r15: t25 demoted — the below-k-exact distinct-count route is
+    # graded by t136 (native theta: the KMV family's generalization —
+    # k smallest hashes under a θ threshold — below-nominal exact)
+    # + t132 (exact mergeable bitmap); t55's estimator anchor
+    # re-pointed the same way; rationale in DEMOTED. q74 takes the
+    # slot: EXECUTE IMMEDIATE with USING binds — the parameterized
+    # dynamic-SQL surface (q66's named-parameter arm's graded form)
+    "q74_execute_immediate",
     # r13 pair swap: t127 grades the SAME native session_window
     # operator with a per-event DYNAMIC gap expression — the fixed
     # "30 minutes" gap t108 graded is the constant special case of
@@ -130,11 +186,12 @@ WINDOW: tuple[str, ...] = (
     # graded inside t96 (broadcast-LM join-back, t65's standing
     # basis) and t97 (QUALIFY row_number selection, q16's standing
     # basis); rationale in DEMOTED
-    # --- r11 review fix: t55's demotion anchors the grouped-KMV
-    # estimator on t25's oracle, so t25 must itself be driver-graded —
-    # in; t83 out (its df-join machinery was t109's; r13: t109 itself
-    # demoted, t83's anchor re-pointed to t96/t97 in DEMOTED) ---
-    "t25_kmv_distinct",
+    # --- r11 review fix: t55's demotion anchored the grouped-KMV
+    # estimator on t25's oracle, so t25 was driver-graded r11-r14
+    # (4 green grades). r15: t25 demoted — in r11 no native-sketch
+    # distinct entry existed in-window; now t136 grades the same
+    # below-k-exact route natively (theta IS the KMV generalization)
+    # and t132 the exact mergeable form — t55's anchor re-pointed ---
     # --- r11 second in-round promotion batch (same standing rule:
     # newest work is driver-graded immediately): the general GROUPING
     # SETS form (q35's strict superset) and the full Python DataSource
@@ -148,7 +205,13 @@ WINDOW: tuple[str, ...] = (
     # the strictly-richer pushFilters path; rationale in DEMOTED
     "t113_python_stream_source",
     "t114_python_source_pushdown",
-    "t115_python_source_writer",
+    # r15: t115 demoted into t143 (the pre-planned pair swap) — t143
+    # drives t115's OWN staged-manifest machinery (same write(), same
+    # type gates, same abort discipline) through the strictly-harder
+    # per-batch streaming commit protocol with retried-batch
+    # replacement; the batch-writer arm stays swept; rationale in
+    # DEMOTED
+    "t143_python_stream_sink",
     # --- r11 third/fourth in-round swaps: strict-superset promotions.
     # t122 runs t41's/t116's OWN stream_interval_join operator in
     # full-outer form (t41's inner rows ⊂ t116's LEFT JOIN rows ⊂
@@ -230,7 +293,14 @@ WINDOW: tuple[str, ...] = (
     # CREATE FUNCTION inlining arm stays swept + plan-pinned.
     "t128_join_state_read",
     "t136_theta_set_distinct",
-    "t125_xpath_extract",
+    # r15: t125 demoted into t141/t142 (the pre-planned conditional
+    # pair swap, unblocked by BENCH_r14 confirming the warm fix at
+    # 1.25s) — the same synthesized-XML known-decomposition over the
+    # same documents, where t141's schema-based typed parse is the
+    # superset of t125's five xpath path walks and t142 carries the
+    # at-rest read of the same content; rationale in DEMOTED. t142
+    # takes this slot
+    "t142_xml_at_rest",
     # r14: t126 demoted — the Arrow-batched Python seam is graded
     # in-window by t131 (applyInArrow: Arrow both directions, grouped
     # superset of the scalar columnar transform, the
@@ -312,12 +382,12 @@ DEMOTED: tuple[str, ...] = (
     "t09_text_quality",  # quality_score ratios graded inside t19's quality gate
     "t10_text_token_count",  # token counting graded inside t19 (ws_tokens sum) + t96 (unigram counts; r10: t65, the old co-anchor, demoted into t96)
     "t11_text_fingerprint",  # fingerprint hashing graded inside t19/t33's fp exact-dedup
-    "t22_pinout",  # from_json schema parse + lift graded inside t105's lenient from_json + q38's variant extraction (r10: q26, the old anchor, demoted) + t23's sibling... see t23
-    "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t16 (edge/component machinery; r8: t17, the old co-anchor, demoted into t16) + t105/q38 parse (r10: q26, the old co-anchor, demoted)
+    "t22_pinout",  # from_json schema parse + lift graded inside t105's lenient from_json + q75's variant extraction (r15: q38, the old co-anchor, demoted into q75 — the same typed-path pipeline) (r10: q26, the old anchor, demoted) + t23's sibling... see t23
+    "t23_app_circuit_topology",  # parse→explode→topology-join graded inside t144's native adjacency-expansion join (r15: t16, the old anchor, demoted into t144/t138/t01 — the same edge machinery, in-plan; r8: t17, the older co-anchor, demoted into t16) + t105/q75 parse (r15: q38 demoted into q75; r10: q26, the old co-anchor, demoted)
     "t26_sample_uniform",  # hash-rank sample graded inside t91's A-ES top-k (same md5-hash-order selection family) + t97's QUALIFY rank selection (r10: q16, the old co-anchor, demoted; r7: t27/t29, the old anchors, themselves demoted)
     "t31_chunk_documents",  # sequence/posexplode chunk idiom graded inside t95's token posexplode + ordered rebuild (r10: q25, the old anchor, demoted into t95) + t33's budget packing
     # r6 in-round: swapped for q43/q44/t73 — strict idiom supersets stay in-window:
-    "q05_broadcast_join",  # 3-table broadcast-dim join graded inside q43's 6-table star (broadcast plan-pinned there too)
+    "q05_broadcast_join",  # 3-table broadcast-dim join graded inside t32's broadcast-probe scan-join + t96's broadcast vocab join-back (r15: q43, the old anchor — the 6-table star — demoted into t32/t96/q52; broadcast stays plan-pinned in test_plans)
     "t21_time_rollup",  # time-bucketed ROLLUP grains graded inside q52 (GROUPING SETS ⊃ ROLLUP; r11: q35, the old anchor, demoted into q52) + q54's tz-aware calendar bucketing (r13: q49, the old co-anchor, demoted into q54) + t127's native session windows (r13: t108, the old co-anchor, demoted into t127/t119/t117)
     "t28_sequence_pack",  # pack_sequences budget packing graded inside t33's e2e composition (same operator)
     # r7: swapped out for q45/q46/t74-t77 + q39/t58/t69/t70 (VERDICT r6
@@ -327,7 +397,7 @@ DEMOTED: tuple[str, ...] = (
     "q13_rollup",  # ROLLUP grouping sets graded inside q52_grouping_sets (the general grouping-sets form, same join+multi-grain agg shape; r11: q35, the old anchor, demoted into q52 — GROUPING SETS is the strict superset of both CUBE and ROLLUP)
     "q15_unpivot",  # stack()/unpivot compiles to the same Expand operator q52_grouping_sets plan-pins in-window (r11: q14, the old anchor, demoted into q28/q52 — q15 remains q14's result + a pure Expand projection, both arms of which stay swept)
     "q24_distinct_exact",  # countDistinct idiom graded inside t01's distinct-key dedup (r11: t84, the old co-anchor, demoted into t101/t01 — the fingerprint-representative counting it graded lives in t01's distinct-key machinery; r9: t70, the old anchor, demoted on the same basis)
-    "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t77_streaming_cdc_apply (same apply_changes max_by-per-key resolution, streaming+bucketed superset; r8: t68, the old anchor, demoted into t77) + t97 (partitioned row_number selection; r10: q16, the old co-anchor, demoted)
+    "q32_dedup_latest",  # last-wins-by-seq dedup graded inside t121b_streaming_scd2_bucketed (the same per-key latest-state resolution through the bucketed streaming path, same-oracle incremental==batch; r15: t77, the old anchor, demoted into t121b/t105; r8: t68 demoted into t77) + t97 (partitioned row_number selection; r10: q16, the old co-anchor, demoted)
     "q33_similarity_topk",  # broadcast-probe exact top-k scan graded inside t63b_mmr_pool (same brute_force_topk scanner shape, cosine, k=50; r13: t06, the old anchor, demoted into t63b; r8: t04, the old co-anchor, demoted into t92/t83)
     "t18_asof_join",  # as-of join graded inside t74_resample_interp (double-ASOF over the same asof_join operator)
     "t27_stratified_sample",  # per-stratum hash-rank sample graded inside t97 (per-source QUALIFY row_number selection; r10: q16, the old anchor, demoted) + t91 (md5-derived deterministic sampling family, per-stratum exact-k)
@@ -342,19 +412,19 @@ DEMOTED: tuple[str, ...] = (
     # r8: swapped out for t81-t86/t89/t90/q47/t92 (VERDICT r7 next-round
     # #1 + #2) — every outgoing idiom stays graded inside an in-window
     # superset (and every demotee stays in the pytest oracle sweep):
-    "q01_scan_filter",  # pushdown scan+filter is the substrate of every in-window entry; graded directly inside t19's gate filter chain and q43's plan-pinned pushdown star join
+    "q01_scan_filter",  # pushdown scan+filter is the substrate of every in-window entry; graded directly inside t19's gate filter chain, t137's _metadata scan-prune, and t114's pushFilters arm (r15: q43, the old co-anchor, demoted)
     "q03_regex_extract_cast",  # regexp extract + try_cast graded inside q28's severity-ladder parse (same stringly-cell regexp family) + t86's lenient-CSV typed casts
-    "q11_tpch_q1",  # multi-aggregate groupBy over lineitem graded inside t73_incremental_rollup (same sum/count/avg shape PLUS partial-merge maintenance) + q52's grouping-sets superset (r11: q35, the old co-anchor, demoted into q52)
+    "q11_tpch_q1",  # multi-aggregate groupBy over lineitem graded inside q52's grouping-sets superset (the same partial-agged sum/count/avg shape; r15: t73, the old co-anchor — the partial-merge maintenance arm — demoted into t121b/t145 + the native sketch family) (r11: q35, the old co-anchor, demoted into q52)
     "q19_percentiles",  # exact percentile contract graded inside t135_kll_quantiles_native (below-k exact order statistics through the mergeable native-sketch maintenance path; r14: t88, the old anchor — the hand-built mergeable-bin path — itself demoted into t135 on the same contract)
     "q30_idempotent_rerun",  # left-anti incremental-skip idiom graded inside t32_decontaminate (same left-anti at corpus scale, Bloom + shuffle-hash variants)
     "t04_dedup_ngram_jaccard",  # gram-postings + capped self-join candidate machinery graded inside t98 (same postings shape, exact-span verify; r11: t94, the old co-anchor, demoted into t98/t95; r10: t92, the old anchor, demoted on the same basis); the exact-Jaccard verify expression stays pytest-oracled here and inside t49
-    "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t16_dedup_clusters (same edge→component machinery over the shared graph helpers)
+    "t17_graph_copurchase",  # adjacency self-join / two-hop idiom graded inside t144_khop_reachability's native recursive frontier expansion (the same adjacency-join two-hop step, in-plan; r15: t16, the old anchor, demoted into t144/t138/t01)
     "t57_funnel",  # ordered-event window sequencing graded inside t117_stateful_timeout_sessions (q18's sessionize contract through the stateful close-once path; r11: t14, the old anchor, demoted into t117; r10: q18 demoted on the same basis) + t127's native sessions (r13: t108, the old co-anchor, demoted into t127)
     "t59_correlation_matrix",  # one-scan exact-decimal moment aggregation graded inside t133_linear_fit (the SAME shared moments helper carried to full OLS statistics — slope/intercept/R² from one aggregate row of exact decimal moments; r14: t90, the old anchor, demoted into t133 on the same decimal-moment basis); the cross-moment matrix stays pytest-oracled + swept — demotion does not remove it from bench
-    "t68_cdc_apply",  # batch CDC apply graded inside t77_streaming_cdc_apply (same apply_changes resolution through the strictly-stronger bucketed streaming path)
+    "t68_cdc_apply",  # batch CDC apply graded inside t121b's bucketed streaming derive (same per-key latest-state resolution, same-oracle incremental==batch; r15: t77, the old anchor — the same apply_changes resolution — demoted into t121b/t105)
     # r9: swapped out for t93/t14/t94 (VERDICT r8 next-round #1 + #3)
     # — every outgoing idiom stays graded inside an in-window superset:
-    "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q52/t73's multi-aggregate rollups (r11: q35, the old co-anchor, demoted into q52); the clamp/round tail is map-only scalar work
+    "q29_confidence_agg",  # sum-of-CASE-weights per group: the when/otherwise CASE machinery graded inside q28's severity ladder (deeper chain + tolerance arithmetic), the groupBy-sum shape inside q52's multi-aggregate rollups (r15: t73, the old co-anchor, demoted) (r11: q35, the old co-anchor, demoted into q52); the clamp/round tail is map-only scalar work
     "t13_streaming_tumbling",  # its streaming drain harness (staged file source → availableNow → memory sink) graded inside t117 (identical staging + drain through the strictly-harder timeout-stateful operator) and t122 (stream-stream; r11: t14/t41/t116, the old anchors, demoted into those supersets); the tumbling epoch-bucket agg graded inside t119's native event-time windowed-aggregate stage (r13: t108, the old anchor, demoted into t127/t119) + q52's multi-grain Expand (r11: t58/q35, the old anchors, demoted on the same basis)
     "t70_dedup_rate_report",  # per-source dedup-rate rollup is a one-groupBy aggregate over per-doc keep/drop decisions — the rollup-over-decisions discipline graded inside t101_excision_impact_report's per-source roster-joined rollup (r11: t84/t94, the old anchors, demoted into t101/t01 and t98/t95 on the same machinery); the count_distinct idiom stays graded inside t01's distinct-key dedup
     # r10: swapped out for t95/t96/t97/t98/t99/t12 (standing rule:
@@ -369,26 +439,26 @@ DEMOTED: tuple[str, ...] = (
     # r10 in-round: swapped for t100/t101/t105 — same-machinery
     # supersets stay in-window:
     "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection (r13: t109, the old co-anchor, demoted into t96/t97 — the same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96/t107 (identical orderBy/limit → row_number-on-k-rows shape; r12: t106, the old co-anchor, demoted into t107/t73; r11: t100 demoted into t106/t107)
-    "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q38's VARIANT extraction; the to_json side inside t105's staged fixture construction (r12: t103, the old co-anchor, demoted into t105)
+    "q26_json_roundtrip",  # from_json schema parse graded inside t105's lenient from_json (PERMISSIVE + corrupt-column, the strictly-harder parse contract) + q75's VARIANT extraction (r15: q38, the old co-anchor, demoted into q75); the to_json side inside t105's staged fixture construction (r12: t103, the old co-anchor, demoted into t105)
     "t86_csv_lenient_ingest",  # the lenient-ingest machinery (_read_lenient scaffold + split_corrupt + quarantine populations) graded inside t105 through the strictly-stronger STREAMING path with exactly-once sinks; the from_csv-specific arm stays swept and pytest-covered (test_io_layout)
     # r11: swapped out for t102/t103/t104/t106/q48-q51 (VERDICT r10
     # next-round #1) — every outgoing idiom stays graded inside an
     # in-window superset (and every demotee stays in the pytest oracle
     # sweep + bench):
     "q45_union_by_name",  # unionByName(allowMissingColumns) schema-union graded inside t89_schema_evolution_at_rest — the strictly-stronger at-rest form of the same contract (mergeSchema reconciles drifted parquet generations, missing columns NULL-filled, the identical column-resolution semantics through the scan path)
-    "q44_correlated_subqueries",  # Catalyst decorrelates all three arms into join+aggregate shapes each graded in-window: correlated scalar agg → grouped-aggregate-joined-back (t73's partial-merge rollup + q43's broadcast star), EXISTS → left-semi (t07's probed-cell semi-join), the NULL-edge of IN/NOT IN now graded DIRECTLY by q51's NOT-IN-with-NULL hard-0 arm; the spark.sql correlated-syntax acceptance stays swept + pytest-covered
-    "q39_recursive_cte",  # loop-until-fixpoint frontier iteration graded inside t16_dedup_clusters' connected-components loop (same iterative self-join/convergence machinery at corpus scale, with the explicit lineage-truncation discipline q39's own docstring defers to); the WITH RECURSIVE syntax acceptance stays swept
+    "q44_correlated_subqueries",  # Catalyst decorrelates all three arms into join+aggregate shapes each graded in-window: correlated scalar agg → grouped-aggregate-joined-back (q52's partial-agged aggregate + t32's broadcast-probe join; r15: t73/q43, the old co-anchors, demoted), EXISTS → left-semi (t07's probed-cell semi-join), the NULL-edge of IN/NOT IN now graded DIRECTLY by q51's NOT-IN-with-NULL hard-0 arm; the spark.sql correlated-syntax acceptance stays swept + pytest-covered
+    "q39_recursive_cte",  # the WITH RECURSIVE surface is graded DIRECTLY in-window since r15 by t138/t144 (native UnionLoop in-plan recursion, both shapes — hierarchy walk and branching k-hop); the loop-until-fixpoint frontier iteration was graded r1-r14 inside t16_dedup_clusters' connected-components loop (r15: t16 itself demoted into t144/t138/t01 on the same machinery)
     "t69_rolling_anomaly",  # trailing-frame moment windows graded inside q47_distribution_windows (same RANGE/ROWS WindowExec machinery, three frames sharing one sort) + t133_linear_fit (the same exact-decimal (n, Σx, Σx²) moment discipline feeding derived statistics; r14: t90, the old co-anchor, demoted into t133 on the same basis); the |z|>3 flag tail is map-only scalar work
-    "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t122 (stream-stream, the strictly-stateful superset; r11: t41/t116, the old co-anchors, demoted into t122) + t77 (streaming join-and-resolve against bucketed state)
+    "t75_stream_static_join",  # the stream-static join contract graded inside t99_streaming_gram_index (each micro-batch joins the live stream against an at-rest static index — the same per-batch static-side re-resolution, through the strictly-harder index-maintenance path) + t122 (stream-stream, the strictly-stateful superset; r11: t41/t116, the old co-anchors, demoted into t122) + t121b (streaming join-and-resolve against bucketed state; r15: t77, the old co-anchor, demoted into t121b/t105)
     "t82_mixture_waterfill",  # per-source mixture allocation → sampler-rate handoff graded inside t97_training_shard_plan (temperature_mixture_counts composition — the allocation family a training run actually executes); the prefix-scan boundary-selection window machinery graded inside q47's shared-WindowExec frames (cume_dist/percent_rank ARE prefix-count ratios over the same sorted pass; r14: t88, the old co-anchor whose cumulative bins graded the running-sum form, demoted into t135 — the cumulative-prefix window idiom also stays in-window through t33's bin cumsum, q20's standing basis)
     "t85_contamination_report",  # the broadcast-probe contamination scan is t32_decontaminate's own machinery (in-window), and the per-source governance rollup OVER per-doc decisions is t101_excision_impact_report's per-source impact rollup (same LEFT-join-back-to-roster denominator discipline; r11: t84, the old co-anchor, demoted into t101/t01)
     "t64_fuzzy_join",  # block-then-verify entity resolution (block key → per-block candidate pairs → exact verify) graded inside t98's gram-postings candidate generation + exact-span verification (r11: t94, the old co-anchor, demoted into t98/t95) — the same bounded-block candidate machinery at corpus scale; the levenshtein verify expression stays swept + pytest-covered
     # r11 in-round: swapped for t107/t108/t109 — same-contract/
     # same-machinery supersets stay in-window:
     "t100_frequent_ngrams",  # the audit's OUTPUT contract stays graded in-window through t100's own oracle by t107 (the hashed scale path, row-identical including ranks; r12: t106, the old co-anchor — the mergeable-partials path whose partials ARE t100's two-level string aggregate — itself demoted into t107/t73); the from-scratch string entry stays swept + planted-gram pytest
-    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t25's batch oracle (same estimator, same exactness route); the grouped stateful streaming-drain harness stays graded inside t117 (applyInPandasWithState through the same staged availableNow drain; r11: t14, the old anchor, demoted into t117) and t119's native watermarked stateful windowed aggregate (r13: t108, the old co-anchor, demoted into t127/t119; r11: t81 demoted into t108/t105/t01, now re-pointed the same way); the beyond-k regime stays pytest-pinned
+    "t55_streaming_kmv_distinct",  # the grouped-KMV estimator machinery (per-key pool, exact-below-k contract) is graded by t136's native theta batch oracle — theta IS the KMV generalization (k smallest hashes under a θ threshold), same below-k exactness route — plus t132's exact mergeable bitmap (r15: t25, the old anchor, demoted into t136/t132); the grouped stateful streaming-drain harness stays graded inside t117 (applyInPandasWithState through the same staged availableNow drain; r11: t14, the old anchor, demoted into t117) and t119's native watermarked stateful windowed aggregate (r13: t108, the old co-anchor, demoted into t127/t119; r11: t81 demoted into t108/t105/t01, now re-pointed the same way); the beyond-k regime stays pytest-pinned
     "q46_nullsafe_join",  # NULL-equality machinery graded inside q51: GROUP BY on a NULLIF-derived key IS null-safe grouping (all NULLs one group — the <=> contract through the aggregate path) with the NOT-IN arm grading the non-null-safe contrast; the eqNullSafe join-condition form stays swept + pytest-covered
-    "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t96_dsir_importance_select (the identical tokenize→explode→vocab-join-back→per-doc rollup shape; r13: t109, the old anchor, demoted into t96/t97 on the same basis); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded
+    "t83_ngram_novelty",  # the tokenize → (doc, gram) distinct partials → document-frequency table → join-back-on-gram → per-doc rollup machinery is graded inside t96_dsir_importance_select (the identical tokenize→explode→vocab-join-back→per-doc rollup shape; r13: t109, the old anchor, demoted into t96/t97 on the same basis); the cross-set "gram seen elsewhere?" form is graded inside t98's at-rest index probe (same postings meet); swapped for t25 so the grouped-KMV estimator t55's demotion anchors on is itself driver-graded (r15: that anchor re-pointed to t136/t132 when t25 demoted after 4 green grades)
     # r11 second in-round rotation: swapped for t110/q52/t111/t112-t115/
     # q53 (standing rule: newest work is driver-graded immediately) —
     # every outgoing idiom stays graded inside an in-window superset,
@@ -396,7 +466,7 @@ DEMOTED: tuple[str, ...] = (
     "q35_cube",  # CUBE is a strict special case of GROUPING SETS; q52_grouping_sets grades the identical Expand machinery with asymmetric sets plus grouping()/grouping_id markers, plan-pinned to one Expand and no Union — the general form of every grouping-sets variant q35 graded
     "q14_dynamic_pivot",  # two-phase dynamic pivot (driver-collected distinct keys → one sum(when) projection per key) is the sum(when) conditional-projection machinery graded inside q28's CASE ladder (q12's standing demotion basis) with the single-pass multi-grain aggregate shape inside q52's plan-pinned Expand; the two-phase pivot() API call stays swept + pytest-covered
     "t58_cohort_retention",  # cohort month-bucketing + month-difference arithmetic graded inside q54's tz-aware calendar-bucket-then-aggregate shape (r13: q49, the old anchor, demoted into q54 — the date_trunc/months_between family's remaining surface is map-only scalar arithmetic); the per-entity event sequencing inside t117_stateful_timeout_sessions (r11: t14, the old co-anchor, demoted into t117) + t127's native session windows (r13: t108, the old co-anchor, demoted into t127); the retention-matrix tail is a groupBy-count over those decisions (q28/q52-family aggregate machinery)
-    "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t131's applyInArrow grouped seam and t129's cogrouped pandas seam (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer + grouped/cogrouped surfaces; r14: t126, the old scalar-seam co-anchor, demoted into t131/t129; r13: t112, the old square corner, demoted into t114); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
+    "t76_udtf_sentence_split",  # the Python-evaluation seam is graded inside the t113/t114/t143 Python DataSource arms (r15: t115, the old writer-arm anchor, demoted into t143) + t131's applyInArrow grouped seam and t129's cogrouped pandas seam (Arrow-batched Python execution through the strictly-richer reader/stream/pushdown/writer + grouped/cogrouped surfaces; r14: t126, the old scalar-seam co-anchor, demoted into t131/t129; r13: t112, the old square corner, demoted into t114); the split→explode output contract inside t95's token posexplode + ordered rebuild; the UDTF lateral-join syntax stays swept + pytest-covered
     "t80_leakage_safe_split",  # group-consistent md5-hash-threshold assignment is the same deterministic md5-derived selection family graded inside t91's A-ES exact-k md5-rank sampling and t97's hash-order shard selection; the no-leakage invariant (one group → exactly one split) stays pytest-pinned and swept
     "t81_streaming_dedup_watermark",  # watermarked streaming state graded inside t119's native watermarked windowed-aggregate stage (r13: t108, the old anchor, demoted into t127/t119 — the same watermark + stateful merge through the native-operator path) and the streaming exactly-once drain discipline inside t105/t99; the dedup-key contract itself inside t01_dedup_exact
     "t84_curation_audit",  # the per-doc keep/drop decision audit + per-source roster-LEFT-join rollup is graded inside t101_excision_impact_report (the same join-back-to-roster denominator discipline over per-doc decisions, strictly richer impact metrics); the fingerprint/min-representative dedup machinery inside t01/t19 (in-window)
@@ -417,20 +487,20 @@ DEMOTED: tuple[str, ...] = (
     # idiom stays graded inside an in-window superset, and every
     # demotee stays in the pytest oracle sweep + bench:
     "t103_jsonl_lenient_ingest",  # the lenient-ingest machinery (permissive from_json + corrupt-record quarantine populations) is graded inside t105_streaming_quarantine_ingest through the strictly-stronger STREAMING path with exactly-once sinks — the same demotion basis t86 (its CSV sibling) carries; the JSONL-at-rest arm stays swept + pytest (test_io_layout)
-    "t104_orc_at_rest",  # the at-rest write→pushdown-scan→partial-agg contract it grades is format-indifferent above the scan BY ITS OWN DESIGN (its docstring's point): the same contract is graded in-window through t89_schema_evolution_at_rest (parquet at rest, strictly harder — drifted generations reconciled in the scan) and t114/t115 (the scan/write seam through the Python DataSource path; r13: t112, the old co-anchor, demoted into t114); the ORC-specific codec + PushedFilters arm stays swept + plan-pinned in test_plans.py
-    "t106_incremental_ngram_audit",  # its OUTPUT contract (t100's oracle: identical rows including ranks) stays graded in-window by t107_frequent_ngrams_hashed — the hashed scale path over the same audit — and its partial-merge maintenance discipline (merge == scratch) by t73_incremental_rollup (the same mergeable-partials contract on the rollup family); the string-partials arm stays swept + the nightly-merge CLI e2e pytest
-    "t110_url_parse_rollup",  # the per-row JVM string-decomposition family (parse_url HOST/PATH/QUERY lookups over synthesized columns) is t125_xpath_extract's in-window machinery (the same scalar-function-vs-known-decomposition grading discipline over the same synthesized-from-own-columns documents; r13: q50, the old anchor, demoted into t125/q28 on the same basis), and the per-host partial-agged rollup + count-distinct tail is q43/t73's aggregate shape; the parse_url-specific arm stays swept + pytest
+    "t104_orc_at_rest",  # the at-rest write→pushdown-scan→partial-agg contract it grades is format-indifferent above the scan BY ITS OWN DESIGN (its docstring's point): the same contract is graded in-window through t89_schema_evolution_at_rest (parquet at rest, strictly harder — drifted generations reconciled in the scan) and t114/t143 (the scan/write seam through the Python DataSource path; r15: t115, the old writer-arm co-anchor, demoted into t143; r13: t112, the older co-anchor, demoted into t114); the ORC-specific codec + PushedFilters arm stays swept + plan-pinned in test_plans.py
+    "t106_incremental_ngram_audit",  # its OUTPUT contract (t100's oracle: identical rows including ranks) stays graded in-window by t107_frequent_ngrams_hashed — the hashed scale path over the same audit — and its partial-merge maintenance discipline (merge == scratch) by t145's cross-batch sketch-state merge == exact batch counts + the native mergeable-sketch family t135/t136/t139 (r15: t73, the old anchor, demoted on the same contract); the string-partials arm stays swept + the nightly-merge CLI e2e pytest
+    "t110_url_parse_rollup",  # the per-row JVM string-decomposition family (parse_url HOST/PATH/QUERY lookups over synthesized columns) is t141/t142's in-window machinery (r15: t125, the old anchor, demoted into t141/t142 — the same scalar-function-vs-known-decomposition grading discipline over the same synthesized-from-own-columns documents; r13: q50, the older anchor, demoted into t125/q28 on the same basis), and the per-host partial-agged rollup + count-distinct tail is q52's aggregate shape + t132's exact grouped distinct (r15: q43/t73, the old anchors, demoted); the parse_url-specific arm stays swept + pytest
     "t111_pack_efficiency_report",  # a rollup OVER t97_training_shard_plan's own CTEs (it invokes the same shard-plan construction and aggregates per-shard fill); t97 stays in-window grading the packing machinery end-to-end, and the efficiency-ratio tail is map-only arithmetic over those decisions (q28/q52-family aggregate machinery)
     "q48_map_roundtrip",  # the nested-collection construction machinery (sort_array(collect_list(struct)) → build → explode back) is graded inside t95's collect_list(struct)→array_sort ordered doc rebuild (in-window), and the map-payload handling discipline inside t105's quarantine payloads; the MapType-specific surface (map_from_entries/map_filter/transform_values) stays swept + pytest, and apply_changes' map_entries canonicalization (r12) is pytest-pinned
-    "q53_group_by_all",  # GROUP BY ALL is a RESOLUTION rule, not an execution shape: the resolved plan is the ordinary partial-agged groupBy-aggregate graded in-window by q43/t73/q52 (whose GROUPING SETS Expand is the strictly-richer grouping surface); the ALL-resolution rule itself stays swept + pytest
-    "t79_weighted_median_udaf",  # the Arrow-batched Python-evaluation seam is graded inside the t113-t115 Python DataSource arms + t131's applyInArrow grouped seam (the strictly-richer reader/stream/pushdown/writer + grouped surfaces — t76's standing demotion basis; r14: t126, the old scalar-seam co-anchor, demoted into t131/t129; r13: t112, the old square corner, demoted into t114), and the grouped-aggregate quantile contract inside t135's native mergeable KLL rollup (r14: t88, the old anchor, demoted into t135 on the same contract); the GROUPED_AGG pandas_udf registry + exact weighted-median contract stays swept + pytest (test_functions)
+    "q53_group_by_all",  # GROUP BY ALL is a RESOLUTION rule, not an execution shape: the resolved plan is the ordinary partial-agged groupBy-aggregate graded in-window by q52 (whose GROUPING SETS Expand is the strictly-richer grouping surface; r15: q43/t73, the old co-anchors, demoted); the ALL-resolution rule itself stays swept + pytest
+    "t79_weighted_median_udaf",  # the Arrow-batched Python-evaluation seam is graded inside the t113/t114/t143 Python DataSource arms (r15: t115, the old writer-arm anchor, demoted into t143) + t131's applyInArrow grouped seam (the strictly-richer reader/stream/pushdown/writer + grouped surfaces — t76's standing demotion basis; r14: t126, the old scalar-seam co-anchor, demoted into t131/t129; r13: t112, the old square corner, demoted into t114), and the grouped-aggregate quantile contract inside t135's native mergeable KLL rollup (r14: t88, the old anchor, demoted into t135 on the same contract); the GROUPED_AGG pandas_udf registry + exact weighted-median contract stays swept + pytest (test_functions)
     # r13: swapped out for t123-t126/q60/q63/q64/q66 (VERDICT r12 #1
     # — the oracled r12 entries the driver never graded) + the t63b/
     # t127 pair swaps — every outgoing idiom stays graded inside an
     # in-window superset, and every demotee stays in the pytest
     # oracle sweep + bench:
     "q49_calendar_arithmetic",  # the calendar-bucketing machinery (date_trunc/to_date bucketing feeding one partial-agged groupBy on the calendar key) is graded inside q54_timezone_parity — the strictly-harder tz-aware form: the SAME bucket-then-aggregate shape built from from_utc_timestamp conversions that must hold across both 2024 DST edges, plus timestamp_add day arithmetic; q49's remaining surface (last_day/add_months/datediff) is map-only scalar arithmetic on ~tens of month rows (the q50-family discipline), stays swept + pytest
-    "q50_string_functions",  # the per-row JVM string-decomposition family graded against a KNOWN decomposition (t110's standing demotion discipline) stays graded inside t125_xpath_extract — the strictly-richer form: xpath path-expression lookups over documents synthesized from the table's own columns, where any extraction drift breaks the hash — and the regexp/parse string family inside q28's severity-ladder parse; q50's specific scalar set (split_part/lpad/translate/reverse/repeat) is map-only codegen surface, stays swept + pytest
+    "q50_string_functions",  # the per-row JVM string-decomposition family graded against a KNOWN decomposition (t110's standing demotion discipline) stays graded inside t141/t142 — the strictly-richer form: a schema-based typed XML parse over documents synthesized from the table's own columns, where any extraction drift breaks the hash (r15: t125, the old anchor, demoted into t141/t142 on the same basis) — and the regexp/parse string family inside q28's severity-ladder parse; q50's specific scalar set (split_part/lpad/translate/reverse/repeat) is map-only codegen surface, stays swept + pytest
     "q56_native_unpivot",  # the native UNPIVOT operator resolves to the SAME Expand node q52_grouping_sets plan-pins in-window (q15's standing stack() basis: wide→long reshape on the aggregate's few output rows is an Expand projection whichever parser surface produced it); the UNPIVOT-syntax acceptance + decimal measure unification stays swept + pytest
     "q57_interval_range_frame",  # the RANGE-frame WindowExec machinery (one sorted pass per partition, frame bounds against the ordering expression) is graded inside q47_distribution_windows' shared-WindowExec RANGE/ROWS trio, and the calendar/interval arithmetic the TimeAdd bound leans on inside q54's tz-aware timestamp family; the INTERVAL-typed-bound parse arm (SQL-literal-only surface) stays swept + pytest
     "t109_keyword_extract",  # the tokenize → map-side tf partials → vocab-sized df aggregate → join-back-on-term → per-doc ranking machinery is graded inside t96_dsir_importance_select (the identical tokenize→explode→broadcast-vocab join-back→per-doc rollup shape, run TWICE with a log-ratio — t65's standing basis) and t97's per-source QUALIFY row_number selection (q16's standing basis for the per-group rank window); the rational tf/df scoring contract stays swept + pytest
@@ -455,6 +525,21 @@ DEMOTED: tuple[str, ...] = (
     "q63_ordered_set_aggs",  # the exact-quantile contract (percentile_disc must pick the same ACTUAL row under the same total order; percentile_cont the same interpolated order statistics) is graded in-window by t135_kll_quantiles_native's below-k-exact order statistics (every item retained ⇒ sketch quantile == order statistic, dyadic-q IEEE-boundary argument written); the WITHIN GROUP parser surface and ordered listagg stay swept + pytest
     "q64_ignore_nulls_windows",  # the IGNORE NULLS null-skipping carry (WHICH row each function reads) is graded in-window by t74_resample_interp's double-ASOF last(ignorenulls) LOCF — q17's standing demotion basis since r7 (the production consumer of null-skipping: gap-filling); the lag/lead/nth_value spellings and the planted-NULL fixture stay swept + pytest
     "t126_arrow_python_udf",  # the Arrow-batched scalar Python seam (values cross the JVM boundary as Arrow batches, NULL-in→NULL-out SQL semantics) is graded in-window by t131_arrow_native_grouped (applyInArrow — Arrow both directions with NO pandas conversion, the grouped superset of a scalar columnar transform, carrying the r13 NULL-group-key fix) and t129_cogroup_asof (the cogrouped pandas seam, two Arrow batch streams into one function); the ArrowEvalPython scalar node stays plan-pinned in test_plans + swept
+    # r15: swapped out for t138/t144/t145/t143/t139/t141/t142/t140/
+    # q75/q74 (VERDICT r14 #2 — the written rotation pre-plan +
+    # amendment; ten never-driver-graded oracled entries in) — every
+    # outgoing idiom stays graded inside an in-window superset, and
+    # every demotee stays in the pytest oracle sweep + bench:
+    "t115_python_source_writer",  # the pre-planned pair swap: t143_python_stream_sink drives t115's OWN staged-manifest machinery (the same JsonLinesWriter write() task path, the same per-row type gates, the same abort/cleanup discipline) through the strictly-harder per-batch streaming commit protocol — an atomic _MANIFEST_b{batchId} per micro-batch where a retried batch REPLACES its own manifest, so exactly-once at rest is batch-id idempotence; the batch-commit arm (single _MANIFEST, full-job abort) stays swept + the planted-failure abort pytest in test_pyds
+    "t125_xpath_extract",  # the pre-planned conditional pair swap, executed after BENCH_r14 confirmed the JIT-warm fix in the driver's own vector (1.25s vs r13's 14.5s — the evidence slot did its job): t141_from_xml_native runs the SAME synthesized-XML known-decomposition over the SAME documents through schema-based from_xml — ONE typed parse whose struct fields are the superset of t125's five independent xpath path walks (any extraction drift breaks the same hash), and t142_xml_at_rest reads the same content through the XML data source at rest; the xpath-expression-language arm (predicates, attribute axes) stays swept + pytest
+    "q38_variant_extract",  # the pair swap into its own superset: q75_variant_lenient_json CONTAINS q38's typed variant_get extraction (same parse_json → path → cast pipeline over the same JSON payloads) and adds the three arms q38 cannot reach — try_parse_json/try_variant_get leniency over planted-broken documents, variant_explode array generation, and schema_of_variant introspection driving a typed re-read; the VARIANT shredded-storage note and the q38 fixture stay swept + pytest
+    "t77_streaming_cdc_apply",  # apply_changes' per-key latest-state streaming resolution against bucketed state is graded in-window by t121b_streaming_scd2_bucketed — the same bucketed-manifest sink family running the strictly-richer derive (SCD2 history windows, not just last-wins upsert), graded by the same-oracle incremental == batch discipline (t120's SQL) — and the exactly-once availableNow drain by t105; the per-batch manifest-commit machinery is additionally graded by t143 (in-window, the Python-sink form of the same protocol); the CDC delete-tombstone arm + manifests/time-travel/GC/compaction lifecycle stay swept + pytest (test_streaming)
+    "t67_zorder_key",  # the per-row JVM bit-decomposition graded against a KNOWN interleave decomposition is the t110/q50 standing scalar-decomposition discipline, whose anchor re-pointed r15 to t141/t142 (typed parse vs known self-synthesized content — any drift breaks the hash); the deterministic derived-key selection family (hash/bit keys driving locality decisions) is graded by t91's md5-rank exact-k sampling + t97's hash-order shard selection (t80's standing basis), and the clustering ORDER BY tail by q59's pushed TakeOrderedAndProject; the z-order-specific conv/shiftleft arm stays swept + pytest
+    "q43_star_join_revenue",  # the broadcast-dim star join plan reality (BroadcastHashJoin on every small dimension, plan-pinned) is graded in-window by t32_decontaminate's broadcast-probe scan-join and t96's broadcast vocab join-back (two live broadcast joins on the graded path); the pushdown scan substrate by t137's _metadata scan-prune + t114's pushFilters arm; the multi-aggregate revenue rollup shape by q52's partial-agged Expand aggregate; the 6-table TPC-H-ish composition itself stays swept + plan-pinned in test_plans
+    "t16_dedup_clusters",  # the loop-until-fixpoint iterative self-join frontier (join frontier to edges → dedup → repeat until converged) is graded in-window by t144_khop_reachability's native recursive frontier expansion — the same join-expand-dedup step executed in-plan by UnionLoop, with the bag-vs-set distinction t16's visited-set union also relies on — and t138's recursive hierarchy walk; the min-id cluster-representative contract by t01's keep-min exact dedup; the LSH (band, bucket) candidate generation stays graded through t02's md5 machinery certificate + swept, and the convergence/lineage-truncation discipline stays pytest-pinned
+    "t12_multimodal_features",  # the Arrow-batched binary-column Python seam (opaque bytes → typed features without row-at-a-time Python) is graded in-window by t131's applyInArrow grouped seam (Arrow both directions, no pandas) + t129's cogrouped seam; the decode-against-a-KNOWN-byte-layout grading discipline (planted headers whose width/height/type any drift breaks) is the same known-decomposition family t141/t142 grade over self-synthesized XML; the stdlib PNG/GIF header parse, the binary+metadata schema, and the import-guarded PIL gate stay swept + pytest (test_multimodal)
+    "t25_kmv_distinct",  # the below-k-exact grouped distinct-count route (every hash retained below capacity ⇒ the estimate IS the exact count) is graded in-window by t136_theta_set_distinct — native theta sketches ARE the KMV family's generalization (k smallest hashes under a θ threshold; below nominal entries, exact) — and by t132's exact mergeable bitmap distinct; t55's grouped-KMV estimator anchor re-pointed the same way (the r11 review rule is preserved: the anchor IS driver-graded, it is now the native form); the KMV-specific estimator (pool structure, k-th-minimum estimate, beyond-k error) stays swept + pytest-pinned in test_sketches
+    "t73_incremental_rollup",  # the merge-equals-scratch incremental-maintenance contract is graded in-window by t121b (incremental == batch == t120's SQL — the same-oracle discipline on the harder streaming path), t145's cross-batch sketch-state merge == exact batch counts, and the native mergeable-sketch family t135/t136/t139 (two-level partials → merge → read, kilobytes move); the multi-aggregate rollup shape (sum/count/avg partial aggregation) by q52's partial-agged Expand aggregate; the hand-rolled rollup partial-merge machinery stays swept + the nightly-merge CLI e2e pytest
 )
 
 

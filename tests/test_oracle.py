@@ -34,10 +34,10 @@ def test_graded_window_contract():
     """The driver grades the first 50 registry entries. Pin that the
     window is exactly the explicit WINDOW list, every entry oracled
     with NO rows-only exceptions (r12: every driver row can show
-    hash_match true), that the r14 rotation landed (ten never-graded
-    oracled entries newly in-window per the written pre-plan), that
-    recent rotations stay covered, and that demotion never drops
-    oracle coverage."""
+    hash_match true), that the r15 rotation landed (ten never-graded
+    oracled entries newly in-window per the written pre-plan +
+    amendment), that recent rotations stay covered, and that demotion
+    never drops oracle coverage."""
     from datasheet_etl_spark.plans import (
         DEMOTED,
         WINDOW,
@@ -55,6 +55,39 @@ def test_graded_window_contract():
     # out; its exact python-zlib parity pytest remains its grade.
     assert WINDOW_ROWS_ONLY == frozenset()
     assert all(k in ora for k in first50)
+    # r15 rotation (VERDICT r14 #2, the written COVERAGE pre-plan +
+    # amendment): ten never-driver-graded oracled entries in. Pair
+    # swaps (the t122←t116 precedent): t115→t143 (t143 drives t115's
+    # OWN staged-manifest machinery through the harder per-batch
+    # streaming commit), t125→t141 + t142 (typed from_xml parse ⊃
+    # five xpath walks over the same synthesized XML; the conditional
+    # swap unblocked by BENCH_r14's 1.25s warm confirmation),
+    # q38→q75 (q75 CONTAINS q38's variant_get path and adds try_*
+    # leniency / variant_explode / schema_of_variant). Idiom-superset
+    # demotions: t16 into t144/t138/t01 (native in-plan recursion is
+    # the frontier-iteration superset), t77 into t121b/t105 (+t143
+    # for the manifest commit), t73 into t121b/t145 + the native
+    # mergeable-sketch family, t25 into t136/t132 (theta IS the KMV
+    # generalization, below-nominal exact), t67 into t141/t142 +
+    # t91/t97 + q59, q43 into t32/t96 + t137/t114 + q52, t12 into
+    # t131/t129 + t141/t142. Anchors re-pointed in the same step:
+    # t22/t23/q26 (q38→q75), q05/q01/q44/t110/q53 (q43), q32/t68/t75
+    # (t77→t121b), t17/q39/t23 (t16→t144/t138), t55/t83 (t25→t136/
+    # t132), q11/q29/t106/t110/q53/q44 (t73), t76/t79/t104
+    # (t115→t143), t110/q50 (t125→t141/t142).
+    r15_entries = {
+        "t138_recursive_hierarchy",
+        "t144_khop_reachability",
+        "t145_streaming_native_topk",
+        "t143_python_stream_sink",
+        "t139_approx_top_k_native",
+        "t141_from_xml_native",
+        "t142_xml_at_rest",
+        "t140_utf8_validity_gate",
+        "q75_variant_lenient_json",
+        "q74_execute_immediate",
+    }
+    assert r15_entries <= set(first50)
     # r14 rotation (VERDICT r13 #1, the written COVERAGE pre-plan):
     # ten never-driver-graded oracled entries in. Pair swaps (the
     # t122←t116 precedent): t88→t135 (native KLL twin of the
@@ -88,7 +121,8 @@ def test_graded_window_contract():
     # r14 after their r13 green driver grade — the r8-r11 precedent:
     # 1-3 green grades + an in-window superset; rationales in DEMOTED)
     r13_entries = {
-        "t125_xpath_extract",
+        # r15: t125 demoted into t141/t142 after two green driver
+        # grades + the BENCH_r14 warm-fix confirmation
         "t63b_mmr_pool",
         "t127_session_window_dynamic_gap",
     }
@@ -122,16 +156,16 @@ def test_graded_window_contract():
     # t96/t97, t112 into t114)
     r11_promoted = {
         "t107_frequent_ngrams_hashed",
-        # review fix: t55's demotion anchors the grouped-KMV estimator
-        # on t25's oracle, so t25 is itself driver-graded
-        "t25_kmv_distinct",
+        # r15: t25 demoted into t136/t132 (the native below-k-exact
+        # route) after 4 green grades; t55's anchor re-pointed
         # second in-round batch: newest work driver-graded immediately
         # (r12 demoted t110 into q50→t125/q43/t73, t111 into t97, q53
         # into q43/t73/q52 — idiom-superset rationales in DEMOTED)
         "q52_grouping_sets",
         "t113_python_stream_source",
         "t114_python_source_pushdown",
-        "t115_python_source_writer",
+        # r15: t115 demoted into t143 (same machinery, harder
+        # per-batch streaming commit protocol)
         # third/fourth batch: strict-superset swaps — t122 runs t41's/
         # t116's own stream_interval_join in full-outer form (inner ⊂
         # LEFT JOIN ⊂ FULL JOIN oracle rows), t117 grades t14's q18
@@ -148,7 +182,8 @@ def test_graded_window_contract():
         "t97_training_shard_plan",
         "t98_incremental_substring_dedup",
         "t99_streaming_gram_index",
-        "t12_multimodal_features",
+        # r15: t12 demoted into t131/t129 + t141/t142 after 5 green
+        # grades
         "t101_excision_impact_report",
         "t105_streaming_quarantine_ingest",
     }
