@@ -100,15 +100,30 @@ def main() -> int:
     # timing therefore cannot distinguish an engine regression from a
     # scheduling accident. Fix: steal-gated retry — an entry whose OWN
     # measurement window saw steal above RETRY_STEAL is re-run (up to
-    # MAX_RETRIES, global budget RETRY_BUDGET so a whole-run throttle
-    # can't triple the wall), and the MINIMUM wall across attempts is
+    # MAX_RETRIES, bounded by the wall-clock guard below so a whole-run
+    # throttle can't blow up the wall), and the MINIMUM wall across attempts is
     # recorded: contention only ever ADDS wall-clock, so min is the
     # estimator closest to the uncontended cost. Every retry is
     # recorded in env.bench_retries (attempt walls + steal fracs), so
     # the artifact shows exactly which numbers were re-measured.
     retry_steal = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_STEAL", "0.02"))
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RETRIES", "2"))
-    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "40"))
+    # r15 (VERDICT r14 #3): the fixed global retry COUNT budget (40)
+    # saturated on the r14 driver run (9.9% steal), leaving 97 entries
+    # polluted because the budget ran out, not because contention
+    # persisted. The bound is now wall-clock, scaling with observed
+    # contention: retries are allowed while the cumulative retry wall
+    # stays under RETRY_WALL_FRAC of the elapsed run wall (default 0.5
+    # — a fully-contended run costs at most ~1.5x its clean wall), and
+    # an end-of-run re-pass sweeps every still-polluted entry once
+    # more under the same guard (a burst that covered an entry's slot
+    # has often passed by the end of the run). Pollution left in the
+    # artifact therefore means "the host was contended every time we
+    # looked", never "we stopped looking"; env.retry_guard_hits says
+    # whether the wall guard ever stopped a retry.
+    retry_wall_frac = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_WALL_FRAC", "0.5")
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -116,6 +131,12 @@ def main() -> int:
     retries: dict[str, list[dict[str, float]]] = {}
     ticks0 = cpu_ticks()
     t_all = time.perf_counter()
+    retry_wall_spent = 0.0
+    retry_guard_hits = 0
+
+    def retry_allowed() -> bool:
+        elapsed = time.perf_counter() - t_all
+        return retry_wall_spent < retry_wall_frac * max(elapsed, 1.0)
 
     def cleanup() -> None:
         # per-query isolation: operators may persist() intermediates and
@@ -151,9 +172,10 @@ def main() -> int:
                 frac is not None
                 and frac > retry_steal
                 and len(attempts) <= max_retries
-                and retry_budget > 0
             ):
-                retry_budget -= 1
+                if not retry_allowed():
+                    retry_guard_hits += 1
+                    break
                 cleanup()
                 # a FAILED retry must not discard the successful
                 # measurement already in hand (review-found r14: an
@@ -169,6 +191,7 @@ def main() -> int:
                         file=sys.stderr,
                     )
                     break
+                retry_wall_spent += wall2
                 attempts.append(
                     {"wall": wall2, "steal": round(frac or 0.0, 3)}
                 )
@@ -185,6 +208,15 @@ def main() -> int:
             # annotated frac is the one from the RECORDED (fastest)
             # attempt's window.
             best = min(attempts, key=lambda a: a["wall"])
+            if len(attempts) > 1:
+                # mark which attempt was kept: "recorded": 1 on a LATER
+                # attempt means the recorded number came from a WARM
+                # re-run — one-time work attempt 1 paid (signature-cached
+                # staging builds, JIT) was skipped, so retried entries
+                # are measured best-of-N-warm while single-shot entries
+                # stay cold; read cross-entry comparisons of retried
+                # entries with that bias in mind (ADVICE r14 #2)
+                best["recorded"] = 1
             if best["steal"] > 0.005:  # keep the artifact sparse
                 entry_steal[name] = best["steal"]
             print(
@@ -195,6 +227,51 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+        cleanup()
+    # end-of-run re-pass (VERDICT r14 #3): every entry whose RECORDED
+    # attempt still saw steal above the retry gate gets one more look
+    # now — a contention burst that covered an entry's slot mid-run has
+    # often passed by the end. Same wall-clock guard; the re-pass can
+    # only improve (min-wall merge), and its attempts are recorded so
+    # the artifact shows pollution survived repeated looks, not a
+    # spent budget.
+    repass_done = 0
+    for name in sorted(k for k, v in entry_steal.items() if v > retry_steal):
+        if not retry_allowed():
+            retry_guard_hits += 1
+            break
+        try:
+            wall2, n, frac = attempt(name)
+        except Exception as exc:  # noqa: BLE001
+            print(
+                f"# {name}: re-pass failed ({type(exc).__name__}),"
+                " keeping prior attempt",
+                file=sys.stderr,
+            )
+            cleanup()
+            continue
+        retry_wall_spent += wall2
+        repass_done += 1
+        rec = retries.setdefault(
+            name, [{"wall": timings[name], "steal": entry_steal[name]}]
+        )
+        rec.append(
+            {"wall": wall2, "steal": round(frac or 0.0, 3), "repass": 1}
+        )
+        for a in rec:
+            a.pop("recorded", None)
+        best = min(rec, key=lambda a: a["wall"])
+        best["recorded"] = 1
+        timings[name] = best["wall"]
+        if best["steal"] > 0.005:
+            entry_steal[name] = best["steal"]
+        else:
+            entry_steal.pop(name, None)
+        print(
+            f"# {name}: re-pass {wall2:.3f}s"
+            f" (recorded {timings[name]:.3f}s)",
+            file=sys.stderr,
+        )
         cleanup()
     total = round(time.perf_counter() - t_all, 3)
     ticks1 = cpu_ticks()
@@ -214,6 +291,12 @@ def main() -> int:
         env["steal_frac_per_entry"] = entry_steal
     if retries:
         env["bench_retries"] = retries
+    env["retry_wall_sec"] = round(retry_wall_spent, 1)
+    # >0 means the wall-clock guard stopped at least one retry/re-pass —
+    # the only way pollution can remain "because we stopped looking"
+    env["retry_guard_hits"] = retry_guard_hits
+    if repass_done:
+        env["repass_entries"] = repass_done
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Durable per-entry artifact (VERDICT r7 #7): the stdout detail line

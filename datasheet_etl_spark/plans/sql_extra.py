@@ -5817,7 +5817,11 @@ def q75_variant_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     lateral TVF over a variant array, here summed per source), and
     ``schema_of_variant_agg`` (SCHEMA DISCOVERY over heterogeneous
     payloads — the schema-drift telemetry a crawl-JSON pipeline
-    publishes). Heterogeneity is planted by doc parity (even docs
+    publishes). The final assembly LEFT-joins from counts (ADVICE r14
+    #4) so a degenerate fixture whose docs are all planted-broken for
+    a source degrades to NULL arr_sum exactly as the oracle does,
+    instead of dropping the source row. Heterogeneity is planted by
+    doc parity (even docs
     carry an ``extra`` field), which the 20-way source hash makes
     CONSTANT per source — so each source discovers a deterministic
     union schema, re-derived by the oracle from the source's own
@@ -5864,8 +5868,8 @@ def q75_variant_lenient_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c.source AS source, c.n_parsed, c.n_bad, s.arr_sum,
                sc.discovered
-        FROM counts c JOIN sums s ON c.source = s.source
-             JOIN schemas sc ON c.source = sc.s2
+        FROM counts c LEFT JOIN sums s ON c.source = s.source
+             LEFT JOIN schemas sc ON c.source = sc.s2
         ORDER BY source
         """
     )

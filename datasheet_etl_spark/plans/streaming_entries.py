@@ -1573,6 +1573,12 @@ def t143_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     back = read_jsonl_manifests_stream(spark, sink)
+    if back is None:  # documented no-batch-committed contract
+        raise RuntimeError(
+            f"t143: the streaming drain committed no batch manifest "
+            f"under {sink} — empty events staging or a failed drain "
+            "(ADVICE r14 #3: fail loudly, not with AttributeError)"
+        )
     return (
         back.groupBy("event_type")
         .agg(

@@ -216,6 +216,44 @@ def _json_native(dt) -> bool:
     return isinstance(dt, atomic)
 
 
+def _schema_shape(st):
+    """(name, type) pairs — the re-type-on-read equality contract.
+    Nullability and metadata are EXCLUDED: they flip freely across
+    Spark plans (a filter or literal makes a column non-nullable) and
+    cannot re-type committed rows (review-found r12 — a raw
+    schema-JSON compare falsely refused type-identical appends)."""
+    return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+
+def _union_nullability(a, b):
+    """Merge two shape-identical schemas so the result stays TRUE for
+    rows written under EITHER: union nullability at every level —
+    top-level fields AND array containsNull (review-found r12, third
+    pass). The writer's type domain is atomic + arrays-of-atomic
+    (_json_native), so array recursion covers everything."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    def union_type(da, db):
+        if isinstance(da, ArrayType):
+            return ArrayType(
+                union_type(da.elementType, db.elementType),
+                da.containsNull or db.containsNull,
+            )
+        return da
+
+    return StructType(
+        [
+            StructField(
+                fa.name,
+                union_type(fa.dataType, fb.dataType),
+                fa.nullable or fb.nullable,
+                fa.metadata,
+            )
+            for fa, fb in zip(a.fields, b.fields)
+        ]
+    )
+
+
 class _StagedFile(WriterCommitMessage):
     def __init__(self, path: str, n_rows: int):
         self.path, self.n_rows = path, n_rows
@@ -312,21 +350,12 @@ class JsonLinesWriter(DataSourceWriter):
             # literal makes a column non-nullable) and cannot re-type
             # anything (review-found r12: the raw-string compare
             # falsely refused type-identical appends).
-            from pyspark.sql.types import (
-                ArrayType,
-                StructField,
-                StructType,
-            )
+            from pyspark.sql.types import StructType
 
             a = StructType.fromJson(_json.loads(prev["schema"]))
             b = StructType.fromJson(_json.loads(self.schema_json))
 
-            def shape(st):
-                return [
-                    (f.name, f.dataType.simpleString()) for f in st.fields
-                ]
-
-            if shape(a) != shape(b):
+            if _schema_shape(a) != _schema_shape(b):
                 raise ValueError(
                     "append schema differs from the committed "
                     "manifest's schema — appending would re-type "
@@ -336,33 +365,8 @@ class JsonLinesWriter(DataSourceWriter):
                 )
 
             # the recorded schema must stay TRUE for EVERY referenced
-            # file: union nullability at EVERY level — top-level
-            # fields AND array containsNull (review-found r12, third
-            # pass: the field-level union kept the previous schema's
-            # ELEMENT nullability wholesale, so a NULL element
-            # appended into a containsNull=false array column still
-            # misread). The writer's type domain is atomic +
-            # arrays-of-atomic (_json_native), so array recursion
-            # covers everything.
-            def union_type(da, db):
-                if isinstance(da, ArrayType):
-                    return ArrayType(
-                        union_type(da.elementType, db.elementType),
-                        da.containsNull or db.containsNull,
-                    )
-                return da
-
-            self.schema_json = StructType(
-                [
-                    StructField(
-                        fa.name,
-                        union_type(fa.dataType, fb.dataType),
-                        fa.nullable or fb.nullable,
-                        fa.metadata,
-                    )
-                    for fa, fb in zip(a.fields, b.fields)
-                ]
-            ).json()
+            # file — union nullability (see _union_nullability)
+            self.schema_json = _union_nullability(a, b).json()
             files = sorted(set(prev["files"]) | set(files))
             rows += prev["rows"]
         manifest = {
@@ -501,13 +505,24 @@ def read_jsonl_manifests_stream(spark, path: str):
     if not manifests:
         return None
     parsed = [_json.loads(open(m).read()) for m in manifests]
-    schemas = {p["schema"] for p in parsed}
-    if len(schemas) > 1:
-        raise ValueError(
-            "committed batch manifests disagree on schema — refusing "
-            "to re-type committed rows on read"
-        )
-    schema = StructType.fromJson(_json.loads(parsed[0]["schema"]))
+    # Same drift contract as JsonLinesWriter.commit (ADVICE r14 #1 —
+    # the raw schema-JSON set compare regressed the r12 lesson):
+    # compare (name, type) SHAPES, because nullability/metadata flip
+    # freely across the plans of successive micro-batch drains and
+    # cannot re-type rows; union nullability across batches so the
+    # read schema stays true for every committed file.
+    schemas = [
+        StructType.fromJson(_json.loads(p["schema"])) for p in parsed
+    ]
+    schema = schemas[0]
+    for st in schemas[1:]:
+        if _schema_shape(st) != _schema_shape(schema):
+            raise ValueError(
+                "committed batch manifests disagree on schema shape "
+                "(column names/types) — refusing to re-type committed "
+                "rows on read"
+            )
+        schema = _union_nullability(schema, st)
     files = sorted(
         os.path.join(path, f) for p in parsed for f in p["files"]
     )

@@ -506,3 +506,62 @@ def test_pyds_stream_sink_per_batch_manifests_and_exactly_once(
     w.abort([msg2], batchId=99)
     assert not os.path.exists(msg2.path)
     assert not glob.glob(os.path.join(sink, "_MANIFEST_b*000099*"))
+
+
+def test_pyds_stream_manifests_tolerate_nullability_drift(spark, tmp_path):
+    """ADVICE r14 #1: read_jsonl_manifests_stream compared raw
+    schema-JSON strings across batch manifests, regressing the r12
+    batch-writer lesson — nullability/metadata flip freely across the
+    plans of successive drains and cannot re-type rows. Pin the fixed
+    contract: shape-identical manifests differing only in nullability
+    read fine (nullability unioned), while a genuine type drift still
+    refuses loudly."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from datasheet_etl_spark.sources.pyds import (
+        read_jsonl_manifests_stream,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+
+    def manifest(batch, fname, schema_fields):
+        fpath = os.path.join(sink, fname)
+        with open(fpath, "w") as fh:
+            fh.write('{"event_id": 1, "tag": "a"}\n')
+        schema = {"type": "struct", "fields": schema_fields}
+        with open(os.path.join(sink, f"_MANIFEST_b{batch:020d}"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "files": [fname],
+                        "rows": 1,
+                        "schema": json.dumps(schema),
+                    }
+                )
+            )
+
+    f = lambda name, typ, nullable: {  # noqa: E731
+        "name": name,
+        "type": typ,
+        "nullable": nullable,
+        "metadata": {},
+    }
+    # batch 0: non-nullable event_id; batch 1: nullable — same shape
+    manifest(0, "p0.json", [f("event_id", "long", False), f("tag", "string", True)])
+    manifest(1, "p1.json", [f("event_id", "long", True), f("tag", "string", True)])
+    back = read_jsonl_manifests_stream(spark, sink)
+    assert back.count() == 2
+    # nullability unioned: the read schema must admit rows from BOTH
+    got = StructType.fromJson(json.loads(back.schema.json()))
+    assert [fld.nullable for fld in got.fields][0] is True
+
+    # genuine type drift still refuses
+    manifest(2, "p2.json", [f("event_id", "string", True), f("tag", "string", True)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema shape"):
+        read_jsonl_manifests_stream(spark, sink)
