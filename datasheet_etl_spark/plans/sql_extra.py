@@ -5997,3 +5997,127 @@ def t142_xml_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q77_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q77_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's ``|>`` operator dialect) — the
+    linear query form where each stage reads the previous stage's
+    table: FROM |> EXTEND (computed column) |> WHERE |> AGGREGATE ..
+    GROUP BY |> ORDER BY, four pipe operators across the classic
+    pricing-summary shape. A DIALECT surface, not an execution one:
+    the pipe form resolves to the ordinary scan -> filter ->
+    partial-agged HashAggregate -> sort plan (pinned against the ANSI
+    spelling in tests/test_plans.py — identical result rows AND the
+    same aggregate physical shape), so it costs nothing at 100 TB and
+    buys the incremental-composition readability ETL authors use it
+    for. Decimal discipline: the EXTENDed disc_price keeps the exact
+    scale-4 product (no intermediate rounding — CAST to DECIMAL(28,4)
+    is lossless), summed exactly then cast to double once, so Spark
+    and DuckDB agree bit-for-bit (the dsum convention). Pipe
+    AGGREGATE emits group columns first; the oracle compare is
+    column-name keyed so ordering is free."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q77_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM q77_lineitem
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS disc_price
+        |> WHERE l_shipdate <= DATE '1998-09-01'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) AS sum_qty,
+                     CAST(sum(CAST(disc_price AS DECIMAL(28,4)))
+                          AS DOUBLE) AS sum_disc
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "t147_polymorphic_udtf",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2
+    FROM t ORDER BY doc_id
+    """,
+)
+def t147_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the ``analyze()`` corner of the UDTF
+    surface t76's static-schema entry does not reach: the output
+    schema is computed at ANALYSIS time from a constant argument
+    (k=3 -> columns tok0..tok2), the mechanism for table functions
+    whose shape is parameter-dependent (dynamic unpivots, configurable
+    feature extractors, schema-driven parsers). Each document emits
+    exactly one row of its first k word tokens (NULL-padded), through
+    a LATERAL join; the tokenizer is the repo's tokens() contract
+    (lower -> split on non-letter runs -> drop empties), mirrored
+    expression-for-expression by the oracle's list extraction
+    (DuckDB lists are 1-indexed; out-of-range -> NULL, matching the
+    Python pad). Scale stance = t76's: the UDTF seam is interpreted
+    Python — this workload has a pure-codegen equivalent (the
+    slice(tokens(..)) projection) that wins any hot path; the entry
+    grades the analyze-time schema machinery, on a bounded input
+    (doc_id < 200), with the AnalyzeResult path pinned in
+    tests/test_plans.py (k=2 vs k=4 produce different column sets
+    from ONE registration)."""
+    from pyspark.sql.functions import udtf
+
+    class LeadToks:
+        @staticmethod
+        def analyze(*args):
+            from pyspark.sql.types import StringType, StructType
+            from pyspark.sql.udtf import AnalyzeResult
+
+            k = int(args[1].value)
+            st = StructType()
+            for i in range(k):
+                st = st.add(f"tok{i}", StringType())
+            return AnalyzeResult(st)
+
+        def eval(self, text, k):
+            import re
+
+            toks = [
+                t
+                for t in re.split(r"[^a-z]+", (text or "").lower())
+                if t
+            ]
+            yield tuple(
+                (toks[i] if i < len(toks) else None)
+                for i in range(int(k))
+            )
+
+    spark.udtf.register("t147_lead_toks", udtf(LeadToks))
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("_t147_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.*
+        FROM _t147_docs d, LATERAL t147_lead_toks(d.text, 3) s
+        ORDER BY d.doc_id
+        """
+    )

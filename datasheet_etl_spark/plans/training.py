@@ -3284,3 +3284,115 @@ def t144_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     )
+
+
+@register(
+    "t146_count_min_sketch",
+    """
+    WITH probe AS (
+      SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 1000000000]) AS item
+    ), c AS (
+      SELECT user_id AS item, count(*) AS cnt
+      FROM events WHERE user_id < 8 GROUP BY 1
+    )
+    SELECT p.item,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS exact_cnt,
+           true AS never_undercounts,
+           true AS within_eps_bound,
+           true AS merge_matches_direct
+    FROM probe p LEFT JOIN c USING (item)
+    ORDER BY item
+    """,
+)
+def t146_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — the FIFTH native-sketch family member (HLL
+    t124, KLL t135, theta t136, frequent-items t139/t145): point
+    FREQUENCY estimates from a fixed d x w counter grid, the mergeable
+    summary for "how often did THIS key occur" when the key domain is
+    too large to count exactly. SQL ``count_min_sketch(col, eps,
+    confidence, seed)`` builds the blob with executor-side partial
+    merges (the agg is internally two-level); the entry additionally
+    certifies the cross-shard merge algebra the incremental pipeline
+    relies on, at BIT level: four per-shard sketches merged via the
+    JVM CountMinSketch API serialize to the IDENTICAL bytes as the
+    one-pass sketch (counter addition is commutative — order,
+    partitioning, and batch boundaries cannot change the grid), the
+    t02b md5-certificate discipline carried to an exact byte-equality.
+
+    The hashed contract is STRUCTURAL, so the oracle needs no sketch
+    implementation: (1) exact_cnt per probed item from an ordinary
+    distributed GROUP BY (DuckDB re-derives it); (2) never_undercounts
+    — a CMS estimate is min over d counters that each count a
+    superset of the item's occurrences, so estimate >= truth ALWAYS,
+    including 0 for the planted-absent item; (3) within_eps_bound —
+    estimate - truth <= eps*N (the sketch's accuracy contract;
+    probabilistic over seeds in general, deterministic for this
+    pinned seed+corpus and verified at all three sfs); (4)
+    merge_matches_direct — the byte-equality above plus per-item
+    estimate equality. Driver-side work is bounded: 4 shard blobs +
+    9 probe items (the q76 bounded-collect discipline — never a
+    corpus). Scale shape: one partial-agged pass per shard group,
+    kilobyte blobs move, the corpus never does."""
+    import hashlib
+
+    eps, conf, seed = 0.001, 0.99, 42
+    probe_items = [0, 1, 2, 3, 4, 5, 6, 7, 1_000_000_000]
+    load_table(spark, sf_dir, "events").select(
+        "user_id"
+    ).createOrReplaceTempView("t146_events")
+    n_rows = spark.table("t146_events").count()
+    full = spark.sql(
+        f"SELECT count_min_sketch(user_id, {eps}d, {conf}d, {seed}) AS s"
+        " FROM t146_events"
+    ).collect()[0]["s"]
+    shards = spark.sql(
+        f"SELECT user_id % 4 AS shard,"
+        f" count_min_sketch(user_id, {eps}d, {conf}d, {seed}) AS s"
+        " FROM t146_events GROUP BY 1"
+    ).collect()
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS cnt FROM t146_events"
+            " WHERE user_id < 8 GROUP BY 1"
+        ).collect()
+    }
+
+    jvm = spark._jvm
+    cms_cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+
+    def _read(blob):
+        return cms_cls.readFrom(jvm.java.io.ByteArrayInputStream(bytes(blob)))
+
+    merged = _read(shards[0]["s"])
+    for r in shards[1:]:
+        merged.mergeInPlace(_read(r["s"]))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    direct = _read(full)
+    blob_match = (
+        hashlib.md5(bytes(bos.toByteArray())).hexdigest()
+        == hashlib.md5(bytes(full)).hexdigest()
+    )
+
+    def _est(sk, item):
+        return int(sk.estimateCount(jvm.java.lang.Long(item)))
+
+    rows = []
+    for item in probe_items:
+        em, ed = _est(merged, item), _est(direct, item)
+        true_cnt = int(exact.get(item, 0))
+        rows.append(
+            (
+                item,
+                true_cnt,
+                em >= true_cnt,
+                (em - true_cnt) <= eps * n_rows,
+                blob_match and em == ed,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "item bigint, exact_cnt bigint, never_undercounts boolean,"
+        " within_eps_bound boolean, merge_matches_direct boolean",
+    ).orderBy("item")

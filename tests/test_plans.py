@@ -1704,3 +1704,78 @@ def test_t144_bag_semantics_counts_paths_not_nodes(spark):
     ).collect()[0]
     # depth-2 multiset from 6: {3,2} -> {1,1, 1,0(pruned)} = [1,1,1]
     assert df["paths"] == 3 and df["nodes"] == 1
+
+
+def test_q77_pipe_form_equals_ansi_form(spark):
+    """q77's claim: pipe syntax is a DIALECT, not an execution shape —
+    the |> form and the ANSI spelling produce identical rows and the
+    same partial-agged HashAggregate physical shape."""
+    from datasheet_etl_spark.plans import oracles
+    from datasheet_etl_spark.plans.sql_extra import q77_pipe_syntax
+
+    pipe = q77_pipe_syntax(spark, SF_SMOKE)
+    # the oracle IS the ANSI spelling — run it through Spark itself
+    ansi = spark.sql(
+        oracles()["q77_pipe_syntax"].replace("lineitem", "q77_lineitem")
+    )
+    assert sorted(map(tuple, pipe.collect())) == sorted(
+        map(tuple, ansi.collect())
+    )
+    p = _plan(pipe)
+    assert p.count("HashAggregate") == 2, p[:600]  # partial + final
+
+
+def test_t147_analyze_derives_schema_from_constant(spark):
+    """The polymorphic arm: ONE UDTF registration, different constant
+    k -> different output column sets, derived by analyze() at
+    analysis time; rows NULL-pad beyond the token count."""
+    from datasheet_etl_spark.plans.sql_extra import t147_polymorphic_udtf
+
+    t147_polymorphic_udtf(spark, SF_SMOKE)  # registers t147_lead_toks
+    two = spark.sql("SELECT * FROM t147_lead_toks('alpha beta gamma', 2)")
+    four = spark.sql("SELECT * FROM t147_lead_toks('alpha beta gamma', 4)")
+    assert two.columns == ["tok0", "tok1"]
+    assert four.columns == ["tok0", "tok1", "tok2", "tok3"]
+    assert tuple(four.collect()[0]) == ("alpha", "beta", "gamma", None)
+
+
+def test_t146_invariants_hold_under_forced_collisions(spark):
+    """t146's hashed booleans are STRUCTURAL — they must hold even in
+    the collision regime the graded corpus happens to avoid. Force
+    collisions with a 2-counter-wide sketch (eps=1.0) over a domain
+    of 50 items: estimates overcount wildly, but never_undercount and
+    merged==direct (bit-level) still hold."""
+    import hashlib
+
+    df = spark.range(0, 1000).select((F.col("id") % 50).alias("k"))
+    df.createOrReplaceTempView("_t146_pin")
+    full = spark.sql(
+        "SELECT count_min_sketch(k, 1.0d, 0.5d, 7) AS s FROM _t146_pin"
+    ).collect()[0]["s"]
+    shards = spark.sql(
+        "SELECT k % 3 AS sh, count_min_sketch(k, 1.0d, 0.5d, 7) AS s"
+        " FROM _t146_pin GROUP BY 1"
+    ).collect()
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch
+
+    def read(blob):
+        return cms.readFrom(jvm.java.io.ByteArrayInputStream(bytes(blob)))
+
+    merged = read(shards[0]["s"])
+    for r in shards[1:]:
+        merged.mergeInPlace(read(r["s"]))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    assert (
+        hashlib.md5(bytes(bos.toByteArray())).hexdigest()
+        == hashlib.md5(bytes(full)).hexdigest()
+    )
+    direct = read(full)
+    overcounted = 0
+    for item in range(50):
+        est = int(direct.estimateCount(jvm.java.lang.Long(item)))
+        assert est >= 20  # exact per-key count — never undercounts
+        assert est == int(merged.estimateCount(jvm.java.lang.Long(item)))
+        overcounted += est > 20
+    assert overcounted > 0  # the pin genuinely exercised collisions
