@@ -3396,3 +3396,59 @@ def t146_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item bigint, exact_cnt bigint, never_undercounts boolean,"
         " within_eps_bound boolean, merge_matches_direct boolean",
     ).orderBy("item")
+
+
+@register(
+    "t148_rolling_fingerprint",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 2147483647
+        ) AS rh
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rh) AS BIGINT) AS n_distinct,
+           CAST(sum(rh) AS BIGINT) AS h_sum
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def t148_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE document fingerprinting via the polynomial
+    rolling hash (``operators/text.py:rolling_hash`` — acc*31 + ascii,
+    mod 2^31-1, a whole-stage-codegen aggregate HOF fold): the
+    fingerprint variant that distinguishes permuted documents, where
+    t11/t19's md5-of-sorted-token-set canon deliberately does not —
+    the two ends of the §2 fingerprinting trade. Graded over EVERY
+    document (h_sum moves if ANY doc's fold drifts by one character)
+    plus the per-source distinct-fingerprint count (the exact-dedup
+    signal the fingerprint feeds). The oracle re-derives the identical
+    fold in DuckDB (list_reduce with a prepended 0 accumulator —
+    list_reduce seeds from the first element, so the prepend IS the
+    Spark fold's zero init; all operands non-negative so %% == pmod),
+    making this the aggregate-HOF twin of the q50/t110
+    known-decomposition discipline. Empty/NULL text folds to 0 on
+    both sides (filtered char list is empty -> init survives).
+    Scale shape: map-only per-doc fold (zero shuffle), one
+    partial-agged rollup; the distinct count shuffles (source, rh)
+    pairs only."""
+    from datasheet_etl_spark.operators.text import rolling_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source", rolling_hash(F.col("text")).alias("rh")
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rh").cast("long").alias("n_distinct"),
+            F.sum("rh").cast("long").alias("h_sum"),
+        )
+        .orderBy("source")
+    )

@@ -1844,3 +1844,32 @@ def test_arrow_udf_null_text_matches_sql_null_semantics(spark):
         .groupBy("src").agg(F.sum("nv").alias("s")).collect()
     }
     assert got == {"a": None, "b": 2}
+
+
+def test_t148_rolling_hash_is_order_sensitive_where_canon_is_not(spark):
+    """t148's reason to exist beside t11/t19's canon fingerprint: a
+    permuted document changes the rolling hash but not the
+    sorted-token-set md5 — the two ends of the fingerprinting trade.
+    Also pin the Python-model parity of the fold itself."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.text import fingerprint, rolling_hash
+
+    df = spark.createDataFrame(
+        [("alpha beta",), ("beta alpha",)], "t string"
+    )
+    rows = df.select(
+        rolling_hash(F.col("t")).alias("rh"),
+        fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    assert rows[0]["rh"] != rows[1]["rh"]
+    assert rows[0]["fp"] == rows[1]["fp"]
+
+    def model(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        return acc
+
+    assert rows[0]["rh"] == model("alpha beta")
+    assert rows[1]["rh"] == model("beta alpha")
