@@ -6121,3 +6121,55 @@ def t147_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
         """
     )
+
+
+@register(
+    "t149_python_source_arrow",
+    """
+    WITH r AS (
+      SELECT range AS event_id, CAST(range % 10 AS INT) AS bucket,
+             (range % 97) / 4.0 AS value
+      FROM range(60000)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(sum(value), 6) AS value_sum
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+)
+def t149_python_source_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource reader's ARROW-BATCH path — the sixth arm
+    of the seam square (batch tuples t112/t114, stream read t113,
+    batch write t115, stream write t143): ``read`` yields pyarrow
+    RecordBatches, so one Arrow batch crosses the Python boundary per
+    chunk instead of one pickled tuple per row — the 10-100x
+    scale path for wrapping columnar upstreams (Arrow Flight, parquet
+    fragments, vector stores) as schedulable sources. Same
+    deterministic generator contract as t112, so the same DuckDB
+    range() oracle re-derives every row at 12x t112's volume; an
+    arrowBatchSize that does NOT divide the partition span (4096 vs
+    7500-row slices) puts ragged chunk boundaries on the graded path,
+    and tuple-vs-arrow row parity plus the batch-type contract are
+    pinned in test_pyds. value is exact quarters (IEEE-exact sums).
+    Scale shape: partition-parallel generation, Arrow-batched
+    transfer, partial-agged rollup — zero driver involvement."""
+    from datasheet_etl_spark.sources.pyds import register_synth_events_arrow
+
+    register_synth_events_arrow(spark)
+    df = (
+        spark.read.format("synth_events_arrow")
+        .option("numRows", "60000")
+        .option("numPartitions", "8")
+        .option("arrowBatchSize", "4096")
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .orderBy("bucket")
+    )

@@ -565,3 +565,44 @@ def test_pyds_stream_manifests_tolerate_nullability_drift(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="schema shape"):
         read_jsonl_manifests_stream(spark, sink)
+
+
+def test_pyds_arrow_reader_yields_batches_and_matches_tuple_source(spark):
+    """t149's seam contract: the Arrow-path reader genuinely yields
+    pyarrow RecordBatches (not tuples), rows are identical to the
+    tuple-yielding source under the same options, and results are
+    chunking-independent (ragged batch boundaries included)."""
+    import pyarrow as pa
+
+    from datasheet_etl_spark.sources.pyds import (
+        ArrowEventsReader,
+        _SlicePartition,
+        register_synth_events,
+        register_synth_events_arrow,
+    )
+
+    r = ArrowEventsReader({"numRows": "100", "arrowBatchSize": "7"})
+    chunks = list(r.read(_SlicePartition(0, 100)))
+    assert all(isinstance(c, pa.RecordBatch) for c in chunks)
+    assert len(chunks) == 15 and chunks[-1].num_rows == 100 % 7  # ragged
+    assert sum(c.num_rows for c in chunks) == 100
+
+    register_synth_events(spark)
+    register_synth_events_arrow(spark)
+
+    def rows(fmt, **opts):
+        rd = spark.read.format(fmt).option("numRows", "1000").option(
+            "numPartitions", "3"
+        )
+        for k, v in opts.items():
+            rd = rd.option(k, v)
+        return sorted(map(tuple, rd.load().collect()))
+
+    base = rows("synth_events")
+    assert rows("synth_events_arrow") == base
+    assert rows("synth_events_arrow", arrowBatchSize="17") == base
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ArrowEventsReader({"numRows": "10", "arrowBatchSize": "0"})
