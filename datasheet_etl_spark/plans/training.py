@@ -31,6 +31,7 @@ from datasheet_etl_spark.operators.similarity import (
     cosine_pairs_vectorized,
     hyperplane_lsh_pairs,
     ivf_topk,
+    mine_hard_negatives,
 )
 from datasheet_etl_spark.operators.text import (
     LANG_PROFILES,
@@ -3452,3 +3453,60 @@ def t148_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t150_hard_negative_mining",
+    """
+    WITH a AS (
+      SELECT vec_id AS probe_id, label AS albl, embedding::DOUBLE[] AS av
+      FROM embeddings WHERE vec_id < 40
+    ), pairs AS (
+      SELECT a.probe_id AS probe_id, e.vec_id AS vec_id,
+             e.label = a.albl AS same_label,
+             round(list_cosine_similarity(a.av, e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM a JOIN embeddings e ON e.vec_id <> a.probe_id
+    ), pos AS (
+      SELECT probe_id, max(cos_sim) AS pos_sim
+      FROM pairs WHERE same_label GROUP BY probe_id
+    ), negs AS (
+      SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM pairs WHERE NOT same_label
+    )
+    SELECT n.probe_id AS probe_id, n.vec_id AS vec_id, n.cos_sim AS cos_sim,
+           p.pos_sim AS pos_sim,
+           coalesce(n.cos_sim < p.pos_sim
+                    AND n.cos_sim >= p.pos_sim - 0.2, FALSE) AS semi_hard,
+           n.rank AS rank
+    FROM negs n LEFT JOIN pos p ON n.probe_id = p.probe_id
+    WHERE n.rank <= 5
+    ORDER BY probe_id, rank
+    """,
+)
+def t150_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining (contrastive-training data loader): per
+    anchor, the 5 hardest different-label neighbors, flagged semi_hard
+    when they land in the margin band below the anchor's best same-label
+    similarity — the triplet/InfoNCE selection rule, an operator no
+    other registry row exercises (t06/t72 rank WITHOUT a label
+    constraint; t63 diversifies, never mines against a positive).
+
+    One map-side matmul pass over the corpus (anchors broadcast in the
+    scanner closure, corpus never shuffles); only per-anchor pair rows
+    shuffle (pos-max partial agg + top-k window). round_scale=6 makes
+    rank order and the band flags bit-replayable in DuckDB — ulp-level
+    matmul-order skew cannot flip a rank or a semi_hard (the
+    cross-engine discipline of the md5 twins, applied to doubles).
+    """
+    emb = _emb(spark, sf_dir)
+    out = mine_hard_negatives(
+        emb,
+        emb.filter(F.col("vec_id") < 40),
+        k=5,
+        margin=0.2,
+        round_scale=6,
+    )
+    return out.orderBy("probe_id", "rank")

@@ -1873,3 +1873,62 @@ def test_t148_rolling_hash_is_order_sensitive_where_canon_is_not(spark):
 
     assert rows[0]["rh"] == model("alpha beta")
     assert rows[1]["rh"] == model("beta alpha")
+
+
+def test_hard_negative_mining_semantics(spark):
+    """mine_hard_negatives on a hand-computable corpus: the band rule
+    (pos_sim - margin <= cos < pos_sim), the different-label constraint,
+    the no-positive anchor (NULL pos_sim -> all flags false), the floor
+    (same-label rows survive it; cold negatives don't), and the empty
+    anchor set."""
+    from datasheet_etl_spark.operators.similarity import mine_hard_negatives
+
+    # axis-aligned-ish unit vectors with engineered cosines to anchor 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # anchor, label 0
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # positive: cos ~0.9939
+        (2, [0.95, 0.05, 0.0, 0.0], 1), # negative above pos -> not semi-hard
+        (3, [0.9, 0.2, 0.0, 0.0], 1),   # cos ~0.9762, in (pos-0.2, pos) -> semi-hard
+        (4, [0.0, 1.0, 0.0, 0.0], 1),   # cos 0.0, below band AND below floor
+        (5, [0.0, 0.0, 1.0, 0.0], 2),   # lone-label anchor: no positive
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = mine_hard_negatives(
+        emb,
+        emb.filter(F.col("vec_id").isin(0, 5)),
+        k=5,
+        margin=0.2,
+        round_scale=6,
+        floor=0.5,
+    )
+    by_anchor = {}
+    for r in out.collect():
+        by_anchor.setdefault(r["probe_id"], {})[r["vec_id"]] = r
+    a0 = by_anchor[0]
+    # floor=0.5 drops vec 4 (cos 0.0) from anchor 0's negatives
+    assert set(a0) == {2, 3}
+    assert a0[2]["cos_sim"] > a0[3]["cos_sim"]
+    assert a0[2]["semi_hard"] is False  # harder than the positive
+    assert a0[3]["semi_hard"] is True   # inside the band
+    pos = a0[2]["pos_sim"]
+    assert pos == pytest.approx(0.993884, abs=1e-6)
+    assert a0[3]["pos_sim"] == pos
+    # anchor 5 (lone label, all candidates orthogonal): floor=0.5 leaves
+    # it NO rows at all — absent from the result, not present-with-NULLs
+    assert 5 not in by_anchor
+    # rerun floorless: its negatives appear with NULL pos_sim (no
+    # same-label peer exists) and every semi_hard coalesces to false
+    full = mine_hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 5), k=5, margin=0.2, round_scale=6
+    ).collect()
+    assert len(full) == 5
+    assert all(r["pos_sim"] is None for r in full)
+    assert all(r["semi_hard"] is False for r in full)
+    # empty anchor frame: empty result, contract schema
+    empty = mine_hard_negatives(emb, emb.filter(F.col("vec_id") < 0), k=3)
+    assert empty.columns == [
+        "probe_id", "vec_id", "cos_sim", "pos_sim", "semi_hard", "rank"
+    ]
+    assert empty.count() == 0
