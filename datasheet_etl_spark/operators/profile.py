@@ -476,3 +476,90 @@ def linear_fit(df: DataFrame, y: str, xs: Sequence[str]) -> DataFrame:
         row.select(F.explode(F.array(*[_fit(x) for x in xs])).alias("_fit"))
         .select("_fit.*")
     )
+
+
+def _array_median(arr: Column) -> Column:
+    """Exact interpolated median of a numeric array: sort, pick the
+    middle element (odd n) or average the two middle (even n). Sum-free
+    — every output is one input double or one (a+b)/2 — so the value is
+    bit-identical in any engine that sorts the same doubles, which is
+    what lets rolling-median operators be value-oracled rather than
+    approx-compared."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    odd = F.element_at(s, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(s, (n / 2).cast("int"))
+        + F.element_at(s, (n / 2).cast("int") + 1)
+    ) / 2
+    return F.when(n % 2 == 1, odd).otherwise(even)
+
+
+def hampel_filter(
+    df: DataFrame,
+    series_keys: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str = "value",
+    half_window: int = 7,
+    k_scaled: float = 4.4478,
+) -> DataFrame:
+    """Hampel filter — rolling-median/rolling-MAD outlier detection and
+    repair over ordered series, the standard despiking gate for sensor
+    and metric streams (where ``mad_outliers``'s GLOBAL stratum scale
+    would miss spikes riding a drifting baseline).
+
+    Each row is scored against the exact median and MAD of its centered
+    ``2*half_window+1``-row frame; ``is_outlier`` flags
+    ``|x - med| > k_scaled * mad`` (default 4.4478 = 3 x 1.4826, three
+    σ-consistent robust deviations, pre-multiplied so both engines of an
+    oracle pair compare against the SAME double), and ``repaired``
+    substitutes the rolling median for flagged rows — the despiked
+    series a downstream pipeline trains on.
+
+    ``order_by`` must be a total order (add a unique tiebreak) or the
+    frame itself is nondeterministic. Shape at scale: ONE shuffle on
+    ``series_keys``, sorted passes per partition; per-row state is the
+    bounded frame array (2w+1 doubles), never the series. Median/MAD are
+    sum-free sorted-array picks (:func:`_array_median`), so flags and
+    repairs replay bit-identically across engines and partitionings —
+    MAD = median of |x - rolling med|, inherently a second pass over the
+    frame, is a ``transform`` over the already-materialized frame array,
+    NOT a second window.
+
+    ``med``/``mad`` are anchored as degenerate current-row-frame window
+    expressions, not plain projections: Catalyst pushes the caller's
+    outlier filter (and collapses projections) straight through a
+    Project, re-inlining the interpreted array_sort/HOF tree into every
+    consumer — measured 16x slower at 100k rows — but predicates cannot
+    cross a Window node, so ``first(expr) OVER (rows 0..0)`` forces one
+    materialization per row. The extra Window nodes share the frame
+    window's partitioning+ordering: no added shuffle or sort.
+    """
+    w = (
+        Window.partitionBy(*series_keys)
+        .orderBy(*order_by)
+        .rowsBetween(-half_window, half_window)
+    )
+    w_row = (
+        Window.partitionBy(*series_keys).orderBy(*order_by).rowsBetween(0, 0)
+    )
+    out = df.withColumn("_frame", F.collect_list(value_col).over(w))
+    out = out.withColumn("n", F.size("_frame")).withColumn(
+        "med", F.first(_array_median(F.col("_frame"))).over(w_row)
+    )
+    out = out.withColumn(
+        "mad",
+        F.first(
+            _array_median(
+                F.transform(F.col("_frame"), lambda x: F.abs(x - F.col("med")))
+            )
+        ).over(w_row),
+    )
+    flag = F.abs(F.col(value_col) - F.col("med")) > F.lit(k_scaled) * F.col("mad")
+    return (
+        out.withColumn("is_outlier", flag)
+        .withColumn(
+            "repaired", F.when(flag, F.col("med")).otherwise(F.col(value_col))
+        )
+        .drop("_frame")
+    )

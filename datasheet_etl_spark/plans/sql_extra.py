@@ -6173,3 +6173,77 @@ def t149_python_source_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "t151_hampel_filter",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec, value
+      FROM events
+    ), win AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts_sec, event_id
+               ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS l
+      FROM base
+    ), med AS (
+      SELECT event_id, user_id, value, l, len(l) AS n,
+             CASE WHEN len(l) % 2 = 1
+                  THEN list_sort(l)[(len(l) + 1) // 2]
+                  ELSE (list_sort(l)[len(l) // 2]
+                        + list_sort(l)[len(l) // 2 + 1]) / 2 END AS med
+      FROM win
+    ), m2 AS (
+      SELECT event_id, user_id, value, n, med,
+             CASE WHEN len(dl) % 2 = 1
+                  THEN list_sort(dl)[(len(dl) + 1) // 2]
+                  ELSE (list_sort(dl)[len(dl) // 2]
+                        + list_sort(dl)[len(dl) // 2 + 1]) / 2 END AS mad
+      FROM (SELECT *, list_transform(l, x -> abs(x - med)) AS dl FROM med)
+    )
+    SELECT event_id, user_id, n, round(value, 6) AS value,
+           round(med, 6) AS med, round(mad, 6) AS mad
+    FROM m2
+    WHERE abs(value - med) > 4.4478 * mad
+    ORDER BY event_id
+    """,
+)
+def t151_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking gate over per-user event series: each value vs
+    the exact median/MAD of its centered 15-row frame, flagging
+    |x - med| > 3 x 1.4826 x mad. The ROLLING-robust complement to t53's
+    global-stratum MAD gate and t69's trailing mean/std z-score — a
+    spike riding a drifting baseline fools both, not this.
+
+    Value-oracled EXACTLY (not approx-compared): median and MAD are
+    sum-free sorted-array picks, so Spark and DuckDB derive
+    bit-identical meds/mads/flags from the same frames — the oracle
+    re-derives the same sorted-list decomposition rather than trusting
+    an engine mad() built-in (known-decomposition discipline, q50/t110).
+    One shuffle on user_id; per-row state is the 15-double frame.
+    """
+    from datasheet_etl_spark.operators.profile import hampel_filter
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "value",
+    )
+    out = hampel_filter(
+        base, ["user_id"], [F.col("ts_sec"), F.col("event_id")]
+    )
+    return (
+        out.filter(F.col("is_outlier"))
+        .select(
+            "event_id",
+            "user_id",
+            "n",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_id")
+    )

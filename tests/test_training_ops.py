@@ -1932,3 +1932,38 @@ def test_hard_negative_mining_semantics(spark):
         "probe_id", "vec_id", "cos_sim", "pos_sim", "semi_hard", "rank"
     ]
     assert empty.count() == 0
+
+
+def test_hampel_filter_semantics(spark):
+    """Planted spike on a constant baseline: MAD collapses to 0, the
+    spike (and only the spike) flags, repair substitutes the rolling
+    median; even-sized edge frames interpolate the two middle values."""
+    from datasheet_etl_spark.operators.profile import hampel_filter
+
+    vals = [10.0] * 4 + [100.0] + [10.0] * 4
+    df = spark.createDataFrame(
+        [(i, "s", float(v)) for i, v in enumerate(vals)],
+        "pos long, key string, value double",
+    )
+    out = hampel_filter(
+        df, ["key"], [F.col("pos")], half_window=2
+    ).orderBy("pos")
+    rows = out.collect()
+    flagged = [r["pos"] for r in rows if r["is_outlier"]]
+    assert flagged == [4]
+    spike = rows[4]
+    assert spike["med"] == 10.0 and spike["mad"] == 0.0
+    assert spike["repaired"] == 10.0
+    assert all(r["repaired"] == r["value"] for r in rows if r["pos"] != 4)
+    # edge frames: first row sees rows 0..2 (n=3); centered rows n=5
+    assert rows[0]["n"] == 3 and rows[2]["n"] == 5
+    # even-frame interpolation: n=4 -> mean of the two middle values
+    df2 = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 4.0), (3, 8.0)], "pos long, value double"
+    ).withColumn("key", F.lit("s"))
+    r0 = (
+        hampel_filter(df2, ["key"], [F.col("pos")], half_window=3)
+        .filter("pos = 0")
+        .collect()[0]
+    )
+    assert r0["n"] == 4 and r0["med"] == pytest.approx(3.0)
