@@ -874,3 +874,81 @@ def epoch_shuffle(
     )
     w = Window.partitionBy(shard_col).orderBy("_eh", F.col(key_col))
     return out.withColumn(pos_col, F.row_number().over(w)).drop("_eh")
+
+
+def temperature_mixture_stats(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    hex_digits: int = 4,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (the XLM/mT5 multilingual
+    rule): target shares p_s ∝ n_s^alpha flatten the corpus distribution
+    toward uniform as alpha → 0, up-sampling low-resource strata; each
+    stratum then Bernoulli-samples at rate
+    ``budget_frac · N · p_s / n_s`` (capped at 1) through the
+    deterministic md5-prefix gate, so the expected sample hits
+    ``budget_frac · N`` rows distributed as p. This derives the rates
+    FROM the data in-plan — ``weighted_sample_stats`` (t29) grades the
+    static-config-rate gate; this grades the named data-dependent rule.
+
+    Exactness contract: at the default alpha = 0.5 the stratum weight is
+    ``sqrt(n_s)`` — IEEE-correctly-rounded in every engine, unlike
+    ``pow`` — and the normalizer sums those weights as exact decimals
+    (order-free), so the quantized per-stratum thresholds
+    ``k_s = round(rate · 16^hex_digits)`` replay bit-identically in an
+    oracle engine evaluating the same left-associated double expression.
+    Other alphas work but carry ulp-level ``pow`` skew across libms —
+    pin their rates from the driver if they must be re-derivable.
+
+    Shape at scale: two tiny per-stratum aggregates (counts, then the
+    one-row normalizer broadcast back), then ONE corpus scan with a
+    broadcast rate join and a conditional aggregate — the sample
+    membership itself is a pure map-side predicate, retry-safe and
+    stable under corpus growth of other strata (a stratum's rate moves
+    only when counts move, never with partitioning).
+
+    Returns per stratum: n_docs, k (the 16^hex_digits-scale integer
+    threshold — the rate, exactly), n_sampled, id_sum (content
+    fingerprint of the selected set).
+    """
+    scale = 16**hex_digits
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = F.sqrt("n_docs") if alpha == 0.5 else F.pow("n_docs", F.lit(alpha))
+    cw = counts.withColumn("_w", w.cast("decimal(28,10)"))
+    tot = cw.agg(
+        F.sum("n_docs").cast("double").alias("_tn"),
+        F.sum("_w").alias("_tw"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(budget_frac)
+        * F.col("_tn")
+        * F.col("_w").cast("double")
+        / F.col("_tw").cast("double")
+        / F.col("n_docs").cast("double"),
+    )
+    rates = (
+        cw.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.round(rate * scale, 0).cast("int"))
+        .select(strata_col, "n_docs", "k")
+    )
+    pv = F.conv(
+        F.substring(doc_hash(F.col(key_col)), 1, hex_digits), 16, 10
+    ).cast("long")
+    keep = pv < F.col("k")
+    return (
+        df.select(key_col, strata_col)
+        .join(F.broadcast(rates), strata_col)
+        .groupBy(strata_col, "n_docs", "k")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.sum(F.when(keep, F.col(key_col)).otherwise(0))
+            .cast("long")
+            .alias("id_sum"),
+        )
+    )

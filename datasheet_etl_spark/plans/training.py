@@ -3510,3 +3510,48 @@ def t150_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_scale=6,
     )
     return out.orderBy("probe_id", "rank")
+
+
+@register(
+    "t152_temperature_mixture",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), cw AS (
+      SELECT lang, n_docs, CAST(sqrt(n_docs) AS DECIMAL(28,10)) AS w
+      FROM counts
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS tn, sum(w) AS tw FROM cw
+    ), rates AS (
+      SELECT lang, n_docs,
+             CAST(round(least(1.0,
+                    0.5 * tn * CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE)) * 65536, 0) AS INTEGER) AS k
+      FROM cw, tot
+    )
+    SELECT d.lang AS lang, r.n_docs AS n_docs, r.k AS k,
+           CAST(SUM(CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::UBIGINT < r.k
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::UBIGINT < r.k
+                    THEN d.doc_id ELSE 0 END) AS BIGINT) AS id_sum
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY d.lang, r.n_docs, r.k
+    ORDER BY lang
+    """,
+)
+def t152_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual resampling (alpha = 0.5, T = 2):
+    per-language rates derived IN-PLAN from the corpus distribution —
+    p_lang ∝ sqrt(n_lang) up-samples low-resource languages — then the
+    deterministic md5-prefix gate at the quantized rate. t29 grades the
+    gate under config rates; this grades the named data-dependent rule,
+    rate derivation included (sqrt weight + exact-decimal normalizer
+    make the thresholds bit-replayable — see temperature_mixture_stats).
+    Two tiny aggregates + one broadcast-joined corpus scan."""
+    from datasheet_etl_spark.operators.sampling import temperature_mixture_stats
+
+    docs = _docs(spark, sf_dir)
+    return temperature_mixture_stats(
+        docs, "doc_id", "lang", alpha=0.5, budget_frac=0.5
+    ).orderBy("lang")

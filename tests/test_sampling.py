@@ -733,3 +733,45 @@ def test_pack_efficiency_consistent_with_pack_in_order(spark):
         assert rep[s]["total_cost"] == truth[s]["total"]
         assert rep[s]["n_docs"] == truth[s]["n"]
         assert 0 < rep[s]["fill_rate"] <= 1
+
+
+def test_temperature_mixture_flattens_and_caps(spark):
+    """alpha=0.5 up-samples the small stratum (its rate exceeds the big
+    stratum's), alpha=1 recovers proportional sampling (equal rates =
+    budget_frac), and a tiny stratum whose computed rate exceeds 1 caps
+    at k = 65536 (every row kept)."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.sampling import temperature_mixture_stats
+
+    df = spark.range(1400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("s"),
+    )
+    half = {
+        r["s"]: r
+        for r in temperature_mixture_stats(df, "doc_id", "s", alpha=0.5).collect()
+    }
+    assert half["small"]["k"] > half["big"]["k"]
+    # expected-count identity (holds when no stratum caps at 1 — a
+    # capped stratum does NOT redistribute its shortfall, by design):
+    # sum over strata of n_s * k_s/65536 ~ budget_frac * N
+    assert all(r["k"] < 65536 for r in half.values())
+    exp = sum(r["n_docs"] * r["k"] / 65536 for r in half.values())
+    assert exp == pytest.approx(700, rel=0.01)
+    prop = {
+        r["s"]: r["k"]
+        for r in temperature_mixture_stats(df, "doc_id", "s", alpha=1.0).collect()
+    }
+    assert prop["big"] == prop["small"] == 32768
+    # 2 docs in a stratum vs 10k: sqrt weighting pushes its rate past 1
+    df2 = spark.range(10002).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10000, "big").otherwise("tiny").alias("s"),
+    )
+    capped = {
+        r["s"]: r
+        for r in temperature_mixture_stats(df2, "doc_id", "s", alpha=0.5).collect()
+    }
+    assert capped["tiny"]["k"] == 65536
+    assert capped["tiny"]["n_sampled"] == 2
