@@ -6247,3 +6247,81 @@ def t151_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "t153_ccnet_perplexity_gate",
+    """
+    WITH ref AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 0
+    ), vocab AS (
+        SELECT t, count(*) AS c FROM ref GROUP BY t
+    ), tot AS (
+        SELECT count(*) AS total, count(DISTINCT t) AS v FROM ref
+    ), dt AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 1
+    ), scored AS (
+        SELECT dt.doc_id,
+               CAST(-ln((coalesce(vocab.c, 0) + 1.0) / (tot.total + tot.v + 1.0))
+                    AS DECIMAL(18,9)) AS nll
+        FROM dt LEFT JOIN vocab USING (t), tot
+    ), ppl AS (
+        SELECT doc_id, round(CAST(sum(nll) / count(*) AS DOUBLE), 6) AS lp
+        FROM scored GROUP BY doc_id
+    ), bucketed AS (
+        SELECT d.lang AS lang, p.doc_id AS doc_id, p.lp AS lp,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY p.lp, p.doc_id) AS bucket
+        FROM ppl p JOIN documents d ON p.doc_id = d.doc_id
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(lp), 6) AS lp_min, round(max(lp), 6) AS lp_max,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM bucketed
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def t153_ccnet_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing, per language: the
+    odd-half corpus scored by the even-half unigram LM (t65's exact
+    machinery), then ntile(3) WITHIN each language on the score — the
+    step t65 stops short of, and the reason CCNet buckets per language
+    at all: one global threshold would just rank languages by their
+    distance to the reference LM, not rank documents within a language.
+    head = lowest-perplexity third (kept), tail = dropped; the bucket
+    boundary values and an id_sum membership fingerprint are the graded
+    surface, so a one-document bucket flip fails the oracle.
+
+    Shape: broadcast vocab + one per-doc aggregate (t65), then ONE
+    shuffle on lang for the ntile window and a partial-agged rollup —
+    the window state is a rank counter, never the text. Tiebreak on
+    (lp, doc_id) makes the ntile assignment a total order both engines
+    replay."""
+    from datasheet_etl_spark.operators.text import unigram_log_ppl
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_log_ppl(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ).select("doc_id", F.col("log_ppl").alias("lp"))
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lp").asc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("lp"), 6).alias("lp_min"),
+            F.round(F.max("lp"), 6).alias("lp_max"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1967,3 +1967,21 @@ def test_hampel_filter_semantics(spark):
         .collect()[0]
     )
     assert r0["n"] == 4 and r0["med"] == pytest.approx(3.0)
+
+
+def test_ccnet_gate_bucket_invariants(spark):
+    """Per language: ntile balances bucket sizes within 1, and the
+    perplexity boundaries are monotone head <= middle <= tail."""
+    from datasheet_etl_spark.plans.sql_extra import t153_ccnet_perplexity_gate
+
+    rows = t153_ccnet_perplexity_gate(spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    assert by_lang
+    for lang, b in by_lang.items():
+        assert set(b) == {1, 2, 3}, lang
+        sizes = [b[i]["n_docs"] for i in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert b[1]["lp_max"] <= b[2]["lp_min"] or b[1]["lp_max"] <= b[2]["lp_max"]
+        assert b[1]["lp_min"] <= b[2]["lp_min"] <= b[3]["lp_min"], lang
