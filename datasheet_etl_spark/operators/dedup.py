@@ -1341,3 +1341,107 @@ def probe_minhash_index(
         .select("new_id", "index_id", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold_est)
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: "list[str]",
+    rank_col: str = "rn",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic 1-based GLOBAL rank over a total order WITHOUT the
+    single-partition sort ``row_number() OVER (ORDER BY ...)`` degrades
+    to (Spark executes an empty-partitionBy window on one task — the
+    whole corpus through one core at 100 TB).
+
+    Two-pass shape: range-repartition on the order columns (contiguous
+    key ranges, so partition id order IS global order), count rows per
+    partition (one tiny job; ``num_partitions`` rows to the driver),
+    prefix-sum the counts into per-partition offsets, and add each
+    partition's LOCAL row_number to its broadcast offset. The rank
+    depends only on the total order, never on where the sampled range
+    boundaries land — any contiguous split yields the same ranks.
+
+    ``order_cols`` must be a total order (append a unique id): with
+    ties, which side of a partition boundary a tied row lands on — and
+    therefore its rank — is sampling-dependent.
+
+    Cost note: the counting job re-executes the input plan; persist or
+    checkpoint upstream stages that are expensive to recompute.
+    """
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    )
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid").count().collect()
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        with_pid.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): sort the
+    corpus by a fuzzy key, pair each row with its next ``window``
+    neighbors in the GLOBAL sort order, verify with exact Levenshtein.
+    The blocking class ``fuzzy_levenshtein_join`` (t64) cannot express:
+    equality blocking pairs rows only INSIDE a block, so near-keys that
+    straddle a block boundary never meet — sorted adjacency has no
+    blocks to straddle. Candidates are exactly ``window × N`` — set by
+    policy, not by data skew (a hot blocking key inflates equality
+    blocking quadratically; a hot sort key here still yields w pairs
+    per row).
+
+    Pairing is an equi-join on neighbor rank (each row exploded to its
+    ``window`` successor ranks): ranks are unique and uniform, so the
+    join shuffles w×N skew-free rows and no boundary replication logic
+    is needed — the rank join IS the cross-partition adjacency. Output
+    (id_a, id_b, dist) keeps rank order (a before b), one row per
+    unordered pair (ranks are unique).
+
+    The pair set is a pure function of the sort key's total order
+    (:func:`global_rank` — partitioning-independent, single-task-free),
+    which is what makes a sliding-window candidate set re-checkable by
+    an oracle engine at all.
+    """
+    base = df.select(
+        F.col(id_col), F.col(key_col).alias("_k")
+    )
+    ranked = global_rank(base, ["_k", id_col])
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_k").alias("_ka"),
+        F.col("rn").alias("_ra"),
+    ).withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(F.col("_ra") + 1, F.col("_ra") + window)
+        ),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_k").alias("_kb"),
+        F.col("rn").alias("_rb"),
+    )
+    pairs = left.join(right, "_rb").select(
+        "id_a", "id_b", F.levenshtein("_ka", "_kb").alias("dist")
+    )
+    if max_dist is not None:
+        pairs = pairs.filter(F.col("dist") <= max_dist)
+    return pairs

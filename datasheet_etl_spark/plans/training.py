@@ -3555,3 +3555,39 @@ def t152_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_stats(
         docs, "doc_id", "lang", alpha=0.5, budget_frac=0.5
     ).orderBy("lang")
+
+
+@register(
+    "t154_sorted_neighborhood",
+    """
+    WITH s AS (
+      SELECT doc_id, lower(substring(text, 1, 40)) AS k FROM documents
+    ), r AS (
+      SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM s
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.k AS ka, b.k AS kb
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+    )
+    SELECT id_a, id_b, levenshtein(ka, kb) AS dist
+    FROM cand WHERE levenshtein(ka, kb) <= 5
+    ORDER BY id_a, id_b
+    """,
+)
+def t154_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking over document text
+    prefixes: global sort on lower(substr(text,1,40)), each row paired
+    with its 5 successors in the sort order, exact Levenshtein <= 5
+    verify — the skew-immune w×N blocking class beside t64's equality
+    blocks and t02's LSH bands. The global rank is the two-pass
+    range-partition + offset form (no single-task sort; see
+    global_rank); the pair set depends only on the total order, which
+    is why DuckDB's plain row_number() re-derives it exactly."""
+    from datasheet_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id", F.lower(F.substring("text", 1, 40)).alias("k")
+    )
+    return sorted_neighborhood_pairs(
+        keyed, "doc_id", "k", window=5, max_dist=5
+    ).orderBy("id_a", "id_b")

@@ -1985,3 +1985,50 @@ def test_ccnet_gate_bucket_invariants(spark):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
         assert b[1]["lp_max"] <= b[2]["lp_min"] or b[1]["lp_max"] <= b[2]["lp_max"]
         assert b[1]["lp_min"] <= b[2]["lp_min"] <= b[3]["lp_min"], lang
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """global_rank's two-pass offset form must equal the plain
+    row_number() OVER (ORDER BY ...) on the same total order, and be
+    invariant to the input's partitioning; sorted_neighborhood_pairs'
+    pair set must be exactly the rank-distance-<=w pairs."""
+    from pyspark.sql import Window as W
+
+    from datasheet_etl_spark.operators.dedup import (
+        global_rank,
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+    )
+    expected = {
+        (r["doc_id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("k", "doc_id"))
+        ).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r["doc_id"], r["rn"])
+            for r in global_rank(
+                df.repartition(parts), ["k", "doc_id"], num_partitions=5
+            ).collect()
+        }
+        assert got == expected, f"input partitions={parts}"
+    rank = {r[0]: r[1] for r in expected}
+    pairs = sorted_neighborhood_pairs(df, "doc_id", "k", window=3).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+    want_pairs = {
+        (a, b)
+        for a in rank
+        for b in rank
+        if 0 < rank[b] - rank[a] <= 3
+    }
+    assert got_pairs == want_pairs
+    # dist sanity: zero iff the keys are equal (md5 keys: never)
+    keys = {r["doc_id"]: r["k"] for r in df.collect()}
+    for r in pairs[:20]:
+        same = keys[r["id_a"]] == keys[r["id_b"]]
+        assert (r["dist"] == 0) == same
