@@ -563,3 +563,70 @@ def hampel_filter(
         )
         .drop("_frame")
     )
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    slope_scale: float = 1.0,
+    x_dec: str = "decimal(14,6)",
+    y_dec: str = "decimal(14,6)",
+) -> DataFrame:
+    """Per-group OLS trend — slope/intercept/R² of ``y_col`` against
+    ``x_col`` for EVERY group in one scan — the per-entity drift
+    monitor (is each user's/sensor's/source's metric trending?) that
+    :func:`linear_fit`'s single global fit cannot answer.
+
+    Same exactness discipline as ``_decimal_moments``/t133: operands
+    cast once to DECIMAL(14,6) (exact for day-scale x offsets and
+    metric-scale y; wider scale than the global helper because trend
+    x-values are small offsets where 1e-3 quantization would dominate
+    the signal), product sums accumulate as exact decimals, and every
+    statistic derives from the moments in double with one fixed
+    expression tree — partitioning-, task-order-, and engine-
+    independent, which is what lets per-group fits be hash-compared at
+    all. Shape at scale: ONE partial-agged groupBy shuffling 6 decimal
+    moments per group, never the rows; degenerate groups (n < 2 or
+    zero x-variance) yield NULL slope/intercept/r2 via nullif, not a
+    crash or an engine-specific infinity.
+
+    Cross-engine caveat (found the hard way): feed x/y values that are
+    EXACTLY representable at 6 decimal places (integers, fixed-point
+    data) — a double that lands on a 5e-7 rounding boundary (e.g.
+    integer-seconds / 86400.0) casts to decimal differently across
+    engines, and one flipped operand breaks the whole group's hash.
+    Keep x in its exact unit and rescale the presented slope with
+    ``slope_scale`` (one double multiply on the derived statistic —
+    identical everywhere) instead of rescaling the operands; pick
+    ``x_dec``/``y_dec`` scales that make the cast EXACT for the data
+    (scale 0 for integer units — which also keeps narrow-decimal
+    engines' int64 multiply from overflowing on large offsets).
+    """
+    dec = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(x_col).cast(x_dec).alias("_x"),
+        F.col(y_col).cast(y_dec).alias("_y"),
+    )
+    m = dec.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_pxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_pxy"),
+        F.sum(F.col("_y") * F.col("_y")).cast("double").alias("_pyy"),
+    )
+    num = F.col("_n") * F.col("_pxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_n") * F.col("_pxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_pyy") - F.col("_sy") * F.col("_sy")
+    slope = num / F.nullif(dx, F.lit(0.0))
+    return m.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope * F.lit(slope_scale), 6).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6).alias(
+            "intercept"
+        ),
+        F.round(num * num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("r2"),
+    )

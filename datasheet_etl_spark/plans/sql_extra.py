@@ -6325,3 +6325,60 @@ def t153_ccnet_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@register(
+    "t155_user_trend",
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(14,0)) AS x,
+             CAST(value AS DECIMAL(14,6)) AS y
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS pxx,
+             CAST(sum(x * y) AS DOUBLE) AS pxy,
+             CAST(sum(y * y) AS DOUBLE) AS pyy
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           round((n * pxy - sx * sy) / nullif(n * pxx - sx * sx, 0.0)
+                 * 86400.0, 6) AS slope,
+           round((sy - ((n * pxy - sx * sy) / nullif(n * pxx - sx * sx, 0.0))
+                       * sx) / n, 6) AS intercept,
+           round((n * pxy - sx * sy) * (n * pxy - sx * sy)
+                 / nullif((n * pxx - sx * sx) * (n * pyy - sy * sy), 0.0), 6)
+             AS r2
+    FROM m
+    ORDER BY user_id
+    """,
+)
+def t155_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS drift trend over the events month (x = EXACT
+    integer seconds since 2024-01-01 — fractional days would round at
+    engine-dependent 5e-7 decimal boundaries — with the slope rescaled
+    to per-day AFTER derivation; y = value): grouped_trend's
+    exact-decimal moments make
+    1,500 simultaneous fits hash-comparable — the per-entity monitor
+    t133's single global fit cannot express, sharing its derivation
+    tree verbatim. One partial-agged shuffle of 6 moments per user."""
+    from datasheet_etl_spark.operators.profile import grouped_trend
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        (F.col("ts").cast("long") - F.lit(1704067200)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return grouped_trend(
+        base,
+        ["user_id"],
+        "x",
+        "y",
+        slope_scale=86400.0,
+        x_dec="decimal(14,0)",
+    ).orderBy("user_id")

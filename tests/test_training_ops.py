@@ -2032,3 +2032,27 @@ def test_global_rank_matches_single_partition_window(spark):
     for r in pairs[:20]:
         same = keys[r["id_a"]] == keys[r["id_b"]]
         assert (r["dist"] == 0) == same
+
+
+def test_grouped_trend_exact_and_degenerate(spark):
+    """Perfect line recovers slope/intercept exactly with r2 = 1;
+    slope_scale rescales only the slope; n=1 and zero-x-variance
+    groups yield NULL statistics, not crashes."""
+    from datasheet_etl_spark.operators.profile import grouped_trend
+
+    rows = (
+        [("a", float(x), 2.0 * x + 5.0) for x in range(10)]
+        + [("b", 1.0, 7.0)]
+        + [("c", 3.0, 1.0), ("c", 3.0, 9.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in grouped_trend(df, ["g"], "x", "y").collect()}
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 5.0
+    assert out["a"]["r2"] == 1.0 and out["a"]["n"] == 10
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
+    assert out["c"]["slope"] is None  # zero x-variance
+    scaled = {
+        r["g"]: r
+        for r in grouped_trend(df, ["g"], "x", "y", slope_scale=10.0).collect()
+    }
+    assert scaled["a"]["slope"] == 20.0 and scaled["a"]["intercept"] == 5.0
