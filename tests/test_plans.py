@@ -1779,3 +1779,59 @@ def test_t146_invariants_hold_under_forced_collisions(spark):
         assert est == int(merged.estimateCount(jvm.java.lang.Long(item)))
         overcounted += est > 20
     assert overcounted > 0  # the pin genuinely exercised collisions
+
+
+def test_t150_t152_broadcast_and_no_corpus_shuffle(spark):
+    """The r15 batch's scale shapes, pinned in the physical plan:
+    t150's pos join and t152's rate join broadcast (never shuffle the
+    corpus-side rows on a key), and t150's scan side reaches the
+    scorer as mapInPandas with no Exchange below it."""
+    from datasheet_etl_spark.plans.sql_extra import t155_user_trend
+    from datasheet_etl_spark.plans.training import (
+        t150_hard_negative_mining,
+        t152_temperature_mixture,
+    )
+
+    plan = _plan(t150_hard_negative_mining(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "MapInPandas" in plan
+    plan = _plan(t152_temperature_mixture(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    # per-user trend: ONE hash-partitioned exchange for the moments agg
+    # (exchanges only exist post-EnsureRequirements -> executedPlan)
+    df = t155_user_trend(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # no join at all
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:800]
+
+
+def test_t154_global_rank_has_no_single_partition_sort(spark):
+    """global_rank must never plan the empty-partitionBy window
+    (SinglePartition exchange) — the rank window partitions on the
+    range-partition id; the neighbor join partitions on rank."""
+    from datasheet_etl_spark.plans.training import t154_sorted_neighborhood
+
+    plan = _plan(t154_sorted_neighborhood(spark, SF_SMOKE))
+    # the final presentation orderBy is a rangepartitioning sort; the
+    # WINDOW itself must be keyed by _pid, never SinglePartition
+    assert "Window" in plan
+    win_seg = plan[plan.index("Window") :]
+    assert "_pid" in plan, plan[:800]
+    assert "SinglePartition" not in plan, plan[:1200]
+
+
+def test_t151_hampel_windows_share_one_sort(spark):
+    """The med/mad barrier windows must reuse the frame window's
+    partitioning+ordering: exactly ONE hashpartitioning(user_id)
+    exchange feeds all three Window operators, and no extra Sort
+    appears between them."""
+    from datasheet_etl_spark.plans.sql_extra import t151_hampel_filter
+
+    df = t151_hampel_filter(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:1500]
+    assert plan.count("Window") >= 3  # frame, med, mad
+    # no Sort between the Window operators (one sort feeds all three)
+    tail = plan[plan.index("Window") :]
+    first_sort = tail.index("Sort ")
+    assert tail.count("Window", 0, first_sort) >= 3, tail[:1200]
