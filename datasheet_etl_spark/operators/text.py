@@ -860,3 +860,98 @@ def arrow_grouped_stats(
             ),
         )
     )
+
+
+def token_drift_kl(
+    docs: "DataFrame",
+    group_col: str,
+    text_col: str = "text",
+    vocab_top: int = 1000,
+) -> "DataFrame":
+    """Per-group token-distribution drift: KL(group || corpus) over a
+    CAPPED alphabet - the ``vocab_top`` globally-most-frequent tokens
+    (count desc, token asc - deterministic) plus one OTHER bucket
+    absorbing the tail - with Laplace smoothing on both sides. The
+    corpus-curation drift monitor for TEXT (which source/snapshot
+    stopped looking like the corpus?) beside the numeric-bucket PSI
+    (t60) and the per-document DSIR importance (t96).
+
+    The capped alphabet is not a shortcut, it is the scale design: the
+    honest full-vocabulary KL needs a |groups| x |vocab| term grid -
+    unbounded and mostly hapax noise at corpus scale - while a fixed
+    alphabet makes the grid |groups| x (|vocab|+1), constant in
+    corpus size, and the OTHER bucket keeps both distributions proper
+    so the divergence stays a true KL, not a truncated one. The
+    smoothing alphabet size is the ACTUAL vocabulary row count + 1,
+    never the requested cap — on a corpus with fewer distinct tokens
+    than the cap, a cap-sized denominator makes both "distributions"
+    sum below 1 and the divergence can go negative.
+
+    Exactness: counts are exact longs; each term p*ln(p/q) evaluates in
+    double from identical integers with one fixed expression tree, then
+    casts to DECIMAL(18,9) BEFORE summing (the t65 discipline) so the
+    per-group sum is partitioning- and engine-independent.
+
+    Shape at scale: one tokenize pass feeds three partial-agged
+    aggregates (global token counts, per-group token counts, per-group
+    totals); the top-V vocabulary is TakeOrdered (never a global sort)
+    and broadcasts; the term grid builds from a broadcast crossJoin of
+    the group list with the vocabulary - the corpus itself never joins
+    or shuffles beyond the count aggregates.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    gc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("ct"))
+    vocab = gc.orderBy(F.col("ct").desc(), F.col("t").asc()).limit(vocab_top)
+    totals = toks.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_all"))
+    sc_ = toks.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c_gt"))
+
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(sc_, ["g", "t"], "left")
+        .select(
+            "g",
+            "n_g",
+            "t",
+            F.col("ct").alias("c_t"),
+            F.coalesce("c_gt", F.lit(0)).alias("c_gt"),
+        )
+    )
+    in_vocab = grid.groupBy("g", "n_g").agg(
+        F.sum("c_gt").alias("in_g"), F.sum("c_t").alias("in_all")
+    )
+    other = (
+        in_vocab.crossJoin(F.broadcast(n_total))
+        .select(
+            "g",
+            "n_g",
+            F.lit(" OTHER").alias("t"),
+            (F.col("n_all") - F.col("in_all")).alias("c_t"),
+            (F.col("n_g") - F.col("in_g")).alias("c_gt"),
+        )
+    )
+    full = grid.select("g", "n_g", "t", "c_t", "c_gt").unionByName(other)
+    # Laplace alphabet size = ACTUAL vocab rows + 1 (OTHER), derived
+    # in-plan: a corpus with fewer than vocab_top distinct tokens
+    # otherwise gets improper distributions (sum < 1) and the "KL"
+    # goes negative — caught by the non-negativity pytest, not the
+    # oracle (both engines would replay the same wrong constant)
+    n_vocab = vocab.agg(F.count(F.lit(1)).alias("v"))
+    full = full.crossJoin(F.broadcast(n_total)).crossJoin(
+        F.broadcast(n_vocab)
+    )
+    a = (F.col("v") + F.lit(1)).cast("double")
+    p = (F.col("c_gt") + F.lit(1.0)) / (F.col("n_g") + a)
+    q = (F.col("c_t") + F.lit(1.0)) / (F.col("n_all") + a)
+    term = (p * F.log(p / q)).cast("decimal(18,9)")
+    return (
+        full.select("g", "n_g", term.alias("term"))
+        .groupBy("g")
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.round(F.sum("term").cast("double"), 6).alias("kl"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

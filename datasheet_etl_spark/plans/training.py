@@ -3591,3 +3591,65 @@ def t154_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         keyed, "doc_id", "k", window=5, max_dist=5
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "t156_token_drift_kl",
+    f"""
+    WITH toks AS (
+      SELECT lang AS g,
+             unnest({_SQL_TOKS.replace('text', 'text')}) AS t
+      FROM documents
+    ), gc AS (
+      SELECT t, count(*) AS ct FROM toks GROUP BY t
+    ), vocab AS (
+      SELECT t, ct FROM gc ORDER BY ct DESC, t ASC LIMIT 500
+    ), totals AS (
+      SELECT g, count(*) AS n_g FROM toks GROUP BY g
+    ), alltot AS (
+      SELECT count(*) AS n_all FROM toks
+    ), sc AS (
+      SELECT g, t, count(*) AS c_gt FROM toks GROUP BY g, t
+    ), grid AS (
+      SELECT totals.g AS g, totals.n_g AS n_g, vocab.t AS t,
+             vocab.ct AS c_t, coalesce(sc.c_gt, 0) AS c_gt
+      FROM totals CROSS JOIN vocab
+      LEFT JOIN sc ON sc.g = totals.g AND sc.t = vocab.t
+    ), iv AS (
+      SELECT g, n_g, sum(c_gt) AS in_g, sum(c_t) AS in_all
+      FROM grid GROUP BY g, n_g
+    ), other AS (
+      SELECT g, n_g, ' OTHER' AS t, n_all - in_all AS c_t,
+             n_g - in_g AS c_gt
+      FROM iv, alltot
+    ), allrows AS (
+      SELECT g, n_g, t, c_t, c_gt FROM grid
+      UNION ALL SELECT g, n_g, t, c_t, c_gt FROM other
+    ), nv AS (
+      SELECT count(*) AS v FROM vocab
+    ), terms AS (
+      SELECT g, n_g,
+             CAST(((c_gt + 1.0) / (n_g + CAST(v + 1 AS DOUBLE)))
+                  * ln(((c_gt + 1.0) / (n_g + CAST(v + 1 AS DOUBLE)))
+                       / ((c_t + 1.0) / (n_all + CAST(v + 1 AS DOUBLE))))
+                  AS DECIMAL(18,9)) AS term
+      FROM allrows, alltot, nv
+    )
+    SELECT g AS lang, CAST(max(n_g) AS BIGINT) AS n_tokens,
+           round(CAST(sum(term) AS DOUBLE), 6) AS kl
+    FROM terms GROUP BY g ORDER BY lang
+    """,
+)
+def t156_token_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution drift, KL(lang || corpus) over
+    the top-500 global tokens + OTHER bucket with Laplace smoothing —
+    the TEXT drift monitor beside t60's numeric PSI and t96's
+    per-document DSIR: which slice stopped looking like the corpus,
+    as one number per slice. Capped alphabet + tail bucket is the
+    scale design (|groups| x 501 grid, constant in corpus size, and
+    the distributions stay proper). Terms decimal-cast before the sum
+    (t65 discipline) so the KL replays bit-identically in DuckDB."""
+    from datasheet_etl_spark.operators.text import token_drift_kl
+
+    docs = _docs(spark, sf_dir)
+    return token_drift_kl(docs, "lang", vocab_top=500).orderBy("lang")

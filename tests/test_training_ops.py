@@ -2056,3 +2056,28 @@ def test_grouped_trend_exact_and_degenerate(spark):
         for r in grouped_trend(df, ["g"], "x", "y", slope_scale=10.0).collect()
     }
     assert scaled["a"]["slope"] == 20.0 and scaled["a"]["intercept"] == 5.0
+
+
+def test_token_drift_kl_nonnegative_and_directional(spark):
+    """KL is non-negative for every group (Gibbs — the property the
+    negative-KL alphabet-size bug violated, which the cross-engine
+    oracle could NOT catch because both engines replayed it), a
+    drifted group scores strictly higher than one matching the corpus
+    mix, and a vocab cap below the distinct-token count routes tail
+    mass through the OTHER bucket without breaking either property."""
+    from datasheet_etl_spark.operators.text import token_drift_kl
+
+    typical = "the quick brown fox jumps over the lazy dog and cat "
+    drifted = "zebra quark boson lepton hadron gluon meson pion kaon "
+    # typ is 90% of the corpus, so the corpus mix IS (nearly) typ's
+    # distribution; drift is a small all-different minority — the
+    # direction assertion needs this asymmetry (a 50/50 mixed-group
+    # fixture is CLOSER to the corpus than a pure group is)
+    rows = [(i, "typ", typical * 5) for i in range(36)] + [
+        (i + 100, "drift", drifted * 5) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    for cap in (1000, 8):  # full vocab; cap far below distinct count
+        out = {r["g"]: r for r in token_drift_kl(df, "g", vocab_top=cap).collect()}
+        assert out["typ"]["kl"] >= 0.0 and out["drift"]["kl"] >= 0.0, cap
+        assert out["drift"]["kl"] > out["typ"]["kl"], cap
