@@ -630,3 +630,74 @@ def grouped_trend(
         ),
         F.round(num * num / F.nullif(dx * dy, F.lit(0.0)), 6).alias("r2"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    slope_scale: float = 1.0,
+) -> DataFrame:
+    """Per-group Theil–Sen slope — the MEDIAN of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) — the robust complement to
+    :func:`grouped_trend`'s OLS: one wild outlier (exactly what
+    ``hampel_filter`` flags) drags an OLS slope arbitrarily far, while
+    Theil–Sen tolerates ~29% contamination. Pairs with equal x are
+    excluded (vertical slope; both engines must agree on the exclusion,
+    so the predicate is strict ``x_i < x_j``).
+
+    Exactness: each pairwise slope is ONE double division of exact
+    operands, and the median is a sum-free sorted-array pick
+    (:func:`_array_median`) — bit-identical across engines and
+    partitionings; ``slope_scale`` rescales the derived median (one
+    multiply) exactly like ``grouped_trend``.
+
+    Shape at scale: the self-join shuffles each group once on its key
+    and emits the inherent O(n²/2) pairs PER GROUP — exact Theil–Sen's
+    cost, bounded by the largest group, not the corpus. This is the
+    per-entity telemetry shape (thousands of rows per key); for wide
+    groups use the standard estimator surrogate: pre-sample each group
+    (deterministic hash sample, t26 idiom) before calling.
+
+    Returns (group_cols..., n, n_pairs, slope).
+    """
+    proj = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+    )
+    a = proj
+    b = proj
+    for c in group_cols:
+        b = b.withColumnRenamed(c, f"_b_{c}")
+    b = b.withColumnRenamed("_x", "_bx").withColumnRenamed("_y", "_by")
+    cond = [F.col(c) == F.col(f"_b_{c}") for c in group_cols] + [
+        F.col("_x") < F.col("_bx")
+    ]
+    pairs = a.join(b, cond).select(
+        *group_cols,
+        ((F.col("_by") - F.col("_y")) / (F.col("_bx") - F.col("_x"))).alias(
+            "_s"
+        ),
+    )
+    counts = proj.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    med = (
+        pairs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.collect_list("_s").alias("_slopes"),
+        )
+        .select(
+            *group_cols,
+            "n_pairs",
+            F.round(
+                _array_median(F.col("_slopes")) * F.lit(slope_scale), 6
+            ).alias("slope"),
+        )
+    )
+    return counts.join(med, list(group_cols), "left").select(
+        *group_cols, "n", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"), "slope"
+    )

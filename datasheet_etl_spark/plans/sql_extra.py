@@ -6382,3 +6382,51 @@ def t155_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope_scale=86400.0,
         x_dec="decimal(14,0)",
     ).orderBy("user_id")
+
+
+@register(
+    "t157_theil_sen_trend",
+    """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) // 1000000 - 1704067200 AS x, value AS y
+      FROM events WHERE user_id < 40
+    ), pairs AS (
+      SELECT a.user_id AS user_id, (b.y - a.y) / (b.x - a.x) AS s
+      FROM base a JOIN base b
+        ON a.user_id = b.user_id AND a.x < b.x
+    ), med AS (
+      SELECT user_id, count(*) AS n_pairs, list(s) AS l
+      FROM pairs GROUP BY user_id
+    ), counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY user_id
+    )
+    SELECT c.user_id AS user_id, c.n AS n,
+           CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+           round(CASE WHEN len(l) % 2 = 1
+                      THEN list_sort(l)[(len(l) + 1) // 2]
+                      ELSE (list_sort(l)[len(l) // 2]
+                            + list_sort(l)[len(l) // 2 + 1]) / 2 END
+                 * 86400.0, 6) AS slope
+    FROM counts c LEFT JOIN med m ON c.user_id = m.user_id
+    ORDER BY user_id
+    """,
+)
+def t157_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust per-user drift slope (probe slice user_id < 40,
+    pairwise O(n²) being exact Theil–Sen's inherent cost): the median
+    of all pairwise slopes tolerates the spikes that drag t155's OLS —
+    the robust/classical trend pair, same x/y and slope units
+    (value/day via slope_scale, integer-second x — the t155 decimal
+    lessons carried). Median is a sum-free sorted pick, so 40
+    simultaneous robust fits hash-match DuckDB exactly."""
+    from datasheet_etl_spark.operators.profile import theil_sen_trend
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    base = e.select(
+        "user_id",
+        (F.col("ts").cast("long") - F.lit(1704067200)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return theil_sen_trend(
+        base, ["user_id"], "x", "y", slope_scale=86400.0
+    ).orderBy("user_id")

@@ -2081,3 +2081,35 @@ def test_token_drift_kl_nonnegative_and_directional(spark):
         out = {r["g"]: r for r in token_drift_kl(df, "g", vocab_top=cap).collect()}
         assert out["typ"]["kl"] >= 0.0 and out["drift"]["kl"] >= 0.0, cap
         assert out["drift"]["kl"] > out["typ"]["kl"], cap
+
+
+def test_theil_sen_robust_vs_ols(spark):
+    """On a clean line both agree exactly; inject one wild spike and
+    OLS moves while Theil–Sen's slope stays (the 29%-contamination
+    robustness the operator exists for); equal-x pairs are excluded;
+    a single-point group yields n_pairs=0 and NULL slope."""
+    from datasheet_etl_spark.operators.profile import (
+        grouped_trend,
+        theil_sen_trend,
+    )
+
+    clean = [("a", float(x), 3.0 * x + 1.0) for x in range(21)]
+    # spike at the END of the x range — a spike at the x-mean has zero
+    # leverage on the OLS slope (it only shifts the intercept)
+    spiked = [
+        ("b", float(x), 3.0 * x + 1.0 + (500.0 if x == 20 else 0.0))
+        for x in range(21)
+    ] + [("b", 10.0, 31.0)]  # equal-x duplicate: pair with x=10 excluded
+    lone = [("c", 5.0, 2.0)]
+    df = spark.createDataFrame(
+        clean + spiked + lone, "g string, x double, y double"
+    )
+    ts = {r["g"]: r for r in theil_sen_trend(df, ["g"], "x", "y").collect()}
+    ols = {r["g"]: r for r in grouped_trend(df, ["g"], "x", "y").collect()}
+    assert ts["a"]["slope"] == 3.0 and ols["a"]["slope"] == 3.0
+    assert ts["b"]["slope"] == 3.0          # median shrugs the spike off
+    assert abs(ols["b"]["slope"] - 3.0) > 0.5  # OLS dragged
+    assert ts["c"]["n_pairs"] == 0 and ts["c"]["slope"] is None
+    # n_pairs for a: C(21,2); for b: C(22,2) minus the equal-x pairs
+    assert ts["a"]["n_pairs"] == 210
+    assert ts["b"]["n_pairs"] == 231 - 1
