@@ -701,3 +701,73 @@ def theil_sen_trend(
     return counts.join(med, list(group_cols), "left").select(
         *group_cols, "n", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"), "slope"
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str = "value",
+    value_dec: str = "decimal(14,6)",
+) -> DataFrame:
+    """Offline CUSUM changepoint per group: the index k maximizing
+    |S_k - (k/n)·S_n| over the ordered series (S = prefix sums) — the
+    single most likely mean-shift point and its magnitude, the
+    when-did-it-break answer that the trend operators
+    (:func:`grouped_trend` / :func:`theil_sen_trend` — HOW is it
+    moving) and :func:`hampel_filter` (WHICH points are spikes) don't
+    give.
+
+    Exactness: prefix sums accumulate as exact decimals over a
+    caller-supplied TOTAL order, so every S_k is engine- and
+    partitioning-independent; the deviation derives in double with one
+    fixed tree and is ROUNDED before the argmax, with earliest-k
+    tiebreak — an ulp cannot flip which row wins. Degenerate n=1
+    groups yield deviation 0 at k=1, not NULL.
+
+    Shape at scale: one shuffle on the group keys, one sorted pass
+    computing all window terms, one top-1-per-group reduction
+    (:func:`top_k_per_group`). Per-row state is the running decimal —
+    never the series.
+
+    Returns (group_cols..., n, cp_k, cp_magnitude) plus every column
+    of the winning row (the caller's order/id columns ride along).
+    """
+    from datasheet_etl_spark.operators.relational import top_k_per_group
+
+    dv = F.col(value_col).cast(value_dec)
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy(*group_cols).orderBy(*order_by)
+    scored = (
+        df.withColumn("_sk", F.sum(dv).over(w_run).cast("double"))
+        .withColumn("_sn", F.sum(dv).over(w_all).cast("double"))
+        .withColumn("n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("cp_k", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "cp_magnitude",
+            F.round(
+                F.abs(
+                    F.col("_sk")
+                    - F.col("cp_k").cast("double")
+                    * F.col("_sn")
+                    / F.col("n").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        list(group_cols),
+        [F.col("cp_magnitude").desc(), F.col("cp_k").asc()],
+        k=1,
+    ).drop("_sk", "_sn")

@@ -6430,3 +6430,61 @@ def t157_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(
         base, ["user_id"], "x", "y", slope_scale=86400.0
     ).orderBy("user_id")
+
+
+@register(
+    "t158_cusum_changepoint",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS ts_sec,
+             CAST(value AS DECIMAL(14,6)) AS dv
+      FROM events
+    ), scored AS (
+      SELECT user_id, event_id, ts_sec,
+             CAST(sum(dv) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS sk,
+             CAST(sum(dv) OVER (PARTITION BY user_id) AS DOUBLE) AS sn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts_sec, event_id) AS BIGINT)
+               AS cp_k
+      FROM base
+    ), dev AS (
+      SELECT user_id, event_id, ts_sec, n, cp_k,
+             round(abs(sk - CAST(cp_k AS DOUBLE) * sn / CAST(n AS DOUBLE)), 6)
+               AS cp_magnitude
+      FROM scored
+    )
+    SELECT user_id, event_id, ts_sec, n, cp_k, cp_magnitude FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cp_magnitude DESC, cp_k) AS rn
+      FROM dev
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def t158_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user offline CUSUM changepoint: the event index maximizing
+    |S_k - (k/n)·S_n| over each user's time-ordered value series —
+    when did this entity's mean shift, completing the per-entity
+    monitoring square (t151 which points spike / t155 how it trends /
+    t157 how it trends robustly / t158 when it broke). Exact-decimal
+    prefix sums + rounded-before-argmax deviations with earliest-k
+    tiebreak make all 150-1500 winners hash-replayable."""
+    from datasheet_etl_spark.operators.profile import cusum_changepoint
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "value",
+    )
+    out = cusum_changepoint(
+        base, ["user_id"], [F.col("ts_sec"), F.col("event_id")], "value"
+    )
+    return out.select(
+        "user_id", "event_id", "ts_sec", "n", "cp_k", "cp_magnitude"
+    ).orderBy("user_id")

@@ -2113,3 +2113,28 @@ def test_theil_sen_robust_vs_ols(spark):
     # n_pairs for a: C(21,2); for b: C(22,2) minus the equal-x pairs
     assert ts["a"]["n_pairs"] == 210
     assert ts["b"]["n_pairs"] == 231 - 1
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """A series with a mean shift at a known index puts cp_k at (or
+    adjacent to) the shift boundary with the expected magnitude shape;
+    a constant series has magnitude 0 with the earliest-k tiebreak;
+    n=1 groups yield k=1, magnitude 0."""
+    from datasheet_etl_spark.operators.profile import cusum_changepoint
+
+    shifted = [("a", i, 10.0 if i <= 30 else 20.0) for i in range(1, 61)]
+    flat = [("b", i, 7.5) for i in range(1, 11)]
+    lone = [("c", 1, 3.0)]
+    df = spark.createDataFrame(
+        shifted + flat + lone, "g string, pos int, value double"
+    )
+    out = {
+        r["g"]: r
+        for r in cusum_changepoint(df, ["g"], [F.col("pos")], "value").collect()
+    }
+    # CUSUM of a step function peaks exactly at the last pre-shift index
+    assert out["a"]["cp_k"] == 30
+    # peak deviation = k*(1 - k/n)*step = 30*(1-0.5)*10 = 150
+    assert out["a"]["cp_magnitude"] == 150.0
+    assert out["b"]["cp_magnitude"] == 0.0 and out["b"]["cp_k"] == 1
+    assert out["c"]["n"] == 1 and out["c"]["cp_magnitude"] == 0.0
