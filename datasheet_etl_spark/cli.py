@@ -818,6 +818,92 @@ def cmd_cdc_migrate(args, spark=None) -> int:
     return 0
 
 
+def cmd_trend(args, spark=None) -> int:
+    """Per-entity series monitoring report over an events-like parquet
+    — the monitoring square (t151/t155/t157/t158) as one command: for
+    each entity, the OLS and Theil-Sen slopes (disagreement flags a
+    spike-driven trend), the Hampel outlier count, and the CUSUM
+    most-likely changepoint; printed for the --top entities by CUSUM
+    magnitude, optionally persisted in full with --output."""
+    if args.top < 1:
+        print("error: --top must be >= 1", file=sys.stderr)
+        return 2
+    spark = _get_spark(spark)
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.profile import (
+        cusum_changepoint,
+        grouped_trend,
+        hampel_filter,
+        theil_sen_trend,
+    )
+
+    df = spark.read.parquet(args.input)
+    for c in (args.group, args.time, args.value):
+        if c not in df.columns:
+            print(f"error: column {c!r} not in {df.columns}", file=sys.stderr)
+            return 2
+    base = df.select(
+        F.col(args.group).alias("g"),
+        F.col(args.time).cast("long").alias("x"),
+        F.col(args.value).cast("double").alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # rebase x to integer offsets from the corpus min: epoch-second
+    # magnitudes overflow exact-decimal operands, and fractional-unit
+    # x rounds engine-dependently (the t155 lessons); slopes are
+    # shift-invariant so the report is unchanged
+    x0 = base.agg(F.min("x")).collect()[0][0]
+    base = base.withColumn("x", F.col("x") - F.lit(int(x0)))
+    # monotonically_increasing_id is NOT a stable tiebreak across runs;
+    # require (x) ties to be rare and break them by value for
+    # determinism of the report
+    order = [F.col("x").asc(), F.col("y").asc()]
+    ols = grouped_trend(
+        base, ["g"], "x", "y",
+        slope_scale=args.slope_scale,
+        x_dec="decimal(14,0)",
+    )
+    ts_ = theil_sen_trend(
+        base, ["g"], "x", "y", slope_scale=args.slope_scale
+    ).select("g", F.col("slope").alias("ts_slope"))
+    ham = (
+        hampel_filter(base, ["g"], order, value_col="y")
+        .where(F.col("is_outlier"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"))
+    )
+    cp = cusum_changepoint(base, ["g"], order, "y").select(
+        "g", "cp_k", "cp_magnitude", F.col("x").alias("cp_x")
+    )
+    rep = (
+        ols.join(ts_, "g", "left")
+        .join(ham, "g", "left")
+        .join(cp, "g", "left")
+        .withColumn("n_outliers", F.coalesce("n_outliers", F.lit(0)))
+        .orderBy(F.col("cp_magnitude").desc_nulls_last(), F.col("g").asc())
+    )
+    if args.output:
+        rep.write.mode("overwrite").parquet(args.output)
+        rep = spark.read.parquet(args.output).orderBy(
+            F.col("cp_magnitude").desc_nulls_last(), F.col("g").asc()
+        )
+    rows = rep.limit(args.top).collect()
+    print(f"Trend report ({args.group} x {args.value}, top {args.top} by CUSUM)")
+    for r in rows:
+        slope = "None" if r["slope"] is None else f"{r['slope']:.6f}"
+        tslope = "None" if r["ts_slope"] is None else f"{r['ts_slope']:.6f}"
+        flag = ""
+        if r["slope"] is not None and r["ts_slope"] is not None:
+            if abs(r["slope"] - r["ts_slope"]) > args.disagree:
+                flag = "  [SPIKE-DRIVEN?]"
+        print(
+            f"  {r['g']}: n={r['n']} ols={slope} theil_sen={tslope} "
+            f"outliers={r['n_outliers']} changepoint@k={r['cp_k']} "
+            f"(x={r['cp_x']}, mag={r['cp_magnitude']}){flag}"
+        )
+    return 0
+
+
 def cmd_index(args, spark=None) -> int:
     """ANN index lifecycle over an embeddings parquet: ``build`` trains
     the spherical-kmeans quantizer and writes the cell-partitioned
@@ -1016,6 +1102,31 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
     )
 
     p = sub.add_parser(
+        "trend",
+        help="Per-entity series monitoring (OLS + Theil-Sen slopes, "
+        "Hampel outliers, CUSUM changepoint)",
+    )
+    p.add_argument("input", help="events-like parquet path")
+    p.add_argument("--group", default="user_id")
+    p.add_argument("--time", default="ts")
+    p.add_argument("--value", default="value")
+    p.add_argument("--top", type=int, default=10)
+    p.add_argument(
+        "--slope-scale",
+        type=float,
+        default=86400.0,
+        help="rescale slopes from per-time-unit to per-report-unit "
+        "(default: seconds -> per day)",
+    )
+    p.add_argument(
+        "--disagree",
+        type=float,
+        default=0.5,
+        help="|ols - theil_sen| above this flags a spike-driven trend",
+    )
+    p.add_argument("--output", default=None, help="persist the full report parquet")
+
+    p = sub.add_parser(
         "stream-status",
         help="Inspect a streaming checkpoint (recorded/committed "
         "batches, in-flight window)",
@@ -1103,6 +1214,7 @@ def main(argv: Sequence[str] | None = None, spark=None) -> int:
         "index": cmd_index,
         "explain": cmd_explain,
         "audit": cmd_audit,
+        "trend": cmd_trend,
         "stream-status": cmd_stream_status,
         "state": cmd_state,
         "cdc-diff": cmd_cdc_diff,

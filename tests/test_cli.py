@@ -613,3 +613,50 @@ def test_cli_cdc_migrate(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "versions migrated: 1" in printed
     assert "TRUNCATED (still readable in the source): 1" in printed
+
+
+def test_cli_trend_report(spark, tmp_path, capsys):
+    """trend: slopes/outliers/changepoint per entity over an
+    events-like parquet; a planted spiky-trend entity gets the
+    disagreement flag; --output persists the full report; bad column
+    names and --top refuse with rc=2."""
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.cli import main
+
+    rows = (
+        # clean riser: ols == theil-sen, no flag
+        [("clean", 1_700_000_000 + i * 3600, 10.0 + 0.5 * i) for i in range(40)]
+        # spiky: flat line + huge late spikes -> OLS dragged, TS flat
+        + [
+            (
+                "spiky",
+                1_700_000_000 + i * 3600,
+                5.0 + (900.0 if i >= 38 else 0.0),
+            )
+            for i in range(40)
+        ]
+    )
+    src = spark.createDataFrame(rows, "user_id string, ts long, value double")
+    inp = str(tmp_path / "events")
+    src.write.parquet(inp)
+    outp = str(tmp_path / "report")
+    rc = main(
+        ["trend", inp, "--top", "2", "--slope-scale", "3600",
+         "--output", outp],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Trend report" in out
+    lines = {l.strip().split(":")[0]: l for l in out.splitlines() if "=" in l}
+    assert "[SPIKE-DRIVEN?]" in lines["spiky"]
+    assert "[SPIKE-DRIVEN?]" not in lines["clean"]
+    rep = {r["g"]: r for r in spark.read.parquet(outp).collect()}
+    assert rep["clean"]["slope"] == 0.5  # per-hour via --slope-scale
+    assert rep["clean"]["ts_slope"] == 0.5
+    assert rep["spiky"]["n_outliers"] >= 1
+    # spiky's changepoint sits at the last pre-spike index
+    assert rep["spiky"]["cp_k"] == 38
+    assert main(["trend", inp, "--group", "nope"], spark=spark) == 2
+    assert main(["trend", inp, "--top", "0"], spark=spark) == 2
