@@ -409,3 +409,40 @@ def test_linear_fit_matches_numpy_lstsq(spark, pts):
     if got["r2"] is not None:  # ys constant → r2 NULL (dy == 0)
         c = np.corrcoef(xs, ys)[0, 1]
         assert abs(got["r2"] - c * c) <= 1e-4
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 50)),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 9),
+    st.integers(1, 6),
+)
+def test_global_rank_is_partitioning_free(spark, rows, num_parts, in_parts):
+    """Property (t154's primitive): global_rank equals the
+    single-partition row_number() for ANY data, ANY requested range
+    partition count, and ANY input partitioning — including duplicate
+    sort keys disambiguated by the unique id tiebreak."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from datasheet_etl_spark.operators.dedup import global_rank
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in rows], "id long, k long"
+    ).repartition(in_parts)
+    expected = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy("k", "id"))
+        ).collect()
+    }
+    got = {
+        (r["id"], r["rn"])
+        for r in global_rank(df, ["k", "id"], num_partitions=num_parts).collect()
+    }
+    assert got == expected
