@@ -71,6 +71,78 @@ def main() -> int:
         .agg(F.sum("chars"), F.sum("attr"), F.sum("n_children"))
         .count()
     )
+    # Python-seam + streaming machinery warm (r15; same discipline as
+    # the xpath JIT warm above, which the r14 driver vector confirmed):
+    # the FIRST use of each Python execution seam in a JVM pays one-time
+    # infrastructure — spawning/importing the DataSource plan+read
+    # worker processes (~4.6s measured clean at 32 cpus), the DataSource
+    # write worker (~3.1s more), and the streaming engine's microbatch
+    # thread + state store + applyInPandasWithState worker (~2s). Those
+    # costs landed on whichever entry happened to run each seam first
+    # (t105/t112/t115 in sorted order), mismeasuring those operators by
+    # 2-5s each. Warm each seam once with a tiny synthetic op so every
+    # timed entry measures steady-state operator cost — on any
+    # long-lived cluster these one-time costs amortize to zero.
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from datasheet_etl_spark.sources.pyds import (
+        register_jsonl_manifest,
+        register_synth_events,
+        register_synth_feed,
+    )
+
+    register_synth_events(spark)
+    register_synth_feed(spark)
+    register_jsonl_manifest(spark)
+    (
+        spark.read.format("synth_events")
+        .option("numRows", "64")
+        .option("numPartitions", "2")
+        .load()
+        .count()
+    )
+    _warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        (
+            spark.range(0, 64, 1, 2)
+            .selectExpr("id", "cast(id as string) s")
+            .write.format("jsonl_manifest")
+            .mode("overwrite")
+            .save(f"{_warm_dir}/out")
+        )
+
+        def _warm_state_fn(key, pdfs, state):
+            yield pd.DataFrame(
+                {"bucket": [key[0]], "n": [sum(len(p) for p in pdfs)]}
+            )
+
+        _warm_q = (
+            spark.readStream.format("synth_feed")
+            .option("numRows", "20")
+            .option("batchSize", "20")
+            .load()
+            .groupBy("bucket")
+            .applyInPandasWithState(
+                _warm_state_fn,
+                "bucket int, n long",
+                "n long",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName("_bench_warm_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _warm_q.awaitTermination()
+        spark.catalog.dropTempView("_bench_warm_state")
+    finally:
+        shutil.rmtree(_warm_dir, ignore_errors=True)
     from datasheet_etl_spark.caching import release_caches
 
     def cpu_ticks() -> dict[str, int] | None:

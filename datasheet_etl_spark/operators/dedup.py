@@ -25,8 +25,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from datasheet_etl_spark.caching import scoped_persist
 from datasheet_etl_spark.operators.relational import (
@@ -146,23 +149,44 @@ def minhash_signature_col(
     explode+groupBy form would be a (disallowed pre-stateful)
     aggregation.
 
-    Cost note: ``num_perm`` array HOFs per row is the interpreted path —
-    right for incremental micro-batches, wrong for full-corpus passes
-    (use ``minhash_signatures`` there)."""
+    Implementation is an Arrow-vectorized pandas UDF: each batch's hash
+    arrays are flattened once and every permutation runs as one numpy
+    affine map + ``minimum.reduceat`` over the flat buffer. The previous
+    form — ``num_perm`` ``transform``/``array_min`` HOFs per row — is
+    CodegenFallback (interpreted) and measured ~4× slower on the t24
+    corpus pass; the affine arithmetic is unchanged (a·x+b mod the
+    Mersenne prime, products < 2⁶² so int64 never overflows — the same
+    no-ANSI-overflow argument as the batch aggregate form)."""
     hs = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hs,
-                    lambda h: F.pmod(
-                        F.lit(a) * h + F.lit(b), F.lit(MERSENNE_PRIME)
-                    ),
+    perms = _permutations(num_perm, seed)
+
+    @pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(x, dtype=np.int64) for x in col]
+        sizes = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        res: list = [None] * n
+        nonempty = np.flatnonzero(sizes > 0)
+        if len(nonempty):
+            flat = np.concatenate([arrs[i] for i in nonempty])
+            offs = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(sizes[nonempty][:-1], out=offs[1:])
+            sig_mat = np.empty((len(nonempty), num_perm), dtype=np.int64)
+            for i, (a, b) in enumerate(perms):
+                sig_mat[:, i] = np.minimum.reduceat(
+                    (a * flat + b) % MERSENNE_PRIME, offs
                 )
-            )
-            for a, b in _permutations(num_perm, seed)
-        ]
-    )
+            for k, ridx in enumerate(nonempty):
+                res[ridx] = sig_mat[k]
+        # empty hash arrays mirror the HOF form: array_min over an empty
+        # transform is NULL per component
+        for ridx in np.flatnonzero(sizes == 0):
+            res[ridx] = [None] * num_perm
+        return pd.Series(res)
+
+    return _sig(hs)
 
 
 def banded_buckets(

@@ -21,6 +21,7 @@ import json
 import os
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -237,6 +238,68 @@ _SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = "last_ts double, session_id long, n long, first long, last long, value double"
 
 
+def _session_frame(user_id, rows: list) -> pd.DataFrame:
+    """Pack (session_id, n, first, last, value) tuples into ONE output
+    frame. Per-session one-row DataFrames were the sessionize hotspot:
+    ~0.3 ms of pandas constructor per emission × one emission per
+    closed session dominated the stateful stage (guide §4.2 — batch
+    the work crossing the boundary, don't ship it row by row)."""
+    sid, n, first, last, value = zip(*rows)
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(rows), user_id, dtype=np.int64),
+            "session_id": np.asarray(sid, dtype=np.int64),
+            "n_events": np.asarray(n, dtype=np.int64),
+            "first_event": np.asarray(first, dtype=np.int64),
+            "last_event": np.asarray(last, dtype=np.int64),
+            "session_value": np.asarray(value, dtype=np.float64),
+        }
+    )
+
+
+def _session_segments(chunks: list, last_ts, gap_seconds: float):
+    """Shared vectorized gap fold: concatenate the key's Arrow chunks,
+    sort by event_id, split into gap-delimited segments, and return
+    per-segment aggregates as numpy arrays plus the continuation flag.
+
+    All Arrow chunks are materialized and concatenated BEFORE the sort:
+    chunk-spanning keys have no cross-chunk order guarantee, so a
+    per-chunk sort would mis-fold (review-found). Per-segment sums run
+    ``np.add.reduceat`` over the event_id-sorted rows — the same
+    sequential left-to-right accumulation the per-row fold performed.
+    Rows are event_id-sorted, so each segment's first/last event are
+    its endpoints; ``seg_last_ts`` still takes the segment max (the
+    fold's semantics) rather than assuming ts is monotone in event_id.
+    """
+    ids = np.concatenate([c["event_id"].to_numpy() for c in chunks])
+    vals = np.concatenate(
+        [c["value"].to_numpy(dtype=np.float64) for c in chunks]
+    )
+    ts_sec = (
+        np.concatenate([c["ts"].astype("int64").to_numpy() for c in chunks])
+        / 1e9
+    )
+    order = np.argsort(ids, kind="stable")
+    ids, vals, ts_sec = ids[order], vals[order], ts_sec[order]
+    prev = np.empty_like(ts_sec)
+    prev[0] = last_ts if last_ts is not None else np.nan
+    prev[1:] = ts_sec[:-1]
+    is_start = np.isnan(prev) | ((ts_sec - prev) > gap_seconds)
+    cont = not bool(is_start[0])
+    bounds = np.flatnonzero(is_start)
+    if cont:
+        bounds = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds[1:], [len(ids)])) - 1
+    return {
+        "cont": cont,
+        "n": np.diff(np.concatenate((bounds, [len(ids)]))),
+        "first": ids[bounds],
+        "last": ids[ends],
+        "value": np.add.reduceat(vals, bounds),
+        "last_ts": np.maximum.reduceat(ts_sec, bounds),
+    }
+
+
 def _session_fn(
     key: tuple,
     batches: Iterable[pd.DataFrame],
@@ -249,6 +312,9 @@ def _session_fn(
     micro-batch folds its events in event_id order and emits every
     session touched in this batch (update semantics — a session row is
     re-emitted with refreshed aggregates if a later batch extends it).
+    The fold itself is the shared vectorized ``_session_segments`` (the
+    per-row-Python version of this loop was a profiled hotspot — same
+    numbers, C speed).
     """
     (user_id,) = key
     if state.exists:
@@ -256,44 +322,35 @@ def _session_fn(
     else:
         last_ts, session_id, n, first, last, value = (None, 0, 0, None, None, 0.0)
 
-    touched: dict[int, tuple] = {}
-    # materialize ALL Arrow chunks before sorting: a key whose batch
-    # rows exceed arrow.maxRecordsPerBatch arrives as multiple chunks
-    # with NO cross-chunk order guarantee, so a per-chunk sort would
-    # fold events out of event_id order (review-found)
+    touched: list[tuple] = []
     chunks = [pdf for pdf in batches if len(pdf)]
-    for pdf in (
-        [pd.concat(chunks, ignore_index=True)] if chunks else []
-    ):
-        pdf = pdf.sort_values("event_id")
-        for ts_sec, event_id, val in zip(
-            pdf["ts"].astype("int64") / 1e9, pdf["event_id"], pdf["value"]
-        ):
-            if last_ts is None or ts_sec - last_ts > gap_seconds:
-                session_id += 1
-                n, first, last, value = 0, None, None, 0.0
-            n += 1
-            first = int(event_id) if first is None else min(first, int(event_id))
-            last = int(event_id) if last is None else max(last, int(event_id))
-            value += float(val)
-            last_ts = ts_sec
-            touched[session_id] = (n, first, last, value)
+    if chunks:
+        seg = _session_segments(chunks, last_ts, gap_seconds)
+        base = session_id if seg["cont"] else session_id + 1
+        i0 = 0
+        if n > 0 and seg["cont"]:
+            # first segment continues the stored open session: merge
+            n += int(seg["n"][0])
+            first = min(first, int(seg["first"][0]))
+            last = max(last, int(seg["last"][0]))
+            value += float(seg["value"][0])
+            last_ts = float(seg["last_ts"][0])
+            touched.append((session_id, n, first, last, value))
+            i0 = 1
+        for j in range(i0, len(seg["n"])):
+            session_id = base + j
+            n, first, last, value, last_ts = (
+                int(seg["n"][j]),
+                int(seg["first"][j]),
+                int(seg["last"][j]),
+                float(seg["value"][j]),
+                float(seg["last_ts"][j]),
+            )
+            touched.append((session_id, n, first, last, value))
 
     state.update((last_ts, session_id, n, first, last, value))
     if touched:
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "session_id": sid,
-                    "n_events": t[0],
-                    "first_event": t[1],
-                    "last_event": t[2],
-                    "session_value": t[3],
-                }
-                for sid, t in sorted(touched.items())
-            ]
-        )
+        yield _session_frame(user_id, touched)
 
 
 def _session_timeout_fn(
@@ -315,27 +372,13 @@ def _session_timeout_fn(
     """
     (user_id,) = key
 
-    def row(session_id, n, first, last, value):
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "session_id": session_id,
-                    "n_events": n,
-                    "first_event": first,
-                    "last_event": last,
-                    "session_value": value,
-                }
-            ]
-        )
-
     if state.hasTimedOut:
         # no new events for this key and the watermark passed the open
         # session's close time: finalize and drop the state row
         last_ts, session_id, n, first, last, value = state.get
         state.remove()
         if n > 0:
-            yield row(session_id, n, first, last, value)
+            yield _session_frame(user_id, [(session_id, n, first, last, value)])
         return
 
     if state.exists:
@@ -344,71 +387,44 @@ def _session_timeout_fn(
         last_ts, session_id, n, first, last, value = (None, 0, 0, None, None, 0.0)
 
     # vectorized gap fold (the per-row-Python version of this loop was
-    # the 5x-at-10x hotspot in the scale audit): session boundaries are
-    # a shift/compare/cumsum, per-session aggregates one groupby — all
-    # C-speed pandas. Cross-batch continuity comes from seeding the
-    # first row's "previous timestamp" with the state's last_ts. All
-    # Arrow chunks are materialized and concatenated BEFORE the sort:
-    # chunk-spanning keys have no cross-chunk order guarantee, so a
-    # per-chunk sort would mis-fold (review-found; same fix as
-    # _session_fn).
+    # the 5x-at-10x hotspot in the scale audit; the per-closed-session
+    # one-row-DataFrame emission was the next one — both now go through
+    # the shared ``_session_segments``/``_session_frame`` helpers).
+    # Cross-batch continuity comes from seeding the first row's
+    # "previous timestamp" with the state's last_ts.
+    closed: list[tuple] = []
     chunks = [pdf for pdf in batches if len(pdf)]
-    for pdf in (
-        [pd.concat(chunks, ignore_index=True)] if chunks else []
-    ):
-        pdf = pdf.sort_values("event_id")
-        ts_sec = pdf["ts"].astype("int64").to_numpy() / 1e9
-        prev = pd.Series(ts_sec).shift(1)
-        if last_ts is not None:
-            prev.iloc[0] = last_ts
-        is_start = prev.isna() | ((ts_sec - prev) > gap_seconds)
-        sid = session_id + is_start.cumsum().to_numpy()
-        agg = (
-            pd.DataFrame(
-                {
-                    "sid": sid,
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "value": pdf["value"].to_numpy(),
-                    "ts_sec": ts_sec,
-                }
-            )
-            .groupby("sid", sort=True)
-            .agg(
-                n=("event_id", "size"),
-                first=("event_id", "min"),
-                last=("event_id", "max"),
-                value=("value", "sum"),
-                last_ts=("ts_sec", "max"),
-            )
-        )
-        sids = agg.index.to_numpy()
-        if n > 0 and sids[0] == session_id:
-            # first group continues the stored open session: merge
-            g = agg.iloc[0]
-            n += int(g["n"])
-            first = min(first, int(g["first"]))
-            last = max(last, int(g["last"]))
-            value += float(g["value"])
-            last_ts = float(g["last_ts"])
-            agg = agg.iloc[1:]
-            sids = sids[1:]
+    if chunks:
+        seg = _session_segments(chunks, last_ts, gap_seconds)
+        base = session_id if seg["cont"] else session_id + 1
+        i0 = 0
+        if n > 0 and seg["cont"]:
+            # first segment continues the stored open session: merge
+            n += int(seg["n"][0])
+            first = min(first, int(seg["first"][0]))
+            last = max(last, int(seg["last"][0]))
+            value += float(seg["value"][0])
+            last_ts = float(seg["last_ts"][0])
+            i0 = 1
         elif n > 0:
             # the batch's first event started a NEW session: the
             # stored one closed at the gap — emit it now
-            yield row(session_id, n, first, last, value)
+            closed.append((session_id, n, first, last, value))
             n = 0
-        # all but the highest sid are closed in-batch
-        for s_id, g in zip(sids, agg.itertuples()):
+        # all but the last segment are closed in-batch
+        for j in range(i0, len(seg["n"])):
             if n > 0:
-                yield row(session_id, n, first, last, value)
-            session_id = int(s_id)
+                closed.append((session_id, n, first, last, value))
+            session_id = base + j
             n, first, last, value, last_ts = (
-                int(g.n),
-                int(g.first),
-                int(g.last),
-                float(g.value),
-                float(g.last_ts),
+                int(seg["n"][j]),
+                int(seg["first"][j]),
+                int(seg["last"][j]),
+                float(seg["value"][j]),
+                float(seg["last_ts"][j]),
             )
+    if closed:
+        yield _session_frame(user_id, closed)
     if last_ts is None:
         return
     state.update((last_ts, session_id, n, first, last, value))
@@ -684,35 +700,47 @@ def _minhash_bucket_fn(
     order so replays are deterministic."""
     if state.exists:
         seen_ids, seen_sigs = state.get
-        seen_ids, seen_sigs = list(seen_ids), [list(s) for s in seen_sigs]
+        seen_ids = list(seen_ids)
+        sig_mat = [np.asarray(s, dtype=np.int64) for s in seen_sigs]
     else:
-        seen_ids, seen_sigs = [], []
+        seen_ids, sig_mat = [], []
+    seen_set = set(seen_ids)
 
-    out = []
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_est: list[float] = []
     for pdf in batches:
         pdf = pdf.sort_values("doc_id")
         for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
             doc_id = int(doc_id)
-            sig = [int(x) for x in sig]
-            if doc_id in seen_ids:
+            sig = np.asarray(sig, dtype=np.int64)
+            if doc_id in seen_set:
                 continue  # replayed row — state already counts it
-            for sid, ssig in zip(seen_ids, seen_sigs):
-                est = sum(a == b for a, b in zip(sig, ssig)) / num_perm
-                if est >= threshold:
-                    out.append(
-                        {
-                            "id_a": min(doc_id, sid),
-                            "id_b": max(doc_id, sid),
-                            "est_jaccard": est,
-                        }
-                    )
+            if seen_ids:
+                # one vectorized agreement count against the whole
+                # bucket (the per-member Python loop over num_perm
+                # components was the profiled hotspot — same
+                # matches/num_perm arithmetic, C speed)
+                ests = (np.vstack(sig_mat) == sig).sum(axis=1) / num_perm
+                for hit in np.flatnonzero(ests >= threshold):
+                    sid = seen_ids[hit]
+                    out_a.append(min(doc_id, sid))
+                    out_b.append(max(doc_id, sid))
+                    out_est.append(float(ests[hit]))
             if len(seen_ids) < max_bucket:
                 seen_ids.append(doc_id)
-                seen_sigs.append(sig)
+                sig_mat.append(sig)
+                seen_set.add(doc_id)
 
-    state.update((seen_ids, seen_sigs))
-    if out:
-        yield pd.DataFrame(out)
+    state.update((seen_ids, [s.tolist() for s in sig_mat]))
+    if out_a:
+        yield pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype=np.int64),
+                "id_b": np.asarray(out_b, dtype=np.int64),
+                "est_jaccard": np.asarray(out_est, dtype=np.float64),
+            }
+        )
 
 
 def streaming_minhash_pairs(
