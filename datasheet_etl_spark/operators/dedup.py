@@ -129,13 +129,24 @@ def minhash_signatures(
     )
 
 
-def shingle_hashes_col(sh_col: Column | str) -> Column:
-    """Shingle array → hash array (the shared base of every permutation).
+def shingle_hashes_col(
+    sh_col: Column | str, hash_family: str = "xxhash64"
+) -> Column:
+    """Shingle array → hash array (the shared base of every permutation),
+    per-row form of :func:`_base_shingle_hash` for both families.
     Stage this ONCE in a select before ``minhash_signature_col``: array
     HOFs get no common-subexpression elimination, so inlining it would
     re-hash every shingle ``num_perm`` times (measured ~2× total cost)."""
     sh = F.col(sh_col) if isinstance(sh_col, str) else sh_col
-    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME)))
+    if hash_family == "xxhash64":
+        base = lambda s: F.xxhash64(s)  # noqa: E731
+    elif hash_family == "md5":
+        base = lambda s: F.conv(  # noqa: E731
+            F.substring(F.md5(s), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return F.transform(sh, lambda s: F.pmod(base(s), F.lit(MERSENNE_PRIME)))
 
 
 def minhash_signature_col(
@@ -286,8 +297,18 @@ def minhash_dedup_pairs(
     # (id, 64×long) is ~0.5 KB/doc — persisting it (not the shingle sets)
     # keeps the corpus pass single-execution across the banding and verify
     # joins, and stays tiny relative to the corpus even at 100 TB.
+    # Signatures run the staged-hash + Arrow-UDF per-row form (r15): it
+    # computes the same signature with NO exchange at all (the explode +
+    # groupBy aggregate form shuffles (id, 64 longs) per doc) and
+    # measured ~1.5× faster end-to-end for both hash families at sf0.1;
+    # bit-identity of the two forms is pinned in tests/test_streaming.py
+    # and by the t02b md5 oracle, which re-derives these signatures in
+    # DuckDB. Empty-shingle docs drop via the size filter exactly as
+    # they dropped out of the explode.
     sigs = scoped_persist(
-        minhash_signatures(sh, id_col, "sh", num_perm, hash_family=hash_family)
+        sh.filter(F.size("sh") > 0)
+        .select(F.col(id_col), shingle_hashes_col("sh", hash_family).alias("_h"))
+        .select(id_col, minhash_signature_col("_h", num_perm).alias("sig"))
     )
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm, max_bucket)
 

@@ -3063,7 +3063,6 @@ def t71_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     ⇒ rows-only."""
     from datasheet_etl_spark.functions import tokens
     from datasheet_etl_spark.operators.dedup import (
-        minhash_signatures,
         probe_minhash_index,
         word_shingles,
         write_minhash_index,
@@ -3073,7 +3072,16 @@ def t71_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     sh = docs.select(
         "doc_id", word_shingles(tokens(F.col("text")), 2).alias("sh")
     )
-    sigs = minhash_signatures(sh, "doc_id", "sh")
+    # staged-hash + Arrow-UDF signature form (r15): bit-identical to
+    # minhash_signatures with no exchange — see minhash_dedup_pairs
+    from datasheet_etl_spark.operators.dedup import (
+        minhash_signature_col,
+        shingle_hashes_col,
+    )
+
+    sigs = sh.filter(F.size("sh") > 0).select(
+        F.col("doc_id"), shingle_hashes_col("sh").alias("_h")
+    ).select("doc_id", minhash_signature_col("_h").alias("sig"))
     path = _staged_path(
         sf_dir,
         "documents.parquet",
