@@ -607,6 +607,7 @@ def probe_gram_index(
     min_span_tokens: int | None = None,
     dedupe_postings: bool = False,
     persist_postings: bool = True,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental substring-overlap dedup: which at-rest indexed docs
     does tonight's batch duplicate? New docs' capped postings meet the
@@ -634,7 +635,17 @@ def probe_gram_index(
     batch's postings (they recompute once, for the shared-gram agg) —
     the streaming maintainer needs it because nothing releases scoped
     caches inside a long-lived stream, so a per-micro-batch persist
-    would pin one more cache entry forever per batch."""
+    would pin one more cache entry forever per batch.
+
+    ``postings`` lets a caller that ALREADY built the probe batch's
+    capped positioned-gram postings (``_positioned_gram_postings`` with
+    the same id/text/k/cap recipe) pass them in instead of having them
+    rebuilt here — the streaming maintainer computes them once per
+    micro-batch, persists them itself (so it controls the unpersist),
+    and reuses the same frame for this probe AND the index append;
+    without this, each micro-batch paid the tokenize + gram + cap
+    shuffle twice, since the probe and the append are separate actions
+    that AQE exchange-reuse cannot bridge."""
     meta = spark.read.parquet(f"{path}/_meta").collect()
     stored_k, stored_cap = int(meta[0]["k"]), int(meta[0]["max_gram_rows"])
     stored_cap = None if stored_cap == -1 else stored_cap
@@ -650,10 +661,13 @@ def probe_gram_index(
     ga = spark.read.parquet(path)
     if dedupe_postings:
         ga = ga.dropDuplicates([id_col, "pos"])
-    _, gb = _positioned_gram_postings(
-        new_docs, id_col, text_col, k, max_gram_rows,
-        persist_postings=persist_postings,
-    )
+    if postings is not None:
+        gb = postings
+    else:
+        _, gb = _positioned_gram_postings(
+            new_docs, id_col, text_col, k, max_gram_rows,
+            persist_postings=persist_postings,
+        )
     pairs = _gram_meets(ga, gb, id_col)
     runs = _island_runs(pairs)
     floor = _span_floor(min_span_tokens, k)

@@ -906,9 +906,21 @@ def streaming_gram_index_maintain(
         try:
             committed = spark.read.parquet(ledger_path).distinct()
             fresh = batch_df.join(committed, id_col, "left_anti").persist()
+            g_batch = None
             try:
                 if fresh.isEmpty():
                     return  # pure replay: batch fully committed already
+                # the batch's capped postings feed TWO separate actions
+                # (the probe's matches write, then the index append) —
+                # compute the tokenize + gram + cap pass ONCE per batch
+                # and persist it for both; the per-batch unpersist below
+                # is exactly the release a long-lived stream needs (the
+                # reason probe's own scoped persist is off here)
+                _, g_batch = _positioned_gram_postings(
+                    fresh, id_col, text_col, k, max_gram_rows,
+                    persist_postings=False,
+                )
+                g_batch = g_batch.persist()
                 matches = probe_gram_index(
                     spark,
                     index_path,
@@ -920,6 +932,7 @@ def streaming_gram_index_maintain(
                     min_span_tokens,
                     dedupe_postings=True,
                     persist_postings=False,
+                    postings=g_batch,
                 )
                 # a crash BETWEEN the postings append and the ledger
                 # append replays the batch with its own (possibly
@@ -935,17 +948,15 @@ def streaming_gram_index_maintain(
                 matches.join(fresh_ids, "id_a", "left_anti").write.mode(
                     "append"
                 ).parquet(matches_path)
-                _, g = _positioned_gram_postings(
-                    fresh, id_col, text_col, k, max_gram_rows,
-                    persist_postings=False,
-                )
-                g.write.mode("append").parquet(index_path)
+                g_batch.write.mode("append").parquet(index_path)
                 # the ledger append is LAST: it is the batch's commit
                 # marker, so everything above is inside the replay
                 fresh.select(id_col).distinct().coalesce(1).write.mode(
                     "append"
                 ).parquet(ledger_path)
             finally:
+                if g_batch is not None:
+                    g_batch.unpersist()
                 fresh.unpersist()
         finally:
             batch_df.unpersist()

@@ -1421,6 +1421,29 @@ def test_gram_index_probe_finds_cross_set_spans(spark, tmp_path):
     with pytest.raises(ValueError, match="max_gram_rows"):
         probe_gram_index(spark, path, new, max_gram_rows=None)
 
+    # r15 optimization seam: a caller that precomputed the probe batch's
+    # postings (the streaming maintainer, which reuses them for the
+    # index append) must get the identical result through postings=
+    from datasheet_etl_spark.operators.dedup import (
+        _positioned_gram_postings,
+    )
+
+    _, g = _positioned_gram_postings(
+        new, "doc_id", "text", 8, 64, persist_postings=False
+    )
+    g = g.persist()
+    try:
+        via_postings = {
+            (r["id_a"], r["id_b"]): (r["n_shared_grams"], r["max_span_tokens"])
+            for r in probe_gram_index(
+                spark, path, new, dedupe_postings=True,
+                persist_postings=False, postings=g,
+            ).collect()
+        }
+    finally:
+        g.unpersist()
+    assert via_postings == got
+
 
 def test_pack_in_order_handles_tied_order_keys(spark):
     """Review-found (r9): the packing window must use a ROWS frame —
