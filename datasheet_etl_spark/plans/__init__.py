@@ -435,7 +435,7 @@ DEMOTED: tuple[str, ...] = (
     "t93_epoch_shuffle",  # md5-keyed epoch shuffle graded inside t97_training_shard_plan, which invokes epoch_shuffle directly and composes it with temperature counts, hash-order selection, and pack_in_order — the e2e a training loop actually runs
     "q18_sessionize",  # gap-based sessionization graded inside t117_stateful_timeout_sessions with q18's OWN oracle SQL through the strictly-stronger applyInPandasWithState EventTimeTimeout path (r11: t14, the old anchor, demoted into t117 — same oracle, same fold contract)
     "q06_positional_join",  # synthetic-position-key alignment (zip_frames' row_number join) graded inside t95's token-position-keyed excision + ordered rebuild and t97's packing over an existing (shard, pos) order
-    "q25_array_ops",  # higher-order array functions (transform/slice/zip_with/posexplode/array_sort) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale
+    "q25_array_ops",  # higher-order array functions (transform/slice/array_join/posexplode/array_sort; zip_with lives on in word_shingles/cosine) graded inside t95's positioned-gram construction and collect_list(struct)→array_sort doc rebuild — the same function family at operator scale (r15: the gram build's zip_with chain became one transform+array_join pass, 0.58-0.75x)
     # r10 in-round: swapped for t100/t101/t105 — same-machinery
     # supersets stay in-window:
     "q16_topk_per_group",  # per-group row_number top-k graded inside t97's per-source QUALIFY row_number selection (r13: t109, the old co-anchor, demoted into t96/t97 — the same partitioned ranking machinery at corpus scale); the TakeOrdered global top-k + rank-assignment tail graded inside t96/t107 (identical orderBy/limit → row_number-on-k-rows shape; r12: t106, the old co-anchor, demoted into t107/t73; r11: t100 demoted into t106/t107)

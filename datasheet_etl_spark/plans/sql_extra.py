@@ -4610,9 +4610,12 @@ def t113_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="t113_")
     try:
         out_p, ckpt = f"{work}/rows", f"{work}/ckpt"
-        # 100 rows at 50/batch: 2 drains reach the end; one extra
-        # empty drain is harmless and never scheduled (count stops us)
-        for _ in range(3):
+        # 100 rows at 50/batch: 2 drains reach the end; the count gate
+        # is only consulted AFTER the structural minimum of two drains
+        # (r15: the mid-loop parquet count between drains 1 and 2 was a
+        # pure measurement tax — drain 2 is always needed), so the
+        # third drain stays a never-scheduled safety net
+        for restart in range(3):
             q = (
                 spark.readStream.format("synth_feed")
                 .option("numRows", "100")
@@ -4626,7 +4629,7 @@ def t113_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            if spark.read.parquet(out_p).count() >= 100:
+            if restart >= 1 and spark.read.parquet(out_p).count() >= 100:
                 break
         agg = (
             spark.read.parquet(out_p)
