@@ -3088,7 +3088,14 @@ def t71_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         "minhash_idx",
         lambda p: write_minhash_index(sigs.filter(F.col("doc_id") < 250), p),
     )
-    shard = sigs.filter(F.col("doc_id") >= 250)
+    # the shard's signatures feed TWO probe branches (banding → candidate
+    # join AND the est-Jaccard verify side) with no shared exchange below
+    # them — without a persist the tokenize+shingle+Arrow-UDF pass runs
+    # once per branch (r15; the same reasoning as minhash_dedup_pairs'
+    # scoped_persist, (id, 64×long) ≈ 0.5 KB/doc at any scale)
+    from datasheet_etl_spark.caching import scoped_persist
+
+    shard = scoped_persist(sigs.filter(F.col("doc_id") >= 250))
     return probe_minhash_index(spark, path, shard).orderBy("new_id", "index_id")
 
 
