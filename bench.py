@@ -164,6 +164,29 @@ def main() -> int:
         except Exception:  # noqa: BLE001
             return None
 
+    def calib() -> float:
+        # CPU-speed calibration probe (r15 opt round): this host's
+        # contention is only PARTLY visible as steal ticks — a measured
+        # run recorded entries 8-20x their clean wall while the entry's
+        # own /proc/stat window read steal 0.007-0.016 (SMT-sibling /
+        # frequency contention is charged as normal "user" time, not
+        # steal). A fixed single-thread pure-Python spin takes constant
+        # work, so its wall directly measures how fast this vCPU
+        # currently executes; the minimum over the run approximates the
+        # uncontended speed, and an attempt whose probe runs slow was
+        # measured on a degraded CPU no matter what steal says. Min of
+        # 3 samples so a GC pause or scheduler blip cannot flag a clean
+        # window (~40 ms per entry, noise next to any timed query).
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = 400_000
+            while n:
+                n -= 1
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
     # Dispersion hardening (VERDICT r13 #3): this host is a shared
     # hypervisor whose contention arrives in BURSTS — five r13 runs of
     # identical code measured 272.6-475.2s (steal 3.1%-33.4%), and one
@@ -196,11 +219,20 @@ def main() -> int:
     retry_wall_frac = float(
         os.environ.get("SPARK_GRAFT_BENCH_RETRY_WALL_FRAC", "0.5")
     )
+    # calibration gate (r15 opt round, see calib()): an attempt whose
+    # calibration probe ran > this factor slower than the run's fastest
+    # probe was measured on a degraded CPU and is retried exactly like
+    # a steal-flagged attempt. 1.3 sits far above probe noise (clean
+    # same-run samples vary < 5%) and far below the observed pollution
+    # (probe ratios 2-8x during the bursts that motivated it).
+    calib_gate = float(os.environ.get("SPARK_GRAFT_BENCH_CALIB_GATE", "1.3"))
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     entry_steal: dict[str, float] = {}
+    entry_calib: dict[str, float] = {}
     retries: dict[str, list[dict[str, float]]] = {}
+    calib_min = calib()
     ticks0 = cpu_ticks()
     t_all = time.perf_counter()
     retry_wall_spent = 0.0
@@ -220,8 +252,9 @@ def main() -> int:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
 
-    def attempt(name: str) -> tuple[float, int, float | None]:
-        """One timed execution; returns (wall, rows, steal_frac)."""
+    def attempt(name: str) -> tuple[float, int, float | None, float]:
+        """One timed execution; returns (wall, rows, steal_frac, calib_sec)."""
+        nonlocal calib_min
         e0 = cpu_ticks()
         t0 = time.perf_counter()
         n = reg[name](spark, sf_dir).count()
@@ -232,19 +265,28 @@ def main() -> int:
             busy = sum(e1[k] - e0[k] for k in ("user", "system", "steal"))
             if busy > 0:
                 frac = (e1["steal"] - e0["steal"]) / busy
-        return wall, n, frac
+        cal = calib()
+        calib_min = min(calib_min, cal)
+        return wall, n, frac, cal
+
+    def polluted(frac: float | None, cal: float) -> bool:
+        return (frac is not None and frac > retry_steal) or (
+            cal > calib_gate * calib_min
+        )
 
     for name in sorted(reg):
         # one broken entry must not destroy the whole run's perf signal:
         # record the error, keep timing the rest, always emit the JSON line
         try:
-            wall, n, frac = attempt(name)
-            attempts = [{"wall": wall, "steal": round(frac or 0.0, 3)}]
-            while (
-                frac is not None
-                and frac > retry_steal
-                and len(attempts) <= max_retries
-            ):
+            wall, n, frac, cal = attempt(name)
+            attempts = [
+                {
+                    "wall": wall,
+                    "steal": round(frac or 0.0, 3),
+                    "calib_ms": round(cal * 1000, 1),
+                }
+            ]
+            while polluted(frac, cal) and len(attempts) <= max_retries:
                 if not retry_allowed():
                     retry_guard_hits += 1
                     break
@@ -255,7 +297,7 @@ def main() -> int:
                 # triggered the retry would otherwise convert a valid
                 # first-attempt wall into a spurious bench error)
                 try:
-                    wall2, n, frac = attempt(name)
+                    wall2, n, frac, cal = attempt(name)
                 except Exception as exc:  # noqa: BLE001
                     print(
                         f"# {name}: retry failed "
@@ -265,7 +307,11 @@ def main() -> int:
                     break
                 retry_wall_spent += wall2
                 attempts.append(
-                    {"wall": wall2, "steal": round(frac or 0.0, 3)}
+                    {
+                        "wall": wall2,
+                        "steal": round(frac or 0.0, 3),
+                        "calib_ms": round(cal * 1000, 1),
+                    }
                 )
                 wall = min(wall, wall2)
             timings[name] = wall
@@ -291,6 +337,7 @@ def main() -> int:
                 best["recorded"] = 1
             if best["steal"] > 0.005:  # keep the artifact sparse
                 entry_steal[name] = best["steal"]
+            entry_calib[name] = best["calib_ms"] / 1000.0
             print(
                 f"# {name}: {timings[name]:.3f}s rows={n}"
                 + (f" (best of {len(attempts)})" if len(attempts) > 1 else ""),
@@ -308,12 +355,15 @@ def main() -> int:
     # the artifact shows pollution survived repeated looks, not a
     # spent budget.
     repass_done = 0
-    for name in sorted(k for k, v in entry_steal.items() if v > retry_steal):
+    _flagged = {k for k, v in entry_steal.items() if v > retry_steal} | {
+        k for k, v in entry_calib.items() if v > calib_gate * calib_min
+    }
+    for name in sorted(_flagged):
         if not retry_allowed():
             retry_guard_hits += 1
             break
         try:
-            wall2, n, frac = attempt(name)
+            wall2, n, frac, cal = attempt(name)
         except Exception as exc:  # noqa: BLE001
             print(
                 f"# {name}: re-pass failed ({type(exc).__name__}),"
@@ -325,10 +375,22 @@ def main() -> int:
         retry_wall_spent += wall2
         repass_done += 1
         rec = retries.setdefault(
-            name, [{"wall": timings[name], "steal": entry_steal[name]}]
+            name,
+            [
+                {
+                    "wall": timings[name],
+                    "steal": entry_steal.get(name, 0.0),
+                    "calib_ms": round(entry_calib.get(name, 0.0) * 1000, 1),
+                }
+            ],
         )
         rec.append(
-            {"wall": wall2, "steal": round(frac or 0.0, 3), "repass": 1}
+            {
+                "wall": wall2,
+                "steal": round(frac or 0.0, 3),
+                "calib_ms": round(cal * 1000, 1),
+                "repass": 1,
+            }
         )
         for a in rec:
             a.pop("recorded", None)
@@ -339,6 +401,7 @@ def main() -> int:
             entry_steal[name] = best["steal"]
         else:
             entry_steal.pop(name, None)
+        entry_calib[name] = best.get("calib_ms", 0.0) / 1000.0
         print(
             f"# {name}: re-pass {wall2:.3f}s"
             f" (recorded {timings[name]:.3f}s)",
@@ -361,6 +424,19 @@ def main() -> int:
         # (i.e. the retry could not find a clean window) — diff these
         # with suspicion (or not at all) across rounds
         env["steal_frac_per_entry"] = entry_steal
+    # calibration-probe audit (see calib()): the run's fastest probe
+    # wall, plus each entry whose RECORDED attempt ran with a probe
+    # >15% above it — CPU-degradation pollution that steal accounting
+    # cannot see; diff those entries with the same suspicion as
+    # steal-flagged ones
+    env["calib_min_ms"] = round(calib_min * 1000, 2)
+    _cal_ratios = {
+        k: round(v / calib_min, 2)
+        for k, v in entry_calib.items()
+        if v / calib_min > 1.15
+    }
+    if _cal_ratios:
+        env["calib_ratio_per_entry"] = _cal_ratios
     if retries:
         env["bench_retries"] = retries
     env["retry_wall_sec"] = round(retry_wall_spent, 1)

@@ -55,12 +55,30 @@ def main() -> int:
         p = open("/proc/stat").readline().split()
         return int(p[1]), int(p[3]), int(p[8])
 
+    def calib():
+        # fixed single-thread spin: measures current CPU execution speed
+        # directly, catching contention that steal accounting cannot see
+        # (SMT-sibling/frequency degradation — observed 8-20x entry
+        # pollution at steal 0.007 on this host); compare reps via the
+        # printed ms — a rep whose probe ran >1.3x the session minimum
+        # was measured on a degraded CPU
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = 400_000
+            while n:
+                n -= 1
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
     for name in args.entries:
         if name not in reg:
             print(f"!! unknown entry {name}", file=sys.stderr)
             continue
         walls = []
         steals = []
+        calibs = []
         for rep in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name} rep{rep}")
             k0 = ticks()
@@ -74,6 +92,7 @@ def main() -> int:
             k1 = ticks()
             busy = sum(b - a for a, b in zip(k0, k1))
             steals.append(round((k1[2] - k0[2]) / busy, 3) if busy else 0.0)
+            calibs.append(round(calib() * 1000, 1))
             if rep == 0 and args.explain:
                 os.makedirs(args.explain, exist_ok=True)
                 out = os.path.join(args.explain, f"{name}{args.suffix}.txt")
@@ -84,7 +103,7 @@ def main() -> int:
                         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
                     ))
             cleanup()
-        print(f"{name}: {walls} steal={steals} ({args.action})")
+        print(f"{name}: {walls} steal={steals} calib_ms={calibs} ({args.action})")
     spark.stop()
     return 0
 
