@@ -16,6 +16,7 @@ tests/test_streaming.py).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -129,9 +130,21 @@ class _few_state_partitions:
     """Streaming state partition count is captured from
     spark.sql.shuffle.partitions when the query starts; 32 state stores
     × N micro-batches is pure file-IO overhead for these bounded
-    drains — run them at 8 and restore the session conf after."""
+    drains — run them at 8 and restore the session conf after.
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    The count is a scale knob, not a semantic one (state distribution
+    only; values are identical at any N), so it is env-parameterised:
+    ``SPARK_GRAFT_STATE_PARTITIONS`` overrides the local default of 8.
+    Measured on this host: ~0.1 s of store-commit file IO per
+    (partition × micro-batch), so bounded drains want few partitions;
+    a long-lived production stream wants it sized to the executor
+    parallelism instead — set the env accordingly at submit time.
+    (8 vs 4 locally was A/B-tested and rejected as within measurement
+    drift — see OPTIMIZATION_r15.md "left alone" #2.)"""
+
+    def __init__(self, spark: SparkSession, n: int | None = None):
+        if n is None:
+            n = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
         self.spark, self.n = spark, n
 
     def __enter__(self):
