@@ -473,7 +473,17 @@ def main() -> int:
             fh.write("\n")
     except OSError as exc:  # read-only checkout must not kill the run
         print(f"# BENCH_TIMES.json not written: {exc}", file=sys.stderr)
-    # full per-query detail first (long line; useful when fully captured)...
+    # ONE JSON line, per the declared contract — INCLUDING the per-query
+    # map (r16, VERDICT r15 #1: the r7-r15 two-line format put `queries`
+    # only on a first, enormous detail line whose front the driver's
+    # tail-capture truncated away, so PERF had per-query data for NO
+    # round; the parsed final line carried only totals). The line is
+    # kept capturable by construction: minified separators, recorded
+    # walls only, and NONE of the bulky audit payloads — per-attempt
+    # retries, per-entry steal/calib annotations and error texts live in
+    # BENCH_TIMES.json (written above), which always carries the full
+    # detail of the latest run. Scalar contamination summaries stay so a
+    # polluted run is still self-describing.
     print(
         json.dumps(
             {
@@ -481,36 +491,15 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "errors": errors,
-                "env": env,
-                "sf": sf_val,
-            }
-        )
-    )
-    # ...then a short summary as the LAST line: tail-capture of the output
-    # truncates long lines from the front, so the detail line alone can lose
-    # its leading keys (BENCH_r04 recorded parsed:null that way). This line
-    # is always compact and always last, so any tail parses it. slowest10
-    # makes regressions in EARLY (alphabetically first) entries visible
-    # even when the detail line's front is truncated away.
-    slowest10 = {
-        k: timings[k]
-        for k in sorted(timings, key=timings.__getitem__, reverse=True)[:10]
-    }
-    print(
-        json.dumps(
-            {
-                "metric": "query_inventory_wall_sec",
-                "value": total,
-                "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
+                "error_entries": sorted(errors),
                 "steal_sec": env.get("steal_sec"),
                 "steal_frac": env.get("steal_frac"),
                 "n_entries_steal_polluted": len(entry_steal),
-                "slowest10": slowest10,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

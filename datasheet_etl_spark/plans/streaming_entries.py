@@ -144,7 +144,19 @@ class _few_state_partitions:
 
     def __init__(self, spark: SparkSession, n: int | None = None):
         if n is None:
-            n = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+            raw = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+            try:
+                n = int(raw)
+            except ValueError as exc:
+                raise ValueError(
+                    "SPARK_GRAFT_STATE_PARTITIONS must be an integer >= 1, "
+                    f"got {raw!r}"
+                ) from exc
+            if n < 1:
+                raise ValueError(
+                    "SPARK_GRAFT_STATE_PARTITIONS must be >= 1, "
+                    f"got {raw!r}"
+                )
         self.spark, self.n = spark, n
 
     def __enter__(self):

@@ -268,8 +268,13 @@ def _session_segments(chunks: list, last_ts, gap_seconds: float):
     ``np.add.reduceat`` over the event_id-sorted rows — the same
     sequential left-to-right accumulation the per-row fold performed.
     Rows are event_id-sorted, so each segment's first/last event are
-    its endpoints; ``seg_last_ts`` still takes the segment max (the
-    fold's semantics) rather than assuming ts is monotone in event_id.
+    its endpoints; the carried ``last_ts`` is the segment's LAST ROW's
+    ts (not the segment max): the batch sessionize computes every gap
+    against lag(ts) in event_id order, so the next batch's first gap
+    test must see the previous batch's final event's ts — identical
+    only when ts is monotone in event_id, which the fold must not
+    assume (r15 verdict watch item; pinned by the non-monotone-ts
+    property test in tests/test_streaming.py).
     """
     ids = np.concatenate([c["event_id"].to_numpy() for c in chunks])
     vals = np.concatenate(
@@ -296,7 +301,7 @@ def _session_segments(chunks: list, last_ts, gap_seconds: float):
         "first": ids[bounds],
         "last": ids[ends],
         "value": np.add.reduceat(vals, bounds),
-        "last_ts": np.maximum.reduceat(ts_sec, bounds),
+        "last_ts": ts_sec[ends],
     }
 
 

@@ -47,20 +47,23 @@ NODE_PATTERNS = {
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    ap.add_argument("--out", default="plans/r15/plan_audit.json")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
+    ap.add_argument("--out", default="plans/r16/plan_audit.json")
     args = ap.parse_args()
-
-    from pyspark.sql import SparkSession
 
     import __spark_entry__ as ep
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
+    # ADVICE r15 #3: audit under the SAME session configuration the
+    # bench/driver path runs (inferTimestampNTZ=false, Arrow, AQE, UTC),
+    # with parallelism from the repo's SPARK_GRAFT_* convention — a plan
+    # captured under a bare default session certifies a different plan
+    # than the one the bench executes.
+    from datasheet_etl_spark.session import get_session
+
+    spark = get_session(app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     reg = ep.queries()
     audit: dict[str, dict] = {}
@@ -91,6 +94,33 @@ def main() -> int:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
 
+    # ADVICE r15 #4: a pre-execution explain renders a Python UDTF as a
+    # Generate subtree with NO BatchEvalPython node, so the headline
+    # batch_eval_python_entries=[] is vacuous for exactly the two seams
+    # the claim is about. Execute the seam entries and capture the
+    # EXECUTED plan's node counts so the artifact positively confirms
+    # where Python row-codec evaluation occurs.
+    executed_seams: dict[str, dict] = {}
+    for name in ("t76_udtf_sentence_split", "t147_polymorphic_udtf"):
+        if name not in reg:
+            continue
+        try:
+            df = reg[name](spark, args.sf_dir)
+            df.count()
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            executed_seams[name] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
+            continue
+        row = {k: len(re.findall(p, plan)) for k, p in NODE_PATTERNS.items()}
+        row["python_udtf_eval"] = len(
+            re.findall(r"\bBatchEvalPythonUDTF\b|\bArrowEvalPythonUDTF\b", plan)
+        )
+        executed_seams[name] = {k: v for k, v in row.items() if v}
+
     totals: dict[str, int] = {}
     offenders: dict[str, list[str]] = {"cartesian_product": [], "batch_eval_python": []}
     for name, row in audit.items():
@@ -111,6 +141,7 @@ def main() -> int:
         "node_totals": dict(sorted(totals.items())),
         "cartesian_product_entries": sorted(offenders["cartesian_product"]),
         "batch_eval_python_entries": sorted(offenders["batch_eval_python"]),
+        "executed_seam_plans": executed_seams,
         "entries": dict(sorted(audit.items())),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -3727,3 +3727,162 @@ def test_t145_cross_batch_merge_equals_direct_sketch(spark):
     )
     want = {(r["event_type"], r["item"]): r["cnt"] for r in direct.collect()}
     assert streamed == want
+
+
+# ---------------------------------------------------------------------------
+# non-monotone-ts property test for the session folds (r15 verdict watch
+# item #5): the carried last_ts must be the LAST event's ts in event_id
+# order — the batch sessionize computes every gap against lag(ts) ordered
+# by event_id, so a segment-max carry would mis-split across micro-batch
+# boundaries whenever ts is non-monotone in event_id. Pure-Python: drives
+# the fold bodies directly with a fake GroupState, no Spark session.
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+
+def _reference_sessions(events, gap_seconds):
+    """The batch Q18 fold: lag(ts) in event_id order, new session when
+    ts - prev_ts > gap. Returns {session_id: (n, first, last, value)}."""
+    out = {}
+    sid, prev_ts = 0, None
+    for eid, ts, val in sorted(events):
+        if prev_ts is None or ts - prev_ts > gap_seconds:
+            sid += 1
+            out[sid] = [0, eid, eid, 0.0]
+        out[sid][0] += 1
+        out[sid][2] = eid
+        out[sid][3] += val
+        prev_ts = ts
+    return {k: (v[0], v[1], v[2], round(v[3], 6)) for k, v in out.items()}
+
+
+def _fold_batches(fn, batches, gap_seconds, finalize_timeout=False):
+    """Feed event batches through a stateful fold body; keep the LAST
+    emission per session_id (update semantics)."""
+    import pandas as pd
+
+    state = _FakeGroupState()
+    emitted = {}
+
+    def _drain(frames):
+        for f in frames:
+            for r in f.itertuples(index=False):
+                emitted[int(r.session_id)] = (
+                    int(r.n_events),
+                    int(r.first_event),
+                    int(r.last_event),
+                    round(float(r.session_value), 6),
+                )
+
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "event_id": [e[0] for e in batch],
+                "ts": pd.to_datetime([e[1] for e in batch], unit="s"),
+                "value": [e[2] for e in batch],
+                "user_id": [7] * len(batch),
+            }
+        )
+        _drain(fn((7,), [pdf], state, gap_seconds))
+    if finalize_timeout and state.exists:
+        state.hasTimedOut = True
+        _drain(fn((7,), [], state, gap_seconds))
+    return emitted
+
+
+def test_session_fold_carries_last_row_ts_not_segment_max():
+    """Deterministic adversarial case separating the two carry
+    semantics: batch 1's session has max ts 1090 on its MIDDLE row but
+    ends (in event_id order) at ts 1020; batch 2's first event at 1130
+    is 110s past the last row (> gap=100 → new session, the batch
+    lag-fold answer) but only 40s past the max (a segment-max carry
+    would wrongly continue the session)."""
+    from datasheet_etl_spark.streaming.streams import (
+        _session_fn,
+        _session_timeout_fn,
+    )
+
+    gap = 100.0
+    events = [
+        (1, 1000.0, 1.0),
+        (2, 1090.0, 2.0),  # max ts, NOT the last row in event_id order
+        (3, 1020.0, 3.0),  # last row: carry must be 1020, not 1090
+        (4, 1130.0, 4.0),  # 1130-1020=110 > gap → new session
+    ]
+    want = _reference_sessions(events, gap)
+    assert len(want) == 2  # the reference itself splits here
+    batches = [events[:3], events[3:]]
+    assert _fold_batches(_session_fn, batches, gap) == want
+    assert (
+        _fold_batches(_session_timeout_fn, batches, gap, finalize_timeout=True)
+        == want
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_session_fold_non_monotone_ts_matches_batch_fold(seed):
+    """Randomized non-monotone ts: events whose ts jitters against
+    event_id order, split across micro-batches at arbitrary points
+    (respecting the ordered-feed contract: all ids in batch k < batch
+    k+1). Both stateful folds must reproduce the batch lag-fold exactly
+    — in particular the cross-batch gap decision, which is where a
+    segment-max last_ts carry diverges from last-row ts."""
+    import random
+
+    from datasheet_etl_spark.streaming.streams import (
+        _session_fn,
+        _session_timeout_fn,
+    )
+
+    rng = random.Random(seed)
+    gap = 100.0
+    # ts mostly advances but jitters NON-monotonically vs event_id, and
+    # occasionally jumps a gap; the jitter regularly makes the last row
+    # of a batch NOT the max-ts row — the case the carry semantics is
+    # about
+    events = []
+    ts = 1_000_000.0
+    for eid in range(1, 41):
+        ts += rng.choice([5.0, 10.0, 150.0]) if eid > 1 else 0.0
+        jitter = rng.uniform(-40.0, 40.0)
+        events.append((eid, ts + jitter, round(rng.uniform(0, 5), 2)))
+
+    want = _reference_sessions(events, gap)
+
+    # several batch splits, including one per event and one big batch
+    splits = [
+        [events],
+        [events[:13], events[13:]],
+        [events[i : i + 7] for i in range(0, len(events), 7)],
+        [[e] for e in events],
+    ]
+    for batches in splits:
+        got_update = _fold_batches(_session_fn, batches, gap)
+        assert got_update == want, f"_session_fn diverged on split sizes {[len(b) for b in batches]}"
+        got_once = _fold_batches(
+            _session_timeout_fn, batches, gap, finalize_timeout=True
+        )
+        assert got_once == want, f"_session_timeout_fn diverged on split sizes {[len(b) for b in batches]}"
