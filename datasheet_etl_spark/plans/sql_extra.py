@@ -1841,10 +1841,14 @@ def t76_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to prove the surface works and is oracle-checkable, and its
     docstring is the signpost to the codegen form. Deterministic
     output ⇒ full DuckDB oracle (split on '.', space-trim, drop
-    empties — semantics matched expression-for-expression)."""
+    empties — semantics matched expression-for-expression).
+
+    r16: ``useArrow=True`` — same per-row eval, Arrow row codec across
+    the boundary (executed plan: BatchEvalPythonUDTF →
+    ArrowEvalPythonUDTF, plans/r16/); output verified identical."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, sentence string")
+    @udtf(returnType="pos int, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, text: str):
             if text is None:
@@ -6089,7 +6093,14 @@ def t147_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades the analyze-time schema machinery, on a bounded input
     (doc_id < 200), with the AnalyzeResult path pinned in
     tests/test_plans.py (k=2 vs k=4 produce different column sets
-    from ONE registration)."""
+    from ONE registration).
+
+    r16: registered ``useArrow=True`` — eval is still called per row
+    (guide §4.1: Arrow on a UDTF changes serialization only), but rows
+    cross the JVM↔Python boundary as Arrow batches instead of pickled
+    rows (executed plan: BatchEvalPythonUDTF → ArrowEvalPythonUDTF,
+    plans/r16/). Output verified tuple-identical and oracle-green; the
+    analyze()/AnalyzeResult machinery this entry grades is unchanged."""
     from pyspark.sql.functions import udtf
 
     class LeadToks:
@@ -6117,7 +6128,7 @@ def t147_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(int(k))
             )
 
-    spark.udtf.register("t147_lead_toks", udtf(LeadToks))
+    spark.udtf.register("t147_lead_toks", udtf(LeadToks, useArrow=True))
     load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     ).createOrReplaceTempView("_t147_docs")
