@@ -130,21 +130,43 @@ class _few_state_partitions:
     """Streaming state partition count is captured from
     spark.sql.shuffle.partitions when the query starts; 32 state stores
     × N micro-batches is pure file-IO overhead for these bounded
-    drains — run them at 8 and restore the session conf after.
+    drains — run them at few partitions and restore the session conf
+    after.
 
     The count is a scale knob, not a semantic one (state distribution
     only; values are identical at any N), so it is env-parameterised:
-    ``SPARK_GRAFT_STATE_PARTITIONS`` overrides the local default of 8.
-    Measured on this host: ~0.1 s of store-commit file IO per
-    (partition × micro-batch), so bounded drains want few partitions;
-    a long-lived production stream wants it sized to the executor
+    ``SPARK_GRAFT_STATE_PARTITIONS`` overrides every default; a
+    long-lived production stream wants it sized to the executor
     parallelism instead — set the env accordingly at submit time.
-    (8 vs 4 locally was A/B-tested and rejected as within measurement
-    drift — see OPTIMIZATION_r15.md "left alone" #2.)"""
 
-    def __init__(self, spark: SparkSession, n: int | None = None):
+    The LOCAL default is shape-differentiated (r16; measured with
+    ABBA-ordered pairs after r15's plain A-then-B attempt was rejected
+    for 10-25% first-mover drift):
+
+    - JVM-state drains (joins, window/dedup aggregates, foreachBatch
+      sinks) default to **4**: their wall is dominated by the
+      HDFS-backed store-commit floor (~0.1 s of fsync-bound file IO
+      per partition × micro-batch × store; a stream-stream join keeps
+      4 stores per partition), so halving partitions halves the
+      dominant term — ABBA medians 0.83-0.87× on t41/t116 with the
+      faster arm winning EVERY pair in BOTH positions, and the t119
+      decomposition (source floor ~2.4 s + join-state ~5.5 s +
+      agg-state ~0.8 s at 8 partitions) puts the commit term at >60%
+      of the entry. Per-partition state stays far below memory at any
+      bench SF, and a bounded drain (backfill/replay) has the same
+      commit-floor shape on a real cluster.
+    - Python-stateful drains (``applyInPandasWithState``: t14, t117,
+      t24) keep **8**: state partitions are also their Python worker
+      parallelism, and r15 measured 1.10-1.21× REGRESSION at 4 in its
+      cleanest pairs (this round's re-check ran at steal 0.35-0.66 —
+      unusable either way, so the r15 low-steal finding stands).
+    """
+
+    def __init__(self, spark: SparkSession, n: int | None = None, default: int = 4):
         if n is None:
-            raw = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+            raw = os.environ.get(
+                "SPARK_GRAFT_STATE_PARTITIONS", str(default)
+            )
             try:
                 n = int(raw)
             except ValueError as exc:
@@ -217,7 +239,7 @@ def t14_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     maxFilesPerTrigger is set (availableNow drains the staged dir in
     one batch)."""
     src = _stage_events(sf_dir)
-    with _few_state_partitions(spark):
+    with _few_state_partitions(spark, default=8):
         stream = sessionize_stateful(events_stream(spark, src))
         name = f"t14_{uuid.uuid4().hex[:8]}"
         out = run_available_now(stream, name, "update")
@@ -491,7 +513,7 @@ def t117_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from datasheet_etl_spark.streaming.streams import sessionize_timeout
 
-    with _few_state_partitions(spark):
+    with _few_state_partitions(spark, default=8):
         stream = events_stream(
             spark, src, max_files_per_trigger=max(1, n_real)
         ).withWatermark("ts", "1 hour")
@@ -1067,7 +1089,7 @@ def t24_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1).write.parquet(d, mode="append")
         open(os.path.join(d, "_SUCCESS2"), "w").close()
 
-    with _few_state_partitions(spark):
+    with _few_state_partitions(spark, default=8):
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
