@@ -116,8 +116,15 @@ def main() -> int:
             }
             continue
         row = {k: len(re.findall(p, plan)) for k, p in NODE_PATTERNS.items()}
-        row["python_udtf_eval"] = len(
-            re.findall(r"\bBatchEvalPythonUDTF\b|\bArrowEvalPythonUDTF\b", plan)
+        # counts include the tree line AND the detail header of the
+        # formatted explain, like every count in this artifact (2 == one
+        # physical node); batch vs arrow split so the codec is positively
+        # recorded
+        row["batch_eval_python_udtf"] = len(
+            re.findall(r"\bBatchEvalPythonUDTF\b", plan)
+        )
+        row["arrow_eval_python_udtf"] = len(
+            re.findall(r"\bArrowEvalPythonUDTF\b", plan)
         )
         executed_seams[name] = {k: v for k, v in row.items() if v}
 
